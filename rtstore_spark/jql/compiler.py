@@ -1,0 +1,251 @@
+"""Compile a JQL AST into DataFrame transformations.
+
+Design: JQL is a declarative single-collection filter/project/limit language
+(SURVEY.md §2.2). We therefore compile every form to built-in Catalyst
+``Column`` expressions — never Python UDFs — so predicate pushdown, column
+pruning and whole-stage codegen apply unchanged. A filter like
+``/[lang = en]`` over a parquet-backed collection becomes a pushed parquet
+filter; the engine never materializes non-matching rows.
+
+Two field-resolution modes, chosen per column:
+
+- **native**: the field names a real (possibly struct) column → direct
+  ``Column`` reference, fully pushdown-eligible.
+- **json**: the field traverses a JSON string column (the reference stores
+  documents as JSON text — doc_store.rs:292-312) → ``get_json_object``
+  extraction with a type-directed cast chosen from the literal's type
+  (filter values are restricted to bool/int64/string in the reference,
+  bson_util.rs:47-60; we additionally allow doubles).
+
+Ordering contract: the reference returns results **newest-first** (implicit
+``desc`` by doc id — SURVEY.md Q9, client_v2.test.ts:213-239). A global sort
+is only *observable* when the result is truncated, so we apply the sort when
+a ``limit``/``skip`` is present (or an explicit collector is given); a full
+untruncated result set is returned unsorted to avoid a needless total
+exchange at 100 TB scale — set-equal to the reference's output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rtstore_spark.errors import QueryError
+from rtstore_spark.jql.parser import Apply, Clause, Cond, JQLQuery, Placeholder, parse_jql
+
+
+def _resolve_params(value, params):
+    if isinstance(value, Placeholder):
+        if value.name is not None:
+            try:
+                return params[value.name]
+            except (KeyError, TypeError):
+                raise QueryError(f"JQL: missing named parameter :{value.name}")
+        try:
+            return params[value.index]
+        except (IndexError, KeyError, TypeError):
+            raise QueryError(f"JQL: missing positional parameter #{value.index}")
+    if isinstance(value, list):
+        return [_resolve_params(v, params) for v in value]
+    return value
+
+
+def _cast_for(value, col: Column) -> Column:
+    """Cast a JSON-extracted string column to match the literal's type."""
+    probe = value[0] if isinstance(value, list) and value else value
+    if isinstance(probe, bool):
+        return col.cast(T.BooleanType())
+    if isinstance(probe, (int, float)):
+        return col.cast(T.DoubleType())
+    return col
+
+
+class FieldResolver:
+    """Resolve a dotted JQL field path against a DataFrame's schema.
+
+    Columns that exist natively (including struct traversal) resolve to plain
+    references; paths that descend *into a string column* are treated as JSON
+    text and extracted via ``get_json_object``. ``doc_col`` names a default
+    JSON document column used when the first path segment matches no column
+    (the document-store layout: doc_id / owner / doc).
+    """
+
+    def __init__(self, df: DataFrame, doc_col: str | None = None):
+        self.df = df
+        self.doc_col = doc_col
+        self.fields = {f.name: f for f in df.schema.fields}
+
+    def resolve(self, dotted: str, value=None) -> Column:
+        parts = dotted.split(".")
+        head = parts[0]
+        if head in self.fields:
+            f = self.fields[head]
+            if len(parts) == 1:
+                return F.col(head)
+            if isinstance(f.dataType, T.StructType):
+                return F.col(dotted)
+            if isinstance(f.dataType, T.StringType):
+                json_path = "$." + ".".join(parts[1:])
+                return _cast_for(value, F.get_json_object(F.col(head), json_path))
+            raise QueryError(f"JQL: cannot traverse {dotted!r} on {f.dataType}")
+        if self.doc_col is not None:
+            json_path = "$." + dotted
+            return _cast_for(value, F.get_json_object(F.col(self.doc_col), json_path))
+        raise QueryError(f"JQL: unknown field {dotted!r}")
+
+    def resolve_array(self, path: list[str], cond_field: str, value=None) -> Column | None:
+        """Resolve `/path/[elem_field op v]` — any-element-matches semantics.
+
+        Returns a column of array values to test with ``exists``, or None if
+        the native column is itself an array of structs (handled separately).
+        """
+        head = path[0]
+        if head in self.fields and isinstance(self.fields[head].dataType, T.ArrayType):
+            return None  # native array handled by caller via F.exists
+        base = F.col(self.doc_col) if head not in self.fields else F.col(head)
+        json_path = "$." + ".".join(path) + "[*]." + cond_field
+        arr = F.from_json(
+            F.get_json_object(base, json_path),
+            T.ArrayType(T.StringType()),
+        )
+        return arr
+
+
+_OP_FUNCS = {
+    "eq": lambda c, v: c == F.lit(v),
+    "ne": lambda c, v: c != F.lit(v),
+    "gt": lambda c, v: c > F.lit(v),
+    "lt": lambda c, v: c < F.lit(v),
+    "ge": lambda c, v: c >= F.lit(v),
+    "le": lambda c, v: c <= F.lit(v),
+    "in": lambda c, v: c.isin(*v),
+    "ni": lambda c, v: ~c.isin(*v),
+    "re": lambda c, v: c.rlike(v),
+    "prefix": lambda c, v: c.startswith(v),
+    "like": lambda c, v: c.like(v),
+}
+
+
+def _compile_cond(cond: Cond, resolver: FieldResolver, params, path: list[str]) -> Column:
+    value = _resolve_params(cond.value, params)
+    op_fn = _OP_FUNCS[cond.op]
+    if path:
+        # nested-array form: /pets/[kind = dog] — match if ANY element matches
+        # (EJDB2 semantics for collection filters on nested arrays,
+        #  sdk/tests/query.test.ts:100-116 fixture shape).
+        head = path[0]
+        if head in resolver.fields and isinstance(
+            resolver.fields[head].dataType, T.ArrayType
+        ):
+            elem_type = resolver.fields[head].dataType.elementType
+            if isinstance(elem_type, T.StructType):
+                return F.exists(F.col(head), lambda e: op_fn(e[cond.field], value))
+            return F.exists(F.col(head), lambda e: op_fn(e, value))
+        arr = resolver.resolve_array(path, cond.field, value)
+        return F.exists(arr, lambda e: op_fn(_cast_for(value, e), value))
+    col = resolver.resolve(cond.field, value)
+    return op_fn(col, value)
+
+
+def _compile_clause(clause: Clause, resolver: FieldResolver, params) -> Column:
+    if clause.match_all and not clause.conds:
+        pred = F.lit(True)
+    else:
+        pred = _compile_cond(clause.conds[0], resolver, params, clause.path)
+        for op, cond in zip(clause.cond_ops, clause.conds[1:]):
+            nxt = _compile_cond(cond, resolver, params, clause.path)
+            pred = (pred & nxt) if op == "and" else (pred | nxt)
+    return ~pred if clause.negate else pred
+
+
+def compile_predicate(
+    q: JQLQuery, df: DataFrame, params=None, doc_col: str | None = None
+) -> Column:
+    resolver = FieldResolver(df, doc_col=doc_col)
+    pred = _compile_clause(q.clauses[0], resolver, params)
+    for op, clause in zip(q.clause_ops, q.clauses[1:]):
+        nxt = _compile_clause(clause, resolver, params)
+        pred = (pred & nxt) if op == "and" else (pred | nxt)
+    return pred
+
+
+def _apply_projection(
+    df: DataFrame, fields: list[str], doc_col: str | None, id_col: str | None
+) -> DataFrame:
+    resolver = FieldResolver(df, doc_col=doc_col)
+    native = [f for f in fields if f.split(".")[0] in resolver.fields]
+    if len(native) == len(fields):
+        keep = []
+        if id_col and id_col in resolver.fields and id_col not in fields:
+            keep.append(id_col)
+        return df.select(*keep, *fields)
+    # JSON-doc mode: rebuild the document with only the listed fields
+    # (JQL `| /{f1}` keeps listed fields — doc_store.rs:358-374).
+    struct_fields = [
+        F.get_json_object(F.col(doc_col), "$." + f).alias(f.split(".")[-1])
+        for f in fields
+    ]
+    out = [F.to_json(F.struct(*struct_fields)).alias(doc_col)]
+    if id_col and id_col in resolver.fields:
+        out.insert(0, F.col(id_col))
+    return df.select(*out)
+
+
+def jql_query(
+    df: DataFrame,
+    query: str,
+    params=None,
+    doc_col: str | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Run a JQL query string against a DataFrame collection.
+
+    ``doc_col``: JSON document column for schemaless fields (document-store
+    mode). ``order_col``: the implicit newest-first sort key (doc id); used
+    whenever the result is truncated by limit/skip, matching the reference's
+    observable ordering (Q9).
+    """
+    q = parse_jql(query)
+    pred = compile_predicate(q, df, params=params, doc_col=doc_col)
+    out = df.filter(pred)
+
+    limit_n = skip_n = None
+    order: list[tuple[str, str]] = []
+    project: list[str] | None = None
+    count = False
+    for a in q.applies:
+        if a.kind == "limit":
+            limit_n = a.args[0]
+        elif a.kind == "skip":
+            skip_n = a.args[0]
+        elif a.kind in ("asc", "desc"):
+            order.append((a.kind, a.args[0]))
+        elif a.kind == "project":
+            project = a.args
+        elif a.kind == "count":
+            count = True
+
+    if count:
+        # `/* | count` returns the match count and zero documents
+        # (doc_store.rs:398-411) — a pure aggregate, no sort, no collect.
+        return out.agg(F.count(F.lit(1)).alias("count"))
+
+    resolver = FieldResolver(df, doc_col=doc_col)
+    if order:
+        cols = [
+            resolver.resolve(f) if kind == "asc" else resolver.resolve(f).desc()
+            for kind, f in order
+        ]
+        out = out.orderBy(*cols)
+    elif (limit_n is not None or skip_n is not None) and order_col:
+        out = out.orderBy(F.col(order_col).desc())
+
+    if skip_n is not None:
+        out = out.offset(skip_n)
+    if limit_n is not None:
+        out = out.limit(limit_n)
+
+    if project is not None:
+        out = _apply_projection(out, project, doc_col, order_col)
+    return out

@@ -1,0 +1,42 @@
+"""Loaders for the driver-generated test tables (TESTDATA.md).
+
+``events.ts`` and ``orders.o_orderdate`` are written as parquet
+TIMESTAMP(NANOS), which Spark's vectorized reader rejects by default. We flip
+``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable) and rebuild a
+microsecond TimestampType column via integer division — the same truncation
+DuckDB applies when it narrows TIMESTAMP_NS to its µs TIMESTAMP, so oracle
+comparisons agree. Session timezone is UTC (engine.py), so wall-clock values
+match DuckDB's timezone-less TIMESTAMP.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+_NANOS_COLS = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANOS_COLS.get(name, []):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            # integer `div`, not `/`: float division loses ULP precision at
+            # 1e18-nanosecond magnitudes and can shift a value by 1 µs.
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=None) -> None:
+    """Register each table as a temp view for the SQL escape hatch."""
+    for name in names or TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

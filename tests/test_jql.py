@@ -1,0 +1,167 @@
+"""JQL engine tests.
+
+The fixtures and expectations mirror the reference's acceptance suite:
+sdk/tests/query.test.ts (count / projection / limit), client_v2.test.ts:185-275
+(equality filter, :age placeholder, implicit newest-first limit 1), and the
+Rust unit tests in doc_store.rs:315-488 (and-combinators, placeholders,
+projection).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row
+
+from rtstore_spark.jql import jql_query, parse_jql
+from rtstore_spark.errors import QueryError
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    # Mirrors the docs used across the reference's SDK tests: city/age docs
+    # inserted in order (beijing then beijing2 — client_v2.test.ts:213-239).
+    rows = [
+        Row(doc_id=1, owner="0xaa", doc=json.dumps({"city": "beijing", "age": 10})),
+        Row(doc_id=2, owner="0xaa", doc=json.dumps({"city": "beijing2", "age": 20})),
+        Row(doc_id=3, owner="0xbb", doc=json.dumps(
+            {"city": "shanghai", "age": 30,
+             "pets": [{"kind": "dog", "likes": ["ball"]}, {"kind": "cat"}]})),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def docs(df):
+    return [json.loads(r["doc"]) for r in df.collect()]
+
+
+class TestParser:
+    def test_match_all(self):
+        q = parse_jql("/*")
+        assert q.clauses[0].match_all
+
+    def test_count_apply(self):
+        q = parse_jql("/* | count")
+        assert q.applies[0].kind == "count"
+
+    def test_conjunctive_two_clauses(self):
+        q = parse_jql('/[f1="f1"] and /[f2="f2"]')
+        assert len(q.clauses) == 2 and q.clause_ops == ["and"]
+
+    def test_in_bracket_and_with_placeholder(self):
+        q = parse_jql("/[f1 eq ? and test eq 'v1']")
+        c = q.clauses[0]
+        assert len(c.conds) == 2 and c.cond_ops == ["and"]
+        assert c.conds[0].value.index == 0
+        assert c.conds[1].value == "v1"
+
+    def test_errors(self):
+        for bad in ["", "/[", "/[f1 ??? 1]", "/* | limit x"]:
+            with pytest.raises(QueryError):
+                parse_jql(bad)
+
+
+class TestDocQueries:
+    """JSON-document mode (the reference's actual storage model)."""
+
+    def test_full_scan(self, people):
+        out = jql_query(people, "/*", doc_col="doc", order_col="doc_id")
+        assert out.count() == 3
+
+    def test_equality_filter_bareword(self, people):
+        out = jql_query(people, "/[city = beijing]", doc_col="doc", order_col="doc_id")
+        assert docs(out) == [{"city": "beijing", "age": 10}]
+
+    def test_numeric_filter(self, people):
+        out = jql_query(people, "/[age > 15]", doc_col="doc", order_col="doc_id")
+        assert {d["city"] for d in docs(out)} == {"beijing2", "shanghai"}
+
+    def test_named_placeholder(self, people):
+        out = jql_query(
+            people, "/[age = :age]", params={"age": 30}, doc_col="doc",
+            order_col="doc_id",
+        )
+        assert docs(out)[0]["city"] == "shanghai"
+
+    def test_positional_placeholder_in_bracket_and(self, people):
+        out = jql_query(
+            people, "/[city eq ? and age eq 10]", params=["beijing"],
+            doc_col="doc", order_col="doc_id",
+        )
+        assert out.count() == 1
+
+    def test_conjunctive_clauses(self, people):
+        out = jql_query(
+            people, "/[city = beijing] and /[age = 10]",
+            doc_col="doc", order_col="doc_id",
+        )
+        assert out.count() == 1
+
+    def test_or_clauses(self, people):
+        out = jql_query(
+            people, "/[city = beijing] or /[city = shanghai]",
+            doc_col="doc", order_col="doc_id",
+        )
+        assert out.count() == 2
+
+    def test_count(self, people):
+        out = jql_query(people, "/* | count", doc_col="doc", order_col="doc_id")
+        assert out.collect()[0]["count"] == 3
+
+    def test_limit_newest_first(self, people):
+        # client_v2.test.ts:213-239 — `/* | limit 1` returns the LAST insert.
+        out = jql_query(people, "/* | limit 1", doc_col="doc", order_col="doc_id")
+        rows = out.collect()
+        assert len(rows) == 1 and json.loads(rows[0]["doc"])["city"] == "shanghai"
+
+    def test_projection(self, people):
+        out = jql_query(people, "/* | /{city}", doc_col="doc", order_col="doc_id")
+        assert all(set(d.keys()) == {"city"} for d in docs(out))
+        assert "doc_id" in out.columns
+
+    def test_skip_and_explicit_order(self, people):
+        out = jql_query(
+            people, "/* | asc /age | skip 1 | limit 1",
+            doc_col="doc", order_col="doc_id",
+        )
+        assert docs(out)[0]["age"] == 20
+
+    def test_nested_array_filter(self, people):
+        out = jql_query(people, "/pets/[kind = dog]", doc_col="doc", order_col="doc_id")
+        assert docs(out)[0]["city"] == "shanghai"
+
+    def test_not_clause(self, people):
+        out = jql_query(people, "not /[city = beijing]", doc_col="doc", order_col="doc_id")
+        assert out.count() == 2
+
+    def test_in_operator(self, people):
+        out = jql_query(
+            people, '/[city in ["beijing", "beijing2"]]', doc_col="doc",
+            order_col="doc_id",
+        )
+        assert out.count() == 2
+
+    def test_regex_and_prefix(self, people):
+        assert jql_query(people, '/[city re "beijing.*"]', doc_col="doc").count() == 2
+        assert jql_query(people, "/[city ~ bei]", doc_col="doc").count() == 2
+
+
+class TestNativeColumns:
+    """JQL over a typed (non-JSON) table — fields resolve to real columns so
+    filters push down to the parquet scan."""
+
+    def test_native_filter_pushdown(self, spark, sf_dir):
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = jql_query(df, "/[lang = en] | count", order_col="doc_id")
+        expected = df.filter(df.lang == "en").count()
+        assert out.collect()[0]["count"] == expected
+        plan = jql_query(df, "/[lang = en]", order_col="doc_id")._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)" in plan
+
+    def test_native_json_subfield(self, spark, sf_dir):
+        from rtstore_spark.tables import load_table
+
+        df = load_table(spark, sf_dir, "events")
+        out = jql_query(df, "/[props.k > 50] | count")
+        assert out.collect()[0]["count"] > 0
