@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a `noop` sink so the full plan runs (nothing is
+collected to the driver, mirroring a cluster job's sink-side behavior).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rtstore_spark import inventory  # noqa: E402
+from rtstore_spark.engine import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# ngram_jaccard_pairs is excluded: it is the exact-verification stage meant to
+# run on LSH candidates only; running it corpus-wide at sf0.1 is the O(n^2)
+# path the LSH pipeline exists to avoid.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_change",
+    "q_top_orders_per_customer",
+    "q_events_hourly",
+    "q_user_sessions",
+    "q_order_priority",
+    "jql_filter_eq",
+    "jql_json_subfield",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash32",
+    "text_quality",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    spark = get_spark("rtstore_spark_bench")
+    qs = inventory.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM + parquet footers once so timings measure query execution
+    inventory.flagship(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

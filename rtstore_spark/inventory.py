@@ -1,0 +1,866 @@
+"""The operator inventory: every query the engine claims, plus its DuckDB oracle.
+
+Each entry is ``name -> (spark_fn, oracle_sql | None)`` where ``spark_fn(spark,
+sf_dir) -> DataFrame`` and the SQL runs in DuckDB over views named after the
+test tables (TESTDATA.md). The driver hash-compares both sides at sf0.01, so
+every computed column is aliased identically in both, and floating-point
+aggregates are computed over DECIMAL(18,4) casts (exact, order-independent)
+before a final cast to DOUBLE — a plain double sum differs between engines in
+the last ulp depending on accumulation order.
+
+Sections mirror SURVEY.md §2:
+- jql_*            — the JQL query surface (Q1-Q10 + extensions)
+- store-analog ops — point get / range scan / reverse page / counters (S3-S6)
+- q_*              — the Spark-SQL escape hatch: joins/aggs/windows the
+                     reference lacks but a user of this engine gets
+- dedup_* text_* ann_* — LLM-data-pipeline operators (training-data prep)
+
+Cross-engine parity notes (learned the hard way, keep in sync):
+- DuckDB ``regexp_replace`` needs the ``'g'`` flag; Spark's is global already.
+- 32-bit hash: Spark ``conv(substr(md5(x),1,8),16,10)`` == DuckDB
+  ``('0x' || substr(md5(x),1,8))::BIGINT``.
+- Timestamps: parquet TIMESTAMP(NANOS) → µs via ``tables.load_table``;
+  output as ``unix_micros`` (Spark) / ``epoch_us`` (DuckDB) BIGINTs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rtstore_spark.jql import jql_query
+from rtstore_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+DEC = "decimal(18,4)"
+
+
+def _dsum(col: str | F.Column, alias: str) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+def _davg(col: str | F.Column, alias: str) -> F.Column:
+    """Order-independent average: exact decimal sum / count, then double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(DEC)).cast("double") / F.count(F.lit(1))).alias(alias)
+
+
+def _hash32(col: F.Column) -> F.Column:
+    """Deterministic 32-bit hash computable identically in DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _tokens(col: F.Column) -> F.Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+_REGISTRY: dict[str, tuple] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# JQL surface (documents / events) — SURVEY.md §2.2 Q1-Q10 + extensions
+# ---------------------------------------------------------------------------
+
+
+@register("jql_scan", "SELECT * FROM documents")
+def jql_scan(spark, sf):
+    return jql_query(load_table(spark, sf, "documents"), "/*", order_col="doc_id")
+
+
+@register("jql_filter_eq", "SELECT * FROM documents WHERE lang = 'en'")
+def jql_filter_eq(spark, sf):
+    return jql_query(load_table(spark, sf, "documents"), "/[lang = en]", order_col="doc_id")
+
+
+@register(
+    "jql_filter_and",
+    "SELECT * FROM documents WHERE lang = 'en' AND source = 'src1'",
+)
+def jql_filter_and(spark, sf):
+    return jql_query(
+        load_table(spark, sf, "documents"),
+        "/[lang = en] and /[source = src1]",
+        order_col="doc_id",
+    )
+
+
+@register(
+    "jql_filter_or",
+    "SELECT * FROM documents WHERE lang = 'fr' OR n_chars < 100",
+)
+def jql_filter_or(spark, sf):
+    return jql_query(
+        load_table(spark, sf, "documents"),
+        "/[lang = fr] or /[n_chars < 100]",
+        order_col="doc_id",
+    )
+
+
+@register("jql_filter_not", "SELECT * FROM documents WHERE NOT (lang = 'en')")
+def jql_filter_not(spark, sf):
+    return jql_query(
+        load_table(spark, sf, "documents"), "not /[lang = en]", order_col="doc_id"
+    )
+
+
+@register("jql_filter_cmp", "SELECT * FROM documents WHERE n_chars >= 300")
+def jql_filter_cmp(spark, sf):
+    return jql_query(
+        load_table(spark, sf, "documents"), "/[n_chars >= 300]", order_col="doc_id"
+    )
+
+
+@register("jql_filter_in", "SELECT * FROM documents WHERE lang IN ('en', 'fr')")
+def jql_filter_in(spark, sf):
+    return jql_query(
+        load_table(spark, sf, "documents"),
+        '/[lang in ["en", "fr"]]',
+        order_col="doc_id",
+    )
+
+
+@register("jql_filter_prefix", "SELECT * FROM documents WHERE source LIKE 'src1%'")
+def jql_filter_prefix(spark, sf):
+    return jql_query(
+        load_table(spark, sf, "documents"), "/[source ~ src1]", order_col="doc_id"
+    )
+
+
+@register(
+    "jql_filter_regex",
+    "SELECT * FROM documents WHERE regexp_matches(text, '^key ')",
+)
+def jql_filter_regex(spark, sf):
+    return jql_query(
+        load_table(spark, sf, "documents"), '/[text re "^key "]', order_col="doc_id"
+    )
+
+
+@register("jql_projection", "SELECT doc_id, lang FROM documents")
+def jql_projection(spark, sf):
+    return jql_query(
+        load_table(spark, sf, "documents"), "/* | /{doc_id, lang}", order_col="doc_id"
+    )
+
+
+@register("jql_count", "SELECT count(*) AS count FROM documents")
+def jql_count(spark, sf):
+    return jql_query(load_table(spark, sf, "documents"), "/* | count")
+
+
+@register(
+    "jql_limit_newest",
+    "SELECT * FROM documents ORDER BY doc_id DESC LIMIT 5",
+)
+def jql_limit_newest(spark, sf):
+    # Implicit newest-first (Q9): limit without order sorts desc by doc id.
+    return jql_query(load_table(spark, sf, "documents"), "/* | limit 5", order_col="doc_id")
+
+
+@register(
+    "jql_skip_order",
+    "SELECT * FROM documents ORDER BY doc_id LIMIT 10 OFFSET 10",
+)
+def jql_skip_order(spark, sf):
+    return jql_query(
+        load_table(spark, sf, "documents"),
+        "/* | asc /doc_id | skip 10 | limit 10",
+        order_col="doc_id",
+    )
+
+
+@register("jql_placeholder", "SELECT * FROM documents WHERE lang = 'de'")
+def jql_placeholder(spark, sf):
+    return jql_query(
+        load_table(spark, sf, "documents"),
+        "/[lang = :lang]",
+        params={"lang": "de"},
+        order_col="doc_id",
+    )
+
+
+@register(
+    "jql_json_subfield",
+    """SELECT event_id, user_id, event_type, value
+       FROM events WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50""",
+)
+def jql_json_subfield(spark, sf):
+    ev = load_table(spark, sf, "events")
+    return jql_query(ev, "/[props.k > 50]").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# document-store analogs — SURVEY.md §2.1 S3-S6, §2.4 counters
+# ---------------------------------------------------------------------------
+
+
+@register("point_get", "SELECT * FROM documents WHERE doc_id = 42")
+def point_get(spark, sf):
+    """S6: point get by doc id (doc_store.rs:240-250)."""
+    return load_table(spark, sf, "documents").filter(F.col("doc_id") == 42)
+
+
+@register(
+    "range_scan",
+    """SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'""",
+)
+def range_scan(spark, sf):
+    """S3: block-range log scan (mutation_store.rs:522-570) — time-keyed here."""
+    ev = load_table(spark, sf, "events")
+    return ev.filter(
+        (F.col("ts") >= F.expr("TIMESTAMP '2024-01-10 00:00:00'"))
+        & (F.col("ts") < F.expr("TIMESTAMP '2024-01-20 00:00:00'"))
+    ).select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
+@register(
+    "reverse_page_scan",
+    """SELECT event_id, user_id, event_type, value FROM events
+       ORDER BY event_id DESC LIMIT 50 OFFSET 100""",
+)
+def reverse_page_scan(spark, sf):
+    """S4: newest-first paged scan with offset/limit (mutation_store.rs:395-440)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.orderBy(F.col("event_id").desc())
+        .offset(100)
+        .limit(50)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+@register(
+    "collection_counters",
+    "SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY lang, source",
+)
+def collection_counters(spark, sf):
+    """§2.4: the stat counters (total_doc_count) as a materialized aggregate."""
+    return (
+        load_table(spark, sf, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "owner_doc_counts",
+    """SELECT user_id, count(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       FROM events GROUP BY user_id""",
+)
+def owner_doc_counts(spark, sf):
+    """S5-analog: per-owner totals (db ownership index, db_owner_key_v2.rs)."""
+    return (
+        load_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), _dsum("value", "total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark-SQL escape hatch: analytics beyond the reference (SURVEY.md §2.3-2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+              CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+              COUNT(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def q1_pricing_summary(spark, sf):
+    """TPC-H Q1 shape: scan-filter-agg, fully pushed down, partial-agg friendly."""
+    li = load_table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount")).cast(DEC)
+    charge = disc_price * (1 + F.col("l_tax")).cast(DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            _davg("l_quantity", "avg_qty"),
+            _davg("l_extendedprice", "avg_price"),
+            _davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """SELECT l_orderkey,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+              epoch_us(o_orderdate) AS o_orderdate_us
+       FROM customer JOIN orders ON c_custkey = o_custkey
+                     JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+         AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+       GROUP BY l_orderkey, o_orderdate
+       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def q3_shipping_priority(spark, sf):
+    """TPC-H Q3 shape: selective dim filter → broadcast join → top-k.
+
+    Scale notes: customer(BUILDING) is ~1/5 of a small dim — broadcast;
+    lineitem never shuffles for the join. Top-10 via orderBy+limit is a
+    per-partition top-k + single-reduce in Spark (TakeOrderedAndProject).
+    """
+    cust = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.expr("TIMESTAMP '1998-03-15 00:00:00'")
+    )
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.expr("TIMESTAMP '1998-03-15 00:00:00'")
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount")).cast(DEC)
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey", "revenue", F.unix_micros("o_orderdate").alias("o_orderdate_us")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """SELECT n_name,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+       GROUP BY n_name""",
+)
+def q5_local_supplier_volume(spark, sf):
+    """TPC-H Q5 shape: star join — every dim broadcast, one fact scan."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount")).cast(DEC)
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q6_revenue_change",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         AND l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 24""",
+)
+def q6_revenue_change(spark, sf):
+    """TPC-H Q6 shape: pure pushed-filter aggregate — zero shuffle."""
+    li = load_table(spark, sf, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.08)
+            & (F.col("l_quantity") < 24)
+        ).agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q_top_orders_per_customer",
+    """SELECT * FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) WHERE rn <= 3""",
+)
+def q_top_orders_per_customer(spark, sf):
+    """Window top-k per group — single hash-partition shuffle on the group key."""
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        ).filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q_events_hourly",
+    """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+              count(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       FROM events GROUP BY 1, 2""",
+)
+def q_events_hourly(spark, sf):
+    """Tumbling-window aggregate (batch form of the streaming hourly rollup)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("n_events"), _dsum("value", "total_value"))
+    )
+
+
+@register(
+    "q_user_sessions",
+    """WITH g AS (
+         SELECT user_id, epoch_us(ts) AS ts_us,
+                lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         FROM events)
+       SELECT user_id, count(*) AS n_events,
+              CAST(SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+       FROM g GROUP BY user_id""",
+)
+def q_user_sessions(spark, sf):
+    """Gap-based sessionization (30-min) via window lag — the batch analog of
+    streaming session windows."""
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = ev.withColumn("prev_us", F.lag("ts_us").over(w))
+    new_sess = F.when(
+        F.col("prev_us").isNull() | (F.col("ts_us") - F.col("prev_us") > 1_800_000_000), 1
+    ).otherwise(0)
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum(new_sess).alias("n_sessions")
+    )
+
+
+@register(
+    "q_order_priority",
+    """SELECT o_orderpriority, count(*) AS n_orders
+       FROM orders WHERE EXISTS (
+         SELECT 1 FROM lineitem
+         WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+       GROUP BY o_orderpriority""",
+)
+def q_order_priority(spark, sf):
+    """TPC-H Q4 shape: EXISTS → left-semi join."""
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    joined = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "q_nation_balance",
+    """SELECT n_name,
+              count(*) AS n_customers,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_acctbal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'EUROPE'
+       GROUP BY n_name""",
+)
+def q_nation_balance(spark, sf):
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), _davg("c_acctbal", "avg_acctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (dedup / text analysis / similarity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+       FROM documents GROUP BY md5(text)""",
+)
+def dedup_exact(spark, sf):
+    """Exact dedup: hash-groupBy, keep lowest doc id. Map-side partial agg;
+    at 100 TB the groupBy key is the 128-bit hash, never the text itself."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_fingerprint",
+    """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+       FROM documents""",
+)
+def dedup_fingerprint(spark, sf):
+    """Normalized document fingerprint (whitespace-collapsed, lowercased)."""
+    docs = load_table(spark, sf, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+@register(
+    "minhash_signature",
+    r"""WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        sh AS (
+          SELECT doc_id, CASE WHEN len(toks) >= 3
+            THEN list_transform(generate_series(1, len(toks) - 2),
+                                i -> array_to_string(toks[i:i+2], ' '))
+            ELSE [array_to_string(toks, ' ')] END AS shingles
+          FROM t),
+        e AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+        hh AS (SELECT doc_id, unnest(generate_series(0, 7)) AS h, shingle FROM e)
+       SELECT doc_id, h,
+              MIN(('0x' || substr(md5(concat(h, ':', shingle)), 1, 8))::BIGINT) AS minhash
+       FROM hh GROUP BY doc_id, h""",
+)
+def minhash_signature(spark, sf):
+    """MinHash signatures over 3-token shingles, 8 hash functions (long form).
+
+    Scale path: shingle explode is map-local; the only shuffle is the final
+    (doc_id, h) partial-aggregated min — linear in corpus size, no pairwise
+    work. Hash family: md5-derived 32-bit values salted by hash index, chosen
+    to be reproducible in any engine (the oracle recomputes it in DuckDB).
+    """
+    docs = load_table(spark, sf, "documents")
+    t = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    sh = t.select(
+        "doc_id",
+        F.when(
+            F.size("toks") >= 3,
+            F.expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"),
+        )
+        .otherwise(F.array(F.concat_ws(" ", F.col("toks"))))
+        .alias("shingles"),
+    )
+    e = sh.select("doc_id", F.explode("shingles").alias("shingle")).distinct()
+    hh = e.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("h"), "shingle")
+    hv = _hash32(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("shingle")))
+    return hh.select("doc_id", "h", hv.alias("hv")).groupBy("doc_id", "h").agg(
+        F.min("hv").alias("minhash")
+    )
+
+
+@register(
+    "minhash_lsh_pairs",
+    r"""WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        sh AS (
+          SELECT doc_id, CASE WHEN len(toks) >= 3
+            THEN list_transform(generate_series(1, len(toks) - 2),
+                                i -> array_to_string(toks[i:i+2], ' '))
+            ELSE [array_to_string(toks, ' ')] END AS shingles
+          FROM t),
+        e AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+        hh AS (SELECT doc_id, unnest(generate_series(0, 7)) AS h, shingle FROM e),
+        sig AS (
+          SELECT doc_id, h,
+                 MIN(('0x' || substr(md5(concat(h, ':', shingle)), 1, 8))::BIGINT) AS minhash
+          FROM hh GROUP BY doc_id, h),
+        bands AS (
+          SELECT doc_id, h // 2 AS band,
+                 string_agg(minhash::VARCHAR, '-' ORDER BY h) AS band_sig
+          FROM sig GROUP BY doc_id, h // 2)
+       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+       WHERE a.doc_id < b.doc_id""",
+)
+def minhash_lsh_pairs(spark, sf):
+    """LSH candidate pairs: 4 bands x 2 rows over the 8-hash signature.
+
+    Scale path: docs join only within (band, band_sig) buckets — the classic
+    shingle→minhash→band→bucket-join pipeline; no O(n^2) comparison.
+    """
+    sig = minhash_signature(spark, sf)
+    bands = (
+        sig.withColumn("band", F.expr("h div 2"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                "-",
+                F.expr("transform(array_sort(collect_list(struct(h, minhash))), s -> cast(s.minhash as string))"),
+            ).alias("band_sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_sig") == F.col("b.band_sig")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    r"""WITH tok AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+       SELECT doc_a, doc_b,
+              round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+       FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                  JOIN sizes sb ON doc_b = sb.doc_id
+       WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.8""",
+)
+def ngram_jaccard_pairs(spark, sf):
+    """Exact token-set Jaccard for high-similarity pairs.
+
+    This is the *verification* stage run after LSH candidate generation; the
+    token-level inverted-index join shown here is exact but O(sum of postings
+    squared) — at 100 TB you run it only on LSH candidates (minhash_lsh_pairs)
+    rather than the whole corpus.
+    """
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok")).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter") * F.lit(1.0) / (F.col("sa.n") + F.col("sb.n") - F.col("n_inter"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "simhash32",
+    r"""WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        th AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM tok),
+        bits AS (
+          SELECT doc_id, unnest(generate_series(0, 31)) AS i, hv FROM th),
+        sums AS (
+          SELECT doc_id, i,
+                 CAST(SUM(CASE WHEN ((hv >> i) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+          FROM bits GROUP BY doc_id, i)
+       SELECT doc_id,
+              CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+       FROM sums GROUP BY doc_id""",
+)
+def simhash32(spark, sf):
+    """32-bit SimHash over token frequencies — near-dup fingerprint whose
+    Hamming distance approximates cosine similarity of the token vectors."""
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    th = tok.select("doc_id", _hash32(F.col("tok")).alias("hv"))
+    bits = th.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("i"), "hv")
+    sums = bits.groupBy("doc_id", "i").agg(
+        F.sum(
+            F.when(F.expr("(hv >> cast(i as int)) & 1") == 1, 1).otherwise(-1)
+        ).alias("s")
+    )
+    return sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(i as int))")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+@register(
+    "text_quality",
+    r"""SELECT doc_id, lang,
+              len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+              length(regexp_replace(text, '\s', '', 'g')) AS n_chars_no_ws,
+              round(length(regexp_replace(text, '\s', '', 'g')) * 1.0
+                    / len(regexp_split_to_array(trim(text), '\s+')), 6) AS avg_token_len
+       FROM documents""",
+)
+def text_quality(spark, sf):
+    """Quality-scoring features: token count, char density, mean token length."""
+    docs = load_table(spark, sf, "documents")
+    n_tokens = F.size(_tokens(F.col("text")))
+    no_ws = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    return docs.select(
+        "doc_id", "lang",
+        n_tokens.alias("n_tokens"),
+        no_ws.alias("n_chars_no_ws"),
+        F.round(no_ws * F.lit(1.0) / n_tokens, 6).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_token_estimate",
+    r"""SELECT doc_id,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_ish
+       FROM documents""",
+)
+def text_token_estimate(spark, sf):
+    """BPE-ish token estimate: words + digits + punctuation as separate tokens."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0)")).alias("n_bpe_ish"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    r"""SELECT doc_id, lang,
+              round(length(regexp_replace(text, '[^a-z ]', '', 'g')) * 1.0
+                    / greatest(length(text), 1), 6) AS ascii_ratio,
+              CASE WHEN length(regexp_replace(text, '[^a-z ]', '', 'g')) * 1.0
+                        / greatest(length(text), 1) > 0.9
+                   THEN 'latin' ELSE 'other' END AS script_guess
+       FROM documents""",
+)
+def lang_id_heuristic(spark, sf):
+    """Character-class language/script heuristic (n-gram lang-id stand-in)."""
+    docs = load_table(spark, sf, "documents")
+    ascii_len = F.length(F.regexp_replace(F.col("text"), "[^a-z ]", ""))
+    ratio = ascii_len * F.lit(1.0) / F.greatest(F.length("text"), F.lit(1))
+    return docs.select(
+        "doc_id", "lang",
+        F.round(ratio, 6).alias("ascii_ratio"),
+        F.when(ratio > 0.9, "latin").otherwise("other").alias("script_guess"),
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        sims AS (
+          SELECT vec_id, label,
+                 round(list_inner_product(embedding::DOUBLE[], qv)
+                       / (sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                          * sqrt(list_inner_product(qv, qv))), 6) AS cosine
+          FROM embeddings, q WHERE vec_id != 0)
+       SELECT vec_id, label, cosine FROM sims
+       ORDER BY cosine DESC, vec_id LIMIT 10""",
+)
+def ann_cosine_topk(spark, sf):
+    """Brute-force cosine top-k against a query vector (the exact baseline;
+    the LSH-bucketed variant lives in operators.similarity for the scale path).
+
+    The query vector is broadcast; similarity is a JVM-side zip_with/aggregate
+    over the float array — no Python, no shuffle until the final top-k reduce.
+    """
+    emb = load_table(spark, sf, "embeddings")
+    dot = "aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)), 0.0D, (acc, v) -> acc + v)"
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    joined = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    cos = F.expr(
+        f"round(({dot.replace('a, b', 'embedding, qv')})"
+        f" / (sqrt({dot.replace('a, b', 'embedding, embedding')})"
+        f" * sqrt({dot.replace('a, b', 'qv, qv')})), 6)"
+    )
+    return (
+        joined.select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "embedding_centroids",
+    """SELECT label, count(*) AS n,
+              round(avg(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS avg_sq_norm
+       FROM embeddings GROUP BY label""",
+)
+def embedding_centroids(spark, sf):
+    """Per-label embedding stats (IVF-style coarse partition summary)."""
+    emb = load_table(spark, sf, "embeddings")
+    sq = "aggregate(zip_with(embedding, embedding, (x, y) -> cast(x as double) * cast(y as double)), 0.0D, (acc, v) -> acc + v)"
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.expr(sq)), 6).alias("avg_sq_norm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# public accessors (consumed by __spark_entry__.py)
+# ---------------------------------------------------------------------------
+
+
+def queries():
+    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_fn, sql) in _REGISTRY.items() if sql is not None}
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    return q1_pricing_summary(spark, sf_dir)

@@ -22,6 +22,7 @@ TABLE_NAMES = [
 _NANOS_COLS = {
     "events": ["ts"],
     "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
 }
 
 
@@ -33,6 +34,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer `div`, not `/`: float division loses ULP precision at
             # 1e18-nanosecond magnitudes and can shift a value by 1 µs.
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # µs-precision parquet timestamps surface as TIMESTAMP_NTZ; normalize to
+    # session-UTC TIMESTAMP so unix_micros/date_trunc treat all tables alike.
+    for c, dt in df.dtypes:
+        if dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
