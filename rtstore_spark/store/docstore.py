@@ -1,0 +1,547 @@
+"""The document store: databases → collections → JSON documents on Spark.
+
+Re-expresses the reference's storage plane (SURVEY.md §1, §2.7) as a
+log-structured, merge-on-read table design — the Spark-idiomatic equivalent
+of RocksDB+EJDB2 single-node storage:
+
+- every mutation (add / update / delete) **appends** full-document versions
+  to the collection's parquet directory, stamped with the total order
+  ``(block, order)`` (mutation_store.rs:444-481);
+- the *current state* is a window over versions: latest (block, order) per
+  doc_id, dropping tombstones. One hash shuffle on doc_id; at scale the
+  ``compact()`` job collapses history so reads stay O(live docs);
+- updates resolve their merge-patch (RFC 7386, EJDB2 ``patch`` semantics —
+  doc_store.rs:470-480) at *write* time against the current state, so the
+  read path never folds patch chains.
+
+Sequencing (block/order counters, doc-id high-water marks, nonces) lives in
+``StateStore`` — the single-sequencer role of the reference's rollup node.
+Replicas rebuild identical state by replaying the mutation log through
+``apply_mutation`` with the recorded ``doc_ids_map``
+(mutation_utils.rs:138-179; indexer_impl.rs:259-324).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rtstore_spark.errors import (
+    CollectionAlreadyExists,
+    CollectionNotFound,
+    DatabaseNotFound,
+    IndexAlreadyExists,
+    InvalidMutation,
+    OwnerVerifyFailed,
+)
+from rtstore_spark.functions.merge_patch import make_json_merge_patch
+from rtstore_spark.jql import jql_query
+from rtstore_spark.store.state import StateStore
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("owner", T.StringType(), True),
+        T.StructField("doc", T.StringType(), True),
+        T.StructField("op", T.StringType(), False),  # A=add U=update D=delete
+        T.StructField("block", T.LongType(), False),
+        T.StructField("order", T.IntegerType(), False),
+    ]
+)
+
+LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("sender", T.StringType(), False),
+        T.StructField("nonce", T.LongType(), False),
+        T.StructField("action", T.StringType(), False),
+        T.StructField("db_addr", T.StringType(), True),
+        T.StructField("col_name", T.StringType(), True),
+        T.StructField("payload", T.StringType(), True),
+        T.StructField("doc_ids", T.StringType(), True),  # JSON list — the doc_ids_map
+        T.StructField("block", T.LongType(), False),
+        T.StructField("order", T.IntegerType(), False),
+    ]
+)
+
+
+def derive_db_addr(sender: str, nonce: int, network: int = 1) -> str:
+    """Deterministic 20-byte database address from (sender, nonce, network).
+
+    Mirrors DbId::from((sender, nonce, network_id)) — id.rs:99-120.
+    """
+    h = hashlib.sha3_256(f"{sender}|{nonce}|{network}".encode()).hexdigest()
+    return "0x" + h[:40]
+
+
+class DocStore:
+    def __init__(self, spark: SparkSession, root: str, network: int = 1):
+        self.spark = spark
+        self.root = root
+        self.network = network
+        os.makedirs(root, exist_ok=True)
+        self.state = StateStore(root)
+        # collection-name length cap: collection_key.rs:21-33
+        self.max_col_name = 20
+
+    # ------------------------------------------------------------------
+    # paths & small helpers
+    # ------------------------------------------------------------------
+
+    def _seq(self, seq: tuple[int, int] | None) -> tuple[int, int]:
+        """Assign (block, order): fresh from the sequencer, or — on replay —
+        the origin's logged position (the header's block/order, which
+        replicas adopt rather than recompute: indexer_impl.rs:259-288)."""
+        if seq is None:
+            return self.state.next_order()
+        self.state.observe_seq(*seq)
+        return seq
+
+    def _db_path(self) -> str:
+        return os.path.join(self.root, "__databases")
+
+    def _col_path(self) -> str:
+        return os.path.join(self.root, "__collections")
+
+    def _log_path(self) -> str:
+        return os.path.join(self.root, "mutation_log")
+
+    def _data_path(self, db_addr: str, col: str) -> str:
+        return os.path.join(self.root, "data", db_addr, col)
+
+    def _append(self, rows: list[dict], schema: T.StructType, path: str) -> None:
+        df = self.spark.createDataFrame(rows, schema=schema)
+        df.coalesce(1).write.mode("append").parquet(path)
+
+    def _read(self, path: str, schema: T.StructType) -> DataFrame:
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], schema=schema)
+        return self.spark.read.schema(schema).parquet(path)
+
+    def _log(self, sender, nonce, action, db_addr, col_name, payload, doc_ids, block, order):
+        body = json.dumps(payload, sort_keys=True) if payload is not None else None
+        mid = hashlib.sha3_256(
+            f"{action}|{body}|{block}|{order}".encode()
+        ).hexdigest()  # mutation id = sha3(payload‖sig): id.rs:78-86
+        self._append(
+            [
+                {
+                    "id": mid,
+                    "sender": sender,
+                    "nonce": nonce,
+                    "action": action,
+                    "db_addr": db_addr,
+                    "col_name": col_name,
+                    "payload": body,
+                    "doc_ids": json.dumps(doc_ids) if doc_ids is not None else None,
+                    "block": block,
+                    "order": order,
+                }
+            ],
+            LOG_SCHEMA,
+            self._log_path(),
+        )
+
+    # ------------------------------------------------------------------
+    # catalog — databases & collections (M0, M1, M5, M7, M8)
+    # ------------------------------------------------------------------
+
+    DB_SCHEMA = T.StructType(
+        [
+            T.StructField("db_addr", T.StringType(), False),
+            T.StructField("sender", T.StringType(), False),
+            T.StructField("desc", T.StringType(), True),
+            T.StructField("db_type", T.StringType(), False),  # doc | event
+            T.StructField("meta", T.StringType(), True),  # event-db config JSON
+            T.StructField("block", T.LongType(), False),
+            T.StructField("order", T.IntegerType(), False),
+        ]
+    )
+
+    COL_SCHEMA = T.StructType(
+        [
+            T.StructField("db_addr", T.StringType(), False),
+            T.StructField("col_name", T.StringType(), False),
+            T.StructField("index_fields", T.StringType(), True),  # JSON list
+            T.StructField("sender", T.StringType(), False),
+            T.StructField("block", T.LongType(), False),
+            T.StructField("order", T.IntegerType(), False),
+        ]
+    )
+
+    def databases(self) -> DataFrame:
+        return self._read(self._db_path(), self.DB_SCHEMA)
+
+    def collections(self, db_addr: str | None = None) -> DataFrame:
+        """Latest catalog row per (db, collection) — AddIndex appends versions."""
+        df = self._read(self._col_path(), self.COL_SCHEMA)
+        if db_addr is not None:
+            df = df.filter(F.col("db_addr") == db_addr)
+        w = Window.partitionBy("db_addr", "col_name").orderBy(
+            F.col("block").desc(), F.col("order").desc()
+        )
+        return df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+    def databases_of_owner(self, sender: str) -> DataFrame:
+        """Owner index scan — db_owner_key_v2.rs:21-33."""
+        return self.databases().filter(F.col("sender") == sender)
+
+    def _db_exists(self, db_addr: str) -> bool:
+        return bool(self.databases().filter(F.col("db_addr") == db_addr).head(1))
+
+    def _col_row(self, db_addr: str, col: str):
+        rows = (
+            self.collections(db_addr).filter(F.col("col_name") == col).head(1)
+        )
+        return rows[0] if rows else None
+
+    def create_database(
+        self, sender: str, nonce: int, desc: str = "", db_type: str = "doc",
+        meta: dict | None = None, db_addr: str | None = None,
+        seq: tuple[int, int] | None = None,
+    ) -> str:
+        """M0 CreateDocumentDB / M5 CreateEventDB / M7 Mint (explicit addr)."""
+        self.state.incr_nonce(sender, nonce)
+        addr = db_addr or derive_db_addr(sender, nonce, self.network)
+        block, order = self._seq(seq)
+        self._append(
+            [
+                {
+                    "db_addr": addr, "sender": sender, "desc": desc,
+                    "db_type": db_type,
+                    "meta": json.dumps(meta) if meta else None,
+                    "block": block, "order": order,
+                }
+            ],
+            self.DB_SCHEMA,
+            self._db_path(),
+        )
+        self._log(sender, nonce, f"create_{db_type}_db", addr, None,
+                  {"desc": desc, "meta": meta}, None, block, order)
+        if db_type == "event" and meta:
+            # each declared event table becomes a collection
+            # (db3_database_v2.proto:73-76, db_store_v2.rs:918-979)
+            for table in meta.get("tables", []):
+                self._create_collection_raw(addr, table, [], sender)
+        return addr
+
+    def _create_collection_raw(self, db_addr, name, indexes, sender, seq=None):
+        block, order = self._seq(seq)
+        self._append(
+            [
+                {
+                    "db_addr": db_addr, "col_name": name,
+                    "index_fields": json.dumps(indexes), "sender": sender,
+                    "block": block, "order": order,
+                }
+            ],
+            self.COL_SCHEMA,
+            self._col_path(),
+        )
+        self._log(sender, 0, "add_collection", db_addr, name,
+                  {"indexes": indexes}, None, block, order)
+
+    def create_collection(
+        self, db_addr: str, name: str, indexes: list[dict] | None = None,
+        sender: str = "", nonce: int | None = None,
+    ) -> None:
+        """M1 AddCollection — idempotence check db_store_v2.rs:593-614."""
+        if nonce is not None:
+            self.state.incr_nonce(sender, nonce)
+        if len(name) > self.max_col_name:
+            raise InvalidMutation(f"collection name too long (> {self.max_col_name})")
+        if not self._db_exists(db_addr):
+            raise DatabaseNotFound(db_addr)
+        if self._col_row(db_addr, name) is not None:
+            raise CollectionAlreadyExists(f"{db_addr}/{name}")
+        self._create_collection_raw(db_addr, name, indexes or [], sender)
+
+    def add_index(
+        self, db_addr: str, name: str, new_indexes: list[dict], sender: str
+    ) -> None:
+        """M8 AddIndex — path collision rejected (db_store_v2.rs:1108-1147).
+
+        Index registration is a correctness no-op on Spark (Catalyst pushdown
+        covers it — SURVEY.md §4.1); we validate + record for parity, and the
+        paths become candidates for partition/Z-ORDER layout in compact().
+        """
+        row = self._col_row(db_addr, name)
+        if row is None:
+            raise CollectionNotFound(f"{db_addr}/{name}")
+        if row["sender"] != sender:
+            raise OwnerVerifyFailed(f"collection {name} not owned by {sender}")
+        existing = {i["path"] for i in json.loads(row["index_fields"] or "[]")}
+        for idx in new_indexes:
+            if idx["path"] in existing:
+                raise IndexAlreadyExists(idx["path"])
+        merged = json.loads(row["index_fields"] or "[]") + list(new_indexes)
+        block, order = self.state.next_order()
+        self._append(
+            [
+                {
+                    "db_addr": db_addr, "col_name": name,
+                    "index_fields": json.dumps(merged), "sender": row["sender"],
+                    "block": block, "order": order,
+                }
+            ],
+            self.COL_SCHEMA,
+            self._col_path(),
+        )
+
+    # ------------------------------------------------------------------
+    # documents — M2 add, M3 update, M4 delete
+    # ------------------------------------------------------------------
+
+    def _require_col(self, db_addr: str, col: str) -> None:
+        if self._col_row(db_addr, col) is None:
+            raise CollectionNotFound(f"{db_addr}/{col}")
+
+    def current_state(self, db_addr: str, col: str) -> DataFrame:
+        """Merge-on-read view: latest version per doc_id, tombstones dropped."""
+        self._require_col(db_addr, col)
+        df = self._read(self._data_path(db_addr, col), DOC_SCHEMA)
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("block").desc(), F.col("order").desc()
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("op") != "D"))
+            .drop("_rn", "op")
+        )
+
+    def add_docs(
+        self, db_addr: str, col: str, docs: list[str], sender: str,
+        nonce: int | None = None, doc_ids: list[int] | None = None,
+        seq: tuple[int, int] | None = None,
+    ) -> list[int]:
+        """M2 AddDocument — sequential ids, ownership rows, append.
+
+        ``doc_ids`` is the replay form: an indexer re-applying a logged
+        mutation passes the origin's doc_ids_map so replica ids match exactly
+        (db_store_v2.rs:1347-1385; mutation_utils.rs:138-179).
+        """
+        self._require_col(db_addr, col)
+        if nonce is not None:
+            self.state.incr_nonce(sender, nonce)
+        for d in docs:
+            json.loads(d)  # reject non-JSON early, like BSON decode does
+        if doc_ids is None:
+            ids = self.state.take_doc_ids(db_addr, len(docs))
+        else:
+            if len(doc_ids) != len(docs):
+                raise InvalidMutation("doc_ids length mismatch")
+            ids = list(doc_ids)
+            self.state.observe_doc_ids(db_addr, ids)
+        block, order = self._seq(seq)
+        rows = [
+            {
+                "doc_id": i, "owner": sender, "doc": d, "op": "A",
+                "block": block, "order": order,
+            }
+            for i, d in zip(ids, docs)
+        ]
+        self._append(rows, DOC_SCHEMA, self._data_path(db_addr, col))
+        self._log(sender, nonce or 0, "add_document", db_addr, col,
+                  {"docs": docs}, ids, block, order)
+        return ids
+
+    def _verify_ownership(self, state_df: DataFrame, ids: list[int], sender: str):
+        """Owner-only guard for update/delete — db_store_v2.rs:819-846."""
+        found = {
+            r["doc_id"]: r["owner"]
+            for r in state_df.filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "owner")
+            .collect()
+        }
+        missing = [i for i in ids if i not in found]
+        if missing:
+            raise InvalidMutation(f"documents not found: {missing}")
+        bad = [i for i in ids if found[i] != sender]
+        if bad:
+            raise OwnerVerifyFailed(f"sender {sender} does not own docs {bad}")
+
+    def update_docs(
+        self, db_addr: str, col: str, ids: list[int], patches: list[str],
+        sender: str, nonce: int | None = None,
+        seq: tuple[int, int] | None = None,
+    ) -> None:
+        """M3 UpdateDocument — merge-patch against current state, append new
+        full versions (ids and patches must align: db_store_v2.rs:1386-1425).
+        """
+        if len(ids) != len(patches):
+            raise InvalidMutation("ids and docs must align")
+        self._require_col(db_addr, col)
+        if nonce is not None:
+            self.state.incr_nonce(sender, nonce)
+        state_df = self.current_state(db_addr, col)
+        self._verify_ownership(state_df, ids, sender)
+        block, order = self._seq(seq)
+        patch_df = self.spark.createDataFrame(
+            [{"doc_id": i, "patch": p} for i, p in zip(ids, patches)],
+            schema="doc_id long, patch string",
+        )
+        json_merge_patch = make_json_merge_patch()
+        merged = (
+            state_df.join(F.broadcast(patch_df), "doc_id")
+            .select(
+                "doc_id",
+                "owner",
+                json_merge_patch(F.col("doc"), F.col("patch")).alias("doc"),
+                F.lit("U").alias("op"),
+                F.lit(block).alias("block"),
+                F.lit(order).alias("order"),
+            )
+        )
+        rows = [r.asDict() for r in merged.collect()]
+        self._append(rows, DOC_SCHEMA, self._data_path(db_addr, col))
+        self._log(sender, nonce or 0, "update_document", db_addr, col,
+                  {"patches": patches}, ids, block, order)
+
+    def delete_docs(
+        self, db_addr: str, col: str, ids: list[int], sender: str,
+        nonce: int | None = None,
+        seq: tuple[int, int] | None = None,
+    ) -> None:
+        """M4 DeleteDocument — owner-only tombstones (db_store_v2.rs:1426-1447)."""
+        self._require_col(db_addr, col)
+        if nonce is not None:
+            self.state.incr_nonce(sender, nonce)
+        state_df = self.current_state(db_addr, col)
+        self._verify_ownership(state_df, ids, sender)
+        block, order = self._seq(seq)
+        rows = [
+            {
+                "doc_id": i, "owner": sender, "doc": None, "op": "D",
+                "block": block, "order": order,
+            }
+            for i in ids
+        ]
+        self._append(rows, DOC_SCHEMA, self._data_path(db_addr, col))
+        self._log(sender, nonce or 0, "delete_document", db_addr, col,
+                  None, ids, block, order)
+
+    # ------------------------------------------------------------------
+    # reads — S6 point get, JQL queries (RunQuery)
+    # ------------------------------------------------------------------
+
+    def get_doc(self, db_addr: str, col: str, doc_id: int):
+        """S6 point get — doc_store.rs:240-250."""
+        rows = self.current_state(db_addr, col).filter(
+            F.col("doc_id") == doc_id
+        ).head(1)
+        return rows[0] if rows else None
+
+    def query_docs(
+        self, db_addr: str, col: str, query: str, params=None
+    ) -> tuple[DataFrame, int]:
+        """IndexerNode.RunQuery: JQL over one collection, returns (docs, count).
+
+        The count accompanies every response (RunQueryResponse{documents,
+        count} — db3_indexer.proto:36-38). Count reflects the *matched* set
+        (pre-limit), like doc_store.rs:208-213.
+        """
+        from rtstore_spark.jql.compiler import compile_predicate
+        from rtstore_spark.jql.parser import parse_jql
+
+        state_df = self.current_state(db_addr, col)
+        out = jql_query(state_df, query, params=params, doc_col="doc", order_col="doc_id")
+        pred = compile_predicate(parse_jql(query), state_df, params=params, doc_col="doc")
+        matched = state_df.filter(pred).count()
+        return out, matched
+
+    # ------------------------------------------------------------------
+    # maintenance — compaction (the scale path for merge-on-read)
+    # ------------------------------------------------------------------
+
+    def compact(self, db_addr: str, col: str) -> None:
+        """Collapse version history into the current state.
+
+        At 100 TB the MOR window would otherwise re-shuffle the full history
+        every read; compaction bounds history to one snapshot + recent log.
+        Single-writer ⇒ safe to swap directories atomically.
+        """
+        self._require_col(db_addr, col)
+        path = self._data_path(db_addr, col)
+        snap = self.current_state(db_addr, col).withColumn("op", F.lit("A"))
+        tmp = path + ".compact"
+        snap.select([f.name for f in DOC_SCHEMA.fields]).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        # materialize before swapping the live directory
+        old = path + ".old"
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    # ------------------------------------------------------------------
+    # replay — S12/S13 indexer tail-sync & cold start
+    # ------------------------------------------------------------------
+
+    def mutation_log(self) -> DataFrame:
+        return self._read(self._log_path(), LOG_SCHEMA)
+
+    def get_range_mutations(self, block_start: int, block_end: int) -> DataFrame:
+        """S3 block-range scan — mutation_store.rs:522-570."""
+        return (
+            self.mutation_log()
+            .filter((F.col("block") >= block_start) & (F.col("block") < block_end))
+            .orderBy("block", "order")
+        )
+
+    def apply_mutation(self, row: dict) -> None:
+        """Re-apply one logged mutation (indexer_impl.rs:259-324).
+
+        Deterministic: doc ids come from the logged doc_ids list, never from
+        this replica's counter.
+        """
+        action = row["action"]
+        payload = json.loads(row["payload"]) if row.get("payload") else {}
+        doc_ids = json.loads(row["doc_ids"]) if row.get("doc_ids") else None
+        seq = (row["block"], row["order"])
+        if action.startswith("create_") and action.endswith("_db"):
+            db_type = action[len("create_"):-len("_db")]
+            self.create_database(
+                row["sender"], row["nonce"], desc=payload.get("desc") or "",
+                db_type=db_type, meta=payload.get("meta"), db_addr=row["db_addr"],
+                seq=seq,
+            )
+        elif action == "add_collection":
+            if self._col_row(row["db_addr"], row["col_name"]) is None:
+                self._create_collection_raw(
+                    row["db_addr"], row["col_name"], payload.get("indexes", []),
+                    row["sender"], seq=seq,
+                )
+        elif action == "add_document":
+            self.add_docs(
+                row["db_addr"], row["col_name"], payload["docs"], row["sender"],
+                nonce=row["nonce"] or None, doc_ids=doc_ids, seq=seq,
+            )
+        elif action == "update_document":
+            self.update_docs(
+                row["db_addr"], row["col_name"], doc_ids, payload["patches"],
+                row["sender"], nonce=row["nonce"] or None, seq=seq,
+            )
+        elif action == "delete_document":
+            self.delete_docs(
+                row["db_addr"], row["col_name"], doc_ids, row["sender"],
+                nonce=row["nonce"] or None, seq=seq,
+            )
+        else:
+            raise InvalidMutation(f"unknown action {action}")
+
+    def replay_from(self, other: "DocStore", block_start: int = 0) -> None:
+        """S13 cold-start catch-up: page the origin's log and re-apply
+        (indexer_impl.rs:110-142)."""
+        rows = (
+            other.get_range_mutations(block_start, other.state.block + 1)
+            .collect()
+        )
+        for r in rows:
+            self.apply_mutation(r.asDict())

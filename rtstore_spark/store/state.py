@@ -1,0 +1,85 @@
+"""Sequencer state: block/order counters, per-database doc-id high-water
+marks, and per-sender nonces.
+
+The reference keeps this in libmdbx (state_store.rs:28-80) on the single
+rollup node that sequences all writes; replicas replay deterministically from
+the mutation log. We mirror that single-sequencer design with a JSON state
+file updated by atomic rename — the *data* goes through Spark, the sequencer
+bookkeeping (a few counters) does not need a distributed store. Recovery
+follows the reference's priority: persisted state, else rebuild from the
+mutation log / collection tables (db_store_v2.rs:197-294).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from rtstore_spark.errors import BadNonce
+
+
+class StateStore:
+    def __init__(self, root: str):
+        self.path = os.path.join(root, "__state.json")
+        self._state = {"block": 0, "order": 0, "doc_counters": {}, "nonces": {}}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                self._state = json.load(f)
+
+    def _flush(self) -> None:
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path))
+        with os.fdopen(fd, "w") as f:
+            json.dump(self._state, f)
+        os.replace(tmp, self.path)
+
+    # -- (block, order) sequencing: mutation_store.rs:444-481 --
+
+    def next_block(self) -> int:
+        """Close the current block (the reference's timer tick)."""
+        self._state["block"] += 1
+        self._state["order"] = 0
+        self._flush()
+        return self._state["block"]
+
+    def next_order(self) -> tuple[int, int]:
+        """Assign (block, order) to one mutation within the current block."""
+        self._state["order"] += 1
+        self._flush()
+        return self._state["block"], self._state["order"]
+
+    @property
+    def block(self) -> int:
+        return self._state["block"]
+
+    def observe_seq(self, block: int, order: int) -> None:
+        """Replay path: adopt the origin's (block, order) as our position."""
+        if (block, order) >= (self._state["block"], self._state["order"]):
+            self._state["block"], self._state["order"] = block, order
+            self._flush()
+
+    # -- per-database sequential doc ids: db_store_v2.rs:358-398 --
+
+    def take_doc_ids(self, db_addr: str, n: int, start_id: int = 1) -> list[int]:
+        cur = self._state["doc_counters"].get(db_addr, start_id - 1)
+        ids = list(range(cur + 1, cur + 1 + n))
+        self._state["doc_counters"][db_addr] = cur + n
+        self._flush()
+        return ids
+
+    def observe_doc_ids(self, db_addr: str, ids: list[int]) -> None:
+        """Replay path: advance the counter past explicitly-supplied ids."""
+        if not ids:
+            return
+        cur = self._state["doc_counters"].get(db_addr, 0)
+        self._state["doc_counters"][db_addr] = max(cur, max(ids))
+        self._flush()
+
+    # -- nonce replay guard: state_store.rs:171+, 'bad nonce' --
+
+    def incr_nonce(self, sender: str, nonce: int) -> None:
+        last = self._state["nonces"].get(sender, 0)
+        if nonce <= last:
+            raise BadNonce(f"bad nonce for {sender}: {nonce} <= {last}")
+        self._state["nonces"][sender] = nonce
+        self._flush()

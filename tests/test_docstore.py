@@ -1,0 +1,247 @@
+"""Document-store tests mirroring the reference's acceptance suite:
+db_store_v2.rs:1454-1924 (bootstrap/collection/doc flows), doc_store.rs:315-488
+(CRUD + query + merge-patch), client_v2.test.ts:185-712 (CRUD, ownership
+negatives, index add), and the doc-id replay contract
+(mutation_utils.rs:181-233).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from rtstore_spark.errors import (
+    BadNonce,
+    CollectionAlreadyExists,
+    CollectionNotFound,
+    DatabaseNotFound,
+    IndexAlreadyExists,
+    InvalidMutation,
+    OwnerVerifyFailed,
+)
+from rtstore_spark.functions.merge_patch import merge_patch
+from rtstore_spark.store import DocStore
+
+ALICE = "0x" + "aa" * 20
+BOB = "0x" + "bb" * 20
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return DocStore(spark, str(tmp_path / "warehouse"))
+
+
+@pytest.fixture()
+def db_col(store):
+    db = store.create_database(ALICE, nonce=1, desc="desc")
+    store.create_collection(db, "col1", [{"path": "/city", "type": "string"}], ALICE)
+    return db, "col1"
+
+
+class TestCatalog:
+    def test_create_database_deterministic_addr(self, store):
+        db = store.create_database(ALICE, nonce=1)
+        assert db.startswith("0x") and len(db) == 42
+        # same (sender, nonce, network) would derive the same address
+        from rtstore_spark.store.docstore import derive_db_addr
+
+        assert db == derive_db_addr(ALICE, 1, 1)
+
+    def test_collection_lifecycle(self, store, db_col):
+        db, col = db_col
+        cols = store.collections(db).collect()
+        assert [c["col_name"] for c in cols] == ["col1"]
+        with pytest.raises(CollectionAlreadyExists):
+            store.create_collection(db, "col1", [], ALICE)
+        with pytest.raises(DatabaseNotFound):
+            store.create_collection("0x" + "00" * 20, "colx", [], ALICE)
+        with pytest.raises(InvalidMutation):
+            store.create_collection(db, "x" * 21, [], ALICE)  # name cap = 20
+
+    def test_databases_of_owner(self, store):
+        store.create_database(ALICE, nonce=1)
+        store.create_database(ALICE, nonce=2)
+        store.create_database(BOB, nonce=1)
+        assert store.databases_of_owner(ALICE).count() == 2
+        assert store.databases_of_owner(BOB).count() == 1
+
+    def test_add_index_and_collision(self, store, db_col):
+        db, col = db_col
+        store.add_index(db, col, [{"path": "/age", "type": "int64"}], ALICE)
+        row = store.collections(db).collect()[0]
+        paths = {i["path"] for i in json.loads(row["index_fields"])}
+        assert paths == {"/city", "/age"}
+        # collision on existing path rejected — db_store_v2.rs:1108-1147
+        with pytest.raises(IndexAlreadyExists):
+            store.add_index(db, col, [{"path": "/city", "type": "string"}], ALICE)
+        # collection-owner-only — client_v2.test.ts:277-344
+        with pytest.raises(OwnerVerifyFailed):
+            store.add_index(db, col, [{"path": "/zz", "type": "string"}], BOB)
+
+    def test_nonce_guard(self, store):
+        store.create_database(ALICE, nonce=5)
+        with pytest.raises(BadNonce):
+            store.create_database(ALICE, nonce=5)
+        with pytest.raises(BadNonce):
+            store.create_database(ALICE, nonce=4)
+        store.create_database(ALICE, nonce=6)  # strictly increasing ok
+
+
+class TestDocumentCRUD:
+    def test_add_docs_sequential_ids(self, store, db_col):
+        db, col = db_col
+        ids = store.add_docs(db, col, ['{"city": "beijing"}', '{"city": "x"}'], ALICE)
+        assert ids == [1, 2]
+        ids2 = store.add_docs(db, col, ['{"city": "y"}'], ALICE)
+        assert ids2 == [3]
+
+    def test_get_doc(self, store, db_col):
+        db, col = db_col
+        (i,) = store.add_docs(db, col, ['{"city": "beijing"}'], ALICE)
+        row = store.get_doc(db, col, i)
+        assert json.loads(row["doc"]) == {"city": "beijing"}
+        assert row["owner"] == ALICE
+        assert store.get_doc(db, col, 999) is None
+
+    def test_query_docs_with_count(self, store, db_col):
+        db, col = db_col
+        store.add_docs(db, col, ['{"city": "beijing", "age": 10}'], ALICE)
+        store.add_docs(db, col, ['{"city": "beijing2", "age": 20}'], ALICE)
+        out, count = store.query_docs(db, col, "/[city = beijing]")
+        assert count == 1
+        assert json.loads(out.collect()[0]["doc"])["city"] == "beijing"
+        # count reflects matched set pre-limit (doc_store.rs:208-213)
+        out2, count2 = store.query_docs(db, col, "/* | limit 1")
+        rows = out2.collect()
+        assert count2 == 2 and len(rows) == 1
+        # newest-first: limit 1 yields the LAST insert (client_v2.test.ts:213-239)
+        assert json.loads(rows[0]["doc"])["city"] == "beijing2"
+
+    def test_update_merge_patch_preserves_fields(self, store, db_col):
+        # EJDB2 patch semantics: doc_store.rs:470-480 — patching
+        # {"test":"v1","f1":"f1"} with {"test":"v2"} preserves f1.
+        db, col = db_col
+        (i,) = store.add_docs(db, col, ['{"test": "v1", "f1": "f1"}'], ALICE)
+        store.update_docs(db, col, [i], ['{"test": "v2"}'], ALICE)
+        doc = json.loads(store.get_doc(db, col, i)["doc"])
+        assert doc == {"test": "v2", "f1": "f1"}
+
+    def test_update_null_deletes_key_rfc7386(self, store, db_col):
+        db, col = db_col
+        (i,) = store.add_docs(db, col, ['{"a": 1, "b": 2}'], ALICE)
+        store.update_docs(db, col, [i], ['{"b": null, "c": 3}'], ALICE)
+        doc = json.loads(store.get_doc(db, col, i)["doc"])
+        assert doc == {"a": 1, "c": 3}
+
+    def test_update_requires_alignment(self, store, db_col):
+        db, col = db_col
+        ids = store.add_docs(db, col, ['{"a": 1}'], ALICE)
+        with pytest.raises(InvalidMutation):
+            store.update_docs(db, col, ids, [], ALICE)
+
+    def test_ownership_verification(self, store, db_col):
+        # owner-only update/delete — client_v2.test.ts:344-712 negatives
+        db, col = db_col
+        ids = store.add_docs(db, col, ['{"a": 1}'], ALICE)
+        with pytest.raises(OwnerVerifyFailed):
+            store.update_docs(db, col, ids, ['{"a": 2}'], BOB)
+        with pytest.raises(OwnerVerifyFailed):
+            store.delete_docs(db, col, ids, BOB)
+        # still intact
+        assert json.loads(store.get_doc(db, col, ids[0])["doc"]) == {"a": 1}
+
+    def test_delete_docs(self, store, db_col):
+        db, col = db_col
+        ids = store.add_docs(db, col, ['{"a": 1}', '{"a": 2}'], ALICE)
+        store.delete_docs(db, col, [ids[0]], ALICE)
+        assert store.get_doc(db, col, ids[0]) is None
+        assert store.current_state(db, col).count() == 1
+        _, count = store.query_docs(db, col, "/*")
+        assert count == 1
+
+    def test_delete_missing_doc(self, store, db_col):
+        db, col = db_col
+        with pytest.raises(InvalidMutation):
+            store.delete_docs(db, col, [404], ALICE)
+
+    def test_unknown_collection(self, store, db_col):
+        db, _ = db_col
+        with pytest.raises(CollectionNotFound):
+            store.add_docs(db, "nope", ['{"a":1}'], ALICE)
+
+    def test_invalid_json_rejected(self, store, db_col):
+        db, col = db_col
+        with pytest.raises(Exception):
+            store.add_docs(db, col, ["not json"], ALICE)
+
+    def test_compaction_preserves_state(self, store, db_col):
+        db, col = db_col
+        ids = store.add_docs(db, col, ['{"a": 1}', '{"a": 2}', '{"a": 3}'], ALICE)
+        store.update_docs(db, col, [ids[0]], ['{"a": 10}'], ALICE)
+        store.delete_docs(db, col, [ids[2]], ALICE)
+        before = sorted(
+            (r["doc_id"], r["doc"]) for r in store.current_state(db, col).collect()
+        )
+        store.compact(db, col)
+        after = sorted(
+            (r["doc_id"], r["doc"]) for r in store.current_state(db, col).collect()
+        )
+        assert before == after
+        # more writes after compaction still work
+        store.add_docs(db, col, ['{"a": 4}'], ALICE)
+        assert store.current_state(db, col).count() == 3
+
+
+class TestReplay:
+    def test_replica_replays_identically(self, spark, tmp_path):
+        """S12/S13: a replica replaying the mutation log converges to the
+        same doc ids and document state (the doc_ids_map contract)."""
+        origin = DocStore(spark, str(tmp_path / "origin"))
+        db = origin.create_database(ALICE, nonce=1)
+        origin.create_collection(db, "c", [], ALICE)
+        ids = origin.add_docs(db, "c", ['{"v": 1}', '{"v": 2}'], ALICE)
+        origin.state.next_block()
+        origin.update_docs(db, "c", [ids[0]], ['{"v": 10, "w": 5}'], ALICE)
+        origin.add_docs(db, "c", ['{"v": 3}'], ALICE)
+        origin.delete_docs(db, "c", [ids[1]], ALICE)
+
+        replica = DocStore(spark, str(tmp_path / "replica"))
+        replica.replay_from(origin)
+
+        o = sorted(
+            (r["doc_id"], r["doc"], r["owner"])
+            for r in origin.current_state(db, "c").collect()
+        )
+        r = sorted(
+            (r["doc_id"], r["doc"], r["owner"])
+            for r in replica.current_state(db, "c").collect()
+        )
+        assert o == r and len(o) == 2
+        # doc-id counters line up for future writes
+        assert replica.state.take_doc_ids(db, 1) == origin.state.take_doc_ids(db, 1)
+
+    def test_block_range_scan(self, spark, tmp_path):
+        origin = DocStore(spark, str(tmp_path / "o2"))
+        db = origin.create_database(ALICE, nonce=1)
+        origin.create_collection(db, "c", [], ALICE)
+        origin.state.next_block()  # block 1
+        origin.add_docs(db, "c", ['{"v": 1}'], ALICE)
+        origin.state.next_block()  # block 2
+        origin.add_docs(db, "c", ['{"v": 2}'], ALICE)
+        muts = origin.get_range_mutations(1, 2).collect()
+        assert len(muts) == 1 and muts[0]["action"] == "add_document"
+
+
+class TestMergePatchUnit:
+    def test_rfc7386_cases(self):
+        # RFC 7386 appendix-style cases
+        assert merge_patch({"a": "b"}, {"a": "c"}) == {"a": "c"}
+        assert merge_patch({"a": "b"}, {"b": "c"}) == {"a": "b", "b": "c"}
+        assert merge_patch({"a": "b"}, {"a": None}) == {}
+        assert merge_patch({"a": {"b": "c"}}, {"a": {"b": "d", "c": None}}) == {
+            "a": {"b": "d"}
+        }
+        assert merge_patch({"a": [1, 2]}, {"a": [3]}) == {"a": [3]}
+        assert merge_patch({"a": "b"}, ["replaced"]) == ["replaced"]
+        assert merge_patch(None, {"a": 1}) == {"a": 1}
