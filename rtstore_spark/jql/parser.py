@@ -102,6 +102,7 @@ _TOKEN_RE = re.compile(
     r"""
       (?P<ws>\s+)
     | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+    | (?P<hex>0[xX][0-9A-Fa-f]+)
     | (?P<number>-?\d+\.\d+|-?\d+)
     | (?P<named>:[A-Za-z_][A-Za-z0-9_]*)
     | (?P<op>>=|<=|!=|=|>|<|~|\|)
@@ -154,6 +155,10 @@ class _Parser:
         kind, text = self.next()
         if kind == "string":
             return re.sub(r"\\(.)", r"\1", text[1:-1])
+        if kind == "hex":
+            # hex barewords stay strings: addresses/byte-strings are hex text
+            # in the reference's data model (event_processor.rs:217-236)
+            return text
         if kind == "number":
             return float(text) if "." in text else int(text)
         if kind == "named":

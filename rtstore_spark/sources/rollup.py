@@ -1,0 +1,174 @@
+"""Rollup sink & recovery source — the cold-storage plane.
+
+The reference compresses mutation batches into gzip parquet with the exact
+5-column Arrow schema ``payload: Binary, signature: Utf8, block: UInt64,
+order: UInt32, doc_ids: Utf8`` and uploads to Arweave with tags carrying the
+block range and a back-pointer to the previous rollup tx
+(ar_toolbox.rs:48-54, :166-214; tags :299-332). Recovery walks the
+back-pointer chain and replays mutations in (block, order) order
+(recover.rs:140-236).
+
+Spark mapping: one gzip-parquet file per rollup under ``rollups/``, plus a
+manifest parquet table carrying the tag fields; the back-pointer chain is the
+manifest ordered by end_block. GC deletes rolled-up rows from the mutation
+log, keeping ``min_gc_offset`` rounds of history (rollup_executor.rs:169-238).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# the reference's 5-column rollup schema (ar_toolbox.rs:48-54)
+ROLLUP_SCHEMA = T.StructType(
+    [
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("signature", T.StringType(), True),
+        T.StructField("block", T.LongType(), True),
+        T.StructField("order", T.IntegerType(), True),
+        T.StructField("doc_ids", T.StringType(), True),
+    ]
+)
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("tx_id", T.StringType(), False),
+        T.StructField("start_block", T.LongType(), False),
+        T.StructField("end_block", T.LongType(), False),
+        T.StructField("last_rollup_tx", T.StringType(), True),
+        T.StructField("version_id", T.StringType(), False),
+        T.StructField("rows", T.LongType(), False),
+        T.StructField("compress_size", T.LongType(), False),
+        T.StructField("time_ms", T.LongType(), False),
+    ]
+)
+
+
+class RollupExecutor:
+    """Batch job: mutation log rows → gzip parquet rollup + manifest row.
+
+    Single-file-per-rollup mirrors the reference's one-Arweave-tx-per-rollup;
+    at 100 TB you raise the cadence, not the file size — each rollup stays a
+    bounded block range, and recovery parallelizes across rollup files.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.rollup_dir = os.path.join(root, "rollups")
+        self.manifest_path = os.path.join(root, "rollup_manifest")
+        os.makedirs(self.rollup_dir, exist_ok=True)
+
+    def manifest(self) -> DataFrame:
+        if not os.path.exists(self.manifest_path):
+            return self.spark.createDataFrame([], schema=MANIFEST_SCHEMA)
+        return self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.manifest_path)
+
+    def last_rollup(self) -> dict | None:
+        rows = self.manifest().orderBy(F.col("end_block").desc()).head(1)
+        return rows[0].asDict() if rows else None
+
+    def rollup(self, log_df: DataFrame, network: int = 1) -> dict | None:
+        """Roll up all log rows beyond the last rolled block range."""
+        last = self.last_rollup()
+        start = (last["end_block"] + 1) if last else 0
+        batch = (
+            log_df.filter(F.col("block") >= start)
+            .select(
+                F.encode(F.coalesce(F.col("payload"), F.lit("")), "utf-8").alias("payload"),
+                F.col("id").alias("signature"),
+                F.col("block").cast("long").alias("block"),
+                F.col("order").cast("int").alias("order"),
+                F.col("doc_ids"),
+            )
+            .orderBy("block", "order")
+        )
+        n = batch.count()
+        if n == 0:
+            return None
+        t0 = time.time()
+        bounds = batch.agg(
+            F.min("block").alias("lo"), F.max("block").alias("hi")
+        ).collect()[0]
+        tx_id = f"rollup_{bounds['lo']}_{bounds['hi']}"
+        path = os.path.join(self.rollup_dir, f"{bounds['lo']}_{bounds['hi']}.gz.parquet")
+        # one file per rollup tx, gzip like ar_toolbox.rs:197-214
+        batch.coalesce(1).write.mode("overwrite").option(
+            "compression", "gzip"
+        ).parquet(path)
+        size = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        row = {
+            "tx_id": tx_id,
+            "start_block": int(bounds["lo"]),
+            "end_block": int(bounds["hi"]),
+            "last_rollup_tx": last["tx_id"] if last else None,
+            "version_id": "v2",
+            "rows": n,
+            "compress_size": size,
+            "time_ms": int((time.time() - t0) * 1000),
+        }
+        self.spark.createDataFrame([row], schema=MANIFEST_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(self.manifest_path)
+        return row
+
+    def gc(self, store, min_gc_offset: int = 0) -> int:
+        """Delete mutation-log rows already rolled up, keeping the newest
+        ``min_gc_offset`` rollup rounds of history (rollup_executor.rs:169-238).
+
+        Returns the GC watermark block (exclusive)."""
+        rounds = self.manifest().orderBy(F.col("end_block").desc()).collect()
+        if len(rounds) <= min_gc_offset:
+            return 0
+        watermark = rounds[min_gc_offset]["end_block"] + 1
+        log_df = store.mutation_log().filter(F.col("block") >= watermark)
+        tmp = store._log_path() + ".gc"
+        log_df.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        old = store._log_path() + ".old"
+        if os.path.exists(store._log_path()):
+            os.rename(store._log_path(), old)
+        os.rename(tmp, store._log_path())
+        shutil.rmtree(old, ignore_errors=True)
+        return watermark
+
+    # -- recovery (S10): rollup files → mutation rows, ordered --
+
+    def recover_chain(self) -> list[str]:
+        """Walk the Last-Rollup-Tx back-pointers from newest to oldest, then
+        reverse — recover.rs:140-236."""
+        rows = {r["tx_id"]: r.asDict() for r in self.manifest().collect()}
+        if not rows:
+            return []
+        newest = max(rows.values(), key=lambda r: r["end_block"])
+        chain = []
+        cur: dict | None = newest
+        while cur is not None:
+            chain.append(cur["tx_id"])
+            prev = cur.get("last_rollup_tx")
+            cur = rows.get(prev) if prev else None
+        return list(reversed(chain))
+
+    def read_rollups(self, tx_ids: list[str] | None = None) -> DataFrame:
+        """Parallel scan of rollup files in replay order."""
+        chain = tx_ids if tx_ids is not None else self.recover_chain()
+        paths = []
+        for tx in chain:
+            lo, hi = tx.removeprefix("rollup_").split("_")
+            paths.append(os.path.join(self.rollup_dir, f"{lo}_{hi}.gz.parquet"))
+        if not paths:
+            return self.spark.createDataFrame([], schema=ROLLUP_SCHEMA)
+        return (
+            self.spark.read.schema(ROLLUP_SCHEMA)
+            .parquet(*paths)
+            .orderBy("block", "order")
+        )

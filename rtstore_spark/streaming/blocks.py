@@ -1,0 +1,113 @@
+"""Streaming plane: block events and the indexer tail.
+
+Reference behaviours (SURVEY.md §2.8):
+- a timer closes a "block" every ``block_interval`` ms and broadcasts
+  ``BlockEvent{block_id, mutation_count}`` to gRPC subscribers
+  (storage_node_light_impl.rs:206-246, :270-374);
+- the indexer consumes BlockEvents, fetches each block's mutations, and
+  re-applies them (indexer_impl.rs:147-196).
+
+Spark mapping: the mutation log's parquet directory is itself a streaming
+source (new files = new mutations), so "subscription" is a Structured
+Streaming query with a processing-time trigger equal to the block interval.
+``foreachBatch`` gives the push-notification hook; checkpointing makes the
+subscription resumable, which the reference's gRPC stream is not.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from rtstore_spark.store.docstore import LOG_SCHEMA, DocStore
+
+
+class BlockEventStream:
+    """S11: per-block mutation counts pushed to a subscriber callback."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: DocStore,
+        checkpoint: str | None = None,
+        interval: str = "2 seconds",  # --block-interval default (command.rs:93-94)
+    ):
+        self.spark = spark
+        self.store = store
+        self.checkpoint = checkpoint or os.path.join(store.root, "_chk", "blocks")
+        self.interval = interval
+
+    def _source(self):
+        # parquet dir as a file stream: each appended file is a micro-batch input
+        return (
+            self.spark.readStream.schema(LOG_SCHEMA)
+            .option("maxFilesPerTrigger", "1000")
+            .parquet(self.store._log_path())
+        )
+
+    def start(self, on_block: Callable[[int, int], None], once: bool = False):
+        """Start the subscription; ``on_block(block_id, mutation_count)`` is
+        invoked per closed block, in block order within each micro-batch."""
+
+        def emit(batch_df, batch_id):
+            rows = (
+                batch_df.groupBy("block")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy("block")
+                .collect()
+            )
+            for r in rows:
+                on_block(int(r["block"]), int(r["n"]))
+
+        writer = (
+            self._source()
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", self.checkpoint)
+            .foreachBatch(emit)
+        )
+        if once:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+            return q
+        return writer.trigger(processingTime=self.interval).start()
+
+
+class IndexerTail:
+    """S12: replica apply loop — stream the origin's mutation log and
+    re-apply each mutation to a replica store, exactly once per (block,
+    order) thanks to the streaming checkpoint."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        origin: DocStore,
+        replica: DocStore,
+        checkpoint: str | None = None,
+    ):
+        self.spark = spark
+        self.origin = origin
+        self.replica = replica
+        self.checkpoint = checkpoint or os.path.join(replica.root, "_chk", "tail")
+
+    def run_once(self) -> None:
+        """Catch up on all unprocessed mutations (availableNow trigger) —
+        the streaming form of cold-start recovery (S13)."""
+        replica = self.replica
+
+        def apply_batch(batch_df, batch_id):
+            for r in batch_df.orderBy("block", "order").collect():
+                replica.apply_mutation(r.asDict())
+
+        q = (
+            self.spark.readStream.schema(LOG_SCHEMA)
+            .parquet(self.origin._log_path())
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", self.checkpoint)
+            .foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -1,0 +1,213 @@
+"""Tests for the StructuredQuery front-end, rollup/recovery plane, streaming
+plane, and the EVM event source."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from rtstore_spark.errors import QueryError
+from rtstore_spark.plans import run_structured_query
+from rtstore_spark.sources.evm import EventProcessor, JsonlLogSource
+from rtstore_spark.sources.rollup import ROLLUP_SCHEMA, RollupExecutor
+from rtstore_spark.store import DocStore
+from rtstore_spark.streaming.blocks import BlockEventStream, IndexerTail
+
+ALICE = "0x" + "aa" * 20
+
+
+class TestStructuredQuery:
+    @pytest.fixture(scope="class")
+    def docs(self, spark, sf_dir):
+        from rtstore_spark.tables import load_table
+
+        return load_table(spark, sf_dir, "documents")
+
+    def test_field_filter_ops(self, docs):
+        q = {"where": {"field_filter": {"field": "lang", "op": "EQUAL", "value": "en"}}}
+        expected = docs.filter(docs.lang == "en").count()
+        assert run_structured_query(docs, q).count() == expected
+        q2 = {"where": {"field_filter": {"field": "n_chars", "op": "GREATER_THAN", "value": 300}}}
+        assert run_structured_query(docs, q2).count() == docs.filter(docs.n_chars > 300).count()
+
+    def test_composite_and(self, docs):
+        q = {
+            "where": {
+                "composite_filter": {
+                    "op": "AND",
+                    "filters": [
+                        {"field_filter": {"field": "lang", "op": "EQUAL", "value": "en"}},
+                        {"field_filter": {"field": "n_chars", "op": "LESS_THAN", "value": 200}},
+                    ],
+                }
+            }
+        }
+        expected = docs.filter((docs.lang == "en") & (docs.n_chars < 200)).count()
+        assert run_structured_query(docs, q).count() == expected
+
+    def test_select_limit_order(self, docs):
+        q = {
+            "select": {"fields": [{"field_path": "doc_id"}, {"field_path": "lang"}]},
+            "order_by": [{"field": "doc_id", "direction": "DESC"}],
+            "limit": 3,
+        }
+        rows = run_structured_query(docs, q).collect()
+        assert len(rows) == 3
+        assert rows[0]["doc_id"] > rows[1]["doc_id"] > rows[2]["doc_id"]
+        assert set(rows[0].asDict()) == {"doc_id", "lang"}
+
+    def test_in_and_offset_extensions(self, docs):
+        q = {
+            "where": {"field_filter": {"field": "lang", "op": "IN", "value": ["en", "fr"]}},
+            "order_by": [{"field": "doc_id"}],
+            "offset": 5,
+            "limit": 5,
+        }
+        rows = run_structured_query(docs, q).collect()
+        base = (
+            docs.filter(docs.lang.isin("en", "fr")).orderBy("doc_id").collect()[5:10]
+        )
+        assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in base]
+
+    def test_bad_nodes(self, docs):
+        with pytest.raises(QueryError):
+            run_structured_query(docs, {"where": {"field_filter": {"field": "lang", "op": "NOPE"}}})
+        with pytest.raises(QueryError):
+            run_structured_query(docs, {"where": {"bogus": {}}})
+
+
+class TestRollup:
+    def test_rollup_gc_recover_roundtrip(self, spark, tmp_path):
+        store = DocStore(spark, str(tmp_path / "w"))
+        db = store.create_database(ALICE, nonce=1)
+        store.create_collection(db, "c", [], ALICE)
+        store.state.next_block()
+        store.add_docs(db, "c", ['{"v": 1}', '{"v": 2}'], ALICE)
+        store.state.next_block()
+        store.add_docs(db, "c", ['{"v": 3}'], ALICE)
+
+        ex = RollupExecutor(spark, str(tmp_path / "w"))
+        row = ex.rollup(store.mutation_log())
+        assert row is not None and row["rows"] == 4  # create_db + add_col + 2 adds
+        assert row["last_rollup_tx"] is None
+
+        # second rollup chains to the first
+        store.state.next_block()
+        store.add_docs(db, "c", ['{"v": 4}'], ALICE)
+        row2 = ex.rollup(store.mutation_log())
+        assert row2["last_rollup_tx"] == row["tx_id"]
+
+        # recovery chain is oldest→newest and yields the exact 5-col schema
+        chain = ex.recover_chain()
+        assert chain == [row["tx_id"], row2["tx_id"]]
+        recovered = ex.read_rollups()
+        assert recovered.schema == ROLLUP_SCHEMA
+        assert recovered.count() == 5
+        blocks = [r["block"] for r in recovered.collect()]
+        assert blocks == sorted(blocks)
+
+        # gc with offset 0 clears the whole rolled range
+        watermark = ex.gc(store, min_gc_offset=0)
+        assert watermark == row2["end_block"] + 1
+        assert store.mutation_log().count() == 0
+
+    def test_empty_rollup_is_noop(self, spark, tmp_path):
+        store = DocStore(spark, str(tmp_path / "w2"))
+        ex = RollupExecutor(spark, str(tmp_path / "w2"))
+        assert ex.rollup(store.mutation_log()) is None
+
+
+class TestStreaming:
+    def test_block_event_stream(self, spark, tmp_path):
+        store = DocStore(spark, str(tmp_path / "w"))
+        db = store.create_database(ALICE, nonce=1)
+        store.create_collection(db, "c", [], ALICE)
+        store.state.next_block()
+        store.add_docs(db, "c", ['{"v": 1}'], ALICE)
+        store.add_docs(db, "c", ['{"v": 2}'], ALICE)
+
+        events: list[tuple[int, int]] = []
+        stream = BlockEventStream(spark, store)
+        stream.start(lambda b, n: events.append((b, n)), once=True)
+        # block 0 holds create_db/create_collection, block 1 the two adds
+        assert dict(events) == {0: 2, 1: 2}
+
+        # new mutations after the checkpoint → only the delta is delivered
+        store.state.next_block()
+        store.add_docs(db, "c", ['{"v": 3}'], ALICE)
+        events.clear()
+        stream.start(lambda b, n: events.append((b, n)), once=True)
+        assert dict(events) == {2: 1}
+
+    def test_indexer_tail_streaming_replay(self, spark, tmp_path):
+        origin = DocStore(spark, str(tmp_path / "o"))
+        db = origin.create_database(ALICE, nonce=1)
+        origin.create_collection(db, "c", [], ALICE)
+        ids = origin.add_docs(db, "c", ['{"v": 1}', '{"v": 2}'], ALICE)
+        origin.update_docs(db, "c", [ids[0]], ['{"v": 9}'], ALICE)
+
+        replica = DocStore(spark, str(tmp_path / "r"))
+        tail = IndexerTail(spark, origin, replica)
+        tail.run_once()
+        o = sorted((r["doc_id"], r["doc"]) for r in origin.current_state(db, "c").collect())
+        r = sorted((r["doc_id"], r["doc"]) for r in replica.current_state(db, "c").collect())
+        assert o == r
+
+        # incremental: new origin writes, second run_once converges again
+        origin.add_docs(db, "c", ['{"v": 3}'], ALICE)
+        tail.run_once()
+        assert replica.current_state(db, "c").count() == 3
+
+
+class TestEvmSource:
+    def test_event_db_ingestion(self, spark, tmp_path):
+        store = DocStore(spark, str(tmp_path / "w"))
+        db = store.create_database(
+            ALICE, nonce=1, db_type="event",
+            meta={"contract": "0xc0ffee", "tables": ["Transfer", "Approval"]},
+        )
+        fixture = tmp_path / "logs.jsonl"
+        logs = [
+            {
+                "event": "Transfer", "block_number": 10, "tx_hash": "0x01",
+                "args": {"from": "0xAB", "to": "0xCD", "value": 2**200},
+                "types": {"from": "address", "to": "address", "value": "uint256"},
+            },
+            {
+                "event": "Transfer", "block_number": 11, "tx_hash": "0x02",
+                "args": {"from": "0xEF", "to": "0xAB", "value": 7},
+                "types": {"from": "address", "to": "address", "value": "uint256"},
+            },
+            {
+                "event": "Approval", "block_number": 11, "tx_hash": "0x03",
+                "args": {"ok": True, "ids": [1, 2]},
+                "types": {"ok": "bool", "ids": "uint8[]"},
+            },
+            {"event": "Unknown", "block_number": 12, "tx_hash": "0x04", "args": {}},
+        ]
+        fixture.write_text("\n".join(json.dumps(x) for x in logs))
+
+        proc = EventProcessor(store, db, ALICE)
+        counts = proc.process(JsonlLogSource(str(fixture)))
+        assert counts == {"Transfer": 2, "Approval": 1}
+
+        out, n = store.query_docs(db, "Transfer", "/[from = 0xab]")
+        assert n == 1
+        doc = json.loads(out.collect()[0]["doc"])
+        # uint256 survives as a decimal string (event_processor.rs:223-225)
+        assert doc["value"] == str(2**200)
+        # bool and arrays intact
+        out2, _ = store.query_docs(db, "Approval", "/*")
+        doc2 = json.loads(out2.collect()[0]["doc"])
+        assert doc2["ok"] is True and doc2["ids"] == ["1", "2"]
+
+    def test_from_block_filter(self, tmp_path):
+        fixture = tmp_path / "l.jsonl"
+        fixture.write_text(
+            "\n".join(
+                json.dumps({"event": "E", "block_number": b, "args": {}})
+                for b in (5, 10, 15)
+            )
+        )
+        assert len(list(JsonlLogSource(str(fixture), from_block=10).logs())) == 2
