@@ -1,0 +1,8 @@
+"""Beyond-parity operators for large-scale training-data pipelines.
+
+Generic DataFrame transforms (no testdata coupling):
+- ``dedup``      — exact, minhash+LSH, simhash, jaccard verification
+- ``similarity`` — brute-force cosine top-k, hyperplane-LSH ANN
+- ``text``       — language/script ID, quality features, token counts
+- ``multimodal`` — binary media columns: schema, batching, stubbed decode
+"""

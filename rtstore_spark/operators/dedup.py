@@ -1,0 +1,221 @@
+"""Deduplication operators.
+
+Pipeline shape for near-dup at 100 TB (the one the inventory's oracle queries
+exercise at small scale):
+
+    shingle (map-local) → minhash (partial-agg min) → band (map-local)
+    → bucket self-join (shuffle on band key only) → jaccard verify
+    (exact, on candidates only)
+
+Nothing here is O(n²) in the corpus; every shuffle key is a bounded hash.
+All hashes are md5-derived and engine-reproducible (same family as
+``inventory._hash32``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash32(col):
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row per exact text: the lowest id wins.
+
+    Returns (text_hash, keep_id, n_copies). GroupBy key is the 128-bit md5 —
+    the full text never shuffles.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("keep_id"))
+        .groupBy("text_hash")
+        .agg(F.min("keep_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct n-token shingles per document (long form: id, shingle)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    sh = F.when(
+        F.size(toks) >= n,
+        F.expr(
+            f"transform(sequence(1, size(split(trim({text_col}), '\\\\s+')) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {n})))"
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle")).distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """Long-form minhash signatures: (id, h, minhash), h in [0, num_hashes)."""
+    e = shingles(df, text_col, id_col, n=shingle_n)
+    hh = e.select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"), "shingle"
+    )
+    hv = _hash32(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("shingle")))
+    return (
+        hh.select("id", "h", hv.alias("hv"))
+        .groupBy("id", "h")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature and self-join on (band, band signature).
+
+    Docs agreeing on ALL rows of any band become a candidate pair — the
+    probability curve is the standard (1 - (1 - s^r)^b). Returns distinct
+    (id_a, id_b) with id_a < id_b.
+    """
+    banded = (
+        signatures.withColumn("band", F.expr(f"h div {rows_per_band}"))
+        .filter(F.col("band") < bands)
+        .groupBy("id", "band")
+        .agg(
+            F.concat_ws(
+                "-",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(h, minhash))),"
+                    " s -> cast(s.minhash as string))"
+                ),
+            ).alias("band_sig")
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_sig") == F.col("b.band_sig")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame, candidates: DataFrame, text_col: str, id_col: str,
+    threshold: float = 0.8, shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs only.
+
+    The candidate set bounds the join: shingles are exploded once, then
+    semi-joined to candidates — never a corpus-wide self-join.
+    Returns (id_a, id_b, jaccard) above threshold.
+    """
+    sh = shingles(df, text_col, id_col, n=shingle_n)
+    wanted = candidates.select(
+        F.col("id_a").alias("id"),
+    ).union(candidates.select(F.col("id_b").alias("id"))).distinct()
+    sh = sh.join(F.broadcast(wanted), "id", "left_semi")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        candidates.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8,
+    num_hashes: int = 8, bands: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: ids to DROP (keep the lowest id per group).
+
+    Connected components are approximated by one union-find round: each doc
+    maps to min(neighbor ids ∪ self); sufficient for the dominant
+    pairs-within-one-cluster case. Iterate to a fixpoint for exact CC.
+    """
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cand = lsh_candidate_pairs(sig, bands, num_hashes // bands)
+    verified = jaccard_verify(df, cand, text_col, id_col, threshold, shingle_n)
+    edges = verified.select("id_a", "id_b")
+    drop = (
+        edges.groupBy("id_b").agg(F.min("id_a").alias("keep"))
+        .select(F.col("id_b").alias("drop_id"), "keep")
+    )
+    return drop
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint per doc: (id, simhash)."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    th = tok.select("id", _hash32(F.col("tok")).alias("hv"))
+    bcol = th.select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("i"), "hv"
+    )
+    sums = bcol.groupBy("id", "i").agg(
+        F.sum(F.when(F.expr("(hv >> cast(i as int)) & 1") == 1, 1).otherwise(-1)).alias("s")
+    )
+    return sums.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(i as int))")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95,
+    num_planes: int = 16, band_planes: int = 8,
+) -> DataFrame:
+    """Embedding near-duplicates via random-hyperplane LSH + exact verify.
+
+    Hyperplane components are md5-derived pseudo-randoms (deterministic, no
+    driver-side RNG state to ship). Sign pattern over ``band_planes`` planes
+    forms the bucket key; candidates within a bucket get exact cosine.
+    At 100 TB the bucket join is the only shuffle; tune band_planes to bound
+    bucket sizes (expected n / 2^band_planes).
+    """
+    from rtstore_spark.operators.similarity import cosine_expr
+
+    dim_df = df.select(F.size(F.col(vec_col)).alias("d")).limit(1)
+    dim = dim_df.collect()[0]["d"]
+
+    def plane_component(p: int, i: int) -> str:
+        # deterministic pseudo-random in [-1, 1): md5(p:i) scaled
+        return (
+            f"(cast(conv(substring(md5(concat('{p}', ':', '{i}')), 1, 8), 16, 10) as double)"
+            f" / 2147483648.0 - 1.0)"
+        )
+
+    sign_bits = []
+    for p in range(band_planes):
+        dot = " + ".join(
+            f"(cast(element_at({vec_col}, {i + 1}) as double) * {plane_component(p, i)})"
+            for i in range(dim)
+        )
+        sign_bits.append(f"(case when ({dot}) >= 0 then '1' else '0' end)")
+    bucket = F.expr("concat(" + ", ".join(sign_bits) + ")")
+
+    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket.alias("bucket"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cos = cosine_expr("a.v", "b.v")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

