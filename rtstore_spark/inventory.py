@@ -580,27 +580,17 @@ def dedup_fingerprint(spark, sf):
 def minhash_signature(spark, sf):
     """MinHash signatures over 3-token shingles, 8 hash functions (long form).
 
-    Scale path: shingle explode is map-local; the only shuffle is the final
-    (doc_id, h) partial-aggregated min — linear in corpus size, no pairwise
-    work. Hash family: md5-derived 32-bit values salted by hash index, chosen
-    to be reproducible in any engine (the oracle recomputes it in DuckDB).
+    Scale path: shingle explode is map-local; ONE partial-aggregated shuffle
+    of (doc_id, 8 mins) — wide-form compute, unpivoted after (see
+    operators.dedup.minhash_signatures_wide). Hash family: md5-derived
+    32-bit values salted by hash index, reproducible in any engine (the
+    oracle recomputes it in DuckDB).
     """
+    from rtstore_spark.operators.dedup import minhash_signatures
+
     docs = load_table(spark, sf, "documents")
-    t = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
-    sh = t.select(
-        "doc_id",
-        F.when(
-            F.size("toks") >= 3,
-            F.expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"),
-        )
-        .otherwise(F.array(F.concat_ws(" ", F.col("toks"))))
-        .alias("shingles"),
-    )
-    e = sh.select("doc_id", F.explode("shingles").alias("shingle")).distinct()
-    hh = e.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("h"), "shingle")
-    hv = _hash32(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("shingle")))
-    return hh.select("doc_id", "h", hv.alias("hv")).groupBy("doc_id", "h").agg(
-        F.min("hv").alias("minhash")
+    return minhash_signatures(docs, "text", "doc_id", num_hashes=8).select(
+        F.col("id").alias("doc_id"), "h", "minhash"
     )
 
 
@@ -631,27 +621,19 @@ def minhash_signature(spark, sf):
 def minhash_lsh_pairs(spark, sf):
     """LSH candidate pairs: 4 bands x 2 rows over the 8-hash signature.
 
-    Scale path: docs join only within (band, band_sig) buckets — the classic
-    shingle→minhash→band→bucket-join pipeline; no O(n^2) comparison.
+    Scale path: wide signatures (one shuffle), band signatures as pure
+    projections, then docs join only within (band, band_sig) buckets — the
+    classic shingle→minhash→band→bucket-join pipeline; no O(n^2) comparison.
     """
-    sig = minhash_signature(spark, sf)
-    bands = (
-        sig.withColumn("band", F.expr("h div 2"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                "-",
-                F.expr("transform(array_sort(collect_list(struct(h, minhash))), s -> cast(s.minhash as string))"),
-            ).alias("band_sig")
-        )
+    from rtstore_spark.operators.dedup import (
+        lsh_candidate_pairs_wide,
+        minhash_signatures_wide,
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_sig") == F.col("b.band_sig")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+
+    docs = load_table(spark, sf, "documents")
+    wide = minhash_signatures_wide(docs, "text", "doc_id", num_hashes=8)
+    return lsh_candidate_pairs_wide(wide, bands=4, rows_per_band=2).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
 
 
@@ -719,20 +701,13 @@ def ngram_jaccard_pairs(spark, sf):
 )
 def simhash32(spark, sf):
     """32-bit SimHash over token frequencies — near-dup fingerprint whose
-    Hamming distance approximates cosine similarity of the token vectors."""
+    Hamming distance approximates cosine similarity of the token vectors.
+    Wide-form single-shuffle compute (operators.dedup.simhash)."""
+    from rtstore_spark.operators.dedup import simhash
+
     docs = load_table(spark, sf, "documents")
-    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
-    th = tok.select("doc_id", _hash32(F.col("tok")).alias("hv"))
-    bits = th.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("i"), "hv")
-    sums = bits.groupBy("doc_id", "i").agg(
-        F.sum(
-            F.when(F.expr("(hv >> cast(i as int)) & 1") == 1, 1).otherwise(-1)
-        ).alias("s")
-    )
-    return sums.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(i as int))")).otherwise(0)
-        ).alias("simhash")
+    return simhash(docs, "text", "doc_id", bits=32).select(
+        F.col("id").alias("doc_id"), "simhash"
     )
 
 

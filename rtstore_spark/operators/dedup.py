@@ -36,34 +36,63 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct n-token shingles per document (long form: id, shingle)."""
+    """Distinct n-token shingles per document (long form: id, shingle).
+
+    Formulated as a zip_with chain over n shifted slices so ``toks`` is
+    referenced O(n) times per ROW — a ``transform(sequence(...), i ->
+    slice(toks, i, n))`` lambda re-evaluates the split per *element*
+    (Catalyst inlines project aliases into lambdas; no CSE across
+    higher-order functions), which is O(tokens²) regex work. This shape is
+    also shuffle-free: scan → project → explode, so the downstream minhash
+    partial-agg is the pipeline's first (and only) exchange. A window-lead
+    tokenizer would be ~3× faster on local[32] but shuffles the entire
+    token stream — the wrong trade at corpus scale.
+    """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    sh = F.when(
-        F.size(toks) >= n,
-        F.expr(
-            f"transform(sequence(1, size(split(trim({text_col}), '\\\\s+')) - {n - 1}),"
-            f" i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {n})))"
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    t = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    ln = f"greatest(size(toks) - {n - 1}, 1)"
+    chain = f"slice(toks, 1, {ln})"
+    for j in range(2, n + 1):
+        chain = f"zip_with({chain}, slice(toks, {j}, {ln}), (a, b) -> concat(a, ' ', b))"
+    sh = F.when(F.size("toks") >= n, F.expr(chain)).otherwise(
+        F.array(F.concat_ws(" ", F.col("toks")))
+    )
+    return t.select("id", F.explode(sh).alias("shingle")).distinct()
+
+
+def minhash_signatures_wide(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """Wide-form minhash: (id, mh0..mh{k-1}).
+
+    One shingle explode, ``k`` hash expressions per row, ONE partial-agg
+    shuffle of (id, k mins). The long-form alternative (explode a hash-index
+    column) multiplies the shuffle input ``k``-fold for no benefit — at
+    corpus scale that is k× the shuffle bytes of the whole shingle set.
+    """
+    e = shingles(df, text_col, id_col, n=shingle_n)
+    hcols = [
+        _hash32(F.concat(F.lit(f"{h}:"), F.col("shingle"))).alias(f"hv{h}")
+        for h in range(num_hashes)
+    ]
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle")).distinct()
+        e.select("id", *hcols)
+        .groupBy("id")
+        .agg(*[F.min(f"hv{h}").alias(f"mh{h}") for h in range(num_hashes)])
     )
 
 
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8, shingle_n: int = 3
 ) -> DataFrame:
-    """Long-form minhash signatures: (id, h, minhash), h in [0, num_hashes)."""
-    e = shingles(df, text_col, id_col, n=shingle_n)
-    hh = e.select(
-        "id", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"), "shingle"
-    )
-    hv = _hash32(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("shingle")))
-    return (
-        hh.select("id", "h", hv.alias("hv"))
-        .groupBy("id", "h")
-        .agg(F.min("hv").alias("minhash"))
-    )
+    """Long-form minhash signatures: (id, h, minhash), h in [0, num_hashes).
+
+    Computed wide then unpivoted (stack is a zero-shuffle projection)."""
+    wide = minhash_signatures_wide(df, text_col, id_col, num_hashes, shingle_n)
+    stack = ", ".join(f"{h}, mh{h}" for h in range(num_hashes))
+    return wide.select(
+        "id", F.expr(f"stack({num_hashes}, {stack}) as (h, minhash)")
+    ).select("id", F.col("h").cast("int"), "minhash")
 
 
 def lsh_candidate_pairs(
@@ -73,7 +102,9 @@ def lsh_candidate_pairs(
 
     Docs agreeing on ALL rows of any band become a candidate pair — the
     probability curve is the standard (1 - (1 - s^r)^b). Returns distinct
-    (id_a, id_b) with id_a < id_b.
+    (id_a, id_b) with id_a < id_b. Accepts long-form signatures
+    (id, h, minhash); see ``lsh_candidate_pairs_wide`` for the
+    shuffle-minimal path from wide signatures.
     """
     banded = (
         signatures.withColumn("band", F.expr(f"h div {rows_per_band}"))
@@ -89,6 +120,10 @@ def lsh_candidate_pairs(
             ).alias("band_sig")
         )
     )
+    return _band_join(banded)
+
+
+def _band_join(banded: DataFrame) -> DataFrame:
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_sig") == F.col("b.band_sig")))
@@ -96,6 +131,27 @@ def lsh_candidate_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+def lsh_candidate_pairs_wide(
+    wide: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Candidate pairs straight from wide signatures: band signatures are
+    string concats of adjacent minhash columns (pure projection), then one
+    explode to (id, band, band_sig) — no groupBy before the bucket join."""
+    band_structs = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("-", *cols).alias("band_sig"))
+        )
+    banded = wide.select(
+        "id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+    return _band_join(banded)
 
 
 def jaccard_verify(
@@ -155,23 +211,29 @@ def minhash_dedup(
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
-    """SimHash fingerprint per doc: (id, simhash)."""
+    """SimHash fingerprint per doc: (id, simhash).
+
+    Wide-form: ``bits`` conditional-sum aggregates over one token explode —
+    a single partial-agg shuffle of (id, bits ints). Exploding a bit-index
+    column instead would shuffle bits× the token count and need two stages.
+    """
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     )
     th = tok.select("id", _hash32(F.col("tok")).alias("hv"))
-    bcol = th.select(
-        "id", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("i"), "hv"
-    )
-    sums = bcol.groupBy("id", "i").agg(
-        F.sum(F.when(F.expr("(hv >> cast(i as int)) & 1") == 1, 1).otherwise(-1)).alias("s")
-    )
-    return sums.groupBy("id").agg(
+    bit_sums = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(i as int))")).otherwise(0)
-        ).alias("simhash")
-    )
+            F.when(F.expr(f"(hv >> {i}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    sums = th.groupBy("id").agg(*bit_sums)
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return sums.select("id", fp.alias("simhash"))
 
 
 def embedding_neardup_pairs(
