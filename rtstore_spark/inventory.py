@@ -528,6 +528,146 @@ def q_nation_balance(spark, sf):
     )
 
 
+@register(
+    "q_events_pivot",
+    """SELECT user_id,
+              count(*) FILTER (WHERE event_type = 'click') AS n_click,
+              count(*) FILTER (WHERE event_type = 'view') AS n_view,
+              count(*) FILTER (WHERE event_type = 'error') AS n_error,
+              count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+              count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+       FROM events GROUP BY user_id""",
+)
+def q_events_pivot(spark, sf):
+    """Pivot with explicit values — one shuffle; explicit value list keeps it
+    a single pass (inferred pivot would scan twice for the value set)."""
+    ev = load_table(spark, sf, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "error", "signup", "purchase"])
+        .count()
+    )
+    renames = {t: f"n_{t}" for t in ["click", "view", "error", "signup", "purchase"]}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in renames.values()],
+    )
+
+
+@register(
+    "q_rollup_orders",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+       FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+)
+def q_rollup_orders(spark, sf):
+    """Hierarchical grouping sets (subtotal + grand-total rows)."""
+    orders = load_table(spark, sf, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), _dsum("o_totalprice", "total")
+    )
+
+
+@register(
+    "q_intersect_docs",
+    """SELECT doc_id FROM documents WHERE lang = 'en'
+       INTERSECT
+       SELECT doc_id FROM documents WHERE n_chars > 200""",
+)
+def q_intersect_docs(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.filter(F.col("lang") == "en").select("doc_id").intersect(
+        docs.filter(F.col("n_chars") > 200).select("doc_id")
+    )
+
+
+@register(
+    "q_except_docs",
+    """SELECT doc_id FROM documents WHERE lang = 'en'
+       EXCEPT
+       SELECT doc_id FROM documents WHERE source = 'src1'""",
+)
+def q_except_docs(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.filter(F.col("lang") == "en").select("doc_id").exceptAll(
+        docs.filter(F.col("source") == "src1").select("doc_id")
+    ).distinct()
+
+
+@register(
+    "q_distinct_users",
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+       FROM events GROUP BY event_type""",
+)
+def q_distinct_users(spark, sf):
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q_quantity_quantiles",
+    """SELECT l_returnflag,
+              round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 6) AS p50,
+              round(CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE), 6) AS p90
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q_quantity_quantiles(spark, sf):
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
+    )
+
+
+@register(
+    "q_top_spender_per_nation",
+    """SELECT n_name, c_custkey, c_acctbal FROM (
+         SELECT n_name, c_custkey, c_acctbal,
+                row_number() OVER (PARTITION BY n_name
+                                   ORDER BY c_acctbal DESC, c_custkey) AS rn
+         FROM customer JOIN nation ON c_nationkey = n_nationkey)
+       WHERE rn = 1""",
+)
+def q_top_spender_per_nation(spark, sf):
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "jql_docmode",
+    """SELECT doc_id, n_chars FROM documents WHERE lang = 'en'""",
+)
+def jql_docmode(spark, sf):
+    """The document-store path end-to-end: rows re-encoded as JSON docs, JQL
+    filter + projection over the JSON column, scalars extracted back out.
+    Proves the doc-mode compiler against the same oracle as the native path.
+    """
+    docs = load_table(spark, sf, "documents")
+    as_docs = docs.select(
+        "doc_id",
+        F.to_json(F.struct("lang", "n_chars")).alias("doc"),
+    )
+    out = jql_query(as_docs, "/[lang = en] | /{n_chars}", doc_col="doc", order_col="doc_id")
+    return out.select(
+        "doc_id",
+        F.get_json_object("doc", "$.n_chars").cast("long").alias("n_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (dedup / text analysis / similarity)
 # ---------------------------------------------------------------------------
@@ -822,6 +962,140 @@ def embedding_centroids(spark, sf):
             F.round(F.avg(F.expr(sq)), 6).alias("avg_sq_norm"),
         )
     )
+
+
+@register(
+    "lang_id_votes",
+    r"""WITH t AS (
+          SELECT doc_id,
+                 list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 len(list_intersect(toks, ['the','and','of','to','in','is','that','it'])) AS score_en,
+                 len(list_intersect(toks, ['le','la','les','et','des','est','que','une'])) AS score_fr,
+                 len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','zu'])) AS score_de,
+                 len(list_intersect(toks, ['el','la','los','de','que','es','una','por'])) AS score_es
+          FROM t)
+       SELECT doc_id, score_en, score_fr, score_de, score_es,
+              CASE WHEN greatest(score_en, score_fr, score_de, score_es) = 0 THEN 'und'
+                   WHEN score_en = greatest(score_en, score_fr, score_de, score_es) THEN 'en'
+                   WHEN score_fr = greatest(score_en, score_fr, score_de, score_es) THEN 'fr'
+                   WHEN score_de = greatest(score_en, score_fr, score_de, score_es) THEN 'de'
+                   ELSE 'es' END AS pred_lang
+       FROM s""",
+)
+def lang_id_votes(spark, sf):
+    """Stopword-vote language ID (operators.text.lang_id), oracle-checked."""
+    from rtstore_spark.operators.text import lang_id
+
+    docs = load_table(spark, sf, "documents")
+    out = lang_id(docs, "text", "doc_id")
+    return out.select(F.col("id").alias("doc_id"), "score_en", "score_fr",
+                      "score_de", "score_es", "pred_lang")
+
+
+@register(
+    "winnow_fingerprints",
+    r"""WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        sh AS (
+          SELECT doc_id, CASE WHEN len(toks) >= 8
+            THEN list_transform(generate_series(1, len(toks) - 7),
+                                i -> array_to_string(toks[i:i+7], ' '))
+            ELSE [array_to_string(toks, ' ')] END AS shingles
+          FROM t),
+        e AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+        hv AS (SELECT DISTINCT doc_id,
+                      ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hv FROM e)
+       SELECT doc_id, hv FROM (
+         SELECT doc_id, hv, row_number() OVER (PARTITION BY doc_id ORDER BY hv) AS rn
+         FROM hv) WHERE rn <= 4""",
+)
+def winnow_fingerprints(spark, sf):
+    """Winnowing-style containment fingerprints: 4 smallest 8-token-shingle
+    hashes per doc (long form). Per-partition top-k via the rank window —
+    one shuffle on doc_id."""
+    from rtstore_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf, "documents")
+    sh = shingles(docs, "text", "doc_id", n=8)
+    hv = sh.select("id", _hash32(F.col("shingle")).alias("hv")).distinct()
+    w = Window.partitionBy("id").orderBy("hv")
+    return (
+        hv.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .select(F.col("id").alias("doc_id"), "hv")
+    )
+
+
+@register(
+    "embedding_neardup",
+    """WITH e AS (
+         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100)
+       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              round(list_inner_product(a.v, b.v)
+                    / (sqrt(list_inner_product(a.v, a.v))
+                       * sqrt(list_inner_product(b.v, b.v))), 6) AS cosine
+       FROM e a JOIN e b ON a.vec_id < b.vec_id
+       WHERE list_inner_product(a.v, b.v)
+             / (sqrt(list_inner_product(a.v, a.v))
+                * sqrt(list_inner_product(b.v, b.v))) >= 0.15""",
+)
+def embedding_neardup(spark, sf):
+    """Embedding near-dup pairs, brute-force on a bounded slice (the exact
+    verification kernel; corpus-scale candidate generation is the LSH path
+    in operators.dedup.embedding_neardup_pairs)."""
+    from rtstore_spark.operators.similarity import cosine_expr
+
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    cos = cosine_expr("va", "vb")
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.15)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+@register(
+    "multimodal_features",
+    """SELECT doc_id AS media_id, 'text-blob' AS kind,
+              octet_length(encode(text)) AS n_bytes,
+              substr(sha256(text), 1, 16) AS sha16
+       FROM documents""",
+)
+def multimodal_features(spark, sf):
+    """Multimodal plumbing under the oracle gate: text bytes as stand-in
+    blobs through the canonical media schema and the Arrow-batched
+    mapInPandas feature extractor; the deterministic columns (byte length,
+    sha) are oracle-checked, the stub feature vector is exercised but
+    dropped from the comparison."""
+    from rtstore_spark.operators.multimodal import attach_media, extract_features
+
+    docs = load_table(spark, sf, "documents")
+    blobs = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob"))
+    media = attach_media(blobs, "doc_id", "blob", "text-blob")
+    feats = extract_features(media, feature_dim=4)
+    return feats.select("media_id", F.lit("text-blob").alias("kind"), "n_bytes", "sha16")
+
+
+@register("ann_lsh_topk", None)  # deterministic but not tersely SQL-expressible
+def ann_lsh_topk(spark, sf):
+    """Hyperplane-LSH ANN probe (multi-probe, deterministic planes).
+
+    No oracle: replicating 6x64 md5-derived plane components in SQL is
+    possible but unreadable; correctness is covered by the planted-neighbor
+    and driver/SQL-bucket-parity tests in tests/test_operators.py.
+    """
+    from rtstore_spark.operators.similarity import build_lsh_index, lsh_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    index = build_lsh_index(emb.filter(F.col("vec_id") != 0), "embedding", "vec_id", planes=6)
+    return lsh_topk(index, qvec, k=10, planes=6)
 
 
 # ---------------------------------------------------------------------------

@@ -248,27 +248,10 @@ def embedding_neardup_pairs(
     At 100 TB the bucket join is the only shuffle; tune band_planes to bound
     bucket sizes (expected n / 2^band_planes).
     """
-    from rtstore_spark.operators.similarity import cosine_expr
+    from rtstore_spark.operators.similarity import cosine_expr, hyperplane_bucket
 
-    dim_df = df.select(F.size(F.col(vec_col)).alias("d")).limit(1)
-    dim = dim_df.collect()[0]["d"]
-
-    def plane_component(p: int, i: int) -> str:
-        # deterministic pseudo-random in [-1, 1): md5(p:i) scaled
-        return (
-            f"(cast(conv(substring(md5(concat('{p}', ':', '{i}')), 1, 8), 16, 10) as double)"
-            f" / 2147483648.0 - 1.0)"
-        )
-
-    sign_bits = []
-    for p in range(band_planes):
-        dot = " + ".join(
-            f"(cast(element_at({vec_col}, {i + 1}) as double) * {plane_component(p, i)})"
-            for i in range(dim)
-        )
-        sign_bits.append(f"(case when ({dot}) >= 0 then '1' else '0' end)")
-    bucket = F.expr("concat(" + ", ".join(sign_bits) + ")")
-
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
+    bucket = hyperplane_bucket(vec_col, dim, planes=band_planes, seed="neardup")
     keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket.alias("bucket"))
     a, b = keyed.alias("a"), keyed.alias("b")
     cos = cosine_expr("a.v", "b.v")

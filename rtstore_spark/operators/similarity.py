@@ -43,24 +43,34 @@ def brute_force_topk(
     )
 
 
+def _plane_component(seed: str, p: int, i: int) -> float:
+    """Deterministic pseudo-random in [-1, 1): md5-derived, engine-agnostic."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()[:8]
+    return int(h, 16) / 2147483648.0 - 1.0
+
+
 def hyperplane_bucket(vec_col: str, dim: int, planes: int = 8, seed: str = "lsh") -> Column:
     """Deterministic sign-pattern bucket id for a vector column.
 
     Plane components are md5-derived pseudo-randoms in [-1, 1) — identical on
-    every executor and every engine, no RNG state to broadcast.
+    every executor, no RNG state to broadcast. The plane matrix enters the
+    plan as an array *literal* folded through zip_with/aggregate, keeping the
+    expression tree O(planes) — an unrolled sum-of-products (planes × dim
+    terms) overflowed the JVM's 64KB method limit and forced whole-stage
+    codegen off.
     """
-    bits = []
-    for p in range(planes):
-        terms = []
-        for i in range(dim):
-            comp = (
-                f"(cast(conv(substring(md5('{seed}:{p}:{i}'), 1, 8), 16, 10) as double)"
-                f" / 2147483648.0 - 1.0)"
-            )
-            terms.append(f"(cast(element_at({vec_col}, {i + 1}) as double) * {comp})")
-        dot = " + ".join(terms)
-        bits.append(f"(case when ({dot}) >= 0 then '1' else '0' end)")
-    return F.expr("concat(" + ", ".join(bits) + ")")
+    plane_arrays = ", ".join(
+        "array(" + ", ".join(f"{_plane_component(seed, p, i)!r}D" for i in range(dim)) + ")"
+        for p in range(planes)
+    )
+    return F.expr(
+        f"array_join(transform(array({plane_arrays}), plane -> "
+        f"case when aggregate(zip_with({vec_col}, plane,"
+        f" (x, c) -> cast(x as double) * c), 0.0D, (acc, v) -> acc + v) >= 0"
+        f" then '1' else '0' end), '')"
+    )
 
 
 def build_lsh_index(
@@ -79,15 +89,9 @@ def build_lsh_index(
 def _bucket_of(query_vec: list[float], planes: int, seed: str) -> list[str]:
     """Driver-side bucket computation for a literal query vector, including
     single-bit-flip neighbor buckets (multi-probe)."""
-    import hashlib
-
-    def comp(p: int, i: int) -> float:
-        h = hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()[:8]
-        return int(h, 16) / 2147483648.0 - 1.0
-
     bits = []
     for p in range(planes):
-        dot = sum(float(x) * comp(p, i) for i, x in enumerate(query_vec))
+        dot = sum(float(x) * _plane_component(seed, p, i) for i, x in enumerate(query_vec))
         bits.append("1" if dot >= 0 else "0")
     main = "".join(bits)
     probes = [main]
