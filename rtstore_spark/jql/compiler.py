@@ -148,14 +148,31 @@ def _compile_cond(cond: Cond, resolver: FieldResolver, params, path: list[str]) 
     return op_fn(col, value)
 
 
+def _fold_bool(preds: list[Column], ops: list[str]) -> Column:
+    """Fold predicates with SQL precedence: AND binds tighter than OR."""
+    or_groups: list[Column] = []
+    cur = preds[0]
+    for op, nxt in zip(ops, preds[1:]):
+        if op == "and":
+            cur = cur & nxt
+        else:
+            or_groups.append(cur)
+            cur = nxt
+    or_groups.append(cur)
+    out = or_groups[0]
+    for g in or_groups[1:]:
+        out = out | g
+    return out
+
+
 def _compile_clause(clause: Clause, resolver: FieldResolver, params) -> Column:
     if clause.match_all and not clause.conds:
         pred = F.lit(True)
     else:
-        pred = _compile_cond(clause.conds[0], resolver, params, clause.path)
-        for op, cond in zip(clause.cond_ops, clause.conds[1:]):
-            nxt = _compile_cond(cond, resolver, params, clause.path)
-            pred = (pred & nxt) if op == "and" else (pred | nxt)
+        preds = [
+            _compile_cond(c, resolver, params, clause.path) for c in clause.conds
+        ]
+        pred = _fold_bool(preds, clause.cond_ops)
     return ~pred if clause.negate else pred
 
 
@@ -163,11 +180,8 @@ def compile_predicate(
     q: JQLQuery, df: DataFrame, params=None, doc_col: str | None = None
 ) -> Column:
     resolver = FieldResolver(df, doc_col=doc_col)
-    pred = _compile_clause(q.clauses[0], resolver, params)
-    for op, clause in zip(q.clause_ops, q.clauses[1:]):
-        nxt = _compile_clause(clause, resolver, params)
-        pred = (pred & nxt) if op == "and" else (pred | nxt)
-    return pred
+    preds = [_compile_clause(c, resolver, params) for c in q.clauses]
+    return _fold_bool(preds, q.clause_ops)
 
 
 def _apply_projection(

@@ -487,6 +487,23 @@ class DocStore:
     def mutation_log(self) -> DataFrame:
         return self._read(self._log_path(), LOG_SCHEMA)
 
+    def get_mutation(self, tx_id: str):
+        """GetMutationHeader/GetMutationBody: point lookup by mutation id."""
+        rows = self.mutation_log().filter(F.col("id") == tx_id).head(1)
+        return rows[0] if rows else None
+
+    def scan_mutation_headers(self, offset: int = 0, limit: int = 50) -> DataFrame:
+        """ScanMutationHeader: newest-first page, capped at scan_max_limit=50
+        (mutation_store.rs:58, :395-440)."""
+        limit = min(limit, 50)
+        return (
+            self.mutation_log()
+            .orderBy(F.col("block").desc(), F.col("order").desc())
+            .offset(offset)
+            .limit(limit)
+            .drop("payload")
+        )
+
     def get_range_mutations(self, block_start: int, block_end: int) -> DataFrame:
         """S3 block-range scan — mutation_store.rs:522-570."""
         return (

@@ -1,0 +1,138 @@
+"""SendMutation-style ingest: verify → nonce-guard → sequence → apply → log.
+
+Mirrors the reference's write path (storage_node_light_impl.rs:613-698):
+the client signs ``{payload, nonce}`` as EIP-712 typed data; the node
+recovers the signer address, enforces a strictly-increasing nonce, assigns
+(block, order), applies the mutation, and responds with the assigned ids.
+
+Signature backends:
+- ``eip712``: real secp256k1 recovery via ``eth_account`` — used when the
+  library is installed (it is not in this container, so this path is gated
+  behind an import-try, matching the environment contract).
+- ``digest`` (default fallback): deterministic stand-in — the signature must
+  equal sha3_256(payload ‖ nonce ‖ sender). Keeps the full verify/reject
+  control flow testable without the crypto dependency; NOT authentication.
+- ``none``: trust mode, skip verification.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from rtstore_spark.errors import InvalidMutation
+from rtstore_spark.store.docstore import DocStore
+
+try:  # pragma: no cover - not installed in the build container
+    from eth_account import Account
+    from eth_account.messages import encode_typed_data
+
+    _HAS_ETH = True
+except ImportError:
+    _HAS_ETH = False
+
+
+def digest_signature(payload: str, nonce: int, sender: str) -> str:
+    """The dev-mode signature: sha3_256(payload ‖ nonce ‖ sender)."""
+    return hashlib.sha3_256(f"{payload}|{nonce}|{sender}".encode()).hexdigest()
+
+
+def verify_signature(
+    payload: str, nonce: int, sender: str, signature: str, mode: str = "digest"
+) -> None:
+    if mode == "none":
+        return
+    if mode == "eip712":
+        if not _HAS_ETH:
+            raise InvalidMutation("eip712 verification requires eth_account")
+        # typed-data shape from mutation_utils.rs:93-136:
+        # Message: [{payload: bytes}, {nonce: string}]
+        typed = {
+            "types": {
+                "EIP712Domain": [{"name": "name", "type": "string"}],
+                "Message": [
+                    {"name": "payload", "type": "bytes"},
+                    {"name": "nonce", "type": "string"},
+                ],
+            },
+            "primaryType": "Message",
+            "domain": {"name": "db3.network"},
+            "message": {"payload": payload.encode(), "nonce": str(nonce)},
+        }
+        recovered = Account.recover_message(
+            encode_typed_data(full_message=typed), signature=signature
+        )
+        if recovered.lower() != sender.lower():
+            raise InvalidMutation(f"signature recovers {recovered}, not {sender}")
+        return
+    if mode == "digest":
+        if signature != digest_signature(payload, nonce, sender):
+            raise InvalidMutation("bad signature")
+        return
+    raise InvalidMutation(f"unknown signature mode {mode!r}")
+
+
+class Ingest:
+    """The storage-node role: accepts signed mutations, returns assignments."""
+
+    def __init__(self, store: DocStore, sig_mode: str = "digest"):
+        self.store = store
+        self.sig_mode = sig_mode
+
+    def send_mutation(
+        self, payload: dict, signature: str, sender: str, nonce: int
+    ) -> dict:
+        """Apply one signed mutation; returns
+        ``{id, items, block, order}`` like SendMutationResponse
+        (storage_node_light_impl.rs:655-687).
+
+        ``payload`` = {"action": ..., "db_addr"?: ..., "col_name"?: ...,
+        "body": {...}} — the JSON stand-in for the protobuf Mutation.
+        """
+        body_text = json.dumps(payload, sort_keys=True)
+        verify_signature(body_text, nonce, sender, signature, self.sig_mode)
+
+        action = payload.get("action")
+        body = payload.get("body") or {}
+        store = self.store
+        items: list[dict] = []
+        if action == "create_database":
+            addr = store.create_database(
+                sender, nonce, desc=body.get("desc", ""),
+                db_type=body.get("db_type", "doc"), meta=body.get("meta"),
+            )
+            items.append({"key": "db_addr", "value": addr})
+        elif action == "add_collection":
+            store.create_collection(
+                payload["db_addr"], payload["col_name"],
+                body.get("indexes", []), sender, nonce=nonce,
+            )
+            items.append({"key": "collection", "value": payload["col_name"]})
+        elif action == "add_document":
+            ids = store.add_docs(
+                payload["db_addr"], payload["col_name"], body["docs"], sender,
+                nonce=nonce,
+            )
+            items += [{"key": "document", "value": str(i)} for i in ids]
+        elif action == "update_document":
+            store.update_docs(
+                payload["db_addr"], payload["col_name"], body["ids"],
+                body["patches"], sender, nonce=nonce,
+            )
+        elif action == "delete_document":
+            store.delete_docs(
+                payload["db_addr"], payload["col_name"], body["ids"], sender,
+                nonce=nonce,
+            )
+        else:
+            raise InvalidMutation(f"unknown action {action!r}")
+
+        block, order = store.state.block, store.state._state["order"]
+        tx_id = hashlib.sha3_256(
+            f"{body_text}|{signature}".encode()
+        ).hexdigest()  # mutation id = sha3(payload ‖ sig): id.rs:78-86
+        return {"id": tx_id, "items": items, "block": block, "order": order}
+
+    def get_nonce(self, sender: str) -> int:
+        """GetNonce: the next valid nonce for a sender."""
+        return self.store.state._state["nonces"].get(sender, 0) + 1
