@@ -63,6 +63,43 @@ class JsonlLogSource:
                     yield log
 
 
+class MetaStoreEventProcessor:
+    """S8: tail the MetaStore contract's registry events and mint databases/
+    collections at their on-chain addresses (meta_store_event_processor.rs:
+    327-460, :90-155, :257-326 → the M7 Mint path).
+
+    Expected log shapes (same JSONL transport as EventProcessor):
+      {"event": "CreateDatabase",  "args": {"sender": addr, "databaseAddress": addr, "description": s}}
+      {"event": "CreateCollection","args": {"databaseAddress": addr, "name": s}}
+    """
+
+    def __init__(self, store: DocStore, network_sender: str = "0xmetastore"):
+        self.store = store
+        self.network_sender = network_sender
+        self._nonce = 0
+
+    def process(self, source: Iterable[dict] | JsonlLogSource) -> dict[str, int]:
+        logs = source.logs() if isinstance(source, JsonlLogSource) else source
+        counts = {"CreateDatabase": 0, "CreateCollection": 0}
+        for log in logs:
+            args = log.get("args", {})
+            if log["event"] == "CreateDatabase":
+                self._nonce += 1
+                self.store.create_database(
+                    args.get("sender", self.network_sender), self._nonce,
+                    desc=args.get("description", ""),
+                    db_addr=args["databaseAddress"],
+                )
+                counts["CreateDatabase"] += 1
+            elif log["event"] == "CreateCollection":
+                self.store.create_collection(
+                    args["databaseAddress"], args["name"], [],
+                    args.get("sender", self.network_sender),
+                )
+                counts["CreateCollection"] += 1
+        return counts
+
+
 class EventProcessor:
     """Tail a log source and append decoded docs to per-event collections.
 

@@ -504,6 +504,22 @@ class DocStore:
             .drop("payload")
         )
 
+    def mutation_state(self) -> dict:
+        """GetMutationState: node-level totals (db3_base.proto:52-63;
+        mutation_store.rs:173-196) — one aggregate scan of the log."""
+        row = self.mutation_log().agg(
+            F.count(F.lit(1)).alias("mutation_count"),
+            F.coalesce(F.sum(F.length("payload")), F.lit(0)).alias("total_storage_bytes"),
+            F.coalesce(F.max("block"), F.lit(0)).alias("block"),
+            F.coalesce(F.max("order"), F.lit(0)).alias("order"),
+        ).collect()[0]
+        return {
+            "mutation_count": row["mutation_count"],
+            "total_storage_bytes": int(row["total_storage_bytes"]),
+            "block": int(row["block"]),
+            "order": int(row["order"]),
+        }
+
     def get_range_mutations(self, block_start: int, block_end: int) -> DataFrame:
         """S3 block-range scan — mutation_store.rs:522-570."""
         return (

@@ -1,0 +1,83 @@
+"""Streaming ingest: the SendMutation pipeline as a Structured Streaming job.
+
+SURVEY.md §3.1's Spark lifecycle mapping: clients drop signed mutation
+envelopes (JSON lines) into a staging directory; a streaming query with a
+processing-time trigger equal to the block interval picks them up, and each
+micro-batch closes one "block": verify → nonce → apply → log, in file order.
+
+The foreachBatch body runs on the driver (the single-sequencer role — the
+same topology as the reference's rollup node); the heavy lifting inside
+``DocStore`` (state windows, merge-patch joins, appends) is distributed.
+Envelope shape: {"payload": {...}, "signature": s, "sender": a, "nonce": n}.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rtstore_spark.errors import RTStoreError
+from rtstore_spark.store.ingest import Ingest
+
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("payload", T.StringType(), False),  # JSON text
+        T.StructField("signature", T.StringType(), False),
+        T.StructField("sender", T.StringType(), False),
+        T.StructField("nonce", T.LongType(), False),
+    ]
+)
+
+
+class StreamingIngest:
+    def __init__(
+        self,
+        spark: SparkSession,
+        ingest: Ingest,
+        staging_dir: str,
+        checkpoint: str | None = None,
+        interval: str = "2 seconds",
+    ):
+        self.spark = spark
+        self.ingest = ingest
+        self.staging_dir = staging_dir
+        self.checkpoint = checkpoint or os.path.join(
+            ingest.store.root, "_chk", "ingest"
+        )
+        self.interval = interval
+        os.makedirs(staging_dir, exist_ok=True)
+        self.rejected: list[tuple[dict, str]] = []
+
+    def _apply_batch(self, batch_df, batch_id: int) -> None:
+        import json
+
+        rows = batch_df.orderBy("sender", "nonce").collect()
+        for r in rows:
+            try:
+                self.ingest.send_mutation(
+                    json.loads(r["payload"]), r["signature"], r["sender"],
+                    int(r["nonce"]),
+                )
+            except RTStoreError as e:
+                # reference answers an error response per bad mutation and
+                # keeps going (storage_node_light_impl.rs:635-697)
+                self.rejected.append((r.asDict(), str(e)))
+        # micro-batch boundary = block boundary
+        self.ingest.store.state.next_block()
+
+    def start(self, once: bool = False):
+        writer = (
+            self.spark.readStream.schema(ENVELOPE_SCHEMA)
+            .json(self.staging_dir)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", self.checkpoint)
+            .foreachBatch(self._apply_batch)
+        )
+        if once:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+            return q
+        return writer.trigger(processingTime=self.interval).start()
