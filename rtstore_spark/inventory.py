@@ -965,6 +965,33 @@ def embedding_centroids(spark, sf):
 
 
 @register(
+    "q_asof_attribution",
+    """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+       SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+              coalesce(p.value, -1.0) AS purchase_value
+       FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""",
+)
+def q_asof_attribution(spark, sf):
+    """As-of join: each click attributed to the user's most recent prior
+    purchase (operators.asof.asof_join — union-tag-window, one shuffle, no
+    inequality-join explosion). DuckDB's native ASOF JOIN is the oracle."""
+    from rtstore_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"],
+    )
+    return out.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        F.coalesce(F.col("value_right"), F.lit(-1.0)).alias("purchase_value"),
+    )
+
+
+@register(
     "lang_id_votes",
     r"""WITH t AS (
           SELECT doc_id,
