@@ -470,7 +470,10 @@ class DocStore:
         path = self._data_path(db_addr, col)
         snap = self.current_state(db_addr, col).withColumn("op", F.lit("A"))
         tmp = path + ".compact"
-        snap.select([f.name for f in DOC_SCHEMA.fields]).write.mode(
+        # sort by doc_id: parquet row-group min/max stats then prune point
+        # gets and id-range scans (the Z-ORDER analog for a 1-D key; the
+        # reference's EJDB2 primary index served the same role)
+        snap.select([f.name for f in DOC_SCHEMA.fields]).sort("doc_id").write.mode(
             "overwrite"
         ).parquet(tmp)
         # materialize before swapping the live directory
