@@ -701,9 +701,16 @@ def dedup_fingerprint(spark, sf):
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
-@register(
-    "minhash_signature",
-    r"""WITH t AS (
+def _minhash_wide_sql() -> str:
+    """Shared oracle CTEs: shingles → one md5 base hash → 8 universal-hash
+    mins (doc_id, mh0..mh7) — byte-identical to operators.dedup's family."""
+    from rtstore_spark.operators.dedup import minhash_coeffs
+
+    mins = ", ".join(
+        f"MIN(({a} * hx + {b}) % 4294967296) AS mh{h}"
+        for h, (a, b) in enumerate(minhash_coeffs(8))
+    )
+    return rf"""WITH t AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         sh AS (
           SELECT doc_id, CASE WHEN len(toks) >= 3
@@ -711,11 +718,17 @@ def dedup_fingerprint(spark, sf):
                                 i -> array_to_string(toks[i:i+2], ' '))
             ELSE [array_to_string(toks, ' ')] END AS shingles
           FROM t),
-        e AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
-        hh AS (SELECT doc_id, unnest(generate_series(0, 7)) AS h, shingle FROM e)
-       SELECT doc_id, h,
-              MIN(('0x' || substr(md5(concat(h, ':', shingle)), 1, 8))::BIGINT) AS minhash
-       FROM hh GROUP BY doc_id, h""",
+        e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        hx AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hx FROM e),
+        wide AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id)"""
+
+
+@register(
+    "minhash_signature",
+    _minhash_wide_sql() + "\n"
+    + "\n UNION ALL ".join(
+        f"SELECT doc_id, {h} AS h, mh{h} AS minhash FROM wide" for h in range(8)
+    ),
 )
 def minhash_signature(spark, sf):
     """MinHash signatures over 3-token shingles, 8 hash functions (long form).
@@ -736,24 +749,15 @@ def minhash_signature(spark, sf):
 
 @register(
     "minhash_lsh_pairs",
-    r"""WITH t AS (
-          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-        sh AS (
-          SELECT doc_id, CASE WHEN len(toks) >= 3
-            THEN list_transform(generate_series(1, len(toks) - 2),
-                                i -> array_to_string(toks[i:i+2], ' '))
-            ELSE [array_to_string(toks, ' ')] END AS shingles
-          FROM t),
-        e AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
-        hh AS (SELECT doc_id, unnest(generate_series(0, 7)) AS h, shingle FROM e),
-        sig AS (
-          SELECT doc_id, h,
-                 MIN(('0x' || substr(md5(concat(h, ':', shingle)), 1, 8))::BIGINT) AS minhash
-          FROM hh GROUP BY doc_id, h),
+    _minhash_wide_sql()
+    + """,
         bands AS (
-          SELECT doc_id, h // 2 AS band,
-                 string_agg(minhash::VARCHAR, '-' ORDER BY h) AS band_sig
-          FROM sig GROUP BY doc_id, h // 2)
+          """
+    + "\n UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh{2 * b}::VARCHAR || '-' || mh{2 * b + 1}::VARCHAR AS band_sig FROM wide"
+        for b in range(4)
+    )
+    + """)
        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
        WHERE a.doc_id < b.doc_id""",
@@ -1046,7 +1050,8 @@ def winnow_fingerprints(spark, sf):
     from rtstore_spark.operators.dedup import shingles
 
     docs = load_table(spark, sf, "documents")
-    sh = shingles(docs, "text", "doc_id", n=8)
+    # shingle-level distinct is subsumed by the hash-level distinct below
+    sh = shingles(docs, "text", "doc_id", n=8, distinct=False)
     hv = sh.select("id", _hash32(F.col("shingle")).alias("hv")).distinct()
     w = Window.partitionBy("id").orderBy("hv")
     return (

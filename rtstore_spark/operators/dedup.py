@@ -22,6 +22,20 @@ def _hash32(col):
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Universal-hash coefficients (a_i odd < 2^20, b_i < 2^32), md5-derived
+    so any engine can reproduce them. h_i(x) = (a_i * x + b_i) mod 2^32 with
+    x < 2^32 keeps a_i*x < 2^52 — exact in signed 64-bit everywhere."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"mh_a:{i}".encode()).hexdigest()[:8], 16) % (1 << 20) | 1
+        b = int(hashlib.md5(f"mh_b:{i}".encode()).hexdigest()[:8], 16)
+        out.append((a, b))
+    return out
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep one row per exact text: the lowest id wins.
 
@@ -35,8 +49,15 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct n-token shingles per document (long form: id, shingle).
+def shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """n-token shingles per document (long form: id, shingle).
+
+    ``distinct=True`` gives set semantics (required for jaccard) at the cost
+    of a full shuffle of the shingle strings. Operators whose aggregate is
+    duplicate-invariant (minhash: min over a multiset == min over its set)
+    pass ``distinct=False`` and skip that shuffle entirely.
 
     Formulated as a zip_with chain over n shifted slices so ``toks`` is
     referenced O(n) times per ROW — a ``transform(sequence(...), i ->
@@ -57,7 +78,8 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     sh = F.when(F.size("toks") >= n, F.expr(chain)).otherwise(
         F.array(F.concat_ws(" ", F.col("toks")))
     )
-    return t.select("id", F.explode(sh).alias("shingle")).distinct()
+    out = t.select("id", F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures_wide(
@@ -70,13 +92,15 @@ def minhash_signatures_wide(
     column) multiplies the shuffle input ``k``-fold for no benefit — at
     corpus scale that is k× the shuffle bytes of the whole shingle set.
     """
-    e = shingles(df, text_col, id_col, n=shingle_n)
+    e = shingles(df, text_col, id_col, n=shingle_n, distinct=False)
+    base = e.select("id", _hash32(F.col("shingle")).alias("hx"))
+    coeffs = minhash_coeffs(num_hashes)
     hcols = [
-        _hash32(F.concat(F.lit(f"{h}:"), F.col("shingle"))).alias(f"hv{h}")
-        for h in range(num_hashes)
+        F.expr(f"({a}L * hx + {b}L) % 4294967296").alias(f"hv{h}")
+        for h, (a, b) in enumerate(coeffs)
     ]
     return (
-        e.select("id", *hcols)
+        base.select("id", *hcols)
         .groupBy("id")
         .agg(*[F.min(f"hv{h}").alias(f"mh{h}") for h in range(num_hashes)])
     )

@@ -131,7 +131,7 @@ class RollupExecutor:
         watermark = rounds[min_gc_offset]["end_block"] + 1
         log_df = store.mutation_log().filter(F.col("block") >= watermark)
         tmp = store._log_path() + ".gc"
-        log_df.write.mode("overwrite").parquet(tmp)
+        log_df.write.mode("overwrite").partitionBy("block_bucket").parquet(tmp)
         import shutil
 
         old = store._log_path() + ".old"

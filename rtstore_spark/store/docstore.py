@@ -70,6 +70,16 @@ LOG_SCHEMA = T.StructType(
     ]
 )
 
+# blocks per log partition directory: range scans / rollup / GC prune whole
+# directories instead of listing the full history (the prefix-ordered
+# `block‖order` RocksDB key layout, as partition layout)
+LOG_BLOCKS_PER_BUCKET = 10_000
+
+# read-side schema: partition column appended
+LOG_READ_SCHEMA = T.StructType(
+    LOG_SCHEMA.fields + [T.StructField("block_bucket", T.LongType(), True)]
+)
+
 
 def derive_db_addr(sender: str, nonce: int, network: int = 1) -> str:
     """Deterministic 20-byte database address from (sender, nonce, network).
@@ -129,23 +139,23 @@ class DocStore:
         mid = hashlib.sha3_256(
             f"{action}|{body}|{block}|{order}".encode()
         ).hexdigest()  # mutation id = sha3(payload‖sig): id.rs:78-86
-        self._append(
-            [
-                {
-                    "id": mid,
-                    "sender": sender,
-                    "nonce": nonce,
-                    "action": action,
-                    "db_addr": db_addr,
-                    "col_name": col_name,
-                    "payload": body,
-                    "doc_ids": json.dumps(doc_ids) if doc_ids is not None else None,
-                    "block": block,
-                    "order": order,
-                }
-            ],
-            LOG_SCHEMA,
-            self._log_path(),
+        row = {
+            "id": mid,
+            "sender": sender,
+            "nonce": nonce,
+            "action": action,
+            "db_addr": db_addr,
+            "col_name": col_name,
+            "payload": body,
+            "doc_ids": json.dumps(doc_ids) if doc_ids is not None else None,
+            "block": block,
+            "order": order,
+        }
+        df = self.spark.createDataFrame([row], schema=LOG_SCHEMA).withColumn(
+            "block_bucket", F.expr(f"block div {LOG_BLOCKS_PER_BUCKET}")
+        )
+        df.coalesce(1).write.mode("append").partitionBy("block_bucket").parquet(
+            self._log_path()
         )
 
     # ------------------------------------------------------------------
@@ -488,7 +498,7 @@ class DocStore:
     # ------------------------------------------------------------------
 
     def mutation_log(self) -> DataFrame:
-        return self._read(self._log_path(), LOG_SCHEMA)
+        return self._read(self._log_path(), LOG_READ_SCHEMA)
 
     def get_mutation(self, tx_id: str):
         """GetMutationHeader/GetMutationBody: point lookup by mutation id."""
@@ -524,9 +534,16 @@ class DocStore:
         }
 
     def get_range_mutations(self, block_start: int, block_end: int) -> DataFrame:
-        """S3 block-range scan — mutation_store.rs:522-570."""
+        """S3 block-range scan — mutation_store.rs:522-570.
+
+        The redundant block_bucket bounds turn the block filter into
+        partition pruning (directories outside the range never get listed).
+        """
+        lo = block_start // LOG_BLOCKS_PER_BUCKET
+        hi = (max(block_end - 1, block_start)) // LOG_BLOCKS_PER_BUCKET
         return (
             self.mutation_log()
+            .filter((F.col("block_bucket") >= lo) & (F.col("block_bucket") <= hi))
             .filter((F.col("block") >= block_start) & (F.col("block") < block_end))
             .orderBy("block", "order")
         )

@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from rtstore_spark.store.docstore import LOG_SCHEMA, DocStore
+from rtstore_spark.store.docstore import LOG_READ_SCHEMA, DocStore
 
 
 class BlockEventStream:
@@ -43,7 +43,7 @@ class BlockEventStream:
     def _source(self):
         # parquet dir as a file stream: each appended file is a micro-batch input
         return (
-            self.spark.readStream.schema(LOG_SCHEMA)
+            self.spark.readStream.schema(LOG_READ_SCHEMA)
             .option("maxFilesPerTrigger", "1000")
             .parquet(self.store._log_path())
         )
@@ -102,7 +102,7 @@ class IndexerTail:
                 replica.apply_mutation(r.asDict())
 
         q = (
-            self.spark.readStream.schema(LOG_SCHEMA)
+            self.spark.readStream.schema(LOG_READ_SCHEMA)
             .parquet(self.origin._log_path())
             .writeStream.outputMode("append")
             .option("checkpointLocation", self.checkpoint)

@@ -221,6 +221,20 @@ class TestReplay:
         # doc-id counters line up for future writes
         assert replica.state.take_doc_ids(db, 1) == origin.state.take_doc_ids(db, 1)
 
+    def test_range_scan_partition_pruning(self, spark, tmp_path):
+        """Block-range scans must prune log partition directories."""
+        s = DocStore(spark, str(tmp_path / "pp"))
+        db = s.create_database(ALICE, nonce=1)
+        s.create_collection(db, "c", [], ALICE)
+        s.add_docs(db, "c", ['{"v": 1}'], ALICE)
+        plan = (
+            s.get_range_mutations(0, 1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters: [isnotnull(block_bucket" in plan
+
     def test_block_range_scan(self, spark, tmp_path):
         origin = DocStore(spark, str(tmp_path / "o2"))
         db = origin.create_database(ALICE, nonce=1)
