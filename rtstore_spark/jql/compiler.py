@@ -32,7 +32,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from rtstore_spark.errors import QueryError
-from rtstore_spark.jql.parser import Apply, Clause, Cond, JQLQuery, Placeholder, parse_jql
+from rtstore_spark.jql.parser import (
+    Apply,
+    BoolExpr,
+    Clause,
+    Cond,
+    JQLQuery,
+    Placeholder,
+    parse_jql,
+)
 
 
 def _resolve_params(value, params):
@@ -176,12 +184,25 @@ def _compile_clause(clause: Clause, resolver: FieldResolver, params) -> Column:
     return ~pred if clause.negate else pred
 
 
+def _compile_expr(node, resolver: FieldResolver, params) -> Column:
+    if isinstance(node, BoolExpr):
+        if node.op == "not":
+            return ~_compile_expr(node.items[0], resolver, params)
+        preds = [_compile_expr(x, resolver, params) for x in node.items]
+        out = preds[0]
+        for p in preds[1:]:
+            out = (out & p) if node.op == "and" else (out | p)
+        return out
+    return _compile_clause(node, resolver, params)
+
+
 def compile_predicate(
     q: JQLQuery, df: DataFrame, params=None, doc_col: str | None = None
 ) -> Column:
+    """Compile the parsed boolean tree (SQL precedence + parentheses are
+    resolved by the parser) into one Column predicate."""
     resolver = FieldResolver(df, doc_col=doc_col)
-    preds = [_compile_clause(c, resolver, params) for c in q.clauses]
-    return _fold_bool(preds, q.clause_ops)
+    return _compile_expr(q.root, resolver, params)
 
 
 def _apply_projection(

@@ -88,14 +88,36 @@ class Apply:
 
 
 @dataclass
+class BoolExpr:
+    """n-ary boolean combinator over sub-expressions (and/or)."""
+
+    op: str                      # 'and' | 'or'
+    items: list = field(default_factory=list)  # Clause | BoolExpr
+
+
+@dataclass
 class JQLQuery:
-    clauses: list[Clause] = field(default_factory=list)
-    clause_ops: list[str] = field(default_factory=list)  # 'and'/'or' between clauses
+    root: object = None          # Clause | BoolExpr
     applies: list[Apply] = field(default_factory=list)
 
     @property
     def has_explicit_order(self) -> bool:
         return any(a.kind in ("asc", "desc") for a in self.applies)
+
+    @property
+    def clauses(self) -> list[Clause]:
+        """Flat clause list (documentation/tests convenience)."""
+        out: list[Clause] = []
+
+        def walk(node):
+            if isinstance(node, BoolExpr):
+                for x in node.items:
+                    walk(x)
+            else:
+                out.append(node)
+
+        walk(self.root)
+        return out
 
 
 _TOKEN_RE = re.compile(
@@ -216,12 +238,47 @@ class _Parser:
             else:
                 raise QueryError(f"JQL: expected 'and'/'or'/']', got {tok[1]!r}")
 
-    def parse_clause(self) -> Clause:
-        clause = Clause()
+    # boolean expression grammar with SQL precedence + parentheses:
+    #   or_expr  := and_expr ('or' and_expr)*
+    #   and_expr := unary ('and' unary)*
+    #   unary    := ['not'] ( '(' or_expr ')' | clause )
+
+    def parse_or(self):
+        items = [self.parse_and()]
+        while (tok := self.peek()) and tok[1] == "or":
+            self.next()
+            items.append(self.parse_and())
+        return items[0] if len(items) == 1 else BoolExpr("or", items)
+
+    def parse_and(self):
+        items = [self.parse_unary()]
+        while (tok := self.peek()) and tok[1] == "and":
+            self.next()
+            items.append(self.parse_unary())
+        return items[0] if len(items) == 1 else BoolExpr("and", items)
+
+    def parse_unary(self):
         tok = self.peek()
+        negate = False
         if tok and tok[1] == "not":
             self.next()
-            clause.negate = True
+            negate = True
+        tok = self.peek()
+        if tok and tok[1] == "(":
+            self.next()
+            inner = self.parse_or()
+            self.expect(")")
+            if negate:
+                # push negation into a wrapper clause-less BoolExpr via De
+                # Morgan is unnecessary — record as a negated group
+                return BoolExpr("not", [inner])
+            return inner
+        clause = self.parse_clause()
+        clause.negate = negate or clause.negate
+        return clause
+
+    def parse_clause(self) -> Clause:
+        clause = Clause()
         self.expect("/")
         while True:
             tok = self.peek()
@@ -279,16 +336,11 @@ class _Parser:
 
     def parse(self) -> JQLQuery:
         q = JQLQuery()
-        q.clauses.append(self.parse_clause())
+        q.root = self.parse_or()
         while True:
             tok = self.peek()
             if tok is None:
                 return q
-            if tok[1] in ("and", "or"):
-                self.next()
-                q.clause_ops.append(tok[1])
-                q.clauses.append(self.parse_clause())
-                continue
             if tok[1] == "|":
                 self.next()
                 q.applies.append(self.parse_apply())

@@ -46,8 +46,18 @@ class TestParser:
         assert q.applies[0].kind == "count"
 
     def test_conjunctive_two_clauses(self):
+        from rtstore_spark.jql.parser import BoolExpr
+
         q = parse_jql('/[f1="f1"] and /[f2="f2"]')
-        assert len(q.clauses) == 2 and q.clause_ops == ["and"]
+        assert len(q.clauses) == 2
+        assert isinstance(q.root, BoolExpr) and q.root.op == "and"
+
+    def test_parenthesized_grouping(self):
+        from rtstore_spark.jql.parser import BoolExpr
+
+        q = parse_jql('/[a=1] and (/[b=2] or /[c=3])')
+        assert isinstance(q.root, BoolExpr) and q.root.op == "and"
+        assert isinstance(q.root.items[1], BoolExpr) and q.root.items[1].op == "or"
 
     def test_in_bracket_and_with_placeholder(self):
         q = parse_jql("/[f1 eq ? and test eq 'v1']")
@@ -134,6 +144,25 @@ class TestDocQueries:
     def test_not_clause(self, people):
         out = jql_query(people, "not /[city = beijing]", doc_col="doc", order_col="doc_id")
         assert out.count() == 2
+
+    def test_paren_grouping_semantics(self, people):
+        # a and (b or c) vs (a and b) or c differ on this data
+        grouped = jql_query(
+            people, "/[age = 10] and (/[city = beijing] or /[city = shanghai])",
+            doc_col="doc",
+        )
+        assert {d["city"] for d in docs(grouped)} == {"beijing"}
+        flat = jql_query(
+            people, "/[age = 10] and /[city = beijing] or /[city = shanghai]",
+            doc_col="doc",
+        )
+        assert {d["city"] for d in docs(flat)} == {"beijing", "shanghai"}
+
+    def test_not_group(self, people):
+        out = jql_query(
+            people, "not (/[city = beijing] or /[city = beijing2])", doc_col="doc"
+        )
+        assert {d["city"] for d in docs(out)} == {"shanghai"}
 
     def test_in_operator(self, people):
         out = jql_query(
