@@ -52,9 +52,12 @@ def main() -> None:
     inventory.flagship(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: damp JIT/page-cache/machine noise
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
