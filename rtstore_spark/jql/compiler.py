@@ -60,12 +60,23 @@ def _resolve_params(value, params):
 
 
 def _cast_for(value, col: Column) -> Column:
-    """Cast a JSON-extracted string column to match the literal's type."""
+    """Cast a JSON-extracted string column to match the literal's type.
+
+    Int literals compare through ``decimal(23,4)``, not double: the reference
+    allows full-int64 filter values (bson_util.rs:47-60) and a double cast
+    collapses neighbors above 2^53. The 4 fractional digits keep comparisons
+    against float-valued JSON fields (e.g. ``1.5 > 1``) exact too; int64 max
+    is 19 digits, so 23,4 covers the whole range. Float literals stay double.
+    """
     probe = value[0] if isinstance(value, list) and value else value
     if isinstance(probe, bool):
-        return col.cast(T.BooleanType())
-    if isinstance(probe, (int, float)):
-        return col.cast(T.DoubleType())
+        return col.try_cast(T.BooleanType())
+    if isinstance(probe, int):
+        # try_cast: a non-numeric field value is NULL (no match), not an ANSI
+        # runtime error — BSON cross-type comparisons simply don't match.
+        return col.try_cast(T.DecimalType(23, 4))
+    if isinstance(probe, float):
+        return col.try_cast(T.DoubleType())
     return col
 
 

@@ -122,3 +122,34 @@ def test_order_skip_limit_pagination(ctx, field, direction, skip, limit):
         ).fetchall()
     ]
     assert got == want
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pivot=st.integers(min_value=2**53 - 2, max_value=2**63 - 4),
+    op=st.sampled_from(["=", "!=", ">", "<", ">=", "<="]),
+    offset=st.integers(min_value=-2, max_value=2),
+)
+def test_int64_json_filters_exact(spark, pivot, op, offset):
+    """JSON-mode int filters keep full int64 precision: values adjacent to
+    the literal (±1 around arbitrary >2^53 pivots) must compare exactly —
+    the reference allows full-int64 filter values (bson_util.rs:47-60), and
+    a double cast would collapse these neighbors."""
+    vals = [pivot - 1, pivot, pivot + 1, pivot + 2]
+    docs = spark.createDataFrame(
+        [(i, f'{{"v": {v}}}') for i, v in enumerate(vals)],
+        "doc_id long, doc string",
+    )
+    lit = pivot + offset
+    got = sorted(
+        r["doc_id"]
+        for r in jql_query(docs, f"/[v {op} {lit}]", doc_col="doc").collect()
+    )
+    pyop = {
+        "=": lambda a, b: a == b, "!=": lambda a, b: a != b,
+        ">": lambda a, b: a > b, "<": lambda a, b: a < b,
+        ">=": lambda a, b: a >= b, "<=": lambda a, b: a <= b,
+    }[op]
+    want = [i for i, v in enumerate(vals) if pyop(v, lit)]
+    assert got == want, f"v {op} {lit} over {vals}"
