@@ -254,8 +254,22 @@ def jql_query(
     """
     q = parse_jql(query)
     pred = compile_predicate(q, df, params=params, doc_col=doc_col)
-    out = df.filter(pred)
+    return apply_stages(df.filter(pred), q, doc_col=doc_col, order_col=order_col)
 
+
+def apply_stages(
+    out: DataFrame,
+    q: JQLQuery,
+    doc_col: str | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Apply the post-filter pipeline stages (collectors) to an
+    already-filtered DataFrame: count / order / skip / limit / projection.
+
+    Split out so callers that need both the documents and the pre-limit
+    matched count (RunQuery's contract) can filter once, persist, and run
+    the stages over the cached matched set — one pass over the collection.
+    """
     limit_n = skip_n = None
     order: list[tuple[str, str]] = []
     project: list[str] | None = None
@@ -277,7 +291,7 @@ def jql_query(
         # (doc_store.rs:398-411) — a pure aggregate, no sort, no collect.
         return out.agg(F.count(F.lit(1)).alias("count"))
 
-    resolver = FieldResolver(df, doc_col=doc_col)
+    resolver = FieldResolver(out, doc_col=doc_col)
     if order:
         cols = [
             resolver.resolve(f) if kind == "asc" else resolver.resolve(f).desc()

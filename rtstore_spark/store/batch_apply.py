@@ -1,0 +1,508 @@
+"""Set-wise micro-batch mutation apply — the scale path for SendMutation.
+
+The reference applies mutations one at a time on a single node
+(storage_node_light_impl.rs:613-698). Replaying that shape through Spark —
+one driver loop, several jobs *per mutation* — caps ingest at tens of
+mutations/sec. This module applies a whole micro-batch ("block") set-wise so
+the number of Spark jobs per block is O(collections touched), independent of
+the mutation count:
+
+1. arrival stamp — one window over (file name, in-file position); the
+   arrival index becomes the mutation's ``order`` within the block, so the
+   merge-on-read window resolves intra-block races exactly as a sequential
+   apply would.
+2. verify + nonce — one ``applyInPandas`` over ``groupBy(sender)``:
+   signature check (Arrow-batched, distributed) and the per-sender
+   strictly-increasing nonce walk in arrival order (state_store.rs:171+).
+   The mutation id (sha3(payload ‖ signature), id.rs:78-86) is computed in
+   the same pass.
+3. control-plane ops (create_database / add_collection) — rare; collected
+   and applied driver-side in arrival order via the DocStore methods.
+4. document ops — per touched collection: ONE id-assigned append of all
+   adds (ids come from a driver-reserved contiguous range + distributed
+   row_number), ONE ownership-check join + patch-fold + merge-patch append
+   of all updates, ONE ownership-check join + tombstone append of all
+   deletes.
+5. log — ONE append of every accepted doc-op row, carrying the per-mutation
+   doc_ids_map so a replica's sequential replay reproduces identical state.
+
+Intra-block semantics (documented deviation from strict sequential apply):
+validation of updates/deletes sees the block's *adds* but not its deletes —
+i.e. each mutation validates against the state at the start of the block
+plus the block's adds, and same-doc races resolve by (block, order)
+latest-wins. A sequential engine would additionally reject an update that
+follows a delete of the same doc *within one block*; here the later arrival
+wins instead. Nonces are consumed at admission, so a mutation rejected later
+(e.g. ownership) still consumes its nonce.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rtstore_spark.errors import RTStoreError
+from rtstore_spark.functions.merge_patch import make_json_merge_patch
+from rtstore_spark.store.docstore import DOC_SCHEMA, LOG_BLOCKS_PER_BUCKET
+
+PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("action", T.StringType()),
+        T.StructField("db_addr", T.StringType()),
+        T.StructField("col_name", T.StringType()),
+        T.StructField(
+            "body",
+            T.StructType(
+                [
+                    T.StructField("docs", T.ArrayType(T.StringType())),
+                    T.StructField("ids", T.ArrayType(T.LongType())),
+                    T.StructField("patches", T.ArrayType(T.StringType())),
+                ]
+            ),
+        ),
+    ]
+)
+
+_CONTROL_ACTIONS = ("create_database", "add_collection")
+
+
+def make_admit_fn(initial_nonces: dict[str, int], sig_mode: str):
+    """Build the per-sender admission function for ``applyInPandas``.
+
+    Closure-factory on purpose: the function is cloudpickled by value, so
+    workers never import this module. Captures only plain data.
+    Output adds: _mid (sha3(payload ‖ sig)), _ok, _reason.
+    """
+
+    def admit(pdf):
+        import hashlib
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("_arrival")
+        sender = pdf["sender"].iloc[0]
+        cur = initial_nonces.get(sender, 0)
+        mids, oks, reasons = [], [], []
+        for payload, sig, nonce in zip(pdf["payload"], pdf["signature"], pdf["nonce"]):
+            ok, reason = True, ""
+            if sig_mode == "digest":
+                want = hashlib.sha3_256(
+                    f"{payload}|{nonce}|{sender}".encode()
+                ).hexdigest()
+                if sig != want:
+                    ok, reason = False, "bad signature"
+            elif sig_mode != "none":
+                ok, reason = False, f"unsupported batch sig mode {sig_mode}"
+            if ok:
+                if nonce <= cur:
+                    ok, reason = False, f"bad nonce for {sender}: {nonce} <= {cur}"
+                else:
+                    cur = nonce
+            mids.append(
+                hashlib.sha3_256(f"{payload}|{sig}".encode()).hexdigest()
+            )
+            oks.append(ok)
+            reasons.append(reason)
+        return pd.DataFrame(
+            {
+                "payload": pdf["payload"], "signature": pdf["signature"],
+                "sender": pdf["sender"], "nonce": pdf["nonce"],
+                "_arrival": pdf["_arrival"], "_mid": mids, "_ok": oks,
+                "_reason": reasons,
+            }
+        )
+
+    return admit
+
+
+ADMIT_SCHEMA = T.StructType(
+    [
+        T.StructField("payload", T.StringType()),
+        T.StructField("signature", T.StringType()),
+        T.StructField("sender", T.StringType()),
+        T.StructField("nonce", T.LongType()),
+        T.StructField("_arrival", T.LongType()),
+        T.StructField("_mid", T.StringType()),
+        T.StructField("_ok", T.BooleanType()),
+        T.StructField("_reason", T.StringType()),
+    ]
+)
+
+
+def make_fold_patches():
+    """Arrow-batched composition of an arrival-ordered patch chain into one
+    equivalent RFC 7386 patch (closure-factory, self-contained on workers).
+
+    Composition rule: ``apply(apply(d, p1), p2) == apply(d, p1 ∘ p2)`` where
+    ``∘`` recursively merges object values and lets p2 scalars — *including
+    null, which must keep deleting* — win.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    @F.pandas_udf(T.StringType())
+    def fold_patches(chains):
+        import json
+
+        import pandas as pd
+
+        def compose(p1, p2):
+            if not isinstance(p2, dict) or not isinstance(p1, dict):
+                return p2
+            out = dict(p1)
+            for k, v in p2.items():
+                if isinstance(v, dict) and isinstance(out.get(k), dict):
+                    out[k] = compose(out[k], v)
+                else:
+                    out[k] = v  # scalars AND nulls win (null still deletes)
+            return out
+
+        def fold(chain):
+            acc = None
+            for item in chain:  # already sorted by (_arrival asc) via sort_array
+                p = json.loads(item["patch"])
+                acc = p if acc is None else compose(acc, p)
+            return json.dumps(acc, sort_keys=True)
+
+        return pd.Series([fold(c) for c in chains])
+
+    return fold_patches
+
+
+class BatchApplier:
+    """Applies one staged micro-batch of signed envelopes as a block."""
+
+    def __init__(self, ingest):
+        self.ingest = ingest
+        self.store = ingest.store
+        self.spark = ingest.store.spark
+
+    # -- helpers -------------------------------------------------------
+
+    def _reject_rows(self, rows, reason_col="_reason"):
+        out = []
+        for r in rows:
+            env = {
+                "payload": r["payload"], "signature": r["signature"],
+                "sender": r["sender"], "nonce": int(r["nonce"]),
+            }
+            out.append((env, r[reason_col]))
+        return out
+
+    def _atomic_check(self, exploded: DataFrame, state_df: DataFrame, muts: DataFrame):
+        """Mutation-atomic ownership/existence check for exploded (doc_id,
+        _arrival, sender) rows: one join + one agg; returns (ok_arrivals_df,
+        rejected list). The reference rejects the whole mutation if any id
+        fails (db_store_v2.rs:819-846)."""
+        joined = exploded.join(
+            state_df.select("doc_id", F.col("owner").alias("_owner")),
+            "doc_id", "left",
+        )
+        per_mut = (
+            joined.withColumn(
+                "_fail",
+                F.when(F.col("_owner").isNull(), F.lit("documents not found"))
+                .when(F.col("_owner") != F.col("sender"), F.lit("owner mismatch"))
+                .otherwise(F.lit(None)),
+            )
+            .groupBy("_arrival")
+            .agg(F.max("_fail").alias("_fail"))
+        )
+        bad = per_mut.filter(F.col("_fail").isNotNull())
+        rejected = self._reject_rows(
+            bad.join(muts, "_arrival")
+            .select("payload", "signature", "sender", "nonce", "_fail")
+            .collect(),
+            reason_col="_fail",
+        )
+        ok = per_mut.filter(F.col("_fail").isNull()).select("_arrival")
+        return ok, rejected
+
+    # -- the block apply ----------------------------------------------
+
+    def apply(self, batch_df: DataFrame) -> list[tuple[dict, str]]:
+        """Apply one micro-batch; returns the rejected (envelope, reason)s."""
+        store, state = self.store, self.store.state
+        block = state.block
+        rejected: list[tuple[dict, str]] = []
+
+        # 1. arrival order: lexicographic file name, then in-file position
+        # (monotonically_increasing_id is monotonic within a split). One
+        # narrow global window over envelope rows — cheap; envelopes are
+        # small and a block is one trigger's worth of files.
+        w = Window.orderBy(F.input_file_name(), F.monotonically_increasing_id())
+        stamped = batch_df.withColumn("_arrival", F.row_number().over(w))
+
+        # 2. admission: signature + nonce walk, one pass, grouped by sender
+        admit = make_admit_fn(dict(state._state["nonces"]), self.ingest.sig_mode)
+        admitted = (
+            stamped.select("payload", "signature", "sender", "nonce", "_arrival")
+            .groupBy("sender")
+            .applyInPandas(admit, schema=ADMIT_SCHEMA)
+        )
+        parsed = admitted.withColumn("_p", F.from_json("payload", PAYLOAD_SCHEMA))
+        parsed = parsed.select(
+            "*",
+            F.col("_p.action").alias("_action"),
+            F.col("_p.db_addr").alias("_db"),
+            F.col("_p.col_name").alias("_col"),
+            F.col("_p.body.docs").alias("_docs"),
+            F.col("_p.body.ids").alias("_ids"),
+            F.col("_p.body.patches").alias("_patches"),
+        ).drop("_p").persist()
+        try:
+            rejected += self._reject_rows(
+                parsed.filter(~F.col("_ok")).collect()
+            )
+            accepted = parsed.filter(F.col("_ok"))
+
+            # 3. control plane — rare ops, sequential in arrival order. Runs
+            # BEFORE the bulk nonce advance so create_database's own
+            # incr_nonce still sees the pre-block value.
+            control = accepted.filter(F.col("_action").isin(*_CONTROL_ACTIONS))
+            for r in control.orderBy("_arrival").collect():
+                try:
+                    self._apply_control(r, block)
+                except RTStoreError as e:
+                    rejected.append((
+                        {"payload": r["payload"], "signature": r["signature"],
+                         "sender": r["sender"], "nonce": int(r["nonce"])},
+                        str(e),
+                    ))
+
+            # advance nonces to each sender's admitted max: O(senders) rows
+            for r in accepted.groupBy("sender").agg(F.max("nonce").alias("n")).collect():
+                if r["n"] > state._state["nonces"].get(r["sender"], 0):
+                    state._state["nonces"][r["sender"]] = int(r["n"])
+            state._flush()
+
+            # 4. document ops, set-wise per touched collection
+            doc_ops = accepted.filter(
+                F.col("_action").isin("add_document", "update_document", "delete_document")
+            )
+            touched = [
+                (r["_db"], r["_col"])
+                for r in doc_ops.select("_db", "_col").distinct().collect()
+            ]
+            logged: list[DataFrame] = []
+            for db, col in sorted(touched):
+                muts = doc_ops.filter((F.col("_db") == db) & (F.col("_col") == col))
+                if store._col_row(db, col) is None:
+                    rejected += self._reject_rows(
+                        muts.select("payload", "signature", "sender", "nonce")
+                        .withColumn("_reason", F.lit(f"collection not found: {db}/{col}"))
+                        .collect()
+                    )
+                    continue
+                log_df, rej = self._apply_collection(muts, db, col, block)
+                logged.append(log_df)
+                rejected += rej
+
+            # 5. one log append for every accepted doc-op mutation
+            if logged:
+                log_all = logged[0]
+                for extra in logged[1:]:
+                    log_all = log_all.unionByName(extra)
+                log_all.withColumn(
+                    "block_bucket", F.expr(f"block div {LOG_BLOCKS_PER_BUCKET}")
+                ).repartition(1).write.mode("append").partitionBy(
+                    "block_bucket"
+                ).parquet(store._log_path())
+
+            # sequencer high-water mark = last arrival index in this block
+            top = parsed.agg(F.max("_arrival").alias("m")).collect()[0]["m"]
+            if top:
+                state.observe_seq(block, int(top))
+        finally:
+            parsed.unpersist()
+        return rejected
+
+    def _apply_control(self, r, block: int) -> None:
+        store = self.store
+        payload = json.loads(r["payload"])
+        body = payload.get("body") or {}
+        seq = (block, int(r["_arrival"]))
+        if r["_action"] == "create_database":
+            store.create_database(
+                r["sender"], int(r["nonce"]), desc=body.get("desc", ""),
+                db_type=body.get("db_type", "doc"), meta=body.get("meta"),
+                seq=seq, mid=r["_mid"],
+            )
+        else:
+            store.create_collection(
+                payload["db_addr"], payload["col_name"],
+                body.get("indexes", []), r["sender"], mid=r["_mid"], seq=seq,
+            )
+
+    def _pinned_state(self, path: str) -> DataFrame:
+        """current_state over a frozen file list (merge-on-read window:
+        latest (block, order) per doc_id, tombstones dropped)."""
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            return self.spark.createDataFrame([], schema=DOC_SCHEMA).drop("op")
+        df = self.spark.read.schema(DOC_SCHEMA).parquet(*files)
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("block").desc(), F.col("order").desc()
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("op") != "D"))
+            .drop("_rn", "op")
+        )
+
+    def _apply_collection(
+        self, muts: DataFrame, db: str, col: str, block: int
+    ) -> tuple[DataFrame, list]:
+        """Apply one collection's adds/updates/deletes; returns (log rows DF,
+        rejected list). Constant job count regardless of mutation count."""
+        store = self.store
+        path = store._data_path(db, col)
+        rejected: list[tuple[dict, str]] = []
+        ok_arrivals = []  # DFs of accepted _arrival values, for the log
+
+        # ---- adds: reserve one contiguous id range, assign distributedly
+        adds = muts.filter(F.col("_action") == "add_document")
+        n_docs = adds.select(F.sum(F.size("_docs")).alias("n")).collect()[0]["n"] or 0
+        add_rows = None
+        if n_docs:
+            base = store.state.reserve_doc_ids(db, int(n_docs))
+            aw = Window.partitionBy(F.lit(1)).orderBy("_arrival", "_pos")
+            add_rows = (
+                adds.select(
+                    "sender", "_arrival",
+                    F.posexplode("_docs").alias("_pos", "doc"),
+                )
+                .withColumn("doc_id", F.lit(base) + F.row_number().over(aw) - 1)
+                .select(
+                    "doc_id", F.col("sender").alias("owner"), "doc",
+                    F.lit("A").alias("op"), F.lit(block).alias("block"),
+                    F.col("_arrival").cast("int").alias("order"), "_arrival",
+                )
+                .persist()
+            )
+            add_rows.select([f.name for f in DOC_SCHEMA.fields]).repartition(
+                1
+            ).write.mode("append").parquet(path)
+            ok_arrivals.append(adds.select("_arrival"))
+
+        # State after this block's adds, shared by update + delete checks —
+        # pinned to an explicit file list. Parquet files are immutable, so
+        # every plan built from this snapshot stays stable even when lazily
+        # re-evaluated after this block's own U/D appends land in the same
+        # directory (a directory-listing read would see the block's own
+        # tombstones on recompute and mis-validate the block's deletes).
+        state_df = self._pinned_state(path).persist()
+
+        # ---- updates: atomic ownership check, fold patch chains, one merge
+        updates = muts.filter(F.col("_action") == "update_document")
+        upd_exploded = updates.select(
+            "sender", "_arrival",
+            F.explode(F.arrays_zip("_ids", "_patches")).alias("_z"),
+        ).select(
+            "sender", "_arrival",
+            F.col("_z._ids").alias("doc_id"), F.col("_z._patches").alias("patch"),
+        )
+        if upd_exploded.head(1):
+            ok_upd, rej = self._atomic_check(upd_exploded, state_df, updates)
+            rejected += rej
+            good = upd_exploded.join(ok_upd, "_arrival")
+            fold = make_fold_patches()
+            merge = make_json_merge_patch()
+            folded = (
+                good.groupBy("doc_id")
+                .agg(
+                    F.sort_array(
+                        F.collect_list(F.struct("_arrival", "patch"))
+                    ).alias("_chain"),
+                    F.max("_arrival").alias("_last"),
+                )
+                .select(
+                    "doc_id", fold(F.col("_chain")).alias("_patch"), "_last"
+                )
+            )
+            merged = (
+                state_df.join(folded, "doc_id")
+                .select(
+                    "doc_id", "owner",
+                    merge(F.col("doc"), F.col("_patch")).alias("doc"),
+                    F.lit("U").alias("op"), F.lit(block).alias("block"),
+                    F.col("_last").cast("int").alias("order"),
+                )
+            )
+            merged.repartition(1).write.mode("append").parquet(path)
+            ok_arrivals.append(ok_upd)
+
+        # ---- deletes: atomic ownership check, one tombstone append
+        deletes = muts.filter(F.col("_action") == "delete_document")
+        del_exploded = deletes.select(
+            "sender", "_arrival", F.explode("_ids").alias("doc_id")
+        )
+        if del_exploded.head(1):
+            ok_del, rej = self._atomic_check(del_exploded, state_df, deletes)
+            rejected += rej
+            (
+                del_exploded.join(ok_del, "_arrival")
+                .select(
+                    "doc_id", F.col("sender").alias("owner"),
+                    F.lit(None).cast("string").alias("doc"),
+                    F.lit("D").alias("op"), F.lit(block).alias("block"),
+                    F.col("_arrival").cast("int").alias("order"),
+                )
+                .repartition(1)
+                .write.mode("append")
+                .parquet(path)
+            )
+            ok_arrivals.append(ok_del)
+
+        state_df.unpersist()
+
+        # ---- log rows for accepted mutations of this collection
+        ok_all = ok_arrivals[0]
+        for extra in ok_arrivals[1:]:
+            ok_all = ok_all.unionByName(extra)
+        ok_all = ok_all.distinct()
+        doc_ids_map = (
+            add_rows.groupBy("_arrival")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("_assigned"))
+            if add_rows is not None
+            else None
+        )
+        log_df = muts.join(ok_all, "_arrival")
+        if doc_ids_map is not None:
+            log_df = log_df.join(doc_ids_map, "_arrival", "left")
+        else:
+            log_df = log_df.withColumn(
+                "_assigned", F.lit(None).cast(T.ArrayType(T.LongType()))
+            )
+        # payload normalized to the sequential _log format ({"docs": ...} /
+        # {"patches": ...} / null) so apply_mutation replays either shape.
+        log_payload = (
+            F.when(
+                F.col("_action") == "add_document",
+                F.to_json(F.struct(F.col("_docs").alias("docs"))),
+            )
+            .when(
+                F.col("_action") == "update_document",
+                F.to_json(F.struct(F.col("_patches").alias("patches"))),
+            )
+            .otherwise(F.lit(None).cast("string"))
+        )
+        log_df = log_df.select(
+            F.col("_mid").alias("id"), "sender", "nonce",
+            F.col("_action").alias("action"),
+            F.lit(db).alias("db_addr"), F.lit(col).alias("col_name"),
+            log_payload.alias("payload"),
+            F.to_json(F.coalesce(F.col("_assigned"), F.col("_ids"))).alias("doc_ids"),
+            F.lit(block).cast("long").alias("block"),
+            F.col("_arrival").cast("int").alias("order"),
+        )
+        if add_rows is not None:
+            # materialize before the persisted add rows go away
+            log_df = log_df.persist()
+            log_df.count()
+            add_rows.unpersist()
+        return log_df, rejected

@@ -134,11 +134,20 @@ class DocStore:
             return self.spark.createDataFrame([], schema=schema)
         return self.spark.read.schema(schema).parquet(path)
 
-    def _log(self, sender, nonce, action, db_addr, col_name, payload, doc_ids, block, order):
+    def _log(self, sender, nonce, action, db_addr, col_name, payload, doc_ids,
+             block, order, mid: str | None = None):
+        """Append one mutation-log row.
+
+        ``mid`` is the mutation id. The signed path (Ingest.send_mutation)
+        passes sha3(payload ‖ signature) — the reference's TxId recipe
+        (id.rs:78-86) — so the id returned to the client is the id the log
+        stores. Unsigned direct-API calls have no signature; they fall back
+        to a deterministic sha3(action|body|block|order), which replicas
+        reproduce identically on replay.
+        """
         body = json.dumps(payload, sort_keys=True) if payload is not None else None
-        mid = hashlib.sha3_256(
-            f"{action}|{body}|{block}|{order}".encode()
-        ).hexdigest()  # mutation id = sha3(payload‖sig): id.rs:78-86
+        if mid is None:
+            mid = hashlib.sha3_256(f"{action}|{body}|{block}|{order}".encode()).hexdigest()
         row = {
             "id": mid,
             "sender": sender,
@@ -214,7 +223,7 @@ class DocStore:
     def create_database(
         self, sender: str, nonce: int, desc: str = "", db_type: str = "doc",
         meta: dict | None = None, db_addr: str | None = None,
-        seq: tuple[int, int] | None = None,
+        seq: tuple[int, int] | None = None, mid: str | None = None,
     ) -> str:
         """M0 CreateDocumentDB / M5 CreateEventDB / M7 Mint (explicit addr)."""
         self.state.incr_nonce(sender, nonce)
@@ -233,7 +242,7 @@ class DocStore:
             self._db_path(),
         )
         self._log(sender, nonce, f"create_{db_type}_db", addr, None,
-                  {"desc": desc, "meta": meta}, None, block, order)
+                  {"desc": desc, "meta": meta}, None, block, order, mid=mid)
         if db_type == "event" and meta:
             # each declared event table becomes a collection
             # (db3_database_v2.proto:73-76, db_store_v2.rs:918-979)
@@ -241,7 +250,7 @@ class DocStore:
                 self._create_collection_raw(addr, table, [], sender)
         return addr
 
-    def _create_collection_raw(self, db_addr, name, indexes, sender, seq=None):
+    def _create_collection_raw(self, db_addr, name, indexes, sender, seq=None, mid=None):
         block, order = self._seq(seq)
         self._append(
             [
@@ -255,11 +264,12 @@ class DocStore:
             self._col_path(),
         )
         self._log(sender, 0, "add_collection", db_addr, name,
-                  {"indexes": indexes}, None, block, order)
+                  {"indexes": indexes}, None, block, order, mid=mid)
 
     def create_collection(
         self, db_addr: str, name: str, indexes: list[dict] | None = None,
-        sender: str = "", nonce: int | None = None,
+        sender: str = "", nonce: int | None = None, mid: str | None = None,
+        seq: tuple[int, int] | None = None,
     ) -> None:
         """M1 AddCollection — idempotence check db_store_v2.rs:593-614."""
         if nonce is not None:
@@ -270,7 +280,7 @@ class DocStore:
             raise DatabaseNotFound(db_addr)
         if self._col_row(db_addr, name) is not None:
             raise CollectionAlreadyExists(f"{db_addr}/{name}")
-        self._create_collection_raw(db_addr, name, indexes or [], sender)
+        self._create_collection_raw(db_addr, name, indexes or [], sender, seq=seq, mid=mid)
 
     def add_index(
         self, db_addr: str, name: str, new_indexes: list[dict], sender: str
@@ -328,7 +338,7 @@ class DocStore:
     def add_docs(
         self, db_addr: str, col: str, docs: list[str], sender: str,
         nonce: int | None = None, doc_ids: list[int] | None = None,
-        seq: tuple[int, int] | None = None,
+        seq: tuple[int, int] | None = None, mid: str | None = None,
     ) -> list[int]:
         """M2 AddDocument — sequential ids, ownership rows, append.
 
@@ -358,7 +368,7 @@ class DocStore:
         ]
         self._append(rows, DOC_SCHEMA, self._data_path(db_addr, col))
         self._log(sender, nonce or 0, "add_document", db_addr, col,
-                  {"docs": docs}, ids, block, order)
+                  {"docs": docs}, ids, block, order, mid=mid)
         return ids
 
     def _verify_ownership(self, state_df: DataFrame, ids: list[int], sender: str):
@@ -379,7 +389,7 @@ class DocStore:
     def update_docs(
         self, db_addr: str, col: str, ids: list[int], patches: list[str],
         sender: str, nonce: int | None = None,
-        seq: tuple[int, int] | None = None,
+        seq: tuple[int, int] | None = None, mid: str | None = None,
     ) -> None:
         """M3 UpdateDocument — merge-patch against current state, append new
         full versions (ids and patches must align: db_store_v2.rs:1386-1425).
@@ -408,15 +418,19 @@ class DocStore:
                 F.lit(order).alias("order"),
             )
         )
-        rows = [r.asDict() for r in merged.collect()]
-        self._append(rows, DOC_SCHEMA, self._data_path(db_addr, col))
+        # Write the merged versions directly — never through the driver. The
+        # repartition(1) exchanges only the batch's output rows (≤ len(ids))
+        # into one file while the state window + merge upstream stay parallel.
+        merged.repartition(1).write.mode("append").parquet(
+            self._data_path(db_addr, col)
+        )
         self._log(sender, nonce or 0, "update_document", db_addr, col,
-                  {"patches": patches}, ids, block, order)
+                  {"patches": patches}, ids, block, order, mid=mid)
 
     def delete_docs(
         self, db_addr: str, col: str, ids: list[int], sender: str,
         nonce: int | None = None,
-        seq: tuple[int, int] | None = None,
+        seq: tuple[int, int] | None = None, mid: str | None = None,
     ) -> None:
         """M4 DeleteDocument — owner-only tombstones (db_store_v2.rs:1426-1447)."""
         self._require_col(db_addr, col)
@@ -434,7 +448,7 @@ class DocStore:
         ]
         self._append(rows, DOC_SCHEMA, self._data_path(db_addr, col))
         self._log(sender, nonce or 0, "delete_document", db_addr, col,
-                  None, ids, block, order)
+                  None, ids, block, order, mid=mid)
 
     # ------------------------------------------------------------------
     # reads — S6 point get, JQL queries (RunQuery)
@@ -455,14 +469,20 @@ class DocStore:
         The count accompanies every response (RunQueryResponse{documents,
         count} — db3_indexer.proto:36-38). Count reflects the *matched* set
         (pre-limit), like doc_store.rs:208-213.
+
+        One pass over the collection: the matched set is persisted, the
+        count() action materializes it, and the returned documents plan reads
+        the cache (InMemoryTableScan) instead of re-running the state window.
         """
-        from rtstore_spark.jql.compiler import compile_predicate
+        from rtstore_spark.jql.compiler import apply_stages, compile_predicate
         from rtstore_spark.jql.parser import parse_jql
 
+        q = parse_jql(query)
         state_df = self.current_state(db_addr, col)
-        out = jql_query(state_df, query, params=params, doc_col="doc", order_col="doc_id")
-        pred = compile_predicate(parse_jql(query), state_df, params=params, doc_col="doc")
-        matched = state_df.filter(pred).count()
+        pred = compile_predicate(q, state_df, params=params, doc_col="doc")
+        matched_df = state_df.filter(pred).persist()
+        matched = matched_df.count()
+        out = apply_stages(matched_df, q, doc_col="doc", order_col="doc_id")
         return out, matched
 
     # ------------------------------------------------------------------
@@ -552,39 +572,41 @@ class DocStore:
         """Re-apply one logged mutation (indexer_impl.rs:259-324).
 
         Deterministic: doc ids come from the logged doc_ids list, never from
-        this replica's counter.
+        this replica's counter, and the replica re-logs the origin's mutation
+        id so GetMutationHeader lookups agree across replicas.
         """
         action = row["action"]
         payload = json.loads(row["payload"]) if row.get("payload") else {}
         doc_ids = json.loads(row["doc_ids"]) if row.get("doc_ids") else None
         seq = (row["block"], row["order"])
+        mid = row.get("id")
         if action.startswith("create_") and action.endswith("_db"):
             db_type = action[len("create_"):-len("_db")]
             self.create_database(
                 row["sender"], row["nonce"], desc=payload.get("desc") or "",
                 db_type=db_type, meta=payload.get("meta"), db_addr=row["db_addr"],
-                seq=seq,
+                seq=seq, mid=mid,
             )
         elif action == "add_collection":
             if self._col_row(row["db_addr"], row["col_name"]) is None:
                 self._create_collection_raw(
                     row["db_addr"], row["col_name"], payload.get("indexes", []),
-                    row["sender"], seq=seq,
+                    row["sender"], seq=seq, mid=mid,
                 )
         elif action == "add_document":
             self.add_docs(
                 row["db_addr"], row["col_name"], payload["docs"], row["sender"],
-                nonce=row["nonce"] or None, doc_ids=doc_ids, seq=seq,
+                nonce=row["nonce"] or None, doc_ids=doc_ids, seq=seq, mid=mid,
             )
         elif action == "update_document":
             self.update_docs(
                 row["db_addr"], row["col_name"], doc_ids, payload["patches"],
-                row["sender"], nonce=row["nonce"] or None, seq=seq,
+                row["sender"], nonce=row["nonce"] or None, seq=seq, mid=mid,
             )
         elif action == "delete_document":
             self.delete_docs(
                 row["db_addr"], row["col_name"], doc_ids, row["sender"],
-                nonce=row["nonce"] or None, seq=seq,
+                nonce=row["nonce"] or None, seq=seq, mid=mid,
             )
         else:
             raise InvalidMutation(f"unknown action {action}")

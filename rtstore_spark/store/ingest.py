@@ -91,6 +91,9 @@ class Ingest:
         """
         body_text = json.dumps(payload, sort_keys=True)
         verify_signature(body_text, nonce, sender, signature, self.sig_mode)
+        # mutation id = sha3(payload ‖ sig) (id.rs:78-86) — computed up front
+        # and threaded into the log so the returned id is the logged id.
+        tx_id = hashlib.sha3_256(f"{body_text}|{signature}".encode()).hexdigest()
 
         action = payload.get("action")
         body = payload.get("body") or {}
@@ -100,37 +103,35 @@ class Ingest:
             addr = store.create_database(
                 sender, nonce, desc=body.get("desc", ""),
                 db_type=body.get("db_type", "doc"), meta=body.get("meta"),
+                mid=tx_id,
             )
             items.append({"key": "db_addr", "value": addr})
         elif action == "add_collection":
             store.create_collection(
                 payload["db_addr"], payload["col_name"],
-                body.get("indexes", []), sender, nonce=nonce,
+                body.get("indexes", []), sender, nonce=nonce, mid=tx_id,
             )
             items.append({"key": "collection", "value": payload["col_name"]})
         elif action == "add_document":
             ids = store.add_docs(
                 payload["db_addr"], payload["col_name"], body["docs"], sender,
-                nonce=nonce,
+                nonce=nonce, mid=tx_id,
             )
             items += [{"key": "document", "value": str(i)} for i in ids]
         elif action == "update_document":
             store.update_docs(
                 payload["db_addr"], payload["col_name"], body["ids"],
-                body["patches"], sender, nonce=nonce,
+                body["patches"], sender, nonce=nonce, mid=tx_id,
             )
         elif action == "delete_document":
             store.delete_docs(
                 payload["db_addr"], payload["col_name"], body["ids"], sender,
-                nonce=nonce,
+                nonce=nonce, mid=tx_id,
             )
         else:
             raise InvalidMutation(f"unknown action {action!r}")
 
         block, order = store.state.block, store.state._state["order"]
-        tx_id = hashlib.sha3_256(
-            f"{body_text}|{signature}".encode()
-        ).hexdigest()  # mutation id = sha3(payload ‖ sig): id.rs:78-86
         return {"id": tx_id, "items": items, "block": block, "order": order}
 
     def get_nonce(self, sender: str) -> int:

@@ -67,6 +67,17 @@ class StateStore:
         self._flush()
         return ids
 
+    def reserve_doc_ids(self, db_addr: str, n: int, start_id: int = 1) -> int:
+        """Reserve a contiguous id range [first, first+n) and return ``first``.
+
+        The range form of take_doc_ids: batch ingest assigns ids to exploded
+        document rows distributedly (base + row_number), so the driver only
+        ever holds the base — never a list of O(batch) ids."""
+        cur = self._state["doc_counters"].get(db_addr, start_id - 1)
+        self._state["doc_counters"][db_addr] = cur + n
+        self._flush()
+        return cur + 1
+
     def observe_doc_ids(self, db_addr: str, ids: list[int]) -> None:
         """Replay path: advance the counter past explicitly-supplied ids."""
         if not ids:

@@ -19,7 +19,6 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from rtstore_spark.errors import RTStoreError
 from rtstore_spark.store.ingest import Ingest
 
 ENVELOPE_SCHEMA = T.StructType(
@@ -52,19 +51,15 @@ class StreamingIngest:
         self.rejected: list[tuple[dict, str]] = []
 
     def _apply_batch(self, batch_df, batch_id: int) -> None:
-        import json
+        # Set-wise block apply (store.batch_apply): Spark jobs per block are
+        # O(collections touched), independent of the mutation count — the
+        # reference's per-mutation loop (storage_node_light_impl.rs:635-697)
+        # would make the driver the bottleneck at 100× ingest volume.
+        # Rejected mutations are recorded and the block continues, like the
+        # reference's per-mutation error responses.
+        from rtstore_spark.store.batch_apply import BatchApplier
 
-        rows = batch_df.orderBy("sender", "nonce").collect()
-        for r in rows:
-            try:
-                self.ingest.send_mutation(
-                    json.loads(r["payload"]), r["signature"], r["sender"],
-                    int(r["nonce"]),
-                )
-            except RTStoreError as e:
-                # reference answers an error response per bad mutation and
-                # keeps going (storage_node_light_impl.rs:635-697)
-                self.rejected.append((r.asDict(), str(e)))
+        self.rejected.extend(BatchApplier(self.ingest).apply(batch_df))
         # micro-batch boundary = block boundary
         self.ingest.store.state.next_block()
 

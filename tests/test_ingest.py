@@ -84,3 +84,26 @@ class TestIngest:
             {"action": "create_database", "body": {}}, "", ALICE, 1
         )
         assert resp["items"][0]["key"] == "db_addr"
+
+    def test_returned_id_is_the_logged_id(self, ingest):
+        """send_mutation's tx id (sha3(payload‖sig), id.rs TxId) must be the
+        id the mutation log stores, so GetMutationHeader(resp.id) works."""
+        p, sig = signed({"action": "create_database", "body": {"desc": "d"}}, ALICE, 1)
+        resp = ingest.send_mutation(p, sig, ALICE, 1)
+        row = ingest.store.get_mutation(resp["id"])
+        assert row is not None and row["action"] == "create_doc_db"
+        assert row["sender"] == ALICE and row["nonce"] == 1
+
+    def test_query_docs_single_pass(self, ingest):
+        """query_docs returns docs + pre-limit matched count from one pass:
+        the documents plan must read the persisted matched set, not re-run
+        the collection state window."""
+        store = ingest.store
+        db = store.create_database(ALICE, 1)
+        store.create_collection(db, "c", sender=ALICE)
+        store.add_docs(db, "c", [f'{{"v": {i}}}' for i in range(10)], ALICE)
+        out, matched = store.query_docs(db, "c", "/[v >= 3] | limit 2")
+        assert matched == 7
+        assert out.count() == 2
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan

@@ -91,3 +91,95 @@ class TestMetaStore:
         rows = store.databases().collect()
         assert rows[0]["db_addr"] == db_addr and rows[0]["sender"] == ALICE
         assert [c["col_name"] for c in store.collections(db_addr).collect()] == ["tbl"]
+
+
+class TestBatchScale:
+    def test_large_block_jobs_independent_of_mutation_count(self, spark, tmp_path):
+        """The set-wise block apply must (a) produce the exact sequentially-
+        expected state for a 5k+ mutation block and (b) schedule a Spark job
+        count that does not grow with the mutation count."""
+        from rtstore_spark.functions.merge_patch import merge_patch
+
+        def job_counter():
+            return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
+        store = DocStore(spark, str(tmp_path / "w"))
+        ing = Ingest(store)
+        si = StreamingIngest(spark, ing, str(tmp_path / "staging"))
+
+        # block 1: create db + collection
+        db_addr = None
+        setup = [envelope({"action": "create_database", "body": {"desc": "d"}}, ALICE, 1)]
+        (tmp_path / "staging" / "b0.jsonl").write_text(
+            "\n".join(json.dumps(e) for e in setup)
+        )
+        si.start(once=True)
+        db_addr = store.databases().collect()[0]["db_addr"]
+        (tmp_path / "staging" / "b1.jsonl").write_text(json.dumps(envelope(
+            {"action": "add_collection", "db_addr": db_addr, "col_name": "c", "body": {}},
+            ALICE, 2,
+        )))
+        si.start(once=True)
+
+        def doc_block(fname, senders, n_adds, n_updates, n_deletes, nonce0):
+            """Write one staged file with adds then updates then deletes."""
+            envs = []
+            nonces = {s: nonce0 for s in senders}
+            for i in range(n_adds):
+                s = senders[i % len(senders)]
+                envs.append(envelope(
+                    {"action": "add_document", "db_addr": db_addr, "col_name": "c",
+                     "body": {"docs": [json.dumps({"i": i, "who": s})]}},
+                    s, nonces[s]))
+                nonces[s] += 1
+            for i in range(n_updates):
+                s = senders[i % len(senders)]
+                # doc ids are sequential from 1 in add order; patch our own doc
+                target = 1 + prior_docs + i * len(senders) // len(senders)
+                envs.append(envelope(
+                    {"action": "update_document", "db_addr": db_addr, "col_name": "c",
+                     "body": {"ids": [1 + prior_docs + i],
+                              "patches": [json.dumps({"u": i})]}},
+                    s, nonces[s]))
+                nonces[s] += 1
+            for i in range(n_deletes):
+                s = senders[i % len(senders)]
+                envs.append(envelope(
+                    {"action": "delete_document", "db_addr": db_addr, "col_name": "c",
+                     "body": {"ids": [1 + prior_docs + n_updates + i]}},
+                    s, nonces[s]))
+                nonces[s] += 1
+            (tmp_path / "staging" / fname).write_text(
+                "\n".join(json.dumps(e) for e in envs))
+            return nonces
+
+        # small block: 30 adds, 5 updates, 5 deletes — all by one sender set
+        prior_docs = 0
+        doc_block("b2.jsonl", [ALICE], 30, 5, 5, 3)
+        j0 = job_counter()
+        si.start(once=True)
+        small_jobs = job_counter() - j0
+
+        # big block: 5000 adds + 400 updates + 300 deletes from 4 senders
+        prior_docs = 30
+        senders = [ALICE, "0x" + "bb" * 20, "0x" + "cc" * 20, "0x" + "dd" * 20]
+        doc_block("b3.jsonl", senders, 5000, 400, 300, 2000)
+        j1 = job_counter()
+        si.start(once=True)
+        big_jobs = job_counter() - j1
+
+        assert si.rejected == []
+        # same collection set → job count must not scale with mutation count
+        assert big_jobs <= small_jobs + 5, (small_jobs, big_jobs)
+
+        # updates patch docs added in the same block; deletes remove others
+        state = {r["doc_id"]: r["doc"] for r in store.current_state(db_addr, "c").collect()}
+        assert len(state) == 30 + 5000 - 5 - 300
+        # spot-check a patched doc: update i=0 patched doc_id 31 (1+30+0)
+        got = json.loads(state[31])
+        want = merge_patch(json.loads(json.dumps({"i": 0, "who": senders[0]})), {"u": 0})
+        assert got == want
+        # a deleted doc is gone
+        assert (31 + 400) not in state
+        st = store.mutation_state()
+        assert st["mutation_count"] >= 2 + 40 + 5700
