@@ -53,7 +53,9 @@ class Client:
     def deleteEventDatabase(self, db_addr: str) -> None:
         """M6: owner-only unregister (db_store_v2.rs:981-1032). The catalog
         row is tombstoned by a delete marker; collections become invisible."""
-        rows = self.store.databases().filter(f"db_addr = '{db_addr}'").collect()
+        from pyspark.sql import functions as F
+
+        rows = self.store.databases().filter(F.col("db_addr") == db_addr).collect()
         if not rows:
             raise DatabaseNotFound(db_addr)
         from rtstore_spark.errors import OwnerVerifyFailed
@@ -101,6 +103,10 @@ class Client:
         )
 
     def showCollection(self, db_addr: str) -> list[dict]:
+        # tombstoned databases hide their collections ('collections become
+        # invisible' — db_store_v2.rs:981-1032)
+        if self.getDatabase(db_addr) is None:
+            return []
         return [r.asDict() for r in self.store.collections(db_addr).collect()]
 
     def getCollection(self, db_addr: str, name: str) -> dict | None:

@@ -72,12 +72,25 @@ class RollupExecutor:
         rows = self.manifest().orderBy(F.col("end_block").desc()).head(1)
         return rows[0].asDict() if rows else None
 
-    def rollup(self, log_df: DataFrame, network: int = 1) -> dict | None:
-        """Roll up all log rows beyond the last rolled block range."""
+    def rollup(
+        self, log_df: DataFrame, network: int = 1, open_block: int | None = None
+    ) -> dict | None:
+        """Roll up log rows beyond the last rolled block range.
+
+        ``open_block``: the sequencer's still-open block — rows in it are
+        excluded, because a mid-block rollup would fix the manifest's
+        end_block at the open block and mutations appended to it afterwards
+        would never be rolled up (then gc() would delete them from the log:
+        silent loss from cold storage). Pass ``store.state.block``; rollup
+        then only ever covers closed, immutable block ranges.
+        """
         last = self.last_rollup()
         start = (last["end_block"] + 1) if last else 0
+        batch = log_df.filter(F.col("block") >= start)
+        if open_block is not None:
+            batch = batch.filter(F.col("block") < open_block)
         batch = (
-            log_df.filter(F.col("block") >= start)
+            batch
             .select(
                 F.encode(F.coalesce(F.col("payload"), F.lit("")), "utf-8").alias("payload"),
                 F.col("id").alias("signature"),

@@ -72,6 +72,8 @@ def test_event_db_lifecycle(client):
     assert [c["col_name"] for c in client.showCollection(db)] == ["Transfer"]
     client.deleteEventDatabase(db)
     assert client.getDatabase(db) is None
+    # tombstoned databases hide their collections too
+    assert client.showCollection(db) == []
 
 
 def test_delete_event_db_owner_only(spark, tmp_path):

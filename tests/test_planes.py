@@ -117,6 +117,33 @@ class TestRollup:
         ex = RollupExecutor(spark, str(tmp_path / "w2"))
         assert ex.rollup(store.mutation_log()) is None
 
+    def test_rollup_excludes_open_block(self, spark, tmp_path):
+        """A mid-block rollup must not cover the still-open block: mutations
+        appended to it afterwards would never be rolled up, and gc() would
+        then delete them from the log — silent loss from cold storage."""
+        store = DocStore(spark, str(tmp_path / "w3"))
+        db = store.create_database(ALICE, nonce=1)
+        store.create_collection(db, "c", [], ALICE)
+        store.state.next_block()
+        store.add_docs(db, "c", ['{"v": 1}'], ALICE)
+
+        ex = RollupExecutor(spark, str(tmp_path / "w3"))
+        # rollup mid-block: block 1 is open, its row must be excluded
+        row = ex.rollup(store.mutation_log(), open_block=store.state.block)
+        assert row["end_block"] < store.state.block
+
+        # the open block keeps growing after the rollup...
+        store.add_docs(db, "c", ['{"v": 2}'], ALICE)
+        store.state.next_block()
+        # ...gc keeps everything not yet rolled up (both adds in block 1)
+        ex.gc(store, min_gc_offset=0)
+        remaining = store.mutation_log()
+        assert remaining.count() == 2  # both adds + nothing lost
+        # and the next closed-block rollup picks them up
+        row2 = ex.rollup(store.mutation_log(), open_block=store.state.block)
+        assert row2["rows"] == 2
+        assert ex.read_rollups().count() == 2 + 2
+
 
 class TestStreaming:
     def test_block_event_stream(self, spark, tmp_path):
