@@ -156,6 +156,32 @@ class RollupExecutor:
 
     # -- recovery (S10): rollup files → mutation rows, ordered --
 
+    @staticmethod
+    def load_rollup_file(spark: SparkSession, path: str) -> DataFrame:
+        """Read a rollup parquet written by ANY producer — including the
+        reference node's Arrow writer (ar_toolbox.rs:48-54), which declares
+        block/order as *unsigned* UInt64/UInt32 — and normalize to
+        ROLLUP_SCHEMA.
+
+        Spark maps parquet uint64 → decimal(20,0) and uint32 → long on
+        inference (an explicit long/int schema aborts on the unsigned
+        dictionaries), so read with the file's own schema and cast; a
+        pre-doc_ids file (the reference's 4-column era) gets doc_ids=null.
+        """
+        df = spark.read.parquet(path)
+        cols = [
+            F.col("payload").cast("binary").alias("payload"),
+            F.col("signature").cast("string").alias("signature"),
+            F.col("block").cast("long").alias("block"),
+            F.col("order").cast("int").alias("order"),
+            (
+                F.col("doc_ids").cast("string")
+                if "doc_ids" in df.columns
+                else F.lit(None).cast("string")
+            ).alias("doc_ids"),
+        ]
+        return df.select(cols)
+
     def recover_chain(self) -> list[str]:
         """Walk the Last-Rollup-Tx back-pointers from newest to oldest, then
         reverse — recover.rs:140-236."""

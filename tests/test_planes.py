@@ -112,6 +112,45 @@ class TestRollup:
         assert watermark == row2["end_block"] + 1
         assert store.mutation_log().count() == 0
 
+    def test_golden_reference_rollup_parquet(self, spark):
+        """Round-trip the reference node's own checked-in rollup artifact —
+        the one concrete cross-engine compatibility proof available. Mirrors
+        parse_sample_ar_parquet_ut (ar_toolbox.rs:435-452): 204 rows, first
+        mutation at (block 37829, order 1) with the pinned signature."""
+        import os
+
+        golden = "/root/reference/src/node/resources/test/37829_37968.gz.parquet"
+        if not os.path.exists(golden):
+            import pytest
+
+            pytest.skip("reference golden parquet not available")
+        df = RollupExecutor.load_rollup_file(spark, golden)
+        assert df.schema == ROLLUP_SCHEMA  # normalized from uint64/uint32
+        assert df.count() == 204
+
+        # ordered replay, exactly like read_rollups does for recovery
+        first = df.orderBy("block", "order").head(1)[0]
+        assert first["block"] == 37829
+        assert first["order"] == 1
+        assert first["signature"] == (
+            "0xf6afe1165ae87fa09375eabccdedc61f3e5af4ed1e5c6456f1b63d3978622526"
+            "67e1f13f0f076f30609754f787c80135c52f7c249e95c9b8fab1b9ed27846c1b1c"
+        )
+        assert first["doc_ids"] is None  # pre-doc_ids 4-column era file
+        assert len(first["payload"]) > 0
+
+        # file-name contract <start>_<end>.gz.parquet: start is the first
+        # mutation's block; end is the *chain head* at rollup time, so the
+        # data's max block only has to fall inside the range (the tail blocks
+        # were empty — 37898 < 37968 in the checked-in file).
+        from pyspark.sql import functions as F
+
+        bounds = df.agg(
+            F.min("block").alias("lo"), F.max("block").alias("hi")
+        ).collect()[0]
+        assert bounds["lo"] == 37829
+        assert 37829 <= bounds["hi"] <= 37968
+
     def test_empty_rollup_is_noop(self, spark, tmp_path):
         store = DocStore(spark, str(tmp_path / "w2"))
         ex = RollupExecutor(spark, str(tmp_path / "w2"))
