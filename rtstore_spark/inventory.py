@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rtstore_spark.jql import jql_query
-from rtstore_spark.tables import load_table
+from rtstore_spark.tables import load_table, maybe_broadcast
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -328,8 +328,11 @@ def q3_shipping_priority(spark, sf):
     """TPC-H Q3 shape: selective dim filter → broadcast join → top-k.
 
     Scale notes: customer(BUILDING) is ~1/5 of a small dim — broadcast;
-    lineitem never shuffles for the join. Top-10 via orderBy+limit is a
-    per-partition top-k + single-reduce in Spark (TakeOrderedAndProject).
+    lineitem never shuffles for the join while orders fits the broadcast
+    threshold, and falls back to an AQE-planned shuffle join past it
+    (orders grows with the fact — a hard-coded broadcast is a scale bug).
+    Top-10 via orderBy+limit is a per-partition top-k + single-reduce in
+    Spark (TakeOrderedAndProject).
     """
     cust = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf, "orders").filter(
@@ -341,7 +344,13 @@ def q3_shipping_priority(spark, sf):
     rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount")).cast(DEC)
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))),
+            maybe_broadcast(
+                spark, sf, "orders",
+                orders.join(
+                    maybe_broadcast(spark, sf, "customer", cust),
+                    F.col("o_custkey") == F.col("c_custkey"),
+                ),
+            ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -368,7 +377,11 @@ def q3_shipping_priority(spark, sf):
        GROUP BY n_name""",
 )
 def q5_local_supplier_volume(spark, sf):
-    """TPC-H Q5 shape: star join — every dim broadcast, one fact scan."""
+    """TPC-H Q5 shape: star join — every true dimension broadcast, one fact
+    scan. orders is NOT a dimension (it scales with lineitem): its broadcast
+    is size-gated, so past the threshold the orders⋈lineitem edge becomes an
+    AQE-planned shuffle join while customer/supplier/nation/region stay
+    broadcast."""
     cust = load_table(spark, sf, "customer")
     orders = load_table(spark, sf, "orders")
     li = load_table(spark, sf, "lineitem")
@@ -377,10 +390,16 @@ def q5_local_supplier_volume(spark, sf):
     region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount")).cast(DEC)
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(
+            maybe_broadcast(spark, sf, "orders", orders),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .join(
-            F.broadcast(supp),
+            maybe_broadcast(spark, sf, "customer", cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            maybe_broadcast(spark, sf, "supplier", supp),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

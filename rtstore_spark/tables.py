@@ -42,6 +42,52 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _parse_size(v: str) -> int:
+    """Parse a Spark size conf value ('67108864', '64MB', '10m', '-1')."""
+    s = v.strip().lower().removesuffix("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(s) * mult
+
+
+def table_size_bytes(sf_dir: str, name: str) -> int:
+    """On-disk parquet bytes — the same sizeInBytes estimate Spark's planner
+    uses for file sources (file size × fileCompressionFactor, default 1.0)."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if not f.startswith(("_", "."))
+        )
+    return os.path.getsize(path)
+
+
+def maybe_broadcast(
+    spark: SparkSession, sf_dir: str, name: str, df: DataFrame
+) -> DataFrame:
+    """Broadcast hint only while the table fits the session's
+    autoBroadcastJoinThreshold; above it, return the plan unhinted and let
+    AQE pick the join strategy from runtime sizes.
+
+    A hard-coded ``F.broadcast`` on a table that *grows with the fact* (e.g.
+    orders vs lineitem) is a scale bug: past the threshold Spark would
+    either OOM building the broadcast or silently fall back. Size-gate the
+    hint on the same on-disk estimate the planner itself uses.
+    """
+    thr = _parse_size(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    )
+    if thr > 0 and table_size_bytes(sf_dir, name) <= thr:
+        return F.broadcast(df)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, names=None) -> None:
     """Register each table as a temp view for the SQL escape hatch."""
     for name in names or TABLE_NAMES:

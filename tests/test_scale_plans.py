@@ -1,0 +1,107 @@
+"""Plan-shape assertions for the scale path.
+
+These tests pin the *physical plan*, not results: the broadcast of a table
+that grows with the fact (orders, customer, supplier) must be conditional on
+the session's autoBroadcastJoinThreshold, while true dimensions
+(nation, region) stay broadcast. A hard-coded broadcast of orders would OOM
+or silently fall back past the threshold on a real cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rtstore_spark.tables import _parse_size, maybe_broadcast, table_size_bytes
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def q5(sf_dir):
+    import __spark_entry__ as entry
+
+    return entry.queries()["q5_local_supplier_volume"]
+
+
+@pytest.fixture()
+def q3(sf_dir):
+    import __spark_entry__ as entry
+
+    return entry.queries()["q3_shipping_priority"]
+
+
+class TestParseSize:
+    def test_forms(self):
+        assert _parse_size("67108864") == 64 << 20
+        assert _parse_size("67108864b") == 64 << 20
+        assert _parse_size("64MB") == 64 << 20
+        assert _parse_size("10m") == 10 << 20
+        assert _parse_size("1k") == 1024
+        assert _parse_size("2g") == 2 << 30
+        assert _parse_size("-1") == -1
+
+
+class TestSizeConditionalBroadcast:
+    def test_table_size_matches_disk(self, sf_dir):
+        import os
+
+        assert table_size_bytes(sf_dir, "orders") == os.path.getsize(
+            f"{sf_dir}/orders.parquet"
+        )
+
+    def test_hint_gated_by_threshold(self, spark, sf_dir):
+        from rtstore_spark.tables import load_table
+
+        orders = load_table(spark, sf_dir, "orders")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
+            hinted = maybe_broadcast(spark, sf_dir, "orders", orders)
+            assert "hint" in hinted._jdf.queryExecution().logical().toString().lower()
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+            unhinted = maybe_broadcast(spark, sf_dir, "orders", orders)
+            assert (
+                "hint"
+                not in unhinted._jdf.queryExecution().logical().toString().lower()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_q5_orders_join_falls_back_past_threshold(self, spark, sf_dir, q5):
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # orders fits: the whole star is broadcast joins, zero shuffle
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
+            p = _plan(q5(spark, sf_dir))
+            assert p.count("BroadcastHashJoin") == 5
+            assert "SortMergeJoin" not in p
+
+            # orders over the threshold: its lineitem edge becomes a shuffle
+            # join, but nation/region (true dims) stay broadcast
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+            p = _plan(q5(spark, sf_dir))
+            orders_join = next(
+                line
+                for line in p.splitlines()
+                if "Join" in line and "l_orderkey" in line and "o_orderkey" in line
+            )
+            assert "BroadcastHashJoin" not in orders_join
+            assert p.count("BroadcastHashJoin") == 2  # nation + region only
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_q3_orders_join_falls_back_past_threshold(self, spark, sf_dir, q3):
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+            p = _plan(q3(spark, sf_dir))
+            orders_join = next(
+                line
+                for line in p.splitlines()
+                if "Join" in line and "l_orderkey" in line and "o_orderkey" in line
+            )
+            assert "BroadcastHashJoin" not in orders_join
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
