@@ -272,11 +272,11 @@ def embedding_neardup_pairs(
     At 100 TB the bucket join is the only shuffle; tune band_planes to bound
     bucket sizes (expected n / 2^band_planes).
     """
-    from rtstore_spark.operators.similarity import cosine_expr, hyperplane_bucket
+    from rtstore_spark.operators.similarity import cosine_expr, with_hyperplane_bucket
 
-    dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
-    bucket = hyperplane_bucket(vec_col, dim, planes=band_planes, seed="neardup")
-    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket.alias("bucket"))
+    keyed = with_hyperplane_bucket(
+        df, vec_col, planes=band_planes, seed="neardup"
+    ).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket")
     a, b = keyed.alias("a"), keyed.alias("b")
     cos = cosine_expr("a.v", "b.v")
     return (

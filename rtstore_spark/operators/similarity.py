@@ -51,25 +51,72 @@ def _plane_component(seed: str, p: int, i: int) -> float:
     return int(h, 16) / 2147483648.0 - 1.0
 
 
+def _plane_matrix(dim: int, planes: int, seed: str) -> list[list[float]]:
+    return [
+        [_plane_component(seed, p, i) for i in range(dim)] for p in range(planes)
+    ]
+
+
+def _bucket_expr(planes_col: Column, vec_col: str) -> Column:
+    """Sign-pattern bucket of ``vec_col`` against a plane-matrix column
+    (array<array<double>>): O(1) expression nodes regardless of dim."""
+    return F.array_join(
+        F.transform(
+            planes_col,
+            lambda plane: F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col), plane, lambda x, c: x.cast("double") * c
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
+        ),
+        "",
+    )
+
+
 def hyperplane_bucket(vec_col: str, dim: int, planes: int = 8, seed: str = "lsh") -> Column:
     """Deterministic sign-pattern bucket id for a vector column.
 
     Plane components are md5-derived pseudo-randoms in [-1, 1) — identical on
-    every executor, no RNG state to broadcast. The plane matrix enters the
-    plan as an array *literal* folded through zip_with/aggregate, keeping the
-    expression tree O(planes) — an unrolled sum-of-products (planes × dim
-    terms) overflowed the JVM's 64KB method limit and forced whole-stage
-    codegen off.
+    every executor, no RNG state to broadcast. The matrix enters the plan as
+    an inline array literal folded through zip_with/aggregate — fine at test
+    dims, but its plan text grows with planes × dim; for production dims
+    (≥ 256, e.g. 768-d embeddings) use ``with_hyperplane_bucket``, which
+    binds the matrix once as a broadcast one-row relation instead.
     """
     plane_arrays = ", ".join(
         "array(" + ", ".join(f"{_plane_component(seed, p, i)!r}D" for i in range(dim)) + ")"
         for p in range(planes)
     )
-    return F.expr(
-        f"array_join(transform(array({plane_arrays}), plane -> "
-        f"case when aggregate(zip_with({vec_col}, plane,"
-        f" (x, c) -> cast(x as double) * c), 0.0D, (acc, v) -> acc + v) >= 0"
-        f" then '1' else '0' end), '')"
+    return _bucket_expr(F.expr(f"array({plane_arrays})"), vec_col)
+
+
+def with_hyperplane_bucket(
+    df: DataFrame, vec_col: str, planes: int = 8, seed: str = "lsh",
+    out_col: str = "bucket", dim: int | None = None,
+) -> DataFrame:
+    """Scale path: append a hyperplane-LSH ``out_col`` with the plane matrix
+    bound ONCE as a broadcast single-row relation (LocalTableScan prints no
+    data, so the plan stays small at any dim — an inline planes × dim
+    literal is ~100 KB of plan text at dim 768 and slows every analysis
+    pass). The broadcast of one row is free; the per-row math is identical
+    to ``hyperplane_bucket``.
+    """
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
+    spark = df.sparkSession
+    matrix_df = spark.createDataFrame(
+        [(_plane_matrix(dim, planes, seed),)], "_planes: array<array<double>>"
+    )
+    return (
+        df.crossJoin(F.broadcast(matrix_df))
+        .withColumn(out_col, _bucket_expr(F.col("_planes"), vec_col))
+        .drop("_planes")
     )
 
 
@@ -78,11 +125,10 @@ def build_lsh_index(
 ) -> DataFrame:
     """Materialize (id, vec, bucket). Write this partitioned by bucket for
     partition-pruned probes at scale."""
-    dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
-    return df.select(
+    return with_hyperplane_bucket(df, vec_col, planes, seed).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        hyperplane_bucket(vec_col, dim, planes, seed).alias("bucket"),
+        F.col("bucket"),
     )
 
 

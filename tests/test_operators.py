@@ -115,6 +115,33 @@ class TestSimilarity:
         sql_bucket = index.collect()[0]["bucket"]
         assert similarity._bucket_of(qvec, 6, "lsh")[0] == sql_bucket
 
+    def test_hyperplane_bucket_dim_768(self, spark):
+        """Production-dim regression: with_hyperplane_bucket binds the plane
+        matrix as a broadcast one-row relation, so the plan stays small and
+        analysis fast at dim 768 (an inline literal is ~100 KB of plan text),
+        and the Spark bucket equals the driver-side probe computation."""
+        dim, planes = 768, 8
+        df = spark.range(8).select(
+            "id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: (
+                    (F.pmod(F.col("id") * 31 + i, F.lit(97)).cast("double") / 48.5)
+                    - 1.0
+                ).cast("float"),
+            ).alias("vec"),
+        )
+        out = similarity.with_hyperplane_bucket(df, "vec", planes=planes, dim=dim)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert len(plan) < 20_000  # matrix is data, not plan text
+        rows = out.select("id", "bucket").collect()
+        assert all(len(r["bucket"]) == planes for r in rows)
+        vec0 = df.filter(F.col("id") == 0).collect()[0]["vec"]
+        assert (
+            similarity._bucket_of(list(vec0), planes, "lsh")[0]
+            == [r["bucket"] for r in rows if r["id"] == 0][0]
+        )
+
     def test_ivf_topk_runs(self, emb, qvec):
         out = similarity.ivf_topk(
             emb.filter(F.col("vec_id") != 0), "embedding", "vec_id", "label",
