@@ -75,21 +75,10 @@ class Client:
         )
 
     def showDatabase(self, owner: str | None = None) -> list[dict]:
-        from pyspark.sql import Window
-        from pyspark.sql import functions as F
-
-        df = self.store.databases()
-        w = Window.partitionBy("db_addr").orderBy(
-            F.col("block").desc(), F.col("order").desc()
-        )
-        df = (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter("_rn = 1 AND db_type != 'deleted'")
-            .drop("_rn")
-        )
+        rows = self.store.databases_latest()
         if owner:
-            df = df.filter(F.col("sender") == owner)
-        return [r.asDict() for r in df.collect()]
+            rows = [r for r in rows if r["sender"] == owner]
+        return rows
 
     def getDatabase(self, db_addr: str) -> dict | None:
         rows = [d for d in self.showDatabase() if d["db_addr"] == db_addr]

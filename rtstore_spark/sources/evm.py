@@ -100,6 +100,65 @@ class MetaStoreEventProcessor:
         return counts
 
 
+def enforce_event_ttl(store: DocStore, now_block: int | None = None) -> dict[str, int]:
+    """Retention for event databases — the enforcement the reference only
+    declares (EventDatabase.ttl, db3_database_v2.proto:33-42; stored at
+    db_store_v2.rs:944 but never applied).
+
+    ``ttl`` is measured in chain blocks: with high-water mark ``H`` (the max
+    applied ``block_number``, or ``now_block`` when given), every doc whose
+    ``block_number <= H - ttl`` is expired. Expiry is a set-wise tombstone
+    append per collection — the merge-on-read state window then hides the
+    rows, and compact() reclaims the storage. Deterministic given
+    ``now_block``, so replicas running the job at the same cadence converge.
+
+    Returns {"db_addr/col": expired_count} for every touched collection.
+    """
+    from pyspark.sql import functions as F
+
+    counts: dict[str, int] = {}
+    for db in store.databases_latest():
+        if db["db_type"] != "event":
+            continue
+        meta = json.loads(db["meta"]) if db.get("meta") else {}
+        ttl = int(meta.get("ttl", 0) or 0)
+        if ttl <= 0:
+            continue
+        for c in store.collections(db["db_addr"]).collect():
+            col = c["col_name"]
+            state = store.current_state(db["db_addr"], col).withColumn(
+                "_bn", F.get_json_object("doc", "$.block_number").cast("long")
+            )
+            hw = (
+                now_block
+                if now_block is not None
+                else (
+                    state.agg(F.max("_bn").alias("m")).collect()[0]["m"] or 0
+                )
+            )
+            cutoff = hw - ttl
+            if cutoff < 0:
+                continue
+            expired = state.filter(F.col("_bn") <= cutoff)
+            block, order = store.state.next_order()
+            tombstones = expired.select(
+                "doc_id",
+                "owner",
+                F.lit(None).cast("string").alias("doc"),
+                F.lit("D").alias("op"),
+                F.lit(block).cast("long").alias("block"),
+                F.lit(order).cast("int").alias("order"),
+            ).persist()
+            n = tombstones.count()
+            if n:
+                tombstones.coalesce(1).write.mode("append").parquet(
+                    store._data_path(db["db_addr"], col)
+                )
+                counts[f"{db['db_addr']}/{col}"] = n
+            tombstones.unpersist()
+    return counts
+
+
 class EventProcessor:
     """Tail a log source and append decoded docs to per-event collections.
 

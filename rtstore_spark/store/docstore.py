@@ -197,6 +197,21 @@ class DocStore:
     def databases(self) -> DataFrame:
         return self._read(self._db_path(), self.DB_SCHEMA)
 
+    def databases_latest(self) -> list[dict]:
+        """Live databases: latest catalog row per address, tombstones
+        (db_type='deleted') excluded — the M6 visibility contract."""
+        w = Window.partitionBy("db_addr").orderBy(
+            F.col("block").desc(), F.col("order").desc()
+        )
+        return [
+            r.asDict()
+            for r in self.databases()
+            .withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1 AND db_type != 'deleted'")
+            .drop("_rn")
+            .collect()
+        ]
+
     def collections(self, db_addr: str | None = None) -> DataFrame:
         """Latest catalog row per (db, collection) — AddIndex appends versions."""
         df = self._read(self._col_path(), self.COL_SCHEMA)
