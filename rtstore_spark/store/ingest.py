@@ -43,25 +43,34 @@ def verify_signature(
     if mode == "none":
         return
     if mode == "eip712":
-        if not _HAS_ETH:
-            raise InvalidMutation("eip712 verification requires eth_account")
-        # typed-data shape from mutation_utils.rs:93-136:
-        # Message: [{payload: bytes}, {nonce: string}]
-        typed = {
-            "types": {
-                "EIP712Domain": [{"name": "name", "type": "string"}],
-                "Message": [
-                    {"name": "payload", "type": "bytes"},
-                    {"name": "nonce", "type": "string"},
-                ],
-            },
-            "primaryType": "Message",
-            "domain": {"name": "db3.network"},
-            "message": {"payload": payload.encode(), "nonce": str(nonce)},
-        }
-        recovered = Account.recover_message(
-            encode_typed_data(full_message=typed), signature=signature
-        )
+        # The SDK signs {payload: bytes, nonce: string} typed data with an
+        # EMPTY domain (db3_account.ts:104-121); the node recovers the
+        # address (mutation_utils.rs:60-91). Recovery runs on the built-in
+        # pure-Python secp256k1 path; when eth_account is installed its
+        # battle-tested implementation is used instead (same typed data).
+        if _HAS_ETH:  # pragma: no cover - not installed in this container
+            typed = {
+                "types": {
+                    "EIP712Domain": [],
+                    "Message": [
+                        {"name": "payload", "type": "bytes"},
+                        {"name": "nonce", "type": "string"},
+                    ],
+                },
+                "primaryType": "Message",
+                "domain": {},
+                "message": {"payload": payload.encode(), "nonce": str(nonce)},
+            }
+            recovered = Account.recover_message(
+                encode_typed_data(full_message=typed), signature=signature
+            )
+        else:
+            from rtstore_spark.crypto.eip712 import recover_mutation_signer
+
+            try:
+                recovered = recover_mutation_signer(payload, nonce, signature)
+            except (ValueError, AssertionError) as e:
+                raise InvalidMutation(f"malformed signature: {e}") from e
         if recovered.lower() != sender.lower():
             raise InvalidMutation(f"signature recovers {recovered}, not {sender}")
         return
