@@ -33,6 +33,22 @@ def merge_patch(target: Any, patch: Any) -> Any:
     return out
 
 
+def compose_patches(p1: Any, p2: Any) -> Any:
+    """Compose two RFC 7386 patches: ``apply(apply(d, p1), p2) ==
+    apply(d, compose_patches(p1, p2))``. Unlike ``merge_patch``, null
+    values are PRESERVED (they must keep deleting when the composed patch
+    is applied later)."""
+    if not isinstance(p2, dict) or not isinstance(p1, dict):
+        return p2
+    out = dict(p1)
+    for k, v in p2.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = compose_patches(out[k], v)
+        else:
+            out[k] = v  # scalars AND nulls win
+    return out
+
+
 def make_json_merge_patch():
     """Build the Arrow-batched merge UDF for two JSON-text columns.
 

@@ -257,6 +257,41 @@ def jql_query(
     return apply_stages(df.filter(pred), q, doc_col=doc_col, order_col=order_col)
 
 
+def _apply_patch(
+    df: DataFrame, patches: list[dict], doc_col: str | None
+) -> DataFrame:
+    """EJDB2 ``| apply {json}`` collector: RFC 7386 merge-patch every
+    matched document *in the result set* (a read-side transform — the
+    stored collection is untouched; persistent updates go through M3).
+
+    Multiple applies compose in source order. Doc mode patches through the
+    Arrow-batched merge UDF with the composed patch as a literal — one
+    constant per batch, matched rows only. Native-column mode supports
+    top-level scalar set/delete (null drops the column)."""
+    import json as _json
+
+    from rtstore_spark.functions.merge_patch import (
+        compose_patches,
+        make_json_merge_patch,
+    )
+
+    folded = patches[0]
+    for p in patches[1:]:
+        folded = compose_patches(folded, p)
+    if doc_col is not None:
+        merge = make_json_merge_patch()
+        return df.withColumn(
+            doc_col, merge(F.col(doc_col), F.lit(_json.dumps(folded)))
+        )
+    for k, v in folded.items():
+        if isinstance(v, dict):
+            raise QueryError(
+                "JQL: nested apply patches need document mode (doc_col)"
+            )
+        df = df.drop(k) if v is None else df.withColumn(k, F.lit(v))
+    return df
+
+
 def apply_stages(
     out: DataFrame,
     q: JQLQuery,
@@ -274,6 +309,7 @@ def apply_stages(
     order: list[tuple[str, str]] = []
     project: list[str] | None = None
     count = False
+    patches: list[dict] = []
     for a in q.applies:
         if a.kind == "limit":
             limit_n = a.args[0]
@@ -285,11 +321,16 @@ def apply_stages(
             project = a.args
         elif a.kind == "count":
             count = True
+        elif a.kind == "apply":
+            patches.append(a.args[0])
 
     if count:
         # `/* | count` returns the match count and zero documents
         # (doc_store.rs:398-411) — a pure aggregate, no sort, no collect.
         return out.agg(F.count(F.lit(1)).alias("count"))
+
+    if patches:
+        out = _apply_patch(out, patches, doc_col)
 
     resolver = FieldResolver(out, doc_col=doc_col)
     if order:

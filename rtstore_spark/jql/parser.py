@@ -18,7 +18,7 @@ Supported grammar (informal):
     value     := int | float | bool | 'str' | "str" | bareword
                | '?' | ':name' | '[' value (',' value)* ']'
     apply     := '|' ( '/{' f (',' f)* '}' | 'count' | 'limit' n | 'skip' n
-               | 'asc' '/'f | 'desc' '/'f )
+               | 'asc' '/'f | 'desc' '/'f | 'apply' json-object )
 
 Examples from the reference test-suite (the acceptance contract):
     /*                                  doc_store.rs:424-431
@@ -348,9 +348,43 @@ class _Parser:
             raise QueryError(f"JQL: trailing token {tok[1]!r}")
 
 
+_APPLY_HEAD_RE = re.compile(r"\|\s*apply\b")
+
+
+def _extract_apply_patches(query: str) -> tuple[str, list[dict]]:
+    """Cut ``| apply {json}`` collectors out of the raw string (JSON can't
+    go through the JQL tokenizer — ``"k": v`` key colons collide with named
+    placeholders) and return the remaining query plus the patches in
+    source order."""
+    import json
+
+    dec = json.JSONDecoder()
+    patches: list[dict] = []
+    parts: list[str] = []
+    pos = 0
+    while (m := _APPLY_HEAD_RE.search(query, pos)) is not None:
+        parts.append(query[pos : m.start()])
+        j = m.end()
+        while j < len(query) and query[j].isspace():
+            j += 1
+        try:
+            patch, pos = dec.raw_decode(query, j)
+        except ValueError as e:
+            raise QueryError(f"JQL: apply needs a JSON object ({e})") from e
+        if not isinstance(patch, dict):
+            raise QueryError("JQL: apply patch must be a JSON object")
+        patches.append(patch)
+    parts.append(query[pos:])
+    return "".join(parts), patches
+
+
 def parse_jql(query: str) -> JQLQuery:
     """Parse a JQL query string into an AST."""
     query = query.strip()
     if not query:
         raise QueryError("JQL: empty query")
-    return _Parser(_tokenize(query)).parse()
+    query, patches = _extract_apply_patches(query)
+    q = _Parser(_tokenize(query.strip())).parse()
+    for p in patches:
+        q.applies.append(Apply(kind="apply", args=[p]))
+    return q

@@ -141,6 +141,42 @@ class TestDocQueries:
         out = jql_query(people, "/pets/[kind = dog]", doc_col="doc", order_col="doc_id")
         assert docs(out)[0]["city"] == "shanghai"
 
+    def test_apply_patch(self, people):
+        """EJDB2 `| apply {json}`: merge-patch matched docs in the result
+        set (read-side; storage untouched)."""
+        out = jql_query(
+            people, '/[city = beijing] | apply {"vip": true, "age": 11}',
+            doc_col="doc", order_col="doc_id",
+        )
+        assert docs(out) == [{"city": "beijing", "age": 11, "vip": True}]
+
+    def test_apply_null_deletes_and_nested_merges(self, people):
+        out = jql_query(
+            people,
+            '/[city = shanghai] | apply {"pets": null, "meta": {"ok": 1}}',
+            doc_col="doc", order_col="doc_id",
+        )
+        d = docs(out)[0]
+        assert "pets" not in d and d["meta"] == {"ok": 1}
+
+    def test_apply_composes_and_pipelines(self, people):
+        out = jql_query(
+            people,
+            '/* | apply {"a": 1, "b": 1} | asc /age | limit 2 | apply {"b": 2}',
+            doc_col="doc", order_col="doc_id",
+        )
+        got = [{k: d[k] for k in ("city", "a", "b")} for d in docs(out)]
+        assert got == [
+            {"city": "beijing", "a": 1, "b": 2},
+            {"city": "beijing2", "a": 1, "b": 2},
+        ]
+
+    def test_apply_errors(self, people):
+        with pytest.raises(QueryError, match="JSON object"):
+            parse_jql("/* | apply [1, 2]")
+        with pytest.raises(QueryError):
+            parse_jql("/* | apply notjson")
+
     def test_not_clause(self, people):
         out = jql_query(people, "not /[city = beijing]", doc_col="doc", order_col="doc_id")
         assert out.count() == 2
@@ -194,3 +230,16 @@ class TestNativeColumns:
         df = load_table(spark, sf_dir, "events")
         out = jql_query(df, "/[props.k > 50] | count")
         assert out.collect()[0]["count"] > 0
+
+    def test_native_apply_scalar_and_delete(self, spark, sf_dir):
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = jql_query(
+            df, '/[lang = en] | apply {"tier": "gold", "text": null} | limit 5',
+            order_col="doc_id",
+        )
+        rows = out.collect()
+        assert "text" not in out.columns
+        assert all(r["tier"] == "gold" for r in rows)
+        # nested patches need a JSON doc column
+        with pytest.raises(QueryError, match="document mode"):
+            jql_query(df, '/* | apply {"m": {"x": 1}}', order_col="doc_id")
