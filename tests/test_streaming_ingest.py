@@ -67,6 +67,52 @@ class TestStreamingIngest:
 
 
 class TestMetaStore:
+    def test_live_processing_time_trigger(self, spark, tmp_path):
+        """The continuous topology: a running processingTime query picks up
+        envelope files dropped AFTER start, closing one block per trigger —
+        availableNow covers the batch semantics, this covers the live loop."""
+        import time
+
+        store = DocStore(spark, str(tmp_path / "w"))
+        ing = Ingest(store)
+        si = StreamingIngest(
+            spark, ing, str(tmp_path / "staging"), interval="1 seconds"
+        )
+        q = si.start()  # live trigger
+        try:
+            (tmp_path / "staging" / "live1.jsonl").write_text(
+                json.dumps(
+                    envelope(
+                        {"action": "create_database", "body": {"desc": "live"}},
+                        ALICE, 1,
+                    )
+                )
+            )
+            deadline = time.time() + 60
+            while time.time() < deadline and not store.databases().head(1):
+                time.sleep(1)
+            rows = store.databases().collect()
+            assert rows and rows[0]["desc"] == "live"
+            db = rows[0]["db_addr"]
+
+            # a second file lands in a LATER block than the first
+            (tmp_path / "staging" / "live2.jsonl").write_text(
+                json.dumps(
+                    envelope(
+                        {"action": "add_collection", "db_addr": db,
+                         "col_name": "c", "body": {}},
+                        ALICE, 2,
+                    )
+                )
+            )
+            while time.time() < deadline and not store.collections(db).head(1):
+                time.sleep(1)
+            cols = store.collections(db).collect()
+            assert [c["col_name"] for c in cols] == ["c"]
+            assert cols[0]["block"] > rows[0]["block"]
+        finally:
+            q.stop()
+
     def test_mint_from_registry_events(self, spark, tmp_path):
         store = DocStore(spark, str(tmp_path / "w"))
         fixture = tmp_path / "meta.jsonl"
