@@ -213,25 +213,76 @@ def jaccard_verify(
     )
 
 
+def connected_components(
+    edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Exact connected components by min-label propagation to fixpoint:
+    (id, comp) where comp = the minimum id in the node's component.
+
+    Each round: every node takes min(own label, neighbor labels) — one
+    join + one partial-agg shuffle over the edge list; terminates when no
+    label changes (checked with a cheap count on the changed set).
+    Converges in O(graph diameter) rounds — near-dup graphs are dense
+    clusters with tiny diameters, so 3-4 rounds is typical. Lineage is
+    truncated per round (localCheckpoint) so plans stay flat.
+    """
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .head(1)
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels
+
+
 def minhash_dedup(
     df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8,
     num_hashes: int = 8, bands: int = 4, shingle_n: int = 3,
 ) -> DataFrame:
     """Full near-dup pipeline: ids to DROP (keep the lowest id per group).
 
-    Connected components are approximated by one union-find round: each doc
-    maps to min(neighbor ids ∪ self); sufficient for the dominant
-    pairs-within-one-cluster case. Iterate to a fixpoint for exact CC.
+    Duplicate groups are EXACT connected components of the verified-pair
+    graph (min-label propagation to fixpoint) — a single union-find round
+    would split transitive chains (a~b, b~c with a≁c) into two groups and
+    keep a document it should drop.
     """
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     cand = lsh_candidate_pairs(sig, bands, num_hashes // bands)
     verified = jaccard_verify(df, cand, text_col, id_col, threshold, shingle_n)
-    edges = verified.select("id_a", "id_b")
-    drop = (
-        edges.groupBy("id_b").agg(F.min("id_a").alias("keep"))
-        .select(F.col("id_b").alias("drop_id"), "keep")
+    comp = connected_components(verified.select("id_a", "id_b"))
+    return comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("drop_id"), F.col("comp").alias("keep")
     )
-    return drop
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:

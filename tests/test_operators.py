@@ -59,6 +59,19 @@ class TestDedup:
         assert dropped.get(1) == 0  # duplicate 1 dropped in favor of 0
         assert 3 not in dropped and 4 not in dropped
 
+    def test_connected_components_transitive_chain(self, spark):
+        """A transitive chain 1-2-3-4 must collapse into ONE group labeled
+        by its minimum id (a single union-find round would split it), and
+        disjoint components stay separate."""
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11)], ["id_a", "id_b"]
+        )
+        comp = {
+            r["id"]: r["comp"]
+            for r in dedup.connected_components(edges).collect()
+        }
+        assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
     def test_simhash_close_for_neardups(self, corpus):
         out = {r["id"]: r["simhash"] for r in dedup.simhash(corpus, "text", "id").collect()}
 
