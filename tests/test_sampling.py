@@ -1,0 +1,121 @@
+"""Deterministic sampling + contamination ops, cross-checked against DuckDB
+running the equivalent SQL on the same parquet (oracle-grade, but outside
+the 50-entry driver inventory)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from rtstore_spark.operators import sampling
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+class TestStratifiedSample:
+    def test_uniform_sample_matches_duckdb(self, docs, sf_dir):
+        out = sampling.stratified_sample(docs, "doc_id", 0.25, seed="s1")
+        got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+        oracle = duckdb.sql(
+            f"""
+            SELECT doc_id FROM '{sf_dir}/documents.parquet'
+            WHERE ('0x' || substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 1000000 < 250000
+            ORDER BY doc_id
+            """
+        ).fetchall()
+        assert got == [r[0] for r in oracle]
+        # deterministic: the same seed reproduces the same rows
+        again = sampling.stratified_sample(docs, "doc_id", 0.25, seed="s1")
+        assert sorted(r["doc_id"] for r in again.select("doc_id").collect()) == got
+        # a different seed draws a different sample
+        other = sampling.stratified_sample(docs, "doc_id", 0.25, seed="s2")
+        assert sorted(r["doc_id"] for r in other.select("doc_id").collect()) != got
+
+    def test_per_stratum_fractions(self, docs):
+        langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+        assert "en" in langs
+        out = sampling.stratified_sample(
+            docs, "doc_id", {"en": 1.0, "fr": 0.0}, strata_col="lang"
+        )
+        got = out.groupBy("lang").count().collect()
+        by_lang = {r["lang"]: r["count"] for r in got}
+        assert by_lang.get("en") == docs.filter(F.col("lang") == "en").count()
+        assert "fr" not in by_lang  # fraction 0
+        assert set(by_lang) == {"en"}  # unlisted strata dropped
+
+    def test_fraction_accuracy(self, docs):
+        n = docs.count()
+        k = sampling.stratified_sample(docs, "doc_id", 0.5, seed="acc").count()
+        assert abs(k / n - 0.5) < 0.15  # hash-uniformity at 500 rows
+
+    def test_sample_is_pushed_filter(self, docs):
+        out = sampling.stratified_sample(docs, "doc_id", 0.1)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # pure filter: no shuffle anywhere
+
+
+class TestNgramContamination:
+    def test_known_overlap(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog tonight"),
+                (2, "completely unrelated text with no benchmark overlap at all"),
+                (3, "we said the quick brown fox jumps over the lazy dog"),
+            ],
+            ["doc_id", "text"],
+        )
+        bench = spark.createDataFrame(
+            [(100, "THE QUICK brown fox jumps over the lazy dog")],
+            ["doc_id", "text"],
+        )
+        out = sampling.ngram_contamination(corpus, bench, "text", "doc_id", n=8)
+        rows = {(r["corpus_id"], r["bench_id"]): r["shared_ngrams"] for r in out.collect()}
+        # doc 1 and 3 both contain the 8-gram span (case-insensitive)
+        assert set(rows) == {(1, 100), (3, 100)}
+        assert all(v >= 1 for v in rows.values())
+
+    def test_matches_duckdb_oracle(self, spark, sf_dir):
+        """Self-contamination of documents: every doc with ≥ n tokens shares
+        its own n-grams; DuckDB computes the same pairs."""
+        corpus = spark.createDataFrame(
+            [(i, f"token{i} alpha beta gamma delta epsilon zeta eta theta") for i in range(6)],
+            ["doc_id", "text"],
+        )
+        bench = corpus.filter(F.col("doc_id") < 2)
+        out = sampling.ngram_contamination(corpus, bench, "text", "doc_id", n=3)
+        got = sorted(
+            (r["corpus_id"], r["bench_id"], r["shared_ngrams"])
+            for r in out.collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE c(doc_id BIGINT, text VARCHAR)")
+        con.execute("CREATE TABLE b(doc_id BIGINT, text VARCHAR)")
+        for i in range(6):
+            t = f"token{i} alpha beta gamma delta epsilon zeta eta theta"
+            con.execute("INSERT INTO c VALUES (?, ?)", [i, t])
+            if i < 2:
+                con.execute("INSERT INTO b VALUES (?, ?)", [i, t])
+        oracle = con.execute(
+            """
+            WITH cg AS (
+              SELECT DISTINCT doc_id AS corpus_id,
+                     array_to_string(toks[i:i+2], ' ') AS gram
+              FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM c),
+                   UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+            ), bg AS (
+              SELECT DISTINCT doc_id AS bench_id,
+                     array_to_string(toks[i:i+2], ' ') AS gram
+              FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM b),
+                   UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+            )
+            SELECT corpus_id, bench_id, COUNT(*) AS shared
+            FROM cg JOIN bg USING (gram)
+            GROUP BY 1, 2 ORDER BY 1, 2
+            """
+        ).fetchall()
+        assert got == [(r[0], r[1], r[2]) for r in oracle]
