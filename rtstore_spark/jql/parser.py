@@ -351,6 +351,29 @@ class _Parser:
 _APPLY_HEAD_RE = re.compile(r"\|\s*apply\b")
 
 
+def _next_apply_head(query: str, start: int):
+    """Find the next ``| apply`` OUTSIDE quoted string literals (a filter
+    value like ``'x | apply y'`` must not be treated as a collector)."""
+    quote = None
+    i = start
+    while i < len(query):
+        ch = query[i]
+        if quote:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "|":
+            m = _APPLY_HEAD_RE.match(query, i)
+            if m:
+                return m
+        i += 1
+    return None
+
+
 def _extract_apply_patches(query: str) -> tuple[str, list[dict]]:
     """Cut ``| apply {json}`` collectors out of the raw string (JSON can't
     go through the JQL tokenizer — ``"k": v`` key colons collide with named
@@ -362,7 +385,7 @@ def _extract_apply_patches(query: str) -> tuple[str, list[dict]]:
     patches: list[dict] = []
     parts: list[str] = []
     pos = 0
-    while (m := _APPLY_HEAD_RE.search(query, pos)) is not None:
+    while (m := _next_apply_head(query, pos)) is not None:
         parts.append(query[pos : m.start()])
         j = m.end()
         while j < len(query) and query[j].isspace():

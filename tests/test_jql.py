@@ -171,6 +171,14 @@ class TestDocQueries:
             {"city": "beijing2", "a": 1, "b": 2},
         ]
 
+    def test_apply_text_inside_string_literal_is_not_a_collector(self, people):
+        q = parse_jql("/[city = 'x | apply y'] | limit 1")
+        assert [a.kind for a in q.applies] == ["limit"]
+        # and a real apply AFTER such a literal still parses
+        q2 = parse_jql('/[city = "a | apply b"] | apply {"t": 1}')
+        assert [a.kind for a in q2.applies] == ["apply"]
+        assert q2.applies[0].args[0] == {"t": 1}
+
     def test_apply_errors(self, people):
         with pytest.raises(QueryError, match="JSON object"):
             parse_jql("/* | apply [1, 2]")
