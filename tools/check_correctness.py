@@ -58,9 +58,11 @@ def main() -> int:
 
     only = set(sys.argv[1:])
     failures = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
@@ -101,7 +103,7 @@ def main() -> int:
             continue
         print(f"ok {name}: rows={len(srows)}")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    print(f"\n{ran - len(failures)}/{ran} pass ({len(qs)} registered)")
     return 1 if failures else 0
 
 
