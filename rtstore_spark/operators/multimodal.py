@@ -115,6 +115,57 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_images(
+    media: DataFrame, width: int, height: int, decode_stub: bool = True
+) -> DataFrame:
+    """Image resize over Arrow batches: same MEDIA_SCHEMA out, with
+    ``meta.width/height`` set to the target and ``content`` replaced by the
+    re-encoded bytes.
+
+    Stub codec: deterministic byte fold to width*height bytes (tests can
+    assert exact sizes/values); a real build swaps the closure body for
+    PIL ``Image.open(...).resize(...)``. Output rows shrink to roughly
+    width×height, so downstream partitions stay balanced without a
+    repartition — the narrow mapInPandas preserves partitioning.
+    """
+    w, h, stub = width, height, decode_stub
+
+    def run(batches):
+        import pandas as pd
+
+        def fake_resize(b: bytes | None) -> bytes:
+            if not stub:
+                raise NotImplementedError(
+                    "real resize requires an imaging library; "
+                    "run with decode_stub=True"
+                )
+            if not b:
+                return bytes(w * h)
+            # deterministic fold: cycle the source bytes into the target size
+            reps = (w * h + len(b) - 1) // len(b)
+            return (bytes(b) * reps)[: w * h]
+
+        for pdf in batches:
+            out = pdf.copy()
+            out["content"] = pdf["content"].map(fake_resize)
+            meta = pd.DataFrame(
+                {
+                    "mime": pdf["meta"].map(lambda m: (m or {}).get("mime")),
+                    "width": w,
+                    "height": h,
+                    "duration_ms": pdf["meta"].map(
+                        lambda m: (m or {}).get("duration_ms")
+                    ),
+                }
+            )
+            out["meta"] = meta.to_dict("records")
+            yield out
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling: one output row per sampled frame offset.
 

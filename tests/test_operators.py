@@ -256,6 +256,22 @@ class TestMultimodal:
         with pytest.raises(Exception, match="NotImplementedError|decode"):
             extract_features(media, decode_stub=False).collect()
 
+    def test_resize_images(self, media):
+        from rtstore_spark.operators.multimodal import resize_images
+
+        out = resize_images(media, width=8, height=4).collect()
+        by_id = {r["media_id"]: r for r in out}
+        assert set(by_id) == {1, 2, 3}  # image rows only, schema preserved
+        assert all(len(r["content"]) == 32 for r in out)
+        assert all(
+            (r["meta"]["width"], r["meta"]["height"]) == (8, 4) for r in out
+        )
+        # deterministic stub: cycled source bytes / zero-fill for empty
+        assert by_id[2]["content"] == b"\xff" * 32
+        assert by_id[3]["content"] == bytes(32)
+        with pytest.raises(Exception, match="NotImplementedError|resize"):
+            resize_images(media, 4, 4, decode_stub=False).collect()
+
     def test_frame_sample(self, spark):
         rows = [Row(mid=1, blob=b"xx")]
         vid = attach_media(spark.createDataFrame(rows), "mid", "blob", "video")
