@@ -10,6 +10,7 @@ or silently fall back past the threshold on a real cluster.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from rtstore_spark.tables import _parse_size, maybe_broadcast, table_size_bytes
 
@@ -105,3 +106,39 @@ class TestSizeConditionalBroadcast:
             assert "BroadcastHashJoin" not in orders_join
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+class TestSkewJoin:
+    @pytest.fixture()
+    def skewed(self, spark):
+        # key 7 owns ~60% of the fact
+        hot = spark.range(600).select(F.lit(7).alias("k"), F.col("id").alias("v"))
+        tail = spark.range(400).select(
+            (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+        )
+        return hot.unionByName(tail)
+
+    @pytest.fixture()
+    def dim(self, spark):
+        return spark.range(50).select(
+            F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+        )
+
+    def test_result_equivalence_inner_and_left(self, spark, skewed, dim):
+        from rtstore_spark.operators.skew import skew_join
+
+        for how in ("inner", "left"):
+            plain = skewed.join(dim, "k", how).orderBy("k", "v")
+            routed = skew_join(skewed, dim, "k", hot=[7], how=how).orderBy("k", "v")
+            assert routed.collect() == plain.collect()
+
+    def test_hot_detection_and_plan_shape(self, spark, skewed, dim):
+        from rtstore_spark.operators.skew import hot_keys, skew_join
+
+        hot = hot_keys(skewed, "k", min_share=0.3)
+        assert hot == [7]
+        out = skew_join(skewed, dim, "k", min_share=0.3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the hot route is a broadcast join; the tail keeps the default plan
+        assert "BroadcastHashJoin" in plan
+        assert out.count() == skewed.join(dim, "k").count()
