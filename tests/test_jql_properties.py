@@ -153,3 +153,43 @@ def test_int64_json_filters_exact(spark, pivot, op, offset):
     }[op]
     want = [i for i, v in enumerate(vals) if pyop(v, lit)]
     assert got == want, f"v {op} {lit} over {vals}"
+
+
+_json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**31), max_value=2**31),
+    st.text(alphabet="abcxyz", max_size=6),
+)
+_json_objects = st.recursive(
+    st.dictionaries(
+        st.text(alphabet="abcde", min_size=1, max_size=3), _json_scalars, max_size=4
+    ),
+    lambda inner: st.dictionaries(
+        st.text(alphabet="abcde", min_size=1, max_size=3),
+        st.one_of(_json_scalars, inner),
+        max_size=4,
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(doc=_json_objects, p1=_json_objects, p2=_json_objects)
+def test_apply_collector_matches_rfc7386(spark, doc, p1, p2):
+    """`| apply {p1} | apply {p2}` over a random doc equals the pure-Python
+    RFC 7386 merge applied sequentially — pinning both the patch
+    composition rule and the Arrow UDF against the spec implementation."""
+    import json
+
+    from rtstore_spark.functions.merge_patch import merge_patch
+
+    df = spark.createDataFrame(
+        [(1, json.dumps(doc, sort_keys=True))], "doc_id long, doc string"
+    )
+    q = f"/* | apply {json.dumps(p1)} | apply {json.dumps(p2)}"
+    out = jql_query(df, q, doc_col="doc", order_col="doc_id").collect()
+    got = json.loads(out[0]["doc"])
+    want = merge_patch(merge_patch(doc, p1), p2)
+    assert got == want
