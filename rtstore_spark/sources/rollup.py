@@ -34,6 +34,17 @@ ROLLUP_SCHEMA = T.StructType(
     ]
 )
 
+# GcRecord (db3_rollup.proto:22-28)
+GC_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("start_block", T.LongType(), False),
+        T.StructField("end_block", T.LongType(), False),
+        T.StructField("data_size", T.LongType(), False),
+        T.StructField("time", T.LongType(), False),
+        T.StructField("processed_time", T.LongType(), False),
+    ]
+)
+
 MANIFEST_SCHEMA = T.StructType(
     [
         T.StructField("tx_id", T.StringType(), False),
@@ -136,15 +147,23 @@ class RollupExecutor:
     def gc(self, store, min_gc_offset: int = 0) -> int:
         """Delete mutation-log rows already rolled up, keeping the newest
         ``min_gc_offset`` rollup rounds of history (rollup_executor.rs:169-238).
+        Appends a GcRecord row (db3_rollup.proto:22-28) per round.
 
         Returns the GC watermark block (exclusive)."""
         rounds = self.manifest().orderBy(F.col("end_block").desc()).collect()
         if len(rounds) <= min_gc_offset:
             return 0
         watermark = rounds[min_gc_offset]["end_block"] + 1
-        log_df = store.mutation_log().filter(F.col("block") >= watermark)
+        t0 = time.time()
+        kept = store.mutation_log().filter(F.col("block") >= watermark)
+        removed_size = (
+            store.mutation_log()
+            .filter(F.col("block") < watermark)
+            .agg(F.coalesce(F.sum(F.length("payload")), F.lit(0)).alias("s"))
+            .collect()[0]["s"]
+        )
         tmp = store._log_path() + ".gc"
-        log_df.write.mode("overwrite").partitionBy("block_bucket").parquet(tmp)
+        kept.write.mode("overwrite").partitionBy("block_bucket").parquet(tmp)
         import shutil
 
         old = store._log_path() + ".old"
@@ -152,7 +171,39 @@ class RollupExecutor:
             os.rename(store._log_path(), old)
         os.rename(tmp, store._log_path())
         shutil.rmtree(old, ignore_errors=True)
+        record = {
+            "start_block": 0,
+            "end_block": int(watermark - 1),
+            "data_size": int(removed_size),
+            "time": int(t0 * 1000),
+            "processed_time": int((time.time() - t0) * 1000),
+        }
+        self.spark.createDataFrame([record], schema=GC_RECORD_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(os.path.join(self.root, "gc_records"))
         return watermark
+
+    def scan_gc_records(self, offset: int = 0, limit: int = 50) -> DataFrame:
+        """ScanGcRecord (db3_storage.proto:146-153): newest-first page."""
+        path = os.path.join(self.root, "gc_records")
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], schema=GC_RECORD_SCHEMA)
+        return (
+            self.spark.read.schema(GC_RECORD_SCHEMA)
+            .parquet(path)
+            .orderBy(F.col("end_block").desc())
+            .offset(offset)
+            .limit(min(limit, 50))
+        )
+
+    def scan_rollup_records(self, offset: int = 0, limit: int = 50) -> DataFrame:
+        """ScanRollupRecord: the manifest, newest-first, capped page."""
+        return (
+            self.manifest()
+            .orderBy(F.col("end_block").desc())
+            .offset(offset)
+            .limit(min(limit, 50))
+        )
 
     # -- recovery (S10): rollup files → mutation rows, ordered --
 

@@ -552,6 +552,11 @@ class DocStore:
             .drop("payload")
         )
 
+    def get_block(self, block: int) -> DataFrame:
+        """GetBlock (db3_storage.proto): every mutation of one block, in
+        order — the partition-pruned single-block form of S3."""
+        return self.get_range_mutations(block, block + 1)
+
     def mutation_state(self) -> dict:
         """GetMutationState: node-level totals (db3_base.proto:52-63;
         mutation_store.rs:173-196) — one aggregate scan of the log."""

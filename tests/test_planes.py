@@ -112,6 +112,31 @@ class TestRollup:
         assert watermark == row2["end_block"] + 1
         assert store.mutation_log().count() == 0
 
+    def test_gc_and_rollup_record_scans(self, spark, tmp_path):
+        """ScanGcRecord / ScanRollupRecord / GetBlock round out the
+        StorageNode record surface (db3_storage.proto:146-153,198)."""
+        store = DocStore(spark, str(tmp_path / "wrec"))
+        db = store.create_database(ALICE, nonce=1)
+        store.create_collection(db, "c", [], ALICE)
+        store.state.next_block()
+        store.add_docs(db, "c", ['{"v": 1}'], ALICE)
+        store.state.next_block()
+
+        # GetBlock: single-block mutation read (pre-gc, while the log has it)
+        blk = store.get_block(1).collect()
+        assert [r["action"] for r in blk] == ["add_document"]
+
+        ex = RollupExecutor(spark, str(tmp_path / "wrec"))
+        row = ex.rollup(store.mutation_log(), open_block=store.state.block)
+        assert ex.scan_rollup_records().count() == 1
+
+        assert ex.scan_gc_records().count() == 0  # no gc yet
+        watermark = ex.gc(store, min_gc_offset=0)
+        recs = ex.scan_gc_records().collect()
+        assert len(recs) == 1
+        assert recs[0]["end_block"] == watermark - 1 == row["end_block"]
+        assert recs[0]["data_size"] > 0  # removed payload bytes accounted
+
     def test_golden_reference_rollup_parquet(self, spark):
         """Round-trip the reference node's own checked-in rollup artifact —
         the one concrete cross-engine compatibility proof available. Mirrors
