@@ -1,0 +1,103 @@
+"""End-to-end corpus preparation: the composition a training-data run
+actually executes, as one lazy DataFrame plan.
+
+Stages (each individually oracle-tested elsewhere; this module wires them):
+
+1. quality gate    — Column-algebra features, pushed-down filter
+2. language gate   — stopword-vote lang-id, keep an allowlist
+3. exact dedup     — md5 canonical-form groupBy, keep lowest id
+4. near dedup      — MinHash/LSH candidates → Jaccard verify → exact
+                     connected components → drop non-representatives
+5. sampling        — deterministic per-language hash-gated fractions
+
+Laziness matters at 100 TB: stages 1-2 are pure filters that reach the
+parquet scan, 3 is one partial-agg shuffle, 4 is bucket-bounded, 5 is a
+filter again — Catalyst sees the whole pipeline and prunes columns/rows
+once, instead of materializing between stages.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rtstore_spark.operators import dedup, text
+from rtstore_spark.operators.sampling import stratified_sample
+
+
+@dataclass
+class CorpusPrepConfig:
+    min_tokens: int = 10
+    max_tokens: int = 100_000
+    max_digit_ratio: float = 0.3
+    langs: list[str] = field(default_factory=lambda: ["en", "fr", "de", "es"])
+    near_dup_threshold: float = 0.8
+    sample_fractions: dict[str, float] | float = 1.0
+    sample_seed: str = "corpus"
+
+
+def prepare_corpus(
+    df: DataFrame, text_col: str, id_col: str, cfg: CorpusPrepConfig | None = None
+) -> DataFrame:
+    """Full prep pipeline → the kept rows of ``df`` (original columns),
+    annotated with ``lang``. Deterministic end to end: same input, same
+    config ⇒ byte-identical corpus, on any cluster size."""
+    cfg = cfg or CorpusPrepConfig()
+
+    # 1. quality gate (pure Column algebra — no shuffle)
+    q = text.quality_features(df, text_col, id_col)
+    ok_q = q.filter(
+        (F.col("n_tokens") >= cfg.min_tokens)
+        & (F.col("n_tokens") <= cfg.max_tokens)
+        & (F.col("digit_ratio") <= cfg.max_digit_ratio)
+    ).select("id")
+
+    # 2. language gate
+    lang = text.lang_id(df, text_col, id_col).select(
+        "id", F.col("pred_lang").alias("lang")
+    )
+    ok_l = lang.filter(F.col("lang").isin(cfg.langs))
+
+    kept = (
+        df.join(ok_q.withColumnRenamed("id", id_col), id_col, "leftsemi")
+        .join(ok_l.withColumnRenamed("id", id_col).select(id_col), id_col, "leftsemi")
+    )
+
+    # 3. exact dedup: keep the lowest id per canonical text (the full text
+    # never shuffles — the md5 is the groupBy key)
+    keeps = dedup.exact_dedup(kept, text_col, id_col)
+    hashes = kept.select(
+        F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col)
+    )
+    drop_exact = (
+        hashes.join(keeps, "text_hash")
+        .filter(F.col(id_col) != F.col("keep_id"))
+        .select(id_col)
+    )
+    kept = kept.join(drop_exact, id_col, "left_anti")
+
+    # 4. near dedup on the survivors
+    drop_near = dedup.minhash_dedup(
+        kept, text_col, id_col, threshold=cfg.near_dup_threshold
+    ).select(F.col("drop_id").alias(id_col))
+    kept = kept.join(drop_near, id_col, "left_anti")
+
+    # 5. deterministic sampling (uniform or per-language)
+    if isinstance(cfg.sample_fractions, dict):
+        kept = kept.join(
+            ok_l.withColumnRenamed("id", id_col), id_col
+        )  # need lang col
+        kept = stratified_sample(
+            kept, id_col, cfg.sample_fractions,
+            strata_col="lang", seed=cfg.sample_seed,
+        )
+    elif cfg.sample_fractions < 1.0:
+        kept = stratified_sample(
+            kept, id_col, cfg.sample_fractions, seed=cfg.sample_seed
+        )
+        kept = kept.join(ok_l.withColumnRenamed("id", id_col), id_col)
+    else:
+        kept = kept.join(ok_l.withColumnRenamed("id", id_col), id_col)
+    return kept

@@ -1,0 +1,61 @@
+"""End-to-end corpus-prep pipeline: composition semantics over a crafted
+corpus where every stage has a known victim."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from rtstore_spark.operators.pipeline import CorpusPrepConfig, prepare_corpus
+
+GOOD_EN = (
+    "the quick brown fox jumps over the lazy dog and the cat is in the "
+    "house that it was built near to the river in the morning light"
+)
+GOOD_FR = (
+    "le chat et le chien sont dans la maison et les oiseaux que une "
+    "personne est venue voir des arbres dans le jardin pres de la riviere"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        Row(doc_id=0, body=GOOD_EN),                     # keeper (en)
+        Row(doc_id=1, body=GOOD_EN),                     # exact dup of 0
+        Row(doc_id=2, body=GOOD_EN + " tonight again"),  # near dup of 0
+        Row(doc_id=3, body=GOOD_FR),                     # keeper (fr)
+        Row(doc_id=4, body="short text"),                # fails min_tokens
+        Row(doc_id=5, body="1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18"),
+        # ^ fails digit-ratio gate
+        Row(doc_id=6, body=" ".join(["word"] * 30)),     # no stopwords: 'und'
+    ]
+    return spark.createDataFrame(rows)
+
+
+class TestPrepareCorpus:
+    def test_every_stage_filters_its_victim(self, corpus):
+        cfg = CorpusPrepConfig(min_tokens=10, near_dup_threshold=0.6)
+        out = prepare_corpus(corpus, "body", "doc_id", cfg)
+        rows = {r["doc_id"]: r["lang"] for r in out.collect()}
+        # 1 (exact dup), 2 (near dup), 4 (too short), 5 (digits),
+        # 6 (lang 'und') are all gone; representatives 0 and 3 survive
+        assert rows == {0: "en", 3: "fr"}
+
+    def test_deterministic(self, corpus):
+        cfg = CorpusPrepConfig(min_tokens=10, near_dup_threshold=0.6)
+        a = sorted(r["doc_id"] for r in prepare_corpus(corpus, "body", "doc_id", cfg).collect())
+        b = sorted(r["doc_id"] for r in prepare_corpus(corpus, "body", "doc_id", cfg).collect())
+        assert a == b
+
+    def test_per_language_sampling(self, corpus):
+        cfg = CorpusPrepConfig(
+            min_tokens=10, near_dup_threshold=0.6,
+            sample_fractions={"en": 1.0},  # drop all fr
+        )
+        out = prepare_corpus(corpus, "body", "doc_id", cfg)
+        assert [r["doc_id"] for r in out.collect()] == [0]
+
+    def test_original_columns_preserved(self, corpus):
+        out = prepare_corpus(corpus, "body", "doc_id")
+        assert set(out.columns) == {"doc_id", "body", "lang"}
