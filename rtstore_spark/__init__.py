@@ -11,11 +11,14 @@ re-expresses that surface Spark-first:
 - ``store``      — catalog + document store + mutation log (parquet-backed)
 - ``plans``      — StructuredQuery (Firestore-style protobuf dialect) front-end
 - ``functions``  — scalar helpers (JSON merge-patch, text stats, vectors)
-- ``operators``  — beyond-parity ops: dedup, similarity search, text analysis
+- ``operators``  — beyond-parity ops: dedup, similarity, text, sampling,
+  skew routing, multimodal, corpus-prep pipeline
 - ``sources``    — rollup parquet sink/recovery source, EVM event-log source
 - ``streaming``  — block producer / subscription plane (Structured Streaming)
+- ``system``     — control plane: Setup / system status / contract sync
+- ``crypto``     — pure-Python keccak256 / secp256k1 / EIP-712 recovery
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from rtstore_spark.engine import get_spark  # noqa: F401

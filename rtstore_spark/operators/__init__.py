@@ -5,4 +5,7 @@ Generic DataFrame transforms (no testdata coupling):
 - ``similarity`` — brute-force cosine top-k, hyperplane-LSH ANN
 - ``text``       — language/script ID, quality features, token counts
 - ``multimodal`` — binary media columns: schema, batching, stubbed decode
+- ``sampling``   — deterministic stratified sampling, n-gram contamination
+- ``skew``       — hot-key broadcast-routed joins
+- ``pipeline``   — end-to-end corpus preparation composition
 """
