@@ -75,9 +75,18 @@ def make_admit_fn(initial_nonces: dict[str, int], sig_mode: str):
     """Build the per-sender admission function for ``applyInPandas``.
 
     Closure-factory on purpose: the function is cloudpickled by value, so
-    workers never import this module. Captures only plain data.
+    workers never import this module. Captures only plain data — except in
+    ``eip712`` mode, where the pure-Python recovery modules are registered
+    for by-value pickling (see ``_ship_crypto_by_value``) so workers get
+    the code without importing ``rtstore_spark``.
     Output adds: _mid (sha3(payload ‖ sig)), _ok, _reason.
     """
+    recover = None
+    if sig_mode == "eip712":
+        _ship_crypto_by_value()
+        from rtstore_spark.crypto.eip712 import recover_mutation_signer
+
+        recover = recover_mutation_signer
 
     def admit(pdf):
         import hashlib
@@ -96,6 +105,12 @@ def make_admit_fn(initial_nonces: dict[str, int], sig_mode: str):
                 ).hexdigest()
                 if sig != want:
                     ok, reason = False, "bad signature"
+            elif sig_mode == "eip712":
+                try:
+                    if recover(payload, nonce, sig).lower() != sender.lower():
+                        ok, reason = False, "signature recovers another address"
+                except Exception as e:  # noqa: BLE001 - malformed sig data
+                    ok, reason = False, f"malformed signature: {e}"
             elif sig_mode != "none":
                 ok, reason = False, f"unsupported batch sig mode {sig_mode}"
             if ok:
@@ -118,6 +133,25 @@ def make_admit_fn(initial_nonces: dict[str, int], sig_mode: str):
         )
 
     return admit
+
+
+def _ship_crypto_by_value() -> None:
+    """Register the crypto modules for cloudpickle BY-VALUE shipping.
+
+    Workers cannot import ``rtstore_spark`` when the driver runs from a
+    different cwd (the usual closure trap); by-value registration embeds
+    the module code in the pickled closure instead. Idempotent. The
+    recovery math is a few ms per signature, distributed across senders by
+    the ``groupBy(sender)`` admission — a single-sender block verifies
+    serially (same bound as the reference's one-node verify loop)."""
+    from pyspark import cloudpickle
+
+    import rtstore_spark.crypto.eip712 as _e
+    import rtstore_spark.crypto.keccak as _k
+    import rtstore_spark.crypto.secp256k1 as _s
+
+    for mod in (_k, _s, _e):
+        cloudpickle.register_pickle_by_value(mod)
 
 
 ADMIT_SCHEMA = T.StructType(

@@ -123,6 +123,56 @@ class TestMutationTypedData:
 
 
 class TestEndToEnd:
+    def test_streaming_batch_admission_eip712(self, spark, tmp_path):
+        """The set-wise BatchApplier verifies real EIP-712 signatures on
+        workers (crypto modules shipped by value — workers never import
+        rtstore_spark); a forged envelope is rejected, the rest apply."""
+        import json as _json
+
+        from rtstore_spark.store.docstore import DocStore
+        from rtstore_spark.store.ingest import Ingest
+        from rtstore_spark.streaming.ingest_stream import StreamingIngest
+
+        store = DocStore(spark, str(tmp_path / "w712"))
+        ingest = Ingest(store, sig_mode="eip712")
+        si = StreamingIngest(spark, ingest, str(tmp_path / "staging712"))
+
+        def env(payload: dict, nonce: int, forge: bool = False) -> str:
+            text = _json.dumps(payload, sort_keys=True)
+            sig = "0x" + sign(
+                mutation_signing_hash(text, nonce), PRIV if not forge else 0xBAD
+            ).hex()
+            return _json.dumps(
+                {"payload": text, "signature": sig, "sender": ADDR, "nonce": nonce}
+            )
+
+        lines = [
+            env({"action": "create_database", "body": {"desc": "d"}}, 1),
+        ]
+        (tmp_path / "staging712" / "b1.jsonl").write_text("\n".join(lines))
+        si.start(once=True)
+        db = store.databases().collect()[0]["db_addr"]
+
+        lines = [
+            env({"action": "add_collection", "db_addr": db, "col_name": "c",
+                 "body": {"indexes": []}}, 2),
+            env({"action": "add_document", "db_addr": db, "col_name": "c",
+                 "body": {"docs": ['{"v": 1}']}}, 3),
+            # forged: signed by a different key but claiming ADDR
+            env({"action": "add_document", "db_addr": db, "col_name": "c",
+                 "body": {"docs": ['{"v": 666}']}}, 4, forge=True),
+        ]
+        (tmp_path / "staging712" / "b2.jsonl").write_text("\n".join(lines))
+        si.start(once=True)
+
+        docs = [
+            _json.loads(r["doc"])["v"]
+            for r in store.current_state(db, "c").collect()
+        ]
+        assert docs == [1]  # the forged doc never landed
+        assert len(si.rejected) == 1
+        assert "recovers another address" in si.rejected[0][1]
+
     def test_ingest_eip712_mode(self, spark, tmp_path):
         """Full SendMutation with a real EIP-712 signature."""
         from rtstore_spark.store.docstore import DocStore
