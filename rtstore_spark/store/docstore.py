@@ -229,6 +229,16 @@ class DocStore:
     def _db_exists(self, db_addr: str) -> bool:
         return bool(self.databases().filter(F.col("db_addr") == db_addr).head(1))
 
+    def _indexed_paths(self, db_addr: str, col: str) -> list[tuple[str, str]]:
+        """Registered (path, type) index pairs of a collection (M8)."""
+        row = self._col_row(db_addr, col)
+        if row is None or not row["index_fields"]:
+            return []
+        return [
+            (i["path"], i.get("type", "string"))
+            for i in json.loads(row["index_fields"])
+        ]
+
     def _col_row(self, db_addr: str, col: str):
         rows = (
             self.collections(db_addr).filter(F.col("col_name") == col).head(1)
@@ -510,15 +520,33 @@ class DocStore:
         At 100 TB the MOR window would otherwise re-shuffle the full history
         every read; compaction bounds history to one snapshot + recent log.
         Single-writer ⇒ safe to swap directories atomically.
+
+        Sort order realizes the registered indexes (M8): rows sort by the
+        indexed JSON paths first, then doc_id — parquet row-group min/max
+        stats then prune filters on those fields the way the reference's
+        EJDB2 secondary indexes did, with the primary-key sort as the
+        tiebreaker for point gets.
         """
         self._require_col(db_addr, col)
         path = self._data_path(db_addr, col)
         snap = self.current_state(db_addr, col).withColumn("op", F.lit("A"))
+        # cast by the declared index type: a raw get_json_object sorts
+        # string-wise ("10" < "5"), which would scatter numeric ranges
+        _SORT_TYPES = {
+            "int64": "long", "int32": "long", "double": "double",
+            "float": "double", "timestamp": "long",
+        }
+        sort_cols = []
+        for p, typ in self._indexed_paths(db_addr, col):
+            c = F.get_json_object(
+                F.col("doc"), "$." + p.lstrip("/").replace("/", ".")
+            )
+            if typ in _SORT_TYPES:
+                c = c.cast(_SORT_TYPES[typ])
+            sort_cols.append(c)
+        sort_cols.append(F.col("doc_id"))
         tmp = path + ".compact"
-        # sort by doc_id: parquet row-group min/max stats then prune point
-        # gets and id-range scans (the Z-ORDER analog for a 1-D key; the
-        # reference's EJDB2 primary index served the same role)
-        snap.select([f.name for f in DOC_SCHEMA.fields]).sort("doc_id").write.mode(
+        snap.select([f.name for f in DOC_SCHEMA.fields]).sort(*sort_cols).write.mode(
             "overwrite"
         ).parquet(tmp)
         # materialize before swapping the live directory

@@ -192,6 +192,34 @@ class TestDocumentCRUD:
         store.add_docs(db, col, ['{"a": 4}'], ALICE)
         assert store.current_state(db, col).count() == 3
 
+    def test_compaction_sorts_by_registered_index(self, spark, tmp_path):
+        """M8 indexes become physical layout: compact sorts rows by the
+        indexed JSON path (then doc_id), so parquet row-group stats prune
+        filters on that field — the Spark analog of an EJDB2 secondary
+        index."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        store = DocStore(spark, str(tmp_path / "widx"))
+        db = store.create_database(ALICE, nonce=1)
+        store.create_collection(db, "c", [], ALICE)
+        store.add_index(db, "c", [{"path": "/age", "type": "int64"}], ALICE)
+        ages = [50, 10, 5, 40, 20, 30, 7]  # single + double digits: a
+        # string-wise sort would give 10 < 5 — the int64 cast must win
+        store.add_docs(
+            db, "c", [json.dumps({"age": a}) for a in ages], ALICE
+        )
+        store.compact(db, "c")
+        files = sorted(
+            glob.glob(str(tmp_path / "widx" / "data" / db / "c" / "*.parquet"))
+        )
+        rows = []
+        for f in files:
+            rows += pq.read_table(f, columns=["doc"]).to_pylist()
+        got = [json.loads(r["doc"])["age"] for r in rows]
+        assert got == sorted(ages)  # physical order = index order
+
 
 class TestReplay:
     def test_replica_replays_identically(self, spark, tmp_path):
