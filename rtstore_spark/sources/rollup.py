@@ -55,6 +55,7 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("rows", T.LongType(), False),
         T.StructField("compress_size", T.LongType(), False),
         T.StructField("time_ms", T.LongType(), False),
+        T.StructField("created_ms", T.LongType(), True),
     ]
 )
 
@@ -138,11 +139,54 @@ class RollupExecutor:
             "rows": n,
             "compress_size": size,
             "time_ms": int((time.time() - t0) * 1000),
+            "created_ms": int(t0 * 1000),
         }
         self.spark.createDataFrame([row], schema=MANIFEST_SCHEMA).coalesce(
             1
         ).write.mode("append").parquet(self.manifest_path)
         return row
+
+    def maybe_rollup(
+        self,
+        log_df: DataFrame,
+        config: dict | None = None,
+        network: int = 1,
+        open_block: int | None = None,
+        now_ms: int | None = None,
+    ) -> dict | None:
+        """The scheduled rollup policy (storage_node_light_impl.rs:167,
+        :787-789): roll when the pending batch reaches ``min_rollup_size``
+        payload bytes, or — regardless of size — when ``rollup_max_interval``
+        ms have passed since the last rollup and anything is pending.
+
+        ``config``: a SystemStore.config() dict (min_rollup_size,
+        rollup_max_interval); reference defaults apply when absent. This is
+        the driver-side policy gate; the size probe is one pushed-down
+        aggregate over the pending block range.
+        """
+        cfg = config or {}
+        min_size = int(cfg.get("min_rollup_size", 1024 * 1024))
+        max_interval = int(cfg.get("rollup_max_interval", 24 * 60 * 60 * 1000))
+        now_ms = now_ms if now_ms is not None else int(time.time() * 1000)
+
+        last = self.last_rollup()
+        start = (last["end_block"] + 1) if last else 0
+        pending = log_df.filter(F.col("block") >= start)
+        if open_block is not None:
+            pending = pending.filter(F.col("block") < open_block)
+        size = pending.agg(
+            F.coalesce(F.sum(F.length("payload")), F.lit(0)).alias("s")
+        ).collect()[0]["s"]
+        if size <= 0:
+            return None
+        overdue = (
+            last is not None
+            and last.get("created_ms") is not None
+            and now_ms - last["created_ms"] >= max_interval
+        ) or (last is None and size > 0 and max_interval == 0)
+        if size < min_size and not overdue:
+            return None
+        return self.rollup(log_df, network=network, open_block=open_block)
 
     def gc(self, store, min_gc_offset: int = 0) -> int:
         """Delete mutation-log rows already rolled up, keeping the newest

@@ -112,6 +112,38 @@ class TestRollup:
         assert watermark == row2["end_block"] + 1
         assert store.mutation_log().count() == 0
 
+    def test_maybe_rollup_policy(self, spark, tmp_path):
+        """The SystemConfig-driven rollup policy: below min_rollup_size
+        nothing rolls; raising past the threshold rolls; a stale batch
+        rolls regardless of size once rollup_max_interval has passed."""
+        store = DocStore(spark, str(tmp_path / "wpol"))
+        db = store.create_database(ALICE, nonce=1)
+        store.create_collection(db, "c", [], ALICE)
+        store.add_docs(db, "c", ['{"v": 1}'], ALICE)
+        store.state.next_block()
+
+        ex = RollupExecutor(spark, str(tmp_path / "wpol"))
+        big = {"min_rollup_size": 10_000_000, "rollup_max_interval": 10_000}
+        assert ex.maybe_rollup(store.mutation_log(), big,
+                               open_block=store.state.block) is None
+
+        small = {"min_rollup_size": 1, "rollup_max_interval": 10_000}
+        row = ex.maybe_rollup(store.mutation_log(), small,
+                              open_block=store.state.block)
+        assert row is not None and row["rows"] == 3
+        assert row["created_ms"] > 0
+
+        # new pending rows below min size: held back...
+        store.add_docs(db, "c", ['{"v": 2}'], ALICE)
+        store.state.next_block()
+        assert ex.maybe_rollup(store.mutation_log(), big,
+                               open_block=store.state.block) is None
+        # ...until the max interval elapses — then size no longer matters
+        future = row["created_ms"] + 20_000
+        row2 = ex.maybe_rollup(store.mutation_log(), big,
+                               open_block=store.state.block, now_ms=future)
+        assert row2 is not None and row2["rows"] == 1
+
     def test_gc_and_rollup_record_scans(self, spark, tmp_path):
         """ScanGcRecord / ScanRollupRecord / GetBlock round out the
         StorageNode record surface (db3_storage.proto:146-153,198)."""
