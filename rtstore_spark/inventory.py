@@ -998,17 +998,20 @@ def q_asof_attribution(spark, sf):
     "lang_id_votes",
     r"""WITH t AS (
           SELECT doc_id,
-                 list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+                 list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks,
+                 round(length(regexp_replace(text, '[^\p{Han}]', '', 'g')) * 1.0
+                       / greatest(length(text), 1), 6) AS han_ratio
           FROM documents),
         s AS (
-          SELECT doc_id,
+          SELECT doc_id, han_ratio,
                  len(list_intersect(toks, ['the','and','of','to','in','is','that','it'])) AS score_en,
                  len(list_intersect(toks, ['le','la','les','et','des','est','que','une'])) AS score_fr,
                  len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','zu'])) AS score_de,
                  len(list_intersect(toks, ['el','la','los','de','que','es','una','por'])) AS score_es
           FROM t)
-       SELECT doc_id, score_en, score_fr, score_de, score_es,
-              CASE WHEN greatest(score_en, score_fr, score_de, score_es) = 0 THEN 'und'
+       SELECT doc_id, han_ratio, score_en, score_fr, score_de, score_es,
+              CASE WHEN han_ratio >= 0.2 THEN 'zh'
+                   WHEN greatest(score_en, score_fr, score_de, score_es) = 0 THEN 'und'
                    WHEN score_en = greatest(score_en, score_fr, score_de, score_es) THEN 'en'
                    WHEN score_fr = greatest(score_en, score_fr, score_de, score_es) THEN 'fr'
                    WHEN score_de = greatest(score_en, score_fr, score_de, score_es) THEN 'de'
@@ -1016,13 +1019,15 @@ def q_asof_attribution(spark, sf):
        FROM s""",
 )
 def lang_id_votes(spark, sf):
-    """Stopword-vote language ID (operators.text.lang_id), oracle-checked."""
+    """Script-aware stopword-vote language ID (operators.text.lang_id):
+    Han-ratio >= 0.2 -> zh (stopword votes are blind to CJK), else the
+    per-language vote. Oracle mirrors the regex as RE2 \\p{Han}."""
     from rtstore_spark.operators.text import lang_id
 
     docs = load_table(spark, sf, "documents")
     out = lang_id(docs, "text", "doc_id")
-    return out.select(F.col("id").alias("doc_id"), "score_en", "score_fr",
-                      "score_de", "score_es", "pred_lang")
+    return out.select(F.col("id").alias("doc_id"), "han_ratio", "score_en",
+                      "score_fr", "score_de", "score_es", "pred_lang")
 
 
 @register(

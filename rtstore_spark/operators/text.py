@@ -52,23 +52,38 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Stopword-vote language ID: per language, count stopword hits among
-    tokens; highest vote wins ('und' if all zero). Pure Column algebra —
-    the scores stay JVM-side and scale linearly."""
+    """Language ID: script detection first, then stopword voting.
+
+    A Han-character ratio ≥ 0.2 classifies 'zh' directly — stopword lists
+    can't see CJK text (no whitespace-delimited function words), so a pure
+    vote labels it 'und'. Latin-script languages fall through to the
+    per-language stopword vote; highest wins, 'und' if all zero. Pure
+    Column algebra — scores stay JVM-side and scale linearly. (Spark's
+    Java regex spells the script class ``\\p{IsHan}``; DuckDB's RE2 spells
+    it ``\\p{Han}`` — the oracle mirrors this.)"""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    out = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    han = F.length(F.regexp_replace(F.col(text_col), r"[^\p{IsHan}]", ""))
+    han_ratio = F.round(
+        han * F.lit(1.0) / F.greatest(F.length(text_col), F.lit(1)), 6
+    )
+    out = df.select(
+        F.col(id_col).alias("id"), toks.alias("_toks"), han_ratio.alias("han_ratio")
+    )
     score_cols = []
     for lang, words in _STOPWORDS.items():
         arr = F.array(*[F.lit(w) for w in words])
         score = F.size(F.array_intersect(F.array_distinct(F.col("_toks")), arr))
-        # weight by occurrences of the top stopword to break sparse ties
         score_cols.append(score.alias(f"score_{lang}"))
-    out = out.select("id", *score_cols)
+    out = out.select("id", "han_ratio", *score_cols)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in _STOPWORDS])
-    pred = F.when(best == 0, "und")
+    pred = F.when(F.col("han_ratio") >= 0.2, "zh").when(best == 0, "und")
     for lang in _STOPWORDS:
         pred = pred.when(F.col(f"score_{lang}") == best, lang)
-    return out.select("id", *[f"score_{lang}" for lang in _STOPWORDS], pred.alias("pred_lang"))
+    return out.select(
+        "id", "han_ratio",
+        *[f"score_{lang}" for lang in _STOPWORDS],
+        pred.alias("pred_lang"),
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -214,6 +214,20 @@ class TestText:
         out = {r["id"]: r["pred_lang"] for r in text.lang_id(df, "text", "id").collect()}
         assert out[0] == "en" and out[1] == "fr" and out[2] == "de" and out[3] == "und"
 
+    def test_lang_id_han_script(self, spark):
+        """CJK text has no whitespace stopwords — script detection must
+        label it zh where the vote alone would say und; mixed text below
+        the 0.2 Han-ratio threshold falls through to the vote."""
+        rows = [
+            Row(id=0, text="今天天气很好我们一起去公园散步吧然后吃晚饭"),
+            Row(id=1, text="the cat and the dog 好 in the big house today"),
+        ]
+        df = spark.createDataFrame(rows)
+        got = {r["id"]: (r["pred_lang"], r["han_ratio"])
+               for r in text.lang_id(df, "text", "id").collect()}
+        assert got[0][0] == "zh" and got[0][1] > 0.9
+        assert got[1][0] == "en" and 0 < got[1][1] < 0.2
+
     def test_fingerprint_normalization(self, spark):
         rows = [
             Row(id=0, text="Hello   World"),
