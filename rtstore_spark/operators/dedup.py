@@ -50,7 +50,12 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingles(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, distinct: bool = True
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    distinct: bool = True,
+    keep_short: bool = True,
 ) -> DataFrame:
     """n-token shingles per document (long form: id, shingle).
 
@@ -58,6 +63,12 @@ def shingles(
     of a full shuffle of the shingle strings. Operators whose aggregate is
     duplicate-invariant (minhash: min over a multiset == min over its set)
     pass ``distinct=False`` and skip that shuffle entirely.
+
+    ``keep_short=True`` emits the whole document as one shingle when it has
+    fewer than ``n`` tokens (every doc gets a signature — required for
+    minhash/winnowing); ``keep_short=False`` emits nothing for short docs
+    (the contamination-scan contract: a doc without a full n-gram cannot
+    leak one).
 
     Formulated as a zip_with chain over n shifted slices so ``toks`` is
     referenced O(n) times per ROW — a ``transform(sequence(...), i ->
@@ -75,9 +86,12 @@ def shingles(
     chain = f"slice(toks, 1, {ln})"
     for j in range(2, n + 1):
         chain = f"zip_with({chain}, slice(toks, {j}, {ln}), (a, b) -> concat(a, ' ', b))"
-    sh = F.when(F.size("toks") >= n, F.expr(chain)).otherwise(
+    short = (
         F.array(F.concat_ws(" ", F.col("toks")))
+        if keep_short
+        else F.array().cast("array<string>")
     )
+    sh = F.when(F.size("toks") >= n, F.expr(chain)).otherwise(short)
     out = t.select("id", F.explode(sh).alias("shingle"))
     return out.distinct() if distinct else out
 

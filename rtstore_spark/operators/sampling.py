@@ -59,25 +59,25 @@ def stratified_sample(
 
 
 def _word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, gram) — distinct word n-grams via one boundary explode; the
-    slice runs per boundary index, not per token pair (no O(tokens²))."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    return (
-        df.select(
-            F.col(id_col).alias("id"),
-            toks.alias("_t"),
-        )
-        .select(
-            "id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, greatest(size(_t) - {n}, -1)),"
-                    f" i -> array_join(slice(_t, i + 1, {n}), ' '))"
-                )
-            ).alias("gram"),
-        )
-        .distinct()
+    """(id, gram) — distinct lowercased word n-grams; docs shorter than
+    ``n`` tokens emit nothing.
+
+    Delegates to ``dedup.shingles``'s zip_with chain so the tokenizing
+    ``split`` runs once per row. The previous formulation aliased the split
+    as ``_t`` and referenced it inside a ``transform(sequence(...), i ->
+    slice(_t, ...))`` lambda — Catalyst inlines project aliases into
+    higher-order-function lambdas with no CSE, so the regex split re-ran
+    per sequence element: O(tokens²) per row despite the old comment's
+    claim, the exact trap ``dedup.shingles``'s docstring describes.
+    """
+    from rtstore_spark.operators.dedup import shingles
+
+    lowered = df.select(
+        F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("_text")
     )
+    return shingles(
+        lowered, "_text", "id", n=n, distinct=True, keep_short=False
+    ).withColumnRenamed("shingle", "gram")
 
 
 def ngram_contamination(

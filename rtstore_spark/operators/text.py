@@ -97,23 +97,22 @@ def rolling_hash_fingerprints(
 ) -> DataFrame:
     """Winnowing-style fingerprints: hash every ``window``-token shingle and
     keep the ``keep`` smallest hashes per doc — a compact signature for
-    containment detection (doc A quotes doc B)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    sh = F.when(
-        F.size(toks) >= window,
-        F.expr(
-            f"transform(sequence(1, size(split(trim({text_col}), '\\\\s+')) - {window - 1}),"
-            f" i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {window})))"
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(sh).alias("shingle"),
-    ).select(
-        "id", F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long").alias("hv")
-    )
+    containment detection (doc A quotes doc B).
+
+    Shingling delegates to ``dedup.shingles``'s zip_with chain so the
+    tokenizing ``split`` runs once per row. The previous formulation put the
+    split inside a ``transform(sequence(...), i -> slice(...))`` lambda —
+    Catalyst inlines project aliases into higher-order-function lambdas with
+    no CSE, so the regex re-ran per sequence element: O(tokens²) per row,
+    a scale-killer on 100k-token documents.
+    """
     from pyspark.sql import Window
 
+    from rtstore_spark.operators.dedup import _hash32, shingles
+
+    hashed = shingles(df, text_col, id_col, n=window, distinct=False).select(
+        "id", _hash32(F.col("shingle")).alias("hv")
+    )
     w = Window.partitionBy("id").orderBy("hv")
     return (
         hashed.withColumn("_rn", F.row_number().over(w))

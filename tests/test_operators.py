@@ -245,6 +245,45 @@ class TestText:
         assert all(len(v) <= 3 for v in rows.values())
         assert rows[0] == rows[1]  # identical docs, identical signatures
 
+    def test_rolling_hash_matches_quadratic_formulation(self, corpus):
+        """The zip_with rewrite must reproduce the old transform(sequence)
+        formulation exactly — including the short-doc (< window tokens)
+        whole-text fallback exercised by id=4."""
+        window, keep = 4, 3
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        sh = F.when(
+            F.size(toks) >= window,
+            F.expr(
+                f"transform(sequence(1, size(split(trim(text), '\\\\s+')) - {window - 1}),"
+                f" i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i, {window})))"
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+        from pyspark.sql import Window
+
+        old = (
+            corpus.select(F.col("id"), F.explode(sh).alias("shingle"))
+            .select(
+                "id",
+                F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+                .cast("long")
+                .alias("hv"),
+            )
+            .withColumn("_rn", F.row_number().over(Window.partitionBy("id").orderBy("hv")))
+            .filter(F.col("_rn") <= keep)
+            .groupBy("id")
+            .agg(F.sort_array(F.collect_list("hv")).alias("fingerprints"))
+        )
+        new = text.rolling_hash_fingerprints(corpus, "text", "id", window=window, keep=keep)
+        assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
+
+    def test_rolling_hash_plan_has_one_split(self, corpus):
+        """The tokenizing regex split must appear exactly once in the
+        optimized plan — a split inside a higher-order-function lambda
+        re-evaluates per element (O(tokens²) per row)."""
+        out = text.rolling_hash_fingerprints(corpus, "text", "id", window=4, keep=3)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("split(") == 1, plan
+
 
 class TestMultimodal:
     @pytest.fixture(scope="class")

@@ -119,3 +119,18 @@ class TestNgramContamination:
             """
         ).fetchall()
         assert got == [(r[0], r[1], r[2]) for r in oracle]
+
+    def test_word_ngrams_single_split_and_short_docs(self, spark):
+        """The shingles-backed rewrite: one tokenizing split in the optimized
+        plan (the old transform(sequence) lambda re-ran the split per
+        element — O(tokens²) per row), and docs with < n tokens emit
+        nothing instead of crashing (the old slice(_t, 0, n) formulation
+        raised INVALID_PARAMETER_VALUE.START on exactly n-1 tokens)."""
+        df = spark.createDataFrame(
+            [(1, "A b c d e"), (2, "x y"), (3, "p q r")], ["id", "text"]
+        )
+        out = sampling._word_ngrams(df, "text", "id", 3)
+        got = sorted(map(tuple, out.collect()))
+        assert got == [(1, "a b c"), (1, "b c d"), (1, "c d e"), (3, "p q r")]
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("split(") == 1, plan
