@@ -11,6 +11,8 @@ match DuckDB's timezone-less TIMESTAMP.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -26,7 +28,22 @@ _NANOS_COLS = {
 }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# (applicationId, sf_dir, name) -> DataFrame. The test tables are immutable
+# parquet fixtures, and a DataFrame is an immutable logical plan whose file
+# listing is captured at read time — so reusing one per session is safe and
+# removes the dominant fixed cost of query *construction*: every
+# spark.read.parquet is a py4j round-trip plus a footer read for schema
+# (~100 ms), paid per table per query before this cache. Keyed by
+# applicationId so a restarted session never sees plans from a dead context.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, cache: bool = True
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if cache and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANOS_COLS.get(name, []):
@@ -39,9 +56,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c, dt in df.dtypes:
         if dt == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    if cache:
+        _TABLE_CACHE[key] = df
     return df
 
 
+@functools.lru_cache(maxsize=64)
 def _parse_size(v: str) -> int:
     """Parse a Spark size conf value ('67108864', '64MB', '10m', '-1')."""
     s = v.strip().lower().removesuffix("b")
@@ -53,9 +73,15 @@ def _parse_size(v: str) -> int:
     return int(s) * mult
 
 
+@functools.lru_cache(maxsize=256)
 def table_size_bytes(sf_dir: str, name: str) -> int:
     """On-disk parquet bytes — the same sizeInBytes estimate Spark's planner
-    uses for file sources (file size × fileCompressionFactor, default 1.0)."""
+    uses for file sources (file size × fileCompressionFactor, default 1.0).
+    Cached: the test tables are immutable fixtures, and ``maybe_broadcast``
+    calls this once per join side per query build. The broadcast threshold
+    itself is re-read from the live session conf on every call (tests and
+    deployments retune it at runtime); only the pure string parse is
+    memoized."""
     import os
 
     path = f"{sf_dir}/{name}.parquet"
