@@ -239,6 +239,12 @@ def connected_components(
     Converges in O(graph diameter) rounds — near-dup graphs are dense
     clusters with tiny diameters, so 3-4 rounds is typical. Lineage is
     truncated per round (localCheckpoint) so plans stay flat.
+
+    Raises ``RuntimeError`` if labels are still changing after ``max_iter``
+    rounds: partially-propagated labels would silently split one component
+    into several groups, and ``minhash_dedup`` would keep documents it
+    should drop. A chain-shaped duplicate graph with diameter > max_iter
+    needs a larger ``max_iter`` (or pointer-jumping, not implemented).
     """
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -276,6 +282,12 @@ def connected_components(
         labels = new_labels
         if not changed:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "component labels are still changing (graph diameter exceeds "
+            "max_iter) — raise max_iter"
+        )
     return labels
 
 

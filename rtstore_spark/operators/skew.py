@@ -15,13 +15,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def hot_keys(df: DataFrame, key: str, min_share: float = 0.01) -> list:
-    """Keys holding at least ``min_share`` of the rows (one partial-agg
-    scan). Meant to run on a sample or the build side — at 100 TB feed it
-    ``df.sample(0.01)``; heavy hitters by definition survive sampling."""
-    total = df.count()
+def hot_keys(
+    df: DataFrame,
+    key: str,
+    min_share: float = 0.01,
+    sample_fraction: float | None = 0.01,
+    seed: int = 7,
+) -> list:
+    """Keys holding at least ``min_share`` of the rows.
+
+    Detection runs on a seeded ``sample_fraction`` sample BY DEFAULT — a
+    key owning ≥1% of a 100-TB fact owns ≥1% of any sample, so heavy
+    hitters survive sampling while the detection cost drops from two full
+    scans to two scans of the sample. Pass ``sample_fraction=None`` for
+    exact counts (small inputs, or shares near the threshold)."""
+    src = df.sample(sample_fraction, seed=seed) if sample_fraction else df
+    total = src.count()
+    if not total:
+        return []
     rows = (
-        df.groupBy(key)
+        src.groupBy(key)
         .count()
         .filter(F.col("count") >= max(1, int(total * min_share)))
         .collect()
@@ -41,8 +54,9 @@ def skew_join(
     rows; the tail joins normally. Result-equivalent to ``big.join(small,
     key, how)`` for inner/left joins.
 
-    ``hot``: the heavy-hitter key values; auto-detected from ``big`` when
-    omitted (costs one aggregate scan — pass the list in production).
+    ``hot``: the heavy-hitter key values; auto-detected from a 1% sample of
+    ``big`` when omitted (heavy hitters survive sampling; pass the list in
+    production to skip even that).
     The hot slice of ``small`` must fit in a broadcast: it is |hot| keys'
     worth of the SMALL side, which is exactly the situation where the
     shuffle join would have melted a partition.

@@ -74,6 +74,9 @@ class RollupExecutor:
         self.rollup_dir = os.path.join(root, "rollups")
         self.manifest_path = os.path.join(root, "rollup_manifest")
         os.makedirs(self.rollup_dir, exist_ok=True)
+        # when maybe_rollup first saw pending data with no manifest row yet;
+        # anchors the time trigger before the first-ever rollup
+        self._first_pending_ms: int | None = None
 
     def manifest(self) -> DataFrame:
         if not os.path.exists(self.manifest_path):
@@ -179,14 +182,26 @@ class RollupExecutor:
         ).collect()[0]["s"]
         if size <= 0:
             return None
-        overdue = (
-            last is not None
-            and last.get("created_ms") is not None
-            and now_ms - last["created_ms"] >= max_interval
-        ) or (last is None and size > 0 and max_interval == 0)
+        # Anchor for the time trigger: the last rollup's timestamp, or —
+        # before the first-ever rollup — the first time this node saw
+        # pending data. Without the latter, a low-traffic node whose
+        # pending payload never reaches min_rollup_size would never roll
+        # up at all (the reference's scheduled policy rolls on the
+        # max-interval cadence regardless of size).
+        if last is not None and last.get("created_ms") is not None:
+            anchor_ms = last["created_ms"]
+            self._first_pending_ms = None
+        else:
+            if self._first_pending_ms is None:
+                self._first_pending_ms = now_ms
+            anchor_ms = self._first_pending_ms
+        overdue = now_ms - anchor_ms >= max_interval
         if size < min_size and not overdue:
             return None
-        return self.rollup(log_df, network=network, open_block=open_block)
+        out = self.rollup(log_df, network=network, open_block=open_block)
+        if out is not None:
+            self._first_pending_ms = None
+        return out
 
     def gc(self, store, min_gc_offset: int = 0) -> int:
         """Delete mutation-log rows already rolled up, keeping the newest

@@ -99,6 +99,9 @@ class DocStore:
         self.state = StateStore(root)
         # collection-name length cap: collection_key.rs:21-33
         self.max_col_name = 20
+        # bounded FIFO of persisted RunQuery matched-sets (see query_docs)
+        self._query_caches: list = []
+        self.query_cache_slots = 8
 
     # ------------------------------------------------------------------
     # paths & small helpers
@@ -498,6 +501,13 @@ class DocStore:
         One pass over the collection: the matched set is persisted, the
         count() action materializes it, and the returned documents plan reads
         the cache (InMemoryTableScan) instead of re-running the state window.
+
+        The persisted set joins a bounded FIFO (``query_cache_slots``, 8 by
+        default): the oldest cache is unpersisted when a new query overflows
+        it, so a long-lived node's query traffic cannot accumulate unbounded
+        cached datasets. An evicted result DataFrame stays valid — Spark
+        just recomputes its plan — so only the one-pass guarantee ages out,
+        never correctness. ``release_query_caches()`` drops them all.
         """
         from rtstore_spark.jql.compiler import apply_stages, compile_predicate
         from rtstore_spark.jql.parser import parse_jql
@@ -506,9 +516,18 @@ class DocStore:
         state_df = self.current_state(db_addr, col)
         pred = compile_predicate(q, state_df, params=params, doc_col="doc")
         matched_df = state_df.filter(pred).persist()
+        self._query_caches.append(matched_df)
+        while len(self._query_caches) > self.query_cache_slots:
+            self._query_caches.pop(0).unpersist()
         matched = matched_df.count()
         out = apply_stages(matched_df, q, doc_col="doc", order_col="doc_id")
         return out, matched
+
+    def release_query_caches(self) -> None:
+        """Unpersist every cached RunQuery matched-set (results stay valid;
+        their plans recompute on next use)."""
+        while self._query_caches:
+            self._query_caches.pop().unpersist()
 
     # ------------------------------------------------------------------
     # maintenance — compaction (the scale path for merge-on-read)

@@ -118,6 +118,23 @@ class TestDocumentCRUD:
         # newest-first: limit 1 yields the LAST insert (client_v2.test.ts:213-239)
         assert json.loads(rows[0]["doc"])["city"] == "beijing2"
 
+    def test_query_cache_bounded(self, store, db_col):
+        """RunQuery persists its matched set for the one-pass count+read;
+        the cache FIFO must stay bounded (oldest unpersisted) and evicted
+        results must still collect correctly (plan recomputes)."""
+        db, col = db_col
+        store.add_docs(db, col, ['{"city": "cached"}'], ALICE)
+        results = [
+            store.query_docs(db, col, "/[city = cached]")
+            for _ in range(store.query_cache_slots + 3)
+        ]
+        assert len(store._query_caches) == store.query_cache_slots
+        first_df, first_count = results[0]  # evicted by now
+        assert first_count == 1 and first_df.count() == 1
+        store.release_query_caches()
+        assert not store._query_caches
+        assert results[-1][0].count() == 1
+
     def test_update_merge_patch_preserves_fields(self, store, db_col):
         # EJDB2 patch semantics: doc_store.rs:470-480 — patching
         # {"test":"v1","f1":"f1"} with {"test":"v2"} preserves f1.

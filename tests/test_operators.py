@@ -72,6 +72,21 @@ class TestDedup:
         }
         assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
 
+    def test_connected_components_nonconvergence_raises(self, spark):
+        """A path graph whose diameter exceeds max_iter must raise, not
+        silently return partially-propagated labels (which would split one
+        component into several and keep docs minhash_dedup should drop)."""
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(8)], ["id_a", "id_b"]
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.connected_components(edges, max_iter=2)
+        comp = {
+            r["id"]: r["comp"]
+            for r in dedup.connected_components(edges, max_iter=10).collect()
+        }
+        assert set(comp.values()) == {0}
+
     def test_simhash_close_for_neardups(self, corpus):
         out = {r["id"]: r["simhash"] for r in dedup.simhash(corpus, "text", "id").collect()}
 

@@ -144,6 +144,30 @@ class TestRollup:
                                open_block=store.state.block, now_ms=future)
         assert row2 is not None and row2["rows"] == 1
 
+    def test_maybe_rollup_time_trigger_before_first_rollup(self, spark, tmp_path):
+        """A low-traffic node whose pending payload never reaches
+        min_rollup_size must still roll up once rollup_max_interval has
+        passed since the data first appeared — even with no manifest row
+        to anchor the interval (the first-pending time anchors it)."""
+        store = DocStore(spark, str(tmp_path / "wpol2"))
+        db = store.create_database(ALICE, nonce=1)
+        store.create_collection(db, "c", [], ALICE)
+        store.add_docs(db, "c", ['{"v": 1}'], ALICE)
+        store.state.next_block()
+
+        ex = RollupExecutor(spark, str(tmp_path / "wpol2"))
+        big = {"min_rollup_size": 10_000_000, "rollup_max_interval": 10_000}
+        t0 = 1_000_000
+        assert ex.maybe_rollup(store.mutation_log(), big,
+                               open_block=store.state.block, now_ms=t0) is None
+        assert ex.maybe_rollup(store.mutation_log(), big,
+                               open_block=store.state.block,
+                               now_ms=t0 + 5_000) is None
+        row = ex.maybe_rollup(store.mutation_log(), big,
+                              open_block=store.state.block,
+                              now_ms=t0 + 10_000)
+        assert row is not None and row["rows"] == 3
+
     def test_gc_and_rollup_record_scans(self, spark, tmp_path):
         """ScanGcRecord / ScanRollupRecord / GetBlock round out the
         StorageNode record surface (db3_storage.proto:146-153,198)."""

@@ -135,8 +135,11 @@ class TestSkewJoin:
     def test_hot_detection_and_plan_shape(self, spark, skewed, dim):
         from rtstore_spark.operators.skew import hot_keys, skew_join
 
-        hot = hot_keys(skewed, "k", min_share=0.3)
-        assert hot == [7]
+        # default path: detection on a seeded sample — the hot key owns 60%
+        # of the fact, so it survives any sample
+        assert hot_keys(skewed, "k", min_share=0.3, sample_fraction=0.1) == [7]
+        # exact full-scan counts on request
+        assert hot_keys(skewed, "k", min_share=0.3, sample_fraction=None) == [7]
         out = skew_join(skewed, dim, "k", min_share=0.3)
         plan = out._jdf.queryExecution().executedPlan().toString()
         # the hot route is a broadcast join; the tail keeps the default plan
