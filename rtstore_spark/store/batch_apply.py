@@ -69,6 +69,7 @@ PAYLOAD_SCHEMA = T.StructType(
 )
 
 _CONTROL_ACTIONS = ("create_database", "add_collection")
+_DOC_ACTIONS = ("add_document", "update_document", "delete_document")
 
 
 def make_admit_fn(initial_nonces: dict[str, int], sig_mode: str):
@@ -227,6 +228,38 @@ class BatchApplier:
             out.append((env, r[reason_col]))
         return out
 
+    def _stamp_arrival(self, batch_df: DataFrame) -> DataFrame:
+        """Stamp each envelope with its global arrival index (1-based,
+        contiguous) ordered by (file path, split offset, in-split row).
+
+        Falls back to ``input_file_name()`` with a zero split offset when
+        the stream's ``_file``/``_split_start`` projection is absent (a
+        caller handing in a plain file-backed DataFrame)."""
+        if "_file" in batch_df.columns:
+            rows = batch_df.withColumn(
+                "_s", F.col("_split_start").cast("long")
+            ).withColumnRenamed("_file", "_f")
+        else:
+            rows = batch_df.withColumn("_f", F.input_file_name()).withColumn(
+                "_s", F.lit(0).cast("long")
+            )
+        per_file = rows.groupBy("_f").count().collect()
+        offs, cum = [], 0
+        for r in sorted(per_file, key=lambda r: r["_f"]):
+            offs.append((r["_f"], cum))
+            cum += r["count"]
+        off_df = self.spark.createDataFrame(
+            offs, schema="_f string, _off long"
+        )
+        w = Window.partitionBy("_f").orderBy(
+            "_s", F.monotonically_increasing_id()
+        )
+        return (
+            rows.join(F.broadcast(off_df), "_f")
+            .withColumn("_arrival", F.col("_off") + F.row_number().over(w))
+            .drop("_f", "_s", "_off", "_split_start")
+        )
+
     def _atomic_check(self, exploded: DataFrame, state_df: DataFrame, muts: DataFrame):
         """Mutation-atomic ownership/existence check for exploded (doc_id,
         _arrival, sender) rows: one join + one agg; returns (ok_arrivals_df,
@@ -259,17 +292,51 @@ class BatchApplier:
     # -- the block apply ----------------------------------------------
 
     def apply(self, batch_df: DataFrame) -> list[tuple[dict, str]]:
-        """Apply one micro-batch; returns the rejected (envelope, reason)s."""
+        """Apply one micro-batch; returns the rejected (envelope, reason)s.
+
+        The batch is re-read from its source files into the applier's own
+        session (``inputFiles`` is a metadata call — no job): foreachBatch
+        hands over a DataFrame bound to the streaming query's CLONED
+        session, whose conf is frozen at query start and invisible to
+        runtime ``spark.conf.set`` — re-binding makes the plans below
+        governed by one session we control. On it, AQE is switched off for
+        the duration of the block apply (restored after): every join side
+        here is known-tiny (driver-built offset relations, per-block
+        envelope sets), so adaptive re-planning can only add
+        per-query-stage scheduling round-trips, never a better plan. The
+        analytics read path keeps the session default (AQE on).
+        """
         store, state = self.store, self.store.state
         block = state.block
         rejected: list[tuple[dict, str]] = []
+        files = sorted(batch_df.inputFiles())
+        if files:
+            env_schema = T.StructType(
+                [f for f in batch_df.schema.fields if not f.name.startswith("_")]
+            )
+            batch_df = (
+                self.spark.read.schema(env_schema)
+                .json(files)
+                .select(
+                    "*",
+                    F.col("_metadata.file_path").alias("_file"),
+                    F.col("_metadata.file_block_start").alias("_split_start"),
+                )
+            )
+        aqe_before = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
 
-        # 1. arrival order: lexicographic file name, then in-file position
-        # (monotonically_increasing_id is monotonic within a split). One
-        # narrow global window over envelope rows — cheap; envelopes are
-        # small and a block is one trigger's worth of files.
-        w = Window.orderBy(F.input_file_name(), F.monotonically_increasing_id())
-        stamped = batch_df.withColumn("_arrival", F.row_number().over(w))
+        # 1. arrival order: lexicographic file path, then in-file position.
+        # In-file position = (split byte-offset, row index within the
+        # split): monotonically_increasing_id alone is NOT enough when one
+        # file is split across input partitions, because split packing
+        # order need not follow in-file offsets — the _split_start column
+        # (projected from _metadata by the stream) orders the splits
+        # physically. The global row number is assigned without a global
+        # window: per-file counts (one tiny job, O(files) rows collected)
+        # become cumulative offsets broadcast back, and each file's rows
+        # get a per-file window — parallel across files, deterministic.
+        stamped = self._stamp_arrival(batch_df)
 
         # 2. admission: signature + nonce walk, one pass, grouped by sender
         admit = make_admit_fn(dict(state._state["nonces"]), self.ingest.sig_mode)
@@ -289,10 +356,34 @@ class BatchApplier:
             F.col("_p.body.patches").alias("_patches"),
         ).drop("_p").persist()
         try:
+            # One reject collect covers both admission failures AND
+            # admitted rows whose action is unknown or whose payload failed
+            # from_json (null _action): the latter are answered with a
+            # per-mutation error like the sequential path's
+            # InvalidMutation, and their nonce stays consumed — matching
+            # the reference's per-mutation error responses
+            # (storage_node_light_impl.rs). Silently dropping them would
+            # lose the error signal while still burning the nonce.
+            known = _CONTROL_ACTIONS + _DOC_ACTIONS
+            bad_action = F.col("_action").isNull() | ~F.col(
+                "_action"
+            ).isin(*known)
             rejected += self._reject_rows(
-                parsed.filter(~F.col("_ok")).collect()
+                parsed.filter(~F.col("_ok") | bad_action)
+                .select(
+                    "payload", "signature", "sender", "nonce",
+                    F.when(~F.col("_ok"), F.col("_reason"))
+                    .when(
+                        F.col("_action").isNull(), F.lit("malformed payload")
+                    )
+                    .otherwise(
+                        F.concat(F.lit("unknown action "), F.col("_action"))
+                    )
+                    .alias("_reason"),
+                )
+                .collect()
             )
-            accepted = parsed.filter(F.col("_ok"))
+            accepted = parsed.filter(F.col("_ok") & ~bad_action)
 
             # 3. control plane — rare ops, sequential in arrival order. Runs
             # BEFORE the bulk nonce advance so create_database's own
@@ -308,35 +399,107 @@ class BatchApplier:
                         str(e),
                     ))
 
-            # advance nonces to each sender's admitted max: O(senders) rows
-            for r in accepted.groupBy("sender").agg(F.max("nonce").alias("n")).collect():
+            # advance nonces to each sender's ADMITTED max (independent of
+            # action validity — a rejected unknown-action mutation still
+            # consumed its nonce in the admission walk): O(senders) rows
+            admitted_ok = parsed.filter(F.col("_ok"))
+            for r in admitted_ok.groupBy("sender").agg(F.max("nonce").alias("n")).collect():
                 if r["n"] > state._state["nonces"].get(r["sender"], 0):
                     state._state["nonces"][r["sender"]] = int(r["n"])
             state._flush()
 
-            # 4. document ops, set-wise per touched collection
-            doc_ops = accepted.filter(
-                F.col("_action").isin("add_document", "update_document", "delete_document")
+            # 4. document ops, set-wise per touched collection. ONE driver
+            # collect of the doc-op headers (db, col, action, arrival, doc
+            # count — O(mutations) small rows, same scale as the reject
+            # collect) drives the whole phase: the touched-collection set,
+            # which collections have updates/deletes (so no per-collection
+            # head() probes), and the contiguous doc-id offsets. Ids must
+            # be contiguous in (_arrival, position-within-mutation) order;
+            # a Window.partitionBy(lit(1)) row_number would pull every doc
+            # row of the block through ONE task — instead each doc's id is
+            # pure arithmetic off a broadcast per-mutation start: no
+            # window at all over doc rows, parallelism is the scan's.
+            doc_ops = accepted.filter(F.col("_action").isin(*_DOC_ACTIONS))
+            info = doc_ops.select(
+                "_db", "_col", "_action", "_arrival",
+                F.size("_docs").alias("_n"),
+            ).collect()
+            by_col: dict[tuple, dict] = {}
+            for r in info:
+                e = by_col.setdefault(
+                    (r["_db"], r["_col"]),
+                    {"adds": [], "has_upd": False, "has_del": False, "n_docs": 0},
+                )
+                if r["_action"] == "add_document":
+                    e["adds"].append((int(r["_arrival"]), r["_n"] or 0))
+                elif r["_action"] == "update_document":
+                    e["has_upd"] = True
+                else:
+                    e["has_del"] = True
+
+            # catalog lookups once per block, not per collection per phase
+            # (tombstoned/hidden collections are absent from collections())
+            existing = (
+                {
+                    (r["db_addr"], r["col_name"])
+                    for r in store.collections()
+                    .select("db_addr", "col_name")
+                    .collect()
+                }
+                if by_col
+                else set()
             )
-            touched = [
-                (r["_db"], r["_col"])
-                for r in doc_ops.select("_db", "_col").distinct().collect()
-            ]
+
+            # one contiguous reservation per collection (sorted order keeps
+            # replica id assignment deterministic), mapped to per-mutation
+            # absolute start ids
+            offs: list[tuple[int, int]] = []
+            for (db, col), e in sorted(by_col.items()):
+                if (db, col) not in existing:
+                    continue
+                n_docs = sum(n for _, n in e["adds"])
+                if not n_docs:
+                    continue
+                cum = store.state.reserve_doc_ids(db, int(n_docs))
+                for arr, n in sorted(e["adds"]):
+                    offs.append((arr, cum))
+                    cum += n
+                e["n_docs"] = n_docs
+            add_rows_all = None
+            if offs:
+                off_df = self.spark.createDataFrame(
+                    offs, schema="_arrival long, _start long"
+                )
+                add_rows_all = (
+                    doc_ops.filter(F.col("_action") == "add_document")
+                    .select(
+                        "_db", "_col", "sender", "_arrival",
+                        F.posexplode("_docs").alias("_pos", "doc"),
+                    )
+                    .join(F.broadcast(off_df), "_arrival")
+                    .withColumn("doc_id", F.col("_start") + F.col("_pos"))
+                    .persist()
+                )
+
             logged: list[DataFrame] = []
-            for db, col in sorted(touched):
+            for db, col in sorted(by_col):
                 muts = doc_ops.filter((F.col("_db") == db) & (F.col("_col") == col))
-                if store._col_row(db, col) is None:
+                if (db, col) not in existing:
                     rejected += self._reject_rows(
                         muts.select("payload", "signature", "sender", "nonce")
                         .withColumn("_reason", F.lit(f"collection not found: {db}/{col}"))
                         .collect()
                     )
                     continue
-                log_df, rej = self._apply_collection(muts, db, col, block)
+                log_df, rej = self._apply_collection(
+                    muts, db, col, block, by_col[(db, col)], add_rows_all
+                )
                 logged.append(log_df)
                 rejected += rej
 
-            # 5. one log append for every accepted doc-op mutation
+            # 5. one log append for every accepted doc-op mutation; the
+            # shared add-rows cache stays alive until this materializes
+            # (the log's doc_ids_map reads it), then is released
             if logged:
                 log_all = logged[0]
                 for extra in logged[1:]:
@@ -346,6 +509,8 @@ class BatchApplier:
                 ).repartition(1).write.mode("append").partitionBy(
                     "block_bucket"
                 ).parquet(store._log_path())
+            if add_rows_all is not None:
+                add_rows_all.unpersist()
 
             # sequencer high-water mark = last arrival index in this block
             top = parsed.agg(F.max("_arrival").alias("m")).collect()[0]["m"]
@@ -353,6 +518,7 @@ class BatchApplier:
                 state.observe_seq(block, int(top))
         finally:
             parsed.unpersist()
+            self.spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         return rejected
 
     def _apply_control(self, r, block: int) -> None:
@@ -389,39 +555,42 @@ class BatchApplier:
         )
 
     def _apply_collection(
-        self, muts: DataFrame, db: str, col: str, block: int
+        self,
+        muts: DataFrame,
+        db: str,
+        col: str,
+        block: int,
+        colinfo: dict,
+        add_rows_all: DataFrame | None,
     ) -> tuple[DataFrame, list]:
         """Apply one collection's adds/updates/deletes; returns (log rows DF,
-        rejected list). Constant job count regardless of mutation count."""
+        rejected list). Constant job count regardless of mutation count —
+        and no probe jobs at all: ``colinfo`` (from the block-level header
+        collect) already says which op kinds this collection has."""
         store = self.store
         path = store._data_path(db, col)
         rejected: list[tuple[dict, str]] = []
         ok_arrivals = []  # DFs of accepted _arrival values, for the log
 
-        # ---- adds: reserve one contiguous id range, assign distributedly
-        adds = muts.filter(F.col("_action") == "add_document")
-        n_docs = adds.select(F.sum(F.size("_docs")).alias("n")).collect()[0]["n"] or 0
+        # ---- adds: slice of the block-level id-assigned cache, one append
         add_rows = None
-        if n_docs:
-            base = store.state.reserve_doc_ids(db, int(n_docs))
-            aw = Window.partitionBy(F.lit(1)).orderBy("_arrival", "_pos")
+        if colinfo["n_docs"]:
             add_rows = (
-                adds.select(
-                    "sender", "_arrival",
-                    F.posexplode("_docs").alias("_pos", "doc"),
+                add_rows_all.filter(
+                    (F.col("_db") == db) & (F.col("_col") == col)
                 )
-                .withColumn("doc_id", F.lit(base) + F.row_number().over(aw) - 1)
                 .select(
                     "doc_id", F.col("sender").alias("owner"), "doc",
                     F.lit("A").alias("op"), F.lit(block).alias("block"),
                     F.col("_arrival").cast("int").alias("order"), "_arrival",
                 )
-                .persist()
             )
             add_rows.select([f.name for f in DOC_SCHEMA.fields]).repartition(
                 1
             ).write.mode("append").parquet(path)
-            ok_arrivals.append(adds.select("_arrival"))
+            ok_arrivals.append(
+                muts.filter(F.col("_action") == "add_document").select("_arrival")
+            )
 
         # State after this block's adds, shared by update + delete checks —
         # pinned to an explicit file list. Parquet files are immutable, so
@@ -429,18 +598,21 @@ class BatchApplier:
         # re-evaluated after this block's own U/D appends land in the same
         # directory (a directory-listing read would see the block's own
         # tombstones on recompute and mis-validate the block's deletes).
-        state_df = self._pinned_state(path).persist()
+        # Only built when updates/deletes exist (colinfo; no probe jobs).
+        state_df = None
+        if colinfo["has_upd"] or colinfo["has_del"]:
+            state_df = self._pinned_state(path).persist()
 
         # ---- updates: atomic ownership check, fold patch chains, one merge
-        updates = muts.filter(F.col("_action") == "update_document")
-        upd_exploded = updates.select(
-            "sender", "_arrival",
-            F.explode(F.arrays_zip("_ids", "_patches")).alias("_z"),
-        ).select(
-            "sender", "_arrival",
-            F.col("_z._ids").alias("doc_id"), F.col("_z._patches").alias("patch"),
-        )
-        if upd_exploded.head(1):
+        if colinfo["has_upd"]:
+            updates = muts.filter(F.col("_action") == "update_document")
+            upd_exploded = updates.select(
+                "sender", "_arrival",
+                F.explode(F.arrays_zip("_ids", "_patches")).alias("_z"),
+            ).select(
+                "sender", "_arrival",
+                F.col("_z._ids").alias("doc_id"), F.col("_z._patches").alias("patch"),
+            )
             ok_upd, rej = self._atomic_check(upd_exploded, state_df, updates)
             rejected += rej
             good = upd_exploded.join(ok_upd, "_arrival")
@@ -471,11 +643,11 @@ class BatchApplier:
             ok_arrivals.append(ok_upd)
 
         # ---- deletes: atomic ownership check, one tombstone append
-        deletes = muts.filter(F.col("_action") == "delete_document")
-        del_exploded = deletes.select(
-            "sender", "_arrival", F.explode("_ids").alias("doc_id")
-        )
-        if del_exploded.head(1):
+        if colinfo["has_del"]:
+            deletes = muts.filter(F.col("_action") == "delete_document")
+            del_exploded = deletes.select(
+                "sender", "_arrival", F.explode("_ids").alias("doc_id")
+            )
             ok_del, rej = self._atomic_check(del_exploded, state_df, deletes)
             rejected += rej
             (
@@ -492,7 +664,8 @@ class BatchApplier:
             )
             ok_arrivals.append(ok_del)
 
-        state_df.unpersist()
+        if state_df is not None:
+            state_df.unpersist()
 
         # ---- log rows for accepted mutations of this collection
         ok_all = ok_arrivals[0]
@@ -534,9 +707,7 @@ class BatchApplier:
             F.lit(block).cast("long").alias("block"),
             F.col("_arrival").cast("int").alias("order"),
         )
-        if add_rows is not None:
-            # materialize before the persisted add rows go away
-            log_df = log_df.persist()
-            log_df.count()
-            add_rows.unpersist()
+        # no materialization here: the block-level log append executes this
+        # plan while add_rows_all (doc_ids_map's source) is still persisted;
+        # apply() releases that cache after the append
         return log_df, rejected

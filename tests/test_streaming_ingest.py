@@ -65,6 +65,36 @@ class TestStreamingIngest:
         st = store.mutation_state()
         assert st["mutation_count"] == 3 and st["total_storage_bytes"] > 0
 
+    def test_unknown_action_answered_not_dropped(self, spark, tmp_path):
+        """An admitted mutation with an unknown action (or a payload that
+        fails JSON parsing) gets a per-mutation rejection like the
+        sequential path's InvalidMutation — and still consumes its nonce,
+        like the reference's per-mutation error responses."""
+        store = DocStore(spark, str(tmp_path / "w2"))
+        ing = Ingest(store)
+        si = StreamingIngest(spark, ing, str(tmp_path / "staging2"))
+
+        batch = [
+            envelope({"action": "create_database", "body": {"desc": "d"}}, ALICE, 1),
+            envelope({"action": "frobnicate", "body": {}}, ALICE, 2),
+            # syntactically valid signature over a non-object payload
+            {"payload": "not json {", "signature":
+             digest_signature("not json {", 3, ALICE),
+             "sender": ALICE, "nonce": 3},
+        ]
+        (tmp_path / "staging2" / "b1.jsonl").write_text(
+            "\n".join(json.dumps(e) for e in batch)
+        )
+        si.start(once=True)
+
+        reasons = sorted(r for _, r in si.rejected)
+        assert len(reasons) == 2
+        assert any("unknown action frobnicate" in r for r in reasons)
+        assert any("malformed payload" in r for r in reasons)
+        # nonces consumed at admission: next valid nonce is 4
+        assert ing.get_nonce(ALICE) == 4
+        assert store.databases().count() == 1
+
 
 class TestMetaStore:
     def test_live_processing_time_trigger(self, spark, tmp_path):
@@ -137,6 +167,56 @@ class TestMetaStore:
         rows = store.databases().collect()
         assert rows[0]["db_addr"] == db_addr and rows[0]["sender"] == ALICE
         assert [c["col_name"] for c in store.collections(db_addr).collect()] == ["tbl"]
+
+
+class TestArrivalStamp:
+    def test_deterministic_under_file_splitting(self, spark, tmp_path):
+        """_stamp_arrival must reproduce in-file line order even when one
+        staging file is split into many input partitions — split packing
+        order is not guaranteed to follow in-file byte offsets, which is
+        exactly why the stamp orders by (_file, _split_start, mono_id)
+        instead of a bare monotonically_increasing_id."""
+        from pyspark.sql import functions as F
+
+        from rtstore_spark.store.batch_apply import BatchApplier
+        from rtstore_spark.streaming.ingest_stream import ENVELOPE_SCHEMA
+
+        stage = tmp_path / "stamp"
+        stage.mkdir()
+        pad = "x" * 200  # ~250 B/line: 500 lines split at 4 KB -> ~30 splits
+        (stage / "big.jsonl").write_text(
+            "\n".join(
+                json.dumps({"payload": pad, "signature": "s",
+                            "sender": ALICE, "nonce": i})
+                for i in range(500)
+            )
+        )
+        old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        try:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024))
+            batch = (
+                spark.read.schema(ENVELOPE_SCHEMA)
+                .json(str(stage))
+                .select(
+                    "*",
+                    F.col("_metadata.file_path").alias("_file"),
+                    F.col("_metadata.file_block_start").alias("_split_start"),
+                )
+            )
+            assert batch.rdd.getNumPartitions() > 1  # the file really split
+            store = DocStore(spark, str(tmp_path / "w3"))
+            applier = BatchApplier(Ingest(store))
+            got = (
+                applier._stamp_arrival(batch)
+                .select("nonce", "_arrival")
+                .collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        by_arrival = [r["nonce"] for r in sorted(got, key=lambda r: r["_arrival"])]
+        assert by_arrival == list(range(500))
+        arrivals = sorted(r["_arrival"] for r in got)
+        assert arrivals == list(range(1, 501))  # contiguous, 1-based
 
 
 class TestBatchScale:
