@@ -48,7 +48,18 @@ from pyspark.sql import types as T
 
 from rtstore_spark.errors import RTStoreError
 from rtstore_spark.functions.merge_patch import make_json_merge_patch
-from rtstore_spark.store.docstore import DOC_SCHEMA, LOG_BLOCKS_PER_BUCKET
+from rtstore_spark.store.docstore import (
+    DOC_IDS_PER_BUCKET,
+    DOC_READ_SCHEMA,
+    DOC_SCHEMA,
+    LOG_BLOCKS_PER_BUCKET,
+)
+
+
+def _with_doc_bucket(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "doc_bucket", F.expr(f"doc_id div {DOC_IDS_PER_BUCKET}")
+    )
 
 PAYLOAD_SCHEMA = T.StructType(
     [
@@ -540,11 +551,21 @@ class BatchApplier:
 
     def _pinned_state(self, path: str) -> DataFrame:
         """current_state over a frozen file list (merge-on-read window:
-        latest (block, order) per doc_id, tombstones dropped)."""
-        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        latest (block, order) per doc_id, tombstones dropped). The file
+        list is collected recursively (collection data lives under
+        doc_bucket= partition directories); basePath keeps Spark from
+        re-rooting the explicit file list."""
+        files = sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
         if not files:
             return self.spark.createDataFrame([], schema=DOC_SCHEMA).drop("op")
-        df = self.spark.read.schema(DOC_SCHEMA).parquet(*files)
+        df = (
+            self.spark.read.schema(DOC_READ_SCHEMA)
+            .option("basePath", path)
+            .parquet(*files)
+            .drop("doc_bucket")
+        )
         w = Window.partitionBy("doc_id").orderBy(
             F.col("block").desc(), F.col("order").desc()
         )
@@ -585,9 +606,11 @@ class BatchApplier:
                     F.col("_arrival").cast("int").alias("order"), "_arrival",
                 )
             )
-            add_rows.select([f.name for f in DOC_SCHEMA.fields]).repartition(
-                1
-            ).write.mode("append").parquet(path)
+            _with_doc_bucket(
+                add_rows.select([f.name for f in DOC_SCHEMA.fields])
+            ).repartition(1).write.mode("append").partitionBy(
+                "doc_bucket"
+            ).parquet(path)
             ok_arrivals.append(
                 muts.filter(F.col("_action") == "add_document").select("_arrival")
             )
@@ -639,7 +662,9 @@ class BatchApplier:
                     F.col("_last").cast("int").alias("order"),
                 )
             )
-            merged.repartition(1).write.mode("append").parquet(path)
+            _with_doc_bucket(merged).repartition(1).write.mode(
+                "append"
+            ).partitionBy("doc_bucket").parquet(path)
             ok_arrivals.append(ok_upd)
 
         # ---- deletes: atomic ownership check, one tombstone append
@@ -650,7 +675,7 @@ class BatchApplier:
             )
             ok_del, rej = self._atomic_check(del_exploded, state_df, deletes)
             rejected += rej
-            (
+            _with_doc_bucket(
                 del_exploded.join(ok_del, "_arrival")
                 .select(
                     "doc_id", F.col("sender").alias("owner"),
@@ -658,10 +683,9 @@ class BatchApplier:
                     F.lit("D").alias("op"), F.lit(block).alias("block"),
                     F.col("_arrival").cast("int").alias("order"),
                 )
-                .repartition(1)
-                .write.mode("append")
-                .parquet(path)
-            )
+            ).repartition(1).write.mode("append").partitionBy(
+                "doc_bucket"
+            ).parquet(path)
             ok_arrivals.append(ok_del)
 
         if state_df is not None:

@@ -80,6 +80,19 @@ LOG_READ_SCHEMA = T.StructType(
     LOG_SCHEMA.fields + [T.StructField("block_bucket", T.LongType(), True)]
 )
 
+# doc ids per collection partition directory — the directory-level analog of
+# the reference's `/doc/‖db‖id(i64 BE)` key layout (db_doc_key_v2.rs:24-40),
+# where the BE-encoded id prefix makes point gets O(log n). Here
+# `doc_bucket = doc_id div N` turns a point get / id-set lookup into
+# partition pruning (unlisted directories are never touched), and
+# ``compact()``'s doc_id sort gives row-group min/max pruning within the
+# bucket. At ~1 KB/doc a bucket is ~100 MB — file-sized partitions.
+DOC_IDS_PER_BUCKET = 100_000
+
+DOC_READ_SCHEMA = T.StructType(
+    DOC_SCHEMA.fields + [T.StructField("doc_bucket", T.LongType(), True)]
+)
+
 
 def derive_db_addr(sender: str, nonce: int, network: int = 1) -> str:
     """Deterministic 20-byte database address from (sender, nonce, network).
@@ -132,10 +145,23 @@ class DocStore:
         df = self.spark.createDataFrame(rows, schema=schema)
         df.coalesce(1).write.mode("append").parquet(path)
 
+    def _append_doc_rows(self, rows: list[dict], path: str) -> None:
+        """Append doc-version rows under the doc-bucket partition layout."""
+        df = self.spark.createDataFrame(rows, schema=DOC_SCHEMA).withColumn(
+            "doc_bucket", F.expr(f"doc_id div {DOC_IDS_PER_BUCKET}")
+        )
+        df.coalesce(1).write.mode("append").partitionBy("doc_bucket").parquet(path)
+
     def _read(self, path: str, schema: T.StructType) -> DataFrame:
         if not os.path.exists(path):
             return self.spark.createDataFrame([], schema=schema)
         return self.spark.read.schema(schema).parquet(path)
+
+    def _read_docs(self, path: str) -> DataFrame:
+        """Collection read: doc rows + the doc_bucket partition column
+        (null for any legacy flat-layout file; pruning filters keep null
+        buckets so such files are scanned, never silently skipped)."""
+        return self._read(path, DOC_READ_SCHEMA)
 
     def _log(self, sender, nonce, action, db_addr, col_name, payload, doc_ids,
              block, order, mid: str | None = None):
@@ -350,17 +376,34 @@ class DocStore:
         if self._col_row(db_addr, col) is None:
             raise CollectionNotFound(f"{db_addr}/{col}")
 
-    def current_state(self, db_addr: str, col: str) -> DataFrame:
-        """Merge-on-read view: latest version per doc_id, tombstones dropped."""
+    def current_state(
+        self, db_addr: str, col: str, doc_ids: list[int] | None = None
+    ) -> DataFrame:
+        """Merge-on-read view: latest version per doc_id, tombstones dropped.
+
+        ``doc_ids`` narrows the view to an id set BEFORE the state window:
+        the derived ``doc_bucket`` predicate prunes whole partition
+        directories (the directory-level analog of the reference's
+        ``/doc/‖db‖id`` point-get key, db_doc_key_v2.rs:24-40) and the
+        doc_id filter then prunes row groups via the compacted sort's
+        min/max stats — a point get touches one bucket, not the corpus.
+        Null buckets (legacy flat files) are kept, never skipped.
+        """
         self._require_col(db_addr, col)
-        df = self._read(self._data_path(db_addr, col), DOC_SCHEMA)
+        df = self._read_docs(self._data_path(db_addr, col))
+        if doc_ids is not None:
+            buckets = sorted({int(i) // DOC_IDS_PER_BUCKET for i in doc_ids})
+            df = df.filter(
+                (F.col("doc_bucket").isin(buckets) | F.col("doc_bucket").isNull())
+                & F.col("doc_id").isin([int(i) for i in doc_ids])
+            )
         w = Window.partitionBy("doc_id").orderBy(
             F.col("block").desc(), F.col("order").desc()
         )
         return (
             df.withColumn("_rn", F.row_number().over(w))
             .filter((F.col("_rn") == 1) & (F.col("op") != "D"))
-            .drop("_rn", "op")
+            .drop("_rn", "op", "doc_bucket")
         )
 
     def add_docs(
@@ -394,7 +437,7 @@ class DocStore:
             }
             for i, d in zip(ids, docs)
         ]
-        self._append(rows, DOC_SCHEMA, self._data_path(db_addr, col))
+        self._append_doc_rows(rows, self._data_path(db_addr, col))
         self._log(sender, nonce or 0, "add_document", db_addr, col,
                   {"docs": docs}, ids, block, order, mid=mid)
         return ids
@@ -427,7 +470,9 @@ class DocStore:
         self._require_col(db_addr, col)
         if nonce is not None:
             self.state.incr_nonce(sender, nonce)
-        state_df = self.current_state(db_addr, col)
+        # bucket-pruned state: the ownership check and the merge only ever
+        # need the target ids' latest versions
+        state_df = self.current_state(db_addr, col, doc_ids=ids)
         self._verify_ownership(state_df, ids, sender)
         block, order = self._seq(seq)
         patch_df = self.spark.createDataFrame(
@@ -448,8 +493,11 @@ class DocStore:
         )
         # Write the merged versions directly — never through the driver. The
         # repartition(1) exchanges only the batch's output rows (≤ len(ids))
-        # into one file while the state window + merge upstream stay parallel.
-        merged.repartition(1).write.mode("append").parquet(
+        # into one file per bucket while the state window + merge upstream
+        # stay parallel.
+        merged.withColumn(
+            "doc_bucket", F.expr(f"doc_id div {DOC_IDS_PER_BUCKET}")
+        ).repartition(1).write.mode("append").partitionBy("doc_bucket").parquet(
             self._data_path(db_addr, col)
         )
         self._log(sender, nonce or 0, "update_document", db_addr, col,
@@ -464,7 +512,7 @@ class DocStore:
         self._require_col(db_addr, col)
         if nonce is not None:
             self.state.incr_nonce(sender, nonce)
-        state_df = self.current_state(db_addr, col)
+        state_df = self.current_state(db_addr, col, doc_ids=ids)
         self._verify_ownership(state_df, ids, sender)
         block, order = self._seq(seq)
         rows = [
@@ -474,7 +522,7 @@ class DocStore:
             }
             for i in ids
         ]
-        self._append(rows, DOC_SCHEMA, self._data_path(db_addr, col))
+        self._append_doc_rows(rows, self._data_path(db_addr, col))
         self._log(sender, nonce or 0, "delete_document", db_addr, col,
                   None, ids, block, order, mid=mid)
 
@@ -483,10 +531,9 @@ class DocStore:
     # ------------------------------------------------------------------
 
     def get_doc(self, db_addr: str, col: str, doc_id: int):
-        """S6 point get — doc_store.rs:240-250."""
-        rows = self.current_state(db_addr, col).filter(
-            F.col("doc_id") == doc_id
-        ).head(1)
+        """S6 point get — doc_store.rs:240-250. Bucket-pruned: touches one
+        partition directory, not the collection."""
+        rows = self.current_state(db_addr, col, doc_ids=[doc_id]).head(1)
         return rows[0] if rows else None
 
     def query_docs(
@@ -544,7 +591,9 @@ class DocStore:
         indexed JSON paths first, then doc_id — parquet row-group min/max
         stats then prune filters on those fields the way the reference's
         EJDB2 secondary indexes did, with the primary-key sort as the
-        tiebreaker for point gets.
+        tiebreaker for point gets. The doc-bucket partition layout is
+        preserved (one sorted file per bucket), so point-get pruning
+        survives compaction.
         """
         self._require_col(db_addr, col)
         path = self._data_path(db_addr, col)
@@ -565,9 +614,18 @@ class DocStore:
             sort_cols.append(c)
         sort_cols.append(F.col("doc_id"))
         tmp = path + ".compact"
-        snap.select([f.name for f in DOC_SCHEMA.fields]).sort(*sort_cols).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        (
+            snap.select([f.name for f in DOC_SCHEMA.fields])
+            .withColumn("doc_bucket", F.expr(f"doc_id div {DOC_IDS_PER_BUCKET}"))
+            .repartition("doc_bucket")
+            # partition col leads the sort: the dynamic-partition writer
+            # requires ordering by partition columns and would insert its
+            # own (index-order-destroying) sort if ours didn't satisfy it
+            .sortWithinPartitions(F.col("doc_bucket"), *sort_cols)
+            .write.mode("overwrite")
+            .partitionBy("doc_bucket")
+            .parquet(tmp)
+        )
         # materialize before swapping the live directory
         old = path + ".old"
         if os.path.exists(path):

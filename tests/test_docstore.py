@@ -118,6 +118,45 @@ class TestDocumentCRUD:
         # newest-first: limit 1 yields the LAST insert (client_v2.test.ts:213-239)
         assert json.loads(rows[0]["doc"])["city"] == "beijing2"
 
+    def test_point_get_prunes_doc_buckets(self, spark, tmp_path, monkeypatch):
+        """S6 point gets must prune partition directories via doc_bucket —
+        the directory-level analog of the reference's /doc/‖db‖id key
+        layout (db_doc_key_v2.rs:24-40). A flat directory would scan every
+        file of the collection for one id."""
+        import rtstore_spark.store.docstore as ds
+
+        monkeypatch.setattr(ds, "DOC_IDS_PER_BUCKET", 10)
+        store = DocStore(spark, str(tmp_path / "wbuck"))
+        db = store.create_database(ALICE, nonce=1)
+        store.create_collection(db, "c", [], ALICE)
+        ids = store.add_docs(
+            db, "c", [json.dumps({"v": i}) for i in range(35)], ALICE
+        )
+        import os
+
+        buckets = sorted(
+            d for d in os.listdir(store._data_path(db, "c"))
+            if d.startswith("doc_bucket=")
+        )
+        assert len(buckets) == 4  # 35 docs / 10 per bucket
+
+        target = ids[25]
+        state = store.current_state(db, "c", doc_ids=[target])
+        plan = state._jdf.queryExecution().executedPlan().toString()
+        assert "doc_bucket" in plan.split("PartitionFilters")[1].split("]")[0]
+        row = store.get_doc(db, "c", target)
+        assert json.loads(row["doc"]) == {"v": 25}
+
+        # compaction preserves the bucket layout and the pruned plan
+        store.compact(db, "c")
+        buckets = sorted(
+            d for d in os.listdir(store._data_path(db, "c"))
+            if d.startswith("doc_bucket=")
+        )
+        assert len(buckets) == 4
+        row = store.get_doc(db, "c", target)
+        assert json.loads(row["doc"]) == {"v": 25}
+
     def test_query_cache_bounded(self, store, db_col):
         """RunQuery persists its matched set for the one-pass count+read;
         the cache FIFO must stay bounded (oldest unpersisted) and evicted
@@ -229,7 +268,10 @@ class TestDocumentCRUD:
         )
         store.compact(db, "c")
         files = sorted(
-            glob.glob(str(tmp_path / "widx" / "data" / db / "c" / "*.parquet"))
+            glob.glob(
+                str(tmp_path / "widx" / "data" / db / "c" / "**" / "*.parquet"),
+                recursive=True,
+            )
         )
         rows = []
         for f in files:
