@@ -872,22 +872,43 @@ def simhash32(spark, sf):
               length(regexp_replace(text, '\s', '', 'g')) AS n_chars_no_ws,
               round(length(regexp_replace(text, '\s', '', 'g')) * 1.0
                     / len(regexp_split_to_array(trim(text), '\s+')), 6) AS avg_token_len,
-              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_ish
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_ish,
+              len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_pii_email,
+              len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_pii_ipv4,
+              round(1.0 - len(list_distinct(string_split(text, chr(10)))) * 1.0
+                    / greatest(len(string_split(text, chr(10))), 1), 6) AS dup_line_frac
        FROM documents""",
 )
 def text_quality(spark, sf):
     """Quality-scoring features: whitespace token count, char density, mean
-    token length, plus a BPE-ish token estimate (words + digits + punctuation
-    as separate tokens)."""
+    token length, a BPE-ish token estimate (words + digits + punctuation as
+    separate tokens), PII detection counts (operators/text.py:PII_PATTERNS),
+    and the Gopher-style duplicate-line fraction
+    (operators.text.repetition_metrics)."""
+    from rtstore_spark.operators.text import PII_PATTERNS
+
     docs = load_table(spark, sf, "documents")
     n_tokens = F.size(_tokens(F.col("text")))
     no_ws = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    lines = F.split(F.col("text"), "\n")
     return docs.select(
         "doc_id", "lang",
         n_tokens.alias("n_tokens"),
         no_ws.alias("n_chars_no_ws"),
         F.round(no_ws * F.lit(1.0) / n_tokens, 6).alias("avg_token_len"),
         F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0)")).alias("n_bpe_ish"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(PII_PATTERNS["email"]), F.lit(0))
+        ).alias("n_pii_email"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(PII_PATTERNS["ipv4"]), F.lit(0))
+        ).alias("n_pii_ipv4"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines))
+            / F.greatest(F.size(lines), F.lit(1)),
+            6,
+        ).alias("dup_line_frac"),
     )
 
 

@@ -86,6 +86,71 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# PII patterns shared by pii_metrics / pii_scrub. Deliberately RE2-safe
+# (no backreferences, no lookaround) so a SQL oracle (DuckDB) and Spark's
+# Java regex agree exactly — the same engine-reproducibility contract the
+# md5-derived hashes follow.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def pii_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc PII match counts (email / phone / ipv4) — the detection half
+    of a scrubbing pipeline, cheap enough to run corpus-wide as a quality
+    column. Pure Column algebra, one projection, no shuffle."""
+    cols = [
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        ).alias(f"n_pii_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    return df.select(F.col(id_col).alias("id"), *cols)
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str, id_col: str, classes: list[str] | None = None
+) -> DataFrame:
+    """Redact PII in place: each matched span becomes ``<CLASS>`` (e.g.
+    ``<EMAIL>``). Emails scrub before phones so a phone pattern can never
+    match inside an already-redacted span; placeholders contain no digits.
+    Returns (id, text, n_pii_total)."""
+    classes = list(classes or PII_PATTERNS)
+    scrubbed = F.col(text_col)
+    total = F.lit(0)
+    for name in classes:
+        pat = PII_PATTERNS[name]
+        total = total + F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return df.select(
+        F.col(id_col).alias("id"),
+        scrubbed.alias("text"),
+        total.alias("n_pii_total"),
+    )
+
+
+def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition signals for quality filtering: line counts
+    and the duplicate-line fraction (boilerplate documents — headers,
+    navigation, templated spam — repeat lines heavily). One projection,
+    no shuffle; the line arrays never leave the executor."""
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    n_unique = F.size(F.array_distinct(lines))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_lines.alias("n_lines"),
+        n_unique.alias("n_unique_lines"),
+        F.round(
+            F.lit(1.0) - n_unique / F.greatest(n_lines, F.lit(1)), 6
+        ).alias("dup_line_frac"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Normalized md5 fingerprint (whitespace-collapsed, lowercased)."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))

@@ -253,6 +253,58 @@ class TestText:
         fps = {r["id"]: r["fingerprint"] for r in text.fingerprint(df, "text", "id").collect()}
         assert fps[0] == fps[1] != fps[2]
 
+    def test_pii_metrics_and_scrub(self, spark):
+        rows = [
+            Row(id=0, text="mail a@b.io or c.d@e.org, call 415-555-1212, host 10.0.0.1"),
+            Row(id=1, text="no pii here at all"),
+        ]
+        df = spark.createDataFrame(rows)
+        m = {r["id"]: r for r in text.pii_metrics(df, "text", "id").collect()}
+        assert (m[0]["n_pii_email"], m[0]["n_pii_phone"], m[0]["n_pii_ipv4"]) == (2, 1, 1)
+        assert (m[1]["n_pii_email"], m[1]["n_pii_phone"], m[1]["n_pii_ipv4"]) == (0, 0, 0)
+        s = {r["id"]: r for r in text.pii_scrub(df, "text", "id").collect()}
+        assert "<EMAIL>" in s[0]["text"] and "<PHONE>" in s[0]["text"]
+        assert "a@b.io" not in s[0]["text"] and "415-555" not in s[0]["text"]
+        assert s[0]["n_pii_total"] == 4
+        assert s[1]["text"] == "no pii here at all" and s[1]["n_pii_total"] == 0
+
+    def test_repetition_metrics(self, spark):
+        boiler = "menu\nhome\nmenu\nhome\nmenu\nunique line"
+        rows = [Row(id=0, text=boiler), Row(id=1, text="a\nb\nc"), Row(id=2, text="single")]
+        df = spark.createDataFrame(rows)
+        got = {r["id"]: r for r in text.repetition_metrics(df, "text", "id").collect()}
+        assert got[0]["n_lines"] == 6 and got[0]["n_unique_lines"] == 3
+        assert got[0]["dup_line_frac"] == 0.5
+        assert got[1]["dup_line_frac"] == 0.0
+        assert got[2]["n_lines"] == 1 and got[2]["dup_line_frac"] == 0.0
+
+    def test_pii_counts_match_duckdb(self, spark):
+        """The PII patterns must evaluate identically under Spark's Java
+        regex and DuckDB's RE2 — the oracle-reproducibility contract."""
+        import duckdb
+
+        samples = [
+            (0, "x a@b.io y 1.2.3.4 z"),
+            (1, "first.last+tag@sub.domain.co and 255.255.255.255 and 999.1.1.1"),
+            (2, "nothing"),
+        ]
+        df = spark.createDataFrame(samples, ["id", "text"])
+        got = sorted(
+            (r["id"], r["n_pii_email"], r["n_pii_ipv4"])
+            for r in text.pii_metrics(df, "text", "id").collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(id BIGINT, text VARCHAR)")
+        for i, s in samples:
+            con.execute("INSERT INTO t VALUES (?, ?)", [i, s])
+        oracle = con.execute(
+            rf"""SELECT id,
+                   len(regexp_extract_all(text, '{text.PII_PATTERNS["email"]}')),
+                   len(regexp_extract_all(text, '{text.PII_PATTERNS["ipv4"]}'))
+                 FROM t ORDER BY id"""
+        ).fetchall()
+        assert got == [tuple(r) for r in oracle]
+
     def test_rolling_hash_fingerprints(self, corpus):
         out = text.rolling_hash_fingerprints(corpus, "text", "id", window=4, keep=3)
         rows = {r["id"]: r["fingerprints"] for r in out.collect()}
