@@ -22,6 +22,13 @@ def _hash32(col):
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def _hash60(col):
+    """60-bit md5 prefix as a long — for set membership where 32 bits
+    would start colliding (collision-safe shingle identity: ~2^-60 per
+    pair vs ~2^-32)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     """Universal-hash coefficients (a_i odd < 2^20, b_i < 2^32), md5-derived
     so any engine can reproduce them. h_i(x) = (a_i * x + b_i) mod 2^32 with
@@ -199,20 +206,29 @@ def jaccard_verify(
     """Exact shingle-set Jaccard for candidate pairs only.
 
     The candidate set bounds the join: shingles are exploded once, then
-    semi-joined to candidates — never a corpus-wide self-join.
+    semi-joined to candidates — never a corpus-wide self-join. Shingles
+    are reduced to 60-bit md5-derived longs BEFORE the distinct and the
+    intersection join, so the shuffles move 8-byte keys instead of raw
+    n-gram strings (~5-10× fewer shuffle bytes at corpus scale; a 60-bit
+    collision within one pair's shingle union is ~2^-60 — far below the
+    threshold sensitivity of the jaccard ratio).
     Returns (id_a, id_b, jaccard) above threshold.
     """
-    sh = shingles(df, text_col, id_col, n=shingle_n)
     wanted = candidates.select(
         F.col("id_a").alias("id"),
     ).union(candidates.select(F.col("id_b").alias("id"))).distinct()
-    sh = sh.join(F.broadcast(wanted), "id", "left_semi")
+    sh = (
+        shingles(df, text_col, id_col, n=shingle_n, distinct=False)
+        .join(F.broadcast(wanted), "id", "left_semi")  # filter pre-shuffle
+        .select("id", _hash60(F.col("shingle")).alias("hv"))
+        .distinct()
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    a = sh.select(F.col("id").alias("id_a"), "hv")
+    b = sh.select(F.col("id").alias("id_b"), "hv")
     inter = (
         candidates.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
+        .join(b, ["id_b", "hv"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
