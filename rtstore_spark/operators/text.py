@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # tiny per-language stopword lists for n-gram-free heuristic lang-id
 _STOPWORDS = {
@@ -149,6 +150,67 @@ def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.lit(1.0) - n_unique / F.greatest(n_lines, F.lit(1)), 6
         ).alias("dup_line_frac"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_tokens: int = 2048,
+    overlap: int = 128,
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap — the
+    pre-tokenization chunking stage of a training-data pipeline.
+    Returns (id, chunk_idx, chunk_text, n_tokens); chunk boundaries are
+    whitespace-token positions, stride = max_tokens - overlap, and the
+    final chunk may be short (never empty). Deterministic given the text.
+
+    Arrow-batched ``mapInPandas`` on purpose: an overlapping-window slice
+    is not expressible as built-in Columns without referencing the token
+    array inside a higher-order-function lambda, which Catalyst inlines
+    with no CSE — re-running the tokenizer per chunk (O(L²/stride) per
+    row). One Python pass per Arrow batch keeps it linear, stays fully
+    distributed (no shuffle: scan → mapInPandas), and the output explodes
+    map-locally like the shingle operators.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("chunk_idx", T.IntegerType()),
+            T.StructField("chunk_text", T.StringType()),
+            T.StructField("n_tokens", T.IntegerType()),
+        ]
+    )
+
+    def chunker(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, texts, lens = [], [], [], []
+            for i, t in zip(pdf["id"], pdf["text"]):
+                toks = (t or "").split()
+                if not toks:
+                    continue
+                for ci, s in enumerate(
+                    range(0, max(len(toks) - overlap, 1), stride)
+                ):
+                    seg = toks[s : s + max_tokens]
+                    ids.append(i)
+                    idxs.append(ci)
+                    texts.append(" ".join(seg))
+                    lens.append(len(seg))
+            yield pd.DataFrame(
+                {"id": ids, "chunk_idx": idxs, "chunk_text": texts,
+                 "n_tokens": lens}
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(chunker, schema=schema)
 
 
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -305,6 +305,33 @@ class TestText:
         ).fetchall()
         assert got == [tuple(r) for r in oracle]
 
+    def test_chunk_documents(self, spark):
+        """Chunking: stride = max_tokens - overlap, adjacent chunks share
+        exactly `overlap` tokens, the tail chunk is short but never empty,
+        docs at or under max_tokens yield one chunk, empty docs none —
+        and the plan is shuffle-free (scan -> mapInPandas)."""
+        rows = [
+            Row(id=0, text=" ".join(f"t{i}" for i in range(10))),
+            Row(id=1, text="a b c"),
+            Row(id=2, text=""),
+        ]
+        df = spark.createDataFrame(rows)
+        out = text.chunk_documents(df, "text", "id", max_tokens=4, overlap=1)
+        got = sorted(
+            (r["id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+            for r in out.collect()
+        )
+        assert got == [
+            (0, 0, "t0 t1 t2 t3", 4),
+            (0, 1, "t3 t4 t5 t6", 4),
+            (0, 2, "t6 t7 t8 t9", 4),
+            (1, 0, "a b c", 3),
+        ]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        with pytest.raises(ValueError):
+            text.chunk_documents(df, "text", "id", max_tokens=4, overlap=4)
+
     def test_rolling_hash_fingerprints(self, corpus):
         out = text.rolling_hash_fingerprints(corpus, "text", "id", window=4, keep=3)
         rows = {r["id"]: r["fingerprints"] for r in out.collect()}

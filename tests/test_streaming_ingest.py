@@ -169,6 +169,136 @@ class TestMetaStore:
         assert [c["col_name"] for c in store.collections(db_addr).collect()] == ["tbl"]
 
 
+class TestBatchSequentialEquivalence:
+    def test_random_mutation_stream_matches_sequential(self, spark, tmp_path):
+        """Property: for a randomized multi-sender mutation stream whose
+        updates/deletes target only documents created in EARLIER blocks
+        (the regime where batch and sequential semantics are defined to
+        agree — see batch_apply's documented intra-block deviation), the
+        set-wise batch applier and the sequential Ingest produce identical
+        final state: same doc ids, owners, and document bodies."""
+        import random
+
+        rng = random.Random(7)
+        senders = ["0x" + c * 40 for c in "abc"]
+
+        seq_store = DocStore(spark, str(tmp_path / "seq"))
+        seq_ing = Ingest(seq_store)
+        bat_store = DocStore(spark, str(tmp_path / "bat"))
+        si = StreamingIngest(spark, Ingest(bat_store), str(tmp_path / "stg"))
+
+        nonces = dict.fromkeys(senders, 0)
+
+        def make(sender, payload):
+            nonces[sender] += 1
+            return payload, sender, nonces[sender]
+
+        # block 0: create db + collection (owner: senders[0])
+        setup = [
+            make(senders[0], {"action": "create_database", "body": {"desc": "d"}}),
+        ]
+        live: dict[int, str] = {}  # doc_id -> owner, as of last closed block
+
+        def run_block(muts, fname):
+            lines = []
+            for payload, sender, nonce in muts:
+                body = json.dumps(payload, sort_keys=True)
+                lines.append(json.dumps({
+                    "payload": body,
+                    "signature": digest_signature(body, nonce, sender),
+                    "sender": sender, "nonce": nonce,
+                }))
+            (tmp_path / "stg" / fname).write_text("\n".join(lines))
+            si.start(once=True)
+            for payload, sender, nonce in muts:  # same order, sequentially
+                seq_ing.send_mutation(payload, digest_signature(
+                    json.dumps(payload, sort_keys=True), nonce, sender
+                ), sender, nonce)
+            seq_store.state.next_block()
+
+        run_block(setup, "b0.jsonl")
+        db_seq = seq_store.databases().collect()[0]["db_addr"]
+        db_bat = bat_store.databases().collect()[0]["db_addr"]
+        run_block(
+            [make(senders[0], {"action": "add_collection", "db_addr": db_seq,
+                               "col_name": "c", "body": {}})],
+            "b1.jsonl",
+        )
+
+        def fix_db(p, db):
+            q = dict(p)
+            if "db_addr" in q:
+                q["db_addr"] = db
+            return q
+
+        # three randomized doc-op blocks
+        next_doc = {}
+        for blk in range(3):
+            muts = []
+            for _ in range(rng.randint(4, 8)):
+                sender = rng.choice(senders)
+                kind = rng.choice(["add", "add", "update", "delete"])
+                owned = [i for i, o in live.items() if o == sender]
+                if kind == "add" or not owned:
+                    docs = [json.dumps({"s": sender[:4], "v": rng.randint(0, 99)})
+                            for _ in range(rng.randint(1, 3))]
+                    muts.append(make(sender, {
+                        "action": "add_document", "db_addr": "DB",
+                        "col_name": "c", "body": {"docs": docs},
+                    }))
+                elif kind == "update":
+                    target = rng.choice(owned)
+                    muts.append(make(sender, {
+                        "action": "update_document", "db_addr": "DB",
+                        "col_name": "c",
+                        "body": {"ids": [target],
+                                 "patches": [json.dumps({"u": rng.randint(0, 9)})]},
+                    }))
+                else:
+                    target = rng.choice(owned)
+                    live.pop(target)
+                    muts.append(make(sender, {
+                        "action": "delete_document", "db_addr": "DB",
+                        "col_name": "c", "body": {"ids": [target]},
+                    }))
+            # run against both stores with their own db address
+            lines = []
+            for payload, sender, nonce in muts:
+                body = json.dumps(fix_db(payload, db_bat), sort_keys=True)
+                lines.append(json.dumps({
+                    "payload": body,
+                    "signature": digest_signature(body, nonce, sender),
+                    "sender": sender, "nonce": nonce,
+                }))
+            (tmp_path / "stg" / f"d{blk}.jsonl").write_text("\n".join(lines))
+            si.start(once=True)
+            for payload, sender, nonce in muts:
+                p = fix_db(payload, db_seq)
+                body = json.dumps(p, sort_keys=True)
+                if p["action"] == "add_document":
+                    ids = seq_ing.send_mutation(
+                        p, digest_signature(body, nonce, sender), sender, nonce
+                    )["items"]
+                    for item in ids:
+                        live[int(item["value"])] = sender
+                else:
+                    seq_ing.send_mutation(
+                        p, digest_signature(body, nonce, sender), sender, nonce
+                    )
+            seq_store.state.next_block()
+
+        assert not si.rejected
+        seq_state = sorted(
+            (r["doc_id"], r["owner"], json.dumps(json.loads(r["doc"]), sort_keys=True))
+            for r in seq_store.current_state(db_seq, "c").collect()
+        )
+        bat_state = sorted(
+            (r["doc_id"], r["owner"], json.dumps(json.loads(r["doc"]), sort_keys=True))
+            for r in bat_store.current_state(db_bat, "c").collect()
+        )
+        assert seq_state == bat_state and len(seq_state) == len(live)
+
+
 class TestArrivalStamp:
     def test_deterministic_under_file_splitting(self, spark, tmp_path):
         """_stamp_arrival must reproduce in-file line order even when one
