@@ -9,6 +9,9 @@ Stages (each individually oracle-tested elsewhere; this module wires them):
 4. near dedup      — MinHash/LSH candidates → Jaccard verify → exact
                      connected components → drop non-representatives
 5. sampling        — deterministic per-language hash-gated fractions
+6. PII scrub       — optional in-place redaction (RE2-safe patterns)
+7. chunking        — optional fixed-token chunks with overlap
+                     (Arrow-batched; output rows are chunks, not docs)
 
 Laziness matters at 100 TB: stages 1-2 are pure filters that reach the
 parquet scan, 3 is one partial-agg shuffle, 4 is bucket-bounded, 5 is a
@@ -36,6 +39,9 @@ class CorpusPrepConfig:
     near_dup_threshold: float = 0.8
     sample_fractions: dict[str, float] | float = 1.0
     sample_seed: str = "corpus"
+    scrub_pii: bool = False
+    chunk_max_tokens: int | None = None  # None = no chunking
+    chunk_overlap: int = 128
 
 
 def prepare_corpus(
@@ -100,4 +106,20 @@ def prepare_corpus(
         kept = kept.join(ok_l.withColumnRenamed("id", id_col), id_col)
     else:
         kept = kept.join(ok_l.withColumnRenamed("id", id_col), id_col)
+
+    # 6. optional PII scrub — in place, so downstream stages (chunking,
+    # writes) only ever see redacted text
+    if cfg.scrub_pii:
+        scrubbed = F.col(text_col)
+        for name, pat in text.PII_PATTERNS.items():
+            scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+        kept = kept.withColumn(text_col, scrubbed)
+
+    # 7. optional chunking — output rows become (id, chunk_idx,
+    # chunk_text, n_tokens); doc-level columns end here by design
+    if cfg.chunk_max_tokens:
+        kept = text.chunk_documents(
+            kept, text_col, id_col,
+            max_tokens=cfg.chunk_max_tokens, overlap=cfg.chunk_overlap,
+        )
     return kept

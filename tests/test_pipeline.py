@@ -59,3 +59,23 @@ class TestPrepareCorpus:
     def test_original_columns_preserved(self, corpus):
         out = prepare_corpus(corpus, "body", "doc_id")
         assert set(out.columns) == {"doc_id", "body", "lang"}
+
+    def test_scrub_and_chunk_stages(self, spark):
+        """Stage 6 redacts PII before stage 7 chunks; chunk rows carry the
+        doc id and contiguous chunk indexes, and no raw PII survives."""
+        body = (
+            "contact me at someone@example.com today "
+            + " ".join(f"w{chr(97 + i)}" for i in range(20))
+        )
+        df = spark.createDataFrame([Row(doc_id=0, body=body)])
+        cfg = CorpusPrepConfig(
+            min_tokens=5, langs=["en", "und"], near_dup_threshold=0.6,
+            scrub_pii=True, chunk_max_tokens=8, chunk_overlap=2,
+        )
+        out = prepare_corpus(df, "body", "doc_id", cfg)
+        rows = sorted((r["id"], r["chunk_idx"], r["chunk_text"]) for r in out.collect())
+        assert rows and all(i == 0 for i, _, _ in rows)
+        assert [ci for _, ci, _ in rows] == list(range(len(rows)))
+        joined = " ".join(t for _, _, t in rows)
+        assert "someone@example.com" not in joined
+        assert "<EMAIL>" in joined
