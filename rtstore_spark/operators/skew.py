@@ -27,10 +27,16 @@ def hot_keys(
     Detection runs on a seeded ``sample_fraction`` sample BY DEFAULT — a
     key owning ≥1% of a 100-TB fact owns ≥1% of any sample, so heavy
     hitters survive sampling while the detection cost drops from two full
-    scans to two scans of the sample. Pass ``sample_fraction=None`` for
-    exact counts (small inputs, or shares near the threshold)."""
+    scans to two scans of the sample. The sample is only trusted when a
+    true hot key would be expected ≥5 times in it (total × min_share ≥ 5);
+    below that the sampled threshold collapses to 1 row and every sampled
+    key would look "hot", so detection falls back to exact full-scan
+    counts — small inputs are exactly where the full scan is cheap.
+    Pass ``sample_fraction=None`` to force exact counts."""
     src = df.sample(sample_fraction, seed=seed) if sample_fraction else df
     total = src.count()
+    if sample_fraction and total * min_share < 5:
+        src, total = df, df.count()
     if not total:
         return []
     rows = (

@@ -91,10 +91,15 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # (no backreferences, no lookaround) so a SQL oracle (DuckDB) and Spark's
 # Java regex agree exactly — the same engine-reproducibility contract the
 # md5-derived hashes follow.
+# Order matters for scrubbing: email, then ipv4, then phone — the phone
+# shape is the loosest, and scrubbing it last (against already-redacted
+# text) keeps it from eating pieces of emails or dotted quads. The phone
+# pattern requires grouped digits with single [-() ] separators (no '.'
+# and no newlines), so dotted quads and numbered lists never match.
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
     "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"(?:\+?[0-9]{1,3}[-( ]?)?[0-9]{3}[-) ]?[0-9]{3}[- ]?[0-9]{4}",
 }
 
 
@@ -115,16 +120,19 @@ def pii_scrub(
     df: DataFrame, text_col: str, id_col: str, classes: list[str] | None = None
 ) -> DataFrame:
     """Redact PII in place: each matched span becomes ``<CLASS>`` (e.g.
-    ``<EMAIL>``). Emails scrub before phones so a phone pattern can never
-    match inside an already-redacted span; placeholders contain no digits.
-    Returns (id, text, n_pii_total)."""
+    ``<EMAIL>``). Classes scrub in PII_PATTERNS order (email → ipv4 →
+    phone) and each class's count is taken against the text AFTER the
+    previous classes were scrubbed — so ``n_pii_total`` equals the number
+    of placeholders actually emitted, never double-counting a span two
+    patterns both match. Placeholders contain no digits, so no later
+    pattern can match inside one. Returns (id, text, n_pii_total)."""
     classes = list(classes or PII_PATTERNS)
     scrubbed = F.col(text_col)
     total = F.lit(0)
     for name in classes:
         pat = PII_PATTERNS[name]
         total = total + F.size(
-            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+            F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0))
         )
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
     return df.select(
@@ -176,9 +184,11 @@ def chunk_documents(
     if overlap >= max_tokens:
         raise ValueError("overlap must be smaller than max_tokens")
     stride = max_tokens - overlap
+    # the id keeps the caller's type (string ids are first-class across
+    # the operator library; a hard cast to long would null them silently)
     schema = T.StructType(
         [
-            T.StructField("id", T.LongType()),
+            T.StructField("id", df.schema[id_col].dataType),
             T.StructField("chunk_idx", T.IntegerType()),
             T.StructField("chunk_text", T.StringType()),
             T.StructField("n_tokens", T.IntegerType()),
@@ -208,7 +218,7 @@ def chunk_documents(
             )
 
     src = df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
     return src.mapInPandas(chunker, schema=schema)
 

@@ -74,9 +74,30 @@ class RollupExecutor:
         self.rollup_dir = os.path.join(root, "rollups")
         self.manifest_path = os.path.join(root, "rollup_manifest")
         os.makedirs(self.rollup_dir, exist_ok=True)
-        # when maybe_rollup first saw pending data with no manifest row yet;
-        # anchors the time trigger before the first-ever rollup
-        self._first_pending_ms: int | None = None
+        # when maybe_rollup first saw pending data with no manifest row
+        # yet; anchors the time trigger before the first-ever rollup.
+        # Persisted as a marker file so the anchor survives restarts and
+        # fresh executor instances per scheduled run — instance-only state
+        # would reset the clock every invocation and the trigger would
+        # never fire.
+        self._first_pending_path = os.path.join(root, "rollup_first_pending")
+
+    @property
+    def _first_pending_ms(self) -> int | None:
+        try:
+            with open(self._first_pending_path) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    @_first_pending_ms.setter
+    def _first_pending_ms(self, value: int | None) -> None:
+        if value is None:
+            if os.path.exists(self._first_pending_path):
+                os.remove(self._first_pending_path)
+            return
+        with open(self._first_pending_path, "w") as f:
+            f.write(str(int(value)))
 
     def manifest(self) -> DataFrame:
         if not os.path.exists(self.manifest_path):

@@ -335,38 +335,45 @@ class BatchApplier:
                 )
             )
         aqe_before = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
-        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
-
-        # 1. arrival order: lexicographic file path, then in-file position.
-        # In-file position = (split byte-offset, row index within the
-        # split): monotonically_increasing_id alone is NOT enough when one
-        # file is split across input partitions, because split packing
-        # order need not follow in-file offsets — the _split_start column
-        # (projected from _metadata by the stream) orders the splits
-        # physically. The global row number is assigned without a global
-        # window: per-file counts (one tiny job, O(files) rows collected)
-        # become cumulative offsets broadcast back, and each file's rows
-        # get a per-file window — parallel across files, deterministic.
-        stamped = self._stamp_arrival(batch_df)
-
-        # 2. admission: signature + nonce walk, one pass, grouped by sender
-        admit = make_admit_fn(dict(state._state["nonces"]), self.ingest.sig_mode)
-        admitted = (
-            stamped.select("payload", "signature", "sender", "nonce", "_arrival")
-            .groupBy("sender")
-            .applyInPandas(admit, schema=ADMIT_SCHEMA)
-        )
-        parsed = admitted.withColumn("_p", F.from_json("payload", PAYLOAD_SCHEMA))
-        parsed = parsed.select(
-            "*",
-            F.col("_p.action").alias("_action"),
-            F.col("_p.db_addr").alias("_db"),
-            F.col("_p.col_name").alias("_col"),
-            F.col("_p.body.docs").alias("_docs"),
-            F.col("_p.body.ids").alias("_ids"),
-            F.col("_p.body.patches").alias("_patches"),
-        ).drop("_p").persist()
+        parsed = None
         try:
+            # the conf flip lives INSIDE the try: _stamp_arrival runs a
+            # real job, and a failure there must not leave AQE disabled
+            # for the rest of the session
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+            # 1. arrival order: lexicographic file path, then in-file
+            # position. In-file position = (split byte-offset, row index
+            # within the split): monotonically_increasing_id alone is NOT
+            # enough when one file is split across input partitions,
+            # because split packing order need not follow in-file offsets —
+            # the _split_start column (projected from _metadata) orders the
+            # splits physically. The global row number is assigned without
+            # a global window: per-file counts (one tiny job, O(files) rows
+            # collected) become cumulative offsets broadcast back, and each
+            # file's rows get a per-file window — parallel across files,
+            # deterministic.
+            stamped = self._stamp_arrival(batch_df)
+
+            # 2. admission: signature + nonce walk, one pass, by sender
+            admit = make_admit_fn(
+                dict(state._state["nonces"]), self.ingest.sig_mode
+            )
+            admitted = (
+                stamped.select("payload", "signature", "sender", "nonce", "_arrival")
+                .groupBy("sender")
+                .applyInPandas(admit, schema=ADMIT_SCHEMA)
+            )
+            parsed = admitted.withColumn("_p", F.from_json("payload", PAYLOAD_SCHEMA))
+            parsed = parsed.select(
+                "*",
+                F.col("_p.action").alias("_action"),
+                F.col("_p.db_addr").alias("_db"),
+                F.col("_p.col_name").alias("_col"),
+                F.col("_p.body.docs").alias("_docs"),
+                F.col("_p.body.ids").alias("_ids"),
+                F.col("_p.body.patches").alias("_patches"),
+            ).drop("_p").persist()
             # One reject collect covers both admission failures AND
             # admitted rows whose action is unknown or whose payload failed
             # from_json (null _action): the latter are answered with a
@@ -442,7 +449,9 @@ class BatchApplier:
                     {"adds": [], "has_upd": False, "has_del": False, "n_docs": 0},
                 )
                 if r["_action"] == "add_document":
-                    e["adds"].append((int(r["_arrival"]), r["_n"] or 0))
+                    # clamp: size(null _docs) is -1 on Spark 3.5 (legacy
+                    # sizeOfNull), null on 4.x — either way 0 docs
+                    e["adds"].append((int(r["_arrival"]), max(r["_n"] or 0, 0)))
                 elif r["_action"] == "update_document":
                     e["has_upd"] = True
                 else:
@@ -528,7 +537,8 @@ class BatchApplier:
             if top:
                 state.observe_seq(block, int(top))
         finally:
-            parsed.unpersist()
+            if parsed is not None:
+                parsed.unpersist()
             self.spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         return rejected
 
@@ -560,12 +570,23 @@ class BatchApplier:
         )
         if not files:
             return self.spark.createDataFrame([], schema=DOC_SCHEMA).drop("op")
-        df = (
-            self.spark.read.schema(DOC_READ_SCHEMA)
-            .option("basePath", path)
-            .parquet(*files)
-            .drop("doc_bucket")
-        )
+        # root-level (legacy flat) files must be read separately: partition
+        # discovery drops them silently once doc_bucket= paths are present
+        flat = [f for f in files if os.path.dirname(f) == path.rstrip("/")]
+        bucketed = [f for f in files if f not in flat]
+        parts = []
+        if bucketed:
+            parts.append(
+                self.spark.read.schema(DOC_READ_SCHEMA)
+                .option("basePath", path)
+                .parquet(*bucketed)
+                .drop("doc_bucket")
+            )
+        if flat:
+            parts.append(self.spark.read.schema(DOC_SCHEMA).parquet(*flat))
+        df = parts[0]
+        for extra in parts[1:]:
+            df = df.unionByName(extra)
         w = Window.partitionBy("doc_id").orderBy(
             F.col("block").desc(), F.col("order").desc()
         )
@@ -593,8 +614,15 @@ class BatchApplier:
         rejected: list[tuple[dict, str]] = []
         ok_arrivals = []  # DFs of accepted _arrival values, for the log
 
-        # ---- adds: slice of the block-level id-assigned cache, one append
+        # ---- adds: slice of the block-level id-assigned cache, one append.
+        # An add mutation with an EMPTY docs list is still accepted (and
+        # logged) like the sequential path's no-op add — hence ok_arrivals
+        # keys off the mutations, not off n_docs.
         add_rows = None
+        if colinfo["adds"]:
+            ok_arrivals.append(
+                muts.filter(F.col("_action") == "add_document").select("_arrival")
+            )
         if colinfo["n_docs"]:
             add_rows = (
                 add_rows_all.filter(
@@ -611,9 +639,6 @@ class BatchApplier:
             ).repartition(1).write.mode("append").partitionBy(
                 "doc_bucket"
             ).parquet(path)
-            ok_arrivals.append(
-                muts.filter(F.col("_action") == "add_document").select("_arrival")
-            )
 
         # State after this block's adds, shared by update + delete checks —
         # pinned to an explicit file list. Parquet files are immutable, so

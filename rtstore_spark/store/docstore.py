@@ -158,10 +158,34 @@ class DocStore:
         return self.spark.read.schema(schema).parquet(path)
 
     def _read_docs(self, path: str) -> DataFrame:
-        """Collection read: doc rows + the doc_bucket partition column
-        (null for any legacy flat-layout file; pruning filters keep null
-        buckets so such files are scanned, never silently skipped)."""
-        return self._read(path, DOC_READ_SCHEMA)
+        """Collection read: doc rows + the doc_bucket partition column.
+
+        Mixed layouts need an explicit union: Spark's partition discovery
+        IGNORES root-level files once partition directories exist, so a
+        legacy flat-layout collection appended to by the bucketed writers
+        would silently lose its old rows on read. Legacy files read with a
+        null doc_bucket (pruning filters keep null buckets, so they are
+        scanned, never skipped)."""
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], schema=DOC_READ_SCHEMA)
+        entries = os.listdir(path)
+        flat = [
+            os.path.join(path, f) for f in entries
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        has_buckets = any(e.startswith("doc_bucket=") for e in entries)
+        if not has_buckets:
+            # flat-only: missing column reads back as null doc_bucket
+            return self._read(path, DOC_READ_SCHEMA)
+        df = self.spark.read.schema(DOC_READ_SCHEMA).parquet(path)
+        if flat:
+            legacy = (
+                self.spark.read.schema(DOC_SCHEMA)
+                .parquet(*flat)
+                .withColumn("doc_bucket", F.lit(None).cast("long"))
+            )
+            df = df.unionByName(legacy)
+        return df
 
     def _log(self, sender, nonce, action, db_addr, col_name, payload, doc_ids,
              block, order, mid: str | None = None):

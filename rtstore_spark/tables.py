@@ -57,6 +57,12 @@ def load_table(
         if dt == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
     if cache:
+        # one application is live at a time: drop entries from previous
+        # (dead) sessions so restart loops don't accumulate stale
+        # DataFrames holding references into defunct gateways
+        app_id = key[0]
+        for stale in [k for k in _TABLE_CACHE if k[0] != app_id]:
+            del _TABLE_CACHE[stale]
         _TABLE_CACHE[key] = df
     return df
 

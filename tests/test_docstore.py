@@ -157,6 +157,38 @@ class TestDocumentCRUD:
         row = store.get_doc(db, "c", target)
         assert json.loads(row["doc"]) == {"v": 25}
 
+    def test_mixed_flat_and_bucketed_layout_reads_both(self, spark, tmp_path):
+        """A collection written by the pre-bucketing code (flat root
+        parquet files) must keep its documents visible after the bucketed
+        writers append: Spark's partition discovery silently drops
+        root-level files once doc_bucket= directories exist, so the reader
+        unions the legacy files explicitly."""
+        from pyspark.sql import functions as F
+
+        from rtstore_spark.store.docstore import DOC_SCHEMA
+
+        store = DocStore(spark, str(tmp_path / "wmix"))
+        db = store.create_database(ALICE, nonce=1)
+        store.create_collection(db, "c", [], ALICE)
+        # legacy flat-layout row, as the pre-bucketing writer laid it out
+        legacy = [{"doc_id": 7, "owner": ALICE, "doc": '{"v": "legacy"}',
+                   "op": "A", "block": 0, "order": 1}]
+        spark.createDataFrame(legacy, schema=DOC_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(store._data_path(db, "c"))
+        store.state.observe_doc_ids(db, [7])
+        # bucketed append via the current writer
+        (new_id,) = store.add_docs(db, "c", ['{"v": "new"}'], ALICE)
+
+        state = {r["doc_id"]: json.loads(r["doc"])["v"]
+                 for r in store.current_state(db, "c").collect()}
+        assert state == {7: "legacy", new_id: "new"}
+        # the pruned point-get path must also see the legacy row
+        assert json.loads(store.get_doc(db, "c", 7)["doc"])["v"] == "legacy"
+        # ... and legacy docs stay updatable (ownership check reads them)
+        store.update_docs(db, "c", [7], ['{"u": 1}'], ALICE)
+        assert json.loads(store.get_doc(db, "c", 7)["doc"])["u"] == 1
+
     def test_query_cache_bounded(self, store, db_col):
         """RunQuery persists its matched set for the one-pass count+read;
         the cache FIFO must stay bounded (oldest unpersisted) and evicted

@@ -268,6 +268,31 @@ class TestText:
         assert s[0]["n_pii_total"] == 4
         assert s[1]["text"] == "no pii here at all" and s[1]["n_pii_total"] == 0
 
+    def test_pii_scrub_does_not_mangle_ips_or_lists(self, spark):
+        """The phone pattern must not swallow dotted quads, digit runs, or
+        newline-separated numbered lists (the loose charset regression),
+        and scrub order (email -> ipv4 -> phone) leaves no partial spans."""
+        rows = [
+            Row(id=0, text="tel 123456789 10.0.0.1"),
+            Row(id=1, text="1\n2\n3\n4\n5\n6\n7\n8\n9"),
+            Row(id=2, text="dial 415-555-1212 now"),
+        ]
+        df = spark.createDataFrame(rows)
+        s = {r["id"]: r for r in text.pii_scrub(df, "text", "id").collect()}
+        assert s[0]["text"] == "tel 123456789 <IPV4>"  # IP intact pre-scrub
+        assert s[0]["n_pii_total"] == 1
+        assert s[1]["text"] == "1\n2\n3\n4\n5\n6\n7\n8\n9"  # list untouched
+        assert s[2]["text"] == "dial <PHONE> now"
+
+    def test_chunk_documents_string_ids(self, spark):
+        """String doc ids survive chunking (no silent cast-to-long nulls)."""
+        df = spark.createDataFrame(
+            [Row(id="doc-42", text="a b c d e f")], ["id", "text"]
+        )
+        out = text.chunk_documents(df, "text", "id", max_tokens=4, overlap=1)
+        got = sorted((r["id"], r["chunk_idx"]) for r in out.collect())
+        assert got == [("doc-42", 0), ("doc-42", 1)]
+
     def test_repetition_metrics(self, spark):
         boiler = "menu\nhome\nmenu\nhome\nmenu\nunique line"
         rows = [Row(id=0, text=boiler), Row(id=1, text="a\nb\nc"), Row(id=2, text="single")]

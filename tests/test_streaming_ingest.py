@@ -95,6 +95,36 @@ class TestStreamingIngest:
         assert ing.get_nonce(ALICE) == 4
         assert store.databases().count() == 1
 
+    def test_empty_docs_add_is_noop_not_crash(self, spark, tmp_path):
+        """An admitted add_document with an EMPTY docs list must apply as
+        a no-op (like the sequential path) — not crash the block apply."""
+        store = DocStore(spark, str(tmp_path / "w4"))
+        ing = Ingest(store)
+        si = StreamingIngest(spark, ing, str(tmp_path / "staging4"))
+
+        (tmp_path / "staging4" / "b0.jsonl").write_text("\n".join([
+            json.dumps(envelope({"action": "create_database", "body": {"desc": "d"}}, ALICE, 1)),
+        ]))
+        si.start(once=True)
+        db = store.databases().collect()[0]["db_addr"]
+        (tmp_path / "staging4" / "b1.jsonl").write_text("\n".join([
+            json.dumps(envelope({"action": "add_collection", "db_addr": db,
+                                 "col_name": "c", "body": {}}, ALICE, 2)),
+        ]))
+        si.start(once=True)
+        (tmp_path / "staging4" / "b2.jsonl").write_text("\n".join([
+            json.dumps(envelope({"action": "add_document", "db_addr": db,
+                                 "col_name": "c", "body": {"docs": []}}, ALICE, 3)),
+            json.dumps(envelope({"action": "add_document", "db_addr": db,
+                                 "col_name": "c", "body": {"docs": ['{"v": 1}']}}, ALICE, 4)),
+        ]))
+        si.start(once=True)
+        assert not si.rejected
+        assert store.current_state(db, "c").count() == 1
+        # both mutations are in the log (the empty add as a no-op record)
+        adds = store.mutation_log().filter("action = 'add_document'").count()
+        assert adds == 2
+
 
 class TestMetaStore:
     def test_live_processing_time_trigger(self, spark, tmp_path):
