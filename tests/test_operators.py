@@ -73,7 +73,7 @@ class TestDedup:
         assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
 
     def test_connected_components_nonconvergence_raises(self, spark):
-        """A path graph whose diameter exceeds max_iter must raise, not
+        """A path graph that cannot converge within max_iter must raise, not
         silently return partially-propagated labels (which would split one
         component into several and keep docs minhash_dedup should drop)."""
         edges = spark.createDataFrame(
@@ -81,11 +81,27 @@ class TestDedup:
         )
         with pytest.raises(RuntimeError, match="did not converge"):
             dedup.connected_components(edges, max_iter=2)
+
+    def test_connected_components_pointer_jumping_chain(self, spark):
+        """Pointer jumping makes convergence O(log diameter): a diameter-8
+        chain converges in 4 rounds (pure propagation needs 9), and a
+        diameter-63 chain in 10 (pure propagation needs 64)."""
+        chain8 = spark.createDataFrame(
+            [(i, i + 1) for i in range(8)], ["id_a", "id_b"]
+        )
         comp = {
             r["id"]: r["comp"]
-            for r in dedup.connected_components(edges, max_iter=10).collect()
+            for r in dedup.connected_components(chain8, max_iter=4).collect()
         }
         assert set(comp.values()) == {0}
+        chain63 = spark.createDataFrame(
+            [(i, i + 1) for i in range(63)], ["id_a", "id_b"]
+        )
+        comp = {
+            r["id"]: r["comp"]
+            for r in dedup.connected_components(chain63, max_iter=10).collect()
+        }
+        assert set(comp.values()) == {0} and len(comp) == 64
 
     def test_simhash_close_for_neardups(self, corpus):
         out = {r["id"]: r["simhash"] for r in dedup.simhash(corpus, "text", "id").collect()}

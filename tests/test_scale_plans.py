@@ -145,3 +145,35 @@ class TestSkewJoin:
         # the hot route is a broadcast join; the tail keeps the default plan
         assert "BroadcastHashJoin" in plan
         assert out.count() == skewed.join(dim, "k").count()
+
+
+class TestJaccardVerifyNoForcedBroadcast:
+    """The candidate-id set in jaccard_verify grows with the corpus, so the
+    semi-join that filters shingles to candidate docs must NOT carry a
+    forced broadcast hint — past the threshold it has to become a shuffled
+    left-semi on the 8-byte id key, not an OOM."""
+
+    def test_candidate_semi_join_is_unhinted_and_threshold_respecting(self, spark):
+        from pyspark.sql import Row
+
+        from rtstore_spark.operators.dedup import jaccard_verify
+
+        corpus = spark.createDataFrame(
+            [Row(id=i, text=f"alpha beta gamma delta epsilon {i}") for i in range(6)]
+        )
+        cand = spark.createDataFrame([(0, 1), (2, 3)], ["id_a", "id_b"])
+        ver = jaccard_verify(corpus, cand, "text", "id", threshold=0.1)
+        # no hint anywhere in the logical plan: AQE owns the strategy choice
+        logical = ver._jdf.queryExecution().logical().toString().lower()
+        assert "hint" not in logical
+        # with broadcast disabled (the stand-in for "candidate set exceeds
+        # the threshold"), the semi-join must plan as a non-broadcast join
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            p = ver._jdf.queryExecution().executedPlan().toString()
+            semi_lines = [ln for ln in p.splitlines() if "LeftSemi" in ln]
+            assert semi_lines, "expected a left-semi join in the plan"
+            assert all("Broadcast" not in ln for ln in semi_lines)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
