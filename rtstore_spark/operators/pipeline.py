@@ -108,12 +108,10 @@ def prepare_corpus(
         kept = kept.join(ok_l.withColumnRenamed("id", id_col), id_col)
 
     # 6. optional PII scrub — in place, so downstream stages (chunking,
-    # writes) only ever see redacted text
+    # writes) only ever see redacted text; the ordering/placeholder
+    # convention is text._pii_scrub_chain's, shared with pii_scrub
     if cfg.scrub_pii:
-        scrubbed = F.col(text_col)
-        for name, pat in text.PII_PATTERNS.items():
-            scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
-        kept = kept.withColumn(text_col, scrubbed)
+        kept = kept.withColumn(text_col, text.pii_scrub_expr(F.col(text_col)))
 
     # 7. optional chunking — output rows become (id, chunk_idx,
     # chunk_text, n_tokens); doc-level columns end here by design

@@ -116,18 +116,16 @@ def pii_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("id"), *cols)
 
 
-def pii_scrub(
-    df: DataFrame, text_col: str, id_col: str, classes: list[str] | None = None
-) -> DataFrame:
-    """Redact PII in place: each matched span becomes ``<CLASS>`` (e.g.
-    ``<EMAIL>``). Classes scrub in PII_PATTERNS order (email → ipv4 →
-    phone) and each class's count is taken against the text AFTER the
-    previous classes were scrubbed — so ``n_pii_total`` equals the number
-    of placeholders actually emitted, never double-counting a span two
-    patterns both match. Placeholders contain no digits, so no later
-    pattern can match inside one. Returns (id, text, n_pii_total)."""
-    classes = list(classes or PII_PATTERNS)
-    scrubbed = F.col(text_col)
+def _pii_scrub_chain(col, classes: list[str]):
+    """The one place the scrub ordering + placeholder convention lives:
+    returns (scrubbed Column, emitted-placeholder-count Column). Each
+    class's count is taken against the text AFTER the previous classes
+    were scrubbed, so the count equals the placeholders actually emitted —
+    never double-counting a span two patterns both match. Placeholders
+    contain no digits, so no later pattern can match inside one. Both
+    ``pii_scrub`` and the corpus pipeline's scrub stage call this — the
+    guarantees hold for every caller by construction."""
+    scrubbed = col
     total = F.lit(0)
     for name in classes:
         pat = PII_PATTERNS[name]
@@ -135,6 +133,26 @@ def pii_scrub(
             F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0))
         )
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return scrubbed, total
+
+
+def pii_scrub_expr(col, classes: list[str] | None = None):
+    """Scrubbed-text Column for in-place redaction (e.g. a pipeline stage
+    replacing the text column while preserving every other column)."""
+    scrubbed, _ = _pii_scrub_chain(col, list(classes or PII_PATTERNS))
+    return scrubbed
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str, id_col: str, classes: list[str] | None = None
+) -> DataFrame:
+    """Redact PII in place: each matched span becomes ``<CLASS>`` (e.g.
+    ``<EMAIL>``). Classes scrub in PII_PATTERNS order (email → ipv4 →
+    phone; see ``_pii_scrub_chain`` for the ordering/counting contract).
+    Returns (id, text, n_pii_total)."""
+    scrubbed, total = _pii_scrub_chain(
+        F.col(text_col), list(classes or PII_PATTERNS)
+    )
     return df.select(
         F.col(id_col).alias("id"),
         scrubbed.alias("text"),

@@ -68,12 +68,15 @@ class RollupExecutor:
     bounded block range, and recovery parallelizes across rollup files.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, fs=None):
+        from rtstore_spark.store.fs import fs_for
+
         self.spark = spark
         self.root = root
+        self.fs = fs or fs_for(root, spark)
         self.rollup_dir = os.path.join(root, "rollups")
         self.manifest_path = os.path.join(root, "rollup_manifest")
-        os.makedirs(self.rollup_dir, exist_ok=True)
+        self.fs.makedirs(self.rollup_dir)
         # when maybe_rollup first saw pending data with no manifest row
         # yet; anchors the time trigger before the first-ever rollup.
         # Persisted as a marker file so the anchor survives restarts and
@@ -84,23 +87,21 @@ class RollupExecutor:
 
     @property
     def _first_pending_ms(self) -> int | None:
+        txt = self.fs.read_text(self._first_pending_path)
         try:
-            with open(self._first_pending_path) as f:
-                return int(f.read().strip())
-        except (OSError, ValueError):
+            return int(txt.strip()) if txt else None
+        except ValueError:
             return None
 
     @_first_pending_ms.setter
     def _first_pending_ms(self, value: int | None) -> None:
         if value is None:
-            if os.path.exists(self._first_pending_path):
-                os.remove(self._first_pending_path)
+            self.fs.delete(self._first_pending_path)
             return
-        with open(self._first_pending_path, "w") as f:
-            f.write(str(int(value)))
+        self.fs.write_text_atomic(self._first_pending_path, str(int(value)))
 
     def manifest(self) -> DataFrame:
-        if not os.path.exists(self.manifest_path):
+        if not self.fs.exists(self.manifest_path):
             return self.spark.createDataFrame([], schema=MANIFEST_SCHEMA)
         return self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.manifest_path)
 
@@ -150,8 +151,8 @@ class RollupExecutor:
             "compression", "gzip"
         ).parquet(path)
         size = sum(
-            os.path.getsize(os.path.join(path, f))
-            for f in os.listdir(path)
+            self.fs.du(f)
+            for f in self.fs.list_files_recursive(path)
             if f.endswith(".parquet")
         )
         row = {
@@ -242,15 +243,16 @@ class RollupExecutor:
             .agg(F.coalesce(F.sum(F.length("payload")), F.lit(0)).alias("s"))
             .collect()[0]["s"]
         )
-        tmp = store._log_path() + ".gc"
-        kept.write.mode("overwrite").partitionBy("block_bucket").parquet(tmp)
-        import shutil
-
-        old = store._log_path() + ".old"
-        if os.path.exists(store._log_path()):
-            os.rename(store._log_path(), old)
-        os.rename(tmp, store._log_path())
-        shutil.rmtree(old, ignore_errors=True)
+        # object-store-safe swap: write the kept rows as a new log
+        # generation, flip the `_current` pointer, clean up (docstore's
+        # _rewrite) — readers resolving mid-GC see the full old log or the
+        # full new one, never a half state
+        store._rewrite(
+            store._log_root(),
+            lambda dest: kept.write.mode("overwrite")
+            .partitionBy("block_bucket")
+            .parquet(dest),
+        )
         record = {
             "start_block": 0,
             "end_block": int(watermark - 1),
@@ -266,7 +268,7 @@ class RollupExecutor:
     def scan_gc_records(self, offset: int = 0, limit: int = 50) -> DataFrame:
         """ScanGcRecord (db3_storage.proto:146-153): newest-first page."""
         path = os.path.join(self.root, "gc_records")
-        if not os.path.exists(path):
+        if not self.fs.exists(path):
             return self.spark.createDataFrame([], schema=GC_RECORD_SCHEMA)
         return (
             self.spark.read.schema(GC_RECORD_SCHEMA)

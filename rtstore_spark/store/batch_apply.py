@@ -38,7 +38,6 @@ wins instead. Nonces are consumed at admission, so a mutation rejected later
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 
@@ -232,9 +231,13 @@ class BatchApplier:
     def _reject_rows(self, rows, reason_col="_reason"):
         out = []
         for r in rows:
+            # a malformed staging line parses (PERMISSIVE) to an all-null
+            # row — the reject path must report it, not crash on int(None)
+            nonce = r["nonce"]
             env = {
                 "payload": r["payload"], "signature": r["signature"],
-                "sender": r["sender"], "nonce": int(r["nonce"]),
+                "sender": r["sender"],
+                "nonce": int(nonce) if nonce is not None else 0,
             }
             out.append((env, r[reason_col]))
         return out
@@ -300,6 +303,32 @@ class BatchApplier:
         ok = per_mut.filter(F.col("_fail").isNull()).select("_arrival")
         return ok, rejected
 
+    @staticmethod
+    def _json_file_source(df: DataFrame) -> bool:
+        """True unless ``df`` demonstrably reads a NON-JSON file source.
+
+        ``apply`` re-reads the batch's source files as JSON (to re-bind the
+        plan to our session — see its docstring); doing that to a parquet-
+        or csv-backed caller would silently mis-parse every row to nulls.
+        Inspect the leaf relations' file format: a definite non-JSON format
+        disables the re-read (the input_file_name fallback in
+        _stamp_arrival handles that caller); undeterminable leaves (e.g.
+        streaming micro-batch internals) keep the re-read, preserving the
+        streaming-ingest path."""
+        try:
+            leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+            for i in range(leaves.size()):
+                leaf = leaves.apply(i)
+                try:
+                    fmt = leaf.relation().fileFormat().toString()
+                except Exception:  # noqa: BLE001 — not a file relation
+                    continue
+                if fmt.upper() != "JSON":
+                    return False
+        except Exception:  # noqa: BLE001 — plan reflection unavailable
+            pass
+        return True
+
     # -- the block apply ----------------------------------------------
 
     def apply(self, batch_df: DataFrame) -> list[tuple[dict, str]]:
@@ -321,7 +350,7 @@ class BatchApplier:
         block = state.block
         rejected: list[tuple[dict, str]] = []
         files = sorted(batch_df.inputFiles())
-        if files:
+        if files and self._json_file_source(batch_df):
             env_schema = T.StructType(
                 [f for f in batch_df.schema.fields if not f.name.startswith("_")]
             )
@@ -390,7 +419,13 @@ class BatchApplier:
                 parsed.filter(~F.col("_ok") | bad_action)
                 .select(
                     "payload", "signature", "sender", "nonce",
-                    F.when(~F.col("_ok"), F.col("_reason"))
+                    # null sender = a staging line that wasn't a JSON
+                    # envelope at all (PERMISSIVE parse) — name it before
+                    # the generic signature reason does
+                    F.when(
+                        F.col("sender").isNull(), F.lit("malformed envelope")
+                    )
+                    .when(~F.col("_ok"), F.col("_reason"))
                     .when(
                         F.col("_action").isNull(), F.lit("malformed payload")
                     )
@@ -563,11 +598,19 @@ class BatchApplier:
         """current_state over a frozen file list (merge-on-read window:
         latest (block, order) per doc_id, tombstones dropped). The file
         list is collected recursively (collection data lives under
-        doc_bucket= partition directories); basePath keeps Spark from
-        re-rooting the explicit file list."""
-        files = sorted(
-            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        )
+        doc_bucket= partition directories) through the store's FS interface
+        — object-store roots list the same way local ones do; basePath
+        keeps Spark from re-rooting the explicit file list."""
+        from rtstore_spark.store.docstore import GEN_PREFIX
+
+        # skip orphan gen-* snapshots (written but never pointer-flipped by
+        # a crashed compaction) — they are not part of the live table
+        files = [
+            f
+            for f in self.store.fs.list_files_recursive(path)
+            if f.endswith(".parquet")
+            and not os.path.relpath(f, path).startswith(GEN_PREFIX)
+        ]
         if not files:
             return self.spark.createDataFrame([], schema=DOC_SCHEMA).drop("op")
         # root-level (legacy flat) files must be read separately: partition

@@ -26,7 +26,6 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -42,7 +41,13 @@ from rtstore_spark.errors import (
 )
 from rtstore_spark.functions.merge_patch import make_json_merge_patch
 from rtstore_spark.jql import jql_query
+from rtstore_spark.store.fs import fs_for
 from rtstore_spark.store.state import StateStore
+
+# snapshot-generation layout (see _rewrite): the live generation of a store
+# table is named by a tiny `_current` pointer file in the table root
+GEN_PREFIX = "gen-"
+CURRENT_POINTER = "_current"
 
 DOC_SCHEMA = T.StructType(
     [
@@ -104,12 +109,18 @@ def derive_db_addr(sender: str, nonce: int, network: int = 1) -> str:
 
 
 class DocStore:
-    def __init__(self, spark: SparkSession, root: str, network: int = 1):
+    def __init__(
+        self, spark: SparkSession, root: str, network: int = 1, fs=None
+    ):
         self.spark = spark
         self.root = root
         self.network = network
-        os.makedirs(root, exist_ok=True)
-        self.state = StateStore(root)
+        # control-plane file ops (pointers, listings, cleanup) go through a
+        # swappable FS: LocalFS for plain paths, HadoopFS for URI roots —
+        # the data plane is Spark reads/writes and needs no adapter
+        self.fs = fs or fs_for(root, spark)
+        self.fs.makedirs(root)
+        self.state = StateStore(root, fs=self.fs)
         # collection-name length cap: collection_key.rs:21-33
         self.max_col_name = 20
         # bounded FIFO of persisted RunQuery matched-sets (see query_docs)
@@ -129,17 +140,83 @@ class DocStore:
         self.state.observe_seq(*seq)
         return seq
 
-    def _db_path(self) -> str:
+    # -- table roots (logical) and their live directories (resolved) --
+    #
+    # Every store table (catalogs, mutation log, collection data) is
+    # addressed by a *logical root*. Readers and writers resolve it through
+    # the `_current` pointer: if the pointer names a generation directory,
+    # that directory is the live table; otherwise the root itself is (the
+    # pre-first-rewrite layout). Snapshot swaps (compact / GC) write a new
+    # generation and flip the pointer — a single small-object overwrite
+    # that is atomic on POSIX, HDFS and S3 alike. Directory renames, which
+    # object stores cannot do atomically, never happen (see store/fs.py).
+
+    def _db_root(self) -> str:
         return os.path.join(self.root, "__databases")
 
-    def _col_path(self) -> str:
+    def _col_root(self) -> str:
         return os.path.join(self.root, "__collections")
 
-    def _log_path(self) -> str:
+    def _log_root(self) -> str:
         return os.path.join(self.root, "mutation_log")
 
-    def _data_path(self, db_addr: str, col: str) -> str:
+    def _data_root(self, db_addr: str, col: str) -> str:
         return os.path.join(self.root, "data", db_addr, col)
+
+    def _db_path(self) -> str:
+        return self._resolve(self._db_root())
+
+    def _col_path(self) -> str:
+        return self._resolve(self._col_root())
+
+    def _log_path(self) -> str:
+        return self._resolve(self._log_root())
+
+    def _data_path(self, db_addr: str, col: str) -> str:
+        return self._resolve(self._data_root(db_addr, col))
+
+    def _current_gen(self, root: str) -> str | None:
+        txt = self.fs.read_text(os.path.join(root, CURRENT_POINTER))
+        if txt:
+            name = txt.strip()
+            if name.startswith(GEN_PREFIX):
+                return name
+        return None
+
+    def _resolve(self, root: str) -> str:
+        gen = self._current_gen(root)
+        return os.path.join(root, gen) if gen else root
+
+    def _flip_pointer(self, root: str, gen: str) -> None:
+        self.fs.write_text_atomic(os.path.join(root, CURRENT_POINTER), gen)
+
+    def _rewrite(self, root: str, write_fn) -> None:
+        """Replace a store table's contents with a fresh snapshot,
+        object-store safe.
+
+        1. write the snapshot to a brand-new generation directory (the
+           live table is still readable throughout — the snapshot job
+           reads it);
+        2. flip the `_current` pointer (atomic single-object overwrite);
+        3. best-effort cleanup of superseded entries.
+
+        A crash between 1 and 2 leaves an orphan generation the next
+        rewrite overwrites or cleanup removes; readers never see a half
+        state because they resolve the pointer first. A crash during 3
+        leaves stale garbage that the next rewrite's cleanup retries —
+        again invisible to readers.
+        """
+        cur = self._current_gen(root)
+        n = int(cur[len(GEN_PREFIX):]) + 1 if cur else 1
+        gen = f"{GEN_PREFIX}{n:06d}"
+        write_fn(os.path.join(root, gen))
+        self._flip_pointer(root, gen)
+        # everything in the root except the pointer and the live generation
+        # is superseded: older generations, legacy root-level data files,
+        # leftovers of crashed rewrites
+        for name in self.fs.listdir(root):
+            if name not in (gen, CURRENT_POINTER):
+                self.fs.delete(os.path.join(root, name), recursive=True)
 
     def _append(self, rows: list[dict], schema: T.StructType, path: str) -> None:
         df = self.spark.createDataFrame(rows, schema=schema)
@@ -153,38 +230,61 @@ class DocStore:
         df.coalesce(1).write.mode("append").partitionBy("doc_bucket").parquet(path)
 
     def _read(self, path: str, schema: T.StructType) -> DataFrame:
-        if not os.path.exists(path):
+        """Flat table read from explicitly-listed top-level parquet files.
+
+        Listing (instead of handing Spark the directory) makes the read
+        immune to orphan ``gen-*`` directories a crashed rewrite can leave
+        in the root: an un-flipped generation is never part of the live
+        table, so the reader must not let partition discovery trip over
+        it."""
+        files = [
+            os.path.join(path, f)
+            for f in self.fs.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        if not files:
             return self.spark.createDataFrame([], schema=schema)
-        return self.spark.read.schema(schema).parquet(path)
+        return self.spark.read.schema(schema).parquet(*files)
 
     def _read_docs(self, path: str) -> DataFrame:
         """Collection read: doc rows + the doc_bucket partition column.
 
-        Mixed layouts need an explicit union: Spark's partition discovery
-        IGNORES root-level files once partition directories exist, so a
-        legacy flat-layout collection appended to by the bucketed writers
-        would silently lose its old rows on read. Legacy files read with a
-        null doc_bucket (pruning filters keep null buckets, so they are
-        scanned, never skipped)."""
-        if not os.path.exists(path):
-            return self.spark.createDataFrame([], schema=DOC_READ_SCHEMA)
-        entries = os.listdir(path)
+        Reads from explicitly-listed entries of the resolved directory:
+
+        - ``doc_bucket=`` partition directories (with basePath, so the
+          partition column and its pruning survive);
+        - legacy root-level flat files, unioned with a null doc_bucket
+          (Spark's partition discovery silently drops root files once
+          partition dirs exist; pruning filters keep null buckets);
+        - anything else — in particular an orphan ``gen-*`` snapshot left
+          by a crashed compaction before its pointer flip — is ignored.
+        """
+        entries = self.fs.listdir(path)
         flat = [
             os.path.join(path, f) for f in entries
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         ]
-        has_buckets = any(e.startswith("doc_bucket=") for e in entries)
-        if not has_buckets:
-            # flat-only: missing column reads back as null doc_bucket
-            return self._read(path, DOC_READ_SCHEMA)
-        df = self.spark.read.schema(DOC_READ_SCHEMA).parquet(path)
+        buckets = [
+            os.path.join(path, e) for e in entries if e.startswith("doc_bucket=")
+        ]
+        parts = []
+        if buckets:
+            parts.append(
+                self.spark.read.schema(DOC_READ_SCHEMA)
+                .option("basePath", path)
+                .parquet(*buckets)
+            )
         if flat:
-            legacy = (
+            parts.append(
                 self.spark.read.schema(DOC_SCHEMA)
                 .parquet(*flat)
                 .withColumn("doc_bucket", F.lit(None).cast("long"))
             )
-            df = df.unionByName(legacy)
+        if not parts:
+            return self.spark.createDataFrame([], schema=DOC_READ_SCHEMA)
+        df = parts[0]
+        for extra in parts[1:]:
+            df = df.unionByName(extra)
         return df
 
     def _log(self, sender, nonce, action, db_addr, col_name, payload, doc_ids,
@@ -569,16 +669,25 @@ class DocStore:
         count} — db3_indexer.proto:36-38). Count reflects the *matched* set
         (pre-limit), like doc_store.rs:208-213.
 
-        One pass over the collection: the matched set is persisted, the
-        count() action materializes it, and the returned documents plan reads
-        the cache (InMemoryTableScan) instead of re-running the state window.
+        One pass over the collection: the matched set is materialized once
+        as an eager ``localCheckpoint`` — the count and the returned
+        documents both read that immutable snapshot instead of re-running
+        the state window.
 
-        The persisted set joins a bounded FIFO (``query_cache_slots``, 8 by
-        default): the oldest cache is unpersisted when a new query overflows
-        it, so a long-lived node's query traffic cannot accumulate unbounded
-        cached datasets. An evicted result DataFrame stays valid — Spark
-        just recomputes its plan — so only the one-pass guarantee ages out,
-        never correctness. ``release_query_caches()`` drops them all.
+        The snapshot, not a recomputable cache, is what makes the
+        ``(rows, count)`` pair durable in this single-writer store where
+        the same process both queries and appends: a recomputing plan
+        (persist + later eviction) would re-scan the live collection
+        directory, so rows collected after an intervening append could
+        diverge from the count returned with them. A checkpointed result
+        can never drift — it no longer references the source files at all.
+
+        The bounded FIFO (``query_cache_slots``, 8 by default) holds OUR
+        references so a long-lived node's query traffic cannot accumulate
+        snapshots it no longer serves; eviction just drops the store's
+        reference — a caller still holding the result keeps its snapshot
+        alive (executor block storage frees on GC via the ContextCleaner).
+        ``release_query_caches()`` drops them all.
         """
         from rtstore_spark.jql.compiler import apply_stages, compile_predicate
         from rtstore_spark.jql.parser import parse_jql
@@ -586,19 +695,18 @@ class DocStore:
         q = parse_jql(query)
         state_df = self.current_state(db_addr, col)
         pred = compile_predicate(q, state_df, params=params, doc_col="doc")
-        matched_df = state_df.filter(pred).persist()
+        matched_df = state_df.filter(pred).localCheckpoint(eager=True)
         self._query_caches.append(matched_df)
         while len(self._query_caches) > self.query_cache_slots:
-            self._query_caches.pop(0).unpersist()
+            self._query_caches.pop(0)
         matched = matched_df.count()
         out = apply_stages(matched_df, q, doc_col="doc", order_col="doc_id")
         return out, matched
 
     def release_query_caches(self) -> None:
-        """Unpersist every cached RunQuery matched-set (results stay valid;
-        their plans recompute on next use)."""
-        while self._query_caches:
-            self._query_caches.pop().unpersist()
+        """Drop the store's references to every RunQuery snapshot (callers
+        still holding results keep their own snapshots alive)."""
+        self._query_caches.clear()
 
     # ------------------------------------------------------------------
     # maintenance — compaction (the scale path for merge-on-read)
@@ -609,7 +717,9 @@ class DocStore:
 
         At 100 TB the MOR window would otherwise re-shuffle the full history
         every read; compaction bounds history to one snapshot + recent log.
-        Single-writer ⇒ safe to swap directories atomically.
+        The swap is a generation write + `_current` pointer flip
+        (``_rewrite``) — object-store safe, no directory rename, and a
+        crash at any point leaves readers on the previous snapshot.
 
         Sort order realizes the registered indexes (M8): rows sort by the
         indexed JSON paths first, then doc_id — parquet row-group min/max
@@ -620,7 +730,6 @@ class DocStore:
         survives compaction.
         """
         self._require_col(db_addr, col)
-        path = self._data_path(db_addr, col)
         snap = self.current_state(db_addr, col).withColumn("op", F.lit("A"))
         # cast by the declared index type: a raw get_json_object sorts
         # string-wise ("10" < "5"), which would scatter numeric ranges
@@ -637,32 +746,68 @@ class DocStore:
                 c = c.cast(_SORT_TYPES[typ])
             sort_cols.append(c)
         sort_cols.append(F.col("doc_id"))
-        tmp = path + ".compact"
-        (
-            snap.select([f.name for f in DOC_SCHEMA.fields])
-            .withColumn("doc_bucket", F.expr(f"doc_id div {DOC_IDS_PER_BUCKET}"))
-            .repartition("doc_bucket")
-            # partition col leads the sort: the dynamic-partition writer
-            # requires ordering by partition columns and would insert its
-            # own (index-order-destroying) sort if ours didn't satisfy it
-            .sortWithinPartitions(F.col("doc_bucket"), *sort_cols)
-            .write.mode("overwrite")
-            .partitionBy("doc_bucket")
-            .parquet(tmp)
+        self._rewrite(
+            self._data_root(db_addr, col),
+            lambda dest: (
+                snap.select([f.name for f in DOC_SCHEMA.fields])
+                .withColumn(
+                    "doc_bucket", F.expr(f"doc_id div {DOC_IDS_PER_BUCKET}")
+                )
+                .repartition("doc_bucket")
+                # partition col leads the sort: the dynamic-partition writer
+                # requires ordering by partition columns and would insert its
+                # own (index-order-destroying) sort if ours didn't satisfy it
+                .sortWithinPartitions(F.col("doc_bucket"), *sort_cols)
+                .write.mode("overwrite")
+                .partitionBy("doc_bucket")
+                .parquet(dest)
+            ),
         )
-        # materialize before swapping the live directory
-        old = path + ".old"
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+
+    def compact_catalogs(self) -> None:
+        """Collapse the append-only ``__databases`` / ``__collections``
+        catalogs — one file per mutation otherwise — into a single parquet
+        file each, via the same pointer-flip rewrite as ``compact``.
+        Catalog history is preserved verbatim (every version row survives;
+        ``databases_latest``/``collections`` window over versions), only
+        the file count collapses.
+        """
+        for root, schema in (
+            (self._db_root(), self.DB_SCHEMA),
+            (self._col_root(), self.COL_SCHEMA),
+        ):
+            if not self.fs.exists(root):
+                continue
+            df = self._read(self._resolve(root), schema)
+            self._rewrite(
+                root,
+                lambda dest, df=df: df.coalesce(1)
+                .write.mode("overwrite")
+                .parquet(dest),
+            )
 
     # ------------------------------------------------------------------
     # replay — S12/S13 indexer tail-sync & cold start
     # ------------------------------------------------------------------
 
     def mutation_log(self) -> DataFrame:
-        return self._read(self._log_path(), LOG_READ_SCHEMA)
+        """Live mutation log: explicitly-listed ``block_bucket=`` partition
+        directories of the resolved generation (basePath keeps the
+        partition column + pruning), ignoring any orphan ``gen-*`` dir a
+        crashed GC rewrite left before its pointer flip."""
+        path = self._log_path()
+        parts = [
+            os.path.join(path, e)
+            for e in self.fs.listdir(path)
+            if e.startswith("block_bucket=")
+        ]
+        if not parts:
+            return self.spark.createDataFrame([], schema=LOG_READ_SCHEMA)
+        return (
+            self.spark.read.schema(LOG_READ_SCHEMA)
+            .option("basePath", path)
+            .parquet(*parts)
+        )
 
     def get_mutation(self, tx_id: str):
         """GetMutationHeader/GetMutationBody: point lookup by mutation id."""

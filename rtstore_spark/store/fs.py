@@ -1,0 +1,181 @@
+"""Swappable filesystem interface for the storage plane's control files.
+
+The storage plane has two kinds of file traffic:
+
+- **data plane** — parquet reads/writes. These are Spark jobs and already
+  speak every Hadoop-supported scheme (``file:``, ``hdfs:``, ``s3a:``, …);
+  nothing here touches them.
+- **control plane** — pointer files, directory listings, sizes, cleanup.
+  These used to be raw ``os.*`` calls, which only work on a driver-local
+  POSIX filesystem. They now go through this interface: ``LocalFS`` for a
+  local root, ``HadoopFS`` for any URI the Spark session's Hadoop
+  configuration can reach (public `org.apache.hadoop.fs.FileSystem` API via
+  the JVM gateway — the same client Spark's own reads use).
+
+Crucially the interface has **no atomic-rename requirement**. Snapshot
+swaps (compaction, log GC) are *manifest-pointer flips*: the replacement
+snapshot is written to a fresh generation directory and a tiny ``_current``
+file naming the live generation is overwritten last. Overwriting one small
+object is atomic-enough everywhere — POSIX ``rename(2)`` (LocalFS writes a
+temp file and ``os.replace``\\ s it), HDFS ``create(overwrite=true)``, S3
+single-object PUT (readers see the old body or the new body, never a
+torn one). Directory renames — which object stores cannot do atomically —
+never happen. Mirrors the single-node swap in the reference's store
+(doc_store.rs:45-90) without inheriting its single-machine assumption.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+
+class LocalFS:
+    """Driver-local POSIX filesystem — the default for ``/path`` roots."""
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def listdir(self, path: str) -> list[str]:
+        """Child names (not paths) of a directory; [] if it doesn't exist."""
+        try:
+            return sorted(os.listdir(path))
+        except FileNotFoundError:
+            return []
+
+    def list_files_recursive(self, path: str) -> list[str]:
+        """Full paths of every regular file under ``path`` (any depth)."""
+        out = []
+        for dirpath, _dirnames, filenames in os.walk(path):
+            for f in filenames:
+                out.append(os.path.join(dirpath, f))
+        return sorted(out)
+
+    def read_text(self, path: str) -> str | None:
+        try:
+            with open(path) as f:
+                return f.read()
+        except OSError:
+            return None
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        """Best-effort delete; missing paths are fine."""
+        try:
+            if os.path.isdir(path):
+                if recursive:
+                    shutil.rmtree(path, ignore_errors=True)
+                else:
+                    os.rmdir(path)
+            else:
+                os.remove(path)
+        except OSError:
+            pass
+
+    def du(self, path: str) -> int:
+        """Total bytes of all files under ``path`` (0 if missing)."""
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        total = 0
+        for f in self.list_files_recursive(path):
+            try:
+                total += os.path.getsize(f)
+            except OSError:
+                pass
+        return total
+
+
+class HadoopFS:
+    """Control-plane ops through Hadoop ``FileSystem`` via the JVM gateway.
+
+    Works against any scheme the session's Hadoop configuration can reach
+    (``file:``, ``hdfs:``, ``s3a:``, ``gs:``, ``abfs:``…) — the identical
+    client Spark's own parquet reads resolve, so a root that Spark can scan
+    is a root this class can manage. ``write_text_atomic`` is a
+    ``create(overwrite=true)`` — one small-object PUT, which is the pointer
+    flip's only atomicity requirement (see module docstring).
+    """
+
+    def __init__(self, spark):
+        self._jvm = spark.sparkContext._jvm
+        self._conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _jpath(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def _fs(self, path: str):
+        return self._jpath(path).getFileSystem(self._conf)
+
+    def exists(self, path: str) -> bool:
+        return self._fs(path).exists(self._jpath(path))
+
+    def makedirs(self, path: str) -> None:
+        self._fs(path).mkdirs(self._jpath(path))
+
+    def listdir(self, path: str) -> list[str]:
+        fs, jp = self._fs(path), self._jpath(path)
+        if not fs.exists(jp):
+            return []
+        return sorted(st.getPath().getName() for st in fs.listStatus(jp))
+
+    def list_files_recursive(self, path: str) -> list[str]:
+        fs, jp = self._fs(path), self._jpath(path)
+        if not fs.exists(jp):
+            return []
+        out = []
+        it = fs.listFiles(jp, True)
+        while it.hasNext():
+            out.append(it.next().getPath().toUri().getPath())
+        return sorted(out)
+
+    def read_text(self, path: str) -> str | None:
+        fs, jp = self._fs(path), self._jpath(path)
+        if not fs.exists(jp):
+            return None
+        stream = fs.open(jp)
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        fs = self._fs(path)
+        out = fs.create(self._jpath(path), True)  # overwrite: one PUT
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        fs, jp = self._fs(path), self._jpath(path)
+        try:
+            if fs.exists(jp):
+                fs.delete(jp, recursive)
+        except Exception:  # noqa: BLE001 — best-effort, like LocalFS
+            pass
+
+    def du(self, path: str) -> int:
+        fs, jp = self._fs(path), self._jpath(path)
+        if not fs.exists(jp):
+            return 0
+        return fs.getContentSummary(jp).getLength()
+
+
+def fs_for(root: str, spark=None):
+    """Pick the FS implementation for a storage root: URIs with a scheme
+    go through Hadoop, plain paths stay local."""
+    if "://" in root and spark is not None:
+        return HadoopFS(spark)
+    return LocalFS()

@@ -4,7 +4,8 @@ marks, and per-sender nonces.
 The reference keeps this in libmdbx (state_store.rs:28-80) on the single
 rollup node that sequences all writes; replicas replay deterministically from
 the mutation log. We mirror that single-sequencer design with a JSON state
-file updated by atomic rename — the *data* goes through Spark, the sequencer
+file updated by a single-object atomic overwrite (store/fs.py — works on
+POSIX, HDFS and S3 alike) — the *data* goes through Spark, the sequencer
 bookkeeping (a few counters) does not need a distributed store. Recovery
 follows the reference's priority: persisted state, else rebuild from the
 mutation log / collection tables (db_store_v2.rs:197-294).
@@ -14,24 +15,25 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 
 from rtstore_spark.errors import BadNonce
 
 
 class StateStore:
-    def __init__(self, root: str):
+    def __init__(self, root: str, fs=None):
+        from rtstore_spark.store.fs import LocalFS
+
+        self.fs = fs or LocalFS()
         self.path = os.path.join(root, "__state.json")
         self._state = {"block": 0, "order": 0, "doc_counters": {}, "nonces": {}}
-        if os.path.exists(self.path):
-            with open(self.path) as f:
-                self._state = json.load(f)
+        txt = self.fs.read_text(self.path)
+        if txt is not None:
+            self._state = json.loads(txt)
 
     def _flush(self) -> None:
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path))
-        with os.fdopen(fd, "w") as f:
-            json.dump(self._state, f)
-        os.replace(tmp, self.path)
+        # single small-object overwrite — atomic on POSIX (temp + replace),
+        # HDFS (create-overwrite) and S3 (PUT) alike; see store/fs.py
+        self.fs.write_text_atomic(self.path, json.dumps(self._state))
 
     # -- (block, order) sequencing: mutation_store.rs:444-481 --
 

@@ -190,9 +190,11 @@ class TestDocumentCRUD:
         assert json.loads(store.get_doc(db, "c", 7)["doc"])["u"] == 1
 
     def test_query_cache_bounded(self, store, db_col):
-        """RunQuery persists its matched set for the one-pass count+read;
-        the cache FIFO must stay bounded (oldest unpersisted) and evicted
-        results must still collect correctly (plan recomputes)."""
+        """RunQuery snapshots its matched set for the one-pass count+read;
+        the FIFO of store-held references must stay bounded, and an evicted
+        result must keep returning its snapshot rows — even after an
+        intervening append, since the (rows, count) pair the caller holds
+        must never drift from what was returned with it."""
         db, col = db_col
         store.add_docs(db, col, ['{"city": "cached"}'], ALICE)
         results = [
@@ -201,10 +203,15 @@ class TestDocumentCRUD:
         ]
         assert len(store._query_caches) == store.query_cache_slots
         first_df, first_count = results[0]  # evicted by now
+        # a write AFTER the query must not leak into the held result
+        store.add_docs(db, col, ['{"city": "cached"}'], ALICE)
         assert first_count == 1 and first_df.count() == 1
         store.release_query_caches()
         assert not store._query_caches
         assert results[-1][0].count() == 1
+        # a fresh query sees the new doc
+        _, n = store.query_docs(db, col, "/[city = cached]")
+        assert n == 2
 
     def test_update_merge_patch_preserves_fields(self, store, db_col):
         # EJDB2 patch semantics: doc_store.rs:470-480 — patching

@@ -1,0 +1,205 @@
+"""Object-store safety of the storage plane.
+
+The control plane (pointer files, listings, cleanup) runs through the
+swappable FS interface in ``store/fs.py``; snapshot swaps are generation
+writes + `_current` pointer flips, never directory renames. These tests pin:
+
+- LocalFS and HadoopFS behave identically (HadoopFS goes through the JVM
+  Hadoop ``FileSystem`` client — the path every object-store scheme takes);
+- a crash between the snapshot write and the pointer flip leaves readers on
+  the old state, never a half state;
+- a full DocStore lifecycle works when every control-plane call is routed
+  through HadoopFS;
+- log GC and catalog compaction swap via the pointer, and a *fresh* store
+  instance (a new reader resolving the pointer from scratch) sees identical
+  data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from rtstore_spark.store.docstore import CURRENT_POINTER, DocStore
+from rtstore_spark.store.fs import HadoopFS, LocalFS, fs_for
+
+ALICE = "0x" + "aa" * 20
+
+
+def _exercise_fs(fs, root: str) -> dict:
+    """Run the whole interface against one root; return observations."""
+    fs.makedirs(os.path.join(root, "d1", "d2"))
+    fs.write_text_atomic(os.path.join(root, "d1", "a.txt"), "alpha")
+    fs.write_text_atomic(os.path.join(root, "d1", "d2", "b.txt"), "beta")
+    # overwrite must replace, not append
+    fs.write_text_atomic(os.path.join(root, "d1", "a.txt"), "alpha2")
+    obs = {
+        "exists_dir": fs.exists(os.path.join(root, "d1")),
+        "exists_missing": fs.exists(os.path.join(root, "nope")),
+        "read": fs.read_text(os.path.join(root, "d1", "a.txt")),
+        "read_missing": fs.read_text(os.path.join(root, "nope")),
+        "listdir": fs.listdir(os.path.join(root, "d1")),
+        "listdir_missing": fs.listdir(os.path.join(root, "nope")),
+        "recursive": [
+            os.path.basename(f)
+            for f in fs.list_files_recursive(os.path.join(root, "d1"))
+        ],
+        "du": fs.du(os.path.join(root, "d1")),
+    }
+    fs.delete(os.path.join(root, "d1", "d2"), recursive=True)
+    obs["after_delete"] = fs.listdir(os.path.join(root, "d1"))
+    fs.delete(os.path.join(root, "nope"))  # missing: no error
+    return obs
+
+
+class TestFSInterface:
+    def test_local_and_hadoop_parity(self, spark, tmp_path):
+        """HadoopFS over a local root must observe exactly what LocalFS
+        observes — the storage plane cannot care which one it got."""
+        local = _exercise_fs(LocalFS(), str(tmp_path / "l"))
+        hadoop = _exercise_fs(HadoopFS(spark), str(tmp_path / "h"))
+        assert local == hadoop
+        assert local["read"] == "alpha2"
+        assert local["listdir"] == ["a.txt", "d2"]
+        assert local["recursive"] == ["a.txt", "b.txt"]
+        assert local["du"] == len("alpha2") + len("beta")
+        assert local["after_delete"] == ["a.txt"]
+
+    def test_fs_for_scheme_routing(self, spark):
+        assert isinstance(fs_for("/tmp/x"), LocalFS)
+        assert isinstance(fs_for("s3a://bucket/x", spark), HadoopFS)
+        assert isinstance(fs_for("file:///tmp/x", spark), HadoopFS)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    s = DocStore(spark, str(tmp_path / "store"))
+    db = s.create_database(ALICE, nonce=1)
+    s.create_collection(db, "c", [], ALICE)
+    return s, db
+
+
+class TestPointerFlipCrashSafety:
+    def test_crash_before_flip_keeps_old_state(self, store, monkeypatch):
+        """Kill the process between the snapshot write and the pointer
+        flip: readers must still see the pre-compaction state exactly, and
+        a later successful compaction must converge to the same rows."""
+        s, db = store
+        ids = s.add_docs(db, "c", [json.dumps({"v": i}) for i in range(6)], ALICE)
+        s.update_docs(db, "c", [ids[0]], ['{"v": 100}'], ALICE)
+        s.delete_docs(db, "c", [ids[5]], ALICE)
+        before = sorted(
+            (r["doc_id"], r["doc"]) for r in s.current_state(db, "c").collect()
+        )
+
+        def boom(root, gen):
+            raise RuntimeError("simulated crash before pointer flip")
+
+        monkeypatch.setattr(s, "_flip_pointer", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            s.compact(db, "c")
+        # snapshot dir exists but the pointer was never flipped → readers
+        # stay on the old (root-level) layout, bit-for-bit
+        monkeypatch.undo()
+        assert s._current_gen(s._data_root(db, "c")) is None
+        mid = sorted(
+            (r["doc_id"], r["doc"]) for r in s.current_state(db, "c").collect()
+        )
+        assert mid == before
+        # a retried compaction picks a fresh generation, flips, cleans up
+        s.compact(db, "c")
+        after = sorted(
+            (r["doc_id"], r["doc"]) for r in s.current_state(db, "c").collect()
+        )
+        assert after == before
+        root = s._data_root(db, "c")
+        live = s._current_gen(root)
+        assert live is not None
+        assert set(s.fs.listdir(root)) == {live, CURRENT_POINTER}
+
+    def test_fresh_reader_resolves_pointer(self, store, spark):
+        """A brand-new store instance (new reader process) must resolve the
+        flipped pointer and see identical data — the cross-process contract
+        an os.rename swap could not give on an object store."""
+        s, db = store
+        s.add_docs(db, "c", [json.dumps({"v": i}) for i in range(4)], ALICE)
+        s.compact(db, "c")
+        s.add_docs(db, "c", ['{"v": 99}'], ALICE)  # post-compact append
+        reader = DocStore(spark, s.root)
+        assert sorted(
+            (r["doc_id"], r["doc"]) for r in reader.current_state(db, "c").collect()
+        ) == sorted(
+            (r["doc_id"], r["doc"]) for r in s.current_state(db, "c").collect()
+        )
+        assert reader.current_state(db, "c").count() == 5
+
+
+class TestHadoopFSStorage:
+    def test_full_lifecycle_through_hadoop_fs(self, spark, tmp_path):
+        """Every control-plane call routed through the Hadoop FileSystem
+        client: create → add → update → delete → compact → read back."""
+        s = DocStore(spark, str(tmp_path / "hstore"), fs=HadoopFS(spark))
+        db = s.create_database(ALICE, nonce=1)
+        s.create_collection(db, "c", [], ALICE)
+        ids = s.add_docs(db, "c", [json.dumps({"v": i}) for i in range(5)], ALICE)
+        s.update_docs(db, "c", [ids[1]], ['{"v": 11}'], ALICE)
+        s.delete_docs(db, "c", [ids[4]], ALICE)
+        s.compact(db, "c")
+        rows = {
+            r["doc_id"]: json.loads(r["doc"])["v"]
+            for r in s.current_state(db, "c").collect()
+        }
+        assert rows == {ids[0]: 0, ids[1]: 11, ids[2]: 2, ids[3]: 3}
+        assert json.loads(s.get_doc(db, "c", ids[1])["doc"]) == {"v": 11}
+
+
+class TestGcAndCatalogRewrite:
+    def test_gc_flips_log_pointer(self, spark, tmp_path):
+        from rtstore_spark.sources.rollup import RollupExecutor
+
+        s = DocStore(spark, str(tmp_path / "gcs"))
+        db = s.create_database(ALICE, nonce=1)
+        s.create_collection(db, "c", [], ALICE)
+        for i in range(3):
+            s.add_docs(db, "c", [json.dumps({"v": i})], ALICE)
+            s.state.next_block()
+        ex = RollupExecutor(spark, s.root)
+        assert ex.rollup(s.mutation_log(), open_block=s.state.block) is not None
+        watermark = ex.gc(s, min_gc_offset=0)
+        assert watermark > 0
+        # live log now behind a generation pointer; kept rows intact
+        assert s._current_gen(s._log_root()) is not None
+        remaining = s.mutation_log()
+        assert remaining.filter(f"block < {watermark}").count() == 0
+        # a fresh reader resolves the same pointer
+        reader = DocStore(spark, s.root)
+        assert reader.mutation_log().count() == remaining.count()
+
+    def test_compact_catalogs_collapses_files(self, spark, tmp_path):
+        s = DocStore(spark, str(tmp_path / "cats"))
+        for n in range(1, 5):
+            db = s.create_database(ALICE, nonce=n)
+            s.create_collection(db, "c", [], ALICE)
+        dbs_before = sorted(d["db_addr"] for d in s.databases_latest())
+        cols_before = sorted(
+            (r["db_addr"], r["col_name"]) for r in s.collections().collect()
+        )
+        n_files = len(
+            [f for f in s.fs.list_files_recursive(s._db_path()) if f.endswith(".parquet")]
+        )
+        assert n_files == 4  # one per create — the problem being fixed
+        s.compact_catalogs()
+        assert (
+            len([f for f in s.fs.list_files_recursive(s._db_path()) if f.endswith(".parquet")])
+            == 1
+        )
+        assert sorted(d["db_addr"] for d in s.databases_latest()) == dbs_before
+        assert (
+            sorted((r["db_addr"], r["col_name"]) for r in s.collections().collect())
+            == cols_before
+        )
+        # catalogs stay writable after the rewrite
+        db = s.create_database(ALICE, nonce=9)
+        assert len(s.databases_latest()) == 5

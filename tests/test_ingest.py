@@ -96,8 +96,9 @@ class TestIngest:
 
     def test_query_docs_single_pass(self, ingest):
         """query_docs returns docs + pre-limit matched count from one pass:
-        the documents plan must read the persisted matched set, not re-run
-        the collection state window."""
+        the documents plan must read the checkpointed matched snapshot, not
+        re-run the collection state window (no parquet scan of the
+        collection in the returned plan)."""
         store = ingest.store
         db = store.create_database(ALICE, 1)
         store.create_collection(db, "c", sender=ALICE)
@@ -106,4 +107,5 @@ class TestIngest:
         assert matched == 7
         assert out.count() == 2
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "InMemoryTableScan" in plan
+        assert "ExistingRDD" in plan  # the localCheckpoint snapshot
+        assert "FileScan" not in plan  # never back to the live files

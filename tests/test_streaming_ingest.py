@@ -469,3 +469,58 @@ class TestBatchScale:
         assert (31 + 400) not in state
         st = store.mutation_state()
         assert st["mutation_count"] >= 2 + 40 + 5700
+
+
+class TestMalformedEnvelope:
+    def test_garbage_staging_line_rejected_not_crash(self, spark, tmp_path):
+        """A staging line that is not a JSON envelope at all parses
+        (PERMISSIVE) to an all-null row; it must surface as one
+        'malformed envelope' rejection — one garbage line must never stall
+        the whole block apply (the old reject path crashed on
+        int(None nonce))."""
+        store = DocStore(spark, str(tmp_path / "w5"))
+        ing = Ingest(store)
+        si = StreamingIngest(spark, ing, str(tmp_path / "staging5"))
+
+        lines = [
+            json.dumps(
+                envelope({"action": "create_database", "body": {"desc": "d"}}, ALICE, 1)
+            ),
+            "this is not json at all {{{",
+            json.dumps(
+                envelope({"action": "create_database", "body": {"desc": "e"}}, ALICE, 2)
+            ),
+        ]
+        (tmp_path / "staging5" / "b1.jsonl").write_text("\n".join(lines))
+        si.start(once=True)
+
+        # both real envelopes applied, the garbage line rejected by name
+        assert store.databases().count() == 2
+        assert len(si.rejected) == 1
+        env, reason = si.rejected[0]
+        assert reason == "malformed envelope"
+        assert env["nonce"] == 0 and env["sender"] is None
+        assert ing.get_nonce(ALICE) == 3
+
+
+class TestNonJsonCaller:
+    def test_parquet_backed_batch_uses_fallback_not_json_reread(
+        self, spark, tmp_path
+    ):
+        """A caller handing apply() a parquet-backed envelope DataFrame must
+        go through the input_file_name fallback — re-reading parquet bytes
+        as JSON would silently turn every row into nulls."""
+        from rtstore_spark.store.batch_apply import BatchApplier
+
+        store = DocStore(spark, str(tmp_path / "wpq"))
+        ing = Ingest(store)
+        envs = [
+            envelope({"action": "create_database", "body": {"desc": "d"}}, ALICE, 1),
+        ]
+        pq = str(tmp_path / "envs.parquet")
+        spark.createDataFrame(envs).write.parquet(pq)
+        batch = spark.read.parquet(pq)
+        assert batch.inputFiles()  # file-backed: the old code re-read it
+        rejected = BatchApplier(ing).apply(batch)
+        assert rejected == []
+        assert store.databases().count() == 1
