@@ -764,6 +764,47 @@ class DocStore:
             ),
         )
 
+    def _live_file_count(self, root: str) -> int:
+        """Parquet files in a table's live (pointer-resolved) directory."""
+        path = self._resolve(root)
+        return len(
+            [
+                f
+                for f in self.fs.list_files_recursive(path)
+                if f.endswith(".parquet")
+            ]
+        )
+
+    def maybe_compact(self, max_files: int = 32) -> list[tuple[str, str]]:
+        """File-count-triggered compaction sweep — the automatic policy a
+        long-running ingest needs: every append is one file (sequential
+        path: per mutation; batch path: per block), so without a trigger
+        the merge-on-read window degrades into a many-small-files scan.
+        Mirrors the reference's scheduled rollup cadence
+        (storage_node_light_impl.rs:167) on the storage side.
+
+        Any live collection whose resolved directory holds more than
+        ``max_files`` parquet files is compacted; the ``__databases`` /
+        ``__collections`` catalogs (one file per catalog mutation) are
+        collapsed by the same threshold. Each check is one file listing
+        per table — cheap enough for a per-N-blocks cadence. Returns the
+        compacted (db_addr, col) pairs (catalogs as ("__catalogs", "")).
+        """
+        done: list[tuple[str, str]] = []
+        for d in self.databases_latest():
+            for r in self.collections(d["db_addr"]).collect():
+                root = self._data_root(r["db_addr"], r["col_name"])
+                if self._live_file_count(root) > max_files:
+                    self.compact(r["db_addr"], r["col_name"])
+                    done.append((r["db_addr"], r["col_name"]))
+        if any(
+            self._live_file_count(root) > max_files
+            for root in (self._db_root(), self._col_root())
+        ):
+            self.compact_catalogs()
+            done.append(("__catalogs", ""))
+        return done
+
     def compact_catalogs(self) -> None:
         """Collapse the append-only ``__databases`` / ``__collections``
         catalogs — one file per mutation otherwise — into a single parquet

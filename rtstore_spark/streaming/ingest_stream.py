@@ -39,6 +39,8 @@ class StreamingIngest:
         staging_dir: str,
         checkpoint: str | None = None,
         interval: str = "2 seconds",
+        compact_every: int = 16,
+        compact_max_files: int = 32,
     ):
         self.spark = spark
         self.ingest = ingest
@@ -47,8 +49,16 @@ class StreamingIngest:
             ingest.store.root, "_chk", "ingest"
         )
         self.interval = interval
+        # automatic compaction cadence: every `compact_every` blocks, any
+        # collection (or catalog) holding more than `compact_max_files`
+        # files is compacted — the batch path writes one file per block,
+        # so an untriggered long run degrades reads into a many-small-
+        # files scan. 0 disables (callers owning their own maintenance).
+        self.compact_every = compact_every
+        self.compact_max_files = compact_max_files
         os.makedirs(staging_dir, exist_ok=True)
         self.rejected: list[tuple[dict, str]] = []
+        self.compacted: list[tuple[str, str]] = []
 
     def _apply_batch(self, batch_df, batch_id: int) -> None:
         # Set-wise block apply (store.batch_apply): Spark jobs per block are
@@ -61,7 +71,12 @@ class StreamingIngest:
 
         self.rejected.extend(BatchApplier(self.ingest).apply(batch_df))
         # micro-batch boundary = block boundary
-        self.ingest.store.state.next_block()
+        store = self.ingest.store
+        store.state.next_block()
+        if self.compact_every and store.state.block % self.compact_every == 0:
+            self.compacted.extend(
+                store.maybe_compact(max_files=self.compact_max_files)
+            )
 
     def start(self, once: bool = False):
         writer = (

@@ -524,3 +524,59 @@ class TestNonJsonCaller:
         rejected = BatchApplier(ing).apply(batch)
         assert rejected == []
         assert store.databases().count() == 1
+
+
+class TestAutoCompaction:
+    def test_long_ingest_keeps_file_counts_bounded(self, spark, tmp_path):
+        """A long-running ingest must not accumulate one file per block
+        forever: the per-N-blocks maybe_compact sweep keeps collection and
+        catalog file counts bounded, and query results are identical
+        before/after each compaction."""
+        store = DocStore(spark, str(tmp_path / "wac"))
+        ing = Ingest(store)
+        si = StreamingIngest(
+            spark, ing, str(tmp_path / "stagingac"),
+            compact_every=2, compact_max_files=3,
+        )
+
+        (tmp_path / "stagingac" / "b0.jsonl").write_text(json.dumps(
+            envelope({"action": "create_database", "body": {"desc": "d"}}, ALICE, 1)
+        ))
+        si.start(once=True)
+        db = store.databases().collect()[0]["db_addr"]
+        (tmp_path / "stagingac" / "b1.jsonl").write_text(json.dumps(
+            envelope({"action": "add_collection", "db_addr": db,
+                      "col_name": "c", "body": {}}, ALICE, 2)
+        ))
+        si.start(once=True)
+
+        nonce = 3
+        for blk in range(10):
+            (tmp_path / "stagingac" / f"d{blk}.jsonl").write_text(json.dumps(
+                envelope({"action": "add_document", "db_addr": db,
+                          "col_name": "c",
+                          "body": {"docs": [json.dumps({"blk": blk})]}},
+                         ALICE, nonce)
+            ))
+            nonce += 1
+            si.start(once=True)
+
+        # 10 appended blocks, but the sweep kept the live file count at or
+        # under the trigger threshold + the appends since the last sweep
+        n_files = store._live_file_count(store._data_root(db, "c"))
+        assert n_files <= 3 + 2
+        assert any(c == (db, "c") for c in si.compacted)
+        # every document survived every compaction
+        vals = sorted(
+            json.loads(r["doc"])["blk"]
+            for r in store.current_state(db, "c").collect()
+        )
+        assert vals == list(range(10))
+        # results identical across one more explicit compaction
+        before = sorted(
+            (r["doc_id"], r["doc"]) for r in store.current_state(db, "c").collect()
+        )
+        store.compact(db, "c")
+        assert before == sorted(
+            (r["doc_id"], r["doc"]) for r in store.current_state(db, "c").collect()
+        )
