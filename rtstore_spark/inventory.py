@@ -98,20 +98,17 @@ def jql_filter_and(spark, sf):
 
 @register(
     "jql_filter_or",
-    "SELECT * FROM documents WHERE lang = 'fr' OR n_chars < 100",
+    "SELECT * FROM documents WHERE (lang = 'fr' OR n_chars < 100)"
+    " AND NOT (lang = 'de')",
 )
 def jql_filter_or(spark, sf):
+    """Composite boolean coverage in one entry: or + not + parens (the
+    former standalone jql_filter_not's semantics fold in here; `not` also
+    has RFC-grammar property tests in test_jql_properties)."""
     return jql_query(
         load_table(spark, sf, "documents"),
-        "/[lang = fr] or /[n_chars < 100]",
+        "(/[lang = fr] or /[n_chars < 100]) and not /[lang = de]",
         order_col="doc_id",
-    )
-
-
-@register("jql_filter_not", "SELECT * FROM documents WHERE NOT (lang = 'en')")
-def jql_filter_not(spark, sf):
-    return jql_query(
-        load_table(spark, sf, "documents"), "not /[lang = en]", order_col="doc_id"
     )
 
 
@@ -1180,6 +1177,54 @@ def ann_lsh_topk(spark, sf):
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     index = build_lsh_index(emb.filter(F.col("vec_id") != 0), "embedding", "vec_id", planes=6)
     return lsh_topk(index, qvec, k=10, planes=6)
+
+
+@register(
+    "ann_ivf_topk",
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        elems AS (
+          SELECT label, unnest(v) AS x, unnest(generate_series(1, len(v))) AS i
+          FROM e WHERE vec_id != 0),
+        cents AS (
+          SELECT label, list(ax ORDER BY i) AS centroid
+          FROM (SELECT label, i, avg(x) AS ax FROM elems GROUP BY label, i)
+          GROUP BY label),
+        ranked AS (
+          SELECT label FROM cents, q
+          ORDER BY list_inner_product(centroid, qv)
+                   / (sqrt(list_inner_product(centroid, centroid))
+                      * sqrt(list_inner_product(qv, qv))) DESC
+          LIMIT 2),
+        probed AS (SELECT e.vec_id, e.v FROM e JOIN ranked USING (label)
+                   WHERE vec_id != 0)
+       SELECT vec_id AS id,
+              round(list_inner_product(v, qv)
+                    / (sqrt(list_inner_product(v, v))
+                       * sqrt(list_inner_product(qv, qv))), 6) AS cosine
+       FROM probed, q
+       ORDER BY cosine DESC, id LIMIT 10""",
+)
+def ann_ivf_topk(spark, sf):
+    """IVF-style ANN (operators.similarity.ivf_topk): per-label centroids
+    rank the coarse routes, only the best nprobe=2 routes are scanned,
+    exact cosine within. The oracle independently rebuilds the element-wise
+    centroid means (unnest + group-by-position), replays the route ranking
+    and the probed exact-cosine top-k. At scale the probed scan is a
+    partition-pruned read of a route-partitioned index
+    (``write_ivf_index``) with persisted centroids — the corpus never
+    rescans per query."""
+    from rtstore_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 0),
+        "embedding", "vec_id", "label", qvec, k=10, nprobe=2,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -5,10 +5,14 @@ heavy per-item work (decode, resize, feature-extract, frame-sample) runs in
 Arrow-batched ``mapInPandas`` so bytes stream through Python in columnar
 batches, never row-at-a-time.
 
-The actual codec step is STUBBED (no image/audio libraries in this
+The codec step defaults to a STUB (no image/audio libraries ship in this
 container): ``decode_stub=True`` produces deterministic fake features so the
 Spark-side contract — schemas, batch shapes, partitioning — is real and
-tested; swapping in PIL/librosa later only changes the closure body.
+tested. With ``decode_stub=False`` the image operators import Pillow
+LAZILY inside the executor closure: where Pillow is installed they decode
+and resize real images; where it isn't they raise a clear
+``NotImplementedError`` instead of silently faking. Audio/video decode
+remains stub-only (librosa/ffmpeg equally absent).
 """
 
 from __future__ import annotations
@@ -68,13 +72,17 @@ def extract_features(
 ) -> DataFrame:
     """Per-item feature extraction over Arrow batches.
 
-    With ``decode_stub`` the "feature" is a deterministic fold of the bytes
-    (so tests can assert exact values); a real implementation replaces the
-    closure body with an actual decoder + model. The mapInPandas contract —
-    iterator of pandas batches in, iterator out, schema fixed — is identical
-    either way. Partitioning note: media rows are large; keep
-    ``maxPartitionBytes`` low enough that a batch of blobs fits in executor
-    memory, and repartition by media_id before GPU stages.
+    With ``decode_stub`` the "feature" is a deterministic fold of the raw
+    bytes (so tests can assert exact values). With ``decode_stub=False``
+    image rows are DECODED first — Pillow imported lazily inside the
+    closure — and the same stripe-mean fold runs over the decoded
+    grayscale pixels (a real embedding model would slot in at that point);
+    non-image kinds raise ``NotImplementedError`` (no audio/video libs).
+    The mapInPandas contract — iterator of pandas batches in, iterator
+    out, schema fixed — is identical either way. Partitioning note: media
+    rows are large; keep ``maxPartitionBytes`` low enough that a batch of
+    blobs fits in executor memory, and repartition by media_id before GPU
+    stages.
     """
     dim = feature_dim
     stub = decode_stub
@@ -84,12 +92,30 @@ def extract_features(
 
         import pandas as pd
 
-        for pdf in batches:
-            if not stub:
+        pil_image = None
+        if not stub:
+            try:
+                from PIL import Image as pil_image  # noqa: N813 — lazy
+            except ImportError as e:
                 raise NotImplementedError(
-                    "real decode requires imaging/audio libraries; "
-                    "run with decode_stub=True"
+                    "decode_stub=False requires Pillow on the executors; "
+                    "install it or run with decode_stub=True"
+                ) from e
+
+        def feature_of(b, kind):
+            if stub:
+                return _stub_feature(b or b"", dim)
+            if kind != "image":
+                raise NotImplementedError(
+                    f"real decode for kind={kind!r} requires audio/video "
+                    "libraries; run with decode_stub=True"
                 )
+            import io
+
+            px = pil_image.open(io.BytesIO(b)).convert("L").tobytes()
+            return _stub_feature(px, dim)
+
+        for pdf in batches:
             out = {
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
@@ -97,9 +123,10 @@ def extract_features(
                 "sha16": pdf["content"].map(
                     lambda b: hashlib.sha256(b or b"").hexdigest()[:16]
                 ),
-                "feature": pdf["content"].map(
-                    lambda b: _stub_feature(b or b"", dim)
-                ),
+                "feature": [
+                    feature_of(b, k)
+                    for b, k in zip(pdf["content"], pdf["kind"])
+                ],
             }
             yield pd.DataFrame(out)
 
@@ -123,34 +150,57 @@ def resize_images(
     re-encoded bytes.
 
     Stub codec: deterministic byte fold to width*height bytes (tests can
-    assert exact sizes/values); a real build swaps the closure body for
-    PIL ``Image.open(...).resize(...)``. Output rows shrink to roughly
-    width×height, so downstream partitions stay balanced without a
-    repartition — the narrow mapInPandas preserves partitioning.
+    assert exact sizes/values). With ``decode_stub=False`` Pillow is
+    imported lazily in the closure and the bytes go through a real
+    ``Image.open(...).resize(...)`` + PNG re-encode (``meta.mime`` becomes
+    image/png); without Pillow installed that raises a clear
+    ``NotImplementedError``. Output rows shrink to roughly width×height,
+    so downstream partitions stay balanced without a repartition — the
+    narrow mapInPandas preserves partitioning.
     """
     w, h, stub = width, height, decode_stub
 
     def run(batches):
         import pandas as pd
 
-        def fake_resize(b: bytes | None) -> bytes:
-            if not stub:
+        pil_image = None
+        if not stub:
+            try:
+                from PIL import Image as pil_image  # noqa: N813 — lazy
+            except ImportError as e:
                 raise NotImplementedError(
-                    "real resize requires an imaging library; "
-                    "run with decode_stub=True"
-                )
+                    "decode_stub=False requires Pillow on the executors; "
+                    "install it or run with decode_stub=True"
+                ) from e
+
+        def fake_resize(b: bytes | None) -> bytes:
             if not b:
                 return bytes(w * h)
             # deterministic fold: cycle the source bytes into the target size
             reps = (w * h + len(b) - 1) // len(b)
             return (bytes(b) * reps)[: w * h]
 
+        def real_resize(b: bytes | None) -> bytes:
+            import io
+
+            if not b:
+                return b""
+            im = pil_image.open(io.BytesIO(b)).resize((w, h))
+            buf = io.BytesIO()
+            im.save(buf, format="PNG")
+            return buf.getvalue()
+
+        resize = fake_resize if stub else real_resize
         for pdf in batches:
             out = pdf.copy()
-            out["content"] = pdf["content"].map(fake_resize)
+            out["content"] = pdf["content"].map(resize)
             meta = pd.DataFrame(
                 {
-                    "mime": pdf["meta"].map(lambda m: (m or {}).get("mime")),
+                    "mime": (
+                        pdf["meta"].map(lambda m: (m or {}).get("mime"))
+                        if stub
+                        else "image/png"
+                    ),
                     "width": w,
                     "height": h,
                     "duration_ms": pdf["meta"].map(

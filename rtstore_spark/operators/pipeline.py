@@ -16,7 +16,11 @@ Stages (each individually oracle-tested elsewhere; this module wires them):
 Laziness matters at 100 TB: stages 1-2 are pure filters that reach the
 parquet scan, 3 is one partial-agg shuffle, 4 is bucket-bounded, 5 is a
 filter again — Catalyst sees the whole pipeline and prunes columns/rows
-once, instead of materializing between stages.
+once, instead of materializing between stages. The one deliberate
+materialization is the gated corpus after stage 2 (persist,
+MEMORY_AND_DISK): four dedup branches re-read it, and pinning it
+guarantees the source is scanned exactly once regardless of whether
+exchange reuse fires.
 """
 
 from __future__ import annotations
@@ -70,6 +74,17 @@ def prepare_corpus(
         df.join(ok_q.withColumnRenamed("id", id_col), id_col, "leftsemi")
         .join(ok_l.withColumnRenamed("id", id_col).select(id_col), id_col, "leftsemi")
     )
+    # The gated corpus feeds FOUR downstream branches (exact-dedup groupBy,
+    # its hash anti-join, the minhash pipeline, the final anti-joins).
+    # Catalyst's ReusedExchange usually dedups the scans, but when reuse
+    # doesn't fire each branch would re-run the quality/lang gates against
+    # the source — persist pins the single-pass guarantee the module
+    # docstring makes. MEMORY_AND_DISK: at corpus scale the gated set
+    # spills to executor-local disk rather than evicting mid-job; still
+    # lazy (first action populates), so plan-only callers pay nothing.
+    from pyspark import StorageLevel
+
+    kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
 
     # 3. exact dedup: keep the lowest id per canonical text (the full text
     # never shuffles — the md5 is the groupBy key)

@@ -420,6 +420,15 @@ class TestText:
         assert plan.count("split(") == 1, plan
 
 
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 class TestMultimodal:
     @pytest.fixture(scope="class")
     def media(self, spark):
@@ -441,6 +450,8 @@ class TestMultimodal:
         assert by_id[1]["sha16"] == extract_features(media, 4).collect()[0]["sha16"] or True
 
     def test_decode_stub_gate(self, media):
+        if _has_pil():
+            pytest.skip("Pillow installed: the real decode path is active")
         with pytest.raises(Exception, match="NotImplementedError|decode"):
             extract_features(media, decode_stub=False).collect()
 
@@ -457,8 +468,36 @@ class TestMultimodal:
         # deterministic stub: cycled source bytes / zero-fill for empty
         assert by_id[2]["content"] == b"\xff" * 32
         assert by_id[3]["content"] == bytes(32)
-        with pytest.raises(Exception, match="NotImplementedError|resize"):
-            resize_images(media, 4, 4, decode_stub=False).collect()
+        if not _has_pil():
+            with pytest.raises(Exception, match="NotImplementedError|Pillow"):
+                resize_images(media, 4, 4, decode_stub=False).collect()
+
+    def test_real_resize_with_pillow(self, spark):
+        """Real codec path (decode_stub=False): lazily-imported Pillow
+        resizes an actual PNG and re-encodes; runs only where Pillow is
+        installed (skipped in this container)."""
+        PIL = pytest.importorskip("PIL")
+        import io
+
+        from PIL import Image
+
+        from rtstore_spark.operators.multimodal import resize_images
+
+        buf = io.BytesIO()
+        Image.new("RGB", (16, 16), (255, 0, 0)).save(buf, format="PNG")
+        media = attach_media(
+            spark.createDataFrame([Row(mid=1, blob=buf.getvalue())]),
+            "mid", "blob", "image",
+        )
+        out = resize_images(media, width=4, height=4, decode_stub=False).collect()
+        assert len(out) == 1
+        im = Image.open(io.BytesIO(out[0]["content"]))
+        assert im.size == (4, 4)
+        assert out[0]["meta"]["mime"] == "image/png"
+        feats = extract_features(media, feature_dim=4, decode_stub=False).collect()
+        assert len(feats[0]["feature"]) == 4
+        # solid red decodes to a constant grayscale: every stripe mean equal
+        assert len(set(feats[0]["feature"])) == 1
 
     def test_frame_sample(self, spark):
         rows = [Row(mid=1, blob=b"xx")]

@@ -79,3 +79,23 @@ class TestPrepareCorpus:
         joined = " ".join(t for _, _, t in rows)
         assert "someone@example.com" not in joined
         assert "<EMAIL>" in joined
+
+    def test_single_scan_of_source(self, spark, tmp_path):
+        """The gated corpus is persisted after stages 1-2, so the input
+        parquet is scanned exactly once per action no matter how many dedup
+        branches reference it — the single-pass claim the module docstring
+        makes, pinned in the executed plan."""
+        src = str(tmp_path / "corpus_src.parquet")
+        rows = [
+            (i, "the quick brown fox jumps over the lazy dog near the river " + str(i))
+            for i in range(20)
+        ]
+        spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(src)
+        df = spark.read.parquet(src)
+        out = prepare_corpus(df, "text", "doc_id")
+        out.count()  # populate the cache and execute the full plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the source path appears at most once (inside the cached relation);
+        # every other branch reads the InMemoryTableScan
+        assert plan.count("corpus_src.parquet") <= 1
+        assert "InMemoryTableScan" in plan
