@@ -10,8 +10,11 @@ back-pointer chain and replays mutations in (block, order) order
 
 Spark mapping: one gzip-parquet file per rollup under ``rollups/``, plus a
 manifest parquet table carrying the tag fields; the back-pointer chain is the
-manifest ordered by end_block. GC deletes rolled-up rows from the mutation
-log, keeping ``min_gc_offset`` rounds of history (rollup_executor.rs:169-238).
+manifest ordered by end_block. GC reclaims rolled-up mutation-log space by
+dropping whole block-bucket partition directories below the watermark,
+keeping ``min_gc_offset`` rounds of history (rollup_executor.rs:169-238) —
+see ``RollupExecutor.gc`` for why partition-drop (stable path, stream-safe,
+object-store-safe) replaces the reference's row-exact delete.
 """
 
 from __future__ import annotations
@@ -226,33 +229,48 @@ class RollupExecutor:
         return out
 
     def gc(self, store, min_gc_offset: int = 0) -> int:
-        """Delete mutation-log rows already rolled up, keeping the newest
+        """Reclaim mutation-log space already rolled up, keeping the newest
         ``min_gc_offset`` rollup rounds of history (rollup_executor.rs:169-238).
         Appends a GcRecord row (db3_rollup.proto:22-28) per round.
 
+        Reclamation is **partition-granular**: whole ``block_bucket=``
+        directories strictly below the watermark's bucket are deleted.
+        Object-store safe (plain deletes, no rename, no pointer), and —
+        critically — the log path stays STABLE, so live tail-sync /
+        block-event streams watching the directory keep receiving new
+        appends across GC rounds (a snapshot-swap would move the live
+        directory out from under them). The boundary bucket, which can mix
+        rolled-up and newer blocks, is retained until it fully ages below
+        a later watermark — GC is space reclamation only (rolled-up rows
+        are safe in cold storage and invisible to correctness), so keeping
+        up to one extra bucket (LOG_BLOCKS_PER_BUCKET blocks) is a bounded,
+        documented deviation from the reference's row-exact delete.
+
         Returns the GC watermark block (exclusive)."""
+        from rtstore_spark.store.docstore import LOG_BLOCKS_PER_BUCKET
+
         rounds = self.manifest().orderBy(F.col("end_block").desc()).collect()
         if len(rounds) <= min_gc_offset:
             return 0
         watermark = rounds[min_gc_offset]["end_block"] + 1
+        wm_bucket = watermark // LOG_BLOCKS_PER_BUCKET
         t0 = time.time()
-        kept = store.mutation_log().filter(F.col("block") >= watermark)
         removed_size = (
             store.mutation_log()
-            .filter(F.col("block") < watermark)
+            .filter(F.col("block_bucket") < wm_bucket)
             .agg(F.coalesce(F.sum(F.length("payload")), F.lit(0)).alias("s"))
             .collect()[0]["s"]
         )
-        # object-store-safe swap: write the kept rows as a new log
-        # generation, flip the `_current` pointer, clean up (docstore's
-        # _rewrite) — readers resolving mid-GC see the full old log or the
-        # full new one, never a half state
-        store._rewrite(
-            store._log_root(),
-            lambda dest: kept.write.mode("overwrite")
-            .partitionBy("block_bucket")
-            .parquet(dest),
-        )
+        log_path = store._log_path()
+        for entry in store.fs.listdir(log_path):
+            if not entry.startswith("block_bucket="):
+                continue
+            try:
+                bucket = int(entry.split("=", 1)[1])
+            except ValueError:
+                continue
+            if bucket < wm_bucket:
+                store.fs.delete(os.path.join(log_path, entry), recursive=True)
         record = {
             "start_block": 0,
             "end_block": int(watermark - 1),

@@ -156,9 +156,18 @@ class TestHadoopFSStorage:
 
 
 class TestGcAndCatalogRewrite:
-    def test_gc_flips_log_pointer(self, spark, tmp_path):
+    def test_gc_drops_partitions_path_stays_stable(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Log GC is partition-granular: block_bucket= directories below
+        the watermark bucket are deleted in place — no pointer, no rename,
+        and the log PATH never changes, so a live tail-sync stream keeps
+        its source across GC rounds. Appends after GC land in the same
+        directory a fresh reader lists."""
+        import rtstore_spark.store.docstore as ds
         from rtstore_spark.sources.rollup import RollupExecutor
 
+        monkeypatch.setattr(ds, "LOG_BLOCKS_PER_BUCKET", 1)
         s = DocStore(spark, str(tmp_path / "gcs"))
         db = s.create_database(ALICE, nonce=1)
         s.create_collection(db, "c", [], ALICE)
@@ -167,15 +176,19 @@ class TestGcAndCatalogRewrite:
             s.state.next_block()
         ex = RollupExecutor(spark, s.root)
         assert ex.rollup(s.mutation_log(), open_block=s.state.block) is not None
+        path_before = s._log_path()
         watermark = ex.gc(s, min_gc_offset=0)
         assert watermark > 0
-        # live log now behind a generation pointer; kept rows intact
-        assert s._current_gen(s._log_root()) is not None
+        # same directory, no generation pointer, rolled buckets gone
+        assert s._log_path() == path_before
+        assert s._current_gen(s._log_root()) is None
         remaining = s.mutation_log()
         assert remaining.filter(f"block < {watermark}").count() == 0
-        # a fresh reader resolves the same pointer
+        # post-GC appends land in the stable path and a fresh reader sees
+        # exactly the same log
+        s.add_docs(db, "c", ['{"v": 99}'], ALICE)
         reader = DocStore(spark, s.root)
-        assert reader.mutation_log().count() == remaining.count()
+        assert reader.mutation_log().count() == s.mutation_log().count() >= 1
 
     def test_compact_catalogs_collapses_files(self, spark, tmp_path):
         s = DocStore(spark, str(tmp_path / "cats"))

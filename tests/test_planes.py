@@ -78,7 +78,13 @@ class TestStructuredQuery:
 
 
 class TestRollup:
-    def test_rollup_gc_recover_roundtrip(self, spark, tmp_path):
+    def test_rollup_gc_recover_roundtrip(self, spark, tmp_path, monkeypatch):
+        # 1 block per log partition so bucket-granular GC is exact at
+        # test scale (production: 10k blocks per bucket, GC keeps at most
+        # one partially-rolled boundary bucket)
+        import rtstore_spark.store.docstore as ds
+
+        monkeypatch.setattr(ds, "LOG_BLOCKS_PER_BUCKET", 1)
         store = DocStore(spark, str(tmp_path / "w"))
         db = store.create_database(ALICE, nonce=1)
         store.create_collection(db, "c", [], ALICE)
@@ -168,9 +174,12 @@ class TestRollup:
                               now_ms=t0 + 10_000)
         assert row is not None and row["rows"] == 3
 
-    def test_gc_and_rollup_record_scans(self, spark, tmp_path):
+    def test_gc_and_rollup_record_scans(self, spark, tmp_path, monkeypatch):
         """ScanGcRecord / ScanRollupRecord / GetBlock round out the
         StorageNode record surface (db3_storage.proto:146-153,198)."""
+        import rtstore_spark.store.docstore as ds
+
+        monkeypatch.setattr(ds, "LOG_BLOCKS_PER_BUCKET", 1)
         store = DocStore(spark, str(tmp_path / "wrec"))
         db = store.create_database(ALICE, nonce=1)
         store.create_collection(db, "c", [], ALICE)
@@ -237,10 +246,13 @@ class TestRollup:
         ex = RollupExecutor(spark, str(tmp_path / "w2"))
         assert ex.rollup(store.mutation_log()) is None
 
-    def test_rollup_excludes_open_block(self, spark, tmp_path):
+    def test_rollup_excludes_open_block(self, spark, tmp_path, monkeypatch):
         """A mid-block rollup must not cover the still-open block: mutations
         appended to it afterwards would never be rolled up, and gc() would
         then delete them from the log — silent loss from cold storage."""
+        import rtstore_spark.store.docstore as ds
+
+        monkeypatch.setattr(ds, "LOG_BLOCKS_PER_BUCKET", 1)
         store = DocStore(spark, str(tmp_path / "w3"))
         db = store.create_database(ALICE, nonce=1)
         store.create_collection(db, "c", [], ALICE)
