@@ -178,12 +178,10 @@ def _band_join(banded: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs_wide(
-    wide: DataFrame, bands: int = 4, rows_per_band: int = 2
-) -> DataFrame:
-    """Candidate pairs straight from wide signatures: band signatures are
+def _band_wide(wide: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, band_sig) from wide signatures: band signatures are
     string concats of adjacent minhash columns (pure projection), then one
-    explode to (id, band, band_sig) — no groupBy before the bucket join."""
+    explode — no groupBy before any bucket join."""
     band_structs = []
     for b in range(bands):
         cols = [
@@ -193,10 +191,16 @@ def lsh_candidate_pairs_wide(
         band_structs.append(
             F.struct(F.lit(b).alias("band"), F.concat_ws("-", *cols).alias("band_sig"))
         )
-    banded = wide.select(
+    return wide.select(
         "id", F.explode(F.array(*band_structs)).alias("bs")
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
-    return _band_join(banded)
+
+
+def lsh_candidate_pairs_wide(
+    wide: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Candidate pairs straight from wide signatures — see ``_band_wide``."""
+    return _band_join(_band_wide(wide, bands, rows_per_band))
 
 
 def jaccard_verify(
@@ -348,6 +352,76 @@ def minhash_dedup(
     comp = connected_components(verified.select("id_a", "id_b"))
     return comp.filter(F.col("id") != F.col("comp")).select(
         F.col("id").alias("drop_id"), F.col("comp").alias("keep")
+    )
+
+
+def incremental_neardup(
+    new_df: DataFrame,
+    ref_signatures: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-shard near-dup: new documents vs an already-kept corpus, using
+    ONLY the reference's stored wide minhash signatures
+    (``minhash_signatures_wide`` output: id, mh0..mh{k-1}).
+
+    This is the shape a rolling crawl actually needs: shard N+1 must dedup
+    against everything kept so far, but the kept corpus's *text* is long
+    gone from the pipeline — the dedup state a production run carries
+    forward is exactly the signature table (k longs per doc, ~64 bytes at
+    k=8: a 10-billion-doc reference fits in ~640 GB of parquet, scanned
+    band-pruned, never the corpus itself).
+
+    Shape: new docs are signed (one shuffle over the new shard only), both
+    sides band (pure projection), and the band-bucket join — the only
+    cross-corpus operation — is an equi-join on the band key. Jaccard is
+    then ESTIMATED as the fraction of matching minhash components (the
+    standard unbiased estimator; std-err √(j(1−j)/k), so k=8 at j=0.8 is
+    ±0.14 — raise ``num_hashes`` for tighter cuts; the threshold
+    effectively rounds to ⌈threshold·k⌉/k matches). No exact verify is
+    possible without reference text, and none is needed at this stage:
+    false positives only drop a few extra near-identical docs.
+
+    Returns (new_id, ref_id, est_jaccard) pairs at/above threshold; drop
+    each distinct new_id from the shard.
+    """
+    rows_per_band = num_hashes // bands
+    new_sigs = minhash_signatures_wide(
+        new_df, text_col, id_col, num_hashes, shingle_n
+    )
+    nb = _band_wide(new_sigs, bands, rows_per_band).withColumnRenamed(
+        "id", "new_id"
+    )
+    rb = _band_wide(ref_signatures, bands, rows_per_band).withColumnRenamed(
+        "id", "ref_id"
+    )
+    cand = (
+        nb.join(rb, ["band", "band_sig"])
+        .select("new_id", "ref_id")
+        .distinct()
+    )
+    n = new_sigs.select(
+        F.col("id").alias("new_id"),
+        *[F.col(f"mh{h}").alias(f"n{h}") for h in range(num_hashes)],
+    )
+    r = ref_signatures.select(
+        F.col("id").alias("ref_id"),
+        *[F.col(f"mh{h}").alias(f"r{h}") for h in range(num_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"n{h}") == F.col(f"r{h}"), 1).otherwise(0)
+        for h in range(num_hashes)
+    )
+    est = matches / F.lit(float(num_hashes))
+    return (
+        cand.join(n, "new_id")
+        .join(r, "ref_id")
+        .select("new_id", "ref_id", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
     )
 
 

@@ -58,6 +58,54 @@ def stratified_sample(
     return df.filter(bucket < int(float(fractions) * _BUCKETS))
 
 
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    token_col: str,
+    total_tokens: int,
+    seed: str = "mixture",
+) -> DataFrame:
+    """Sample a training mixture to a token budget with target domain
+    weights — the "domain mixing" step of every large pretraining run
+    (e.g. 60% web / 20% code / 20% books into a 1T-token budget).
+
+    One tiny aggregate (total tokens per domain — O(domains) rows
+    collected) sizes the per-domain keep fraction
+    ``f_d = min(1, budget · w_d / tokens_d)``; the keep gate is then the
+    same deterministic hash filter as ``stratified_sample`` — a pure
+    pushed-down predicate, the corpus never shuffles, and the same seed
+    always reproduces the same mixture. Domains absent from ``weights``
+    (or weighted 0) are dropped.
+
+    A domain with fewer tokens than its target caps at ``f_d = 1`` — an
+    engine cannot invent data — so the realized mixture under-weights it.
+    That is returned as-is (not silently re-normalized): report realized
+    vs target and decide upsampling policy explicitly upstream.
+
+    Sampling is per-document; the realized token count concentrates
+    tightly around the target when documents ≪ budget (CLT over doc
+    lengths) — exact-token trimming would need a global running sum
+    (one-task sequential scan), the wrong trade at corpus scale.
+    """
+    totals = {
+        r["d"]: r["t"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.sum(token_col).alias("t"))
+        .collect()
+    }
+    fractions = {}
+    for domain, w in weights.items():
+        avail = totals.get(domain, 0) or 0
+        if avail <= 0 or w <= 0:
+            continue
+        fractions[domain] = min(1.0, total_tokens * float(w) / float(avail))
+    return stratified_sample(
+        df, id_col, fractions, strata_col=domain_col, seed=seed
+    )
+
+
 def _word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, gram) — distinct lowercased word n-grams; docs shorter than
     ``n`` tokens emit nothing.

@@ -11,10 +11,14 @@ and appends a document to the collection named after the event
     bool         → bool
     array/tuple  → JSON array
 
-No web3 client exists in this container, so the transport is pluggable: the
-default ``JsonlLogSource`` replays a JSON-lines fixture of raw logs — the
-same replayable-log strategy the reference's own tests would need. A live
-implementation only has to yield the same dict shape.
+The transport is pluggable behind one contract — yield JsonlLogSource's
+dict shape. Two implementations ship: ``JsonlLogSource`` replays a
+JSON-lines fixture (the replayable-log strategy the reference's own tests
+would need), and ``WebSocketLogSource`` is the LIVE path —
+``eth_subscribe("logs")`` over a JSON-RPC websocket (the repo's own
+stdlib-only RFC 6455 client, ``sources/ws.py``), with real ABI event
+decoding (topic keccak matching via the repo's pure-Python keccak,
+head/tail data decoding) — no web3, no external websocket library.
 """
 
 from __future__ import annotations
@@ -204,3 +208,208 @@ class EventProcessor:
             self.store.add_docs(self.db_addr, event, docs, self.sender)
             counts[event] = len(docs)
         return counts
+
+
+# ---------------------------------------------------------------------------
+# Live transport: eth_subscribe("logs") + minimal ABI event decoding
+# ---------------------------------------------------------------------------
+#
+# The reference's EventProcessor subscribes over WebSocket and ABI-decodes
+# each raw log (event_processor.rs:88-204). The pieces below implement that
+# end-to-end: topic matching with the repo's own pure-Python keccak, the
+# standard head/tail ABI decoding for log data, and an aiohttp-based
+# (import-gated) subscription client that yields the SAME dict shape as
+# JsonlLogSource — so EventProcessor.process() works unchanged on either.
+
+
+def event_signature(name: str, types: list[str]) -> str:
+    return f"{name}({','.join(types)})"
+
+
+def event_topic0(name: str, types: list[str]) -> str:
+    """keccak256 of the canonical event signature — topics[0] of its logs."""
+    from rtstore_spark.crypto.keccak import keccak256
+
+    return "0x" + keccak256(event_signature(name, types).encode()).hex()
+
+
+def _is_dynamic(typ: str) -> bool:
+    return typ in ("bytes", "string") or typ.endswith("[]")
+
+
+def _decode_word(word: bytes, typ: str):
+    """One 32-byte ABI word → python value (static types)."""
+    if typ == "address":
+        return "0x" + word[12:].hex()
+    if typ.startswith("uint"):
+        return int.from_bytes(word, "big")
+    if typ.startswith("int"):
+        return int.from_bytes(word, "big", signed=True)
+    if typ == "bool":
+        return bool(word[-1])
+    if typ.startswith("bytes") and typ != "bytes":  # bytesN, left-aligned
+        return "0x" + word[: int(typ[5:])].hex()
+    raise ValueError(f"not a static ABI type: {typ}")
+
+
+def _decode_data(data: bytes, types: list[str]) -> list:
+    """Standard ABI head/tail decoding of a log's data section. Supports
+    static types, dynamic bytes/string, and dynamic arrays of static
+    types — the full surface real contract events use."""
+    out = []
+    for i, typ in enumerate(types):
+        head = data[32 * i : 32 * (i + 1)]
+        if not _is_dynamic(typ):
+            out.append(_decode_word(head, typ))
+            continue
+        off = int.from_bytes(head, "big")
+        if typ == "bytes":
+            n = int.from_bytes(data[off : off + 32], "big")
+            out.append("0x" + data[off + 32 : off + 32 + n].hex())
+        elif typ == "string":
+            n = int.from_bytes(data[off : off + 32], "big")
+            out.append(data[off + 32 : off + 32 + n].decode("utf-8"))
+        else:  # T[] of a static element type
+            inner = typ[: typ.rindex("[")]
+            n = int.from_bytes(data[off : off + 32], "big")
+            base = off + 32
+            out.append(
+                [
+                    _decode_word(data[base + 32 * j : base + 32 * (j + 1)], inner)
+                    for j in range(n)
+                ]
+            )
+    return out
+
+
+def decode_event_log(raw: dict, name: str, inputs: list[dict]) -> dict:
+    """Raw eth log ({"topics": [...], "data": "0x…", "blockNumber",
+    "transactionHash"}) → the JsonlLogSource dict shape.
+
+    Indexed static params decode from topics[1..]; non-indexed params from
+    the data section. An *indexed dynamic* param (string/bytes/array) is —
+    per the ABI spec — only its keccak hash on chain; it decodes to that
+    hash as a hex string (marked type ``bytes32`` in ``types``), which is
+    all any client can recover.
+    """
+    topics = [t for t in raw.get("topics", [])][1:]
+    data_hex = raw.get("data", "0x") or "0x"
+    data = bytes.fromhex(data_hex[2:] if data_hex.startswith("0x") else data_hex)
+    args: dict = {}
+    types: dict = {}
+    ti = 0
+    tail_names, tail_types = [], []
+    for inp in inputs:
+        if inp.get("indexed"):
+            word = bytes.fromhex(topics[ti][2:])
+            ti += 1
+            if _is_dynamic(inp["type"]):
+                args[inp["name"]] = "0x" + word.hex()
+                types[inp["name"]] = "bytes32"
+            else:
+                args[inp["name"]] = _decode_word(word, inp["type"])
+                types[inp["name"]] = inp["type"]
+        else:
+            tail_names.append(inp["name"])
+            tail_types.append(inp["type"])
+    for nm, typ, val in zip(tail_names, tail_types, _decode_data(data, tail_types)):
+        args[nm] = val
+        types[nm] = typ
+    bn = raw.get("blockNumber", 0)
+    if isinstance(bn, str):
+        bn = int(bn, 16)
+    return {
+        "event": name,
+        "block_number": bn,
+        "tx_hash": raw.get("transactionHash", ""),
+        "args": args,
+        "types": types,
+    }
+
+
+def events_from_abi(abi: list[dict]) -> dict[str, tuple[str, list[dict]]]:
+    """{topic0: (event_name, inputs)} for every event in a JSON ABI — the
+    lookup table a log subscription matches topics[0] against."""
+    out = {}
+    for entry in abi:
+        if entry.get("type") != "event":
+            continue
+        types = [i["type"] for i in entry["inputs"]]
+        out[event_topic0(entry["name"], types)] = (entry["name"], entry["inputs"])
+    return out
+
+
+class WebSocketLogSource:
+    """Live raw-log source: ``eth_subscribe("logs")`` over a JSON-RPC
+    websocket (event_processor.rs:88-204), decoded against a JSON ABI with
+    the repo's own keccak topic matching.
+
+    The transport is the repo's stdlib-only RFC 6455 client
+    (``sources/ws.py``) — no web3, no external websocket library.
+    ``logs()`` yields the same dict shape as ``JsonlLogSource`` as
+    messages arrive (streaming, not collect-then-return), so
+    ``EventProcessor.process()`` runs unchanged on a live chain. Each call
+    consumes until ``max_logs`` decoded events or ``timeout_s`` elapse —
+    the caller loops calls for continuous tailing, carrying ``from_block``
+    forward from the last seen block (at-least-once, like the reference's
+    resubscribe-on-reconnect).
+    """
+
+    def __init__(
+        self,
+        url: str,
+        abi: list[dict],
+        address: str | None = None,
+        from_block: int = 0,
+        max_logs: int | None = None,
+        timeout_s: float = 30.0,
+    ):
+        self.url = url
+        self.by_topic = events_from_abi(abi)
+        self.address = address
+        self.from_block = from_block
+        self.max_logs = max_logs
+        self.timeout_s = timeout_s
+
+    def logs(self) -> Iterator[dict]:
+        from rtstore_spark.sources.ws import MinimalWebSocket
+
+        params: dict = {"topics": [list(self.by_topic.keys())]}
+        if self.address:
+            params["address"] = self.address
+        ws = MinimalWebSocket(self.url, timeout_s=self.timeout_s).connect()
+        got = 0
+        try:
+            ws.send_text(
+                json.dumps(
+                    {
+                        "jsonrpc": "2.0",
+                        "id": 1,
+                        "method": "eth_subscribe",
+                        "params": ["logs", params],
+                    }
+                )
+            )
+            while self.max_logs is None or got < self.max_logs:
+                text = ws.recv_text()
+                if text is None:  # clean close or window timeout
+                    return
+                body = json.loads(text)
+                if body.get("id") == 1:  # subscription ack
+                    continue
+                if body.get("method") != "eth_subscription":
+                    continue
+                raw = body.get("params", {}).get("result")
+                if not raw:
+                    continue
+                topic0 = (raw.get("topics") or [None])[0]
+                match = self.by_topic.get(topic0)
+                if match is None:
+                    continue
+                decoded = decode_event_log(raw, match[0], match[1])
+                if decoded["block_number"] < self.from_block:
+                    continue
+                got += 1
+                yield decoded
+        finally:
+            ws.close()

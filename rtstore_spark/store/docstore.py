@@ -110,7 +110,8 @@ def derive_db_addr(sender: str, nonce: int, network: int = 1) -> str:
 
 class DocStore:
     def __init__(
-        self, spark: SparkSession, root: str, network: int = 1, fs=None
+        self, spark: SparkSession, root: str, network: int = 1, fs=None,
+        auto_compact_every: int | None = None, auto_compact_max_files: int = 32,
     ):
         self.spark = spark
         self.root = root
@@ -121,6 +122,14 @@ class DocStore:
         self.fs = fs or fs_for(root, spark)
         self.fs.makedirs(root)
         self.state = StateStore(root, fs=self.fs)
+        # sequential-API maintenance: every Nth append to a collection,
+        # check its live file count and compact past the threshold. The
+        # streaming ingest has its own per-N-blocks sweep (maybe_compact);
+        # this opt-in covers long-lived direct-API writers, whose
+        # one-file-per-mutation appends otherwise accumulate unboundedly.
+        self.auto_compact_every = auto_compact_every
+        self.auto_compact_max_files = auto_compact_max_files
+        self._append_counts: dict[tuple[str, str], int] = {}
         # collection-name length cap: collection_key.rs:21-33
         self.max_col_name = 20
         # bounded FIFO of persisted RunQuery matched-sets (see query_docs)
@@ -564,6 +573,7 @@ class DocStore:
         self._append_doc_rows(rows, self._data_path(db_addr, col))
         self._log(sender, nonce or 0, "add_document", db_addr, col,
                   {"docs": docs}, ids, block, order, mid=mid)
+        self._note_append(db_addr, col)
         return ids
 
     def _verify_ownership(self, state_df: DataFrame, ids: list[int], sender: str):
@@ -626,6 +636,7 @@ class DocStore:
         )
         self._log(sender, nonce or 0, "update_document", db_addr, col,
                   {"patches": patches}, ids, block, order, mid=mid)
+        self._note_append(db_addr, col)
 
     def delete_docs(
         self, db_addr: str, col: str, ids: list[int], sender: str,
@@ -649,6 +660,7 @@ class DocStore:
         self._append_doc_rows(rows, self._data_path(db_addr, col))
         self._log(sender, nonce or 0, "delete_document", db_addr, col,
                   None, ids, block, order, mid=mid)
+        self._note_append(db_addr, col)
 
     # ------------------------------------------------------------------
     # reads — S6 point get, JQL queries (RunQuery)
@@ -763,6 +775,25 @@ class DocStore:
                 .parquet(dest)
             ),
         )
+
+    def _note_append(self, db_addr: str, col: str) -> None:
+        """Sequential-path auto-compaction hook (see __init__). Counting
+        appends driver-side keeps the common case free: the file listing
+        runs only every Nth append, the compaction only past the
+        threshold."""
+        if not self.auto_compact_every:
+            return
+        key = (db_addr, col)
+        n = self._append_counts.get(key, 0) + 1
+        if n < self.auto_compact_every:
+            self._append_counts[key] = n
+            return
+        self._append_counts[key] = 0
+        if (
+            self._live_file_count(self._data_root(db_addr, col))
+            > self.auto_compact_max_files
+        ):
+            self.compact(db_addr, col)
 
     def _live_file_count(self, root: str) -> int:
         """Parquet files in a table's live (pointer-resolved) directory."""

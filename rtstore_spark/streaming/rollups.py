@@ -83,8 +83,11 @@ class ContinuousAggregate:
         q.awaitTermination()
 
     def table(self) -> DataFrame:
-        if not os.path.exists(self.dest_dir) or not any(
-            f.endswith(".parquet") for f in os.listdir(self.dest_dir)
+        from rtstore_spark.store.fs import fs_for
+
+        fs = fs_for(self.dest_dir, self.spark)
+        if not fs.exists(self.dest_dir) or not any(
+            f.endswith(".parquet") for f in fs.listdir(self.dest_dir)
         ):
             schema = ("bucket_start timestamp, bucket_end timestamp, "
                       f"{self.key_col} string, n_events bigint, total_value double")

@@ -70,8 +70,11 @@ class SystemStore:
         node_url: str = "",
         sig_mode: str = "digest",
     ):
+        from rtstore_spark.store.fs import fs_for
+
         self.spark = spark
         self.root = root
+        self.fs = fs_for(root, spark)
         self.admin_addr = admin_addr
         self.role = role
         self.node_url = node_url
@@ -144,7 +147,7 @@ class SystemStore:
 
     def config(self) -> dict | None:
         """The latest applied SystemConfig, or None before first Setup."""
-        if not os.path.exists(self._config_path()):
+        if not self.fs.exists(self._config_path()):
             return None
         rows = (
             self.spark.read.schema(CONFIG_SCHEMA)

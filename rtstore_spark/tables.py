@@ -91,6 +91,16 @@ def table_size_bytes(sf_dir: str, name: str) -> int:
     import os
 
     path = f"{sf_dir}/{name}.parquet"
+    if "://" in sf_dir:
+        # URI table root (s3a://, hdfs://, …): size via the Hadoop
+        # FileSystem client of the active session — same estimate source
+        from pyspark.sql import SparkSession
+
+        from rtstore_spark.store.fs import HadoopFS
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            return HadoopFS(active).du(path)
     if os.path.isdir(path):
         return sum(
             os.path.getsize(os.path.join(path, f))

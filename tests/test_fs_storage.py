@@ -216,3 +216,25 @@ class TestGcAndCatalogRewrite:
         # catalogs stay writable after the rewrite
         db = s.create_database(ALICE, nonce=9)
         assert len(s.databases_latest()) == 5
+
+
+class TestSequentialAutoCompact:
+    def test_direct_api_writer_stays_bounded(self, spark, tmp_path):
+        """Opt-in sequential-path auto-compaction: a long-lived direct-API
+        writer (one file per mutation) must keep its collection's live
+        file count bounded, with no document ever lost."""
+        s = DocStore(
+            spark, str(tmp_path / "seqac"),
+            auto_compact_every=3, auto_compact_max_files=2,
+        )
+        db = s.create_database(ALICE, nonce=1)
+        s.create_collection(db, "c", [], ALICE)
+        for i in range(9):
+            s.add_docs(db, "c", [json.dumps({"v": i})], ALICE)
+        # 9 one-file appends; every 3rd append checked, threshold 2 → at
+        # most (threshold + check interval) live files at any point
+        assert s._live_file_count(s._data_root(db, "c")) <= 2 + 3
+        vals = sorted(
+            json.loads(r["doc"])["v"] for r in s.current_state(db, "c").collect()
+        )
+        assert vals == list(range(9))
