@@ -389,6 +389,17 @@ def incremental_neardup(
     Returns (new_id, ref_id, est_jaccard) pairs at/above threshold; drop
     each distinct new_id from the shard.
     """
+    missing = [
+        f"mh{h}" for h in range(num_hashes) if f"mh{h}" not in ref_signatures.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"ref_signatures lacks columns {missing}: the reference table "
+            f"must come from minhash_signatures_wide with num_hashes="
+            f"{num_hashes} (and the same shingle_n) — signatures from a "
+            "different hash family never match and would silently drop "
+            "nothing"
+        )
     rows_per_band = num_hashes // bands
     new_sigs = minhash_signatures_wide(
         new_df, text_col, id_col, num_hashes, shingle_n

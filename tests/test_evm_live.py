@@ -261,3 +261,56 @@ class TestWebSocketLogSource:
         ]
         values = sorted(d["value"] for d in docs)
         assert values == ["100", str(10**27)]  # decimal strings, 256-bit safe
+
+
+class TestAbiRoundTrip:
+    """Property test: encode a random static-typed event the way a node
+    would, decode it back, and require exact value equality. Pins the
+    word-level decoding (sign extension, address truncation, bytesN
+    alignment) against an independent encoder."""
+
+    def test_roundtrip_static_types(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        def enc(value, typ: str) -> bytes:
+            if typ == "address":
+                return bytes(12) + bytes.fromhex(value[2:])
+            if typ.startswith("uint"):
+                return value.to_bytes(32, "big")
+            if typ.startswith("int"):
+                return value.to_bytes(32, "big", signed=True)
+            if typ == "bool":
+                return bytes(31) + bytes([int(value)])
+            n = int(typ[5:])  # bytesN: right-padded
+            return bytes.fromhex(value[2:]) + bytes(32 - n)
+
+        typed_vals = st.one_of(
+            st.tuples(st.just("address"),
+                      st.binary(min_size=20, max_size=20).map(lambda b: "0x" + b.hex())),
+            st.tuples(st.just("uint256"), st.integers(0, 2**256 - 1)),
+            st.tuples(st.just("int128"), st.integers(-(2**127), 2**127 - 1)),
+            st.tuples(st.just("bool"), st.booleans()),
+            st.tuples(st.just("bytes8"),
+                      st.binary(min_size=8, max_size=8).map(lambda b: "0x" + b.hex())),
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(typed_vals, min_size=1, max_size=6), st.integers(0, 3))
+        def check(params, n_indexed):
+            types = [t for t, _ in params]
+            inputs = [
+                {"name": f"p{i}", "type": t, "indexed": i < n_indexed}
+                for i, (t, _) in enumerate(params)
+            ]
+            topics = [event_topic0("E", types)] + [
+                "0x" + enc(v, t).hex() for (t, v) in params[:n_indexed]
+            ]
+            data = b"".join(enc(v, t) for (t, v) in params[n_indexed:])
+            out = decode_event_log(
+                {"topics": topics, "data": "0x" + data.hex(), "blockNumber": 1},
+                "E", inputs,
+            )
+            assert out["args"] == {f"p{i}": v for i, (_, v) in enumerate(params)}
+
+        check()
