@@ -214,6 +214,12 @@ class DocStore:
         state because they resolve the pointer first. A crash during 3
         leaves stale garbage that the next rewrite's cleanup retries —
         again invisible to readers.
+
+        Single-writer assumption (same as the reference's sequencer):
+        rewrites and appends come from the one writer process, so no
+        append can land in a superseded directory between the snapshot
+        read and cleanup. Readers in other processes are safe at any
+        point — they only ever resolve the pointer.
         """
         cur = self._current_gen(root)
         n = int(cur[len(GEN_PREFIX):]) + 1 if cur else 1

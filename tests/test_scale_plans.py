@@ -177,3 +177,24 @@ class TestJaccardVerifyNoForcedBroadcast:
             assert all("Broadcast" not in ln for ln in semi_lines)
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+class TestPagedScanPlanShape:
+    """The newest-first paged scans (reverse_page_scan, ScanMutationHeader)
+    compile to TakeOrderedAndProject — per-partition top-(offset+limit)
+    heaps + one merge, never a global sort — because the API caps pages at
+    50. This pins the plan so a future refactor can't silently regress to
+    a full Sort + Exchange."""
+
+    def test_scan_mutation_headers_take_ordered(self, spark, tmp_path):
+        from rtstore_spark.store.docstore import DocStore
+
+        store = DocStore(spark, str(tmp_path / "pscan"))
+        db = store.create_database("0x" + "aa" * 20, nonce=1)
+        store.create_collection(db, "c", [], "0x" + "aa" * 20)
+        store.add_docs(db, "c", ['{"v": 1}', '{"v": 2}'], "0x" + "aa" * 20)
+        page = store.scan_mutation_headers(offset=1, limit=50)
+        plan = page._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Sort " not in plan  # no global sort node
+        assert page.count() >= 1
