@@ -372,7 +372,9 @@ class WebSocketLogSource:
         self.timeout_s = timeout_s
 
     def logs(self) -> Iterator[dict]:
-        from rtstore_spark.sources.ws import MinimalWebSocket
+        import socket as _socket
+
+        from rtstore_spark.sources.ws import MinimalWebSocket, WebSocketError
 
         params: dict = {"topics": [list(self.by_topic.keys())]}
         if self.address:
@@ -391,8 +393,11 @@ class WebSocketLogSource:
                 )
             )
             while self.max_logs is None or got < self.max_logs:
-                text = ws.recv_text()
-                if text is None:  # clean close or window timeout
+                try:
+                    text = ws.recv_text()
+                except (TimeoutError, _socket.timeout, WebSocketError):
+                    return  # mid-frame timeout / torn connection: window ends
+                if text is None:  # clean close or idle timeout
                     return
                 body = json.loads(text)
                 if body.get("id") == 1:  # subscription ack
