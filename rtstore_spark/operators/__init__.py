@@ -1,11 +1,13 @@
 """Beyond-parity operators for large-scale training-data pipelines.
 
 Generic DataFrame transforms (no testdata coupling):
-- ``dedup``      — exact, minhash+LSH, simhash, jaccard verification
+- ``dedup``      — exact, minhash+LSH, simhash, jaccard verification,
+                   cross-shard incremental near-dup vs stored signatures
 - ``similarity`` — brute-force cosine top-k, hyperplane-LSH ANN
 - ``text``       — language/script ID, quality features, token counts
 - ``multimodal`` — binary media columns: schema, batching, stubbed decode
-- ``sampling``   — deterministic stratified sampling, n-gram contamination
+- ``sampling``   — deterministic stratified sampling, token-budget
+                   domain-mixture sampling, n-gram contamination
 - ``skew``       — hot-key broadcast-routed joins
 - ``pipeline``   — end-to-end corpus preparation composition
 """

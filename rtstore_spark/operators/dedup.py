@@ -342,12 +342,17 @@ def minhash_dedup(
     """Full near-dup pipeline: ids to DROP (keep the lowest id per group).
 
     Duplicate groups are EXACT connected components of the verified-pair
-    graph (min-label propagation to fixpoint) — a single union-find round
-    would split transitive chains (a~b, b~c with a≁c) into two groups and
-    keep a document it should drop.
+    graph (min-label propagation with pointer jumping) — a single
+    union-find round would split transitive chains (a~b, b~c with a≁c)
+    into two groups and keep a document it should drop.
+
+    Uses the wide signature path end-to-end: banding is a projection off
+    the wide aggregate, so the whole candidate generation costs ONE
+    shuffle (the minhash partial-agg) plus the band-bucket join — the
+    long-form path would add a (id, band) groupBy shuffle for nothing.
     """
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    cand = lsh_candidate_pairs(sig, bands, num_hashes // bands)
+    sig = minhash_signatures_wide(df, text_col, id_col, num_hashes, shingle_n)
+    cand = lsh_candidate_pairs_wide(sig, bands, num_hashes // bands)
     verified = jaccard_verify(df, cand, text_col, id_col, threshold, shingle_n)
     comp = connected_components(verified.select("id_a", "id_b"))
     return comp.filter(F.col("id") != F.col("comp")).select(
