@@ -743,9 +743,15 @@ class DocStore:
         indexed JSON paths first, then doc_id — parquet row-group min/max
         stats then prune filters on those fields the way the reference's
         EJDB2 secondary indexes did, with the primary-key sort as the
-        tiebreaker for point gets. The doc-bucket partition layout is
-        preserved (one sorted file per bucket), so point-get pruning
-        survives compaction.
+        tiebreaker for point gets. When TWO OR MORE indexes are registered
+        and all are numeric, the sort key is their **Z-order value**
+        (bit-interleaved range-normalized ranks) instead of a
+        lexicographic chain: a chained sort only prunes filters on the
+        leading column, while Z-order keeps every indexed column's values
+        locally clustered, so row-group stats prune filters on ANY of them
+        — the multi-index story a single physical sort order can actually
+        deliver. The doc-bucket partition layout is preserved (one sorted
+        file per bucket), so point-get pruning survives compaction.
         """
         self._require_col(db_addr, col)
         snap = self.current_state(db_addr, col).withColumn("op", F.lit("A"))
@@ -755,14 +761,19 @@ class DocStore:
             "int64": "long", "int32": "long", "double": "double",
             "float": "double", "timestamp": "long",
         }
-        sort_cols = []
+        numeric_cols, other_cols = [], []
         for p, typ in self._indexed_paths(db_addr, col):
             c = F.get_json_object(
                 F.col("doc"), "$." + p.lstrip("/").replace("/", ".")
             )
             if typ in _SORT_TYPES:
-                c = c.cast(_SORT_TYPES[typ])
-            sort_cols.append(c)
+                numeric_cols.append(c.cast(_SORT_TYPES[typ]))
+            else:
+                other_cols.append(c)
+        if len(numeric_cols) >= 2 and not other_cols:
+            sort_cols = [self._zorder_value(snap, numeric_cols)]
+        else:
+            sort_cols = numeric_cols + other_cols
         sort_cols.append(F.col("doc_id"))
         self._rewrite(
             self._data_root(db_addr, col),
@@ -841,6 +852,45 @@ class DocStore:
             self.compact_catalogs()
             done.append(("__catalogs", ""))
         return done
+
+    def _zorder_value(self, snap: DataFrame, cols: list, bits: int = 16):
+        """Z-order (Morton) value Column over numeric index columns.
+
+        Each column is range-normalized to a ``bits``-bit rank using
+        min/max from ONE tiny stats aggregate over the snapshot (the only
+        extra job Z-ordering costs), then the ranks' bits are interleaved
+        — the same interleave a lakehouse OPTIMIZE ZORDER performs. Pure
+        Column arithmetic afterwards: shiftright/bitwiseAND/shiftleft
+        stay inside whole-stage codegen. Nulls and degenerate ranges
+        (min == max) rank 0.
+        """
+        aggs = []
+        for i, c in enumerate(cols):
+            aggs.append(F.min(c).alias(f"mn{i}"))
+            aggs.append(F.max(c).alias(f"mx{i}"))
+        stats = snap.agg(*aggs).collect()[0]
+        k = len(cols)
+        scale = (1 << bits) - 1
+        z = F.lit(0).cast("long")
+        for i, c in enumerate(cols):
+            mn, mx = stats[f"mn{i}"], stats[f"mx{i}"]
+            if mn is None or mx is None or float(mx) == float(mn):
+                continue  # constant/empty column contributes nothing
+            span = float(mx) - float(mn)
+            rank = F.least(
+                F.greatest(
+                    (
+                        (c.cast("double") - float(mn)) / span * scale
+                    ).cast("long"),
+                    F.lit(0),
+                ),
+                F.lit(scale),
+            )
+            rank = F.coalesce(rank, F.lit(0))
+            for b in range(bits):
+                bit = F.shiftright(rank, b).bitwiseAND(F.lit(1))
+                z = z + F.shiftleft(bit, b * k + i)
+        return z
 
     def compact_catalogs(self) -> None:
         """Collapse the append-only ``__databases`` / ``__collections``
