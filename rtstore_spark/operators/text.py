@@ -275,3 +275,77 @@ def rolling_hash_fingerprints(
         .groupBy("id")
         .agg(F.sort_array(F.collect_list("hv")).alias("fingerprints"))
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Lexical top-k document search: Okapi BM25 over whitespace tokens —
+    the classic counterpart to the ANN family for corpora without
+    embeddings (and the usual first-stage retriever in front of them).
+
+    Shape at corpus scale:
+
+    - tokens explode once, filtered to the query terms BEFORE any shuffle
+      (a tiny ``isin`` the scan pushes down), so the per-term frequency
+      aggregate only ever shuffles (doc, query-term) hits — bytes scale
+      with matches, not the corpus;
+    - document lengths and the global doc count come from one projection
+      + one aggregate over (id, len) pairs;
+    - per-term document frequencies are an O(terms)-row aggregate,
+      collected and folded into literal IDF weights (no join against a
+      stats table);
+    - the final score is a partial-agg sum per doc and the top-k compiles
+      to TakeOrderedAndProject (per-partition heaps, no global sort).
+
+    Scoring: idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); the standard
+    tf saturation with length normalization. Returns (id, score), score
+    rounded to 6 — deterministic, oracle-friendly.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks")).select(
+        "id", "_toks", F.size("_toks").alias("_len")
+    )
+    lens = base.select("id", "_len")
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("_len").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 1.0)
+    hits = (
+        base.select("id", "_len", F.explode("_toks").alias("_t"))
+        .filter(F.col("_t").isin(terms))
+        .groupBy("id", "_t")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("_len").alias("dl"))
+    )
+    import math
+
+    dfs = {
+        r["_t"]: r["df"]
+        for r in hits.groupBy("_t")
+        .agg(F.countDistinct("id").alias("df"))
+        .collect()
+    }
+    idf = F.lit(0.0)
+    for t in terms:
+        d = dfs.get(t, 0)
+        w = math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))
+        idf = F.when(F.col("_t") == t, F.lit(w)).otherwise(idf)
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        hits.select("id", (idf * tf_part).alias("_s"))
+        .groupBy("id")
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id"))
+        .limit(k)
+    )

@@ -126,3 +126,51 @@ class TestMixtureSample:
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestBM25:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [
+                Row(id=1, text="spark shuffles data between executors"),
+                Row(id=2, text="spark spark spark everywhere in the cluster"),
+                Row(id=3, text="ducks swim in the pond"),
+                Row(id=4, text="the query engine optimizes the plan"),
+            ]
+        )
+
+    def test_scores_match_hand_computation(self, docs):
+        import math
+
+        from rtstore_spark.operators.text import bm25_topk
+
+        out = {r["id"]: r["score"] for r in
+               bm25_topk(docs, "text", "id", ["spark"], k=10).collect()}
+        assert set(out) == {1, 2}  # only docs containing the term
+        # hand-computed: N=4, df=2, idf = ln(1 + 2.5/2.5) = ln 2
+        # avgdl = (5+7+5+6)/4 = 5.75
+        k1, b = 1.2, 0.75
+        def s(tf, dl):
+            return round(math.log(2.0) * tf * (k1 + 1)
+                         / (tf + k1 * (1 - b + b * dl / 5.75)), 6)
+        assert out[1] == pytest.approx(s(1, 5), abs=1e-6)
+        assert out[2] == pytest.approx(s(3, 7), abs=1e-6)
+        assert out[2] > out[1]  # tf saturation still ranks the heavy doc up
+
+    def test_multi_term_and_topk_plan(self, docs):
+        from rtstore_spark.operators.text import bm25_topk
+
+        out = bm25_topk(docs, "text", "id", ["spark", "pond"], k=2)
+        rows = out.collect()
+        assert len(rows) == 2
+        # rare term 'pond' (df=1) outweighs common 'spark' (df=2)
+        assert rows[0]["id"] == 3
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan  # heap top-k, no global sort
+
+    def test_empty_query_rejected(self, docs):
+        from rtstore_spark.operators.text import bm25_topk
+
+        with pytest.raises(ValueError):
+            bm25_topk(docs, "text", "id", [])
