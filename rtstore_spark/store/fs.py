@@ -129,13 +129,20 @@ class HadoopFS:
         return sorted(st.getPath().getName() for st in fs.listStatus(jp))
 
     def list_files_recursive(self, path: str) -> list[str]:
+        """Full paths of every file under ``path``. Results keep the
+        scheme-qualified URI form Hadoop returns (``s3a://bucket/…``) —
+        stripping to the bare URI path would lose the bucket/authority and
+        point readers at the wrong filesystem. For a plain local root the
+        ``file:`` prefix is normalized away so results mirror LocalFS."""
         fs, jp = self._fs(path), self._jpath(path)
         if not fs.exists(jp):
             return []
         out = []
         it = fs.listFiles(jp, True)
         while it.hasNext():
-            out.append(it.next().getPath().toUri().getPath())
+            out.append(it.next().getPath().toString())
+        if "://" not in path:
+            out = [f.removeprefix("file:") for f in out]
         return sorted(out)
 
     def read_text(self, path: str) -> str | None:

@@ -56,7 +56,7 @@ class StreamingIngest:
         # files scan. 0 disables (callers owning their own maintenance).
         self.compact_every = compact_every
         self.compact_max_files = compact_max_files
-        os.makedirs(staging_dir, exist_ok=True)
+        ingest.store.fs.makedirs(staging_dir)
         self.rejected: list[tuple[dict, str]] = []
         self.compacted: list[tuple[str, str]] = []
 
