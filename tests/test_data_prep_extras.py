@@ -174,3 +174,49 @@ class TestBM25:
 
         with pytest.raises(ValueError):
             bm25_topk(docs, "text", "id", [])
+
+
+class TestHllSketches:
+    def test_rollup_merge_matches_exact_within_error(self, spark):
+        """Sketch-rollup workflow: per-group HLLs once, then answer both
+        per-group and total distincts by merging — estimates within the
+        published ~1.6% (lgK=12) of exact, total NOT the sum of groups
+        (overlapping keys dedup through the merge)."""
+        from rtstore_spark.operators.sketches import (
+            hll_estimate,
+            hll_merge,
+            hll_rollup,
+        )
+
+        df = spark.range(20_000).selectExpr(
+            "id % 4 as grp",
+            # keys overlap across groups: 12k distinct overall
+            "id % 12000 as user",
+        )
+        roll = hll_rollup(df, "user", by=["grp"])
+        per_group = {
+            r["grp"]: r["distinct_est"] for r in hll_estimate(roll).collect()
+        }
+        exact = {
+            r["grp"]: r["n"]
+            for r in df.groupBy("grp")
+            .agg(F.countDistinct("user").alias("n"))
+            .collect()
+        }
+        for g, est in per_group.items():
+            assert abs(est - exact[g]) / exact[g] < 0.05
+        total = hll_merge(roll).collect()[0]["distinct_est"]
+        assert abs(total - 12000) / 12000 < 0.05
+        assert total < sum(per_group.values())  # merge deduped the overlap
+
+    def test_merge_to_intermediate_grouping(self, spark):
+        from rtstore_spark.operators.sketches import hll_merge, hll_rollup
+
+        df = spark.range(5_000).selectExpr(
+            "id % 8 as bucket", "id % 4 as day", "id as user"
+        )
+        daily = hll_rollup(df, "user", by=["bucket", "day"])
+        by_day = {r["day"]: r["distinct_est"] for r in hll_merge(daily, ["day"]).collect()}
+        # disjoint users: each day holds exactly 1250
+        for est in by_day.values():
+            assert abs(est - 1250) / 1250 < 0.05
