@@ -11,14 +11,21 @@ re-expresses that surface Spark-first:
 - ``store``      — catalog + document store + mutation log (parquet-backed)
 - ``plans``      — StructuredQuery (Firestore-style protobuf dialect) front-end
 - ``functions``  — scalar helpers (JSON merge-patch, text stats, vectors)
-- ``operators``  — beyond-parity ops: dedup, similarity, text, sampling,
-  skew routing, multimodal, corpus-prep pipeline
+- ``operators``  — beyond-parity ops: dedup (incl. cross-shard), similarity,
+  text (incl. BM25), sampling/mixing, skew routing, multimodal, HLL
+  sketches, corpus-prep pipeline
 - ``sources``    — rollup parquet sink/recovery source, EVM event-log source
+  (JSONL replay + live eth_subscribe websocket with ABI decoding)
 - ``streaming``  — block producer / subscription plane (Structured Streaming)
 - ``system``     — control plane: Setup / system status / contract sync
 - ``crypto``     — pure-Python keccak256 / secp256k1 / EIP-712 recovery
+
+Storage control-plane file ops route through ``store.fs`` (LocalFS /
+HadoopFS): snapshot swaps are generation-directory writes + atomic
+``_current`` pointer flips, so the same code runs on a laptop directory and
+an object store.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.4.0"
 
 from rtstore_spark.engine import get_spark  # noqa: F401
