@@ -12,11 +12,13 @@ re-expresses that surface Spark-first:
 - ``plans``      — StructuredQuery (Firestore-style protobuf dialect) front-end
 - ``functions``  — scalar helpers (JSON merge-patch, text stats, vectors)
 - ``operators``  — beyond-parity ops: dedup (incl. cross-shard), similarity,
-  text (incl. BM25), sampling/mixing, skew routing, multimodal, HLL
-  sketches, corpus-prep pipeline
+  text (incl. BM25 and cross-doc repetition), sampling/mixing (+ mixture
+  stats), skew routing, multimodal, mergeable sketch rollups (HLL / top-k /
+  histogram quantiles), corpus-prep pipeline
 - ``sources``    — rollup parquet sink/recovery source, EVM event-log source
   (JSONL replay + live eth_subscribe websocket with ABI decoding)
-- ``streaming``  — block producer / subscription plane (Structured Streaming)
+- ``streaming``  — block producer / subscription plane, continuous
+  aggregates, streaming exact dedup (Structured Streaming)
 - ``system``     — control plane: Setup / system status / contract sync
 - ``crypto``     — pure-Python keccak256 / secp256k1 / EIP-712 recovery
 

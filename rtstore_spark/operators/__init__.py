@@ -5,11 +5,14 @@ Generic DataFrame transforms (no testdata coupling):
                    cross-shard incremental near-dup vs stored signatures
 - ``similarity`` — brute-force cosine top-k, hyperplane-LSH ANN
 - ``text``       — language/script ID, quality features, token counts,
-                   PII metrics/scrub, repetition, chunking, BM25 top-k
+                   PII metrics/scrub, intra- and cross-doc repetition,
+                   chunking, BM25 top-k
 - ``multimodal`` — binary media columns: schema, batching, stubbed decode
 - ``sampling``   — deterministic stratified sampling, token-budget
-                   domain-mixture sampling, n-gram contamination
+                   domain-mixture sampling + per-domain mixture stats,
+                   n-gram contamination
 - ``skew``       — hot-key broadcast-routed joins
-- ``sketches``   — mergeable HyperLogLog distinct-count rollups
+- ``sketches``   — mergeable rollup sketches: HLL distinct counts,
+                   bounded-error top-k heavy hitters, histogram quantiles
 - ``pipeline``   — end-to-end corpus preparation composition
 """

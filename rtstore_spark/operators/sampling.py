@@ -106,6 +106,58 @@ def mixture_sample(
     )
 
 
+def mixture_stats(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Per-domain corpus statistics + proposed sampling weights — the
+    sizing report that feeds ``mixture_sample``.
+
+    Returns one row per domain: ``domain, n_docs, n_tokens, mean_tokens,
+    token_share, weight`` where ``weight`` is the temperature-scaled
+    share ``share^(1/T)`` renormalized to sum 1 (multinomial temperature
+    sampling, the standard pretraining-mixture formula):
+
+    - T = 1 → proportional (weights == token shares),
+    - T > 1 → flattened toward uniform (upweights small domains — e.g.
+      T = 3.33 ≈ the common α = 0.3 exponent),
+    - T → 0⁺ → concentrates on the largest domain.
+
+    One partial-agg shuffle of O(domains) rows; the renormalization runs
+    over the aggregated rows only (a single-partition window over domains
+    — ≤ thousands of rows by construction, never the corpus).
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    from pyspark.sql import Window
+
+    agg = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).cast("long").alias("n_tokens"),
+    )
+    everything = Window.partitionBy(F.lit(1))
+    # staged: a window aggregate cannot nest another window expression,
+    # so share materializes as a column before the weight normalization
+    with_share = agg.select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("n_docs"), 2).alias("mean_tokens"),
+        (F.col("n_tokens") / F.sum("n_tokens").over(everything)).alias("_share"),
+    )
+    scaled = F.pow(F.col("_share"), F.lit(1.0 / temperature))
+    return with_share.select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        "mean_tokens",
+        F.round(F.col("_share"), 6).alias("token_share"),
+        F.round(scaled / F.sum(scaled).over(everything), 6).alias("weight"),
+    )
+
+
 def _word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, gram) — distinct lowercased word n-grams; docs shorter than
     ``n`` tokens emit nothing.

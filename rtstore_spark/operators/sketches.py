@@ -1,19 +1,30 @@
-"""Mergeable distinct-count sketches (HyperLogLog) for rollup tables.
+"""Mergeable summary sketches for rollup tables: distinct counts
+(HyperLogLog), heavy hitters (truncated top-k with SpaceSaving-style error
+bounds), and quantiles (fixed-bin histograms).
 
-The scale story: an exact ``countDistinct`` over 100 TB must shuffle every
-distinct key once per query window; a sketch rollup computes a few-KB HLL
-per (bucket, day) partition ONCE, and every later question — distincts per
-day, per week, over any ad-hoc bucket union — is a merge of sketches, never
-a rescan. Spark ships the Apache DataSketches HLL as built-ins
-(``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``); these
-wrappers just fix the shapes so rollup tables stay mergeable.
+The scale story is the same for all three: an exact answer over 100 TB must
+re-shuffle the base table once per question; a sketch rollup summarizes each
+(bucket, day) partition ONCE into a few KB, and every later question —
+per-day, per-week, any ad-hoc bucket union — is a merge of sketches, never a
+rescan. All three rollups here are *mergeable*: merging the sketches of two
+partitions yields exactly the sketch the union of the partitions would have
+produced (HLL, histograms) or one with a tracked error bound (top-k).
 
-Relative error ≈ 1.04/√(2^lgk): lgK=12 (default, 4 KB) ⇒ ~1.6%.
+- HLL: Spark ships the Apache DataSketches HLL as built-ins
+  (``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``); the
+  wrappers fix the shapes so rollup tables stay mergeable. Relative error
+  ≈ 1.04/√(2^lgk): lgk=12 (default, 4 KB) ⇒ ~1.6%.
+- Top-k: per-group exact counts truncated to the heaviest ``k·slack``
+  items, plus the largest truncated count as the group's error bound —
+  the merge-time undercount guarantee is the classic Misra-Gries /
+  SpaceSaving one (merged error ≤ sum of the merged groups' bounds).
+- Histogram: fixed, shared bin edges, so the merge is a plain
+  per-bin sum and quantile error is bounded by one bin width.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -51,3 +62,207 @@ def hll_estimate(rollup: DataFrame) -> DataFrame:
         *[c for c in rollup.columns if c != "hll"],
         F.hll_sketch_estimate("hll").alias("distinct_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters — truncated top-k rollup with merge error bounds
+# ---------------------------------------------------------------------------
+
+
+def topk_rollup(
+    df: DataFrame, item_col: str, by: list[str], k: int, slack: int = 4
+) -> DataFrame:
+    """Heavy-hitter rollup: the ``k·slack`` heaviest items per ``by`` group,
+    with exact within-group counts and the group's truncation bound.
+
+    Columns: ``*by, item, count, trunc_bound`` — ``trunc_bound`` is the
+    LARGEST count this group dropped (0 if nothing was dropped), i.e. the
+    most any absent item could have had here. Persist this as the rollup;
+    ``topk_merge`` combines groups without touching the base table.
+
+    Why ``slack``: a global heavy hitter can rank below ``k`` inside every
+    single partition. Keeping ``k·slack`` per group (the standard
+    SpaceSaving headroom) makes that miss progressively unlikely, and the
+    bound column makes it *detectable* — merged counts carry an explicit
+    ``max_err``, so a caller can tell certain top-k membership from
+    possible rank inversion instead of silently trusting a truncated union.
+
+    Shape at scale: one partial-agg shuffle for the (by, item) counts —
+    map-side combine collapses repeats before the wire — then one window
+    shuffle keyed on ``by`` over the already-aggregated (groups × items)
+    rows, never the base rows.
+    """
+    # an internal constant group key makes by=[] (single-group rollup)
+    # share the grouped code path; dropped on return
+    counts = (
+        df.withColumn("_g", F.lit(1))
+        .groupBy(*by, "_g", F.col(item_col).alias("item"))
+        .agg(F.count("*").alias("count"))
+    )
+    w = Window.partitionBy(*by, "_g").orderBy(F.desc("count"), F.col("item"))
+    ranked = counts.withColumn("_rk", F.row_number().over(w))
+    # the largest dropped count == max over the truncated tail of the
+    # same ranked set (it is the count at rank k·slack+1, but max is
+    # robust to ties without caring which row holds that rank)
+    bound = ranked.filter(F.col("_rk") > k * slack).groupBy(*by, "_g").agg(
+        F.max("count").alias("trunc_bound")
+    )
+    kept = ranked.filter(F.col("_rk") <= k * slack).drop("_rk")
+    return (
+        kept.join(F.broadcast(bound), [*by, "_g"], "left")
+        .withColumn("trunc_bound", F.coalesce(F.col("trunc_bound"), F.lit(0)))
+        .drop("_g")
+    )
+
+
+def topk_merge(rollup: DataFrame, k: int, by: list[str] | None = None) -> DataFrame:
+    """Merge truncated top-k rollups to a coarser grouping (``by=[]``/None
+    = global): per surviving item, ``count_lo`` (guaranteed lower bound:
+    the sum of its recorded counts) and ``max_err`` (the sum of the merged
+    source groups' truncation bounds — the most the item could additionally
+    hold in groups that truncated it away). True count ∈
+    [count_lo, count_lo + max_err]; a merged item is *certainly* in the
+    true top-k when its count_lo exceeds the (k+1)-th item's
+    count_lo + max_err. Exact (max_err = 0) whenever no source group
+    truncated, e.g. low-cardinality item domains.
+
+    The dual guarantee for ABSENT items: an item missing from the merge
+    was truncated in every source group, so its true count ≤ ``max_err``.
+    Together the two bounds make the sketch honest at both extremes — on
+    skewed data (the heavy-hitter case the sketch exists for) max_err is
+    far below the top counts and the ranking is certain; on near-uniform
+    data max_err rises to ≈ the top counts, which is the mathematically
+    correct statement that *no* small summary can name a top-k there.
+
+    Input must be a ``topk_rollup`` output; rows per source group share one
+    trunc_bound, so the per-group bound is recovered with ``first`` before
+    summing across groups. Top ``k`` by count_lo are returned.
+    """
+    by = by or []
+    group_cols = [c for c in rollup.columns if c not in ("item", "count", "trunc_bound")]
+    # one bound per source group (constant within the group by construction)
+    bounds = (
+        rollup.groupBy(*group_cols).agg(F.first("trunc_bound").alias("b"))
+        if group_cols
+        else rollup.agg(F.first("trunc_bound").alias("b"))
+    )
+    total_bound = (
+        bounds.groupBy(*by).agg(F.sum("b").alias("max_err"))
+        if by
+        else bounds.agg(F.sum("b").alias("max_err"))
+    )
+    merged = rollup.groupBy(*by, "item").agg(F.sum("count").alias("count_lo"))
+    if by:
+        merged = merged.join(F.broadcast(total_bound), by, "left")
+        w = Window.partitionBy(*by).orderBy(F.desc("count_lo"), F.col("item"))
+    else:
+        merged = merged.crossJoin(F.broadcast(total_bound))
+        w = Window.partitionBy(F.lit(1)).orderBy(F.desc("count_lo"), F.col("item"))
+    return (
+        merged.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+        .withColumn("max_err", F.coalesce(F.col("max_err"), F.lit(0)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# quantiles — fixed-bin histogram rollup
+# ---------------------------------------------------------------------------
+
+
+def hist_rollup(
+    df: DataFrame,
+    value_col: str,
+    by: list[str],
+    bins: int = 128,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Histogram rollup: per ``by`` group, counts over ``bins`` equal-width
+    bins of ``value_col`` on the shared range [lo, hi].
+
+    Columns: ``*by, bin, bin_count`` plus constant ``lo``/``hi``/``bins``
+    metadata columns so a persisted rollup is self-describing. When lo/hi
+    are omitted they come from one tiny global min/max aggregate (the only
+    extra job). Values outside [lo, hi] clamp into the edge bins, so merges
+    of rollups built with the SAME range are exact per-bin sums — which is
+    why the range is shared and recorded rather than per-group.
+
+    One partial-agg shuffle of (groups × bins) rows; NULL values are
+    dropped (they have no quantile).
+    """
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(F.col(value_col).cast("double")).alias("mn"),
+            F.max(F.col(value_col).cast("double")).alias("mx"),
+        ).collect()[0]
+        lo = float(row["mn"]) if lo is None else lo
+        hi = float(row["mx"]) if hi is None else hi
+    width = (hi - lo) / bins if hi > lo else 1.0
+    v = F.col(value_col).cast("double")
+    bin_c = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(bins - 1),
+    )
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*by, bin_c.alias("bin"))
+        .agg(F.count("*").alias("bin_count"))
+        .withColumn("lo", F.lit(float(lo)))
+        .withColumn("hi", F.lit(float(hi)))
+        .withColumn("bins", F.lit(bins))
+    )
+
+
+def hist_merge(rollup: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Merge histogram rollups to a coarser grouping: exact per-bin sums
+    (range metadata rides along — all inputs share it by construction)."""
+    by = by or []
+    return rollup.groupBy(*by, "bin", "lo", "hi", "bins").agg(
+        F.sum("bin_count").alias("bin_count")
+    )
+
+
+def hist_quantiles(
+    rollup: DataFrame, qs: list[float], by: list[str] | None = None
+) -> DataFrame:
+    """Quantile estimates off a histogram rollup: one row per (group, q)
+    with ``est`` linearly interpolated inside the selected bin. Error is
+    bounded by one bin width — (hi−lo)/bins — independent of row count,
+    the histogram trade: rank error can concentrate in a hot bin, value
+    error cannot exceed the bin's span.
+
+    Merges first (per ``by``; []/None = global), then runs a cumulative
+    window over the ≤``bins`` rows per group — trivially small after
+    rollup.
+    """
+    merged = hist_merge(rollup, by)
+    by = by or []
+    w = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))
+    cum = merged.withColumn(
+        "_cum", F.sum("bin_count").over(w.orderBy("bin"))
+    ).withColumn(
+        # whole-partition total: the un-ordered window frame is the
+        # entire partition (an ordered one would be a running sum)
+        "_tot",
+        F.sum("bin_count").over(w),
+    )
+    out = None
+    for q in qs:
+        # first bin whose cumulative count reaches q·total
+        target = F.col("_tot") * F.lit(q)
+        hit = (
+            cum.filter(F.col("_cum") >= target)
+            .withColumn("_rk", F.row_number().over(w.orderBy("bin")))
+            .filter(F.col("_rk") == 1)
+        )
+        width = (F.col("hi") - F.col("lo")) / F.col("bins")
+        prev_cum = F.col("_cum") - F.col("bin_count")
+        frac = (target - prev_cum) / F.col("bin_count")
+        est = F.col("lo") + (F.col("bin") + frac) * width
+        row = hit.select(
+            *by, F.lit(float(q)).alias("q"), est.alias("est")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -178,6 +178,68 @@ def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def crossdoc_repetition(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """CROSS-document repetition: per doc, the fraction of its distinct
+    n-gram shingles that also occur in at least ``min_df − 1`` OTHER
+    documents. High ``common_frac`` marks boilerplate / templated /
+    near-duplicated content that intra-doc signals
+    (``repetition_metrics``) cannot see — the corpus-level quality gate
+    CCNet/Gopher-style pipelines run before training.
+
+    Returns (id, n_shingles, n_common, common_frac); docs shorter than
+    ``n`` tokens report 0 shingles (a doc without a full n-gram cannot
+    share one).
+
+    Scale shape: shingles stream through the ``dedup.shingles`` zip_with
+    chain (shuffle-free explode), are hashed to 60-bit longs BEFORE the
+    per-doc distinct — so every exchange moves (id, 8-byte hv), never the
+    shingle strings — then one partial-agg shuffle computes each hash's
+    document frequency and an hv-keyed join carries it back to the
+    per-doc aggregate. Three exchanges of fixed-width keys, all linear in
+    corpus size; the df table groups and joins on the SAME key, so the
+    exchange is reusable. No broadcast anywhere: the df table is
+    corpus-sized by construction.
+    """
+    from rtstore_spark.operators.dedup import _hash60, shingles
+
+    sh = (
+        shingles(df, text_col, id_col, n=n, distinct=False, keep_short=False)
+        .select("id", _hash60(F.col("shingle")).alias("hv"))
+        .distinct()  # per-(doc, shingle) sets — df counts docs, not repeats
+    )
+    docfreq = sh.groupBy("hv").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(docfreq, "hv")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") >= min_df).cast("long")).alias("n_common"),
+        )
+    )
+    # docs with no full n-gram drop out of `sh`; restore them with zeros so
+    # every input doc gets a row (the filter-stage contract)
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    return (
+        all_ids.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.round(
+                F.coalesce("n_common", F.lit(0))
+                / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("common_frac"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str,

@@ -220,3 +220,122 @@ class TestHllSketches:
         # disjoint users: each day holds exactly 1250
         for est in by_day.values():
             assert abs(est - 1250) / 1250 < 0.05
+
+
+class TestCrossdocRepetition:
+    def test_duckdb_oracle_parity_on_real_docs(self, spark):
+        """Spark vs an independent DuckDB replay of the same definition on
+        the real sf0.001 documents table — the same cross-engine check the
+        driver's CORRECTNESS gate runs, embedded here because the 50-entry
+        registry is full."""
+        import duckdb
+
+        from rtstore_spark.operators.text import crossdoc_repetition
+        from rtstore_spark.tables import load_table
+
+        sf = "/root/testdata/sf0.001"
+        docs = load_table(spark, sf, "documents")
+        got = {
+            r["id"]: (r["n_shingles"], r["n_common"], r["common_frac"])
+            for r in crossdoc_repetition(docs, "text", "doc_id", n=3).collect()
+        }
+        want = {
+            r[0]: (r[1], r[2], r[3])
+            for r in duckdb.sql(
+                rf"""WITH t AS (
+                      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                      FROM '{sf}/documents.parquet'),
+                    sh AS (
+                      SELECT doc_id,
+                             list_transform(generate_series(1, len(toks) - 2),
+                                            i -> array_to_string(toks[i:i+2], ' ')) AS shingles
+                      FROM t WHERE len(toks) >= 3),
+                    e AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+                    dfq AS (SELECT shingle, count(*) AS df FROM e GROUP BY shingle),
+                    per AS (
+                      SELECT doc_id, count(*) AS n_shingles,
+                             sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_common
+                      FROM e JOIN dfq USING (shingle) GROUP BY doc_id)
+                   SELECT d.doc_id, coalesce(n_shingles, 0), coalesce(n_common, 0),
+                          round(coalesce(n_common, 0) * 1.0
+                                / greatest(coalesce(n_shingles, 0), 1), 6)
+                   FROM (SELECT DISTINCT doc_id FROM t) d
+                   LEFT JOIN per USING (doc_id)"""
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_templated_docs_flagged_unique_doc_clean(self, spark):
+        from rtstore_spark.operators.text import crossdoc_repetition
+
+        template = "click here to subscribe to our newsletter today"
+        rows = [
+            Row(id=1, text=template),
+            Row(id=2, text=template),  # full template copy
+            Row(id=3, text="a wholly original sentence about distributed query planning"),
+            Row(id=4, text="two words"),  # shorter than n: zero shingles
+        ]
+        out = {
+            r["id"]: r
+            for r in crossdoc_repetition(
+                spark.createDataFrame(rows), "text", "id", n=3
+            ).collect()
+        }
+        assert out[1]["common_frac"] == 1.0 and out[2]["common_frac"] == 1.0
+        assert out[3]["common_frac"] == 0.0
+        assert out[4]["n_shingles"] == 0 and out[4]["common_frac"] == 0.0
+        assert set(out) == {1, 2, 3, 4}  # every input doc got a row
+
+
+class TestMixtureStats:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = (
+            [Row(id=i, domain="web", n_tokens=100) for i in range(800)]
+            + [Row(id=i, domain="code", n_tokens=50) for i in range(800, 1000)]
+            + [Row(id=i, domain="books", n_tokens=1000) for i in range(1000, 1010)]
+        )
+        return spark.createDataFrame(rows)
+
+    def test_proportional_at_t1(self, corpus):
+        from rtstore_spark.operators.sampling import mixture_stats
+
+        out = {r["domain"]: r for r in mixture_stats(corpus, "domain", "n_tokens").collect()}
+        # 80k + 10k + 10k tokens
+        assert out["web"]["n_tokens"] == 80_000
+        assert out["web"]["token_share"] == 0.8
+        assert out["web"]["weight"] == 0.8  # T=1: weight == share
+        assert out["code"]["mean_tokens"] == 50.0
+        assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-5
+
+    def test_temperature_flattens_toward_uniform(self, corpus):
+        from rtstore_spark.operators.sampling import mixture_stats
+
+        hot = {r["domain"]: r["weight"] for r in mixture_stats(corpus, "domain", "n_tokens", temperature=10.0).collect()}
+        # big domain pulled down toward 1/3, small domains pulled up
+        assert hot["web"] < 0.8
+        assert hot["code"] > 0.1
+        assert abs(sum(hot.values()) - 1.0) < 1e-5
+        # still ordered by size (flattened, never inverted)
+        assert hot["web"] > hot["code"]
+
+    def test_feeds_mixture_sample(self, corpus):
+        """The stats output is directly consumable as mixture_sample
+        weights — the two operators compose into size-aware sampling."""
+        from rtstore_spark.operators.sampling import mixture_sample, mixture_stats
+
+        weights = {
+            r["domain"]: r["weight"]
+            for r in mixture_stats(corpus, "domain", "n_tokens", temperature=2.0).collect()
+        }
+        out = mixture_sample(
+            corpus, "id", "domain", weights, "n_tokens", total_tokens=20_000
+        )
+        kept = {r["domain"] for r in out.select("domain").distinct().collect()}
+        assert kept == {"web", "code", "books"}
+
+    def test_invalid_temperature_raises(self, corpus):
+        from rtstore_spark.operators.sampling import mixture_stats
+
+        with pytest.raises(ValueError):
+            mixture_stats(corpus, "domain", "n_tokens", temperature=0.0)

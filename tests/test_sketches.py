@@ -1,0 +1,180 @@
+"""Mergeable rollup sketches: heavy hitters (truncated top-k with error
+bounds) and histogram quantiles. The property under test is MERGEABILITY:
+the merge of per-partition rollups must answer like a single pass over the
+union — exactly for histograms, within the tracked bound for top-k."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from rtstore_spark.operators.sketches import (
+    hist_merge,
+    hist_quantiles,
+    hist_rollup,
+    topk_merge,
+    topk_rollup,
+)
+
+
+def _zipfish(n_users: int = 40, rows_per_rank: int = 60):
+    """Skewed item stream across 4 day-buckets: item i appears
+    ~rows_per_rank/(i+1) times per day — a few heavy hitters, a long tail."""
+    rows = []
+    for day in range(4):
+        for i in range(n_users):
+            for r in range(max(rows_per_rank // (i + 1), 1)):
+                rows.append(Row(day=day, item=f"u{i:03d}", x=float(i * 10 + r)))
+    return rows
+
+
+class TestTopkRollup:
+    def test_per_group_counts_are_exact_and_truncated(self, spark):
+        df = spark.createDataFrame(_zipfish())
+        roll = topk_rollup(df, "item", by=["day"], k=3, slack=2)
+        rows = roll.collect()
+        # k·slack items kept per day, exact within-group counts
+        per_day = {}
+        for r in rows:
+            per_day.setdefault(r["day"], []).append(r)
+        exact = {
+            (r["day"], r["item"]): r["cnt"]
+            for r in df.groupBy("day", "item")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        for day, kept in per_day.items():
+            assert len(kept) == 6  # k·slack
+            for r in kept:
+                assert r["count"] == exact[(day, r["item"])]
+            # the bound is the heaviest count the group dropped
+            dropped = [
+                c for (d, it), c in exact.items()
+                if d == day and it not in {r["item"] for r in kept}
+            ]
+            assert kept[0]["trunc_bound"] == max(dropped)
+
+    def test_merge_recovers_global_topk_within_bound(self, spark):
+        df = spark.createDataFrame(_zipfish())
+        roll = topk_rollup(df, "item", by=["day"], k=5, slack=4)
+        merged = topk_merge(roll, k=5)
+        got = merged.orderBy(F.desc("count_lo"), "item").collect()
+        truth = (
+            df.groupBy("item")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), "item")
+            .limit(5)
+            .collect()
+        )
+        assert [r["item"] for r in got] == [r["item"] for r in truth]
+        by_item = {r["item"]: r for r in got}
+        for t in truth:
+            m = by_item[t["item"]]
+            # count_lo is a guaranteed lower bound; the bound covers truth
+            assert m["count_lo"] <= t["cnt"] <= m["count_lo"] + m["max_err"]
+
+    def test_no_truncation_means_exact_merge(self, spark):
+        rows = [Row(g=g, item=f"i{i}") for g in range(3) for i in range(4)]
+        df = spark.createDataFrame(rows * 5)
+        roll = topk_rollup(df, "item", by=["g"], k=4, slack=2)
+        assert roll.agg(F.max("trunc_bound")).collect()[0][0] == 0
+        merged = topk_merge(roll, k=4)
+        for r in merged.collect():
+            assert r["max_err"] == 0
+            assert r["count_lo"] == 15  # 3 groups × 5 repeats
+
+    def test_near_uniform_data_reports_honest_uncertainty(self, spark):
+        """Worst case for any heavy-hitter summary: near-uniform counts.
+        A true top item may be truncated out of EVERY group's kept set —
+        the merge must then cover it via the absent-item bound (true count
+        ≤ max_err), never silently rank wrong with a tight bound."""
+        # 4 groups × 50 items, all counts in {3, 4}: no real heavy hitter
+        rows = [
+            Row(g=g, item=f"i{i:02d}")
+            for g in range(4)
+            for i in range(50)
+            for _ in range(3 + ((i + g) % 2))
+        ]
+        df = spark.createDataFrame(rows)
+        roll = topk_rollup(df, "item", by=["g"], k=3, slack=2)
+        merged = topk_merge(roll, k=3)
+        out = merged.collect()
+        max_err = out[0]["max_err"]
+        present = {r["item"]: r for r in out}
+        exact = {
+            r["item"]: r["cnt"]
+            for r in df.groupBy("item").agg(F.count("*").alias("cnt")).collect()
+        }
+        for item, cnt in sorted(exact.items(), key=lambda kv: -kv[1])[:3]:
+            if item in present:
+                m = present[item]
+                assert m["count_lo"] <= cnt <= m["count_lo"] + m["max_err"]
+            else:
+                assert cnt <= max_err  # absent-item bound covers it
+        # and the bound honestly signals "no certain top-k here"
+        assert max_err >= max(exact.values()) - min(exact.values())
+
+    def test_global_rollup_shape(self, spark):
+        df = spark.createDataFrame(_zipfish())
+        roll = topk_rollup(df, "item", by=[], k=2, slack=2)
+        assert set(roll.columns) == {"item", "count", "trunc_bound"}
+        assert roll.count() == 4  # k·slack
+
+
+class TestHistQuantiles:
+    def test_quantile_error_bounded_by_bin_width(self, spark):
+        df = spark.createDataFrame(_zipfish())
+        bins = 64
+        roll = hist_rollup(df, "x", by=["day"], bins=bins)
+        lo, hi = roll.select("lo", "hi").first()
+        width = (hi - lo) / bins
+        got = {
+            (r["day"], r["q"]): r["est"]
+            for r in hist_quantiles(roll, [0.25, 0.5, 0.9], by=["day"]).collect()
+        }
+        truth = {
+            (r["day"], q): r[f"p{int(q*100)}"]
+            for r in df.groupBy("day")
+            .agg(
+                *[
+                    F.expr(f"percentile(x, {q})").alias(f"p{int(q*100)}")
+                    for q in (0.25, 0.5, 0.9)
+                ]
+            )
+            .collect()
+            for q in (0.25, 0.5, 0.9)
+        }
+        for key, est in got.items():
+            assert abs(est - truth[key]) <= width + 1e-9, key
+
+    def test_merge_equals_single_pass(self, spark):
+        """Summing per-day rollups == the rollup a single pass over the
+        union would build (same shared range)."""
+        df = spark.createDataFrame(_zipfish())
+        lo, hi = 0.0, 400.0
+        per_day = hist_rollup(df, "x", by=["day"], bins=32, lo=lo, hi=hi)
+        merged = {
+            r["bin"]: r["bin_count"] for r in hist_merge(per_day, by=[]).collect()
+        }
+        single = {
+            r["bin"]: r["bin_count"]
+            for r in hist_rollup(df, "x", by=[], bins=32, lo=lo, hi=hi).collect()
+        }
+        assert merged == single
+
+    def test_out_of_range_values_clamp_into_edge_bins(self, spark):
+        df = spark.createDataFrame(
+            [Row(x=-5.0), Row(x=0.5), Row(x=99.0)]
+        )
+        roll = hist_rollup(df, "x", by=[], bins=10, lo=0.0, hi=1.0)
+        counts = {r["bin"]: r["bin_count"] for r in roll.collect()}
+        assert counts[0] == 1  # -5 clamps low
+        assert counts[5] == 1
+        assert counts[9] == 1  # 99 clamps high
+
+    def test_extreme_quantiles(self, spark):
+        df = spark.createDataFrame([Row(x=float(i)) for i in range(100)])
+        roll = hist_rollup(df, "x", by=[], bins=10)
+        got = {r["q"]: r["est"] for r in hist_quantiles(roll, [0.0, 1.0]).collect()}
+        assert got[0.0] <= 0.0 + 9.9  # within the first bin
+        assert abs(got[1.0] - 99.0) <= 9.9 + 1e-9
