@@ -18,7 +18,8 @@ re-expresses that surface Spark-first:
 - ``sources``    — rollup parquet sink/recovery source, EVM event-log source
   (JSONL replay + live eth_subscribe websocket with ABI decoding)
 - ``streaming``  — block producer / subscription plane, continuous
-  aggregates, streaming exact dedup (Structured Streaming)
+  aggregates, streaming exact dedup, stateful gap sessionization
+  (Structured Streaming incl. applyInPandasWithState)
 - ``system``     — control plane: Setup / system status / contract sync
 - ``crypto``     — pure-Python keccak256 / secp256k1 / EIP-712 recovery
 
