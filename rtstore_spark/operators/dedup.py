@@ -63,6 +63,7 @@ def shingles(
     n: int = 3,
     distinct: bool = True,
     keep_short: bool = True,
+    positional: bool = False,
 ) -> DataFrame:
     """n-token shingles per document (long form: id, shingle).
 
@@ -99,6 +100,12 @@ def shingles(
         else F.array().cast("array<string>")
     )
     sh = F.when(F.size("toks") >= n, F.expr(chain)).otherwise(short)
+    if positional:
+        # (id, pos, shingle) with pos = 0-based token offset of the
+        # shingle's first token — the chain array is positional by
+        # construction, so posexplode is free. distinct is ignored
+        # (a position is unique within its doc).
+        return t.select("id", F.posexplode(sh).alias("pos", "shingle"))
     out = t.select("id", F.explode(sh).alias("shingle"))
     return out.distinct() if distinct else out
 
@@ -494,4 +501,66 @@ def embedding_neardup_pairs(
             F.round(cos, 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_tokens: int = 32,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact repeated-substring spans: for each document, the maximal token
+    ranges every position of which starts a ``span_tokens``-token shingle
+    occurring at least ``min_count`` times corpus-wide (counting all
+    occurrences, including within the same document).
+
+    This is the span-granular form of exact substring dedup ("dedup
+    training data" suffix-array style): instead of dropping a whole
+    document because part of it is boilerplate, a pipeline surgically
+    removes the flagged span and keeps the rest. Doc-level near-dup
+    (minhash) and doc-frequency flags (``text.crossdoc_repetition``)
+    cannot give the boundaries; this does.
+
+    Returns (id, start_tok, end_tok, n_tokens) — ``start_tok`` 0-based
+    inclusive, ``end_tok`` exclusive, so ``end_tok - start_tok =
+    n_tokens`` and adjacent/overlapping flagged shingles merge into one
+    maximal span (consecutive flagged start positions p, p+1 … p+k cover
+    tokens [p, p+k+span_tokens)).
+
+    Scale shape: positional shingles off the zip_with chain (shuffle-free
+    posexplode), hashed to 60-bit longs — every exchange moves (id, pos,
+    8-byte hv). One partial-agg shuffle counts global occurrences per
+    hash, the hv-keyed join (same key: exchange reuse) carries counts
+    back, then one per-doc window merges runs. A true suffix array finds
+    arbitrary-length repeats; the fixed-window approximation finds every
+    repeat ≥ span_tokens (as a union of flagged windows) with three
+    linear shuffles and no global sort — the right trade at corpus scale.
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(
+        df, text_col, id_col, n=span_tokens, keep_short=False, positional=True
+    ).select("id", "pos", _hash60(F.col("shingle")).alias("hv"))
+    counts = sh.groupBy("hv").agg(F.count(F.lit(1)).alias("cnt"))
+    flagged = sh.join(counts.filter(F.col("cnt") >= min_count), "hv").select(
+        "id", "pos"
+    )
+    # run-merge: consecutive flagged positions share (pos - row_number),
+    # the classic gaps-and-islands segmentation — window is per doc,
+    # ordered by pos, never global
+    w = Window.partitionBy("id").orderBy("pos")
+    seg = flagged.withColumn("_seg", F.col("pos") - F.row_number().over(w))
+    return (
+        seg.groupBy("id", "_seg")
+        .agg(F.min("pos").alias("start_tok"), F.max("pos").alias("_last"))
+        .select(
+            "id",
+            "start_tok",
+            (F.col("_last") + span_tokens).alias("end_tok"),
+            (F.col("_last") + span_tokens - F.col("start_tok")).alias(
+                "n_tokens"
+            ),
+        )
     )

@@ -197,8 +197,13 @@ def hist_rollup(
             F.min(F.col(value_col).cast("double")).alias("mn"),
             F.max(F.col(value_col).cast("double")).alias("mx"),
         ).collect()[0]
-        lo = float(row["mn"]) if lo is None else lo
-        hi = float(row["mx"]) if hi is None else hi
+        if row["mn"] is None or row["mx"] is None:
+            # empty / all-null input: any fixed range describes the zero
+            # rows correctly and keeps downstream merges well-typed
+            lo, hi = 0.0, 1.0
+        else:
+            lo = float(row["mn"]) if lo is None else lo
+            hi = float(row["mx"]) if hi is None else hi
     width = (hi - lo) / bins if hi > lo else 1.0
     v = F.col(value_col).cast("double")
     bin_c = F.least(

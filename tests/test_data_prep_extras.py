@@ -339,3 +339,78 @@ class TestMixtureStats:
 
         with pytest.raises(ValueError):
             mixture_stats(corpus, "domain", "n_tokens", temperature=0.0)
+
+
+class TestRepeatedSpans:
+    def test_shared_passage_yields_maximal_spans(self, spark):
+        from rtstore_spark.operators.dedup import repeated_spans
+
+        P = " ".join(f"p{i}" for i in range(12))  # the repeated 12 tokens
+        rows = [
+            Row(id=1, text="x1 x2 x3 x4 " + P + " y1 y2 y3 y4"),
+            Row(id=2, text="z1 z2 " + P + " w1"),
+            Row(id=3, text=" ".join(f"u{i}" for i in range(20))),  # unique
+        ]
+        out = repeated_spans(
+            spark.createDataFrame(rows), "text", "id", span_tokens=8
+        )
+        got = {
+            r["id"]: (r["start_tok"], r["end_tok"], r["n_tokens"])
+            for r in out.collect()
+        }
+        # flagged windows merge into ONE maximal span covering exactly the
+        # shared passage in each doc
+        assert got == {1: (4, 16, 12), 2: (2, 14, 12)}
+
+    def test_within_doc_repetition_counts(self, spark):
+        from rtstore_spark.operators.dedup import repeated_spans
+
+        P = " ".join(f"p{i}" for i in range(12))
+        df = spark.createDataFrame([Row(id=4, text=P + " m1 m2 " + P)])
+        got = sorted(
+            (r["start_tok"], r["end_tok"])
+            for r in repeated_spans(df, "text", "id", span_tokens=8).collect()
+        )
+        assert got == [(0, 12), (14, 26)]  # both copies flagged, gap kept
+
+    def test_duckdb_oracle_parity_on_real_docs(self, spark):
+        """Independent DuckDB replay (raw shingle strings — the 60-bit hash
+        is internal) on the real sf0.001 documents table."""
+        import duckdb
+
+        from rtstore_spark.operators.dedup import repeated_spans
+        from rtstore_spark.tables import load_table
+
+        sf = "/root/testdata/sf0.001"
+        docs = load_table(spark, sf, "documents")
+        got = {
+            (r["id"], r["start_tok"], r["end_tok"], r["n_tokens"])
+            for r in repeated_spans(
+                docs, "text", "doc_id", span_tokens=8
+            ).collect()
+        }
+        want = set(
+            duckdb.sql(
+                rf"""WITH t AS (
+                      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                      FROM '{sf}/documents.parquet'),
+                    sh0 AS (
+                      SELECT doc_id,
+                             list_transform(generate_series(1, len(toks) - 7),
+                               i -> struct_pack(pos := i - 1,
+                                                s := array_to_string(toks[i:i+7], ' '))) AS prs
+                      FROM t WHERE len(toks) >= 8),
+                    sh AS (SELECT doc_id, unnest(prs) AS pr FROM sh0),
+                    e AS (SELECT doc_id, pr.pos AS pos, pr.s AS s FROM sh),
+                    cnt AS (SELECT s, count(*) AS c FROM e GROUP BY s),
+                    fl AS (SELECT doc_id, pos FROM e JOIN cnt USING (s) WHERE c >= 2),
+                    seg AS (
+                      SELECT doc_id, pos,
+                             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                      FROM fl)
+                   SELECT doc_id, min(pos) AS start_tok, max(pos) + 8 AS end_tok,
+                          max(pos) + 8 - min(pos) AS n_tokens
+                   FROM seg GROUP BY doc_id, g"""
+            ).fetchall()
+        )
+        assert got == want and len(got) > 0

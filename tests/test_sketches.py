@@ -178,3 +178,15 @@ class TestHistQuantiles:
         got = {r["q"]: r["est"] for r in hist_quantiles(roll, [0.0, 1.0]).collect()}
         assert got[0.0] <= 0.0 + 9.9  # within the first bin
         assert abs(got[1.0] - 99.0) <= 9.9 + 1e-9
+
+
+def test_hist_rollup_empty_input(spark):
+    from pyspark.sql import types as T
+
+    from rtstore_spark.operators.sketches import hist_rollup
+
+    empty = spark.createDataFrame(
+        [], schema=T.StructType([T.StructField("x", T.DoubleType(), True)])
+    )
+    roll = hist_rollup(empty, "x", by=[], bins=10)
+    assert roll.count() == 0  # no rows, but range inference must not crash
