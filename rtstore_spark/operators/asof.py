@@ -1,9 +1,12 @@
-"""As-of join — the canonical time-series operator Spark lacks natively.
+"""Time-join operators Spark lacks natively: as-of join and range join.
 
-For each left row, attach the most recent right row with
+``asof_join``: for each left row, attach the most recent right row with
 ``right.ts <= left.ts`` (direction='backward') within the same key.
+``range_join``: attach every enclosing interval (point-in-range), as a
+bucketed equi-join — see its docstring.
 
-Implementation is the union-tag-window trick, NOT a range join:
+The as-of implementation is the union-tag-window trick, NOT an
+inequality join:
 
     union(right tagged 0, left tagged 1)
       → window partitionBy(key) orderBy(ts, tag) with last(right cols,
@@ -92,3 +95,82 @@ def asof_join(
             *[F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in value_cols],
         )
     return out
+
+
+def range_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    on: list[str] | str | None = None,
+    bucket_width: int | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval range join: each event row joins every interval
+    row with ``start <= ts < end`` (half-open), optionally also matching
+    equi-keys ``on``. The companion to ``asof_join``: as-of attaches the
+    latest *point*, this attaches enclosing *intervals* (maintenance
+    windows, campaign periods, validity ranges).
+
+    A naive inequality join is the classic scale killer: Spark can only
+    plan ``l.ts >= r.start AND l.ts < r.end`` as a broadcast nested loop
+    (fine only while intervals fit in one executor) or a cartesian
+    product. This operator makes it an EQUI-join: pick a bucket width,
+    explode each interval onto the buckets it covers (``sequence`` — a
+    map-local projection), give each event its single bucket, hash-join
+    on (keys…, bucket), and keep the exact predicate as the join residual.
+    No duplicates are possible: an event lives in exactly one bucket, and
+    an interval appears at most once per bucket.
+
+    Cost model: shuffle bytes grow by the interval fan-out
+    (≈ 1 + length/width per interval). ``bucket_width=None`` picks the
+    95th-percentile interval length from one tiny aggregate — long-tail
+    outlier intervals then fan out instead of dictating a huge bucket
+    that would lump everything together. Timestamps work via their
+    internal numeric form (``unix_micros``); plain numerics work as-is.
+
+    ``how='left'`` keeps unmatched events with null interval columns.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    keys = [on] if isinstance(on, str) else list(on or [])
+
+    def numeric(df, col):
+        """df-qualified numeric form of a column (unambiguous in the
+        self-referencing join condition below)."""
+        dt = dict(df.dtypes)[col]
+        c = df[col]
+        return F.unix_micros(c) if dt.startswith("timestamp") else c.cast("long")
+
+    if bucket_width is None:
+        row = (
+            intervals.select(
+                (numeric(intervals, end_col) - numeric(intervals, start_col))
+                .alias("len")
+            )
+            .agg(F.expr("percentile_approx(len, 0.95)").alias("p"))
+            .collect()[0]
+        )
+        bucket_width = max(int(row["p"] or 1), 1)
+
+    ev = events.withColumn("_b", F.floor(numeric(events, ts_col) / bucket_width))
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(numeric(intervals, start_col) / bucket_width),
+                # end is exclusive: an interval ending exactly on a bucket
+                # boundary does not reach into that bucket
+                F.floor((numeric(intervals, end_col) - 1) / bucket_width),
+            )
+        ),
+    )
+    cond = [ev["_b"] == iv["_b"]] + [ev[k] == iv[k] for k in keys]
+    pred = (numeric(ev, ts_col) >= numeric(iv, start_col)) & (
+        numeric(ev, ts_col) < numeric(iv, end_col)
+    )
+    out_cols = [ev[c] for c in events.columns] + [
+        iv[c] for c in intervals.columns if c not in keys
+    ]
+    return ev.join(iv, cond + [pred], how).select(*out_cols)

@@ -59,3 +59,80 @@ def test_tolerance(quotes_trades):
     # the tts=99 trade is 69 ticks after the last quote → nulled by tolerance
     assert got[("A", 99)] is None
     assert got[("A", 25)] == 101.0
+
+
+class TestRangeJoin:
+    def test_matches_inequality_join_on_real_events(self, spark):
+        """Bucketed equi-join == DuckDB's native inequality join on real
+        sf0.001 events against deterministic maintenance windows."""
+        import datetime as dt
+
+        import duckdb
+
+        from rtstore_spark.operators.asof import range_join
+        from rtstore_spark.tables import load_table
+
+        sf = "/root/testdata/sf0.001"
+        ev = load_table(spark, sf, "events").select("event_id", "ts")
+        t0 = dt.datetime(2024, 1, 1)
+        windows = [
+            (i, t0 + dt.timedelta(hours=3 * i), t0 + dt.timedelta(hours=3 * i + 2))
+            for i in range(40)
+        ]
+        iv = spark.createDataFrame(windows, "win_id long, w_start timestamp, w_end timestamp")
+        got = {
+            (r["event_id"], r["win_id"])
+            for r in range_join(ev, iv, "ts", "w_start", "w_end").collect()
+        }
+        duckdb.sql("CREATE OR REPLACE TABLE w (win_id BIGINT, w_start TIMESTAMP, w_end TIMESTAMP)")
+        duckdb.executemany("INSERT INTO w VALUES (?, ?, ?)", windows)
+        want = set(
+            duckdb.sql(
+                f"""SELECT e.event_id, w.win_id
+                    FROM '{sf}/events.parquet' e JOIN w
+                      ON e.ts >= w.w_start AND e.ts < w.w_end"""
+            ).fetchall()
+        )
+        assert got == want and len(got) > 0
+
+    def test_overlapping_intervals_and_left_join(self, spark):
+        from rtstore_spark.operators.asof import range_join
+
+        ev = spark.createDataFrame(
+            [(1, 5), (2, 15), (3, 99)], "event_id long, t long"
+        )
+        iv = spark.createDataFrame(
+            [(10, 0, 10), (11, 4, 20), (12, 15, 16)],
+            "win_id long, s long, e long",
+        )
+        out = range_join(ev, iv, "t", "s", "e", how="left", bucket_width=7)
+        got = {(r["event_id"], r["win_id"]) for r in out.collect()}
+        # event 1 in two overlapping windows; half-open: t=15 not in [15,16)?
+        # yes it is: 15 >= 15 and 15 < 16. t=99 matches nothing (left-kept).
+        assert got == {(1, 10), (1, 11), (2, 11), (2, 12), (3, None)}
+
+    def test_keys_and_no_duplicates(self, spark):
+        from rtstore_spark.operators.asof import range_join
+
+        ev = spark.createDataFrame(
+            [("a", 1, 5), ("b", 2, 5)], "k string, event_id long, t long"
+        )
+        # same time range, different keys; wide interval spanning many buckets
+        iv = spark.createDataFrame(
+            [("a", 7, 0, 1000), ("b", 8, 0, 1000)], "k string, win_id long, s long, e long"
+        )
+        out = range_join(ev, iv, "t", "s", "e", on="k", bucket_width=3)
+        rows = [(r["k"], r["event_id"], r["win_id"]) for r in out.collect()]
+        # exactly one output row per (event, enclosing interval) even though
+        # the interval explodes onto ~334 buckets
+        assert sorted(rows) == [("a", 1, 7), ("b", 2, 8)]
+
+    def test_plan_is_equi_join_not_nested_loop(self, spark):
+        from rtstore_spark.operators.asof import range_join
+
+        ev = spark.createDataFrame([(i, i * 10) for i in range(100)], "event_id long, t long")
+        iv = spark.createDataFrame([(i, i * 50, i * 50 + 30) for i in range(50)], "win_id long, s long, e long")
+        out = range_join(ev, iv, "t", "s", "e", bucket_width=25)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
