@@ -3,7 +3,8 @@
 Generic DataFrame transforms (no testdata coupling):
 - ``dedup``      — exact, minhash+LSH, simhash, jaccard verification,
                    cross-shard incremental near-dup vs stored signatures
-- ``similarity`` — brute-force cosine top-k, hyperplane-LSH ANN
+- ``similarity`` — brute-force cosine top-k, hyperplane-LSH + IVF ANN,
+                   distributed PCA (moments-merge fit, codegen transform)
 - ``text``       — language/script ID, quality features, token counts,
                    PII metrics/scrub, intra- and cross-doc repetition,
                    chunking, BM25 top-k

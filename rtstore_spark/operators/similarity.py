@@ -245,3 +245,116 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col("id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# dimensionality reduction — distributed PCA over an embedding column
+# ---------------------------------------------------------------------------
+
+
+def pca_fit(df: DataFrame, vec_col: str, k: int) -> dict:
+    """Fit a PCA basis over an embedding column, distributed.
+
+    The sufficient statistics (count, Σx, Σxxᵀ) are computed per Arrow
+    batch with ``mapInPandas`` (numpy does the d×d outer-product sums
+    inside each executor) and folded on the driver — the collect is one
+    row of d + d² doubles **per batch**, never per input row, and the
+    fold is associative, so the result is partitioning-invariant. This is
+    the standard moments-merge formulation: covariance needs Σxxᵀ, which
+    no built-in Column aggregate expresses without a d²-fold row
+    explosion, so the Arrow path IS the linear one. At d=768 a partial is
+    ~4.7 MB — collect stays driver-safe up to thousands of batches; for
+    larger d, tree-aggregate the partials in a second mapInPandas round.
+
+    The d×d eigendecomposition runs on the driver (d is embedding width,
+    never corpus size). Components get a deterministic sign (the
+    largest-|component| coordinate is made positive) so refits and other
+    engines agree exactly, not just up to sign.
+
+    Returns ``{"mean", "components" (k×d, variance-descending),
+    "explained_variance", "explained_variance_ratio", "n"}`` — plain
+    lists, trivially JSON-persistable next to an IVF index.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            vecs = pdf[vec_col].dropna()
+            if not len(vecs):
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            yield pd.DataFrame(
+                {
+                    "n": [m.shape[0]],
+                    "s": [m.sum(axis=0).tolist()],
+                    "ss": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(partials, schema="n long, s array<double>, ss array<double>")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pca_fit: no vectors to fit")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    ss = np.sum([np.asarray(r["ss"]) for r in rows], axis=0)
+    d = s.shape[0]
+    mean = s / n
+    cov = (ss.reshape(d, d) - n * np.outer(mean, mean)) / max(n - 1, 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][:k]
+    comps, evs = eigvecs[:, order].T, eigvals[order]
+    for i in range(comps.shape[0]):  # deterministic sign
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total = float(np.trace(cov)) or 1.0
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "explained_variance": [float(v) for v in evs],
+        "explained_variance_ratio": [float(v / total) for v in evs],
+        "n": int(n),
+    }
+
+
+def pca_transform(
+    df: DataFrame, vec_col: str, model: dict, out_col: str = "pca"
+) -> DataFrame:
+    """Project an embedding column onto a fitted PCA basis:
+    ``out[i] = (x − mean) · component_i``, appended as ``out_col``
+    (array<double>, length k).
+
+    Pure Column algebra — the basis enters the plan as a literal
+    array-of-arrays and the per-component mean offsets as a literal array
+    (``(x − μ)·c = x·c − μ·c``, and μ·c is a constant), so the projection
+    is one ``transform``/``zip_with``/``aggregate`` chain inside
+    whole-stage codegen: no shuffle, no Python in the hot path. Like
+    ``hyperplane_bucket``, the literal grows with k × d; for very large
+    bases bind the matrix as a broadcast one-row relation instead (the
+    ``with_hyperplane_bucket`` pattern).
+    """
+    import numpy as np
+
+    comps = np.asarray(model["components"], dtype=np.float64)
+    offsets = comps @ np.asarray(model["mean"], dtype=np.float64)
+    comp_lit = F.expr(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{c!r}D" for c in row) + ")" for row in comps
+        ) + ")"
+    )
+    off_lit = F.expr("array(" + ", ".join(f"{o!r}D" for o in offsets) + ")")
+    proj = F.transform(
+        comp_lit,
+        lambda comp, i: F.aggregate(
+            F.zip_with(F.col(vec_col), comp, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        - off_lit[i],
+    )
+    return df.withColumn(out_col, proj)

@@ -511,3 +511,83 @@ class TestMultimodal:
         )
         frames = frame_sample(vid, every_ms=1000).collect()
         assert [r["offset_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+class TestEmbeddingPCA:
+    def test_matches_numpy_on_real_embeddings(self, spark):
+        """Fit + transform vs a straight numpy PCA on the collected
+        sf0.001 embeddings — eigenvalues, subspace, and projections."""
+        import numpy as np
+
+        from rtstore_spark.operators.similarity import pca_fit, pca_transform
+        from rtstore_spark.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        model = pca_fit(emb, "embedding", k=8)
+
+        X = np.stack([
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.select("embedding").collect()
+        ])
+        mean = X.mean(axis=0)
+        cov = np.cov(X, rowvar=False)
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(evals)[::-1][:8]
+        assert np.allclose(model["mean"], mean, atol=1e-9)
+        assert np.allclose(model["explained_variance"], evals[order], rtol=1e-9)
+        # same subspace: each fitted component is ±the numpy eigenvector
+        for got, want in zip(np.asarray(model["components"]), evecs[:, order].T):
+            assert abs(abs(got @ want) - 1.0) < 1e-9
+        # ratios sum to <= 1 and descend
+        r = model["explained_variance_ratio"]
+        assert all(a >= b for a, b in zip(r, r[1:])) and sum(r) <= 1.0 + 1e-9
+
+        out = pca_transform(emb, "embedding", model).select("vec_id", "pca").collect()
+        C = np.asarray(model["components"])
+        want_proj = {
+            r2["vec_id"]: (np.asarray(r2["embedding"], dtype=np.float64) - mean) @ C.T
+            for r2 in emb.collect()
+        }
+        for r3 in out:
+            assert np.allclose(r3["pca"], want_proj[r3["vec_id"]], atol=1e-9)
+
+    def test_partitioning_invariant(self, spark):
+        import numpy as np
+
+        from rtstore_spark.operators.similarity import pca_fit
+        from rtstore_spark.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        a = pca_fit(emb.coalesce(1), "embedding", k=4)
+        b = pca_fit(emb.repartition(13), "embedding", k=4)
+        assert np.allclose(a["mean"], b["mean"], atol=1e-9)
+        assert np.allclose(a["components"], b["components"], atol=1e-7)
+
+    def test_transform_stays_jvm_side(self, spark):
+        """The projection must be pure Column algebra — no Python eval,
+        no shuffle in the executed plan."""
+        from rtstore_spark.operators.similarity import pca_fit, pca_transform
+        from rtstore_spark.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        model = pca_fit(emb, "embedding", k=4)
+        out = pca_transform(emb, "embedding", model)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_empty_input_raises(self, spark):
+        import pytest as _pytest
+
+        from pyspark.sql import types as T
+
+        from rtstore_spark.operators.similarity import pca_fit
+
+        empty = spark.createDataFrame(
+            [],
+            schema=T.StructType(
+                [T.StructField("embedding", T.ArrayType(T.FloatType()), True)]
+            ),
+        )
+        with _pytest.raises(ValueError):
+            pca_fit(empty, "embedding", k=2)
