@@ -15,5 +15,6 @@ Generic DataFrame transforms (no testdata coupling):
 - ``skew``       — hot-key broadcast-routed joins
 - ``sketches``   — mergeable rollup sketches: HLL distinct counts,
                    bounded-error top-k heavy hitters, histogram quantiles
-- ``pipeline``   — end-to-end corpus preparation composition
+- ``pipeline``   — end-to-end corpus preparation composition + training-
+                   shard export
 """

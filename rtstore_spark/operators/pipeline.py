@@ -12,6 +12,8 @@ Stages (each individually oracle-tested elsewhere; this module wires them):
 6. PII scrub       — optional in-place redaction (RE2-safe patterns)
 7. chunking        — optional fixed-token chunks with overlap
                      (Arrow-batched; output rows are chunks, not docs)
+8. shard export    — ``export_training_shards``: deterministic
+                     hash-assigned fixed-token-budget parquet shards
 
 Laziness matters at 100 TB: stages 1-2 are pure filters that reach the
 parquet scan, 3 is one partial-agg shuffle, 4 is bucket-bounded, 5 is a
@@ -136,3 +138,72 @@ def prepare_corpus(
             max_tokens=cfg.chunk_max_tokens, overlap=cfg.chunk_overlap,
         )
     return kept
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    token_col: str | None = None,
+    text_col: str | None = None,
+    shard_tokens: int = 100_000_000,
+    n_shards: int | None = None,
+    seed: str = "shards",
+) -> dict:
+    """Stage 8 — write the prepared corpus as fixed-budget training shards.
+
+    Each document is assigned to shard ``md5(seed, id) mod n_shards`` —
+    deterministic (same corpus + seed ⇒ byte-identical sharding on any
+    cluster), and a pure projection: no global sort, no sequential
+    packing. ``n_shards`` defaults to ``ceil(total_tokens /
+    shard_tokens)`` from one tiny aggregate; hash placement concentrates
+    per-shard token mass around the target (CLT over doc lengths — the
+    same trade ``mixture_sample`` documents) instead of exact-packing,
+    which would need a single-task running sum over the corpus.
+
+    Token counts come from ``token_col`` if given, else a whitespace
+    token count of ``text_col``. Output layout: ``shard=N/`` partition
+    directories, ONE file per shard (each shard is repartition-owned by
+    exactly one task — the file count is the shard count, not
+    tasks × shards). The hash also serves as a reproducible global
+    shuffle: shard membership and within-shard order are independent of
+    the input's arrival order, which is what "shuffle the corpus before
+    training" actually requires.
+
+    Returns ``{"n_shards", "total_tokens", "mean_tokens_per_shard"}``.
+    """
+    if (token_col is None) == (text_col is None):
+        raise ValueError("pass exactly one of token_col / text_col")
+    tokens = (
+        F.col(token_col).cast("long")
+        if token_col
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    )
+    total = df.select(tokens.alias("t")).agg(F.sum("t").alias("s")).collect()[0]["s"] or 0
+    if n_shards is None:
+        n_shards = max(1, -(-int(total) // shard_tokens))
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    )
+    (
+        df.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return {
+        "n_shards": int(n_shards),
+        "total_tokens": int(total),
+        "mean_tokens_per_shard": int(total // n_shards),
+    }

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from rtstore_spark.operators.pipeline import CorpusPrepConfig, prepare_corpus
 
@@ -99,3 +100,69 @@ class TestPrepareCorpus:
         # every other branch reads the InMemoryTableScan
         assert plan.count("corpus_src.parquet") <= 1
         assert "InMemoryTableScan" in plan
+
+
+class TestExportTrainingShards:
+    def test_round_trip_and_shard_shape(self, spark, tmp_path):
+        from rtstore_spark.operators.pipeline import export_training_shards
+
+        rows = [(i, "tok " * 100) for i in range(400)]
+        df = spark.createDataFrame(rows, "id long, text string")
+        dest = str(tmp_path / "shards")
+        manifest = export_training_shards(
+            df, dest, "id", text_col="text", shard_tokens=10_000
+        )
+        # 400 docs x 100 tokens = 40k tokens -> 4 shards
+        assert manifest == {
+            "n_shards": 4,
+            "total_tokens": 40_000,
+            "mean_tokens_per_shard": 10_000,
+        }
+        back = spark.read.parquet(dest)
+        assert back.count() == 400
+        assert sorted(r["id"] for r in back.collect()) == list(range(400))
+        shards = {r["shard"] for r in back.select("shard").distinct().collect()}
+        assert shards == {0, 1, 2, 3}
+        # one file per shard: the repartition owns each shard with one task
+        import glob
+        import os
+
+        for s in shards:
+            files = [
+                f
+                for f in glob.glob(os.path.join(dest, f"shard={s}", "*.parquet"))
+            ]
+            assert len(files) == 1, (s, files)
+        # hash placement concentrates sizes around the target
+        sizes = {
+            r["shard"]: r["n"]
+            for r in back.groupBy("shard").agg(F.count("*").alias("n")).collect()
+        }
+        assert all(50 <= n <= 150 for n in sizes.values()), sizes
+
+    def test_deterministic_and_order_independent(self, spark, tmp_path):
+        from rtstore_spark.operators.pipeline import export_training_shards
+
+        rows = [(i, 7) for i in range(300)]
+        df = spark.createDataFrame(rows, "id long, n_tokens long")
+        a_dest, b_dest = str(tmp_path / "a"), str(tmp_path / "b")
+        export_training_shards(df, a_dest, "id", token_col="n_tokens", n_shards=5)
+        # reversed arrival order, different partitioning: same assignment
+        export_training_shards(
+            df.orderBy(F.desc("id")).repartition(11),
+            b_dest, "id", token_col="n_tokens", n_shards=5,
+        )
+        a = {(r["id"], r["shard"]) for r in spark.read.parquet(a_dest).collect()}
+        b = {(r["id"], r["shard"]) for r in spark.read.parquet(b_dest).collect()}
+        assert a == b
+
+    def test_arg_validation(self, spark, tmp_path):
+        from rtstore_spark.operators.pipeline import export_training_shards
+
+        df = spark.createDataFrame([(1, "x", 1)], "id long, text string, n long")
+        with pytest.raises(ValueError):
+            export_training_shards(df, str(tmp_path / "x"), "id")
+        with pytest.raises(ValueError):
+            export_training_shards(
+                df, str(tmp_path / "x"), "id", token_col="n", text_col="text"
+            )
