@@ -217,9 +217,10 @@ class EventProcessor:
 # The reference's EventProcessor subscribes over WebSocket and ABI-decodes
 # each raw log (event_processor.rs:88-204). The pieces below implement that
 # end-to-end: topic matching with the repo's own pure-Python keccak, the
-# standard head/tail ABI decoding for log data, and an aiohttp-based
-# (import-gated) subscription client that yields the SAME dict shape as
-# JsonlLogSource — so EventProcessor.process() works unchanged on either.
+# standard head/tail ABI decoding for log data, and a subscription client
+# over the repo's stdlib RFC 6455 websocket (sources/ws.py) that yields the
+# SAME dict shape as JsonlLogSource — so EventProcessor.process() works
+# unchanged on either.
 
 
 def event_signature(name: str, types: list[str]) -> str:
