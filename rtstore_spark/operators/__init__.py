@@ -5,9 +5,9 @@ Generic DataFrame transforms (no testdata coupling):
                    cross-shard incremental near-dup vs stored signatures
 - ``similarity`` — brute-force cosine top-k, hyperplane-LSH + IVF ANN,
                    distributed PCA (moments-merge fit, codegen transform)
-- ``text``       — language/script ID, quality features, token counts,
-                   PII metrics/scrub, intra- and cross-doc repetition,
-                   chunking, BM25 top-k
+- ``text``       — language/script ID, quality features + trainable
+                   quality classifier, token counts, PII metrics/scrub,
+                   intra- and cross-doc repetition, chunking, BM25 top-k
 - ``multimodal`` — binary media columns: schema, batching, stubbed decode
 - ``sampling``   — deterministic stratified sampling, token-budget
                    domain-mixture sampling + per-domain mixture stats,

@@ -411,3 +411,75 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col("id"))
         .limit(k)
     )
+
+
+QUALITY_FEATURE_COLS = [
+    "n_tokens",
+    "avg_token_len",
+    "punct_ratio",
+    "digit_ratio",
+    "upper_ratio",
+    "type_token_ratio",
+]
+
+
+def quality_classifier_fit(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    id_col: str,
+    max_iter: int = 50,
+):
+    """Fit a trainable quality classifier — the learned upgrade of the
+    heuristic ``quality_features`` thresholds (the fasttext-classifier
+    pattern of CCNet/GPT-3-style pipelines: label a small seed set
+    "keep"/"toss", learn the boundary, score the corpus).
+
+    Features are exactly ``QUALITY_FEATURE_COLS`` from
+    ``quality_features`` (Column algebra, computed on the fly), model is
+    Spark ML ``LogisticRegression`` — distributed L-BFGS, one pass per
+    iteration over the (tiny) labeled set, and the fitted model is a
+    plain coefficient vector, broadcast-applied at score time. Labels:
+    ``label_col`` must be 0/1 (1 = keep).
+
+    Returns the fitted PipelineModel (``.save(path)``/``PipelineModel
+    .load`` for persistence next to the corpus).
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    feats = quality_features(df, text_col, id_col).join(
+        df.select(
+            F.col(id_col).alias("id"), F.col(label_col).cast("double").alias("label")
+        ),
+        "id",
+    )
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(
+                inputCols=QUALITY_FEATURE_COLS, outputCol="_raw", handleInvalid="keep"
+            ),
+            StandardScaler(inputCol="_raw", outputCol="features"),
+            LogisticRegression(maxIter=max_iter, labelCol="label"),
+        ]
+    )
+    return pipe.fit(feats)
+
+
+def quality_classifier_score(
+    df: DataFrame, text_col: str, id_col: str, model
+) -> DataFrame:
+    """Score documents with a fitted quality classifier: (id,
+    quality_score) with score = P(keep). Featurization is the same
+    Column algebra as training; the model transform is JVM-side (no
+    Python), so scoring a 100-TB corpus is a projection pass — filter
+    with ``quality_score >= τ`` and the threshold composes with every
+    other pushed-down gate."""
+    from pyspark.ml.functions import vector_to_array
+
+    feats = quality_features(df, text_col, id_col)
+    scored = model.transform(feats)
+    # probability is an ml VectorUDT; element 2 (1-indexed) = P(label=1)
+    p1 = F.element_at(vector_to_array(F.col("probability")), 2)
+    return scored.select("id", F.round(p1, 6).alias("quality_score"))

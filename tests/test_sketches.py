@@ -190,3 +190,46 @@ def test_hist_rollup_empty_input(spark):
     )
     roll = hist_rollup(empty, "x", by=[], bins=10)
     assert roll.count() == 0  # no rows, but range inference must not crash
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 12)),  # (group, item)
+        min_size=1, max_size=120,
+    ),
+    k=st.integers(1, 4),
+    slack=st.integers(1, 3),
+)
+def test_topk_bounds_always_hold(spark, data, k, slack):
+    """Property: for ANY multiset and grouping, every item's true global
+    count lies in [count_lo, count_lo + max_err] if merged, and at or
+    below max_err if truncated away everywhere. The Misra-Gries merge
+    contract, fuzzed."""
+    df = spark.createDataFrame(
+        [Row(g=g, item=f"i{i}") for g, i in data]
+    )
+    merged = topk_merge(topk_rollup(df, "item", by=["g"], k=k, slack=slack), k=k)
+    out = merged.collect()
+    present = {r["item"]: r for r in out}
+    max_err = out[0]["max_err"] if out else 0
+    exact: dict[str, int] = {}
+    for _g, i in data:
+        exact[f"i{i}"] = exact.get(f"i{i}", 0) + 1
+    for item, cnt in exact.items():
+        m = present.get(item)
+        if m is not None:
+            assert m["count_lo"] <= cnt <= m["count_lo"] + m["max_err"], (item, cnt, m)
+        else:
+            # absent: either truncated (bounded by max_err) or merely
+            # outside the returned top-k — then its count cannot exceed
+            # the k-th count_lo + max_err (it would have displaced it)
+            kth = min(r["count_lo"] for r in out)
+            assert cnt <= max(max_err, kth + max_err), (item, cnt, max_err, kth)
