@@ -198,3 +198,65 @@ class TestPagedScanPlanShape:
         assert "TakeOrderedAndProject" in plan
         assert "Sort " not in plan  # no global sort node
         assert page.count() >= 1
+
+
+class TestDataPrepPlanShapes:
+    """Plan-shape pins for the round-4 operators: the properties that make
+    them survive a 100x scale-up, asserted on the physical plan."""
+
+    def test_crossdoc_repetition_shuffles_hashes_not_text(self, spark):
+        from rtstore_spark.operators.text import crossdoc_repetition
+
+        df = spark.createDataFrame(
+            [(i, "alpha beta gamma delta epsilon zeta") for i in range(50)],
+            "id long, text string",
+        )
+        plan = _plan(crossdoc_repetition(df, "text", "id"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # no forced broadcast anywhere: the docfreq side is corpus-sized
+        assert plan.count("Exchange hashpartitioning") <= 6
+
+    def test_repeated_spans_window_is_per_doc_never_global(self, spark):
+        from rtstore_spark.operators.dedup import repeated_spans
+
+        df = spark.createDataFrame(
+            [(i, " ".join(f"t{j}" for j in range(40))) for i in range(20)],
+            "id long, text string",
+        )
+        plan = _plan(repeated_spans(df, "text", "id", span_tokens=8))
+        # the gaps-and-islands window partitions by doc id — a global
+        # (empty-partition) window would funnel the corpus into one task
+        assert "hashpartitioning(id" in plan
+        assert "SinglePartition" not in plan
+
+    def test_topk_rollup_aggregates_before_window(self, spark):
+        from pyspark.sql import Row
+
+        from rtstore_spark.operators.sketches import topk_rollup
+
+        df = spark.createDataFrame(
+            [Row(day=i % 3, item=f"u{i % 7}") for i in range(100)]
+        )
+        plan = _plan(topk_rollup(df, "item", by=["day"], k=2, slack=2))
+        # partial aggregation must collapse rows map-side BEFORE any
+        # exchange: the string 'partial_count' appears below the shuffle
+        assert "partial_count" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_pipeline_gated_corpus_is_persisted(self, spark):
+        """The prepare_corpus plan must read the gated corpus from the
+        persisted snapshot (InMemoryTableScan), pinning the single-pass
+        guarantee across its dedup branches."""
+        from rtstore_spark.operators.pipeline import CorpusPrepConfig, prepare_corpus
+
+        df = spark.createDataFrame(
+            [
+                (i, "the good and readable text of document number " + str(i))
+                for i in range(30)
+            ],
+            "id long, text string",
+        )
+        out = prepare_corpus(df, "text", "id", CorpusPrepConfig(min_tokens=2))
+        plan = _plan(out)
+        assert "InMemoryTableScan" in plan
