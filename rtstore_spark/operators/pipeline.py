@@ -107,7 +107,12 @@ def prepare_corpus(
     ).select(F.col("drop_id").alias(id_col))
     kept = kept.join(drop_near, id_col, "left_anti")
 
-    # 5. deterministic sampling (uniform or per-language)
+    # 5. deterministic sampling (uniform or per-language). The pipeline's
+    # own lang-id prediction is the authoritative annotation: a
+    # pre-existing `lang` column on the input (common in crawled corpora)
+    # is dropped rather than colliding with the join below.
+    if "lang" in kept.columns:
+        kept = kept.drop("lang")
     if isinstance(cfg.sample_fractions, dict):
         kept = kept.join(
             ok_l.withColumnRenamed("id", id_col), id_col

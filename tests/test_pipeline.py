@@ -166,3 +166,35 @@ class TestExportTrainingShards:
             export_training_shards(
                 df, str(tmp_path / "x"), "id", token_col="n", text_col="text"
             )
+
+
+def test_end_to_end_prep_to_shards_on_real_docs(spark, tmp_path):
+    """Acceptance: real sf0.001 documents → full prep pipeline (quality,
+    lang, exact+near dedup, PII scrub) → deterministic shard export →
+    round-trip read. The whole corpus path a training run executes."""
+    from rtstore_spark.operators.pipeline import (
+        CorpusPrepConfig,
+        export_training_shards,
+        prepare_corpus,
+    )
+    from rtstore_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    kept = prepare_corpus(
+        docs, "text", "doc_id",
+        CorpusPrepConfig(min_tokens=5, scrub_pii=True),
+    )
+    n_kept = kept.count()
+    assert 0 < n_kept < docs.count()  # gates dropped something, not all
+
+    dest = str(tmp_path / "shards")
+    manifest = export_training_shards(
+        kept, dest, "doc_id", text_col="text", shard_tokens=5_000
+    )
+    back = spark.read.parquet(dest)
+    assert back.count() == n_kept  # lossless export
+    assert manifest["n_shards"] >= 2
+    shard_ct = back.select("shard").distinct().count()
+    assert shard_ct == manifest["n_shards"]
+    # kept rows still carry the pipeline's lang annotation
+    assert "lang" in back.columns
