@@ -910,24 +910,60 @@ def text_quality(spark, sf):
 
 
 @register(
-    "lang_id_heuristic",
-    r"""SELECT doc_id, lang,
-              round(length(regexp_replace(text, '[^a-z ]', '', 'g')) * 1.0
-                    / greatest(length(text), 1), 6) AS ascii_ratio,
-              CASE WHEN length(regexp_replace(text, '[^a-z ]', '', 'g')) * 1.0
-                        / greatest(length(text), 1) > 0.9
-                   THEN 'latin' ELSE 'other' END AS script_guess
-       FROM documents""",
+    "lm_perplexity",
+    r"""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents),
+        uni AS (
+          SELECT w, count(*) AS c
+          FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        tot AS (SELECT sum(c)::DOUBLE AS n FROM uni),
+        db AS (
+          SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+          FROM (SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - 1)) AS i
+                FROM toks WHERE len(t) >= 2)),
+        big AS (SELECT w1, w2, count(*) AS c FROM db GROUP BY w1, w2),
+        big_kept AS (
+          SELECT w1, w2, c FROM (
+            SELECT w1, w2, c,
+                   row_number() OVER (ORDER BY c DESC, w1, w2) AS rn FROM big)
+          WHERE rn <= 100000),
+        bigp AS (
+          SELECT b.w1, b.w2, b.c * 1.0 / u.c AS p_big
+          FROM big_kept b JOIN uni u ON b.w1 = u.w),
+        uni_kept AS (
+          SELECT w, c FROM (
+            SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rn FROM uni)
+          WHERE rn <= 50000),
+        scored AS (
+          SELECT d.doc_id,
+                 0.9 * coalesce(p.p_big, 0)
+                 + 0.1 * coalesce(u.c / tot.n, 1.0 / tot.n) AS p
+          FROM db d
+          LEFT JOIN bigp p ON d.w1 = p.w1 AND d.w2 = p.w2
+          LEFT JOIN uni_kept u ON d.w2 = u.w
+          CROSS JOIN tot)
+       SELECT doc_id, count(*) AS n_bigrams,
+              round(avg(-ln(p)), 6) AS cross_entropy
+       FROM scored GROUP BY doc_id""",
 )
-def lang_id_heuristic(spark, sf):
-    """Character-class language/script heuristic (n-gram lang-id stand-in)."""
+def lm_perplexity(spark, sf):
+    """CCNet-style bigram-LM cross-entropy per document
+    (operators.lm.lm_fit + lm_perplexity): fit an interpolated bigram LM
+    on the corpus, score each document's average token surprisal. The
+    pruned-LM caps (100k bigrams / 50k unigrams) don't bind at sf0.01 but
+    the pruning path runs in both engines. ppl = exp(ce) is omitted from
+    the compare (monotone in ce; exp amplifies fp ulps past round-6)."""
+    from rtstore_spark.operators.lm import lm_fit, lm_perplexity as score
+
     docs = load_table(spark, sf, "documents")
-    ascii_len = F.length(F.regexp_replace(F.col("text"), "[^a-z ]", ""))
-    ratio = ascii_len * F.lit(1.0) / F.greatest(F.length("text"), F.lit(1))
-    return docs.select(
-        "doc_id", "lang",
-        F.round(ratio, 6).alias("ascii_ratio"),
-        F.when(ratio > 0.9, "latin").otherwise("other").alias("script_guess"),
+    model = lm_fit(docs, "text", max_unigrams=50_000, max_bigrams=100_000)
+    out = score(docs, model, "text", "doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_bigrams",
+        F.round("cross_entropy", 6).alias("cross_entropy"),
     )
 
 
@@ -1018,16 +1054,20 @@ def q_asof_attribution(spark, sf):
           SELECT doc_id,
                  list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks,
                  round(length(regexp_replace(text, '[^\p{Han}]', '', 'g')) * 1.0
-                       / greatest(length(text), 1), 6) AS han_ratio
+                       / greatest(length(text), 1), 6) AS han_ratio,
+                 round(length(regexp_replace(text, '[^a-z ]', '', 'g')) * 1.0
+                       / greatest(length(text), 1), 6) AS ascii_ratio
           FROM documents),
         s AS (
-          SELECT doc_id, han_ratio,
+          SELECT doc_id, han_ratio, ascii_ratio,
                  len(list_intersect(toks, ['the','and','of','to','in','is','that','it'])) AS score_en,
                  len(list_intersect(toks, ['le','la','les','et','des','est','que','une'])) AS score_fr,
                  len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','zu'])) AS score_de,
                  len(list_intersect(toks, ['el','la','los','de','que','es','una','por'])) AS score_es
           FROM t)
-       SELECT doc_id, han_ratio, score_en, score_fr, score_de, score_es,
+       SELECT doc_id, han_ratio, ascii_ratio,
+              CASE WHEN ascii_ratio > 0.9 THEN 'latin' ELSE 'other' END AS script_guess,
+              score_en, score_fr, score_de, score_es,
               CASE WHEN han_ratio >= 0.2 THEN 'zh'
                    WHEN greatest(score_en, score_fr, score_de, score_es) = 0 THEN 'und'
                    WHEN score_en = greatest(score_en, score_fr, score_de, score_es) THEN 'en'
@@ -1039,13 +1079,30 @@ def q_asof_attribution(spark, sf):
 def lang_id_votes(spark, sf):
     """Script-aware stopword-vote language ID (operators.text.lang_id):
     Han-ratio >= 0.2 -> zh (stopword votes are blind to CJK), else the
-    per-language vote. Oracle mirrors the regex as RE2 \\p{Han}."""
+    per-language vote. Oracle mirrors the regex as RE2 \\p{Han}.
+
+    The former standalone lang_id_heuristic entry (ascii-ratio + latin/
+    other script guess) folds in here as two extra columns — one lang-id
+    entry covering both the character-class gate and the stopword vote
+    freed the registry slot lm_perplexity now occupies (the driver caps
+    the registry at 50)."""
     from rtstore_spark.operators.text import lang_id
 
     docs = load_table(spark, sf, "documents")
-    out = lang_id(docs, "text", "doc_id")
-    return out.select(F.col("id").alias("doc_id"), "han_ratio", "score_en",
-                      "score_fr", "score_de", "score_es", "pred_lang")
+    ascii_len = F.length(F.regexp_replace(F.col("text"), "[^a-z ]", ""))
+    ratio = ascii_len * F.lit(1.0) / F.greatest(F.length("text"), F.lit(1))
+    out = lang_id(
+        docs, "text", "doc_id",
+        extra=[
+            F.round(ratio, 6).alias("ascii_ratio"),
+            F.when(ratio > 0.9, "latin").otherwise("other").alias("script_guess"),
+        ],
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "han_ratio", "ascii_ratio",
+        "script_guess", "score_en", "score_fr", "score_de", "score_es",
+        "pred_lang",
+    )
 
 
 @register(

@@ -15,6 +15,8 @@ Generic DataFrame transforms (no testdata coupling):
 - ``skew``       — hot-key broadcast-routed joins
 - ``sketches``   — mergeable rollup sketches: HLL distinct counts,
                    bounded-error top-k heavy hitters, histogram quantiles
+- ``lm``         — pruned interpolated bigram LM: perplexity scoring and
+                   filtering (CCNet-style quality signal)
 - ``pipeline``   — end-to-end corpus preparation composition + training-
-                   shard export
+                   shard export + fixed-budget sequence packing
 """

@@ -14,6 +14,8 @@ Stages (each individually oracle-tested elsewhere; this module wires them):
                      (Arrow-batched; output rows are chunks, not docs)
 8. shard export    — ``export_training_shards``: deterministic
                      hash-assigned fixed-token-budget parquet shards
+9. packing         — ``pack_sequences``: bucket-parallel greedy packing
+                     of documents into fixed-token training sequences
 
 Laziness matters at 100 TB: stages 1-2 are pure filters that reach the
 parquet scan, 3 is one partial-agg shuffle, 4 is bucket-bounded, 5 is a
@@ -212,3 +214,147 @@ def export_training_shards(
         "total_tokens": int(total),
         "mean_tokens_per_shard": int(total // n_shards),
     }
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seq_tokens: int = 2048,
+    n_buckets: int = 256,
+    seed: str = "pack",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences.
+
+    The step between a prepared corpus and a tokenizer: concatenate
+    documents into sequences of at most ``seq_tokens`` whitespace tokens,
+    preserving document boundaries as metadata, so downstream
+    tokenization sees dense near-budget examples instead of one padded
+    example per (mostly short) document.
+
+    Packing is inherently sequential — a running token total decides
+    where each sequence ends — so a *global* pack would be one task over
+    the corpus. Instead documents are hash-assigned to ``n_buckets``
+    independent streams (same ``md5(seed, id)`` idiom as
+    ``export_training_shards``) and each bucket packs greedily in id
+    order. Buckets run in parallel and the whole layout is a pure
+    function of (corpus, seed, n_buckets, seq_tokens): Spark's input
+    partitioning never leaks into the result, because the single
+    repartition keys on the bucket and the in-bucket order is a sort.
+    Packing state per bucket is O(seq_tokens) strings — executors never
+    hold more than one open sequence per bucket.
+
+    Documents longer than ``seq_tokens`` are split: full-budget pieces
+    become their own sequences and the tail joins the bucket's open
+    accumulation (run ``chunk_documents`` first if you need overlap or
+    smarter boundaries). Token totals are conserved exactly — ``sep``
+    (default blank line) is whitespace, so joining never adds tokens.
+
+    Returns (seq_id, bucket, n_docs, n_tokens, doc_ids, text) with
+    ``seq_id = "<bucket>-<index within bucket>"`` and ``doc_ids`` keeping
+    the caller's id type (split docs appear once per piece).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    src = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("text"),
+            bucket.cast("int").alias("bucket"),
+        )
+        .repartition(n_buckets, "bucket")
+        .sortWithinPartitions("bucket", "id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("seq_id", T.StringType()),
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("n_docs", T.IntegerType()),
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("doc_ids", T.ArrayType(df.schema[id_col].dataType)),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def packer(batches):
+        # Per-bucket open-sequence state. A partition holds whole buckets
+        # (repartition hashes on bucket alone) but may see several, and a
+        # bucket's rows may span Arrow batches — state lives outside the
+        # batch loop, keyed by bucket, flushed once at iterator end.
+        state: dict[int, dict] = {}
+        out_rows: list[tuple] = []
+
+        def flush(b):
+            st = state[b]
+            if not st["ids"]:
+                return
+            out_rows.append(
+                (
+                    f"{b}-{st['n_seq']}",
+                    b,
+                    len(st["ids"]),
+                    st["ntok"],
+                    list(st["ids"]),
+                    sep.join(st["texts"]),
+                )
+            )
+            st["n_seq"] += 1
+            st["ids"], st["texts"], st["ntok"] = [], [], 0
+
+        def emit(b, ids, texts, ntok):
+            st = state[b]
+            out_rows.append(
+                (f"{b}-{st['n_seq']}", b, len(ids), ntok, ids, sep.join(texts))
+            )
+            st["n_seq"] += 1
+
+        def to_pdf(rows):
+            return pd.DataFrame(
+                rows,
+                columns=["seq_id", "bucket", "n_docs", "n_tokens", "doc_ids", "text"],
+            )
+
+        for pdf in batches:
+            for i, t, b in zip(pdf["id"], pdf["text"], pdf["bucket"]):
+                b = int(b)
+                st = state.setdefault(
+                    b, {"n_seq": 0, "ids": [], "texts": [], "ntok": 0}
+                )
+                toks = (t or "").split()
+                if not toks:
+                    continue
+                # oversize doc: flush the open sequence, emit full-budget
+                # pieces alone, keep the tail as the next accumulation seed
+                while len(toks) > seq_tokens:
+                    flush(b)
+                    piece, toks = toks[:seq_tokens], toks[seq_tokens:]
+                    emit(b, [i], [" ".join(piece)], seq_tokens)
+                if st["ntok"] + len(toks) > seq_tokens:
+                    flush(b)
+                    st = state[b]
+                st["ids"].append(i)
+                st["texts"].append(t if len(toks) == len((t or "").split()) else " ".join(toks))
+                st["ntok"] += len(toks)
+            if out_rows:
+                yield to_pdf(out_rows)
+                out_rows = []
+        for b in sorted(state):
+            flush(b)
+        if out_rows:
+            yield to_pdf(out_rows)
+
+    return src.mapInPandas(packer, schema=schema)

@@ -52,7 +52,9 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def lang_id(
+    df: DataFrame, text_col: str, id_col: str, extra: list | None = None
+) -> DataFrame:
     """Language ID: script detection first, then stopword voting.
 
     A Han-character ratio ≥ 0.2 classifies 'zh' directly — stopword lists
@@ -61,27 +63,35 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     per-language stopword vote; highest wins, 'und' if all zero. Pure
     Column algebra — scores stay JVM-side and scale linearly. (Spark's
     Java regex spells the script class ``\\p{IsHan}``; DuckDB's RE2 spells
-    it ``\\p{Han}`` — the oracle mirrors this.)"""
+    it ``\\p{Han}`` — the oracle mirrors this.)
+
+    ``extra``: additional Columns (aliased) carried through alongside the
+    scores — lets callers compute sibling per-doc features in the same
+    single projection instead of a join-back on id.
+    """
+    extra = list(extra or [])
+    extra_names = [df.select(c).columns[0] for c in extra]
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     han = F.length(F.regexp_replace(F.col(text_col), r"[^\p{IsHan}]", ""))
     han_ratio = F.round(
         han * F.lit(1.0) / F.greatest(F.length(text_col), F.lit(1)), 6
     )
     out = df.select(
-        F.col(id_col).alias("id"), toks.alias("_toks"), han_ratio.alias("han_ratio")
+        F.col(id_col).alias("id"), toks.alias("_toks"),
+        han_ratio.alias("han_ratio"), *extra,
     )
     score_cols = []
     for lang, words in _STOPWORDS.items():
         arr = F.array(*[F.lit(w) for w in words])
         score = F.size(F.array_intersect(F.array_distinct(F.col("_toks")), arr))
         score_cols.append(score.alias(f"score_{lang}"))
-    out = out.select("id", "han_ratio", *score_cols)
+    out = out.select("id", "han_ratio", *extra_names, *score_cols)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in _STOPWORDS])
     pred = F.when(F.col("han_ratio") >= 0.2, "zh").when(best == 0, "und")
     for lang in _STOPWORDS:
         pred = pred.when(F.col(f"score_{lang}") == best, lang)
     return out.select(
-        "id", "han_ratio",
+        "id", "han_ratio", *extra_names,
         *[f"score_{lang}" for lang in _STOPWORDS],
         pred.alias("pred_lang"),
     )

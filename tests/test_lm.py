@@ -1,0 +1,101 @@
+"""Bigram-LM perplexity filter (operators.lm) — hand-computed oracle on a
+tiny corpus, pruning behavior, and the filter contract. The sf0.01 DuckDB
+cross-check lives in the registry (`lm_perplexity`)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from rtstore_spark.operators import lm
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        (1, "the cat sat"),
+        (2, "the cat ran"),
+        (3, "the dog sat"),
+        (4, "zq"),  # single token: no bigrams, absent from scores
+    ]
+    return spark.createDataFrame(rows, ["id", "text"])
+
+
+def test_fit_counts_and_probs(tiny):
+    model = lm.lm_fit(tiny, "text")
+    assert model["total_tokens"] == 10  # 3+3+3+1
+    uni = {r["w2"]: r["p_uni"] for r in model["unigrams"].collect()}
+    assert uni["the"] == pytest.approx(3 / 10)
+    assert uni["zq"] == pytest.approx(1 / 10)
+    big = {(r["w1"], r["w2"]): r["p_big"] for r in model["bigrams"].collect()}
+    # c(the cat)=2, c(the)=3; c(cat sat)=1, c(cat)=2
+    assert big[("the", "cat")] == pytest.approx(2 / 3)
+    assert big[("cat", "sat")] == pytest.approx(1 / 2)
+
+
+def test_perplexity_hand_computed(tiny):
+    model = lm.lm_fit(tiny, "text")
+    out = {r["id"]: r for r in lm.lm_perplexity(tiny, model, "text", "id").collect()}
+    # doc 1 = "the cat sat": bigrams (the,cat), (cat,sat)
+    p1 = 0.9 * (2 / 3) + 0.1 * (2 / 10)  # p(cat|the), p_uni(cat)=2/10
+    p2 = 0.9 * (1 / 2) + 0.1 * (2 / 10)  # p(sat|cat), p_uni(sat)=2/10
+    ce = (-math.log(p1) - math.log(p2)) / 2
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["cross_entropy"] == pytest.approx(ce, rel=1e-12)
+    assert out[1]["ppl"] == pytest.approx(math.exp(ce), rel=1e-12)
+    # single-token doc has no bigrams -> absent
+    assert 4 not in out
+
+
+def test_oov_floor_keeps_entropy_finite(spark, tiny):
+    model = lm.lm_fit(tiny, "text")
+    unseen = spark.createDataFrame([(9, "xx yy zz")], ["id", "text"])
+    row = lm.lm_perplexity(unseen, model, "text", "id").collect()[0]
+    # every bigram unseen, every word OOV: p = 0.1 * (1/total) each
+    assert row["cross_entropy"] == pytest.approx(-math.log(0.1 * (1 / 10)), rel=1e-12)
+    assert math.isfinite(row["ppl"])
+
+
+def test_pruning_caps_bind_deterministically(tiny):
+    model = lm.lm_fit(tiny, "text", max_unigrams=2, max_bigrams=1)
+    assert model["unigrams"].count() == 2
+    big = model["bigrams"].collect()
+    assert len(big) == 1
+    # (the,cat) has count 2, every other bigram 1 -> it is the keeper
+    assert (big[0]["w1"], big[0]["w2"]) == ("the", "cat")
+    # unigram tie at count 2 ('cat','sat') after 'the'(3): word-asc keeps 'cat'
+    kept = sorted(r["w2"] for r in model["unigrams"].collect())
+    assert kept == ["cat", "the"]
+
+
+def test_filter_in_distribution_beats_noise(spark):
+    # LM fit on formulaic text: in-distribution docs must score a lower
+    # cross-entropy than vocabulary noise, and lm_filter must separate them.
+    good = [(i, "alpha beta gamma delta " * 5) for i in range(10)]
+    noise = [(100 + i, "delta alpha gamma gamma beta delta alpha beta") for i in range(2)]
+    df = spark.createDataFrame(good + noise, ["id", "text"])
+    model = lm.lm_fit(df, "text")
+    scored = {r["id"]: r["cross_entropy"]
+              for r in lm.lm_perplexity(df, model, "text", "id").collect()}
+    assert scored[0] < scored[100]
+    cutoff = (scored[0] + scored[100]) / 2
+    kept = lm.lm_filter(df, model, "text", "id", max_cross_entropy=cutoff)
+    assert sorted(r["id"] for r in kept.collect()) == [i for i, _ in good]
+
+
+def test_score_plan_has_no_corpus_shuffle_before_agg(tiny):
+    # With the model materialized (the documented usage: persist the two
+    # tables, they ARE the model), scoring must broadcast them — the corpus
+    # side's only exchange is the per-doc aggregate (hashpartitioning on
+    # id), never on word keys.
+    model = lm.lm_fit(tiny, "text")
+    model["unigrams"] = model["unigrams"].localCheckpoint()
+    model["bigrams"] = model["bigrams"].localCheckpoint()
+    plan = (
+        lm.lm_perplexity(tiny, model, "text", "id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "hashpartitioning(w" in line.replace(" ", ""):
+            raise AssertionError(f"corpus shuffled on word key:\n{line}")
