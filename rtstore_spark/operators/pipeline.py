@@ -8,6 +8,8 @@ Stages (each individually oracle-tested elsewhere; this module wires them):
 3. exact dedup     — md5 canonical-form groupBy, keep lowest id
 4. near dedup      — MinHash/LSH candidates → Jaccard verify → exact
                      connected components → drop non-representatives
+4b. LM gate        — optional bigram-LM cross-entropy cutoff
+                     (``operators.lm``; reference-corpus or self-fit)
 5. sampling        — deterministic per-language hash-gated fractions
 6. PII scrub       — optional in-place redaction (RE2-safe patterns)
 7. chunking        — optional fixed-token chunks with overlap
@@ -50,6 +52,12 @@ class CorpusPrepConfig:
     scrub_pii: bool = False
     chunk_max_tokens: int | None = None  # None = no chunking
     chunk_overlap: int = 128
+    # LM quality gate (None = off). An explicit lm_model (from lm.lm_fit,
+    # typically on a trusted reference corpus — the CCNet setup) is used
+    # as-is; with lm_model=None the LM is fit on the gated corpus itself,
+    # which turns the cutoff into a self-surprisal outlier filter.
+    lm_max_cross_entropy: float | None = None
+    lm_model: dict | None = None
 
 
 def prepare_corpus(
@@ -108,6 +116,20 @@ def prepare_corpus(
         kept, text_col, id_col, threshold=cfg.near_dup_threshold
     ).select(F.col("drop_id").alias(id_col))
     kept = kept.join(drop_near, id_col, "left_anti")
+
+    # 4.5 optional LM perplexity gate (CCNet-style): drop documents whose
+    # bigram-LM cross-entropy exceeds the cutoff. Runs after dedup so the
+    # LM join scores each surviving doc once; with no explicit model the
+    # fit sees the deduped corpus, so boilerplate mass can't drag the
+    # probability estimates toward itself.
+    if cfg.lm_max_cross_entropy is not None:
+        from rtstore_spark.operators import lm as lm_ops
+
+        model = cfg.lm_model or lm_ops.lm_fit(kept, text_col)
+        kept = lm_ops.lm_filter(
+            kept, model, text_col, id_col,
+            max_cross_entropy=cfg.lm_max_cross_entropy,
+        )
 
     # 5. deterministic sampling (uniform or per-language). The pipeline's
     # own lang-id prediction is the authoritative annotation: a

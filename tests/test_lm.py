@@ -84,6 +84,26 @@ def test_filter_in_distribution_beats_noise(spark):
     assert sorted(r["id"] for r in kept.collect()) == [i for i, _ in good]
 
 
+def test_pipeline_lm_gate(spark):
+    # prepare_corpus with the LM gate on: the vocabulary-noise outlier is
+    # dropped, the in-distribution docs survive. Texts must differ (exact
+    # dedup runs first), so each doc gets a distinct word prefix.
+    from rtstore_spark.operators.pipeline import CorpusPrepConfig, prepare_corpus
+
+    good = [(i, f"doc{i} " + "alpha beta gamma delta " * 5) for i in range(10)]
+    noise = [(100, "gamma delta beta beta alpha gamma delta delta beta alpha "
+                   "delta gamma alpha alpha beta delta gamma beta alpha gamma")]
+    df = spark.createDataFrame(good + noise, ["id", "text"])
+    cfg = CorpusPrepConfig(
+        min_tokens=2, langs=["und"], near_dup_threshold=1.01,
+        lm_max_cross_entropy=2.0,
+    )
+    out = prepare_corpus(df, "text", "id", cfg)
+    kept_ids = sorted(r["id"] for r in out.collect())
+    assert 100 not in kept_ids
+    assert kept_ids == [i for i, _ in good]
+
+
 def test_score_plan_has_no_corpus_shuffle_before_agg(tiny):
     # With the model materialized (the documented usage: persist the two
     # tables, they ARE the model), scoring must broadcast them — the corpus
