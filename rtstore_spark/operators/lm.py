@@ -144,6 +144,61 @@ def lm_perplexity(
     )
 
 
+def lm_save(model: dict, path: str) -> None:
+    """Persist a fitted LM: two small parquet tables + the scalar total
+    (stored as a one-row table — a reader needs no side channel)."""
+    model["unigrams"].coalesce(1).write.mode("overwrite").parquet(path + "/unigrams")
+    model["bigrams"].coalesce(1).write.mode("overwrite").parquet(path + "/bigrams")
+    spark = model["unigrams"].sparkSession
+    spark.createDataFrame(
+        [(int(model["total_tokens"]),)], ["total_tokens"]
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def lm_load(spark, path: str) -> dict:
+    """Reload a model written by ``lm_save``."""
+    return {
+        "unigrams": spark.read.parquet(path + "/unigrams"),
+        "bigrams": spark.read.parquet(path + "/bigrams"),
+        "total_tokens": int(
+            spark.read.parquet(path + "/meta").collect()[0]["total_tokens"]
+        ),
+    }
+
+
+def lm_buckets(
+    df: DataFrame,
+    model: dict,
+    text_col: str,
+    id_col: str,
+    lam: float = 0.9,
+    cuts: tuple = (1 / 3, 2 / 3),
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: bucket documents by cross-entropy
+    terciles (head = most in-distribution under the LM).
+
+    The cut points come from ``approx_percentile`` over the scored corpus
+    — a mergeable sketch aggregate (one partial-agg pass, no global
+    sort), so the split costs one extra reduction over ``lm_perplexity``
+    regardless of corpus size. Returns the perplexity columns plus
+    ``bucket`` ∈ {'head','middle','tail'}.
+    """
+    scored = lm_perplexity(df, model, text_col, id_col, lam=lam)
+    q = scored.agg(
+        F.expr(
+            f"approx_percentile(cross_entropy, array({cuts[0]}, {cuts[1]}),"
+            f" {int(1.0 / rel_err)})"
+        ).alias("qs")
+    ).collect()[0]["qs"]
+    return scored.withColumn(
+        "bucket",
+        F.when(F.col("cross_entropy") <= q[0], "head")
+        .when(F.col("cross_entropy") <= q[1], "middle")
+        .otherwise("tail"),
+    )
+
+
 def lm_filter(
     df: DataFrame,
     model: dict,

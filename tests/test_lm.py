@@ -84,6 +84,35 @@ def test_filter_in_distribution_beats_noise(spark):
     assert sorted(r["id"] for r in kept.collect()) == [i for i, _ in good]
 
 
+def test_save_load_roundtrip(tiny, tmp_path):
+    model = lm.lm_fit(tiny, "text")
+    before = {r["id"]: r["cross_entropy"]
+              for r in lm.lm_perplexity(tiny, model, "text", "id").collect()}
+    lm.lm_save(model, str(tmp_path / "model"))
+    loaded = lm.lm_load(tiny.sparkSession, str(tmp_path / "model"))
+    after = {r["id"]: r["cross_entropy"]
+             for r in lm.lm_perplexity(tiny, loaded, "text", "id").collect()}
+    assert after == pytest.approx(before, rel=1e-12)
+
+
+def test_buckets_cover_and_order(spark):
+    # 30 docs with a spread of surprisal: buckets partition the corpus and
+    # head entropies <= middle <= tail.
+    rows = [(i, f"u{i} " + "alpha beta gamma " * (1 + i % 5)) for i in range(30)]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    model = lm.lm_fit(df, "text")
+    out = lm.lm_buckets(df, model, "text", "id").collect()
+    assert len(out) == 30
+    by = {}
+    for r in out:
+        by.setdefault(r["bucket"], []).append(r["cross_entropy"])
+    assert set(by) <= {"head", "middle", "tail"}
+    if "head" in by and "middle" in by:
+        assert max(by["head"]) <= min(by["middle"])
+    if "middle" in by and "tail" in by:
+        assert max(by["middle"]) <= min(by["tail"])
+
+
 def test_pipeline_lm_gate(spark):
     # prepare_corpus with the LM gate on: the vocabulary-noise outlier is
     # dropped, the in-distribution docs survive. Texts must differ (exact

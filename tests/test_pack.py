@@ -75,6 +75,34 @@ def test_packing_is_dense(spark):
     assert sum(r["n_tokens"] for r in out) == 2000
 
 
+def test_property_conservation_and_budget(spark):
+    # Fuzzed invariants: for random corpora (varied doc lengths incl.
+    # oversize and empty) and random budgets, packing conserves tokens
+    # exactly, never exceeds the budget, and covers every non-empty doc.
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        lens=st.lists(st.integers(min_value=0, max_value=90), min_size=1, max_size=40),
+        budget=st.integers(min_value=4, max_value=40),
+        buckets=st.integers(min_value=1, max_value=5),
+    )
+    def check(lens, budget, buckets):
+        rows = [(i, " ".join(f"d{i}t{j}" for j in range(n)))
+                for i, n in enumerate(lens)]
+        df = spark.createDataFrame(rows, ["id", "text"])
+        out = pack_sequences(
+            df, "text", "id", seq_tokens=budget, n_buckets=buckets
+        ).collect()
+        assert sum(r["n_tokens"] for r in out) == sum(lens)
+        assert all(0 < r["n_tokens"] <= budget for r in out)
+        flat = {d for r in out for d in r["doc_ids"]}
+        assert flat == {i for i, n in enumerate(lens) if n > 0}
+
+    check()
+
+
 def test_string_ids_and_empty_docs(spark):
     df = spark.createDataFrame(
         [("a", "one two three"), ("b", ""), ("c", "four five")],
