@@ -2,9 +2,11 @@
 
 Generic DataFrame transforms (no testdata coupling):
 - ``dedup``      — exact, minhash+LSH, simhash, jaccard verification,
-                   cross-shard incremental near-dup vs stored signatures
+                   cross-shard incremental near-dup vs stored signatures,
+                   semantic dedup over clustered embeddings (SemDeDup)
 - ``similarity`` — brute-force cosine top-k, hyperplane-LSH + IVF ANN,
-                   distributed PCA (moments-merge fit, codegen transform)
+                   learned k-means routing, distributed PCA
+                   (moments-merge fit, codegen transform)
 - ``text``       — language/script ID, quality features + trainable
                    quality classifier, token counts, PII metrics/scrub,
                    intra- and cross-doc repetition, chunking, BM25 top-k

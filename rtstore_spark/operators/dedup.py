@@ -504,6 +504,54 @@ def embedding_neardup_pairs(
     )
 
 
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 256,
+    threshold: float = 0.95,
+    seed: int = 7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): cluster embeddings
+    with spherical k-means, then drop all but one of each group of
+    same-cluster documents whose cosine exceeds ``threshold``.
+
+    Complements ``embedding_neardup_pairs``: hyperplane-LSH buckets are
+    data-oblivious (fixed random planes), k-means buckets adapt to the
+    corpus's density — near-dups of the *same meaning* land in one
+    learned cluster even when a random hyperplane would split them.
+    The cost model is the same: pairwise comparison only inside a
+    cluster, so the cross-corpus operation is one equi-join on the route
+    key; choose k ≈ n / target_cluster_size to bound the quadratic term
+    (SemDeDup's own setting). Groups are exact connected components of
+    the verified-pair graph (pointer-jumping propagation), keeping the
+    minimum id — identical contract to ``minhash_dedup``.
+
+    Returns (drop_id, keep) pairs; anti-join drop_id against the corpus.
+    """
+    from rtstore_spark.operators.similarity import cosine_expr, kmeans_routes
+
+    routed, _ = kmeans_routes(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v", "id", k=k, seed=seed, max_iter=max_iter,
+    )
+    a, b = routed.alias("a"), routed.alias("b")
+    pairs = (
+        a.join(b, "route")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.round(cosine_expr("a.v", "b.v"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    return comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("drop_id"), F.col("comp").alias("keep")
+    )
+
+
 def repeated_spans(
     df: DataFrame,
     text_col: str,

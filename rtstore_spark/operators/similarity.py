@@ -252,6 +252,49 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 
 
+def kmeans_routes(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 256,
+    seed: int = 7,
+    max_iter: int = 20,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Learned coarse routing: spherical k-means over the embedding column.
+
+    Returns ``(routed, centers)`` — the input rows with a ``route`` int
+    column, and the k cluster centers as plain lists (feed either to
+    ``write_ivf_index`` in place of hyperplane buckets, or to
+    ``dedup.semdedup``).
+
+    Vectors are L2-normalized first, so Euclidean k-means on the unit
+    sphere clusters by cosine geometry (the SemDeDup/IVF convention).
+    Distributed shape: Spark ML's KMeans is Lloyd's iterations with the
+    k×dim center matrix broadcast each round and distances computed
+    JVM-side — per-iteration cost is one scan + one k×dim partial agg,
+    nothing corpus-sized ever gathers on the driver. Route assignment is
+    ``model.transform`` (same broadcast-centers scan). Choose k ≈
+    corpus_size / target_cluster_size: routing cost grows with k·dim per
+    row, downstream intra-cluster work shrinks quadratically with
+    cluster size.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    norm = F.expr(
+        f"transform({vec_col}, x -> cast(x as double) /"
+        f" greatest(sqrt({dot_expr(vec_col, vec_col)}), 1e-12))"
+    )
+    feats = df.withColumn("_feat", array_to_vector(norm))
+    model = KMeans(
+        k=k, seed=seed, maxIter=max_iter,
+        featuresCol="_feat", predictionCol="route",
+    ).fit(feats)
+    routed = model.transform(feats).drop("_feat")
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    return routed, centers
+
+
 def pca_fit(df: DataFrame, vec_col: str, k: int) -> dict:
     """Fit a PCA basis over an embedding column, distributed.
 

@@ -1,0 +1,55 @@
+"""Semantic dedup (dedup.semdedup) and learned routing
+(similarity.kmeans_routes) on synthetic embeddings with known structure."""
+
+from __future__ import annotations
+
+import pytest
+
+from rtstore_spark.operators.dedup import semdedup
+from rtstore_spark.operators.similarity import kmeans_routes
+
+
+def _vec(base, eps=0.0):
+    return [float(x) + eps for x in base]
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    # two well-separated directions; ids 1-3 are near-copies of A,
+    # ids 10-11 near-copies of B, id 20 is an isolated direction
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+    c = [0.0, 0.0, 1.0, 0.0]
+    rows = [
+        (1, _vec(a)), (2, _vec(a, 0.01)), (3, _vec(a, 0.02)),
+        (10, _vec(b)), (11, _vec(b, 0.01)),
+        (20, _vec(c)),
+    ]
+    return spark.createDataFrame(rows, ["id", "emb"])
+
+
+def test_kmeans_routes_shape_and_grouping(clustered):
+    routed, centers = kmeans_routes(clustered, "emb", "id", k=3, seed=11, max_iter=10)
+    rows = {r["id"]: r["route"] for r in routed.collect()}
+    assert len(rows) == 6
+    assert len(centers) == 3 and len(centers[0]) == 4
+    # near-copies must share a route; the separated directions must not
+    assert rows[1] == rows[2] == rows[3]
+    assert rows[10] == rows[11]
+    assert rows[1] != rows[10] != rows[20]
+
+
+def test_semdedup_drops_near_copies_keeps_min(clustered):
+    out = semdedup(clustered, "emb", "id", k=3, threshold=0.95, seed=11)
+    drops = {r["drop_id"]: r["keep"] for r in out.collect()}
+    assert drops == {2: 1, 3: 1, 11: 10}
+
+
+def test_semdedup_no_duplicates_is_empty(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["id", "emb"])
+    assert semdedup(df, "emb", "id", k=2, threshold=0.95, seed=3).count() == 0
