@@ -8,8 +8,9 @@ Generic DataFrame transforms (no testdata coupling):
                    learned k-means routing, distributed PCA
                    (moments-merge fit, codegen transform)
 - ``text``       — language/script ID, quality features + trainable
-                   quality classifier, token counts, PII metrics/scrub,
-                   intra- and cross-doc repetition, chunking, BM25 top-k
+                   quality classifier, Gopher rule gate, token counts,
+                   PII metrics/scrub, intra- and cross-doc repetition,
+                   chunking, BM25 top-k
 - ``multimodal`` — binary media columns: schema, batching, stubbed decode
 - ``sampling``   — deterministic stratified sampling, token-budget
                    domain-mixture sampling + per-domain mixture stats,

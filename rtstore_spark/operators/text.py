@@ -52,6 +52,67 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The Gopher corpus-quality rule set (Rae et al. 2021, appendix A1.1)
+    as one projection: per-rule signals plus the combined ``gopher_pass``.
+
+    Complements ``quality_features`` (generic ratios a trainable
+    classifier consumes) with the published heuristic bundle a corpus run
+    applies as a hard gate. All signals are Column algebra — one scan, no
+    shuffle, and a ``gopher_pass``-only caller lets Catalyst prune the
+    per-rule columns. Thresholds are the paper's: 50–100k words, mean
+    word length 3–10, symbol-to-word ≤ 0.1, ≤ 90% bullet lines, ≤ 30%
+    ellipsis lines, ≥ 80% words with an alphabetic character, ≥ 2 of the
+    8 core English stop words present. (The stop-word rule makes the
+    bundle English-centric — run after a lang gate, as the paper does.)
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tokens = F.size(toks)
+    nz = F.greatest(n_tokens, F.lit(1))
+    no_ws = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    mean_word_len = no_ws / nz
+    n_symbols = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\.|…"), F.lit(0))
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"), lambda s: F.trim(s) != ""
+    )
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_lines = F.size(
+        F.filter(lines, lambda s: F.trim(s).rlike(r"^([-*•‣▪]|\d+[.)])\s"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda s: F.rtrim(s).rlike(r"(\.\.\.|…)$"))
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(w) for w in _STOPWORDS["en"]]),
+        )
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(n_symbols / nz, 6).alias("symbol_word_ratio"),
+        F.round(alpha_words / nz, 6).alias("alpha_word_frac"),
+        F.round(bullet_lines / n_lines, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_lines / n_lines, 6).alias("ellipsis_line_frac"),
+        stop_hits.alias("stopword_hits"),
+    )
+    passes = (
+        (F.col("n_tokens") >= 50) & (F.col("n_tokens") <= 100_000)
+        & (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("stopword_hits") >= 2)
+    )
+    return out.withColumn("gopher_pass", passes)
+
+
 def lang_id(
     df: DataFrame, text_col: str, id_col: str, extra: list | None = None
 ) -> DataFrame:

@@ -148,3 +148,41 @@ def test_score_plan_has_no_corpus_shuffle_before_agg(tiny):
     for line in plan.splitlines():
         if "hashpartitioning(w" in line.replace(" ", ""):
             raise AssertionError(f"corpus shuffled on word key:\n{line}")
+
+
+def test_gopher_rules(spark):
+    from rtstore_spark.operators.text import gopher_rules
+
+    good = ("the quick brown fox jumps over a lazy dog and then it runs "
+            "far away to find some food in the woods near that old river "
+            "bank while birds sing songs of morning light is soft and air "
+            "is cool with mist that drifts in slow waves over green grass")
+    docs = [
+        (1, good),                                     # passes every rule
+        (2, "the cat sat"),                            # too short
+        (3, " ".join(["a"] * 60)),                     # mean word len < 3 (+ stopword fail)
+        (4, good + " " + "#tag " * 30),                # symbol ratio > 0.1
+        (5, "\n".join("- item foo" for _ in range(10))),  # bullet lines (+ short)
+        (6, good.replace(" ", "... ", 25)),            # ellipsis symbols
+        (7, " ".join(["12345"] * 60)),                 # alpha frac 0 + no stopwords
+    ]
+    out = {r["id"]: r for r in gopher_rules(
+        spark.createDataFrame(docs, ["id", "text"]), "text", "id").collect()}
+    assert out[1]["gopher_pass"]
+    assert not out[2]["gopher_pass"] and out[2]["n_tokens"] == 3
+    assert not out[3]["gopher_pass"] and out[3]["mean_word_len"] == 1.0
+    assert not out[4]["gopher_pass"] and out[4]["symbol_word_ratio"] > 0.1
+    assert not out[5]["gopher_pass"] and out[5]["bullet_line_frac"] == 1.0
+    assert not out[6]["gopher_pass"]
+    assert not out[7]["gopher_pass"] and out[7]["alpha_word_frac"] == 0.0
+    assert out[1]["stopword_hits"] >= 2
+
+
+def test_gopher_ellipsis_lines(spark):
+    from rtstore_spark.operators.text import gopher_rules
+
+    txt = "first line goes on...\nsecond line is fine\nthird one trails …\n"
+    row = gopher_rules(
+        spark.createDataFrame([(1, txt)], ["id", "text"]), "text", "id"
+    ).collect()[0]
+    assert row["ellipsis_line_frac"] == pytest.approx(2 / 3, abs=1e-6)
