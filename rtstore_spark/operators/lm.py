@@ -86,10 +86,18 @@ def lm_fit(
     ``lm_perplexity``; they are small by construction — see module
     docstring for why that is the 100-TB-safe shape.
     """
+    # the unigram table feeds three consumers across separate actions
+    # (total collect now, the bigram conditional join, the pruned unigram
+    # table later) — persist pins ONE corpus scan + agg for all of them;
+    # the table itself is vocab-sized, so the cache is small. The total
+    # collect below doubles as the materializing action.
+    from pyspark import StorageLevel
+
     uni = (
         df.select(F.explode(_tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     total = uni.agg(F.sum("c").alias("s")).collect()[0]["s"] or 1
     big = (
@@ -184,7 +192,14 @@ def lm_buckets(
     regardless of corpus size. Returns the perplexity columns plus
     ``bucket`` ∈ {'head','middle','tail'}.
     """
-    scored = lm_perplexity(df, model, text_col, id_col, lam=lam)
+    from pyspark import StorageLevel
+
+    # scored feeds two actions (the quantile sketch now, the caller's
+    # consumption later); its rows are (id, 3 numerics) — a cheap cache
+    # that saves re-running the scoring joins over the corpus.
+    scored = lm_perplexity(df, model, text_col, id_col, lam=lam).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     q = scored.agg(
         F.expr(
             f"approx_percentile(cross_entropy, array({cuts[0]}, {cuts[1]}),"
