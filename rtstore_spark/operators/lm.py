@@ -206,6 +206,8 @@ def lm_buckets(
             f" {int(1.0 / rel_err)})"
         ).alias("qs")
     ).collect()[0]["qs"]
+    if not q:  # no scorable docs (all < 2 tokens): empty frame, typed
+        return scored.withColumn("bucket", F.lit(None).cast("string"))
     return scored.withColumn(
         "bucket",
         F.when(F.col("cross_entropy") <= q[0], "head")
