@@ -532,10 +532,16 @@ def semdedup(
     """
     from rtstore_spark.operators.similarity import cosine_expr, kmeans_routes
 
+    from pyspark import StorageLevel
+
     routed, _ = kmeans_routes(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
         "v", "id", k=k, seed=seed, max_iter=max_iter,
     )
+    # both sides of the self-join read the routed frame; persist pins ONE
+    # assignment scan (model.transform is deterministic, so this is a
+    # perf pin, not a correctness one)
+    routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = routed.alias("a"), routed.alias("b")
     pairs = (
         a.join(b, "route")
