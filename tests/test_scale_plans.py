@@ -260,3 +260,54 @@ class TestDataPrepPlanShapes:
         out = prepare_corpus(df, "text", "id", CorpusPrepConfig(min_tokens=2))
         plan = _plan(out)
         assert "InMemoryTableScan" in plan
+
+
+class TestLateRound4PlanShapes:
+    """Plan pins for the LM / packing / gopher / semantic-dedup operators."""
+
+    def test_gopher_rules_is_shuffle_free(self, spark):
+        from rtstore_spark.operators.text import gopher_rules
+
+        df = spark.createDataFrame(
+            [(i, "the text of document number " + str(i)) for i in range(20)],
+            "id long, text string",
+        )
+        plan = _plan(gopher_rules(df, "text", "id"))
+        assert "Exchange" not in plan  # one projection, no shuffle
+
+    def test_pack_sequences_single_bucket_exchange(self, spark):
+        from rtstore_spark.operators.pipeline import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, "alpha beta gamma") for i in range(20)],
+            "id long, text string",
+        )
+        plan = _plan(pack_sequences(df, "text", "id", seq_tokens=8, n_buckets=4))
+        # exactly one exchange: the deterministic bucket repartition; the
+        # packer itself is a map-local ArrowEvalPython/MapInPandas stage
+        assert plan.count("Exchange") == 1
+        assert "hashpartitioning(bucket" in plan
+
+    def test_lm_fit_prunes_via_take_ordered(self, spark):
+        from rtstore_spark.operators.lm import lm_fit
+
+        df = spark.createDataFrame(
+            [(i, "the cat sat on the mat") for i in range(10)],
+            "id long, text string",
+        )
+        model = lm_fit(df, "text", max_unigrams=5, max_bigrams=5)
+        plan = _plan(model["bigrams"])
+        # top-N pruning must be per-partition heaps + merge, not a global
+        # sort of the bigram vocabulary
+        assert "TakeOrderedAndProject" in plan
+
+    def test_semdedup_joins_only_on_route(self, spark):
+        from rtstore_spark.operators.dedup import semdedup
+
+        rows = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2), 0.0])
+                for i in range(12)]
+        df = spark.createDataFrame(rows, "id long, emb array<double>")
+        out = semdedup(df, "emb", "id", k=3, threshold=0.99, seed=1)
+        plan = _plan(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
