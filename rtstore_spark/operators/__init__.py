@@ -3,14 +3,15 @@
 Generic DataFrame transforms (no testdata coupling):
 - ``dedup``      — exact, minhash+LSH, simhash, jaccard verification,
                    cross-shard incremental near-dup vs stored signatures,
-                   semantic dedup over clustered embeddings (SemDeDup)
+                   semantic dedup over clustered embeddings (SemDeDup),
+                   paragraph-granular exact dedup with reconstruction
 - ``similarity`` — brute-force cosine top-k, hyperplane-LSH + IVF ANN,
                    learned k-means routing, distributed PCA
                    (moments-merge fit, codegen transform)
-- ``text``       — language/script ID, quality features + trainable
-                   quality classifier, Gopher rule gate, token counts,
-                   PII metrics/scrub, intra- and cross-doc repetition,
-                   chunking, BM25 top-k
+- ``text``       — unicode/whitespace normalization, language/script ID,
+                   quality features + trainable quality classifier,
+                   Gopher rule gate, token counts, PII metrics/scrub,
+                   intra- and cross-doc repetition, chunking, BM25 top-k
 - ``multimodal`` — binary media columns: schema, batching, stubbed decode
 - ``sampling``   — deterministic stratified sampling, token-budget
                    domain-mixture sampling + per-domain mixture stats,

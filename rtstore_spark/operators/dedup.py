@@ -618,3 +618,73 @@ def repeated_spans(
             ),
         )
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n",
+    min_chars: int = 2,
+) -> DataFrame:
+    """Paragraph-granular exact dedup with text reconstruction (the
+    Dolma-style "dedupe paragraphs" stage): every paragraph that occurs
+    more than once corpus-wide is removed from all but its canonical
+    first occurrence — ordered by (document id, position in document) —
+    and each document's text is rebuilt from the paragraphs it kept.
+
+    Sits between doc-level dedup (``exact_dedup``/``minhash_dedup``,
+    which drop whole documents) and ``repeated_spans`` (which flags
+    token ranges but does not rewrite): boilerplate headers, footers and
+    license blocks vanish while the unique prose around them survives.
+    Paragraphs shorter than ``min_chars`` (after trim) are exempt — they
+    are structure (blank lines, list bullets), not content, and deduping
+    them would collapse formatting corpus-wide.
+
+    Returns the input columns with ``text_col`` rewritten plus
+    ``n_paragraphs`` (before) and ``n_dropped``. Idempotent: a second
+    pass finds no duplicate paragraphs and drops nothing.
+
+    Scale shape: paragraphs are hashed to 60-bit longs at the explode,
+    so the winner aggregate and its back-join move (hash, id, int) rows
+    — never paragraph text. The drop-set (one row per REMOVED paragraph)
+    is then aggregated per doc and joined back to the corpus on the id
+    key, where the original text is filtered positionally in place — the
+    corpus text crosses a shuffle at most once (and zero times when AQE
+    broadcasts the drop-set, the common case: drops ≪ corpus). The
+    winner key is min(struct(id, pos)) — a partial-agg min, no window,
+    no global sort.
+    """
+    paras = F.split(F.col(text_col), sep)
+    ex = (
+        df.select(F.col(id_col).alias("id"), F.posexplode(paras))
+        .filter(F.length(F.trim(F.col("col"))) >= min_chars)
+        .select("id", "pos", _hash60(F.col("col")).alias("hv"))
+    )
+    winners = ex.groupBy("hv").agg(
+        F.min(F.struct("id", "pos")).alias("win"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    drops = (
+        ex.join(winners.filter(F.col("cnt") >= 2), "hv")
+        .filter(F.struct("id", "pos") != F.col("win"))
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("_drop_pos"))
+    )
+    keep_mask = lambda _, i: ~F.array_contains(F.col("_drop_pos"), i)  # noqa: E731
+    kept = F.filter(paras, keep_mask)
+    out_text = F.when(
+        F.col("_drop_pos").isNull(), F.col(text_col)
+    ).otherwise(F.concat_ws(sep, kept))
+    return (
+        df.join(drops, df[id_col] == drops["id"], "left")
+        .drop(drops["id"])
+        .select(
+            *[
+                out_text.alias(c) if c == text_col else F.col(c)
+                for c in df.columns
+            ],
+            F.size(paras).alias("n_paragraphs"),
+            F.coalesce(F.size("_drop_pos"), F.lit(0)).alias("n_dropped"),
+        )
+    )

@@ -554,3 +554,65 @@ def quality_classifier_score(
     # probability is an ml VectorUDT; element 2 (1-indexed) = P(label=1)
     p1 = F.element_at(vector_to_array(F.col("probability")), 2)
     return scored.select("id", F.round(p1, 6).alias("quality_score"))
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str,
+    form: str | None = "NFC",
+    fix_whitespace: bool = True,
+) -> DataFrame:
+    """Unicode + whitespace normalization — the stage-zero text cleanup
+    every corpus pipeline (CCNet, Dolma, RedPajama) runs before hashing,
+    dedup or quality scoring, so that byte-different renderings of the
+    same text ("café" composed vs decomposed, CRLF vs LF, zero-width
+    joiners pasted from the web) stop defeating exact-match operators
+    downstream.
+
+    In order: (1) drop C0/C1 control characters (keeping tab + newline;
+    CR and CRLF become LF) and the zero-width/BOM code points; (2) apply
+    Unicode normalization ``form`` (NFC default; NFKC folds width and
+    ligature variants too; None skips); (3) when ``fix_whitespace``,
+    collapse horizontal whitespace runs to one space, strip it before
+    newlines, cap blank runs at one empty line, and trim the ends.
+    Idempotent, and null text stays null.
+
+    Scale shape: steps 1 and 3 are codegen'd ``regexp_replace`` chains —
+    one projection, no shuffle, no Python. Step 2 is the one operation
+    Spark has no built-in for; it runs as an Arrow-batched scalar pandas
+    UDF (a per-batch ``unicodedata.normalize`` over strings, linear and
+    shuffle-free) and is skipped entirely with ``form=None``. Output
+    matches DuckDB's ``nfc_normalize`` for the default form — pinned by
+    the oracle test.
+    """
+    col = F.col(text_col)
+    # CRLF / CR → LF first so the control-strip can keep \n alone
+    col = F.regexp_replace(col, r"\r\n?", "\n")
+    col = F.regexp_replace(
+        col,
+        # Java-regex \uXXXX escapes: zero-width space/joiners, word-joiner, BOM
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F"
+        "\\u200B\\u200C\\u200D\\u2060\\uFEFF]",
+        "",
+    )
+    out = df.withColumn(text_col, col)
+    if form is not None:
+        if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+            raise ValueError(f"unknown normalization form: {form}")
+
+        @F.pandas_udf(T.StringType())
+        def _norm(s):
+            import unicodedata
+
+            return s.map(
+                lambda x: None if x is None else unicodedata.normalize(form, x)
+            )
+
+        out = out.withColumn(text_col, _norm(F.col(text_col)))
+    if fix_whitespace:
+        c = F.col(text_col)
+        c = F.regexp_replace(c, r"[^\S\n]+", " ")   # runs of blanks → one space
+        c = F.regexp_replace(c, r" +\n", "\n")      # no trailing space on lines
+        c = F.regexp_replace(c, r"\n{3,}", "\n\n")  # ≤ one empty line between paras
+        out = out.withColumn(text_col, F.trim(c))
+    return out
