@@ -3,9 +3,16 @@ actually executes, as one lazy DataFrame plan.
 
 Stages (each individually oracle-tested elsewhere; this module wires them):
 
+0. normalization   — optional unicode NFC + control-char/whitespace
+                     cleanup (``text.normalize_text``) BEFORE any
+                     hashing, so byte-variant renderings of identical
+                     text cannot defeat the dedup stages
 1. quality gate    — Column-algebra features, pushed-down filter
 2. language gate   — stopword-vote lang-id, keep an allowlist
 3. exact dedup     — md5 canonical-form groupBy, keep lowest id
+3b. paragraph dedup— optional corpus-wide duplicate-paragraph removal
+                     with text reconstruction (``dedup.dedup_paragraphs``);
+                     docs emptied by it are dropped
 4. near dedup      — MinHash/LSH candidates → Jaccard verify → exact
                      connected components → drop non-representatives
 4b. LM gate        — optional bigram-LM cross-entropy cutoff
@@ -49,6 +56,8 @@ class CorpusPrepConfig:
     near_dup_threshold: float = 0.8
     sample_fractions: dict[str, float] | float = 1.0
     sample_seed: str = "corpus"
+    normalize: bool = False       # stage 0: NFC + whitespace cleanup
+    dedup_paragraphs: bool = False  # stage 3b: drop repeated paragraphs
     scrub_pii: bool = False
     chunk_max_tokens: int | None = None  # None = no chunking
     chunk_overlap: int = 128
@@ -67,6 +76,11 @@ def prepare_corpus(
     annotated with ``lang``. Deterministic end to end: same input, same
     config ⇒ byte-identical corpus, on any cluster size."""
     cfg = cfg or CorpusPrepConfig()
+
+    # 0. optional stage-zero cleanup: must precede every md5/minhash so
+    # composed-vs-decomposed unicode and CRLF noise can't split dup groups
+    if cfg.normalize:
+        df = text.normalize_text(df, text_col)
 
     # 1. quality gate (pure Column algebra — no shuffle)
     q = text.quality_features(df, text_col, id_col)
@@ -110,6 +124,16 @@ def prepare_corpus(
         .select(id_col)
     )
     kept = kept.join(drop_exact, id_col, "left_anti")
+
+    # 3b. optional paragraph-granular dedup: rewrites text in place, so it
+    # runs after exact dedup (whole-doc dups are gone — cheaper) and
+    # before near-dup (minhash sees boilerplate-free text). Docs whose
+    # every paragraph was boilerplate end up empty and are dropped.
+    if cfg.dedup_paragraphs:
+        kept = dedup.dedup_paragraphs(kept, text_col, id_col).drop(
+            "n_paragraphs", "n_dropped"
+        )
+        kept = kept.filter(F.length(F.trim(F.col(text_col))) > 0)
 
     # 4. near dedup on the survivors
     drop_near = dedup.minhash_dedup(

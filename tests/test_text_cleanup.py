@@ -164,3 +164,32 @@ class TestDedupParagraphs:
         )
         assert "CartesianProduct" not in plan
         assert "Window" not in plan
+
+
+class TestPipelineIntegration:
+    def test_normalize_and_paragraph_stage(self, spark):
+        """Stage 0 + 3b wired into prepare_corpus: decomposed-unicode dups
+        collapse via normalization, boilerplate paragraphs vanish, and a
+        doc that was pure boilerplate is dropped entirely."""
+        from rtstore_spark.operators.pipeline import CorpusPrepConfig, prepare_corpus
+
+        body = "the quick brown fox jumps over the lazy dog near the river bank today"
+        composed = f"café news\n{body}"
+        decomposed = f"café news\n{body}"  # same text, NFD rendering
+        df = spark.createDataFrame(
+            [
+                Row(id=1, t=composed),
+                Row(id=2, t=decomposed),         # exact dup after NFC
+                Row(id=3, t=f"café news\nthe completely different body text keeps this document alive and well"),
+                Row(id=4, t="café news"),        # pure boilerplate → emptied → dropped
+            ]
+        )
+        cfg = CorpusPrepConfig(
+            min_tokens=2, langs=["en"], near_dup_threshold=0.99,
+            normalize=True, dedup_paragraphs=True,
+        )
+        out = {r["id"]: r["t"] for r in prepare_corpus(df, "t", "id", cfg).collect()}
+        assert 1 in out and out[1] == composed   # canonical copy intact
+        assert 2 not in out                       # NFD twin deduped exactly
+        assert 3 in out and "café news" not in out[3]  # boilerplate para removed
+        assert 4 not in out                       # emptied doc dropped
