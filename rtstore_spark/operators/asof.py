@@ -138,10 +138,14 @@ def range_join(
 
     def numeric(df, col):
         """df-qualified numeric form of a column (unambiguous in the
-        self-referencing join condition below)."""
+        self-referencing join condition below). Timestamps become their
+        µs count; every other numeric passes through UNCAST — a long cast
+        here would truncate fractional (double/float) columns in both the
+        bucket key and the exact residual predicate (event t=1.9 would
+        spuriously match an interval starting at 1.95)."""
         dt = dict(df.dtypes)[col]
         c = df[col]
-        return F.unix_micros(c) if dt.startswith("timestamp") else c.cast("long")
+        return F.unix_micros(c) if dt.startswith("timestamp") else c
 
     if bucket_width is None:
         row = (
@@ -161,8 +165,11 @@ def range_join(
             F.sequence(
                 F.floor(numeric(intervals, start_col) / bucket_width),
                 # end is exclusive: an interval ending exactly on a bucket
-                # boundary does not reach into that bucket
-                F.floor((numeric(intervals, end_col) - 1) / bucket_width),
+                # boundary does not reach into that bucket. ceil(end/W)−1
+                # is that last covered bucket for integer AND fractional
+                # ends (the integer-only form floor((end−1)/W) would skip
+                # the final bucket of e.g. end=2.5, W=1).
+                F.ceil(numeric(intervals, end_col) / bucket_width) - 1,
             )
         ),
     )

@@ -108,6 +108,9 @@ def prepare_corpus(
     # docstring makes. MEMORY_AND_DISK: at corpus scale the gated set
     # spills to executor-local disk rather than evicting mid-job; still
     # lazy (first action populates), so plan-only callers pay nothing.
+    # Lifetime: the cache entry lives until the session ends (the caller
+    # can't unpersist what it can't see) — a long-lived driver preparing
+    # MANY corpora should spark.catalog.clearCache() between runs.
     from pyspark import StorageLevel
 
     kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
@@ -145,7 +148,10 @@ def prepare_corpus(
     # bigram-LM cross-entropy exceeds the cutoff. Runs after dedup so the
     # LM join scores each surviving doc once; with no explicit model the
     # fit sees the deduped corpus, so boilerplate mass can't drag the
-    # probability estimates toward itself.
+    # probability estimates toward itself. NOTE: a self-fit (lm_model=None)
+    # is necessarily EAGER — lm_fit's vocabulary total is an action, so
+    # the gate+dedup stages execute here, not at the caller's action; pass
+    # a pre-fit lm_model to keep plan construction fully lazy.
     if cfg.lm_max_cross_entropy is not None:
         from rtstore_spark.operators import lm as lm_ops
 
@@ -235,22 +241,26 @@ def export_training_shards(
     total = df.select(tokens.alias("t")).agg(F.sum("t").alias("s")).collect()[0]["s"] or 0
     if n_shards is None:
         n_shards = max(1, -(-int(total) // shard_tokens))
-    shard = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % n_shards
-    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
     (
-        df.withColumn("shard", shard)
+        df.withColumn("_h", h)
+        .withColumn("shard", F.col("_h") % n_shards)
         .repartition(n_shards, "shard")
-        .sortWithinPartitions("shard")
+        # WITHIN-shard order sorts on the hash (id tiebreak for the
+        # astronomically-unlikely collision): sorting on shard alone would
+        # leave row order at the mercy of input partitioning — not the
+        # byte-identical reproducibility promised — and sorting on the id
+        # would undo the shuffle the hash placement provides
+        .sortWithinPartitions("shard", "_h", id_col)
+        .drop("_h")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)

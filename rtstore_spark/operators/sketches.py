@@ -108,8 +108,11 @@ def topk_rollup(
         F.max("count").alias("trunc_bound")
     )
     kept = ranked.filter(F.col("_rk") <= k * slack).drop("_rk")
+    # no forced broadcast: the bound table is one row per `by` group, which
+    # grows with the grouping's cardinality — AQE sizes the join at runtime
+    # (it reuses the window exchange on the same key anyway)
     return (
-        kept.join(F.broadcast(bound), [*by, "_g"], "left")
+        kept.join(bound, [*by, "_g"], "left")
         .withColumn("trunc_bound", F.coalesce(F.col("trunc_bound"), F.lit(0)))
         .drop("_g")
     )
@@ -153,9 +156,12 @@ def topk_merge(rollup: DataFrame, k: int, by: list[str] | None = None) -> DataFr
     )
     merged = rollup.groupBy(*by, "item").agg(F.sum("count").alias("count_lo"))
     if by:
-        merged = merged.join(F.broadcast(total_bound), by, "left")
+        # unforced: one bound row per output group — cardinality-dependent,
+        # so AQE picks the strategy (cf. the jaccard_verify de-weak)
+        merged = merged.join(total_bound, by, "left")
         w = Window.partitionBy(*by).orderBy(F.desc("count_lo"), F.col("item"))
     else:
+        # the no-`by` bound is a true one-row relation — broadcast is exact
         merged = merged.crossJoin(F.broadcast(total_bound))
         w = Window.partitionBy(F.lit(1)).orderBy(F.desc("count_lo"), F.col("item"))
     return (

@@ -401,7 +401,13 @@ class WebSocketLogSource:
                 if text is None:  # clean close or idle timeout
                     return
                 body = json.loads(text)
-                if body.get("id") == 1:  # subscription ack
+                if body.get("id") == 1:  # eth_subscribe response
+                    # a rejected subscription must surface, not read as an
+                    # idle chain: nothing will ever arrive on this socket
+                    if "error" in body:
+                        raise WebSocketError(
+                            f"eth_subscribe rejected: {body['error']}"
+                        )
                     continue
                 if body.get("method") != "eth_subscription":
                     continue

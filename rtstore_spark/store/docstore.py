@@ -218,19 +218,25 @@ class DocStore:
         Single-writer assumption (same as the reference's sequencer):
         rewrites and appends come from the one writer process, so no
         append can land in a superseded directory between the snapshot
-        read and cleanup. Readers in other processes are safe at any
-        point — they only ever resolve the pointer.
+        read and cleanup. Cross-process readers only ever resolve the
+        pointer, and the generation they resolved survives ONE further
+        rewrite (cleanup keeps the immediately-superseded generation as a
+        grace window for in-flight scans — the standard lakehouse
+        retention trade; a scan outliving two rewrites can still lose its
+        files).
         """
         cur = self._current_gen(root)
         n = int(cur[len(GEN_PREFIX):]) + 1 if cur else 1
         gen = f"{GEN_PREFIX}{n:06d}"
         write_fn(os.path.join(root, gen))
         self._flip_pointer(root, gen)
-        # everything in the root except the pointer and the live generation
-        # is superseded: older generations, legacy root-level data files,
-        # leftovers of crashed rewrites
+        # everything in the root except the pointer, the live generation
+        # and its immediate predecessor (the in-flight-reader grace
+        # window) is superseded: older generations, legacy root-level
+        # data files, leftovers of crashed rewrites
+        keep = {gen, CURRENT_POINTER} | ({cur} if cur else set())
         for name in self.fs.listdir(root):
-            if name not in (gen, CURRENT_POINTER):
+            if name not in keep:
                 self.fs.delete(os.path.join(root, name), recursive=True)
 
     def _append(self, rows: list[dict], schema: T.StructType, path: str) -> None:
@@ -706,6 +712,13 @@ class DocStore:
         reference — a caller still holding the result keeps its snapshot
         alive (executor block storage frees on GC via the ContextCleaner).
         ``release_query_caches()`` drops them all.
+
+        Deployment note: ``localCheckpoint`` blocks are deliberately NOT
+        recomputable — that is the drift guarantee above — so losing an
+        executor that holds them fails later reads of that snapshot.
+        Run the storage node's executors static (no dynamic allocation /
+        spot kills), exactly as Spark's own localCheckpoint docs require;
+        a lost snapshot is recovered by re-running the query.
         """
         from rtstore_spark.jql.compiler import apply_stages, compile_predicate
         from rtstore_spark.jql.parser import parse_jql
@@ -870,6 +883,11 @@ class DocStore:
             aggs.append(F.max(c).alias(f"mx{i}"))
         stats = snap.agg(*aggs).collect()[0]
         k = len(cols)
+        # every interleaved bit position b*k+i must stay below 63: bit 63
+        # is the long's sign (flips the sort) and 64+ wraps via JVM shift
+        # masking. With many columns the per-column rank gets coarser —
+        # the correct Z-order trade, never a corrupt one.
+        bits = max(1, min(bits, 63 // k))
         scale = (1 << bits) - 1
         z = F.lit(0).cast("long")
         for i, c in enumerate(cols):
@@ -888,6 +906,8 @@ class DocStore:
             )
             rank = F.coalesce(rank, F.lit(0))
             for b in range(bits):
+                if b * k + i > 62:  # belt-and-braces for k > 63 columns
+                    break
                 bit = F.shiftright(rank, b).bitwiseAND(F.lit(1))
                 z = z + F.shiftleft(bit, b * k + i)
         return z

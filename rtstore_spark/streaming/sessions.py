@@ -17,9 +17,13 @@ session when the watermark passes ``end + gap``. State is bounded by the
 number of concurrently-active users, not by history.
 
 Late events beyond the watermark are dropped by the runtime before they
-reach the operator (standard watermark contract); late events *within* the
-watermark that precede the open session's start simply extend it backwards
-— same as the batch lag formulation, which sees them in sorted order.
+reach the operator (standard watermark contract). Late events *within* the
+watermark that precede the open session's start extend it backwards when
+they fall within the gap; further back than the gap they form their own
+earlier session(s), matching the batch lag formulation. One bounded
+deviation: such an earlier session is emitted as soon as it is seen
+(single-session state), so an even-later arrival that would have joined
+it starts a fresh session instead.
 """
 
 from __future__ import annotations
@@ -58,15 +62,41 @@ def _make_handler(gap_us: int):
                 ts_all.extend(
                     int(v) for v in (pdf["ts"].astype("int64") // 1000)
                 )  # ns → µs
-            for t in sorted(ts_all):
+            ts_sorted = sorted(ts_all)
+
+            # Late-but-in-watermark events BEFORE the open session's start
+            # get their own gap fold first: within gap of the open start
+            # they bridge into it (extend backwards); separated by more
+            # than gap they are their own earlier session — the previous
+            # single-branch form merged them across the silence, producing
+            # a session the batch formulation never emits. An early
+            # session closed here is final; a still-later arrival that
+            # would have joined it starts fresh (single-session state —
+            # the watermark bounds this deviation).
+            if cur is not None:
+                early = [t for t in ts_sorted if t < cur[0]]
+                ts_sorted = [t for t in ts_sorted if t >= cur[0]]
+                ecur = None
+                for t in early:
+                    if ecur is None:
+                        ecur = (t, t, 1)
+                    elif t - ecur[1] > gap_us:
+                        closed.append(ecur)
+                        ecur = (t, t, 1)
+                    else:
+                        ecur = (ecur[0], t, ecur[2] + 1)
+                if ecur is not None:
+                    if cur[0] - ecur[1] <= gap_us:
+                        cur = (ecur[0], cur[1], cur[2] + ecur[2])
+                    else:
+                        closed.append(ecur)
+
+            for t in ts_sorted:
                 if cur is None:
                     cur = (t, t, 1)
                 elif t - cur[1] > gap_us:
                     closed.append(cur)
                     cur = (t, t, 1)
-                elif t < cur[0]:
-                    # late-but-in-watermark event extends backwards
-                    cur = (t, cur[1], cur[2] + 1)
                 else:
                     cur = (cur[0], max(cur[1], t), cur[2] + 1)
             if cur is not None:

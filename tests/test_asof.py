@@ -136,3 +136,44 @@ class TestRangeJoin:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestRangeJoinFractional:
+    def test_double_columns_not_truncated(self, spark):
+        """Fractional event/interval columns must be compared exactly — a
+        long cast would both spuriously match (t=1.9 vs [1.95, 3)) and
+        miss (t=2.9 vs [2.0, 2.95))."""
+        from rtstore_spark.operators.asof import range_join
+
+        ev = spark.createDataFrame(
+            [(1, 1.9), (2, 2.9), (3, 2.0)], "event_id long, t double"
+        )
+        iv = spark.createDataFrame(
+            [(10, 1.95, 3.0), (11, 2.0, 2.95)],
+            "win_id long, s double, e double",
+        )
+        out = range_join(ev, iv, "t", "s", "e", bucket_width=1)
+        got = {(r["event_id"], r["win_id"]) for r in out.collect()}
+        assert got == {(2, 10), (2, 11), (3, 10), (3, 11)}
+
+    def test_fractional_end_reaches_final_bucket(self, spark):
+        """end=2.5 with bucket_width=1 covers bucket 2; the integer-only
+        end-bucket formula floor((end-1)/W) would stop at bucket 1 and the
+        event at 2.2 would silently miss its interval."""
+        from rtstore_spark.operators.asof import range_join
+
+        ev = spark.createDataFrame([(1, 2.2)], "event_id long, t double")
+        iv = spark.createDataFrame([(10, 0.5, 2.5)], "win_id long, s double, e double")
+        out = range_join(ev, iv, "t", "s", "e", bucket_width=1)
+        assert [(r["event_id"], r["win_id"]) for r in out.collect()] == [(1, 10)]
+
+    def test_integer_end_boundary_still_exclusive(self, spark):
+        """ceil(end/W)-1 keeps the half-open contract for integer ends: an
+        interval ending exactly on a bucket boundary does not reach into
+        that bucket, and boundary events don't match."""
+        from rtstore_spark.operators.asof import range_join
+
+        ev = spark.createDataFrame([(1, 4), (2, 3)], "event_id long, t long")
+        iv = spark.createDataFrame([(10, 0, 4)], "win_id long, s long, e long")
+        out = range_join(ev, iv, "t", "s", "e", bucket_width=2)
+        assert {(r["event_id"], r["win_id"]) for r in out.collect()} == {(2, 10)}

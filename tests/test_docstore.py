@@ -455,3 +455,54 @@ class TestZOrderCompaction:
             .orderBy("doc_id").collect()
         ]
         assert sorted(rows) == [5, 10, 40, 50]  # state intact either way
+
+
+class TestZOrderManyColumns:
+    def test_four_numeric_indexes_stay_in_sign_safe_bits(self, spark, tmp_path):
+        """With 4 numeric indexes, 16 bits/column would place bits at
+        position 63 (the long's sign — inverting the sort) and beyond
+        (wrapping via JVM shift masking). The per-column width must drop
+        to 63//k so the interleave stays a valid non-negative Morton
+        order."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        store = DocStore(spark, str(tmp_path / "wz4"))
+        db = store.create_database(ALICE, nonce=1)
+        store.create_collection(db, "c", [], ALICE)
+        store.add_index(
+            db, "c",
+            [{"path": f"/{c}", "type": "int64"} for c in "wxyz"],
+            ALICE,
+        )
+        pts = [
+            (w, x, y, z)
+            for w in range(2) for x in range(2) for y in range(2) for z in range(2)
+        ]
+        store.add_docs(
+            db, "c",
+            [json.dumps(dict(zip("wxyz", p))) for p in pts],
+            ALICE,
+        )
+        store.compact(db, "c")
+
+        def zval(p):  # eb = min(16, 63//4) = 15 bits per column
+            scale = (1 << 15) - 1
+            ranks = [v * scale // 1 for v in p]  # min 0, max 1
+            out = 0
+            for i, r in enumerate(ranks):
+                for b in range(15):
+                    out |= ((r >> b) & 1) << (b * 4 + i)
+            return out
+
+        assert all(zval(p) >= 0 for p in pts)
+        files = sorted(
+            glob.glob(str(tmp_path / "wz4" / "data" / db / "c" / "**" / "*.parquet"),
+                      recursive=True)
+        )
+        rows = []
+        for f in files:
+            rows += pq.read_table(f, columns=["doc"]).to_pylist()
+        got = [tuple(json.loads(r["doc"])[c] for c in "wxyz") for r in rows]
+        assert got == sorted(pts, key=zval)

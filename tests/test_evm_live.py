@@ -314,3 +314,54 @@ class TestAbiRoundTrip:
             assert out["args"] == {f"p{i}": v for i, (_, v) in enumerate(params)}
 
         check()
+
+
+class TestSubscribeRejected:
+    @pytest.fixture()
+    def rejecting_node(self):
+        """A node that answers eth_subscribe with a JSON-RPC error and then
+        holds the connection open (sends nothing further)."""
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        port = srv.getsockname()[1]
+        stop = threading.Event()
+
+        def serve():
+            try:
+                conn, _addr = srv.accept()
+                conn.settimeout(20)
+                _server_handshake(conn)
+                json.loads(_server_recv_text(conn))
+                _server_send_text(
+                    conn,
+                    json.dumps(
+                        {
+                            "jsonrpc": "2.0",
+                            "id": 1,
+                            "error": {"code": -32601, "message": "no subscriptions"},
+                        }
+                    ),
+                )
+                stop.wait(20)
+                conn.close()
+            except (ConnectionError, OSError):
+                pass
+
+        threading.Thread(target=serve, daemon=True).start()
+        yield f"ws://127.0.0.1:{port}/"
+        stop.set()
+        srv.close()
+
+    def test_rejected_subscription_raises(self, rejecting_node):
+        """A subscribe error must surface as an error — silently skipping
+        it reads as an idle chain and the caller tails forever."""
+        from rtstore_spark.sources.evm import WebSocketLogSource
+        from rtstore_spark.sources.ws import WebSocketError
+
+        src = WebSocketLogSource(
+            rejecting_node, abi=[ERC20_TRANSFER], max_logs=1, timeout_s=10
+        )
+        with pytest.raises(WebSocketError, match="rejected"):
+            list(src.logs())

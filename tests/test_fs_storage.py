@@ -270,3 +270,32 @@ class TestUriRootStore:
         # a fresh store on the same URI resolves pointers identically
         reader = DocStore(spark, root)
         assert reader.current_state(db, "c").count() == 6
+
+
+class TestGenerationRetention:
+    def test_superseded_generation_survives_one_rewrite(self, store, spark):
+        """An in-flight cross-process reader that resolved the pointer
+        before a rewrite must be able to finish its scan: cleanup keeps the
+        immediately-superseded generation as a grace window and drops it
+        only on the NEXT rewrite."""
+        s, db = store
+        s.add_docs(db, "c", [json.dumps({"v": i}) for i in range(4)], ALICE)
+        s.compact(db, "c")
+        root = s._data_root(db, "c")
+        g1 = s._current_gen(root)
+        # a reader process resolves the pointer now → it scans g1's files
+        s.add_docs(db, "c", ['{"v": 50}'], ALICE)
+        s.compact(db, "c")
+        g2 = s._current_gen(root)
+        assert g2 != g1
+        names = set(s.fs.listdir(root))
+        assert g1 in names and g2 in names  # grace window held
+        # the pinned reader's scan of g1 still completes (4 compacted docs
+        # plus the post-compact append that landed in the then-live g1)
+        assert spark.read.parquet(os.path.join(root, g1)).count() == 5
+        # the next rewrite retires g1, keeps g2
+        s.add_docs(db, "c", ['{"v": 60}'], ALICE)
+        s.compact(db, "c")
+        names = set(s.fs.listdir(root))
+        assert g1 not in names and g2 in names
+        assert s.current_state(db, "c").count() == 6

@@ -155,6 +155,24 @@ class TestExportTrainingShards:
         a = {(r["id"], r["shard"]) for r in spark.read.parquet(a_dest).collect()}
         b = {(r["id"], r["shard"]) for r in spark.read.parquet(b_dest).collect()}
         assert a == b
+        # WITHIN-shard row order must also be a pure function of the corpus
+        # (the docstring's byte-identical claim): per shard file, the row
+        # sequence matches across the two differently-partitioned runs —
+        # and is hash-shuffled, not id-sorted
+        import glob
+
+        import pyarrow.parquet as pq
+
+        def shard_orders(dest):
+            out = {}
+            for f in sorted(glob.glob(f"{dest}/shard=*/*.parquet")):
+                shard = f.split("shard=")[1].split("/")[0]
+                out[shard] = [r["id"] for r in pq.read_table(f).to_pylist()]
+            return out
+
+        oa, ob = shard_orders(a_dest), shard_orders(b_dest)
+        assert oa == ob
+        assert any(ids != sorted(ids) for ids in oa.values())
 
     def test_arg_validation(self, spark, tmp_path):
         from rtstore_spark.operators.pipeline import export_training_shards

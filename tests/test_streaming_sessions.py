@@ -129,3 +129,42 @@ def test_session_counts_match_batch_formulation(spark, sz):
         assert got[u] == want[u], (u, got, want)
     # every event landed in exactly one closed session
     assert n_events[1] == 5 and n_events[2] == 2 and n_events[3] == 1
+
+
+def test_late_event_beyond_gap_forms_own_session(spark, sz):
+    """A late-but-in-watermark event more than a gap BEFORE the open
+    session's start is its own earlier session — merging it across the
+    silence (the old single-branch behavior) invents a session the batch
+    formulation never produces."""
+    append(spark, sz, [(1, 200), (1, 210)])
+    sz.run_once()
+    # watermark is now 210 - 60 = 150; a 160-min event is late but admissible,
+    # and 40 min before the open start (> 30-min gap) → own session, final now
+    append(spark, sz, [(1, 160)])
+    sz.run_once()
+    m160 = T0 + dt.timedelta(minutes=160)
+    assert (1, m160, m160, 1) in collect(sz)
+    # flush the open session and check the full picture matches batch
+    append(spark, sz, [(99, 2000)])
+    sz.run_once()
+    sz.run_once()
+    got = [g for g in collect(sz) if g[0] == 1]
+    assert (1, T0 + dt.timedelta(minutes=200), T0 + dt.timedelta(minutes=210), 2) in got
+    assert len(got) == 2
+    assert batch_sessions(spark, sz)[1] == 2
+
+
+def test_late_event_within_gap_bridges_backwards(spark, sz):
+    """A late event within the gap of the open start extends it backwards
+    (and its count) — the complementary case to the split above."""
+    append(spark, sz, [(1, 200), (1, 210)])
+    sz.run_once()
+    append(spark, sz, [(1, 180)])  # 20 min before start: bridges
+    sz.run_once()
+    append(spark, sz, [(99, 2000)])
+    sz.run_once()
+    sz.run_once()
+    got = [g for g in collect(sz) if g[0] == 1]
+    assert got == [
+        (1, T0 + dt.timedelta(minutes=180), T0 + dt.timedelta(minutes=210), 3)
+    ]
