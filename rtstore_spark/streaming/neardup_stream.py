@@ -1,0 +1,153 @@
+"""Streaming NEAR-duplicate dedup — a rolling crawl's dedup stage as a
+Structured Streaming sink.
+
+``streaming.dedup_stream`` drops exact copies with watermark-bounded state;
+near-duplicates (the same article re-crawled with a new footer) need minhash,
+and minhash state cannot live in the streaming state store: the reference set
+a crawl dedups against is the WHOLE kept corpus, forever, not a time horizon.
+The production shape is therefore ``foreachBatch`` + an external signature
+table: each micro-batch is near-deduped within itself (full minhash + verify
++ connected components — the text is present), then against the signature
+table of everything kept so far (band-pruned equi-join on stored signatures
+only — ``dedup.incremental_neardup``; the historical text is long gone), and
+the survivors' signatures are appended so the next batch sees them.
+
+State at 100 TB: the signature table is k longs per kept doc (~64 B at k=8)
+— ten billion documents ≈ 640 GB of parquet, read band-pruned per batch,
+versus the corpus itself which never needs to exist in one place. The
+streaming checkpoint tracks ONLY source progress; the signature table is the
+dedup state and lives with the data.
+
+Idempotent replay: both outputs are written per-batch into
+``batch=<batch_id>/`` partition directories with overwrite — a replayed
+micro-batch (foreachBatch is at-least-once) rewrites its own partitions
+byte-identically instead of duplicating rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class StreamingNearDedup:
+    """Tail a staging directory of documents; append near-dup-free docs to
+    ``dest_dir`` and their minhash signatures to ``sig_dir``. Same run_once
+    shape as the other streaming surfaces (availableNow trigger, source
+    progress in the checkpoint); dedup state is the external signature
+    table, so it survives checkpoint resets and is shareable with the
+    batch ``incremental_neardup`` path."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        source_schema: T.StructType,
+        dest_dir: str,
+        sig_dir: str,
+        checkpoint: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.8,
+        num_hashes: int = 8,
+        bands: int = 4,
+        shingle_n: int = 3,
+    ):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.source_schema = source_schema
+        self.dest_dir = dest_dir
+        self.sig_dir = sig_dir
+        self.checkpoint = checkpoint
+        self.text_col = text_col
+        self.id_col = id_col
+        self.threshold = threshold
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+
+    # ------------------------------------------------------------------
+
+    def _ref_signatures(self) -> DataFrame | None:
+        from rtstore_spark.store.fs import fs_for
+
+        fs = fs_for(self.sig_dir, self.spark)
+        if not fs.exists(self.sig_dir) or not any(
+            f.endswith(".parquet") for f in fs.list_files_recursive(self.sig_dir)
+        ):
+            return None
+        return self.spark.read.parquet(self.sig_dir)
+
+    def _apply(self, batch: DataFrame, batch_id: int) -> None:
+        from rtstore_spark.operators import dedup as D
+
+        if batch.isEmpty():
+            return
+        # 1. within-batch near-dup (text available → full verify + exact
+        # components; an exact copy is a near-dup at j=1.0, so no separate
+        # exact pass is needed)
+        drop = D.minhash_dedup(
+            batch, self.text_col, self.id_col,
+            threshold=self.threshold, num_hashes=self.num_hashes,
+            bands=self.bands, shingle_n=self.shingle_n,
+        ).select(F.col("drop_id").alias(self.id_col))
+        kept = batch.join(drop, self.id_col, "left_anti")
+
+        # 2. against everything kept so far — stored signatures only
+        ref = self._ref_signatures()
+        if ref is not None:
+            pairs = D.incremental_neardup(
+                kept, ref, self.text_col, self.id_col,
+                threshold=self.threshold, num_hashes=self.num_hashes,
+                bands=self.bands, shingle_n=self.shingle_n,
+            )
+            kept = kept.join(
+                pairs.select(F.col("new_id").alias(self.id_col)).distinct(),
+                self.id_col,
+                "left_anti",
+            )
+
+        # survivors feed two writes — pin one computation of the dedup plan
+        from pyspark import StorageLevel
+
+        kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            kept.write.mode("overwrite").parquet(
+                f"{self.dest_dir}/batch={batch_id}"
+            )
+            D.minhash_signatures_wide(
+                kept, self.text_col, self.id_col,
+                self.num_hashes, self.shingle_n,
+            ).write.mode("overwrite").parquet(f"{self.sig_dir}/batch={batch_id}")
+        finally:
+            kept.unpersist()
+
+    # ------------------------------------------------------------------
+
+    def run_once(self) -> None:
+        src = self.spark.readStream.schema(self.source_schema).parquet(
+            self.source_dir
+        )
+        q = (
+            src.writeStream.foreachBatch(self._apply)
+            .option("checkpointLocation", self.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def table(self) -> DataFrame:
+        """Everything kept so far (the ``batch`` partition column rides
+        along — it is the micro-batch id, useful for replay audits)."""
+        from rtstore_spark.store.fs import fs_for
+
+        fs = fs_for(self.dest_dir, self.spark)
+        if not fs.exists(self.dest_dir) or not any(
+            f.endswith(".parquet") for f in fs.list_files_recursive(self.dest_dir)
+        ):
+            schema = T.StructType(
+                list(self.source_schema) + [T.StructField("batch", T.LongType())]
+            )
+            return self.spark.createDataFrame([], schema=schema)
+        return self.spark.read.parquet(self.dest_dir)
