@@ -139,13 +139,19 @@ def range_join(
     def numeric(df, col):
         """df-qualified numeric form of a column (unambiguous in the
         self-referencing join condition below). Timestamps become their
-        µs count; every other numeric passes through UNCAST — a long cast
-        here would truncate fractional (double/float) columns in both the
-        bucket key and the exact residual predicate (event t=1.9 would
-        spuriously match an interval starting at 1.95)."""
+        µs count; strings coerce to double (leaving them raw would make
+        the residual predicate LEXICOGRAPHIC — '9' < '12' is false); every
+        true numeric passes through UNCAST — a long cast here would
+        truncate fractional (double/float) columns in both the bucket key
+        and the exact residual predicate (event t=1.9 would spuriously
+        match an interval starting at 1.95)."""
         dt = dict(df.dtypes)[col]
         c = df[col]
-        return F.unix_micros(c) if dt.startswith("timestamp") else c
+        if dt.startswith("timestamp"):
+            return F.unix_micros(c)
+        if dt in ("string", "varchar"):
+            return c.cast("double")
+        return c
 
     if bucket_width is None:
         row = (

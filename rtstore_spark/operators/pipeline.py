@@ -250,17 +250,18 @@ def export_training_shards(
         16,
         10,
     ).cast("long")
+    hcol = "__shard_h"  # collision-safe: a caller's '_h' must survive
     (
-        df.withColumn("_h", h)
-        .withColumn("shard", F.col("_h") % n_shards)
+        df.withColumn(hcol, h)
+        .withColumn("shard", F.col(hcol) % n_shards)
         .repartition(n_shards, "shard")
         # WITHIN-shard order sorts on the hash (id tiebreak for the
         # astronomically-unlikely collision): sorting on shard alone would
         # leave row order at the mercy of input partitioning — not the
         # byte-identical reproducibility promised — and sorting on the id
         # would undo the shuffle the hash placement provides
-        .sortWithinPartitions("shard", "_h", id_col)
-        .drop("_h")
+        .sortWithinPartitions("shard", hcol, id_col)
+        .drop(hcol)
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)

@@ -186,3 +186,21 @@ def fs_for(root: str, spark=None):
     if "://" in root and spark is not None:
         return HadoopFS(spark)
     return LocalFS()
+
+
+def read_parquet_or_empty(spark, path: str, schema):
+    """Read a parquet directory, or return an empty typed DataFrame when it
+    does not exist / holds no data yet — the shared fallback every
+    streaming surface's ``table()`` needs (a bare ``spark.read.parquet``
+    raises UNABLE_TO_INFER_SCHEMA before the first write lands).
+    ``schema`` must match what the reader will infer once data exists,
+    including partition-column types, or callers see a dtype flip between
+    the empty and non-empty cases."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    if not fs_for(path, spark).exists(path):
+        return spark.createDataFrame([], schema=schema)
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return spark.createDataFrame([], schema=schema)

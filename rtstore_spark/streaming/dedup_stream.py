@@ -104,15 +104,10 @@ class StreamingDedup:
         q.awaitTermination()
 
     def table(self) -> DataFrame:
-        from rtstore_spark.store.fs import fs_for
+        from rtstore_spark.store.fs import read_parquet_or_empty
 
-        fs = fs_for(self.dest_dir, self.spark)
-        if not fs.exists(self.dest_dir) or not any(
-            f.endswith(".parquet") for f in fs.listdir(self.dest_dir)
-        ):
-            out = T.StructType(
-                list(self.source_schema.fields)
-                + [T.StructField("fp", T.StringType(), True)]
-            )
-            return self.spark.createDataFrame([], schema=out)
-        return self.spark.read.parquet(self.dest_dir)
+        out = T.StructType(
+            list(self.source_schema.fields)
+            + [T.StructField("fp", T.StringType(), True)]
+        )
+        return read_parquet_or_empty(self.spark, self.dest_dir, out)

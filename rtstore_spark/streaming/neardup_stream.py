@@ -69,15 +69,27 @@ class StreamingNearDedup:
 
     # ------------------------------------------------------------------
 
-    def _ref_signatures(self) -> DataFrame | None:
+    def _ref_signatures(self, batch_id: int) -> DataFrame | None:
+        """Signatures of every PRIOR batch. Excluding the current batch id
+        is a correctness requirement, not an optimization: a replayed
+        micro-batch (at-least-once foreachBatch, or a checkpoint reset)
+        would otherwise find its own previously-stored signatures, match
+        every kept doc against itself at est_jaccard = 1.0, drop them all,
+        and overwrite the partition with empty data. Existence is probed
+        with a read-and-catch instead of a recursive listing — the
+        signature table grows for the stream's whole life, and a full
+        LIST per micro-batch would grow with it."""
+        from pyspark.errors.exceptions.captured import AnalysisException
+
         from rtstore_spark.store.fs import fs_for
 
-        fs = fs_for(self.sig_dir, self.spark)
-        if not fs.exists(self.sig_dir) or not any(
-            f.endswith(".parquet") for f in fs.list_files_recursive(self.sig_dir)
-        ):
+        if not fs_for(self.sig_dir, self.spark).exists(self.sig_dir):
             return None
-        return self.spark.read.parquet(self.sig_dir)
+        try:
+            ref = self.spark.read.parquet(self.sig_dir)
+        except AnalysisException:  # exists but holds no readable parquet yet
+            return None
+        return ref.filter(F.col("batch") != batch_id)
 
     def _apply(self, batch: DataFrame, batch_id: int) -> None:
         from rtstore_spark.operators import dedup as D
@@ -95,7 +107,7 @@ class StreamingNearDedup:
         kept = batch.join(drop, self.id_col, "left_anti")
 
         # 2. against everything kept so far — stored signatures only
-        ref = self._ref_signatures()
+        ref = self._ref_signatures(batch_id)
         if ref is not None:
             pairs = D.incremental_neardup(
                 kept, ref, self.text_col, self.id_col,
@@ -140,14 +152,11 @@ class StreamingNearDedup:
     def table(self) -> DataFrame:
         """Everything kept so far (the ``batch`` partition column rides
         along — it is the micro-batch id, useful for replay audits)."""
-        from rtstore_spark.store.fs import fs_for
+        from rtstore_spark.store.fs import read_parquet_or_empty
 
-        fs = fs_for(self.dest_dir, self.spark)
-        if not fs.exists(self.dest_dir) or not any(
-            f.endswith(".parquet") for f in fs.list_files_recursive(self.dest_dir)
-        ):
-            schema = T.StructType(
-                list(self.source_schema) + [T.StructField("batch", T.LongType())]
-            )
-            return self.spark.createDataFrame([], schema=schema)
-        return self.spark.read.parquet(self.dest_dir)
+        # IntegerType matches what partition inference yields for batch=N
+        # once data exists — the empty case must not flip the dtype
+        schema = T.StructType(
+            list(self.source_schema) + [T.StructField("batch", T.IntegerType())]
+        )
+        return read_parquet_or_empty(self.spark, self.dest_dir, schema)

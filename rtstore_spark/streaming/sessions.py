@@ -209,11 +209,6 @@ class StreamingSessionizer:
         q.awaitTermination()
 
     def table(self) -> DataFrame:
-        from rtstore_spark.store.fs import fs_for
+        from rtstore_spark.store.fs import read_parquet_or_empty
 
-        fs = fs_for(self.dest_dir, self.spark)
-        if not fs.exists(self.dest_dir) or not any(
-            f.endswith(".parquet") for f in fs.listdir(self.dest_dir)
-        ):
-            return self.spark.createDataFrame([], schema=_OUT_SCHEMA)
-        return self.spark.read.parquet(self.dest_dir)
+        return read_parquet_or_empty(self.spark, self.dest_dir, _OUT_SCHEMA)

@@ -177,3 +177,16 @@ class TestRangeJoinFractional:
         iv = spark.createDataFrame([(10, 0, 4)], "win_id long, s long, e long")
         out = range_join(ev, iv, "t", "s", "e", bucket_width=2)
         assert {(r["event_id"], r["win_id"]) for r in out.collect()} == {(2, 10)}
+
+
+class TestRangeJoinStringColumns:
+    def test_numeric_strings_compare_numerically(self, spark):
+        """String-typed numeric columns must coerce to double in the
+        residual predicate — lexicographic '9' < '12' is false and would
+        silently drop the match."""
+        from rtstore_spark.operators.asof import range_join
+
+        ev = spark.createDataFrame([(1, "9")], "event_id long, t string")
+        iv = spark.createDataFrame([(10, "5", "12")], "win_id long, s string, e string")
+        out = range_join(ev, iv, "t", "s", "e", bucket_width=100)
+        assert [(r["event_id"], r["win_id"]) for r in out.collect()] == [(1, 10)]

@@ -99,3 +99,29 @@ class TestStreamingNearDedup:
         nd = make(spark, tmp_path, "empty")
         assert nd.table().count() == 0
         assert "batch" in nd.table().columns
+
+
+class TestReplayAndSchema:
+    def test_replayed_batch_does_not_self_match(self, spark, tmp_path):
+        """foreachBatch is at-least-once: re-running a batch whose outputs
+        already landed must rewrite them identically — NOT match every doc
+        against its own stored signature and overwrite with empty data."""
+        nd = make(spark, tmp_path, "replay")
+        batch = spark.createDataFrame([(1, BASE), (3, OTHER)], schema=SCHEMA)
+        nd._apply(batch, 0)
+        first = kept_ids(nd)
+        assert first == [1, 3]
+        nd._apply(batch, 0)  # replay of the same micro-batch id
+        assert kept_ids(nd) == first
+        sigs = spark.read.parquet(nd.sig_dir)
+        assert sorted(r["id"] for r in sigs.select("id").collect()) == [1, 3]
+
+    def test_table_schema_stable_across_first_run(self, spark, tmp_path):
+        """The empty-case schema must match post-run partition inference —
+        a dtype flip on `batch` breaks unions built before the first run."""
+        nd = make(spark, tmp_path, "schema")
+        before = dict(nd.table().dtypes)
+        stage(spark, nd, [(1, BASE)])
+        nd.run_once()
+        after = dict(nd.table().dtypes)
+        assert before == after
