@@ -540,7 +540,8 @@ def semdedup(
     )
     # both sides of the self-join read the routed frame; persist pins ONE
     # assignment scan (model.transform is deterministic, so this is a
-    # perf pin, not a correctness one)
+    # perf pin, not a correctness one). Cached until session end — batch
+    # callers running many semdedup passes should clearCache() between.
     routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = routed.alias("a"), routed.alias("b")
     pairs = (

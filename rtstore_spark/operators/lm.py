@@ -90,7 +90,10 @@ def lm_fit(
     # (total collect now, the bigram conditional join, the pruned unigram
     # table later) — persist pins ONE corpus scan + agg for all of them;
     # the table itself is vocab-sized, so the cache is small. The total
-    # collect below doubles as the materializing action.
+    # collect below doubles as the materializing action. Lifetime: the
+    # entry stays cached until the session ends (the returned model's
+    # lineage references it); a driver fitting MANY models should
+    # lm_save/lm_load to parquet or spark.catalog.clearCache() between.
     from pyspark import StorageLevel
 
     uni = (
