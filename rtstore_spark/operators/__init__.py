@@ -11,7 +11,8 @@ Generic DataFrame transforms (no testdata coupling):
 - ``text``       — unicode/whitespace normalization, language/script ID,
                    quality features + trainable quality classifier,
                    Gopher rule gate, token counts, PII metrics/scrub,
-                   intra- and cross-doc repetition, chunking, BM25 top-k
+                   intra- and cross-doc repetition, chunking, BM25 top-k,
+                   tf-idf keywords, hashed-TF-IDF content clustering
 - ``multimodal`` — binary media columns: schema, batching, stubbed decode
 - ``sampling``   — deterministic stratified sampling, token-budget
                    domain-mixture sampling + per-domain mixture stats,

@@ -616,3 +616,115 @@ def normalize_text(
         c = F.regexp_replace(c, r"\n{3,}", "\n\n")  # ≤ one empty line between paras
         out = out.withColumn(text_col, F.trim(c))
     return out
+
+
+def keywords(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 10,
+    min_token_len: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction: the ``k`` highest tf·idf tokens.
+
+    The corpus-statistics twin of ``quality_features`` — a training-data
+    run uses it to tag documents with content terms for mixture analysis,
+    topic sampling, or cheap retrieval labels without any external model.
+    Tokens are lowercased whitespace words of at least ``min_token_len``
+    chars with the edge punctuation stripped; idf is the smoothed
+    ``ln((N+1)/(df+1)) + 1`` (scikit-learn's convention), tf is the raw
+    within-doc count. Ties break by token for determinism.
+
+    Returns (id, keywords array<string>, scores array<double>) — arrays
+    ordered by descending score.
+
+    Scale shape: one token explode feeding two partial-agg shuffles — the
+    per-(doc, token) tf and the per-token document frequency — then an
+    equi-join on the token key carries idf back and a per-doc window takes
+    the top k (partitioned by id: linear, never a global sort). The doc
+    count N is one tiny aggregate. Everything is fixed-width after the
+    explode; document text never shuffles.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
+        .select(
+            "id", F.regexp_replace("t", r"^[^\w]+|[^\w]+$", "").alias("t")
+        )
+        .filter(F.length("t") >= min_token_len)
+    )
+    tf = tok.groupBy("id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    docfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1
+    scored = tf.join(docfreq, "t").select(
+        "id", "t", F.round(F.col("tf") * idf, 6).alias("score")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.col("t"))
+    top = scored.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= k
+    )
+    return top.groupBy("id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("_rk", "t", "score"))
+            ),
+            lambda s: s["t"],
+        ).alias("keywords"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("_rk", "t", "score"))
+            ),
+            lambda s: s["score"],
+        ).alias("scores"),
+    )
+
+
+def cluster_texts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 64,
+    num_features: int = 1 << 18,
+    seed: int = 7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Content clustering without external embeddings: hashed TF-IDF →
+    L2-normalize → k-means. The text counterpart of
+    ``similarity.kmeans_routes`` (which routes embedding columns): corpus
+    runs use it to discover topical composition, drive per-cluster
+    mixture weights (`sampling.mixture_stats` over the cluster column),
+    or bound intra-cluster dedup candidates when no embedding exists.
+
+    Returns (id, cluster).
+
+    Scale shape: the feature pipeline is sparse END-TO-END — HashingTF
+    emits sparse vectors (num_features is hash-space size, not row
+    width), IDF and the normalizer preserve sparsity, and Spark ML's
+    k-means computes distances against broadcast centers JVM-side. The
+    corpus-sized data never densifies and never gathers on the driver;
+    per-iteration cost is one scan plus a k×nnz partial aggregate. The
+    hashing trick costs collisions instead of a vocabulary shuffle — the
+    standard trade (raise ``num_features`` to trade memory for fidelity).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import IDF, HashingTF, Normalizer
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    src = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    tf = HashingTF(
+        inputCol="_toks", outputCol="_tf", numFeatures=num_features
+    ).transform(src)
+    # IDF fits one pass (document frequencies), then scales map-side
+    idf_model = IDF(inputCol="_tf", outputCol="_tfidf").fit(tf)
+    feats = idf_model.transform(tf)
+    normed = Normalizer(inputCol="_tfidf", outputCol="_feat", p=2.0).transform(
+        feats
+    )
+    model = KMeans(
+        k=k, seed=seed, maxIter=max_iter,
+        featuresCol="_feat", predictionCol="cluster",
+    ).fit(normed)
+    return model.transform(normed).select("id", "cluster")
