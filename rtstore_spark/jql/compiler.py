@@ -113,22 +113,67 @@ class FieldResolver:
             return _cast_for(value, F.get_json_object(F.col(self.doc_col), json_path))
         raise QueryError(f"JQL: unknown field {dotted!r}")
 
+    def resolve_order(self, dotted: str) -> list[Column]:
+        """Sort keys for an asc/desc collector. Native columns order by
+        their own type; JSON-extracted values arrive as STRINGS, which
+        would order lexicographically ('10' < '9') — so JSON fields get a
+        two-level key: numeric interpretation first (null when the value
+        isn't a number), raw string as tiebreak. Numeric JSON fields order
+        numerically, string fields fall through to lexicographic."""
+        head = dotted.split(".")[0]
+        is_json = head not in self.fields or (
+            "." in dotted
+            and isinstance(self.fields[head].dataType, T.StringType)
+        )
+        col = self.resolve(dotted)
+        if not is_json:
+            return [col]
+        return [col.try_cast(T.DoubleType()), col]
+
     def resolve_array(self, path: list[str], cond_field: str, value=None) -> Column | None:
         """Resolve `/path/[elem_field op v]` — any-element-matches semantics.
 
         Returns a column of array values to test with ``exists``, or None if
         the native column is itself an array of structs (handled separately).
+
+        Two subtleties this must get right:
+        - when the head segment IS the (JSON string) column, the JSON path
+          must not repeat it — the text inside column ``profile`` has
+          top-level ``pets``, not ``profile.pets``;
+        - ``get_json_object`` with ``[*]`` returns a JSON *array* only when
+          two or more elements match; a single match comes back as the bare
+          element, which ``from_json(array<string>)`` turns into null — so
+          single-element arrays would silently never match without the
+          bare-value fallback below.
         """
         head = path[0]
-        if head in self.fields and isinstance(self.fields[head].dataType, T.ArrayType):
-            return None  # native array handled by caller via F.exists
-        base = F.col(self.doc_col) if head not in self.fields else F.col(head)
-        json_path = "$." + ".".join(path) + "[*]." + cond_field
-        arr = F.from_json(
-            F.get_json_object(base, json_path),
-            T.ArrayType(T.StringType()),
+        if head in self.fields:
+            dt = self.fields[head].dataType
+            if isinstance(dt, T.ArrayType):
+                return None  # native array handled by caller via F.exists
+            if not isinstance(dt, T.StringType):
+                raise QueryError(
+                    f"JQL: cannot traverse array path {'/'.join(path)!r} on {dt}"
+                )
+            base = F.col(head)
+            inner = ".".join(path[1:])
+        else:
+            if self.doc_col is None:
+                raise QueryError(f"JQL: unknown field {'/'.join(path)!r}")
+            base = F.col(self.doc_col)
+            inner = ".".join(path)
+        json_path = "$" + (f".{inner}" if inner else "") + "[*]." + cond_field
+        raw = F.get_json_object(base, json_path)
+        # the single match comes back as the bare JSON value ('"dog"', '3')
+        # — re-wrapping it in [] parses it through the same array decoder,
+        # so quotes strip identically in both arms
+        return F.coalesce(
+            F.from_json(raw, T.ArrayType(T.StringType())),
+            F.from_json(
+                F.concat(F.lit("["), raw, F.lit("]")),
+                T.ArrayType(T.StringType()),
+            ),
         )
-        return arr
 
 
 _OP_FUNCS = {
@@ -192,13 +237,20 @@ def _compile_clause(clause: Clause, resolver: FieldResolver, params) -> Column:
             _compile_cond(c, resolver, params, clause.path) for c in clause.conds
         ]
         pred = _fold_bool(preds, clause.cond_ops)
-    return ~pred if clause.negate else pred
+    # negation must be two-valued: a doc missing the field yields a NULL
+    # predicate, and SQL's ~NULL is NULL — which filter() drops, silently
+    # excluding exactly the docs a negated clause is supposed to keep
+    # (the reference matches "does not satisfy", not "provably false")
+    return ~F.coalesce(pred, F.lit(False)) if clause.negate else pred
 
 
 def _compile_expr(node, resolver: FieldResolver, params) -> Column:
     if isinstance(node, BoolExpr):
         if node.op == "not":
-            return ~_compile_expr(node.items[0], resolver, params)
+            # same two-valued-negation contract as clause.negate above
+            return ~F.coalesce(
+                _compile_expr(node.items[0], resolver, params), F.lit(False)
+            )
         preds = [_compile_expr(x, resolver, params) for x in node.items]
         out = preds[0]
         for p in preds[1:]:
@@ -227,9 +279,19 @@ def _apply_projection(
             keep.append(id_col)
         return df.select(*keep, *fields)
     # JSON-doc mode: rebuild the document with only the listed fields
-    # (JQL `| /{f1}` keeps listed fields — doc_store.rs:358-374).
+    # (JQL `| /{f1}` keeps listed fields — doc_store.rs:358-374). A field
+    # that IS a native column (e.g. owner in the doc-store layout) must
+    # come from that column — extracting it from the doc would yield null.
+    # Documented deviation: extracted values are re-encoded as JSON
+    # STRINGS ({"age":"30"}, nested objects double-encoded) — the
+    # reference keeps original JSON types; scalar consumers are unaffected
+    # and the oracle mirrors this encoding.
     struct_fields = [
-        F.get_json_object(F.col(doc_col), "$." + f).alias(f.split(".")[-1])
+        (
+            resolver.resolve(f)
+            if f.split(".")[0] in resolver.fields
+            else F.get_json_object(F.col(doc_col), "$." + f)
+        ).alias(f.split(".")[-1])
         for f in fields
     ]
     out = [F.to_json(F.struct(*struct_fields)).alias(doc_col)]
@@ -335,8 +397,9 @@ def apply_stages(
     resolver = FieldResolver(out, doc_col=doc_col)
     if order:
         cols = [
-            resolver.resolve(f) if kind == "asc" else resolver.resolve(f).desc()
+            key if kind == "asc" else key.desc()
             for kind, f in order
+            for key in resolver.resolve_order(f)
         ]
         out = out.orderBy(*cols)
     elif (limit_n is not None or skip_n is not None) and order_col:

@@ -300,7 +300,14 @@ class BatchApplier:
             .collect(),
             reason_col="_fail",
         )
-        ok = per_mut.filter(F.col("_fail").isNull()).select("_arrival")
+        # ok = every mutation minus the failed ones — keyed off MUTS, not
+        # off the exploded rows: a mutation with an empty ids array has no
+        # exploded row at all, and deriving ok from per_mut would make it
+        # vanish (neither rejected nor logged) even though its nonce was
+        # consumed — an accepted no-op must reach the log like empty adds
+        ok = muts.select("_arrival").join(
+            bad.select("_arrival"), "_arrival", "left_anti"
+        )
         return ok, rejected
 
     @staticmethod
@@ -348,6 +355,14 @@ class BatchApplier:
         """
         store, state = self.store, self.store.state
         block = state.block
+        if state.order > 0:
+            # the open block already holds sequential-API mutations whose
+            # orders collide with this batch's arrival stamps (merge-on-read
+            # resolves by (block, order), so a pre-existing add at order 3
+            # would outrank this batch's update stamped order 2). Close it:
+            # the batch gets a fresh block, exactly as the reference's timer
+            # tick closes the window before the next mutations land.
+            block = state.next_block()
         rejected: list[tuple[dict, str]] = []
         files = sorted(batch_df.inputFiles())
         if files and self._json_file_source(batch_df):
@@ -384,14 +399,35 @@ class BatchApplier:
             # deterministic.
             stamped = self._stamp_arrival(batch_df)
 
-            # 2. admission: signature + nonce walk, one pass, by sender
+            # 2. admission: signature + nonce walk, one pass, by sender.
+            # Envelopes missing sender/nonce/payload NEVER enter the pandas
+            # walk: a single null nonce in a sender's group would coerce the
+            # whole group's nonce column to float64, so every digest/eip712
+            # check for that sender renders "5.0" where "5" was signed — an
+            # unauthenticated one-line DoS — and a NaN nonce both passes the
+            # strictly-increasing walk (NaN comparisons are all False) and
+            # crashes the bulk nonce advance. They join the reject stream
+            # directly, nonce-free.
+            env_ok = (
+                F.col("sender").isNotNull()
+                & F.col("nonce").isNotNull()
+                & F.col("payload").isNotNull()
+            )
+            malformed = stamped.filter(~env_ok).select(
+                "payload", "signature", "sender", "nonce", "_arrival",
+                F.lit(None).cast("string").alias("_mid"),
+                F.lit(False).alias("_ok"),
+                F.lit("malformed envelope").alias("_reason"),
+            )
             admit = make_admit_fn(
                 dict(state._state["nonces"]), self.ingest.sig_mode
             )
             admitted = (
-                stamped.select("payload", "signature", "sender", "nonce", "_arrival")
+                stamped.filter(env_ok)
+                .select("payload", "signature", "sender", "nonce", "_arrival")
                 .groupBy("sender")
                 .applyInPandas(admit, schema=ADMIT_SCHEMA)
+                .unionByName(malformed)
             )
             parsed = admitted.withColumn("_p", F.from_json("payload", PAYLOAD_SCHEMA))
             parsed = parsed.select(
@@ -415,8 +451,26 @@ class BatchApplier:
             bad_action = F.col("_action").isNull() | ~F.col(
                 "_action"
             ).isin(*known)
+            # Malformed doc-op bodies are per-mutation rejections, never
+            # executor crashes: an update whose ids/patches lengths differ
+            # would zip-pad a null patch into fold_patches (json.loads(None)
+            # kills the whole block), and a signed non-JSON patch string
+            # would do the same one call later. try_parse_json is the same
+            # validation the fold's json.loads applies, just rejectable.
+            bad_body = (
+                (F.col("_action") == "update_document")
+                & (
+                    F.col("_ids").isNull()
+                    | F.col("_patches").isNull()
+                    | (F.size("_ids") != F.size("_patches"))
+                    | F.exists(
+                        "_patches",
+                        lambda p: p.isNull() | F.try_parse_json(p).isNull(),
+                    )
+                )
+            ) | ((F.col("_action") == "delete_document") & F.col("_ids").isNull())
             rejected += self._reject_rows(
-                parsed.filter(~F.col("_ok") | bad_action)
+                parsed.filter(~F.col("_ok") | bad_action | bad_body)
                 .select(
                     "payload", "signature", "sender", "nonce",
                     # null sender = a staging line that wasn't a JSON
@@ -427,7 +481,8 @@ class BatchApplier:
                     )
                     .when(~F.col("_ok"), F.col("_reason"))
                     .when(
-                        F.col("_action").isNull(), F.lit("malformed payload")
+                        F.col("_action").isNull() | bad_body,
+                        F.lit("malformed payload"),
                     )
                     .otherwise(
                         F.concat(F.lit("unknown action "), F.col("_action"))
@@ -436,7 +491,7 @@ class BatchApplier:
                 )
                 .collect()
             )
-            accepted = parsed.filter(F.col("_ok") & ~bad_action)
+            accepted = parsed.filter(F.col("_ok") & ~bad_action & ~bad_body)
 
             # 3. control plane — rare ops, sequential in arrival order. Runs
             # BEFORE the bulk nonce advance so create_database's own

@@ -54,6 +54,10 @@ class StateStore:
     def block(self) -> int:
         return self._state["block"]
 
+    @property
+    def order(self) -> int:
+        return self._state["order"]
+
     def observe_seq(self, block: int, order: int) -> None:
         """Replay path: adopt the origin's (block, order) as our position."""
         if (block, order) >= (self._state["block"], self._state["order"]):

@@ -251,3 +251,80 @@ class TestNativeColumns:
         # nested patches need a JSON doc column
         with pytest.raises(QueryError, match="document mode"):
             jql_query(df, '/* | apply {"m": {"x": 1}}', order_col="doc_id")
+
+
+class TestCompilerEdgeSemantics:
+    """Regression pins for review findings: single-element nested arrays,
+    native-JSON-column array paths, two-valued negation over missing
+    fields, numeric ordering of JSON fields, and mixed projections."""
+
+    def test_single_element_nested_array_matches(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, doc=json.dumps({"pets": [{"kind": "dog"}]})),
+                Row(doc_id=2, doc=json.dumps(
+                    {"pets": [{"kind": "cat"}, {"kind": "dog"}]})),
+                Row(doc_id=3, doc=json.dumps({"pets": [{"kind": "fish"}]})),
+            ]
+        )
+        out = jql_query(df, "/pets/[kind = dog]", doc_col="doc", order_col="doc_id")
+        # get_json_object returns the BARE element for one match — both the
+        # single-pet and the two-pet doc must match
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+    def test_array_path_through_native_json_column(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, profile=json.dumps(
+                    {"pets": [{"kind": "dog"}, {"kind": "cat"}]})),
+                Row(doc_id=2, profile=json.dumps({"pets": [{"kind": "cat"}]})),
+            ]
+        )
+        out = jql_query(df, "/profile/pets/[kind = dog]", order_col="doc_id")
+        # the JSON inside 'profile' has top-level 'pets' — the path must
+        # not repeat the column name
+        assert [r["doc_id"] for r in out.collect()] == [1]
+
+    def test_negation_keeps_docs_missing_the_field(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, doc=json.dumps({"city": "beijing"})),
+                Row(doc_id=2, doc=json.dumps({"name": "nofield"})),
+            ]
+        )
+        # clause negate and boolean NOT both: a doc without 'city' does not
+        # satisfy city=beijing, so it must be KEPT (SQL ~NULL would drop it)
+        for q in ("not /[city = beijing]",):
+            got = sorted(
+                r["doc_id"]
+                for r in jql_query(df, q, doc_col="doc", order_col="doc_id").collect()
+            )
+            assert got == [2], q
+
+    def test_asc_orders_json_numbers_numerically(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, doc=json.dumps({"age": 9})),
+                Row(doc_id=2, doc=json.dumps({"age": 10})),
+            ]
+        )
+        out = jql_query(
+            df, "/* | asc /age | limit 1", doc_col="doc", order_col="doc_id"
+        )
+        # lexicographic '10' < '9' would return age 10
+        assert [r["doc_id"] for r in out.collect()] == [1]
+        out_d = jql_query(
+            df, "/* | desc /age | limit 1", doc_col="doc", order_col="doc_id"
+        )
+        assert [r["doc_id"] for r in out_d.collect()] == [2]
+
+    def test_projection_mixing_native_and_doc_fields(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, owner="0xaa", doc=json.dumps({"name": "x"}))]
+        )
+        out = jql_query(
+            df, "/* | /{owner, name}", doc_col="doc", order_col="doc_id"
+        ).collect()[0]
+        rebuilt = json.loads(out["doc"])
+        # 'owner' is a native column — extracting it from doc would null it
+        assert rebuilt == {"owner": "0xaa", "name": "x"}

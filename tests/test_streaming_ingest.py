@@ -580,3 +580,90 @@ class TestAutoCompaction:
         assert before == sorted(
             (r["doc_id"], r["doc"]) for r in store.current_state(db, "c").collect()
         )
+
+
+class TestEnvelopeAndBodyValidation:
+    def _setup(self, spark, tmp_path, tag):
+        store = DocStore(spark, str(tmp_path / f"w_{tag}"))
+        ing = Ingest(store)
+        si = StreamingIngest(spark, ing, str(tmp_path / f"staging_{tag}"))
+        db = store.create_database(ALICE, nonce=1)
+        store.create_collection(db, "c", [], ALICE)
+        ids = store.add_docs(db, "c", ['{"v": 1}', '{"v": 2}'], ALICE)
+        return store, ing, si, db, ids
+
+    def test_null_nonce_does_not_poison_senders_group(self, spark, tmp_path):
+        """A null-nonce envelope for a VALID sender must be rejected alone:
+        inside the pandas admission it would coerce the group's nonce
+        column to float64, rendering '5.0' where '5' was signed — every
+        other mutation of that sender would fail 'bad signature' (an
+        unauthenticated one-line denial of service)."""
+        store, ing, si, db, ids = self._setup(spark, tmp_path, "nn")
+        good = envelope(
+            {"action": "add_document", "db_addr": db, "col_name": "c",
+             "body": {"docs": ['{"v": 3}']}},
+            ALICE, 2,
+        )
+        bad = {"payload": json.dumps({"action": "create_database", "body": {}}),
+               "signature": "x", "sender": ALICE, "nonce": None}
+        (tmp_path / "staging_nn" / "b.jsonl").write_text(
+            json.dumps(bad) + "\n" + json.dumps(good)
+        )
+        si.start(once=True)
+        # the good mutation landed; only the null-nonce one was rejected
+        assert store.current_state(db, "c").count() == 3
+        assert [r for _, r in si.rejected] == ["malformed envelope"]
+        assert ing.get_nonce(ALICE) == 3
+
+    def test_mismatched_ids_patches_rejected_not_crash(self, spark, tmp_path):
+        """ids/patches length mismatch zip-pads a null patch; it must be a
+        per-mutation 'malformed payload' rejection, not a json.loads(None)
+        crash of the whole block."""
+        store, ing, si, db, ids = self._setup(spark, tmp_path, "mm")
+        bad = envelope(
+            {"action": "update_document", "db_addr": db, "col_name": "c",
+             "body": {"ids": ids, "patches": ['{"v": 9}']}},  # 2 ids, 1 patch
+            ALICE, 2,
+        )
+        good = envelope(
+            {"action": "update_document", "db_addr": db, "col_name": "c",
+             "body": {"ids": [ids[0]], "patches": ['{"v": 7}']}},
+            ALICE, 3,
+        )
+        (tmp_path / "staging_mm" / "b.jsonl").write_text(
+            json.dumps(bad) + "\n" + json.dumps(good)
+        )
+        si.start(once=True)
+        assert [r for _, r in si.rejected] == ["malformed payload"]
+        docs = {json.loads(r["doc"])["v"] for r in store.current_state(db, "c").collect()}
+        assert docs == {7, 2}
+
+    def test_non_json_patch_rejected_not_crash(self, spark, tmp_path):
+        store, ing, si, db, ids = self._setup(spark, tmp_path, "nj")
+        bad = envelope(
+            {"action": "update_document", "db_addr": db, "col_name": "c",
+             "body": {"ids": [ids[0]], "patches": ["not json at all {{"]}},
+            ALICE, 2,
+        )
+        (tmp_path / "staging_nj" / "b.jsonl").write_text(json.dumps(bad))
+        si.start(once=True)
+        assert [r for _, r in si.rejected] == ["malformed payload"]
+        assert store.current_state(db, "c").count() == 2
+
+    def test_empty_ids_update_logged_not_lost(self, spark, tmp_path):
+        """An empty-ids update/delete is an accepted no-op that must reach
+        the mutation log (like empty adds) — not vanish while its nonce is
+        consumed."""
+        store, ing, si, db, ids = self._setup(spark, tmp_path, "ei")
+        noop = envelope(
+            {"action": "update_document", "db_addr": db, "col_name": "c",
+             "body": {"ids": [], "patches": []}},
+            ALICE, 2,
+        )
+        (tmp_path / "staging_ei" / "b.jsonl").write_text(json.dumps(noop))
+        si.start(once=True)
+        assert si.rejected == []
+        assert ing.get_nonce(ALICE) == 3
+        # logged: the block's mutation log carries the no-op update header
+        hdr = store.scan_mutation_headers(limit=50).collect()
+        assert any(h["action"] == "update_document" for h in hdr)
