@@ -129,10 +129,25 @@ class RollupExecutor:
         batch = log_df.filter(F.col("block") >= start)
         if open_block is not None:
             batch = batch.filter(F.col("block") < open_block)
+        # The payload column carries the FULL envelope as JSON (action,
+        # sender, nonce, db_addr, col_name, body, id) — the reference's
+        # rollup payload is the complete serialized Mutation for the same
+        # reason: once gc() reclaims the hot log, cold storage is the ONLY
+        # copy, and a body-only payload would make replay (replay_into)
+        # structurally impossible. Schema stays the reference's 5 columns;
+        # the signature column carries the mutation id (the unsigned
+        # direct-API stand-in the log itself uses).
+        envelope = F.to_json(
+            F.struct(
+                F.col("id"), F.col("sender"), F.col("nonce"),
+                F.col("action"), F.col("db_addr"), F.col("col_name"),
+                F.col("payload").alias("body"),
+            )
+        )
         batch = (
             batch
             .select(
-                F.encode(F.coalesce(F.col("payload"), F.lit("")), "utf-8").alias("payload"),
+                F.encode(envelope, "utf-8").alias("payload"),
                 F.col("id").alias("signature"),
                 F.col("block").cast("long").alias("block"),
                 F.col("order").cast("int").alias("order"),
@@ -140,13 +155,15 @@ class RollupExecutor:
             )
             .orderBy("block", "order")
         )
-        n = batch.count()
+        t0 = time.time()
+        stats = batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("block").alias("lo"),
+            F.max("block").alias("hi"),
+        ).collect()[0]
+        n, bounds = stats["n"], stats
         if n == 0:
             return None
-        t0 = time.time()
-        bounds = batch.agg(
-            F.min("block").alias("lo"), F.max("block").alias("hi")
-        ).collect()[0]
         tx_id = f"rollup_{bounds['lo']}_{bounds['hi']}"
         path = os.path.join(self.rollup_dir, f"{bounds['lo']}_{bounds['hi']}.gz.parquet")
         # one file per rollup tx, gzip like ar_toolbox.rs:197-214
@@ -271,8 +288,16 @@ class RollupExecutor:
                 continue
             if bucket < wm_bucket:
                 store.fs.delete(os.path.join(log_path, entry), recursive=True)
+        # this round's true start = the previous round's end + 1 (0 for the
+        # first) — a hardcoded 0 would make every later record claim an
+        # overlapping range whose data_size doesn't match the span
+        prev = (
+            self.scan_gc_records(limit=1).collect()
+            if self.fs.exists(os.path.join(self.root, "gc_records"))
+            else []
+        )
         record = {
-            "start_block": 0,
+            "start_block": int(prev[0]["end_block"] + 1) if prev else 0,
             "end_block": int(watermark - 1),
             "data_size": int(removed_size),
             "time": int(t0 * 1000),
@@ -362,3 +387,51 @@ class RollupExecutor:
             .parquet(*paths)
             .orderBy("block", "order")
         )
+
+    _ENVELOPE_SCHEMA = (
+        "id string, sender string, nonce long, action string, "
+        "db_addr string, col_name string, body string"
+    )
+
+    def replay_into(self, store) -> int:
+        """Recovery: re-apply every rolled-up mutation into ``store`` in
+        (block, order) sequence — the cold-start path once gc() has
+        reclaimed the hot log (recover.rs:140-236 walks the same chain).
+
+        Only rollups written by THIS engine are replayable (their payloads
+        are self-describing envelopes); a foreign payload that does not
+        decode raises instead of silently skipping history. Returns the
+        number of mutations applied. Mutations apply through
+        ``store.apply_mutation`` — logged (block, order) and mutation ids
+        are adopted, so the recovered replica's log matches the origin's.
+        """
+        rows = (
+            self.read_rollups()
+            .select(
+                F.from_json(
+                    F.decode(F.col("payload"), "utf-8"), self._ENVELOPE_SCHEMA
+                ).alias("e"),
+                "block", "order", "doc_ids",
+            )
+            .orderBy("block", "order")
+            .collect()
+        )
+        applied = 0
+        for r in rows:
+            e = r["e"]
+            if e is None or e["action"] is None:
+                raise ValueError(
+                    "rollup payload is not a self-describing envelope "
+                    "(foreign/reference-era rollup file) — cannot replay"
+                )
+            store.apply_mutation(
+                {
+                    "id": e["id"], "sender": e["sender"],
+                    "nonce": e["nonce"] or 0, "action": e["action"],
+                    "db_addr": e["db_addr"], "col_name": e["col_name"],
+                    "payload": e["body"], "doc_ids": r["doc_ids"],
+                    "block": r["block"], "order": r["order"],
+                }
+            )
+            applied += 1
+        return applied

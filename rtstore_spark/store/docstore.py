@@ -444,12 +444,31 @@ class DocStore:
                   {"desc": desc, "meta": meta}, None, block, order, mid=mid)
         if db_type == "event" and meta:
             # each declared event table becomes a collection
-            # (db3_database_v2.proto:73-76, db_store_v2.rs:918-979)
-            for table in meta.get("tables", []):
-                self._create_collection_raw(addr, table, [], sender)
+            # (db3_database_v2.proto:73-76, db_store_v2.rs:918-979).
+            # The tables are an EFFECT of the one create_event_db mutation:
+            # they share its (block, order) and write no log rows of their
+            # own — separate next_order() calls here would mint (block,
+            # order) keys that collide with other mutations of a
+            # batch-applied block, and replay recreates the tables from the
+            # logged meta anyway. Same name rules as M1.
+            tables = list(dict.fromkeys(meta.get("tables", [])))
+            if len(tables) != len(meta.get("tables", [])):
+                raise InvalidMutation("duplicate event table name in meta")
+            for table in tables:
+                if len(table) > self.max_col_name:
+                    raise InvalidMutation(
+                        f"collection name too long (> {self.max_col_name})"
+                    )
+            for table in tables:
+                self._create_collection_raw(
+                    addr, table, [], sender, seq=(block, order), log=False
+                )
         return addr
 
-    def _create_collection_raw(self, db_addr, name, indexes, sender, seq=None, mid=None):
+    def _create_collection_raw(
+        self, db_addr, name, indexes, sender, seq=None, mid=None,
+        nonce: int = 0, log: bool = True,
+    ):
         block, order = self._seq(seq)
         self._append(
             [
@@ -462,8 +481,9 @@ class DocStore:
             self.COL_SCHEMA,
             self._col_path(),
         )
-        self._log(sender, 0, "add_collection", db_addr, name,
-                  {"indexes": indexes}, None, block, order, mid=mid)
+        if log:
+            self._log(sender, nonce, "add_collection", db_addr, name,
+                      {"indexes": indexes}, None, block, order, mid=mid)
 
     def create_collection(
         self, db_addr: str, name: str, indexes: list[dict] | None = None,
@@ -479,16 +499,23 @@ class DocStore:
             raise DatabaseNotFound(db_addr)
         if self._col_row(db_addr, name) is not None:
             raise CollectionAlreadyExists(f"{db_addr}/{name}")
-        self._create_collection_raw(db_addr, name, indexes or [], sender, seq=seq, mid=mid)
+        self._create_collection_raw(
+            db_addr, name, indexes or [], sender, seq=seq, mid=mid,
+            nonce=nonce or 0,
+        )
 
     def add_index(
-        self, db_addr: str, name: str, new_indexes: list[dict], sender: str
+        self, db_addr: str, name: str, new_indexes: list[dict], sender: str,
+        seq: tuple[int, int] | None = None, mid: str | None = None,
     ) -> None:
         """M8 AddIndex — path collision rejected (db_store_v2.rs:1108-1147).
 
         Index registration is a correctness no-op on Spark (Catalyst pushdown
         covers it — SURVEY.md §4.1); we validate + record for parity, and the
         paths become candidates for partition/Z-ORDER layout in compact().
+        Logged like every other mutation — a replica that replays the log
+        must end with the same registered indexes (and the same compact()
+        layout), not silently fewer.
         """
         row = self._col_row(db_addr, name)
         if row is None:
@@ -500,7 +527,7 @@ class DocStore:
             if idx["path"] in existing:
                 raise IndexAlreadyExists(idx["path"])
         merged = json.loads(row["index_fields"] or "[]") + list(new_indexes)
-        block, order = self.state.next_order()
+        block, order = self._seq(seq)
         self._append(
             [
                 {
@@ -512,6 +539,8 @@ class DocStore:
             self.COL_SCHEMA,
             self._col_path(),
         )
+        self._log(sender, 0, "add_index", db_addr, name,
+                  {"indexes": list(new_indexes)}, None, block, order, mid=mid)
 
     # ------------------------------------------------------------------
     # documents — M2 add, M3 update, M4 delete
@@ -1030,10 +1059,30 @@ class DocStore:
                 seq=seq, mid=mid,
             )
         elif action == "add_collection":
+            # consume the origin's nonce BEFORE the idempotence check: the
+            # sequencer state must converge to the origin's even when the
+            # collection already exists on this replica
+            if row["nonce"]:
+                self.state.incr_nonce(row["sender"], row["nonce"])
             if self._col_row(row["db_addr"], row["col_name"]) is None:
                 self._create_collection_raw(
                     row["db_addr"], row["col_name"], payload.get("indexes", []),
-                    row["sender"], seq=seq, mid=mid,
+                    row["sender"], seq=seq, mid=mid, nonce=row["nonce"] or 0,
+                )
+        elif action == "add_index":
+            # idempotent on replay: skip paths this replica already has
+            row_c = self._col_row(row["db_addr"], row["col_name"])
+            have = {
+                i["path"]
+                for i in json.loads((row_c or {"index_fields": "[]"})["index_fields"] or "[]")
+            }
+            fresh = [
+                i for i in payload.get("indexes", []) if i["path"] not in have
+            ]
+            if fresh:
+                self.add_index(
+                    row["db_addr"], row["col_name"], fresh, row["sender"],
+                    seq=seq, mid=mid,
                 )
         elif action == "add_document":
             self.add_docs(

@@ -61,9 +61,15 @@ def verify_signature(
                 "domain": {},
                 "message": {"payload": payload.encode(), "nonce": str(nonce)},
             }
-            recovered = Account.recover_message(
-                encode_typed_data(full_message=typed), signature=signature
-            )
+            try:
+                recovered = Account.recover_message(
+                    encode_typed_data(full_message=typed), signature=signature
+                )
+            except Exception as e:  # noqa: BLE001 — eth_keys raises its own
+                # exception types; both backends must reject malformed
+                # signatures with the SAME error contract (InvalidMutation),
+                # not an environment-dependent raw crash
+                raise InvalidMutation(f"malformed signature: {e}") from e
         else:
             from rtstore_spark.crypto.eip712 import recover_mutation_signer
 
@@ -108,6 +114,16 @@ class Ingest:
         body = payload.get("body") or {}
         store = self.store
         items: list[dict] = []
+
+        def need(obj, key, where):
+            # a well-signed but incomplete payload is a per-mutation
+            # InvalidMutation (the node's reject contract), never a raw
+            # KeyError escaping the response path
+            try:
+                return obj[key]
+            except (KeyError, TypeError):
+                raise InvalidMutation(f"payload missing {where}.{key}")
+
         if action == "create_database":
             addr = store.create_database(
                 sender, nonce, desc=body.get("desc", ""),
@@ -117,32 +133,35 @@ class Ingest:
             items.append({"key": "db_addr", "value": addr})
         elif action == "add_collection":
             store.create_collection(
-                payload["db_addr"], payload["col_name"],
+                need(payload, "db_addr", "payload"), need(payload, "col_name", "payload"),
                 body.get("indexes", []), sender, nonce=nonce, mid=tx_id,
             )
             items.append({"key": "collection", "value": payload["col_name"]})
         elif action == "add_document":
             ids = store.add_docs(
-                payload["db_addr"], payload["col_name"], body["docs"], sender,
+                need(payload, "db_addr", "payload"), need(payload, "col_name", "payload"),
+                need(body, "docs", "body"), sender,
                 nonce=nonce, mid=tx_id,
             )
             items += [{"key": "document", "value": str(i)} for i in ids]
         elif action == "update_document":
             store.update_docs(
-                payload["db_addr"], payload["col_name"], body["ids"],
-                body["patches"], sender, nonce=nonce, mid=tx_id,
+                need(payload, "db_addr", "payload"), need(payload, "col_name", "payload"),
+                need(body, "ids", "body"), need(body, "patches", "body"),
+                sender, nonce=nonce, mid=tx_id,
             )
         elif action == "delete_document":
             store.delete_docs(
-                payload["db_addr"], payload["col_name"], body["ids"], sender,
+                need(payload, "db_addr", "payload"), need(payload, "col_name", "payload"),
+                need(body, "ids", "body"), sender,
                 nonce=nonce, mid=tx_id,
             )
         else:
             raise InvalidMutation(f"unknown action {action!r}")
 
-        block, order = store.state.block, store.state._state["order"]
+        block, order = store.state.block, store.state.order
         return {"id": tx_id, "items": items, "block": block, "order": order}
 
     def get_nonce(self, sender: str) -> int:
         """GetNonce: the next valid nonce for a sender."""
-        return self.store.state._state["nonces"].get(sender, 0) + 1
+        return self.store.state.nonce_of(sender) + 1

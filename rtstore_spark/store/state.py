@@ -58,6 +58,10 @@ class StateStore:
     def order(self) -> int:
         return self._state["order"]
 
+    def nonce_of(self, sender: str) -> int:
+        """Last consumed nonce for a sender (0 = none yet)."""
+        return self._state["nonces"].get(sender, 0)
+
     def observe_seq(self, block: int, order: int) -> None:
         """Replay path: adopt the origin's (block, order) as our position."""
         if (block, order) >= (self._state["block"], self._state["order"]):

@@ -1,0 +1,198 @@
+"""Replication fidelity: every mutation the origin applies must reach a
+replica — through log replay (add_index, nonces) AND through cold-storage
+rollups after the hot log is GC'd (self-describing payload envelopes)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from rtstore_spark.errors import InvalidMutation
+from rtstore_spark.sources.rollup import RollupExecutor
+from rtstore_spark.store import DocStore
+from rtstore_spark.store.ingest import Ingest
+
+ALICE = "0x" + "aa" * 20
+
+
+class TestLogReplayFidelity:
+    def test_add_index_replicates(self, spark, tmp_path):
+        """AddIndex is a logged mutation: a replica replaying the log must
+        end with the same registered indexes (it previously never logged,
+        so replicas silently lost every index registration)."""
+        origin = DocStore(spark, str(tmp_path / "origin"))
+        db = origin.create_database(ALICE, nonce=1)
+        origin.create_collection(db, "c", [], ALICE)
+        origin.add_index(db, "c", [{"path": "/x", "type": "int64"}], ALICE)
+        origin.add_docs(db, "c", ['{"x": 1}'], ALICE)
+
+        replica = DocStore(spark, str(tmp_path / "replica"))
+        replica.replay_from(origin)
+        row = replica._col_row(db, "c")
+        assert json.loads(row["index_fields"]) == [{"path": "/x", "type": "int64"}]
+        # and the origin's duplicate-registration rejection still holds there
+        with pytest.raises(Exception, match="/x"):
+            replica.add_index(db, "c", [{"path": "/x", "type": "int64"}], ALICE)
+
+    def test_add_collection_log_keeps_real_nonce(self, spark, tmp_path):
+        """The log must record the nonce each mutation consumed — a replica
+        replaying it ends with the origin's sequencer nonce state."""
+        origin = DocStore(spark, str(tmp_path / "o2"))
+        ing = Ingest(origin)
+        from rtstore_spark.store.ingest import digest_signature
+
+        p = {"action": "create_database", "body": {"desc": "d"}}
+        b = json.dumps(p, sort_keys=True)
+        ing.send_mutation(p, digest_signature(b, 1, ALICE), ALICE, 1)
+        db = origin.databases().collect()[0]["db_addr"]
+        p2 = {"action": "add_collection", "db_addr": db, "col_name": "c", "body": {}}
+        b2 = json.dumps(p2, sort_keys=True)
+        ing.send_mutation(p2, digest_signature(b2, 7, ALICE), ALICE, 7)
+
+        logged = {
+            r["action"]: r["nonce"]
+            for r in origin.mutation_log().collect()
+        }
+        assert logged["add_collection"] == 7
+
+        replica = DocStore(spark, str(tmp_path / "r2"))
+        replica.replay_from(origin)
+        assert replica.state.nonce_of(ALICE) == origin.state.nonce_of(ALICE) == 7
+
+    def test_event_db_tables_share_parent_seq(self, spark, tmp_path):
+        """Event-db table creation is an effect of ONE mutation: it must not
+        mint extra (block, order) keys (which collide with other mutations
+        in a batch block) nor extra log rows, and replay must still
+        recreate the tables from the logged meta."""
+        origin = DocStore(spark, str(tmp_path / "o3"))
+        db = origin.create_database(
+            ALICE, nonce=1, db_type="event", meta={"tables": ["t1", "t2"]}
+        )
+        log = origin.mutation_log().collect()
+        assert [r["action"] for r in log] == ["create_event_db"]
+        # the catalog rows exist and share the parent's (block, order)
+        cols = {r["col_name"]: r for r in origin.collections(db).collect()}
+        assert set(cols) == {"t1", "t2"}
+
+        replica = DocStore(spark, str(tmp_path / "r3"))
+        replica.replay_from(origin)
+        assert {r["col_name"] for r in replica.collections(db).collect()} == {"t1", "t2"}
+
+    def test_event_db_meta_validated(self, spark, tmp_path):
+        store = DocStore(spark, str(tmp_path / "o4"))
+        with pytest.raises(InvalidMutation, match="duplicate"):
+            store.create_database(
+                ALICE, nonce=1, db_type="event", meta={"tables": ["d", "d"]}
+            )
+        with pytest.raises(InvalidMutation, match="too long"):
+            store.create_database(
+                ALICE, nonce=2, db_type="event",
+                meta={"tables": ["a_table_name_well_over_twenty_chars"]},
+            )
+
+
+class TestRollupReplay:
+    def test_cold_storage_replay_after_gc(self, spark, tmp_path):
+        """The full disaster path: mutate → rollup → gc the hot log →
+        rebuild a fresh store from rollups alone, byte-identical state."""
+        origin = DocStore(spark, str(tmp_path / "cold_o"))
+        db = origin.create_database(ALICE, nonce=1)
+        origin.create_collection(db, "c", [], ALICE)
+        ids = origin.add_docs(db, "c", ['{"v": 1}', '{"v": 2}'], ALICE)
+        origin.update_docs(db, "c", [ids[0]], ['{"v": 10}'], ALICE)
+        origin.delete_docs(db, "c", [ids[1]], ALICE)
+        origin.state.next_block()  # close the block so rollup covers it
+
+        ex = RollupExecutor(spark, str(tmp_path / "cold_o" / "coldroot"))
+        out = ex.rollup(origin.mutation_log(), open_block=origin.state.block)
+        assert out is not None and out["rows"] == 5
+        ex.gc(origin, min_gc_offset=0)
+
+        fresh = DocStore(spark, str(tmp_path / "cold_r"))
+        applied = ex.replay_into(fresh)
+        assert applied == 5
+        want = sorted(
+            (r["doc_id"], r["doc"]) for r in origin.current_state(db, "c").collect()
+        )
+        got = sorted(
+            (r["doc_id"], r["doc"]) for r in fresh.current_state(db, "c").collect()
+        )
+        # the merge UDF serializes compactly (sort_keys, no spaces) — both
+        # stores byte-identically
+        assert got == want == [(ids[0], '{"v":10}')]
+        # mutation ids survived the round trip: the replica's log ids equal
+        # the rollup's signature column (which carries the origin's ids)
+        roll_ids = sorted(
+            r["signature"] for r in ex.read_rollups().select("signature").collect()
+        )
+        fresh_ids = sorted(r["id"] for r in fresh.mutation_log().collect())
+        assert fresh_ids == roll_ids and len(fresh_ids) == 5
+
+    def test_foreign_rollup_refuses_replay(self, spark, tmp_path):
+        """A reference-era rollup (payload = opaque bytes) must raise, not
+        silently skip history."""
+        ex = RollupExecutor(spark, str(tmp_path / "foreign"))
+        df = spark.createDataFrame(
+            [(bytearray(b"\x08\x01raw-protobuf"), "sig", 0, 1, None)],
+            "payload binary, signature string, block long, order int, doc_ids string",
+        )
+        import os
+
+        path = os.path.join(ex.rollup_dir, "0_0.gz.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        row = {
+            "tx_id": "rollup_0_0", "start_block": 0, "end_block": 0,
+            "last_rollup_tx": None, "version_id": "v2", "rows": 1,
+            "compress_size": 1, "time_ms": 0, "created_ms": 0,
+        }
+        from rtstore_spark.sources.rollup import MANIFEST_SCHEMA
+
+        spark.createDataFrame([row], schema=MANIFEST_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(ex.manifest_path)
+        fresh = DocStore(spark, str(tmp_path / "foreign_r"))
+        with pytest.raises(ValueError, match="self-describing"):
+            ex.replay_into(fresh)
+
+
+class TestGcRecordRanges:
+    def test_consecutive_rounds_do_not_overlap(self, spark, tmp_path):
+        origin = DocStore(spark, str(tmp_path / "gco"))
+        db = origin.create_database(ALICE, nonce=1)
+        origin.create_collection(db, "c", [], ALICE)
+        ex = RollupExecutor(spark, str(tmp_path / "gco" / "cold"))
+        # two rollup+gc rounds over disjoint block ranges
+        for i in range(2):
+            origin.add_docs(db, "c", [f'{{"v": {i}}}'], ALICE)
+            origin.state.next_block()
+            assert ex.rollup(origin.mutation_log(), open_block=origin.state.block)
+            ex.gc(origin, min_gc_offset=0)
+        recs = sorted(
+            (r["start_block"], r["end_block"])
+            for r in ex.scan_gc_records().collect()
+        )
+        assert len(recs) == 2
+        assert recs[1][0] == recs[0][1] + 1  # contiguous, not overlapping
+
+
+class TestSendMutationContract:
+    def test_missing_fields_are_invalid_mutation(self, spark, tmp_path):
+        """Well-signed but incomplete payloads reject with InvalidMutation
+        (the response contract), never a raw KeyError."""
+        from rtstore_spark.store.ingest import digest_signature
+
+        store = DocStore(spark, str(tmp_path / "sm"))
+        ing = Ingest(store)
+        cases = [
+            {"action": "add_document", "body": {"docs": ["{}"]}},     # no db_addr
+            {"action": "add_collection", "db_addr": "0x0"},            # no col_name
+            {"action": "update_document", "db_addr": "0x0",
+             "col_name": "c", "body": {"ids": [1]}},                   # no patches
+            {"action": "add_document", "db_addr": "0x0",
+             "col_name": "c", "body": {}},                             # no docs
+        ]
+        for i, p in enumerate(cases, start=1):
+            b = json.dumps(p, sort_keys=True)
+            with pytest.raises(InvalidMutation, match="missing"):
+                ing.send_mutation(p, digest_signature(b, i, ALICE), ALICE, i)
