@@ -22,6 +22,8 @@ Generic DataFrame transforms (no testdata coupling):
                    bounded-error top-k heavy hitters, histogram quantiles
 - ``lm``         — pruned interpolated bigram LM: perplexity scoring and
                    filtering (CCNet-style quality signal)
+- ``tokenizer``  — learned BPE subword vocabulary: one-shuffle distributed
+                   fit over word counts, Arrow-batched encode
 - ``pipeline``   — end-to-end corpus preparation composition + training-
                    shard export + fixed-budget sequence packing
 """

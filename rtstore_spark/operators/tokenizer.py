@@ -1,0 +1,261 @@
+"""Learned BPE subword vocabulary: distributed fit, Arrow-batched encode.
+
+The brief's training-data surface asks for token counting; a *learned*
+byte-pair-encoding vocabulary is the real version of that operator —
+the tokenizer a 100-TB pretraining run would actually fit over its corpus
+(Sennrich et al., *Neural Machine Translation of Rare Words with Subword
+Units*, 2016). The reference engine has no analog (its query surface is
+document CRUD + JQL — SURVEY §2.3-2.6); this belongs to the
+beyond-parity training-data-prep family.
+
+Scale design
+------------
+The classic BPE trainer does NOT iterate over the corpus — it iterates
+over the *word-type frequency table* (sentencepiece and the HF trainers
+work the same way). That split is what makes the operator 100-TB-safe:
+
+- ``bpe_fit``'s corpus-sized work is ONE word-count groupBy — a
+  partial-agg shuffle whose wire rows are bounded by the vocabulary, not
+  the corpus (map-side combine collapses repeats per executor). The
+  table is then pruned to the ``max_word_types`` most frequent types (a
+  TakeOrdered, bounded driver memory) before the merge loop runs
+  driver-side. Merge learning is O(word_types × n_merges) and completely
+  independent of corpus size; at 100 TB the pruned 1M-type table drops a
+  vanishing tail of singleton noise (exactly the types BPE merges could
+  never promote past ``min_count`` anyway).
+- ``bpe_encode`` ships the merge ranks to executors inside the UDF
+  closure (O(n_merges) small — a 32k-merge model is ~1 MB) and encodes
+  via an Arrow-batched pandas UDF with a per-batch word memo, so each
+  distinct word is merged once per batch regardless of how often it
+  repeats. No shuffle: scan → project.
+
+Determinism: ties in pair frequency break on the pair's lexicographic
+order, so the learned merge list is a pure function of the word-count
+table — two fits over differently-partitioned copies of the same corpus
+produce identical vocabularies (pinned by test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, StringType, StructField, StructType
+
+# marks the word boundary so merges cannot cross words and a decoder can
+# restore spacing; standard BPE convention (Sennrich 2016 uses `</w>`)
+END = "</w>"
+
+
+def _tokens(text_col: str):
+    """Lowercased whitespace tokens — the library-wide convention
+    (``text.token_count`` / ``lm._tokens`` split the same way)."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def word_counts(
+    df: DataFrame, text_col: str, max_word_types: int, min_count: int
+) -> DataFrame:
+    """The corpus-sized step: (word, count) pruned to the heaviest types.
+
+    One partial-agg shuffle; the TakeOrdered prune bounds what the driver
+    will hold. Deterministic (count desc, word asc) tie-break so the fit
+    is reproducible across partitionings.
+    """
+    return (
+        df.select(F.explode(_tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .orderBy(F.col("c").desc(), "w")
+        .limit(max_word_types)
+    )
+
+
+def _merge_loop(freqs: list[tuple[str, int]], n_merges: int) -> list[tuple[str, str]]:
+    """Driver-side BPE merge learning over word-type frequencies.
+
+    Incremental pair-count maintenance: each adopted merge only touches
+    the words that contain the merged pair (tracked via an inverted
+    index), so a learning step costs O(words containing the pair), not
+    O(word_types) — the standard fast-BPE bookkeeping.
+    """
+    words: list[list[str]] = []  # symbol sequences, one per word type
+    wfreq: list[int] = []
+    for w, c in freqs:
+        words.append(list(w) + [END])
+        wfreq.append(c)
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}  # pair -> word indexes
+
+    def add_word_pairs(i: int, sign: int) -> None:
+        syms = words[i]
+        for a, b in zip(syms, syms[1:]):
+            p = (a, b)
+            pair_counts[p] = pair_counts.get(p, 0) + sign * wfreq[i]
+            if sign > 0:
+                where.setdefault(p, set()).add(i)
+
+    for i in range(len(words)):
+        if len(words[i]) >= 2:
+            add_word_pairs(i, +1)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = None
+        for p, c in pair_counts.items():
+            if c <= 0:
+                continue
+            if best is None or c > best[1] or (c == best[1] and p < best[0]):
+                best = (p, c)
+        if best is None:
+            break
+        pair = best[0]
+        merges.append(pair)
+        joined = pair[0] + pair[1]
+        touched = list(where.get(pair, ()))
+        for i in touched:
+            syms = words[i]
+            if len(syms) < 2:
+                continue
+            # re-count this word's pairs around the rewrite (cheap: words
+            # are short; avoids adjacent-pair edge cases of in-place math)
+            add_word_pairs(i, -1)
+            out: list[str] = []
+            j = 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == pair[0] and syms[j + 1] == pair[1]:
+                    out.append(joined)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+            add_word_pairs(i, +1)
+        # fully consumed: never a candidate again
+        pair_counts[pair] = 0
+        where.pop(pair, None)
+    return merges
+
+
+def bpe_fit(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 8000,
+    max_word_types: int = 1_000_000,
+    min_count: int = 2,
+) -> dict:
+    """Fit a BPE merge table on a corpus.
+
+    Returns ``{"merges": [(a, b), ...] in rank order, "vocab":
+    sorted symbol list}``. See module docstring for why the corpus-sized
+    work is exactly one word-count shuffle.
+    """
+    freqs = [
+        (r["w"], int(r["c"]))
+        for r in word_counts(df, text_col, max_word_types, min_count).collect()
+    ]
+    merges = _merge_loop(freqs, n_merges)
+    vocab = set()
+    for w, _ in freqs:
+        vocab.update(w)
+    vocab.add(END)
+    vocab.update(a + b for a, b in merges)
+    return {"merges": merges, "vocab": sorted(vocab)}
+
+
+def _word_encoder(ranks: dict[tuple[str, str], int]):
+    """Greedy lowest-rank-first merge of one word (HF/GPT-2 style).
+
+    Returned as a dynamically-created closure on purpose: cloudpickle
+    ships such functions BY VALUE, so the executor never has to import
+    ``rtstore_spark`` — the encode UDF works on a cluster whose workers
+    don't have the package on their Python path (no ``--py-files``).
+    A module-level function here would pickle by reference and raise
+    ``ModuleNotFoundError`` on exactly those workers.
+    """
+    end = END  # captured by value alongside the closure
+
+    def encode(word: str) -> list[str]:
+        syms = list(word) + [end]
+        while len(syms) >= 2:
+            best_rank, best_j = None, -1
+            for j in range(len(syms) - 1):
+                r = ranks.get((syms[j], syms[j + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_j = r, j
+            if best_rank is None:
+                break
+            syms[best_j : best_j + 2] = [syms[best_j] + syms[best_j + 1]]
+        return syms
+
+    return encode
+
+
+def bpe_encode(
+    df: DataFrame, text_col: str, id_col: str, model: dict
+) -> DataFrame:
+    """(id, tokens array<string>, n_tokens) under a ``bpe_fit`` model.
+
+    Arrow-batched ``mapInPandas`` with a per-batch word memo: each
+    distinct word in a batch is merged once. The merge-rank dict rides in
+    the closure (O(n_merges), ~1 MB at 32k merges — cheaper than a join
+    against a broadcast table because the memo also amortizes repeated
+    words, which a join cannot). Shuffle-free: scan → project.
+    """
+    encode_word = _word_encoder({p: i for i, p in enumerate(model["merges"])})
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("tokens", ArrayType(StringType())),
+            StructField("n_tokens", IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        memo: dict[str, list[str]] = {}
+
+        def enc(text):
+            toks: list[str] = []
+            if not isinstance(text, str):  # None or pandas NaN
+                return toks
+            for w in text.lower().strip().split():
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = encode_word(w)
+                toks.extend(got)
+            return toks
+
+        for pdf in batches:
+            toks = pdf[text_col].map(enc)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "tokens": toks,
+                    "n_tokens": toks.map(len).astype("int32"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def bpe_save(spark, model: dict, path: str) -> None:
+    """Persist merges (rank-ordered) as one small parquet table; the
+    vocab is derivable but stored too so a reader needs no re-derivation."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(model["merges"])],
+        "rank INT, a STRING, b STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/merges")
+    spark.createDataFrame(
+        [(s,) for s in model["vocab"]], "sym STRING"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/vocab")
+
+
+def bpe_load(spark, path: str) -> dict:
+    """Reload a model written by ``bpe_save``."""
+    rows = spark.read.parquet(path + "/merges").orderBy("rank").collect()
+    vocab = [r["sym"] for r in spark.read.parquet(path + "/vocab").collect()]
+    return {"merges": [(r["a"], r["b"]) for r in rows], "vocab": sorted(vocab)}

@@ -1,0 +1,148 @@
+"""BPE tokenizer: fit determinism, encode round-trip, persistence.
+
+A DuckDB oracle cannot express an iterative merge learner, so the
+operator is pytest-verified (the weaker-check class the driver
+documents for non-SQL-expressible ops): a hand-checkable tiny corpus
+pins the exact merge order, properties pin the encode invariants, and a
+partitioning-invariance test pins the determinism claim the module
+docstring makes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rtstore_spark.operators.tokenizer import (
+    END,
+    _merge_loop,
+    _word_encoder,
+    bpe_encode,
+    bpe_fit,
+    bpe_load,
+    bpe_save,
+)
+
+
+def _encode_word(word, ranks):
+    return _word_encoder(ranks)(word)
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id LONG, text STRING"
+    )
+
+
+class TestMergeLoop:
+    def test_known_merge_order(self):
+        # "low" x5, "lower" x2: first merge must be the heaviest pair.
+        # Pairs in "low"+"lower": (l,o)=7, (o,w)=7, (w,</w>)=5, (w,e)=2,
+        # (e,r)=2, (r,</w>)=2. Tie (l,o) vs (o,w) breaks lexicographic.
+        merges = _merge_loop([("low", 5), ("lower", 2)], 3)
+        assert merges[0] == ("l", "o")
+        assert merges[1] == ("lo", "w")
+        assert merges[2] == ("low", END)  # "low" x5 beats (e,r)=2
+
+    def test_exhaustion_stops_early(self):
+        # one word type, freq 1 below nothing — merges until the whole
+        # word is one symbol, then stops instead of looping
+        merges = _merge_loop([("ab", 3)], 10)
+        assert len(merges) == 2  # (a,b) then (ab,</w>)
+
+    def test_empty_input(self):
+        assert _merge_loop([], 5) == []
+
+
+class TestEncodeWord:
+    def test_unmerged_falls_back_to_chars(self):
+        assert _encode_word("hi", {}) == ["h", "i", END]
+
+    def test_full_merge_yields_single_token(self):
+        merges = _merge_loop([("low", 5)], 10)
+        ranks = {p: i for i, p in enumerate(merges)}
+        assert _encode_word("low", ranks) == ["low" + END]
+
+    def test_rank_priority_respected(self):
+        # lower rank (earlier merge) must apply first even if a later
+        # merge is available earlier in the word
+        ranks = {("b", "c"): 0, ("a", "b"): 1}
+        assert _encode_word("abc", ranks) == ["a", "bc", END]
+
+
+class TestFitEncodeSpark:
+    @pytest.fixture(scope="class")
+    def model(self, spark):
+        df = _corpus(
+            spark,
+            ["low low low low low", "lower lower", "newest newest newest"],
+        )
+        return bpe_fit(df, "text", n_merges=8, min_count=1)
+
+    def test_fit_learns_corpus_words(self, model):
+        assert ("l", "o") in model["merges"]
+        assert END in model["vocab"]
+        # every merged symbol's text is in the vocab
+        for a, b in model["merges"]:
+            assert a + b in model["vocab"]
+
+    def test_encode_concatenation_restores_words(self, spark, model):
+        df = _corpus(spark, ["low newest unseen"])
+        row = bpe_encode(df, "text", "doc_id", model).collect()[0]
+        text = "".join(row["tokens"]).replace(END, " ").strip()
+        assert text == "low newest unseen"
+        assert row["n_tokens"] == len(row["tokens"])
+
+    def test_known_word_collapses_unseen_does_not(self, spark, model):
+        df = _corpus(spark, ["low", "zzz"])
+        out = {
+            r["doc_id"]: r["tokens"]
+            for r in bpe_encode(df, "text", "doc_id", model).collect()
+        }
+        assert out[0] == ["low" + END]  # frequent training word: 1 token
+        assert len(out[1]) == 4  # z z z </w> — no applicable merges
+
+    def test_null_and_empty_text(self, spark, model):
+        df = spark.createDataFrame(
+            [(1, None), (2, "   ")], "doc_id LONG, text STRING"
+        )
+        out = {
+            r["doc_id"]: (r["tokens"], r["n_tokens"])
+            for r in bpe_encode(df, "text", "doc_id", model).collect()
+        }
+        assert out[1] == ([], 0)
+        assert out[2] == ([], 0)
+
+    def test_fit_partitioning_invariant(self, spark):
+        rows = ["the cat sat", "the cat", "a hat the cat wore"] * 4
+        m1 = bpe_fit(_corpus(spark, rows).repartition(1), "text", 6, min_count=1)
+        m8 = bpe_fit(_corpus(spark, rows).repartition(8), "text", 6, min_count=1)
+        assert m1["merges"] == m8["merges"]
+        assert m1["vocab"] == m8["vocab"]
+
+    def test_save_load_round_trip(self, spark, model, tmp_path):
+        bpe_save(spark, model, str(tmp_path / "bpe"))
+        back = bpe_load(spark, str(tmp_path / "bpe"))
+        assert back["merges"] == model["merges"]
+        assert back["vocab"] == model["vocab"]
+
+    def test_real_table_token_budget(self, spark, sf_dir):
+        # smoke on the synthetic documents table: BPE tokens per doc must
+        # be ≤ character count + words (the </w> markers) and ≥ word count
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.trim("text") != "")  # an empty doc has 1 "word" (the
+            .limit(50)                     # empty split token) but 0 tokens
+        )
+        model = bpe_fit(docs, "text", n_merges=50, min_count=2)
+        enc = bpe_encode(docs, "text", "doc_id", model)
+        joined = enc.join(docs, "doc_id").select(
+            "n_tokens",
+            F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n_words"),
+            F.length("text").alias("n_chars"),
+        )
+        bad = joined.filter(
+            (F.col("n_tokens") < F.col("n_words"))
+            | (F.col("n_tokens") > F.col("n_chars") + F.col("n_words"))
+        )
+        assert bad.count() == 0
