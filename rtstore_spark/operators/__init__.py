@@ -19,7 +19,8 @@ Generic DataFrame transforms (no testdata coupling):
                    n-gram contamination
 - ``skew``       — hot-key broadcast-routed joins
 - ``sketches``   — mergeable rollup sketches: HLL distinct counts,
-                   bounded-error top-k heavy hitters, histogram quantiles
+                   bounded-error top-k heavy hitters, histogram
+                   quantiles, count-min point frequencies
 - ``lm``         — pruned interpolated bigram LM: perplexity scoring and
                    filtering (CCNet-style quality signal)
 - ``tokenizer``  — learned BPE subword vocabulary: one-shuffle distributed

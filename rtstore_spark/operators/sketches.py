@@ -20,6 +20,12 @@ produced (HLL, histograms) or one with a tracked error bound (top-k).
   SpaceSaving one (merged error ≤ sum of the merged groups' bounds).
 - Histogram: fixed, shared bin edges, so the merge is a plain
   per-bin sum and quantile error is bounded by one bin width.
+- Count-min: ``depth`` hashed counter rows of ``width`` buckets per
+  group; a point-frequency estimate is the min over the item's
+  ``depth`` counters — never an undercount, overcount ≤ e/width · N
+  with probability 1 − e^−depth (Cormode & Muthukrishnan 2005). It
+  answers the query ``topk_rollup`` cannot: "how often did THIS item
+  occur", for items the truncated top-k dropped.
 """
 
 from __future__ import annotations
@@ -169,6 +175,92 @@ def topk_merge(rollup: DataFrame, k: int, by: list[str] | None = None) -> DataFr
         .filter(F.col("_rk") <= k)
         .drop("_rk")
         .withColumn("max_err", F.coalesce(F.col("max_err"), F.lit(0)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# point frequencies — count-min sketch rollup
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(item: F.Column, d: F.Column | int, width: int) -> F.Column:
+    """Row d's bucket for an item: xxhash64 seeded by the depth index.
+
+    One shared definition for the rollup and the query side — the sketch
+    is only meaningful if both hash identically.
+    """
+    d_col = F.lit(d) if isinstance(d, int) else d
+    return F.pmod(F.xxhash64(d_col, item.cast("string")), F.lit(width))
+
+
+def cms_rollup(
+    df: DataFrame, item_col: str, by: list[str], depth: int = 4, width: int = 2048
+) -> DataFrame:
+    """Count-min sketch per ``by`` group, long form: one row per
+    non-empty (group, d, bucket) counter, plus constant ``depth``/``width``
+    metadata so a persisted rollup is self-describing (empty counters are
+    implicit zeros — ``cms_query`` restores them with a left join).
+
+    One partial-agg shuffle; map-side combine caps the wire at
+    groups × depth × width rows regardless of input size, and each input
+    row fans out ``depth`` ways BEFORE the combine, so the fan-out never
+    reaches the exchange. Build rollups with the same depth/width and
+    ``cms_merge`` is an exact per-counter sum.
+    """
+    d = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
+    return (
+        df.filter(F.col(item_col).isNotNull())
+        .select(*by, F.col(item_col).alias("_it"), d)
+        .groupBy(*by, "d", _cms_bucket(F.col("_it"), F.col("d"), width).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("depth", F.lit(depth))
+        .withColumn("width", F.lit(width))
+    )
+
+
+def cms_merge(rollup: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Merge sketches to a coarser grouping ([]/None = global): exact
+    per-counter sums (inputs must share depth/width — they ride along)."""
+    by = by or []
+    return rollup.groupBy(*by, "d", "bucket", "depth", "width").agg(
+        F.sum("c").alias("c")
+    )
+
+
+def cms_query(
+    rollup: DataFrame, items: DataFrame, item_col: str, by: list[str] | None = None
+) -> DataFrame:
+    """Point-frequency estimates off a sketch table: one row per
+    (group, item) with ``freq_est`` = min over the item's ``depth``
+    counters. Never undercounts; overcounts only when every one of the
+    item's buckets collided.
+
+    ``by=[]``/None probes corpus totals; with ``by``, ``items`` must
+    carry the same group columns (one probe row per (group, item) asked
+    about). The rollup is first merged down to exactly that granularity —
+    idempotent if already there, and REQUIRED for a finer-grained input:
+    counters of two source groups at the same (d, bucket) must sum before
+    the min, and the zero restored for a (group, d, bucket) the rollup
+    never wrote must be that group's own, not another's (the join below
+    keys on the group columns for the same reason).
+
+    Scale: the probe side is the small relation (thousands of asked items
+    fanned out ``depth``×); the merged sketch is ≤ groups × depth × width
+    rows, far from corpus-sized. AQE picks the join strategy.
+    """
+    by = by or []
+    meta = rollup.select("depth", "width").first()
+    depth, width = int(meta["depth"]), int(meta["width"])
+    merged = cms_merge(rollup, by)
+    d = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
+    probes = items.select(*by, F.col(item_col).alias("item"), d).withColumn(
+        "bucket", _cms_bucket(F.col("item"), F.col("d"), width)
+    )
+    hit = probes.join(merged, [*by, "d", "bucket"], "left")
+    # a missing counter row is a zero counter: the true count is 0 there,
+    # so the min must see 0, not skip a null
+    return hit.groupBy(*by, "item").agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0))).alias("freq_est")
     )
 
 

@@ -9,6 +9,9 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from rtstore_spark.operators.sketches import (
+    cms_merge,
+    cms_query,
+    cms_rollup,
     hist_merge,
     hist_quantiles,
     hist_rollup,
@@ -233,3 +236,79 @@ def test_topk_bounds_always_hold(spark, data, k, slack):
             # the k-th count_lo + max_err (it would have displaced it)
             kth = min(r["count_lo"] for r in out)
             assert cnt <= max(max_err, kth + max_err), (item, cnt, max_err, kth)
+
+
+class TestCountMin:
+    def test_never_undercounts_and_merge_is_exact(self, spark):
+        df = spark.createDataFrame(_zipfish())
+        roll = cms_rollup(df, "item", by=["day"], depth=4, width=512)
+        # mergeability: per-day sketches merged globally == a single
+        # global-pass sketch, counter for counter
+        direct = cms_merge(cms_rollup(df, "item", by=[], depth=4, width=512), [])
+        merged = cms_merge(roll, [])
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+        # no-undercount: estimate >= true count for every item, globally
+        items = df.select("item").distinct()
+        est = {
+            r["item"]: r["freq_est"]
+            for r in cms_query(roll, items, "item").collect()
+        }
+        exact = {
+            r["item"]: r["cnt"]
+            for r in df.groupBy("item").agg(F.count("*").alias("cnt")).collect()
+        }
+        assert set(est) == set(exact)
+        for it, cnt in exact.items():
+            assert est[it] >= cnt
+
+    def test_grouped_query_uses_own_groups_zeros(self, spark):
+        # day 0 sees only item "a", day 1 only "b": the day-0 estimate for
+        # "b" must be 0 (its own empty counters), not day 1's counts
+        rows = [Row(day=0, item="a")] * 7 + [Row(day=1, item="b")] * 5
+        df = spark.createDataFrame(rows)
+        roll = cms_rollup(df, "item", by=["day"], depth=4, width=256)
+        probes = spark.createDataFrame(
+            [Row(day=0, item="a"), Row(day=0, item="b"),
+             Row(day=1, item="a"), Row(day=1, item="b")]
+        )
+        got = {
+            (r["day"], r["item"]): r["freq_est"]
+            for r in cms_query(roll, probes, "item", by=["day"]).collect()
+        }
+        assert got[(0, "a")] == 7 and got[(1, "b")] == 5
+        assert got[(0, "b")] == 0 and got[(1, "a")] == 0
+
+    def test_wide_sketch_is_exact_on_small_domain(self, spark):
+        # 40 items into width 4096 x depth 4: every item keeps at least
+        # one collision-free counter (deterministic for this fixed data)
+        df = spark.createDataFrame(_zipfish())
+        roll = cms_rollup(df, "item", by=[], depth=4, width=4096)
+        est = {
+            r["item"]: r["freq_est"]
+            for r in cms_query(roll, df.select("item").distinct(), "item").collect()
+        }
+        exact = {
+            r["item"]: r["cnt"]
+            for r in df.groupBy("item").agg(F.count("*").alias("cnt")).collect()
+        }
+        assert est == exact
+
+    def test_rollup_bounded_and_self_describing(self, spark):
+        df = spark.createDataFrame(_zipfish())
+        roll = cms_rollup(df, "item", by=["day"], depth=3, width=64)
+        assert set(roll.columns) == {"day", "d", "bucket", "c", "depth", "width"}
+        # counter rows per group bounded by depth x width, buckets in range
+        assert roll.groupBy("day").count().agg(F.max("count")).collect()[0][0] <= 3 * 64
+        mn, mx = roll.agg(F.min("bucket"), F.max("bucket")).collect()[0]
+        assert 0 <= mn and mx < 64
+        # null items carry no frequency: dropped at rollup
+        with_null = df.union(
+            spark.createDataFrame(
+                [(9, None, 0.0)], "day BIGINT, item STRING, x DOUBLE"
+            )
+        )
+        assert cms_rollup(with_null, "item", by=[], depth=2, width=64).filter(
+            F.col("c").isNull()
+        ).count() == 0
