@@ -14,7 +14,7 @@ All hashes are md5-derived and engine-reproducible (same family as
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -345,13 +345,24 @@ def connected_components(
 def minhash_dedup(
     df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8,
     num_hashes: int = 8, bands: int = 4, shingle_n: int = 3,
+    quality_col: str | None = None,
 ) -> DataFrame:
-    """Full near-dup pipeline: ids to DROP (keep the lowest id per group).
+    """Full near-dup pipeline: (drop_id, keep) pairs naming the ids to
+    DROP and the group's surviving representative.
 
     Duplicate groups are EXACT connected components of the verified-pair
     graph (min-label propagation with pointer jumping) — a single
     union-find round would split transitive chains (a~b, b~c with a≁c)
     into two groups and keep a document it should drop.
+
+    Survivor policy: the lowest id per group by default; with
+    ``quality_col``, the group's highest-quality document (ties and null
+    scores fall back to the lowest id) — what a production corpus prep
+    actually wants, since near-dup clusters routinely pair a clean
+    canonical page with boilerplate-wrapped copies and the arbitrary
+    min-id pick keeps whichever crawled first. The re-pick costs one join
+    + one window over the LABEL table (near-dup docs only, tiny next to
+    the corpus), nothing corpus-sized.
 
     Uses the wide signature path end-to-end: banding is a projection off
     the wide aggregate, so the whole candidate generation costs ONE
@@ -362,8 +373,19 @@ def minhash_dedup(
     cand = lsh_candidate_pairs_wide(sig, bands, num_hashes // bands)
     verified = jaccard_verify(df, cand, text_col, id_col, threshold, shingle_n)
     comp = connected_components(verified.select("id_a", "id_b"))
-    return comp.filter(F.col("id") != F.col("comp")).select(
-        F.col("id").alias("drop_id"), F.col("comp").alias("keep")
+    if quality_col is None:
+        return comp.filter(F.col("id") != F.col("comp")).select(
+            F.col("id").alias("drop_id"), F.col("comp").alias("keep")
+        )
+    q = df.select(F.col(id_col).alias("id"), F.col(quality_col).alias("_q"))
+    w = Window.partitionBy("comp").orderBy(
+        F.col("_q").desc_nulls_last(), F.col("id")
+    )
+    ranked = comp.join(q, "id", "left").withColumn(
+        "_keep", F.first("id").over(w)
+    )
+    return ranked.filter(F.col("id") != F.col("_keep")).select(
+        F.col("id").alias("drop_id"), F.col("_keep").alias("keep")
     )
 
 

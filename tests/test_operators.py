@@ -59,6 +59,29 @@ class TestDedup:
         assert dropped.get(1) == 0  # duplicate 1 dropped in favor of 0
         assert 3 not in dropped and 4 not in dropped
 
+    def test_minhash_dedup_quality_survivor(self, corpus, spark):
+        # score id 2 highest in the {0,1,2,5} cluster: it must survive and
+        # every other member (including the min id) must be dropped to it
+        scored = corpus.withColumn(
+            "score", F.when(F.col("id") == 2, 9.0).otherwise(1.0)
+        )
+        drop = dedup.minhash_dedup(
+            scored, "text", "id", threshold=0.5, quality_col="score"
+        )
+        dropped = {r["drop_id"]: r["keep"] for r in drop.collect()}
+        cluster = {d for d, k in dropped.items() if k == 2}
+        assert 2 not in dropped and cluster >= {0, 1}
+        assert 3 not in dropped and 4 not in dropped
+        # equal scores tie-break to the lowest id (the default policy)
+        flat = dedup.minhash_dedup(
+            corpus.withColumn("score", F.lit(1.0)),
+            "text", "id", threshold=0.5, quality_col="score",
+        )
+        base = dedup.minhash_dedup(corpus, "text", "id", threshold=0.5)
+        assert sorted(map(tuple, flat.collect())) == sorted(
+            map(tuple, base.collect())
+        )
+
     def test_connected_components_transitive_chain(self, spark):
         """A transitive chain 1-2-3-4 must collapse into ONE group labeled
         by its minimum id (a single union-find round would split it), and
