@@ -342,6 +342,33 @@ def connected_components(
     return labels
 
 
+def _pick_survivors(
+    comp: DataFrame, df: DataFrame, id_col: str, quality_col: str | None
+) -> DataFrame:
+    """(drop_id, keep) off a component-label table: keep the minimum id
+    per group, or with ``quality_col`` the group's highest-scoring member
+    (ties and null scores fall back to the lowest id). Shared by
+    ``minhash_dedup`` and ``semdedup`` so the survivor contract cannot
+    drift between the lexical and semantic pipelines. The quality re-pick
+    is one join + one window over the LABEL table (near-dup docs only,
+    tiny next to the corpus), nothing corpus-sized.
+    """
+    if quality_col is None:
+        return comp.filter(F.col("id") != F.col("comp")).select(
+            F.col("id").alias("drop_id"), F.col("comp").alias("keep")
+        )
+    q = df.select(F.col(id_col).alias("id"), F.col(quality_col).alias("_q"))
+    w = Window.partitionBy("comp").orderBy(
+        F.col("_q").desc_nulls_last(), F.col("id")
+    )
+    ranked = comp.join(q, "id", "left").withColumn(
+        "_keep", F.first("id").over(w)
+    )
+    return ranked.filter(F.col("id") != F.col("_keep")).select(
+        F.col("id").alias("drop_id"), F.col("_keep").alias("keep")
+    )
+
+
 def minhash_dedup(
     df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8,
     num_hashes: int = 8, bands: int = 4, shingle_n: int = 3,
@@ -373,20 +400,7 @@ def minhash_dedup(
     cand = lsh_candidate_pairs_wide(sig, bands, num_hashes // bands)
     verified = jaccard_verify(df, cand, text_col, id_col, threshold, shingle_n)
     comp = connected_components(verified.select("id_a", "id_b"))
-    if quality_col is None:
-        return comp.filter(F.col("id") != F.col("comp")).select(
-            F.col("id").alias("drop_id"), F.col("comp").alias("keep")
-        )
-    q = df.select(F.col(id_col).alias("id"), F.col(quality_col).alias("_q"))
-    w = Window.partitionBy("comp").orderBy(
-        F.col("_q").desc_nulls_last(), F.col("id")
-    )
-    ranked = comp.join(q, "id", "left").withColumn(
-        "_keep", F.first("id").over(w)
-    )
-    return ranked.filter(F.col("id") != F.col("_keep")).select(
-        F.col("id").alias("drop_id"), F.col("_keep").alias("keep")
-    )
+    return _pick_survivors(comp, df, id_col, quality_col)
 
 
 def incremental_neardup(
@@ -534,6 +548,7 @@ def semdedup(
     threshold: float = 0.95,
     seed: int = 7,
     max_iter: int = 20,
+    quality_col: str | None = None,
 ) -> DataFrame:
     """Semantic dedup (SemDeDup, Abbas et al. 2023): cluster embeddings
     with spherical k-means, then drop all but one of each group of
@@ -547,8 +562,9 @@ def semdedup(
     cluster, so the cross-corpus operation is one equi-join on the route
     key; choose k ≈ n / target_cluster_size to bound the quadratic term
     (SemDeDup's own setting). Groups are exact connected components of
-    the verified-pair graph (pointer-jumping propagation), keeping the
-    minimum id — identical contract to ``minhash_dedup``.
+    the verified-pair graph (pointer-jumping propagation), with the same
+    survivor policy as ``minhash_dedup`` (shared ``_pick_survivors``):
+    minimum id, or the group's ``quality_col`` argmax when given.
 
     Returns (drop_id, keep) pairs; anti-join drop_id against the corpus.
     """
@@ -576,9 +592,7 @@ def semdedup(
         .filter(F.col("cosine") >= threshold)
     )
     comp = connected_components(pairs.select("id_a", "id_b"))
-    return comp.filter(F.col("id") != F.col("comp")).select(
-        F.col("id").alias("drop_id"), F.col("comp").alias("keep")
-    )
+    return _pick_survivors(comp, df, id_col, quality_col)
 
 
 def repeated_spans(

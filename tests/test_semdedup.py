@@ -53,3 +53,17 @@ def test_semdedup_no_duplicates_is_empty(spark):
     ]
     df = spark.createDataFrame(rows, ["id", "emb"])
     assert semdedup(df, "emb", "id", k=2, threshold=0.95, seed=3).count() == 0
+
+
+def test_semdedup_quality_survivor(clustered):
+    from pyspark.sql import functions as F
+
+    # score id 3 highest in the A-cluster: it survives, 1 and 2 drop to it
+    scored = clustered.withColumn(
+        "score", F.when(F.col("id") == 3, 5.0).otherwise(1.0)
+    )
+    out = semdedup(
+        scored, "emb", "id", k=3, threshold=0.95, seed=11, quality_col="score"
+    )
+    drops = {r["drop_id"]: r["keep"] for r in out.collect()}
+    assert drops == {1: 3, 2: 3, 11: 10}  # B-cluster ties back to min id
