@@ -21,20 +21,38 @@ from pyspark.sql import types as T
 
 
 def hourly_agg(df: DataFrame, ts_col: str = "ts", key_col: str = "event_type",
-               value_col: str = "value", window: str = "1 hour") -> DataFrame:
-    """The shared aggregation: one row per (window, key)."""
-    return (
+               value_col: str = "value", window: str = "1 hour",
+               distinct_col: str | None = None) -> DataFrame:
+    """The shared aggregation: one row per (window, key).
+
+    With ``distinct_col``, each row also carries an ``hll`` sketch of the
+    column (plus its ``distinct_est``) — the per-window distinct count a
+    plain streaming agg cannot provide exactly with bounded state. The
+    sketch, not just the estimate, is persisted so the finalized rollup
+    stays MERGEABLE offline: daily/weekly distincts come from
+    ``operators.sketches.hll_merge`` over the rollup table, never from
+    re-scanning raw events.
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double").alias("total_value"),
+    ]
+    cols = ["n_events", "total_value"]
+    if distinct_col is not None:
+        aggs.append(F.hll_sketch_agg(F.col(distinct_col)).alias("hll"))
+        cols += ["hll"]
+    out = (
         df.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double").alias("total_value"),
-        )
+        .agg(*aggs)
         .select(
             F.col("w.start").alias("bucket_start"),
             F.col("w.end").alias("bucket_end"),
-            key_col, "n_events", "total_value",
+            key_col, *cols,
         )
     )
+    if distinct_col is not None:
+        out = out.withColumn("distinct_est", F.hll_sketch_estimate("hll"))
+    return out
 
 
 class ContinuousAggregate:
@@ -50,6 +68,7 @@ class ContinuousAggregate:
         value_col: str = "value",
         window: str = "1 hour",
         watermark: str = "2 hours",
+        distinct_col: str | None = None,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -61,6 +80,7 @@ class ContinuousAggregate:
         self.value_col = value_col
         self.window = window
         self.watermark = watermark
+        self.distinct_col = distinct_col
 
     def run_once(self) -> None:
         """Process all available input; finalized windows append to the
@@ -72,7 +92,10 @@ class ContinuousAggregate:
             .parquet(self.source_dir)
             .withWatermark(self.ts_col, self.watermark)
         )
-        agg = hourly_agg(src, self.ts_col, self.key_col, self.value_col, self.window)
+        agg = hourly_agg(
+            src, self.ts_col, self.key_col, self.value_col, self.window,
+            self.distinct_col,
+        )
         q = (
             agg.writeStream.outputMode("append")
             .option("checkpointLocation", self.checkpoint)
@@ -91,5 +114,7 @@ class ContinuousAggregate:
         ):
             schema = ("bucket_start timestamp, bucket_end timestamp, "
                       f"{self.key_col} string, n_events bigint, total_value double")
+            if self.distinct_col is not None:
+                schema += ", hll binary, distinct_est double"
             return self.spark.createDataFrame([], schema=schema)
         return self.spark.read.parquet(self.dest_dir)

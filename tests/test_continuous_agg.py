@@ -93,3 +93,49 @@ def test_data_older_than_watermark_dropped(spark, ca):
         for r in ca.table().collect()
     }
     assert got[(T0, "click")] == (1, 1.0)
+
+
+def test_distinct_sketch_rollup_and_offline_merge(spark, tmp_path):
+    """With distinct_col the finalized rollup carries an HLL sketch per
+    (window, key); per-window estimates are exact at test cardinalities
+    and hll_merge over the ROLLUP (not raw events) gives cross-window
+    distincts — re-counting users seen in both hours once."""
+    schema = T.StructType(
+        SCHEMA.fields + [T.StructField("user", T.StringType(), False)]
+    )
+    ca = ContinuousAggregate(
+        spark, str(tmp_path / "src"), schema, str(tmp_path / "rollup"),
+        str(tmp_path / "chk"), watermark="2 hours", distinct_col="user",
+    )
+    data = [
+        # hour 0: users u1, u2 (u1 twice) — 2 distinct
+        (5, "click", 1, "u1"), (10, "click", 1, "u1"), (20, "click", 1, "u2"),
+        # hour 1: users u2, u3 — 2 distinct; union with hour 0 = 3
+        (70, "click", 1, "u2"), (80, "click", 1, "u3"),
+    ]
+    spark.createDataFrame(
+        [(T0 + dt.timedelta(minutes=m), k, float(v), u) for m, k, v, u in data],
+        schema=schema,
+    ).coalesce(1).write.mode("append").parquet(ca.source_dir)
+    ca.run_once()
+    spark.createDataFrame(
+        [(T0 + dt.timedelta(minutes=300), "click", 1.0, "u9")], schema=schema
+    ).coalesce(1).write.mode("append").parquet(ca.source_dir)
+    ca.run_once()
+
+    roll = ca.table()
+    got = {r["bucket_start"]: r["distinct_est"] for r in roll.collect()}
+    assert round(got[T0]) == 2
+    assert round(got[T0 + dt.timedelta(hours=1)]) == 2
+
+    from rtstore_spark.operators.sketches import hll_merge
+
+    total = hll_merge(roll.select("hll"), []).collect()[0]["distinct_est"]
+    assert round(total) == 3  # u2 spans both hours, counted once
+
+    # empty-table schema advertises the sketch columns before first write
+    ca2 = ContinuousAggregate(
+        spark, str(tmp_path / "none"), schema, str(tmp_path / "none_out"),
+        str(tmp_path / "none_chk"), distinct_col="user",
+    )
+    assert {"hll", "distinct_est"} <= set(ca2.table().columns)
