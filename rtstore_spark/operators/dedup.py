@@ -663,12 +663,20 @@ def dedup_paragraphs(
     id_col: str,
     sep: str = "\n",
     min_chars: int = 2,
+    boilerplate_min_df: int | None = None,
 ) -> DataFrame:
     """Paragraph-granular exact dedup with text reconstruction (the
     Dolma-style "dedupe paragraphs" stage): every paragraph that occurs
     more than once corpus-wide is removed from all but its canonical
     first occurrence — ordered by (document id, position in document) —
     and each document's text is rebuilt from the paragraphs it kept.
+
+    ``boilerplate_min_df`` additionally removes a paragraph from EVERY
+    document — canonical occurrence included — once it appears in at
+    least that many distinct documents (the RefinedWeb-style frequent-
+    line rule): a navigation header shared by 10k pages is template
+    noise with no canonical home, and keeping one copy per corpus is
+    still noise. Dedup semantics are unchanged below the cutoff.
 
     Sits between doc-level dedup (``exact_dedup``/``minhash_dedup``,
     which drop whole documents) and ``repeated_spans`` (which flags
@@ -701,10 +709,18 @@ def dedup_paragraphs(
     winners = ex.groupBy("hv").agg(
         F.min(F.struct("id", "pos")).alias("win"),
         F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("id").alias("docs"),
+    )
+    # boilerplate occurrences drop unconditionally; duplicates drop unless
+    # they are the canonical (min (id, pos)) occurrence
+    is_bp = (
+        F.col("docs") >= boilerplate_min_df
+        if boilerplate_min_df is not None
+        else F.lit(False)
     )
     drops = (
-        ex.join(winners.filter(F.col("cnt") >= 2), "hv")
-        .filter(F.struct("id", "pos") != F.col("win"))
+        ex.join(winners.filter((F.col("cnt") >= 2) | is_bp), "hv")
+        .filter((F.struct("id", "pos") != F.col("win")) | is_bp)
         .groupBy("id")
         .agg(F.sort_array(F.collect_set("pos")).alias("_drop_pos"))
     )

@@ -193,3 +193,50 @@ class TestPipelineIntegration:
         assert 2 not in out                       # NFD twin deduped exactly
         assert 3 in out and "café news" not in out[3]  # boilerplate para removed
         assert 4 not in out                       # emptied doc dropped
+
+
+class TestBoilerplateRemoval:
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                Row(id=1, t="SITE NAV MENU\ndoc one prose\nshared tail"),
+                Row(id=2, t="SITE NAV MENU\ndoc two prose"),
+                Row(id=3, t="SITE NAV MENU\ndoc three prose\nshared tail"),
+            ]
+        )
+
+    def test_frequent_paragraph_removed_everywhere(self, spark):
+        out = {
+            r["id"]: r
+            for r in dedup.dedup_paragraphs(
+                self._corpus(spark), "t", "id", boilerplate_min_df=3
+            ).collect()
+        }
+        # df=3 menu: gone from ALL docs, canonical included
+        assert out[1]["t"] == "doc one prose\nshared tail"
+        assert out[2]["t"] == "doc two prose"
+        assert out[3]["t"] == "doc three prose"
+        # df=2 "shared tail" stays below the cutoff: dedup semantics —
+        # canonical first occurrence survives, the other drops
+        assert out[1]["n_dropped"] == 1  # the menu
+        assert out[3]["n_dropped"] == 2  # menu + duplicate tail
+
+    def test_below_cutoff_unchanged_vs_default(self, spark):
+        base = dedup.dedup_paragraphs(self._corpus(spark), "t", "id")
+        high = dedup.dedup_paragraphs(
+            self._corpus(spark), "t", "id", boilerplate_min_df=4
+        )
+        assert sorted(r["t"] for r in base.collect()) == sorted(
+            r["t"] for r in high.collect()
+        )
+
+    def test_intra_doc_repeats_do_not_fake_df(self, spark):
+        # the same line 3x inside ONE doc is df=1: not boilerplate, and
+        # intra-doc dedup still keeps its first occurrence
+        df = spark.createDataFrame(
+            [Row(id=1, t="echo line\necho line\necho line\nbody")]
+        )
+        row = dedup.dedup_paragraphs(
+            df, "t", "id", boilerplate_min_df=2
+        ).collect()[0]
+        assert row["t"] == "echo line\nbody"
