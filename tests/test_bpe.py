@@ -146,3 +146,31 @@ class TestFitEncodeSpark:
             | (F.col("n_tokens") > F.col("n_chars") + F.col("n_words"))
         )
         assert bad.count() == 0
+
+
+class TestBpeProperties:
+    def test_roundtrip_and_monotonicity_properties(self):
+        from hypothesis import given, settings, strategies as st
+
+        words = st.text(
+            alphabet=st.characters(codec="utf-8", exclude_characters=" \t\n\r"),
+            min_size=1, max_size=8,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(st.tuples(words, st.integers(1, 50)), max_size=12),
+               st.integers(0, 30))
+        def prop(freqs, n_merges):
+            merges = _merge_loop(freqs, n_merges)
+            enc = _word_encoder({p: i for i, p in enumerate(merges)})
+            for w, _ in freqs:
+                lw = w.lower()  # lowercasing can change length (İ → i̇)
+                toks = enc(lw)
+                # lossless: concatenated tokens == word + END marker
+                assert "".join(toks) == lw + END
+                # bounded: between 1 and len(word)+1 symbols
+                assert 1 <= len(toks) <= len(lw) + 1
+            # merge list is duplicate-free (each pair consumed once)
+            assert len(merges) == len(set(merges))
+
+        prop()
