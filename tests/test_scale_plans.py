@@ -311,3 +311,43 @@ class TestLateRound4PlanShapes:
         plan = _plan(out)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestSessionAdditionsPlanShapes:
+    """Plan pins for the BPE tokenizer and count-min sketch."""
+
+    def test_bpe_word_count_is_one_partial_agg_shuffle(self, spark):
+        from rtstore_spark.operators.tokenizer import word_counts
+
+        df = spark.createDataFrame(
+            [(i, "alpha beta gamma delta") for i in range(50)],
+            "id long, text string",
+        )
+        plan = _plan(word_counts(df, "text", 1000, 2))
+        # map-side combine before the exchange: wire rows bounded by
+        # vocabulary, not corpus
+        assert "partial_count" in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_bpe_encode_is_shuffle_free(self, spark):
+        from rtstore_spark.operators.tokenizer import bpe_encode
+
+        df = spark.createDataFrame(
+            [(i, "alpha beta") for i in range(20)], "id long, text string"
+        )
+        model = {"merges": [("a", "l"), ("al", "p")], "vocab": []}
+        plan = _plan(bpe_encode(df, "text", "id", model))
+        assert "Exchange" not in plan  # scan -> Arrow project only
+
+    def test_cms_rollup_combines_map_side(self, spark):
+        from pyspark.sql import Row
+
+        from rtstore_spark.operators.sketches import cms_rollup
+
+        df = spark.createDataFrame(
+            [Row(day=i % 3, item=f"u{i % 7}") for i in range(100)]
+        )
+        plan = _plan(cms_rollup(df, "item", by=["day"], depth=4, width=64))
+        # the depth-way fan-out must collapse BEFORE the exchange
+        assert "partial_count" in plan
+        assert plan.count("Exchange hashpartitioning") == 1
