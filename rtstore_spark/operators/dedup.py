@@ -357,7 +357,12 @@ def _pick_survivors(
         return comp.filter(F.col("id") != F.col("comp")).select(
             F.col("id").alias("drop_id"), F.col("comp").alias("keep")
         )
-    q = df.select(F.col(id_col).alias("id"), F.col(quality_col).alias("_q"))
+    # NaN sorts ABOVE every real double in Spark ordering, so a score whose
+    # computation failed (0/0 ratio, empty-text perplexity) would win its
+    # cluster under desc — fold NaN into null so both fall back to min id
+    raw = F.col(quality_col)
+    score = F.when(F.isnan(raw.cast("double")), F.lit(None)).otherwise(raw)
+    q = df.select(F.col(id_col).alias("id"), score.alias("_q"))
     w = Window.partitionBy("comp").orderBy(
         F.col("_q").desc_nulls_last(), F.col("id")
     )

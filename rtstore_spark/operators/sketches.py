@@ -228,12 +228,19 @@ def cms_merge(rollup: DataFrame, by: list[str] | None = None) -> DataFrame:
 
 
 def cms_query(
-    rollup: DataFrame, items: DataFrame, item_col: str, by: list[str] | None = None
+    rollup: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    by: list[str] | None = None,
+    depth: int | None = None,
+    width: int | None = None,
 ) -> DataFrame:
     """Point-frequency estimates off a sketch table: one row per
     (group, item) with ``freq_est`` = min over the item's ``depth``
     counters. Never undercounts; overcounts only when every one of the
-    item's buckets collided.
+    item's buckets collided. Null probe items report 0 (``cms_rollup``
+    never counts nulls, so hashing one would return other items' collided
+    counts).
 
     ``by=[]``/None probes corpus totals; with ``by``, ``items`` must
     carry the same group columns (one probe row per (group, item) asked
@@ -244,13 +251,34 @@ def cms_query(
     never wrote must be that group's own, not another's (the join below
     keys on the group columns for the same reason).
 
+    The sketch config comes from the rollup's metadata columns: one tiny
+    eager read that doubles as validation — a rollup mixing depth/width
+    configs raises instead of silently hashing probes into the wrong
+    buckets (which would break the no-undercount guarantee). Pass
+    ``depth``/``width`` explicitly to skip the read and stay fully lazy.
+    An EMPTY rollup (e.g. a day partition with no events) has no config
+    and needs none: every counter is zero, so every estimate is 0.
+
     Scale: the probe side is the small relation (thousands of asked items
     fanned out ``depth``×); the merged sketch is ≤ groups × depth × width
     rows, far from corpus-sized. AQE picks the join strategy.
     """
     by = by or []
-    meta = rollup.select("depth", "width").first()
-    depth, width = int(meta["depth"]), int(meta["width"])
+    items = items.filter(F.col(item_col).isNotNull())
+    if depth is None or width is None:
+        configs = rollup.select("depth", "width").distinct().collect()
+        if len(configs) > 1:
+            raise ValueError(
+                f"rollup mixes sketch configs {sorted(map(tuple, configs))}: "
+                "sketches are only mergeable/queryable at one (depth, width)"
+            )
+        if not configs:  # empty sketch: all counters are implicit zeros
+            return (
+                items.select(*by, F.col(item_col).alias("item"))
+                .distinct()
+                .withColumn("freq_est", F.lit(0).cast("long"))
+            )
+        depth, width = int(configs[0]["depth"]), int(configs[0]["width"])
     merged = cms_merge(rollup, by)
     d = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
     probes = items.select(*by, F.col(item_col).alias("item"), d).withColumn(

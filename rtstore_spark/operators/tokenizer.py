@@ -48,8 +48,17 @@ END = "</w>"
 
 def _tokens(text_col: str):
     """Lowercased whitespace tokens — the library-wide convention
-    (``text.token_count`` / ``lm._tokens`` split the same way)."""
+    (``text.token_count`` / ``lm._tokens`` split the same way).
+
+    NOTE: Java's ``\\s`` is ASCII-only ([ \\t\\n\\x0B\\f\\r]); the encode
+    side splits on exactly that class (NOT Python ``str.split``, which
+    also breaks on U+00A0/U+2009/U+3000 and would tokenize web text
+    differently than the fit counted it)."""
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+# the Java \s class, verbatim — keep in sync with _tokens
+_ASCII_WS = "[ \t\n\x0b\f\r]+"
 
 
 def word_counts(
@@ -77,9 +86,16 @@ def _merge_loop(freqs: list[tuple[str, int]], n_merges: int) -> list[tuple[str, 
 
     Incremental pair-count maintenance: each adopted merge only touches
     the words that contain the merged pair (tracked via an inverted
-    index), so a learning step costs O(words containing the pair), not
-    O(word_types) — the standard fast-BPE bookkeeping.
+    index). Best-pair selection is a lazy-invalidation max-heap — every
+    count change pushes a fresh entry; stale entries are discarded when
+    popped against the live dict — so a learning step costs
+    O(changed pairs · log heap), never a scan of all distinct pairs
+    (which at 1M word types is millions of entries × n_merges).
+    Tie-break on the pair's lexicographic order keeps the fit a pure
+    function of the frequency table.
     """
+    import heapq
+
     words: list[list[str]] = []  # symbol sequences, one per word type
     wfreq: list[int] = []
     for w, c in freqs:
@@ -88,12 +104,22 @@ def _merge_loop(freqs: list[tuple[str, int]], n_merges: int) -> list[tuple[str, 
 
     pair_counts: dict[tuple[str, str], int] = {}
     where: dict[tuple[str, str], set[int]] = {}  # pair -> word indexes
+    heap: list[tuple[int, tuple[str, str]]] = []  # (-count, pair), lazy
 
     def add_word_pairs(i: int, sign: int) -> None:
         syms = words[i]
         for a, b in zip(syms, syms[1:]):
             p = (a, b)
-            pair_counts[p] = pair_counts.get(p, 0) + sign * wfreq[i]
+            c = pair_counts.get(p, 0) + sign * wfreq[i]
+            if c > 0:
+                pair_counts[p] = c
+                # push on EVERY change (both directions): a decreased
+                # count must re-enter the heap at its new value or the
+                # stale larger entry would pop, fail validation and lose
+                # the pair for good
+                heapq.heappush(heap, (-c, p))
+            else:  # zeroed by the decrement pass: drop, don't accrete
+                pair_counts.pop(p, None)
             if sign > 0:
                 where.setdefault(p, set()).add(i)
 
@@ -103,15 +129,14 @@ def _merge_loop(freqs: list[tuple[str, int]], n_merges: int) -> list[tuple[str, 
 
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        best = None
-        for p, c in pair_counts.items():
-            if c <= 0:
-                continue
-            if best is None or c > best[1] or (c == best[1] and p < best[0]):
-                best = (p, c)
-        if best is None:
+        pair = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pair_counts.get(p, 0) == -negc:  # live entry
+                pair = p
+                break
+        if pair is None:
             break
-        pair = best[0]
         merges.append(pair)
         joined = pair[0] + pair[1]
         touched = list(where.get(pair, ()))
@@ -133,8 +158,10 @@ def _merge_loop(freqs: list[tuple[str, int]], n_merges: int) -> list[tuple[str, 
                     j += 1
             words[i] = out
             add_word_pairs(i, +1)
-        # fully consumed: never a candidate again
-        pair_counts[pair] = 0
+        # fully consumed, and two merged symbols can never become adjacent
+        # again (merges only ever join, producing longer symbol names) —
+        # delete outright so the dict shrinks instead of accreting zeros
+        pair_counts.pop(pair, None)
         where.pop(pair, None)
     return merges
 
@@ -213,16 +240,25 @@ def bpe_encode(
         ]
     )
 
+    ascii_ws = _ASCII_WS  # captured by value: closure must not touch module
+
     def run(batches):
+        import re
+
         import pandas as pd
 
+        # Java-\s parity: str.split() would also break on Unicode spaces
+        # (NBSP etc.), splitting words the fit never counted
+        split_ws = re.compile(ascii_ws).split
         memo: dict[str, list[str]] = {}
 
         def enc(text):
             toks: list[str] = []
             if not isinstance(text, str):  # None or pandas NaN
                 return toks
-            for w in text.lower().strip().split():
+            for w in split_ws(text.lower()):
+                if not w:  # leading/trailing separators, like w != '' in fit
+                    continue
                 got = memo.get(w)
                 if got is None:
                     got = memo[w] = encode_word(w)

@@ -115,6 +115,8 @@ class ContinuousAggregate:
             schema = ("bucket_start timestamp, bucket_end timestamp, "
                       f"{self.key_col} string, n_events bigint, total_value double")
             if self.distinct_col is not None:
-                schema += ", hll binary, distinct_est double"
+                # bigint: hll_sketch_estimate returns LongType — the
+                # placeholder must match what the first write will produce
+                schema += ", hll binary, distinct_est bigint"
             return self.spark.createDataFrame([], schema=schema)
         return self.spark.read.parquet(self.dest_dir)

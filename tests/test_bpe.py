@@ -174,3 +174,38 @@ class TestBpeProperties:
             assert len(merges) == len(set(merges))
 
         prop()
+
+
+class TestReviewFixes:
+    def test_fit_encode_agree_on_unicode_whitespace(self, spark):
+        # NBSP (U+00A0) is NOT a Java \s separator: fit counts
+        # "foo bar" as ONE word and encode must tokenize it the same
+        # way (a naive str.split() would break it into two)
+        df = _corpus(spark, ["foo bar foo bar foo bar"])
+        model = bpe_fit(df, "text", n_merges=20, min_count=1)
+        row = bpe_encode(df, "text", "doc_id", model).collect()[0]
+        # fully merged: 3 occurrences of one trained word -> one token each
+        assert row["tokens"] == ["foo bar" + END] * 3
+        # tabs/newlines ARE separators on both sides
+        df2 = _corpus(spark, ["a\tb\nc"])
+        toks = bpe_encode(df2, "text", "doc_id", model).collect()[0]["tokens"]
+        assert "".join(toks).count(END) == 3  # three words
+
+    def test_merge_loop_heap_matches_scan_semantics(self):
+        # the lazy-heap selection must still pick max count with
+        # lexicographic tie-break after counts DECREASE (the stale-entry
+        # case): "abab" merging (a,b) decrements (b,a)'s count
+        merges = _merge_loop([("abab", 3), ("ba", 2)], 4)
+        assert merges[0] == ("a", "b")  # count 6 beats everything
+        assert len(merges) == len(set(merges))
+
+    def test_merge_loop_large_vocab_is_fast(self):
+        import time
+
+        # 20k word types, 200 merges: the old full-scan selection was
+        # O(merges x distinct_pairs) and took minutes at this size
+        freqs = [(f"w{i:05d}x{i % 97:02d}", 1 + i % 13) for i in range(20_000)]
+        t0 = time.monotonic()
+        merges = _merge_loop(freqs, 200)
+        assert len(merges) == 200
+        assert time.monotonic() - t0 < 30.0

@@ -139,3 +139,24 @@ def test_distinct_sketch_rollup_and_offline_merge(spark, tmp_path):
         str(tmp_path / "none_chk"), distinct_col="user",
     )
     assert {"hll", "distinct_est"} <= set(ca2.table().columns)
+
+
+def test_distinct_est_placeholder_dtype_matches_written_table(spark, tmp_path):
+    """hll_sketch_estimate returns LongType: the empty-table placeholder
+    must advertise bigint or downstream unions/seeding flip dtypes after
+    the first write."""
+    schema = T.StructType(
+        SCHEMA.fields + [T.StructField("user", T.StringType(), False)]
+    )
+    ca = ContinuousAggregate(
+        spark, str(tmp_path / "src"), schema, str(tmp_path / "out"),
+        str(tmp_path / "chk"), distinct_col="user",
+    )
+    placeholder = dict(ca.table().dtypes)
+    batch = dict(
+        hourly_agg(
+            spark.createDataFrame([], schema=schema), distinct_col="user"
+        ).dtypes
+    )
+    for c in ("n_events", "total_value", "hll", "distinct_est"):
+        assert placeholder[c] == batch[c], (c, placeholder[c], batch[c])

@@ -614,3 +614,21 @@ class TestEmbeddingPCA:
         )
         with _pytest.raises(ValueError):
             pca_fit(empty, "embedding", k=2)
+
+
+class TestSurvivorNaN:
+    def test_nan_quality_never_wins_a_cluster(self, corpus, spark):
+        # NaN sorts above every real double in Spark ordering: a failed
+        # score (0/0 ratio) must fall back like null, not win the cluster
+        scored = corpus.withColumn(
+            "score",
+            F.when(F.col("id") == 0, F.lit(float("nan")))
+            .when(F.col("id") == 2, 7.0)
+            .otherwise(1.0),
+        )
+        drop = dedup.minhash_dedup(
+            scored, "text", "id", threshold=0.5, quality_col="score"
+        )
+        dropped = {r["drop_id"]: r["keep"] for r in drop.collect()}
+        assert 2 not in dropped  # real max survives
+        assert dropped.get(0) == 2  # the NaN-scored doc is dropped

@@ -312,3 +312,35 @@ class TestCountMin:
         assert cms_rollup(with_null, "item", by=[], depth=2, width=64).filter(
             F.col("c").isNull()
         ).count() == 0
+
+    def test_empty_rollup_queries_as_zeros_not_crash(self, spark):
+        empty = spark.createDataFrame(
+            [], "day BIGINT, item STRING, x DOUBLE"
+        )
+        roll = cms_rollup(empty, "item", by=[], depth=4, width=64)
+        probes = spark.createDataFrame([Row(item="a"), Row(item="b")])
+        got = {r["item"]: r["freq_est"] for r in cms_query(roll, probes, "item").collect()}
+        assert got == {"a": 0, "b": 0}
+
+    def test_mixed_config_rollup_union_raises(self, spark):
+        df = spark.createDataFrame([Row(day=0, item="a", x=0.0)] * 3)
+        r1 = cms_rollup(df, "item", by=[], depth=4, width=64)
+        r2 = cms_rollup(df, "item", by=[], depth=4, width=128)
+        probes = spark.createDataFrame([Row(item="a")])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="mixes sketch configs"):
+            cms_query(r1.unionByName(r2), probes, "item")
+        # explicit config skips the metadata read entirely (stays lazy)
+        ok = cms_query(r1, probes, "item", depth=4, width=64)
+        assert ok.collect()[0]["freq_est"] == 3
+
+    def test_null_probe_items_report_zero_not_collisions(self, spark):
+        df = spark.createDataFrame([Row(day=0, item=f"u{i}", x=0.0) for i in range(20)])
+        roll = cms_rollup(df, "item", by=[], depth=2, width=4)  # forced collisions
+        probes = spark.createDataFrame(
+            [(None,), ("u1",)], "item STRING"
+        )
+        got = {r["item"]: r["freq_est"] for r in cms_query(roll, probes, "item").collect()}
+        # the null probe is excluded (rollup never counted nulls), u1 answers
+        assert None not in got and got["u1"] >= 1
