@@ -30,6 +30,8 @@ produced (HLL, histograms) or one with a tracked error bound (top-k).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -304,24 +306,49 @@ def hist_rollup(
     bins: int = 128,
     lo: float | None = None,
     hi: float | None = None,
+    log: bool = False,
 ) -> DataFrame:
     """Histogram rollup: per ``by`` group, counts over ``bins`` equal-width
     bins of ``value_col`` on the shared range [lo, hi].
 
-    Columns: ``*by, bin, bin_count`` plus constant ``lo``/``hi``/``bins``
-    metadata columns so a persisted rollup is self-describing. When lo/hi
-    are omitted they come from one tiny global min/max aggregate (the only
-    extra job). Values outside [lo, hi] clamp into the edge bins, so merges
-    of rollups built with the SAME range are exact per-bin sums — which is
-    why the range is shared and recorded rather than per-group.
+    ``log=True`` bins in log10 space instead: the right shape for
+    long-tailed positives (document lengths, token counts, latencies),
+    where equal-width bins put the entire corpus in bin 0 and quantile
+    error — one bin width — spans orders of magnitude. Bin widths become
+    multiplicative (error = one *ratio* step, (hi/lo)^(1/bins)), lo/hi
+    are RECORDED in log10 domain, and non-positive values clamp into the
+    lowest bin (they have no logarithm; ``lo``/``hi`` overrides must be
+    positive, given in value space).
+
+    Columns: ``*by, bin, bin_count`` plus constant
+    ``lo``/``hi``/``bins``/``logbins`` metadata columns so a persisted
+    rollup is self-describing. When lo/hi are omitted they come from one
+    tiny global min/max aggregate (the only extra job). Values outside
+    [lo, hi] clamp into the edge bins, so merges of rollups built with
+    the SAME range are exact per-bin sums — which is why the range is
+    shared and recorded rather than per-group. Linear and log rollups
+    never merge with each other (``logbins`` differs, and ``hist_merge``
+    keys on it).
 
     One partial-agg shuffle of (groups × bins) rows; NULL values are
     dropped (they have no quantile).
     """
+    v = F.col(value_col).cast("double")
+    if log:
+        if (lo is not None and lo <= 0) or (hi is not None and hi <= 0):
+            raise ValueError("log bins need positive lo/hi bounds")
+        lo = None if lo is None else math.log10(lo)
+        hi = None if hi is None else math.log10(hi)
+        v_t = F.log10(v)
+        keep = v.isNotNull() & (v > 0)
+        clamped_low = df.filter(v.isNotNull() & (v <= 0))
+    else:
+        v_t = v
+        keep = v.isNotNull()
+        clamped_low = None
     if lo is None or hi is None:
-        row = df.agg(
-            F.min(F.col(value_col).cast("double")).alias("mn"),
-            F.max(F.col(value_col).cast("double")).alias("mx"),
+        row = df.filter(keep).agg(
+            F.min(v_t).alias("mn"), F.max(v_t).alias("mx")
         ).collect()[0]
         if row["mn"] is None or row["mx"] is None:
             # empty / all-null input: any fixed range describes the zero
@@ -331,26 +358,34 @@ def hist_rollup(
             lo = float(row["mn"]) if lo is None else lo
             hi = float(row["mx"]) if hi is None else hi
     width = (hi - lo) / bins if hi > lo else 1.0
-    v = F.col(value_col).cast("double")
     bin_c = F.least(
-        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.greatest(F.floor((v_t - F.lit(lo)) / F.lit(width)), F.lit(0)),
         F.lit(bins - 1),
     )
+    src = df.filter(keep).select(*by, bin_c.alias("bin"))
+    if clamped_low is not None:
+        # non-positive values have no log10: clamp into the lowest bin
+        # explicitly (the expression above would drop them as null)
+        src = src.unionByName(
+            clamped_low.select(*by, F.lit(0).cast("bigint").alias("bin"))
+        )
     return (
-        df.filter(v.isNotNull())
-        .groupBy(*by, bin_c.alias("bin"))
+        src.groupBy(*by, "bin")
         .agg(F.count("*").alias("bin_count"))
         .withColumn("lo", F.lit(float(lo)))
         .withColumn("hi", F.lit(float(hi)))
         .withColumn("bins", F.lit(bins))
+        .withColumn("logbins", F.lit(1 if log else 0))
     )
 
 
 def hist_merge(rollup: DataFrame, by: list[str] | None = None) -> DataFrame:
     """Merge histogram rollups to a coarser grouping: exact per-bin sums
-    (range metadata rides along — all inputs share it by construction)."""
+    (range metadata rides along — all inputs share it by construction;
+    keying on ``logbins`` keeps linear and log rollups from summing)."""
     by = by or []
-    return rollup.groupBy(*by, "bin", "lo", "hi", "bins").agg(
+    meta = ["lo", "hi", "bins"] + (["logbins"] if "logbins" in rollup.columns else [])
+    return rollup.groupBy(*by, "bin", *meta).agg(
         F.sum("bin_count").alias("bin_count")
     )
 
@@ -392,6 +427,9 @@ def hist_quantiles(
         prev_cum = F.col("_cum") - F.col("bin_count")
         frac = (target - prev_cum) / F.col("bin_count")
         est = F.col("lo") + (F.col("bin") + frac) * width
+        if "logbins" in cum.columns:
+            # log rollups interpolate in log10 domain; answer in value space
+            est = F.when(F.col("logbins") == 1, F.pow(F.lit(10.0), est)).otherwise(est)
         row = hit.select(
             *by, F.lit(float(q)).alias("q"), est.alias("est")
         )

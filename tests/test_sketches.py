@@ -344,3 +344,55 @@ class TestCountMin:
         got = {r["item"]: r["freq_est"] for r in cms_query(roll, probes, "item").collect()}
         # the null probe is excluded (rollup never counted nulls), u1 answers
         assert None not in got and got["u1"] >= 1
+
+
+class TestLogBins:
+    def test_log_quantiles_bound_by_ratio_not_span(self, spark):
+        # 4 decades of doc lengths: linear bins put ~everything in bin 0
+        # and p50 error spans thousands; log bins answer within one RATIO
+        # step (hi/lo)^(1/bins) of the truth
+        vals = [10.0 * (1.12 ** i) for i in range(80)]  # 10 .. ~50k
+        df = spark.createDataFrame([(v,) for v in vals], "x DOUBLE")
+        roll = hist_rollup(df, "x", by=[], bins=64, log=True)
+        got = {r["q"]: r["est"] for r in hist_quantiles(roll, [0.5, 0.9]).collect()}
+        import statistics
+
+        truth = {0.5: statistics.quantiles(vals, n=100)[49],
+                 0.9: statistics.quantiles(vals, n=100)[89]}
+        ratio_step = (max(vals) / min(vals)) ** (1 / 64)
+        for q, est in got.items():
+            assert truth[q] / ratio_step**2 <= est <= truth[q] * ratio_step**2
+
+    def test_log_merge_equals_single_pass_and_isolates_linear(self, spark):
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [Row(g=i % 2, x=float(2 ** (i % 12 + 1))) for i in range(200)]
+        )
+        per_g = hist_rollup(df, "x", by=["g"], bins=16, lo=2.0, hi=4096.0, log=True)
+        merged = {r["bin"]: r["bin_count"] for r in hist_merge(per_g, []).collect()}
+        single = {
+            r["bin"]: r["bin_count"]
+            for r in hist_rollup(df, "x", by=[], bins=16, lo=2.0, hi=4096.0, log=True).collect()
+        }
+        assert merged == single
+        # a linear rollup with the same bins never sums with a log one
+        lin = hist_rollup(df, "x", by=[], bins=16, lo=2.0, hi=4096.0)
+        both = hist_merge(lin.unionByName(per_g.drop("g")), [])
+        assert both.count() > hist_merge(per_g.drop("g"), []).count()
+
+    def test_nonpositive_values_clamp_to_lowest_bin(self, spark):
+        df = spark.createDataFrame(
+            [(0.0,), (-3.0,), (1.0,), (100.0,)], "x DOUBLE"
+        )
+        roll = hist_rollup(df, "x", by=[], bins=4, lo=1.0, hi=100.0, log=True)
+        counts = {r["bin"]: r["bin_count"] for r in roll.collect()}
+        assert counts[0] == 3  # 0, -3 clamp in with the true 1.0
+        assert sum(counts.values()) == 4
+
+    def test_log_rejects_nonpositive_bounds(self, spark):
+        df = spark.createDataFrame([(1.0,)], "x DOUBLE")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="positive"):
+            hist_rollup(df, "x", by=[], bins=4, lo=0.0, hi=10.0, log=True)
