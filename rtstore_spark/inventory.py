@@ -139,11 +139,31 @@ def jql_filter_prefix_regex(spark, sf):
     )
 
 
-@register("jql_projection", "SELECT doc_id, lang FROM documents")
+@register(
+    "jql_projection",
+    "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
+)
 def jql_projection(spark, sf):
-    return jql_query(
-        load_table(spark, sf, "documents"), "/* | /{doc_id, lang}", order_col="doc_id"
+    """Both projection compiler paths in one oracle row (frees a registry
+    slot under the driver's 50-entry cap): the NATIVE path projects
+    columns with ``/{doc_id, lang}``, the DOC-MODE path re-encodes rows
+    as JSON docs, filters + projects inside the JSON column and extracts
+    the scalar back out. The join on doc_id means the hash matches only
+    if BOTH paths select the same rows and values."""
+    docs = load_table(spark, sf, "documents")
+    native = jql_query(
+        docs, "/[lang = en] | /{doc_id, lang}", order_col="doc_id"
     )
+    as_docs = docs.select(
+        "doc_id", F.to_json(F.struct("lang", "n_chars")).alias("doc")
+    )
+    docmode = jql_query(
+        as_docs, "/[lang = en] | /{n_chars}", doc_col="doc", order_col="doc_id"
+    ).select(
+        "doc_id",
+        F.get_json_object("doc", "$.n_chars").cast("long").alias("n_chars"),
+    )
+    return native.join(docmode, "doc_id")
 
 
 @register("jql_count", "SELECT count(*) AS count FROM documents")
@@ -655,24 +675,36 @@ def q_top_spender_per_nation(spark, sf):
 
 
 @register(
-    "jql_docmode",
-    """SELECT doc_id, n_chars FROM documents WHERE lang = 'en'""",
+    "topk_heavy_hitters",
+    """WITH cnt AS (SELECT event_type, user_id AS item, count(*) AS c
+                    FROM events GROUP BY 1, 2),
+        ranked AS (SELECT *, row_number() OVER (
+                     PARTITION BY event_type ORDER BY c DESC, item) AS rk
+                   FROM cnt),
+        kept AS (SELECT * FROM ranked WHERE rk <= 10),
+        bound AS (SELECT event_type,
+                         coalesce(max(c) FILTER (WHERE rk > 10), 0) AS b
+                  FROM ranked GROUP BY 1),
+        tb AS (SELECT sum(b)::BIGINT AS max_err FROM bound),
+        merged AS (SELECT item, sum(c)::BIGINT AS count_lo
+                   FROM kept GROUP BY 1)
+       SELECT item, count_lo, max_err FROM merged, tb
+       ORDER BY count_lo DESC, item LIMIT 5""",
 )
-def jql_docmode(spark, sf):
-    """The document-store path end-to-end: rows re-encoded as JSON docs, JQL
-    filter + projection over the JSON column, scalars extracted back out.
-    Proves the doc-mode compiler against the same oracle as the native path.
-    """
-    docs = load_table(spark, sf, "documents")
-    as_docs = docs.select(
-        "doc_id",
-        F.to_json(F.struct("lang", "n_chars")).alias("doc"),
-    )
-    out = jql_query(as_docs, "/[lang = en] | /{n_chars}", doc_col="doc", order_col="doc_id")
-    return out.select(
-        "doc_id",
-        F.get_json_object("doc", "$.n_chars").cast("long").alias("n_chars"),
-    )
+def topk_heavy_hitters(spark, sf):
+    """The mergeable heavy-hitter sketch family's oracle row
+    (operators.sketches): per-event-type truncated top-k rollups (k=5,
+    slack=2) merged to the global top 5 with the SpaceSaving-style error
+    bound. The oracle independently replays rollup truncation, the
+    per-group dropped-count bound and the merge arithmetic — count_lo
+    and max_err must match exactly, pinning both the sketch and its
+    honesty guarantee. Scale shape: one partial-agg shuffle for counts,
+    one window over the already-aggregated rows, never the base table."""
+    from rtstore_spark.operators.sketches import topk_merge, topk_rollup
+
+    ev = load_table(spark, sf, "events")
+    roll = topk_rollup(ev, "user_id", by=["event_type"], k=5, slack=2)
+    return topk_merge(roll, k=5)
 
 
 # ---------------------------------------------------------------------------
