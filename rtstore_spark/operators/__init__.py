@@ -7,7 +7,8 @@ Generic DataFrame transforms (no testdata coupling):
                    paragraph-granular exact dedup with reconstruction
 - ``similarity`` — brute-force cosine top-k, hyperplane-LSH + IVF ANN,
                    learned k-means routing, distributed PCA
-                   (moments-merge fit, codegen transform)
+                   (moments-merge fit, codegen transform),
+                   reciprocal-rank fusion of ranked lists
 - ``text``       — unicode/whitespace normalization, language/script ID,
                    quality features + trainable quality classifier,
                    Gopher rule gate, token counts, PII metrics/scrub,

@@ -11,7 +11,7 @@ variant using per-label/centroid routing.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -401,3 +401,55 @@ def pca_transform(
         - off_lit[i],
     )
     return df.withColumn(out_col, proj)
+
+
+def rrf_fuse(
+    results: dict[str, DataFrame],
+    id_col: str = "id",
+    k: int = 10,
+    k_rrf: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked result lists (Cormack et al.
+    2009): the standard way to combine lexical (``text.bm25_topk``) and
+    vector (``brute_force_topk``/``lsh_topk``/``ivf_topk``) retrieval
+    without score calibration — each list contributes 1/(k_rrf + rank)
+    and the sums rank the fused output.
+
+    Each input DataFrame is (id, score) shaped — its single non-id
+    column orders it descending (ties break on id, so fusion is
+    deterministic). Returns the top ``k`` as (id, rrf, rank_<name>...),
+    with null rank for lists that missed the id.
+
+    Scale note: inputs are top-k lists — k rows each, not corpora — so
+    the global rank windows and outer joins here are over bounded
+    relations by construction; the expensive work already happened
+    inside the retrievers.
+    """
+    if not results:
+        raise ValueError("results must contain at least one ranked list")
+    fused = None
+    score = None
+    for name, df in sorted(results.items()):
+        others = [c for c in df.columns if c != id_col]
+        if len(others) != 1:
+            raise ValueError(
+                f"list {name!r} must be (id, score) shaped, got {df.columns}"
+            )
+        w = Window.orderBy(F.col(others[0]).desc(), F.col(id_col))
+        r = df.select(
+            F.col(id_col).alias("id"),
+            F.row_number().over(w).alias(f"rank_{name}"),
+        )
+        fused = r if fused is None else fused.join(r, "id", "full_outer")
+        part = F.when(
+            F.col(f"rank_{name}").isNotNull(),
+            1.0 / (F.lit(k_rrf) + F.col(f"rank_{name}")),
+        ).otherwise(0.0)
+        score = part if score is None else score + part
+    return (
+        fused.select("id", F.round(score, 6).alias("rrf"), *[
+            c for c in fused.columns if c != "id"
+        ])
+        .orderBy(F.col("rrf").desc(), F.col("id"))
+        .limit(k)
+    )

@@ -728,3 +728,58 @@ def cluster_texts(
         featuresCol="_feat", predictionCol="cluster",
     ).fit(normed)
     return model.transform(normed).select("id", "cluster")
+
+
+def term_filter(
+    df: DataFrame, text_col: str, id_col: str, terms: list[str]
+) -> DataFrame:
+    """Blocklist metrics per document: how many times any of ``terms``
+    occurs (the C4-style "bad words" gate — C4 dropped every page
+    containing a listed term; Raffel et al. 2020, appx. A).
+
+    Returns (id, n_term_hits, n_distinct_terms) for EVERY input doc
+    (zeros when clean); gate with
+    ``df.join(out.filter("n_term_hits == 0"), id)`` or keep the counts
+    as a classifier feature. Matching is case-insensitive on whitespace
+    token boundaries — multi-word phrases match exactly n consecutive
+    tokens (including across line breaks, which tokenize like spaces).
+
+    Scale shape: terms are grouped by word count and each group joins
+    against the corpus's n-shingle stream (``dedup.shingles`` — the
+    shuffle-free zip_with chain), so a 10k-phrase blocklist costs one
+    equi-join per distinct phrase length, with the term side small by
+    construction (AQE broadcasts it; no forced hint — same policy as
+    ``ngram_contamination``). The corpus text itself never shuffles: the
+    only exchange is the per-doc partial-agg of hit counts.
+    """
+    from rtstore_spark.operators.dedup import shingles
+
+    norm = sorted({" ".join(t.lower().split()) for t in terms if t.strip()})
+    if not norm:
+        raise ValueError("terms must contain at least one non-empty entry")
+    by_n: dict[int, list[str]] = {}
+    for t in norm:
+        by_n.setdefault(len(t.split()), []).append(t)
+    low = df.select(
+        F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("_t")
+    )
+    spark = df.sparkSession
+    hits = None
+    for n, ts in sorted(by_n.items()):
+        sh = shingles(low, "_t", "id", n=n, distinct=False, keep_short=False)
+        tdf = spark.createDataFrame([(t,) for t in ts], "shingle STRING")
+        h = sh.join(tdf, "shingle").select("id", "shingle")
+        hits = h if hits is None else hits.unionByName(h)
+    per_doc = hits.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_term_hits"),
+        F.count_distinct("shingle").alias("n_distinct_terms"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_term_hits", F.lit(0)).alias("n_term_hits"),
+            F.coalesce("n_distinct_terms", F.lit(0)).alias("n_distinct_terms"),
+        )
+    )

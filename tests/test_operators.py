@@ -632,3 +632,66 @@ class TestSurvivorNaN:
         dropped = {r["drop_id"]: r["keep"] for r in drop.collect()}
         assert 2 not in dropped  # real max survives
         assert dropped.get(0) == 2  # the NaN-scored doc is dropped
+
+
+class TestTermFilter:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [
+                Row(id=1, text="clean prose about engines and sky"),
+                Row(id=2, text="the Bad Word appears here bad word again"),
+                Row(id=3, text="crosses a\nbad word\nline boundary"),
+                Row(id=4, text="solo badterm inside"),
+            ]
+        )
+
+    def test_single_and_multiword_counts(self, docs):
+        out = {
+            r["id"]: (r["n_term_hits"], r["n_distinct_terms"])
+            for r in text.term_filter(
+                docs, "text", "id", ["badterm", "bad word", "  Unused  Term "]
+            ).collect()
+        }
+        assert out[1] == (0, 0)  # clean doc gets an explicit zero row
+        assert out[2] == (2, 1)  # case-insensitive, counted per occurrence
+        assert out[3] == (1, 1)  # newline tokenizes like a space
+        assert out[4] == (1, 1)
+        # gate pattern: C4 semantics drop every doc with any hit
+        kept = text.term_filter(docs, "text", "id", ["bad word", "badterm"])
+        assert {r["id"] for r in kept.filter("n_term_hits = 0").collect()} == {1}
+
+    def test_empty_terms_raise(self, docs):
+        with pytest.raises(ValueError, match="non-empty"):
+            text.term_filter(docs, "text", "id", ["  ", ""])
+
+
+class TestRrfFuse:
+    def test_fusion_prefers_items_in_both_lists(self, spark):
+        from rtstore_spark.operators.similarity import rrf_fuse
+
+        bm25 = spark.createDataFrame(
+            [(1, 9.0), (2, 5.0), (3, 1.0)], "id LONG, score DOUBLE"
+        )
+        ann = spark.createDataFrame(
+            [(2, 0.99), (4, 0.95), (1, 0.90)], "id LONG, cosine DOUBLE"
+        )
+        out = rrf_fuse({"bm25": bm25, "ann": ann}, k=4, k_rrf=60)
+        rows = out.collect()
+        ids = [r["id"] for r in rows]
+        # hand-computed: id1 = 1/61+1/63, id2 = 1/62+1/61, id3 = 1/63,
+        # id4 = 1/62 -> order 2, 1, 4, 3
+        assert ids == [2, 1, 4, 3]
+        got = {r["id"]: r["rrf"] for r in rows}
+        assert abs(got[2] - (1 / 62 + 1 / 61)) < 1e-6
+        assert rows[0]["rank_bm25"] == 2 and rows[0]["rank_ann"] == 1
+        assert rows[2]["rank_bm25"] is None  # id4 missed the bm25 list
+
+    def test_shape_validation(self, spark):
+        from rtstore_spark.operators.similarity import rrf_fuse
+
+        bad = spark.createDataFrame([(1, 1.0, 2.0)], "id LONG, a DOUBLE, b DOUBLE")
+        with pytest.raises(ValueError, match="shaped"):
+            rrf_fuse({"x": bad})
+        with pytest.raises(ValueError, match="at least one"):
+            rrf_fuse({})
