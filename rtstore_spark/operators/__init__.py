@@ -13,7 +13,8 @@ Generic DataFrame transforms (no testdata coupling):
                    quality features + trainable quality classifier,
                    Gopher rule gate, token counts, PII metrics/scrub,
                    intra- and cross-doc repetition, chunking, BM25 top-k,
-                   tf-idf keywords, hashed-TF-IDF content clustering
+                   tf-idf keywords, hashed-TF-IDF content clustering,
+                   blocklist term filtering (C4-style)
 - ``multimodal`` — binary media columns: schema, batching, stubbed decode
 - ``sampling``   — deterministic stratified sampling, token-budget
                    domain-mixture sampling + per-domain mixture stats,
