@@ -148,8 +148,11 @@ def jql_projection(spark, sf):
     slot under the driver's 50-entry cap): the NATIVE path projects
     columns with ``/{doc_id, lang}``, the DOC-MODE path re-encodes rows
     as JSON docs, filters + projects inside the JSON column and extracts
-    the scalar back out. The join on doc_id means the hash matches only
-    if BOTH paths select the same rows and values."""
+    the scalar back out. The FULL OUTER join on doc_id means the hash
+    matches only if BOTH paths select exactly the same rows: one-sided
+    over-selection surfaces as extra rows with a null partner column,
+    one-sided under-selection as nulls where the oracle has values —
+    an inner join would mask both regressions."""
     docs = load_table(spark, sf, "documents")
     native = jql_query(
         docs, "/[lang = en] | /{doc_id, lang}", order_col="doc_id"
@@ -163,7 +166,7 @@ def jql_projection(spark, sf):
         "doc_id",
         F.get_json_object("doc", "$.n_chars").cast("long").alias("n_chars"),
     )
-    return native.join(docmode, "doc_id")
+    return native.join(docmode, "doc_id", "full_outer")
 
 
 @register("jql_count", "SELECT count(*) AS count FROM documents")

@@ -427,6 +427,13 @@ def rrf_fuse(
     """
     if not results:
         raise ValueError("results must contain at least one ranked list")
+    import re
+
+    for name in results:
+        # names become rank_<name> columns; dots/backticks would mis-parse
+        # as nested-field access when referenced
+        if not re.fullmatch(r"\w+", name):
+            raise ValueError(f"list name {name!r} must match [A-Za-z0-9_]+")
     fused = None
     score = None
     for name, df in sorted(results.items()):
@@ -446,10 +453,19 @@ def rrf_fuse(
             1.0 / (F.lit(k_rrf) + F.col(f"rank_{name}")),
         ).otherwise(0.0)
         score = part if score is None else score + part
+    # order and cut on the EXACT score — adjacent deep ranks differ by
+    # less than 1e-6, so rounding first could tie distinct scores and
+    # drop the truly-higher item at the limit boundary; the rounded
+    # column is presentation only
     return (
-        fused.select("id", F.round(score, 6).alias("rrf"), *[
+        fused.select("id", score.alias("_rrf"), *[
             c for c in fused.columns if c != "id"
         ])
-        .orderBy(F.col("rrf").desc(), F.col("id"))
+        .orderBy(F.col("_rrf").desc(), F.col("id"))
         .limit(k)
+        .select(
+            "id",
+            F.round(F.col("_rrf"), 6).alias("rrf"),
+            *[c for c in fused.columns if c != "id"],
+        )
     )

@@ -330,21 +330,25 @@ def hist_rollup(
     never merge with each other (``logbins`` differs, and ``hist_merge``
     keys on it).
 
-    One partial-agg shuffle of (groups × bins) rows; NULL values are
-    dropped (they have no quantile).
+    One partial-agg shuffle of (groups × bins) rows; NULL and NaN values
+    are dropped (they have no quantile).
     """
     v = F.col(value_col).cast("double")
+    # NaN compares greater than every number in Spark, so it would pass a
+    # `> 0` gate, poison an auto-range max and land in a bogus bin — it
+    # has no quantile, exactly like NULL, and is dropped the same way
+    finite = v.isNotNull() & ~F.isnan(v)
     if log:
         if (lo is not None and lo <= 0) or (hi is not None and hi <= 0):
             raise ValueError("log bins need positive lo/hi bounds")
         lo = None if lo is None else math.log10(lo)
         hi = None if hi is None else math.log10(hi)
         v_t = F.log10(v)
-        keep = v.isNotNull() & (v > 0)
-        clamped_low = df.filter(v.isNotNull() & (v <= 0))
+        keep = finite & (v > 0)
+        clamped_low = df.filter(finite & (v <= 0))
     else:
         v_t = v
-        keep = v.isNotNull()
+        keep = finite
         clamped_low = None
     if lo is None or hi is None:
         row = df.filter(keep).agg(

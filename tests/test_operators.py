@@ -695,3 +695,23 @@ class TestRrfFuse:
             rrf_fuse({"x": bad})
         with pytest.raises(ValueError, match="at least one"):
             rrf_fuse({})
+
+    def test_deep_rank_ties_cut_on_exact_score(self, spark):
+        from rtstore_spark.operators.similarity import rrf_fuse
+
+        # two lists engineered so the 6-decimal rounding of the RRF sums
+        # collides at the cut boundary; the exact score must decide
+        a = spark.createDataFrame(
+            [(i, 1000.0 - i) for i in range(1, 60)], "id LONG, s DOUBLE"
+        )
+        out = rrf_fuse({"a": a}, k=58, k_rrf=60)
+        ids = [r["id"] for r in out.collect()]
+        # exact ordering == input ordering, even where rounded scores tie
+        assert ids == list(range(1, 59))
+
+    def test_dotted_list_name_rejected(self, spark):
+        from rtstore_spark.operators.similarity import rrf_fuse
+
+        df = spark.createDataFrame([(1, 1.0)], "id LONG, s DOUBLE")
+        with pytest.raises(ValueError, match="must match"):
+            rrf_fuse({"bm25.v2": df})

@@ -376,10 +376,19 @@ class TestLogBins:
             for r in hist_rollup(df, "x", by=[], bins=16, lo=2.0, hi=4096.0, log=True).collect()
         }
         assert merged == single
-        # a linear rollup with the same bins never sums with a log one
-        lin = hist_rollup(df, "x", by=[], bins=16, lo=2.0, hi=4096.0)
-        both = hist_merge(lin.unionByName(per_g.drop("g")), [])
-        assert both.count() > hist_merge(per_g.drop("g"), []).count()
+        # a linear rollup never sums with a log one EVEN when the recorded
+        # lo/hi coincide numerically (the log rollup stores its range in
+        # log10 domain — give the linear one exactly those values, so only
+        # the logbins key keeps them apart)
+        import math
+
+        lin = hist_rollup(
+            df, "x", by=[], bins=16,
+            lo=math.log10(2.0), hi=math.log10(4096.0),
+        )
+        logr = hist_merge(per_g.drop("g"), [])
+        both = hist_merge(lin.unionByName(logr), [])
+        assert both.count() == lin.count() + logr.count()
 
     def test_nonpositive_values_clamp_to_lowest_bin(self, spark):
         df = spark.createDataFrame(
@@ -396,3 +405,14 @@ class TestLogBins:
 
         with _pytest.raises(ValueError, match="positive"):
             hist_rollup(df, "x", by=[], bins=4, lo=0.0, hi=10.0, log=True)
+
+    def test_nan_values_dropped_like_null(self, spark):
+        df = spark.createDataFrame(
+            [(1.0,), (10.0,), (float("nan"),), (None,)], "x DOUBLE"
+        )
+        for log in (False, True):
+            roll = hist_rollup(df, "x", by=[], bins=4, log=log)
+            assert roll.agg(F.sum("bin_count")).collect()[0][0] == 2
+            # auto range not poisoned by the NaN (max would be NaN)
+            lo, hi = roll.select("lo", "hi").first()
+            assert lo == lo and hi == hi  # not NaN
