@@ -9,6 +9,8 @@ Stages (each individually oracle-tested elsewhere; this module wires them):
                      text cannot defeat the dedup stages
 1. quality gate    — Column-algebra features, pushed-down filter
 2. language gate   — stopword-vote lang-id, keep an allowlist
+2b. blocklist gate — optional C4-style term filter (``text.term_filter``):
+                     any blocklisted phrase drops the document
 3. exact dedup     — md5 canonical-form groupBy, keep lowest id
 3b. paragraph dedup— optional corpus-wide duplicate-paragraph removal
                      with text reconstruction (``dedup.dedup_paragraphs``);
@@ -58,6 +60,7 @@ class CorpusPrepConfig:
     sample_seed: str = "corpus"
     normalize: bool = False       # stage 0: NFC + whitespace cleanup
     dedup_paragraphs: bool = False  # stage 3b: drop repeated paragraphs
+    blocklist: list[str] | None = None  # stage 2b: C4-style term gate
     scrub_pii: bool = False
     chunk_max_tokens: int | None = None  # None = no chunking
     chunk_overlap: int = 128
@@ -111,6 +114,19 @@ def prepare_corpus(
     # Lifetime: the cache entry lives until the session ends (the caller
     # can't unpersist what it can't see) — a long-lived driver preparing
     # MANY corpora should spark.catalog.clearCache() between runs.
+    # 2b. optional blocklist gate (C4 semantics: any hit drops the doc) —
+    # before the persist so the cached corpus is already clean, and
+    # before dedup so a blocked canonical can't shadow a clean near-dup
+    if cfg.blocklist:
+        clean = text.term_filter(kept, text_col, id_col, cfg.blocklist).filter(
+            F.col("n_term_hits") == 0
+        )
+        kept = kept.join(
+            clean.withColumnRenamed("id", id_col).select(id_col),
+            id_col,
+            "left_semi",
+        )
+
     from pyspark import StorageLevel
 
     kept = kept.persist(StorageLevel.MEMORY_AND_DISK)

@@ -221,9 +221,18 @@ def _word_encoder(ranks: dict[tuple[str, str], int]):
 
 
 def bpe_encode(
-    df: DataFrame, text_col: str, id_col: str, model: dict
+    df: DataFrame, text_col: str, id_col: str, model: dict,
+    output: str = "tokens",
 ) -> DataFrame:
-    """(id, tokens array<string>, n_tokens) under a ``bpe_fit`` model.
+    """(id, tokens, n_tokens) under a ``bpe_fit`` model.
+
+    ``output="tokens"`` yields subword strings (array<string>);
+    ``output="ids"`` yields vocabulary indexes (array<int>) — what a
+    training pipeline actually feeds the model. Ids index the SORTED
+    vocab list (``model["vocab"]``, the order ``bpe_save`` persists), and
+    a symbol outside it — a character the pruned word-count never saw —
+    maps to the reserved unk id ``len(vocab)``. Encode-then-lookup means
+    unks are exactly the chars the fit never counted, never whole words.
 
     Arrow-batched ``mapInPandas`` with a per-batch word memo: each
     distinct word in a batch is merged once. The merge-rank dict rides in
@@ -231,11 +240,17 @@ def bpe_encode(
     against a broadcast table because the memo also amortizes repeated
     words, which a join cannot). Shuffle-free: scan → project.
     """
+    if output not in ("tokens", "ids"):
+        raise ValueError(f"output must be 'tokens' or 'ids', got {output!r}")
     encode_word = _word_encoder({p: i for i, p in enumerate(model["merges"])})
+    sym_ids = (
+        {s: i for i, s in enumerate(model["vocab"])} if output == "ids" else None
+    )
+    elem = IntegerType() if output == "ids" else StringType()
     schema = StructType(
         [
             df.schema[id_col],
-            StructField("tokens", ArrayType(StringType())),
+            StructField("tokens", ArrayType(elem)),
             StructField("n_tokens", IntegerType()),
         ]
     )
@@ -250,10 +265,11 @@ def bpe_encode(
         # Java-\s parity: str.split() would also break on Unicode spaces
         # (NBSP etc.), splitting words the fit never counted
         split_ws = re.compile(ascii_ws).split
-        memo: dict[str, list[str]] = {}
+        memo: dict[str, list] = {}
+        unk = None if sym_ids is None else len(sym_ids)
 
         def enc(text):
-            toks: list[str] = []
+            toks: list = []
             if not isinstance(text, str):  # None or pandas NaN
                 return toks
             for w in split_ws(text.lower()):
@@ -261,7 +277,10 @@ def bpe_encode(
                     continue
                 got = memo.get(w)
                 if got is None:
-                    got = memo[w] = encode_word(w)
+                    got = encode_word(w)
+                    if sym_ids is not None:
+                        got = [sym_ids.get(s, unk) for s in got]
+                    memo[w] = got
                 toks.extend(got)
             return toks
 

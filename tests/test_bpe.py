@@ -209,3 +209,33 @@ class TestReviewFixes:
         merges = _merge_loop(freqs, 200)
         assert len(merges) == 200
         assert time.monotonic() - t0 < 30.0
+
+    def test_id_output_round_trips_through_vocab(self, spark):
+        model = bpe_fit(
+            _corpus(spark, ["low low low newest newest"]), "text",
+            n_merges=8, min_count=1,
+        )
+        df = _corpus(spark, ["low newest", "zzz"])
+        ids = {
+            r["doc_id"]: r["tokens"]
+            for r in bpe_encode(df, "text", "doc_id", model, output="ids").collect()
+        }
+        toks = {
+            r["doc_id"]: r["tokens"]
+            for r in bpe_encode(df, "text", "doc_id", model).collect()
+        }
+        vocab = model["vocab"]
+        unk = len(vocab)
+        # known text: ids decode back to the exact token strings
+        assert [vocab[i] for i in ids[0]] == toks[0]
+        assert all(0 <= i < unk for i in ids[0])
+        # 'z' never appeared in the fit corpus: its chars map to unk,
+        # the trained </w> marker keeps its real id
+        assert all(i == unk or vocab[i] == END for i in ids[1])
+        assert unk in ids[1]
+
+    def test_bad_output_mode_rejected(self, spark):
+        model = {"merges": [], "vocab": [END]}
+        df = _corpus(spark, ["x"])
+        with pytest.raises(ValueError, match="tokens.*ids"):
+            bpe_encode(df, "text", "doc_id", model, output="wrong")

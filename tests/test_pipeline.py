@@ -216,3 +216,21 @@ def test_end_to_end_prep_to_shards_on_real_docs(spark, tmp_path):
     assert shard_ct == manifest["n_shards"]
     # kept rows still carry the pipeline's lang annotation
     assert "lang" in back.columns
+
+
+def test_blocklist_stage_drops_hit_docs(spark):
+    from rtstore_spark.operators.pipeline import CorpusPrepConfig, prepare_corpus
+
+    rows = [
+        (1, "a perfectly clean readable document about engines and sky today"),
+        (2, "another clean readable document with interesting words in it here"),
+        (3, "this readable document mentions the banned phrase somewhere in text"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    base = prepare_corpus(df, "text", "id", CorpusPrepConfig(min_tokens=2))
+    gated = prepare_corpus(
+        df, "text", "id",
+        CorpusPrepConfig(min_tokens=2, blocklist=["banned phrase"]),
+    )
+    assert {r["id"] for r in base.select("id").collect()} == {1, 2, 3}
+    assert {r["id"] for r in gated.select("id").collect()} == {1, 2}
