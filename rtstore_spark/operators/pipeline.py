@@ -116,15 +116,19 @@ def prepare_corpus(
     # MANY corpora should spark.catalog.clearCache() between runs.
     # 2b. optional blocklist gate (C4 semantics: any hit drops the doc) —
     # before the persist so the cached corpus is already clean, and
-    # before dedup so a blocked canonical can't shadow a clean near-dup
+    # before dedup so a blocked canonical can't shadow a clean near-dup.
+    # The hit stream reads the RAW source (blocking is per-doc, indifferent
+    # to the other gates) and anti-joins ids, so the quality/lang join
+    # subtree above is NOT replicated into a self-join — term_filter's
+    # zero-restoration pass would triple the pre-persist plan
     if cfg.blocklist:
-        clean = text.term_filter(kept, text_col, id_col, cfg.blocklist).filter(
-            F.col("n_term_hits") == 0
+        bad = (
+            text._term_hit_stream(df, text_col, id_col, cfg.blocklist)
+            .select("id")
+            .distinct()
         )
         kept = kept.join(
-            clean.withColumnRenamed("id", id_col).select(id_col),
-            id_col,
-            "left_semi",
+            bad.withColumnRenamed("id", id_col), id_col, "left_anti"
         )
 
     from pyspark import StorageLevel

@@ -730,6 +730,35 @@ def cluster_texts(
     return model.transform(normed).select("id", "cluster")
 
 
+def _term_hit_stream(
+    df: DataFrame, text_col: str, id_col: str, terms: list[str]
+) -> DataFrame:
+    """(id, shingle) for every blocklist occurrence — the shared kernel of
+    ``term_filter`` and ``prepare_corpus``'s gate. The pipeline anti-joins
+    the distinct hit ids directly (it needs no zero rows), so its plan
+    scans the source once for the shingle stream instead of inheriting
+    term_filter's all-ids zero-restoration join."""
+    from rtstore_spark.operators.dedup import shingles
+
+    norm = sorted({" ".join(t.lower().split()) for t in terms if t.strip()})
+    if not norm:
+        raise ValueError("terms must contain at least one non-empty entry")
+    by_n: dict[int, list[str]] = {}
+    for t in norm:
+        by_n.setdefault(len(t.split()), []).append(t)
+    low = df.select(
+        F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("_t")
+    )
+    spark = df.sparkSession
+    hits = None
+    for n, ts in sorted(by_n.items()):
+        sh = shingles(low, "_t", "id", n=n, distinct=False, keep_short=False)
+        tdf = spark.createDataFrame([(t,) for t in ts], "shingle STRING")
+        h = sh.join(tdf, "shingle").select("id", "shingle")
+        hits = h if hits is None else hits.unionByName(h)
+    return hits
+
+
 def term_filter(
     df: DataFrame, text_col: str, id_col: str, terms: list[str]
 ) -> DataFrame:
@@ -752,24 +781,7 @@ def term_filter(
     ``ngram_contamination``). The corpus text itself never shuffles: the
     only exchange is the per-doc partial-agg of hit counts.
     """
-    from rtstore_spark.operators.dedup import shingles
-
-    norm = sorted({" ".join(t.lower().split()) for t in terms if t.strip()})
-    if not norm:
-        raise ValueError("terms must contain at least one non-empty entry")
-    by_n: dict[int, list[str]] = {}
-    for t in norm:
-        by_n.setdefault(len(t.split()), []).append(t)
-    low = df.select(
-        F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("_t")
-    )
-    spark = df.sparkSession
-    hits = None
-    for n, ts in sorted(by_n.items()):
-        sh = shingles(low, "_t", "id", n=n, distinct=False, keep_short=False)
-        tdf = spark.createDataFrame([(t,) for t in ts], "shingle STRING")
-        h = sh.join(tdf, "shingle").select("id", "shingle")
-        hits = h if hits is None else hits.unionByName(h)
+    hits = _term_hit_stream(df, text_col, id_col, terms)
     per_doc = hits.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_term_hits"),
         F.count_distinct("shingle").alias("n_distinct_terms"),
