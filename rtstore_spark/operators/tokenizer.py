@@ -314,3 +314,17 @@ def bpe_load(spark, path: str) -> dict:
     rows = spark.read.parquet(path + "/merges").orderBy("rank").collect()
     vocab = [r["sym"] for r in spark.read.parquet(path + "/vocab").collect()]
     return {"merges": [(r["a"], r["b"]) for r in rows], "vocab": sorted(vocab)}
+
+
+def bpe_decode(tokens: list, model: dict) -> str:
+    """Inverse of one document's encode: subword strings OR vocabulary ids
+    back to text (driver-side helper for spot checks and round-trip
+    tests; unk ids render as � since the original character is
+    genuinely gone). Word boundaries come from the END markers."""
+    vocab = model["vocab"]
+    parts = []
+    for t in tokens:
+        if isinstance(t, int):
+            t = vocab[t] if 0 <= t < len(vocab) else "�"
+        parts.append(t)
+    return "".join(parts).replace(END, " ").rstrip()

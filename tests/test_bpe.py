@@ -239,3 +239,20 @@ class TestReviewFixes:
         df = _corpus(spark, ["x"])
         with pytest.raises(ValueError, match="tokens.*ids"):
             bpe_encode(df, "text", "doc_id", model, output="wrong")
+
+    def test_decode_round_trip_including_unk(self, spark):
+        from rtstore_spark.operators.tokenizer import bpe_decode
+
+        model = bpe_fit(
+            _corpus(spark, ["low low low newest newest"]), "text",
+            n_merges=8, min_count=1,
+        )
+        df = _corpus(spark, ["low newest low"])
+        toks = bpe_encode(df, "text", "doc_id", model).collect()[0]["tokens"]
+        ids = bpe_encode(df, "text", "doc_id", model, output="ids").collect()[0]["tokens"]
+        assert bpe_decode(toks, model) == "low newest low"
+        assert bpe_decode(ids, model) == "low newest low"
+        # unseen chars became unk ids: decode marks, never crashes
+        zz = bpe_encode(_corpus(spark, ["zz"]), "text", "doc_id", model,
+                        output="ids").collect()[0]["tokens"]
+        assert "�" in bpe_decode(zz, model)
