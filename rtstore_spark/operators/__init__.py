@@ -8,7 +8,8 @@ Generic DataFrame transforms (no testdata coupling):
 - ``similarity`` — brute-force cosine top-k, hyperplane-LSH + IVF ANN,
                    learned k-means routing, distributed PCA
                    (moments-merge fit, codegen transform),
-                   reciprocal-rank fusion of ranked lists
+                   reciprocal-rank fusion of ranked lists,
+                   banded-LSH approximate kNN self-join (graph builder)
 - ``text``       — unicode/whitespace normalization, language/script ID,
                    quality features + trainable quality classifier,
                    Gopher rule gate, token counts, PII metrics/scrub,

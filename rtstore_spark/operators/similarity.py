@@ -469,3 +469,80 @@ def rrf_fuse(
             *[c for c in fused.columns if c != "id"],
         )
     )
+
+
+def knn_join(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: str = "knn",
+) -> DataFrame:
+    """Approximate k-nearest-neighbor SELF-join: for every vector, its
+    top-``k`` cosine neighbors among vectors sharing at least one LSH
+    band — the kNN-graph builder behind graph clustering, SemDeDup-style
+    analysis and link-based quality propagation.
+
+    Banding is OR-amplification (same scheme as the minhash pipeline):
+    the ``num_planes`` sign bits split into ``bands`` keys of
+    ``num_planes/bands`` bits, and a pair is a candidate if ANY band
+    matches — recall rises with ``bands`` while per-bucket population
+    stays bounded by the band width. Complements the existing surface:
+    ``brute_force_topk``/``lsh_topk``/``ivf_topk`` answer one query
+    vector, ``embedding_neardup_pairs`` answers a global threshold;
+    this answers "everyone's k nearest", which neither shape gives.
+
+    Shape at scale — every exchange is on fixed-width keys, never raw
+    vectors except the two id-keyed rejoins: band-bucket equi-join →
+    distinct candidate (id, id) pairs (so each pair's cosine is computed
+    ONCE however many bands it matched) → two 8-byte-key joins to
+    re-attach vectors → exact cosine → per-source window top-k. Bucket
+    population is n / 2^(num_planes/bands) in expectation; raise the
+    band width if a skewed embedding space concentrates a bucket.
+
+    Returns (id, nbr_id, cosine, rank), rank 1..k per id; vectors whose
+    bands matched nothing are absent (no neighbors found — raise
+    ``bands`` for more recall).
+    """
+    if num_planes % bands != 0:
+        raise ValueError("num_planes must divide evenly into bands")
+    per_band = num_planes // bands
+    keyed = with_hyperplane_bucket(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v", planes=num_planes, seed=seed,
+    )
+    banded = keyed.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.concat(
+                    F.lit(f"{b}:"),
+                    F.substring("bucket", b * per_band + 1, per_band),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band_sig"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, "band_sig")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(F.col("a.id").alias("id"), F.col("b.id").alias("nbr_id"))
+        .distinct()
+    )
+    va = keyed.select(F.col("id"), F.col("v").alias("_va"))
+    vb = keyed.select(F.col("id").alias("nbr_id"), F.col("v").alias("_vb"))
+    scored = (
+        cand.join(va, "id")
+        .join(vb, "nbr_id")
+        .select(
+            "id", "nbr_id", F.round(cosine_expr("_va", "_vb"), 6).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -67,3 +67,49 @@ def test_semdedup_quality_survivor(clustered):
     )
     drops = {r["drop_id"]: r["keep"] for r in out.collect()}
     assert drops == {1: 3, 2: 3, 11: 10}  # B-cluster ties back to min id
+
+
+class TestKnnJoin:
+    def test_planted_neighbors_rank_first(self, spark):
+        from rtstore_spark.operators.similarity import knn_join
+
+        a = [1.0, 0.05, 0.0, 0.0]
+        b = [0.0, 1.0, 0.05, 0.0]
+        rows = [
+            (1, a), (2, [x * 1.01 for x in a]), (3, [x * 0.99 + 0.01 for x in a]),
+            (10, b), (11, [x * 1.02 for x in b]),
+        ]
+        df = spark.createDataFrame(rows, ["id", "emb"])
+        out = knn_join(df, "emb", "id", k=2, num_planes=8, bands=8)
+        by_id = {}
+        for r in out.collect():
+            by_id.setdefault(r["id"], []).append((r["rank"], r["nbr_id"], r["cosine"]))
+        # scaled copies of A are each other's rank-1 (cosine 1.0)
+        assert by_id[1][0][1] in (2, 3) and by_id[2][0][1] in (1, 3)
+        assert by_id[10][0] == (1, 11, 1.0) and by_id[11][0] == (1, 10, 1.0)
+        # ranks are dense 1..k and cosines non-increasing per id
+        for rs in by_id.values():
+            rs.sort()
+            assert [r[0] for r in rs] == list(range(1, len(rs) + 1))
+            assert all(rs[i][2] >= rs[i + 1][2] for i in range(len(rs) - 1))
+
+    def test_each_pair_scored_once_and_self_excluded(self, spark):
+        from rtstore_spark.operators.similarity import knn_join
+
+        # identical vectors collide in EVERY band: the distinct must
+        # still yield one row per (id, nbr) and never a self-edge
+        v = [1.0, 0.0, 0.0, 0.0]
+        df = spark.createDataFrame([(i, v) for i in range(4)], ["id", "emb"])
+        out = knn_join(df, "emb", "id", k=10, num_planes=8, bands=4).collect()
+        pairs = [(r["id"], r["nbr_id"]) for r in out]
+        assert len(pairs) == len(set(pairs)) == 4 * 3
+        assert all(i != j for i, j in pairs)
+
+    def test_bad_band_split_rejected(self, spark):
+        from rtstore_spark.operators.similarity import knn_join
+
+        df = spark.createDataFrame([(1, [1.0, 0.0])], ["id", "emb"])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="divide"):
+            knn_join(df, "emb", "id", num_planes=10, bands=4)
