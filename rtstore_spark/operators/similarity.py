@@ -546,3 +546,51 @@ def knn_join(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def knn_clusters(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    threshold: float = 0.7,
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: str = "knn",
+) -> DataFrame:
+    """Mutual-kNN clustering: connected components of the graph whose
+    edges are vector pairs that (a) appear in EACH OTHER's approximate
+    top-``k`` and (b) clear the cosine ``threshold``. Mutuality is the
+    classic guard against chaining through hub vectors — a point near a
+    cluster boundary lists the hub, but the hub's own top-k is full of
+    its true cluster, so the one-way edge is dropped.
+
+    Returns (id, cluster) with cluster = the component's minimum id —
+    only for vectors that have at least one mutual edge; everything
+    absent is its own singleton (callers left-join and coalesce to id).
+    Components are exact (pointer-jumping ``dedup.connected_components``,
+    O(log diameter) rounds).
+
+    Cost: one ``knn_join`` (see its shape note) + a self-join of the
+    k·n edge list on the canonical pair key + component propagation
+    over mutual edges only.
+    """
+    from rtstore_spark.operators.dedup import connected_components
+
+    g = knn_join(
+        df, vec_col, id_col, k=k, num_planes=num_planes, bands=bands, seed=seed
+    ).filter(F.col("cosine") >= threshold)
+    canon = g.select(
+        F.least("id", "nbr_id").alias("id_a"),
+        F.greatest("id", "nbr_id").alias("id_b"),
+    )
+    # a mutual pair contributes one row from each direction
+    mutual = (
+        canon.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("id_a", "id_b")
+    )
+    return connected_components(mutual).select(
+        "id", F.col("comp").alias("cluster")
+    )

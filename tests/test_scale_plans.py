@@ -351,3 +351,16 @@ class TestSessionAdditionsPlanShapes:
         # the depth-way fan-out must collapse BEFORE the exchange
         assert "partial_count" in plan
         assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_knn_join_windows_per_vector_never_global(self, spark):
+        from rtstore_spark.operators.similarity import knn_join
+
+        df = spark.createDataFrame(
+            [(i, [float(i % 5), 1.0, 0.0]) for i in range(30)], ["id", "emb"]
+        )
+        plan = _plan(knn_join(df, "emb", "id", k=3, num_planes=8, bands=4))
+        # the top-k window partitions by source id — a global window would
+        # funnel the whole candidate set into one task
+        assert "hashpartitioning(id" in plan
+        assert "SinglePartition" not in plan
+        assert "CartesianProduct" not in plan

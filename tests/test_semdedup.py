@@ -113,3 +113,46 @@ class TestKnnJoin:
 
         with _pytest.raises(ValueError, match="divide"):
             knn_join(df, "emb", "id", num_planes=10, bands=4)
+
+
+class TestKnnClusters:
+    def test_planted_clusters_recovered_mutually(self, spark):
+        from rtstore_spark.operators.similarity import knn_clusters
+
+        a = [1.0, 0.02, 0.0, 0.0]
+        b = [0.0, 1.0, 0.02, 0.0]
+        c = [0.0, 0.0, 0.0, 1.0]  # isolated
+        rows = [
+            (1, a), (2, [x * 1.01 for x in a]), (3, [x * 0.98 for x in a]),
+            (10, b), (11, [x * 1.03 for x in b]),
+            (20, c),
+        ]
+        df = spark.createDataFrame(rows, ["id", "emb"])
+        out = {
+            r["id"]: r["cluster"]
+            for r in knn_clusters(
+                df, "emb", "id", k=2, threshold=0.9, num_planes=8, bands=8
+            ).collect()
+        }
+        assert out[1] == out[2] == out[3] == 1
+        assert out[10] == out[11] == 10
+        assert 20 not in out  # no mutual edge: singleton by absence
+        assert out[1] != out[10]
+
+    def test_threshold_splits_weak_links(self, spark):
+        from rtstore_spark.operators.similarity import knn_clusters
+
+        # two tight pairs bridged only by weak cosines: a high threshold
+        # must keep them separate clusters
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.05, 0.0, 0.0]),
+            (10, [0.0, 0.0, 1.0, 0.0]), (11, [0.0, 0.05, 1.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, ["id", "emb"])
+        out = {
+            r["id"]: r["cluster"]
+            for r in knn_clusters(
+                df, "emb", "id", k=3, threshold=0.95, num_planes=8, bands=8
+            ).collect()
+        }
+        assert out[1] == out[2] == 1 and out[10] == out[11] == 10
