@@ -24,8 +24,15 @@ def dot_expr(a: str, b: str) -> str:
 
 
 def cosine_expr(a: str, b: str) -> Column:
+    """Cosine similarity; the norm-product floor makes a zero vector score
+    0 against everything instead of raising DIVIDE_BY_ZERO under ANSI
+    mode (or, worse, producing NaN — which Spark orders ABOVE every real
+    value, so an all-zero embedding would become everyone's rank-1
+    neighbor). No effect on nonzero vectors: any real norm product is
+    far above the floor."""
     return F.expr(
-        f"({dot_expr(a, b)}) / (sqrt({dot_expr(a, a)}) * sqrt({dot_expr(b, b)}))"
+        f"({dot_expr(a, b)}) / greatest(sqrt({dot_expr(a, a)})"
+        f" * sqrt({dot_expr(b, b)}), 1e-12D)"
     )
 
 
@@ -108,7 +115,10 @@ def with_hyperplane_bucket(
     to ``hyperplane_bucket``.
     """
     if dim is None:
-        dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
+        rows = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+        if not rows:  # empty input: degrade to an empty result, not a crash
+            return df.withColumn(out_col, F.lit(""))
+        dim = rows[0]["d"]
     spark = df.sparkSession
     matrix_df = spark.createDataFrame(
         [(_plane_matrix(dim, planes, seed),)], "_planes: array<array<double>>"
@@ -479,6 +489,7 @@ def knn_join(
     num_planes: int = 16,
     bands: int = 4,
     seed: str = "knn",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor SELF-join: for every vector, its
     top-``k`` cosine neighbors among vectors sharing at least one LSH
@@ -509,9 +520,17 @@ def knn_join(
     if num_planes % bands != 0:
         raise ValueError("num_planes must divide evenly into bands")
     per_band = num_planes // bands
+    # (id, v) feeds THREE consumers — the bucket/band stream and both
+    # vector rejoins — so persist it rather than trusting ReusedExchange
+    # (the semdedup/prepare_corpus precedent); pass ``dim`` to skip the
+    # inference job entirely. Cache lifetime: session (see semdedup note).
+    from pyspark import StorageLevel
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     keyed = with_hyperplane_bucket(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
-        "v", planes=num_planes, seed=seed,
+        base, "v", planes=num_planes, seed=seed, dim=dim
     )
     banded = keyed.select(
         "id",
@@ -532,8 +551,9 @@ def knn_join(
         .select(F.col("a.id").alias("id"), F.col("b.id").alias("nbr_id"))
         .distinct()
     )
-    va = keyed.select(F.col("id"), F.col("v").alias("_va"))
-    vb = keyed.select(F.col("id").alias("nbr_id"), F.col("v").alias("_vb"))
+    # rejoins never need the bucket — read the cheaper pre-bucket frame
+    va = base.select(F.col("id"), F.col("v").alias("_va"))
+    vb = base.select(F.col("id").alias("nbr_id"), F.col("v").alias("_vb"))
     scored = (
         cand.join(va, "id")
         .join(vb, "nbr_id")
@@ -557,6 +577,7 @@ def knn_clusters(
     num_planes: int = 16,
     bands: int = 4,
     seed: str = "knn",
+    dim: int | None = None,
 ) -> DataFrame:
     """Mutual-kNN clustering: connected components of the graph whose
     edges are vector pairs that (a) appear in EACH OTHER's approximate
@@ -578,7 +599,8 @@ def knn_clusters(
     from rtstore_spark.operators.dedup import connected_components
 
     g = knn_join(
-        df, vec_col, id_col, k=k, num_planes=num_planes, bands=bands, seed=seed
+        df, vec_col, id_col, k=k, num_planes=num_planes, bands=bands,
+        seed=seed, dim=dim,
     ).filter(F.col("cosine") >= threshold)
     canon = g.select(
         F.least("id", "nbr_id").alias("id_a"),

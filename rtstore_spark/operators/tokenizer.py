@@ -320,7 +320,11 @@ def bpe_decode(tokens: list, model: dict) -> str:
     """Inverse of one document's encode: subword strings OR vocabulary ids
     back to text (driver-side helper for spot checks and round-trip
     tests; unk ids render as � since the original character is
-    genuinely gone). Word boundaries come from the END markers."""
+    genuinely gone). Word boundaries come from the END markers — which
+    makes decode ambiguous for text that LITERALLY contains "</w>" (its
+    characters re-merge into a symbol indistinguishable from the
+    marker); that ambiguity is inherent to string-form BPE (Sennrich
+    2016 shares it), not a bug to fix here."""
     vocab = model["vocab"]
     parts = []
     for t in tokens:

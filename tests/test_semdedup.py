@@ -156,3 +156,30 @@ class TestKnnClusters:
             ).collect()
         }
         assert out[1] == out[2] == 1 and out[10] == out[11] == 10
+
+
+class TestKnnRobustness:
+    def test_zero_norm_vector_never_ranks_first(self, spark):
+        from rtstore_spark.operators.similarity import knn_join
+
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.01, 0.0, 0.0]),
+            (99, [0.0, 0.0, 0.0, 0.0]),  # zero-norm: empty-doc embedding
+        ]
+        df = spark.createDataFrame(rows, ["id", "emb"])
+        out = knn_join(df, "emb", "id", k=2, num_planes=4, bands=4)
+        rows_out = out.collect()  # must not raise DIVIDE_BY_ZERO (ANSI)
+        by_id = {}
+        for r in rows_out:
+            by_id.setdefault(r["id"], []).append((r["rank"], r["nbr_id"], r["cosine"]))
+        # the zero vector scores 0 against everything: the true neighbor
+        # stays rank-1; NaN ordering would have put 99 first
+        assert sorted(by_id[1])[0][1] == 2
+        assert all(c == 0.0 for rs in by_id.values() for rk, n, c in rs if 99 in (n,))
+
+    def test_empty_input_degrades_to_empty_output(self, spark):
+        from rtstore_spark.operators.similarity import knn_clusters, knn_join
+
+        df = spark.createDataFrame([], "id LONG, emb ARRAY<DOUBLE>")
+        assert knn_join(df, "emb", "id", k=3).count() == 0
+        assert knn_clusters(df, "emb", "id", k=3).count() == 0
