@@ -19,7 +19,8 @@ Generic DataFrame transforms (no testdata coupling):
 - ``multimodal`` — binary media columns: schema, batching, stubbed decode
 - ``sampling``   — deterministic stratified sampling, token-budget
                    domain-mixture sampling + per-domain mixture stats,
-                   n-gram contamination
+                   n-gram contamination, DSIR importance resampling
+                   (hashed n-gram weights + deterministic Gumbel top-k)
 - ``skew``       — hot-key broadcast-routed joins
 - ``sketches``   — mergeable rollup sketches: HLL distinct counts,
                    bounded-error top-k heavy hitters, histogram

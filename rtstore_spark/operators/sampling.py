@@ -206,3 +206,117 @@ def ngram_contamination(
         .groupBy("corpus_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
     )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 10_000,
+    ngram_n: int = 2,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, *Data Selection for
+    Language Models via Importance Resampling*): score every raw document
+    by how much more likely its hashed n-gram features are under the
+    TARGET distribution (e.g. curated wiki/books) than under the raw
+    corpus itself. Selecting by these weights shifts the pretraining
+    mixture toward the target domain without training a classifier.
+
+    Model: both corpora are reduced to unigram distributions over
+    ``n_buckets`` hashed word-``ngram_n``-gram buckets (the paper's
+    hashed n-gram feature space; add-``smoothing`` Laplace smoothing so
+    unseen buckets stay finite). A document's log-weight is
+    Σ_features log p_target(bucket) − log p_raw(bucket).
+
+    Returns (id, n_features, log_w) for every raw doc — docs too short
+    for a full n-gram get log_w = 0 (no evidence either way). Feed to
+    ``dsir_topk`` for the actual resampling.
+
+    Scale shape: each corpus costs ONE explode + partial-agg groupBy
+    whose output is ≤ n_buckets rows; the per-bucket log-ratio table is
+    broadcast-sized BY CONSTRUCTION (10k rows at the default), so the
+    raw corpus's scoring pass is explode → broadcast join → per-doc
+    partial agg — text never shuffles, and no corpus-sized relation is
+    ever on the build side.
+    """
+    from rtstore_spark.operators.dedup import shingles
+
+    def bucket_counts(df_: DataFrame) -> DataFrame:
+        sh = shingles(
+            df_.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
+            "_t", "id", n=ngram_n, distinct=False, keep_short=False,
+        )
+        b = _hash_bucket(F.lower(F.col("shingle"))) % n_buckets
+        return sh.groupBy(b.alias("bucket")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    tc, rc = bucket_counts(target), bucket_counts(raw)
+    t_tot = tc.agg(F.sum("c")).collect()[0][0] or 1
+    r_tot = rc.agg(F.sum("c")).collect()[0][0] or 1
+    ratio = (
+        tc.withColumnRenamed("c", "tc")
+        .join(rc.withColumnRenamed("c", "rc"), "bucket", "full_outer")
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("tc", F.lit(0)) + smoothing)
+                    / F.lit(float(t_tot) + smoothing * n_buckets)
+                )
+                - F.log(
+                    (F.coalesce("rc", F.lit(0)) + smoothing)
+                    / F.lit(float(r_tot) + smoothing * n_buckets)
+                )
+            ).alias("log_ratio"),
+        )
+    )
+    feats = shingles(
+        raw.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
+        "_t", "id", n=ngram_n, distinct=False, keep_short=False,
+    ).select("id", (_hash_bucket(F.lower(F.col("shingle"))) % n_buckets).alias("bucket"))
+    scored = (
+        feats.join(ratio, "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("log_ratio").alias("log_w"),
+        )
+    )
+    all_ids = raw.select(F.col(id_col).alias("id"))
+    return all_ids.join(scored, "id", "left").select(
+        "id",
+        F.coalesce("n_features", F.lit(0)).alias("n_features"),
+        F.coalesce("log_w", F.lit(0.0)).alias("log_w"),
+    )
+
+
+def dsir_topk(
+    weights: DataFrame,
+    n: int,
+    temperature: float = 1.0,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Gumbel top-k resampling over ``dsir_weights`` output: selecting the
+    ``n`` largest ``log_w/temperature + Gumbel(id)`` keys IS an exact
+    sample-without-replacement proportional to ``w^(1/temperature)`` (the
+    Gumbel-max trick) — but deterministic, because the Gumbel noise is
+    derived from ``md5(seed, id)`` instead of an RNG: same corpus + seed
+    ⇒ the same selection on any cluster, any partitioning.
+
+    Returns the selected (id, log_w, key) rows. One projection + a
+    TakeOrdered (per-partition heaps, no global sort); at 100 TB the
+    only moving data is n winner rows.
+    """
+    u = (
+        _hash_bucket(F.concat(F.lit(seed + ":"), F.col("id").cast("string")))
+        + 0.5
+    ) / float(_BUCKETS)  # uniform in (0, 1), deterministic per id
+    gumbel = -F.log(-F.log(u))
+    key = F.col("log_w") / F.lit(float(temperature)) + gumbel
+    return (
+        weights.select("id", "log_w", key.alias("key"))
+        .orderBy(F.col("key").desc(), F.col("id"))
+        .limit(n)
+    )

@@ -134,3 +134,64 @@ class TestNgramContamination:
         assert got == [(1, "a b c"), (1, "b c d"), (1, "c d e"), (3, "p q r")]
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("split(") == 1, plan
+
+
+class TestDsir:
+    def _corpora(self, spark):
+        # target: clean encyclopedic-ish bigrams; raw: mixed clean/spam
+        target = spark.createDataFrame(
+            [(i, "the ancient city was founded on the river delta") for i in range(4)],
+            "id long, text string",
+        )
+        raw = spark.createDataFrame(
+            [
+                (1, "the ancient city was founded on the river near the delta"),
+                (2, "click here buy now cheap deals click here buy now"),
+                (3, "the river delta was founded near the ancient city"),
+                (4, "zz"),  # too short for a bigram
+            ],
+            "id long, text string",
+        )
+        return raw, target
+
+    def test_weights_rank_target_like_docs_higher(self, spark):
+        from rtstore_spark.operators.sampling import dsir_weights
+
+        raw, target = self._corpora(spark)
+        w = {r["id"]: r for r in dsir_weights(raw, target, "text", "id").collect()}
+        assert set(w) == {1, 2, 3, 4}  # every raw doc gets a row
+        # target-like prose outranks the spam doc decisively
+        assert w[1]["log_w"] > w[2]["log_w"]
+        assert w[3]["log_w"] > w[2]["log_w"]
+        # no full n-gram -> zero evidence
+        assert w[4]["n_features"] == 0 and w[4]["log_w"] == 0.0
+
+    def test_topk_is_deterministic_and_weight_biased(self, spark):
+        from rtstore_spark.operators.sampling import dsir_topk, dsir_weights
+
+        raw, target = self._corpora(spark)
+        w = dsir_weights(raw, target, "text", "id")
+        pick = lambda s: sorted(
+            r["id"] for r in dsir_topk(w, n=2, seed=s).collect()
+        )
+        assert pick("a") == pick("a")  # same seed: identical selection
+        # near-zero temperature -> argmax of weights: the two target-like
+        # docs must win regardless of the Gumbel noise
+        hard = sorted(
+            r["id"]
+            for r in dsir_topk(w, n=2, temperature=1e-6, seed="x").collect()
+        )
+        assert hard == [1, 3]
+
+    def test_partitioning_invariance(self, spark):
+        from rtstore_spark.operators.sampling import dsir_topk, dsir_weights
+
+        raw, target = self._corpora(spark)
+        w1 = dsir_weights(raw.repartition(1), target, "text", "id")
+        w8 = dsir_weights(raw.repartition(8), target.repartition(4), "text", "id")
+        a = {(r["id"], round(r["log_w"], 9)) for r in w1.collect()}
+        b = {(r["id"], round(r["log_w"], 9)) for r in w8.collect()}
+        assert a == b
+        assert sorted(r["id"] for r in dsir_topk(w1, 3).collect()) == sorted(
+            r["id"] for r in dsir_topk(w8, 3).collect()
+        )
