@@ -158,9 +158,12 @@ def mixture_stats(
     )
 
 
-def _word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, gram) — distinct lowercased word n-grams; docs shorter than
-    ``n`` tokens emit nothing.
+def _word_ngrams(
+    df: DataFrame, text_col: str, id_col: str, n: int, distinct: bool = True
+) -> DataFrame:
+    """(id, gram) — lowercased word n-grams (``distinct=True`` for set
+    semantics; ``False`` keeps the multiset and skips that shuffle — the
+    DSIR counting path); docs shorter than ``n`` tokens emit nothing.
 
     Delegates to ``dedup.shingles``'s zip_with chain so the tokenizing
     ``split`` runs once per row. The previous formulation aliased the split
@@ -176,7 +179,7 @@ def _word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame
         F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("_text")
     )
     return shingles(
-        lowered, "_text", "id", n=n, distinct=True, keep_short=False
+        lowered, "_text", "id", n=n, distinct=distinct, keep_short=False
     ).withColumnRenamed("shingle", "gram")
 
 
@@ -208,6 +211,15 @@ def ngram_contamination(
     )
 
 
+def _gram_bucket(col: Column, n_buckets: int) -> Column:
+    """Feature bucket in [0, n_buckets) off 12 md5 hex chars (48 bits):
+    modulo bias ≤ n_buckets/2^48, and NOT layered on ``_hash_bucket``
+    (whose own mod-1e6 would cap the space at 1e6 and skew any
+    non-divisor n_buckets). DuckDB replay:
+    ``('0x' || substr(md5(g), 1, 12))::BIGINT % n_buckets``."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long") % n_buckets
+
+
 def dsir_weights(
     raw: DataFrame,
     target: DataFrame,
@@ -234,50 +246,46 @@ def dsir_weights(
     for a full n-gram get log_w = 0 (no evidence either way). Feed to
     ``dsir_topk`` for the actual resampling.
 
-    Scale shape: each corpus costs ONE explode + partial-agg groupBy
-    whose output is ≤ n_buckets rows; the per-bucket log-ratio table is
-    broadcast-sized BY CONSTRUCTION (10k rows at the default), so the
-    raw corpus's scoring pass is explode → broadcast join → per-doc
-    partial agg — text never shuffles, and no corpus-sized relation is
-    ever on the build side.
+    Scale shape: each corpus is exploded ONCE for its bucket-count
+    groupBy (output ≤ n_buckets rows — small enough to COLLECT), the
+    log-ratio table is computed driver-side and re-enters the plan as a
+    guaranteed-broadcast local relation, and the raw corpus's single
+    scoring pass is explode → broadcast join → per-doc partial agg —
+    text never shuffles, no corpus-sized relation is ever on the build
+    side, and Catalyst cannot mis-estimate a local table's size.
     """
-    from rtstore_spark.operators.dedup import shingles
+    import math
 
-    def bucket_counts(df_: DataFrame) -> DataFrame:
-        sh = shingles(
-            df_.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
-            "_t", "id", n=ngram_n, distinct=False, keep_short=False,
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be positive")
+
+    def bucket_counts(df_: DataFrame) -> dict[int, int]:
+        sh = _word_ngrams(df_, text_col, id_col, ngram_n, distinct=False)
+        rows = (
+            sh.groupBy(_gram_bucket(F.col("gram"), n_buckets).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
         )
-        b = _hash_bucket(F.lower(F.col("shingle"))) % n_buckets
-        return sh.groupBy(b.alias("bucket")).agg(
-            F.count(F.lit(1)).alias("c")
-        )
+        return {int(r["bucket"]): int(r["c"]) for r in rows}
+
     tc, rc = bucket_counts(target), bucket_counts(raw)
-    t_tot = tc.agg(F.sum("c")).collect()[0][0] or 1
-    r_tot = rc.agg(F.sum("c")).collect()[0][0] or 1
-    ratio = (
-        tc.withColumnRenamed("c", "tc")
-        .join(rc.withColumnRenamed("c", "rc"), "bucket", "full_outer")
-        .select(
-            "bucket",
-            (
-                F.log(
-                    (F.coalesce("tc", F.lit(0)) + smoothing)
-                    / F.lit(float(t_tot) + smoothing * n_buckets)
-                )
-                - F.log(
-                    (F.coalesce("rc", F.lit(0)) + smoothing)
-                    / F.lit(float(r_tot) + smoothing * n_buckets)
-                )
-            ).alias("log_ratio"),
+    t_den = float(sum(tc.values())) + smoothing * n_buckets
+    r_den = float(sum(rc.values())) + smoothing * n_buckets
+    ratio_rows = [
+        (
+            b,
+            math.log((tc.get(b, 0) + smoothing) / t_den)
+            - math.log((rc.get(b, 0) + smoothing) / r_den),
         )
+        for b in sorted(set(tc) | set(rc))
+    ]
+    spark = raw.sparkSession
+    ratio = spark.createDataFrame(ratio_rows, "bucket LONG, log_ratio DOUBLE")
+    feats = _word_ngrams(raw, text_col, id_col, ngram_n, distinct=False).select(
+        "id", _gram_bucket(F.col("gram"), n_buckets).alias("bucket")
     )
-    feats = shingles(
-        raw.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
-        "_t", "id", n=ngram_n, distinct=False, keep_short=False,
-    ).select("id", (_hash_bucket(F.lower(F.col("shingle"))) % n_buckets).alias("bucket"))
     scored = (
-        feats.join(ratio, "bucket")
+        feats.join(F.broadcast(ratio), "bucket")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_features"),
@@ -299,20 +307,35 @@ def dsir_topk(
     seed: str = "dsir",
 ) -> DataFrame:
     """Gumbel top-k resampling over ``dsir_weights`` output: selecting the
-    ``n`` largest ``log_w/temperature + Gumbel(id)`` keys IS an exact
-    sample-without-replacement proportional to ``w^(1/temperature)`` (the
-    Gumbel-max trick) — but deterministic, because the Gumbel noise is
-    derived from ``md5(seed, id)`` instead of an RNG: same corpus + seed
-    ⇒ the same selection on any cluster, any partitioning.
+    ``n`` largest ``log_w/temperature + Gumbel(id)`` keys samples without
+    replacement proportional to ``w^(1/temperature)`` (the Gumbel-max
+    trick) — deterministically, because the Gumbel noise derives from
+    ``md5(seed, id)`` instead of an RNG: same corpus + seed ⇒ the same
+    selection on any cluster, any partitioning. The noise has 48-bit
+    resolution (u from 12 md5 hex chars), so the distribution is exact
+    up to that discretization: Gumbel values truncate at ≈ ±33, i.e. a
+    doc whose log-weight deficit exceeds ~66/temperature is effectively
+    unsampleable — at that probability (< 2^-48) so is a real RNG draw.
 
     Returns the selected (id, log_w, key) rows. One projection + a
     TakeOrdered (per-partition heaps, no global sort); at 100 TB the
     only moving data is n winner rows.
     """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    res = float(1 << 48)
     u = (
-        _hash_bucket(F.concat(F.lit(seed + ":"), F.col("id").cast("string")))
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + ":"), F.col("id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
         + 0.5
-    ) / float(_BUCKETS)  # uniform in (0, 1), deterministic per id
+    ) / F.lit(res)  # uniform in (0, 1), deterministic per id, 48-bit grid
     gumbel = -F.log(-F.log(u))
     key = F.col("log_w") / F.lit(float(temperature)) + gumbel
     return (

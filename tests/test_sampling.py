@@ -195,3 +195,55 @@ class TestDsir:
         assert sorted(r["id"] for r in dsir_topk(w1, 3).collect()) == sorted(
             r["id"] for r in dsir_topk(w8, 3).collect()
         )
+
+    def test_weights_match_duckdb_replay(self, spark, sf_dir):
+        """Full cross-engine replay of the weight math on real testdata:
+        bucket hash, Laplace smoothing, log-ratio and the per-doc sum
+        (the same contract the registry oracles enforce)."""
+        import duckdb
+
+        from rtstore_spark.operators.sampling import dsir_weights
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        target = docs.filter(F.col("lang") == "en")
+        got = {
+            r["id"]: round(r["log_w"], 6)
+            for r in dsir_weights(
+                docs, target, "text", "doc_id", n_buckets=500
+            ).collect()
+        }
+        q = f"""
+        WITH tok AS (
+          SELECT doc_id, lang,
+                 string_split_regex(trim(lower(text)), '\\s+') AS ts
+          FROM '{sf_dir}/documents.parquet'),
+        grams AS (
+          SELECT doc_id, lang, ts[i] || ' ' || ts[i+1] AS g
+          FROM tok, unnest(generate_series(1, len(ts)-1)) AS t(i)
+          WHERE len(ts) >= 2),
+        b AS (SELECT doc_id, lang,
+                     ('0x' || substr(md5(g), 1, 12))::BIGINT % 500 AS bucket
+              FROM grams),
+        tc AS (SELECT bucket, count(*) c FROM b WHERE lang='en' GROUP BY 1),
+        rc AS (SELECT bucket, count(*) c FROM b GROUP BY 1),
+        tots AS (SELECT (SELECT sum(c) FROM tc) tt, (SELECT sum(c) FROM rc) rt),
+        ratio AS (
+          SELECT rc.bucket,
+                 ln((coalesce(tc.c, 0) + 1.0) / (tt + 500.0))
+               - ln((rc.c + 1.0) / (rt + 500.0)) AS lr
+          FROM rc LEFT JOIN tc USING (bucket), tots)
+        SELECT b.doc_id, round(sum(lr), 6) FROM b JOIN ratio USING (bucket)
+        GROUP BY 1
+        """
+        exact = dict(duckdb.sql(q).fetchall())
+        assert exact and set(exact) <= set(got)
+        for k, v in exact.items():
+            assert abs(got[k] - v) < 1e-4, (k, got[k], v)
+
+    def test_topk_rejects_nonpositive_temperature(self, spark):
+        from rtstore_spark.operators.sampling import dsir_topk, dsir_weights
+
+        raw, target = self._corpora(spark)
+        w = dsir_weights(raw, target, "text", "id")
+        with pytest.raises(ValueError, match="temperature"):
+            dsir_topk(w, n=1, temperature=0.0)
