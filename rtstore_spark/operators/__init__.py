@@ -21,6 +21,10 @@ Generic DataFrame transforms (no testdata coupling):
                    domain-mixture sampling + per-domain mixture stats,
                    n-gram contamination, DSIR importance resampling
                    (hashed n-gram weights + deterministic Gumbel top-k)
+- ``web``        — crawl-corpus front door: boilerplate-removing HTML →
+                   text extraction (link-density block filter), URL
+                   canonicalization + registrable-domain keys, salted
+                   per-domain frequency caps
 - ``skew``       — hot-key broadcast-routed joins
 - ``sketches``   — mergeable rollup sketches: HLL distinct counts,
                    bounded-error top-k heavy hitters, histogram

@@ -1,0 +1,282 @@
+"""Web-corpus operators: HTML → text extraction, URL canonicalization,
+registrable-domain extraction, per-domain frequency caps.
+
+The stage a crawl-derived training corpus runs BEFORE everything in
+``text``/``dedup``: raw HTML becomes boilerplate-free text
+(jusText/trafilatura-style block filtering, Kohlschütter et al. 2010 /
+Pomikálek 2011), URLs become canonical dedup keys, and over-represented
+domains are capped (the C4/RefinedWeb "no domain dominates" rule).
+
+Everything on the hot path is built-in Column expressions — regexp
+structure removal and per-block higher-order functions run JVM-side
+inside whole-stage codegen; no shuffle anywhere in extraction or
+normalization (pure projections). Each regexp inside a ``transform``
+lambda binds the lambda VARIABLE (one evaluation per block), not a
+projected alias, so the O(tokens²) re-evaluation trap pinned in
+``dedup.shingles`` does not apply.
+
+Beyond-reference operators (the reference stores documents, it does not
+crawl): no reference citation applies; published heuristics cited per
+function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# tags whose CONTENT is noise (drop element and body); head goes too —
+# the title is extracted from the raw html before this strip
+_CONTENT_STRIP_TAGS = ("script", "style", "noscript", "svg", "head", "template", "iframe", "object")
+
+# tags that terminate a text block (HTML block-level elements + br/hr);
+# replaced with newlines so block boundaries survive inline-tag stripping
+_BLOCK_TAG_RE = (
+    r"(?i)</?(?:p|div|br|hr|li|ul|ol|dl|dt|dd|h[1-6]|tr|table|thead|tbody|tfoot"
+    r"|td|th|section|article|aside|header|footer|nav|blockquote|pre|figure"
+    r"|figcaption|form|fieldset|main|address|details|summary)\b[^>]*>"
+)
+
+# named entities decodable without Python (the long tail needs
+# html.unescape — see full_unescape); &amp; must decode LAST so
+# double-encoded text ("&amp;lt;") resolves one level per pass, not two
+_COMMON_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def _strip_tags(col: Column) -> Column:
+    """Remove every remaining tag and collapse whitespace (inline form —
+    used per block inside lambdas and for the title)."""
+    return F.trim(F.regexp_replace(F.regexp_replace(col, r"(?s)<[^>]*>", " "), r"\s+", " "))
+
+
+def _decode_entities(col: Column) -> Column:
+    out = col
+    for ent, rep in _COMMON_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return out
+
+
+def extract_html_text(
+    df: DataFrame,
+    html_col: str,
+    id_col: str,
+    max_link_density: float = 0.5,
+    min_block_chars: int = 2,
+    full_unescape: bool = False,
+) -> DataFrame:
+    """Boilerplate-removing HTML → text extraction: (id, title, text,
+    n_blocks, n_blocks_dropped).
+
+    Pipeline (all JVM-side projections, no shuffle):
+
+    1. strip comments and content-noise elements (script/style/head/...);
+       the ``<title>`` is extracted from the raw html first
+    2. replace block-level tags with newlines, split into blocks
+    3. per block (one ``transform`` lambda pass): visible text = inline
+       tags stripped + whitespace collapsed; link_chars = total visible
+       length of ``<a>…</a>`` inner text
+    4. drop blocks that are empty/short (< ``min_block_chars`` visible
+       chars) or link-dominated (link_chars / visible chars >
+       ``max_link_density`` — the jusText/boilerpipe link-density rule
+       that kills nav bars, footers and related-links boxes)
+    5. join survivors with newlines; decode entities (common named set
+       JVM-side; ``full_unescape=True`` adds an Arrow-batched
+       ``html.unescape`` pass for numeric/exotic entities — the only
+       Python on the path, off by default)
+
+    Heuristic bounds (documented, not hidden): an unclosed ``<script>``
+    swallows text to the next ``</script>`` or end-of-doc (the browser
+    does the same); CDATA and conditional comments are treated as
+    comments. ``n_blocks`` counts blocks with any visible text;
+    ``n_blocks_dropped`` counts those removed by rule 4.
+    """
+    raw = F.col(html_col)
+    title = _decode_entities(
+        _strip_tags(F.regexp_extract(raw, r"(?is)<title[^>]*>(.*?)</title\s*>", 1))
+    )
+
+    cleaned = F.regexp_replace(raw, r"(?s)<!--.*?-->", " ")
+    for tag in _CONTENT_STRIP_TAGS:
+        cleaned = F.regexp_replace(cleaned, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", " ")
+    # source whitespace (incl. newlines inside a paragraph) is not
+    # block-structural in HTML — collapse it BEFORE inserting block
+    # boundaries, so only block-level tags split blocks
+    cleaned = F.regexp_replace(cleaned, r"\s+", " ")
+    blocks = F.split(F.regexp_replace(cleaned, _BLOCK_TAG_RE, "\n"), r"\n+")
+
+    def _block_struct(b: Column) -> Column:
+        anchors = F.regexp_extract_all(b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a\s*>"), F.lit(1))
+        link_chars = F.aggregate(
+            anchors, F.lit(0), lambda acc, s: acc + F.length(_strip_tags(s))
+        )
+        return F.struct(_strip_tags(b).alias("txt"), link_chars.alias("lc"))
+
+    per = F.transform(blocks, _block_struct)
+    visible = F.filter(per, lambda p: F.length(p["txt"]) > 0)
+
+    def _keep(p: Column) -> Column:
+        return (F.length(p["txt"]) >= min_block_chars) & (
+            p["lc"] / F.length(p["txt"]) <= max_link_density
+        )
+
+    kept = F.filter(visible, _keep)
+    text = _decode_entities(
+        F.array_join(F.transform(kept, lambda p: p["txt"]), "\n")
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        title.alias("title"),
+        text.alias("text"),
+        F.size(visible).alias("n_blocks"),
+        (F.size(visible) - F.size(kept)).alias("n_blocks_dropped"),
+    )
+    if full_unescape:
+        import html as _html
+
+        def _unescape(batches):
+            un = lambda v: _html.unescape(v) if v is not None else None  # noqa: E731
+            for pdf in batches:
+                pdf["title"] = pdf["title"].map(un)
+                pdf["text"] = pdf["text"].map(un)
+                yield pdf
+
+        out = out.mapInPandas(_unescape, schema=out.schema)
+    return out
+
+
+# query-param keys stripped by url_normalize: click/campaign trackers that
+# fragment otherwise-identical URLs (the standard canonicalization set)
+_TRACKING_PARAM_RE = r"^(?:utm_|fbclid$|gclid$|msclkid$|mc_eid$|ref$|ref_src$)"
+
+
+def url_normalize(col: Column | str, drop_param_re: str = _TRACKING_PARAM_RE) -> Column:
+    """Canonical URL form for dedup keys — pure projection, NULL for
+    unparseable input (no scheme/host), so invalid URLs filter out with
+    ``isNotNull``.
+
+    Rules (conservative, dedup-oriented): scheme and authority lowercase;
+    default ports dropped (:80 http, :443 https); fragment dropped; query
+    params matching ``drop_param_re`` (tracking keys) removed and the
+    rest sorted byte-wise (param order is non-semantic in practice and
+    sorting merges permuted duplicates); trailing slash trimmed from
+    non-root paths; empty path becomes "/".
+    """
+    u = F.col(col) if isinstance(col, str) else col
+    proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    auth = F.lower(F.try_parse_url(u, F.lit("AUTHORITY")))
+    auth = F.when(proto == "http", F.regexp_replace(auth, ":80$", "")).when(
+        proto == "https", F.regexp_replace(auth, ":443$", "")
+    ).otherwise(auth)
+    path = F.try_parse_url(u, F.lit("PATH"))
+    path = F.when((path == "") | path.isNull(), F.lit("/")).otherwise(
+        F.regexp_replace(path, "/+$", "")
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.try_parse_url(u, F.lit("QUERY"))
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (F.length(p) > 0)
+            & ~F.split(p, "=").getItem(0).rlike(drop_param_re),
+        )
+    )
+    qs = F.when(
+        query.isNotNull() & (F.size(kept) > 0),
+        F.concat(F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(F.lit(""))
+    return F.when(
+        proto.isNotNull() & auth.isNotNull() & (F.length(auth) > 0),
+        F.concat(proto, F.lit("://"), auth, path, qs),
+    )
+
+
+# two-level public suffixes under which the registrable domain is three
+# labels deep (heuristic subset of the public-suffix list — the full PSL
+# is external data a deployment would broadcast-join instead)
+_TWO_LEVEL_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "co.in", "net.in", "org.in", "ac.in", "gov.in",
+    "co.nz", "net.nz", "org.nz",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.tr", "com.sg", "com.hk", "com.tw", "com.ar",
+    "co.kr", "or.kr", "co.za", "org.za", "co.id", "or.id",
+]
+
+
+def url_domain(col: Column | str, registrable: bool = True) -> Column:
+    """Host → domain grouping key: lowercase, leading ``www.`` dropped;
+    with ``registrable=True``, reduced to eTLD+1 using a built-in
+    two-level-suffix heuristic (``co.uk`` → three labels kept). NULL when
+    the URL has no host. Accepts full URLs or bare hostnames (anything
+    without ``://`` is treated as a host)."""
+    u = F.col(col) if isinstance(col, str) else col
+    host = F.when(u.contains("://"), F.try_parse_url(u, F.lit("HOST"))).otherwise(u)
+    host = F.lower(F.regexp_replace(host, r"^www\.", ""))
+    if not registrable:
+        return host
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.array_join(F.slice(parts, F.greatest(n - 1, F.lit(1)), 2), ".")
+    last3 = F.array_join(F.slice(parts, F.greatest(n - 2, F.lit(1)), 3), ".")
+    return F.when(
+        (n >= 3) & last2.isin(_TWO_LEVEL_SUFFIXES), last3
+    ).otherwise(F.when(n >= 2, last2).otherwise(host))
+
+
+def domain_frequency_cap(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    cap: int,
+    salt_partitions: int = 16,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per domain — deterministic,
+    order-independent (the RefinedWeb/C4 anti-domination rule).
+
+    Selection key is the md5-derived 32-bit hash of the id (ties broken
+    by id), NOT arrival order: the kept subset is a reproducible pseudo-
+    random sample of the domain, independent of crawl order and of how
+    the input was partitioned.
+
+    Scale shape: a naive ``row_number() over (partition by domain)``
+    puts a hot domain's ENTIRE row set in one task — exactly the skew
+    this repo's own ``skew.py`` exists to avoid. Instead the cap runs
+    two-level: a salted local top-``cap`` per (domain, hash % S) bounds
+    any single task at ~rows/S, then the global top-``cap`` ranks the
+    ≤ S·cap survivors per domain — provably a superset of the global
+    winners, since every global winner is in its own salt's top-``cap``.
+    ``salt_partitions=1`` degenerates to the single-window form (fine
+    when domains are known small). Returns the input columns plus
+    ``domain_rank`` (1-based within domain).
+    """
+    if cap <= 0:
+        out = df.withColumn("domain_rank", F.lit(1))
+        return out.filter(F.lit(False))
+    key = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    ranked = df.withColumn("_ok", key)
+    if salt_partitions > 1:
+        lw = Window.partitionBy(
+            F.col(domain_col), F.pmod(F.col("_ok"), F.lit(salt_partitions))
+        ).orderBy(F.col("_ok"), F.col(id_col))
+        ranked = ranked.withColumn("_lr", F.row_number().over(lw)).filter(
+            F.col("_lr") <= cap
+        ).drop("_lr")
+    gw = Window.partitionBy(domain_col).orderBy(F.col("_ok"), F.col(id_col))
+    return (
+        ranked.withColumn("domain_rank", F.row_number().over(gw))
+        .filter(F.col("domain_rank") <= cap)
+        .drop("_ok")
+    )

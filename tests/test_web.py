@@ -1,0 +1,169 @@
+"""Web-corpus operators: HTML extraction, URL canonicalization, domain caps."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from rtstore_spark.operators.web import (
+    domain_frequency_cap,
+    extract_html_text,
+    url_domain,
+    url_normalize,
+)
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>The &amp; Title</title>
+<style>body { color: red }</style>
+<script>var x = "<p>not text</p>";</script>
+</head>
+<body>
+<!-- a comment with <p>markup</p> inside -->
+<nav><a href="/a">Home</a> <a href="/b">About</a> <a href="/c">More</a></nav>
+<h1>Heading</h1>
+<p>First paragraph with <b>bold</b> and an <a href="x">inline link</a> inside
+a longer run of ordinary prose text.</p>
+<div>Second block of plain prose, no links at all, long enough to keep.</div>
+<footer><a href="/t">Terms</a> <a href="/p">Privacy</a></footer>
+</body></html>"""
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return spark.createDataFrame(
+        [Row(pid=1, html=_PAGE), Row(pid=2, html="plain text, no markup at all")]
+    )
+
+
+class TestExtractHtmlText:
+    def test_structure_and_boilerplate(self, spark, pages):
+        out = {
+            r["id"]: r
+            for r in extract_html_text(pages, "html", "pid").collect()
+        }
+        r = out[1]
+        assert r["title"] == "The & Title"
+        txt = r["text"]
+        # script/style/comment content never leaks
+        assert "color: red" not in txt and "not text" not in txt
+        assert "markup" not in txt
+        # link-dominated nav and footer blocks dropped
+        assert "Home" not in txt and "Privacy" not in txt
+        # prose blocks kept, block boundaries preserved as newlines
+        lines = txt.split("\n")
+        assert lines[0] == "Heading"
+        assert lines[1].startswith("First paragraph with bold and an inline link")
+        assert "Second block of plain prose" in lines[2]
+        assert r["n_blocks_dropped"] >= 2
+        assert r["n_blocks"] == r["n_blocks_dropped"] + len(lines)
+
+    def test_plain_text_passthrough(self, pages):
+        r = extract_html_text(pages, "html", "pid").filter(F.col("id") == 2).first()
+        assert r["text"] == "plain text, no markup at all"
+        assert r["title"] == ""
+        assert r["n_blocks"] == 1 and r["n_blocks_dropped"] == 0
+
+    def test_link_density_threshold(self, spark):
+        # 50% link text at threshold 0.5 is kept; above is dropped
+        half = "<p><a href='x'>four char</a> non-link!</p>"  # 9/19 visible linked
+        mostly = "<p><a href='x'>almost all of this block is link</a> x</p>"
+        df = spark.createDataFrame([Row(pid=1, html=half + mostly)])
+        r = extract_html_text(df, "html", "pid").first()
+        assert "four char non-link!" in r["text"]
+        assert "almost all" not in r["text"]
+        assert r["n_blocks_dropped"] == 1
+
+    def test_min_block_chars(self, spark):
+        df = spark.createDataFrame([Row(pid=1, html="<p>ab</p><p>x</p>")])
+        r = extract_html_text(df, "html", "pid", min_block_chars=2).first()
+        assert r["text"] == "ab" and r["n_blocks_dropped"] == 1
+
+    def test_full_unescape(self, spark):
+        df = spark.createDataFrame(
+            [Row(pid=1, html="<p>caf&#233; &euro;5 &amp; more</p>")]
+        )
+        fast = extract_html_text(df, "html", "pid").first()["text"]
+        assert fast == "caf&#233; &euro;5 & more"  # common set only
+        full = extract_html_text(df, "html", "pid", full_unescape=True).first()["text"]
+        assert full == "café €5 & more"
+
+    def test_double_encoded_decodes_one_level(self, spark):
+        df = spark.createDataFrame([Row(pid=1, html="<p>&amp;lt;tag&amp;gt;</p>")])
+        assert extract_html_text(df, "html", "pid").first()["text"] == "&lt;tag&gt;"
+
+
+class TestUrlNormalize:
+    def _one(self, spark, url):
+        return spark.createDataFrame([Row(u=url)]).select(
+            url_normalize("u").alias("n")
+        ).first()["n"]
+
+    def test_canonical_form(self, spark):
+        assert (
+            self._one(spark, "HTTPS://Example.COM:443/Path/?b=2&utm_source=x&a=1#frag")
+            == "https://example.com/Path?a=1&b=2"
+        )
+
+    def test_root_and_ports(self, spark):
+        assert self._one(spark, "http://a.com:80") == "http://a.com/"
+        assert self._one(spark, "http://a.com:8080/x/") == "http://a.com:8080/x"
+
+    def test_all_params_dropped(self, spark):
+        assert self._one(spark, "http://a.com/x?utm_a=1&ref=z") == "http://a.com/x"
+
+    def test_invalid_is_null(self, spark):
+        assert self._one(spark, "not a url") is None
+
+
+class TestUrlDomain:
+    def _one(self, spark, url, **kw):
+        return spark.createDataFrame([Row(u=url)]).select(
+            url_domain("u", **kw).alias("d")
+        ).first()["d"]
+
+    def test_registrable(self, spark):
+        assert self._one(spark, "https://www.News.Example.com/a") == "example.com"
+        assert self._one(spark, "http://deep.sub.bbc.co.uk/x") == "bbc.co.uk"
+        assert self._one(spark, "bare-host.org") == "bare-host.org"
+
+    def test_full_host(self, spark):
+        assert (
+            self._one(spark, "https://www.news.example.com/a", registrable=False)
+            == "news.example.com"
+        )
+
+
+class TestDomainFrequencyCap:
+    def test_salted_equals_unsalted_and_oracle(self, spark, sf_dir):
+        from rtstore_spark.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        a = domain_frequency_cap(docs, "source", "doc_id", 3, salt_partitions=16)
+        b = domain_frequency_cap(docs, "source", "doc_id", 3, salt_partitions=1)
+        got_a = sorted((r["source"], r["doc_id"], r["domain_rank"]) for r in a.collect())
+        got_b = sorted((r["source"], r["doc_id"], r["domain_rank"]) for r in b.collect())
+        assert got_a == got_b
+        want = sorted(
+            duckdb.sql(
+                f"""SELECT source, doc_id, rn FROM (
+                      SELECT source, doc_id, row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id
+                      ) AS rn
+                      FROM '{sf_dir}/documents.parquet') WHERE rn <= 3"""
+            ).fetchall()
+        )
+        assert got_a == want
+
+    def test_cap_zero_and_schema(self, spark, sf_dir):
+        from rtstore_spark.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = domain_frequency_cap(docs, "source", "doc_id", 0)
+        assert out.count() == 0
+        assert out.columns == docs.columns + ["domain_rank"]
+        capped = domain_frequency_cap(docs, "source", "doc_id", 2)
+        assert capped.columns == docs.columns + ["domain_rank"]
+        assert capped.groupBy("source").count().agg(F.max("count")).first()[0] <= 2
