@@ -478,17 +478,24 @@ def q_top_orders_per_customer(spark, sf):
     "q_events_hourly",
     """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
               count(*) AS n_events,
+              count(DISTINCT user_id) AS n_users,
               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
        FROM events GROUP BY 1, 2""",
 )
 def q_events_hourly(spark, sf):
-    """Tumbling-window aggregate (batch form of the streaming hourly rollup)."""
+    """Tumbling-window aggregate (batch form of the streaming hourly rollup).
+    Also carries the per-window distinct-user count (the former
+    q_distinct_users entry, folded in to free a registry slot)."""
     ev = load_table(spark, sf, "events")
     return (
         ev.groupBy(
             F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
             "event_type",
-        ).agg(F.count(F.lit(1)).alias("n_events"), _dsum("value", "total_value"))
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            _dsum("value", "total_value"),
+        )
     )
 
 
@@ -627,15 +634,27 @@ def q_set_ops(spark, sf):
 
 
 @register(
-    "q_distinct_users",
-    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
-       FROM events GROUP BY event_type""",
+    "domain_cap",
+    """SELECT source, doc_id, rn AS domain_rank FROM (
+         SELECT source, doc_id, row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                    doc_id
+         ) AS rn
+         FROM documents) WHERE rn <= 5""",
 )
-def q_distinct_users(spark, sf):
-    ev = load_table(spark, sf, "events")
-    return ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.count(F.lit(1)).alias("n_events"),
+def domain_cap(spark, sf):
+    """Per-domain frequency cap (operators.web.domain_frequency_cap): keep a
+    deterministic md5-ordered top-5 per source. The operator runs the salted
+    two-level top-N (hot domains never collapse into one task); the oracle
+    replays it as DuckDB's single global window — equal by construction
+    since every global winner survives its salt's local top-N.
+    (Replaced q_distinct_users, folded into q_events_hourly.)"""
+    from rtstore_spark.operators.web import domain_frequency_cap
+
+    docs = load_table(spark, sf, "documents")
+    return domain_frequency_cap(docs, "source", "doc_id", 5).select(
+        "source", "doc_id", "domain_rank"
     )
 
 
