@@ -134,3 +134,50 @@ def register_views(spark: SparkSession, sf_dir: str, names=None) -> None:
     """Register each table as a temp view for the SQL escape hatch."""
     for name in names or TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def save_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_cols: list[str] | str,
+    num_buckets: int = 32,
+    sort_cols: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Persist ``df`` as a bucketed parquet table and return the bucketed
+    relation — the co-located-join layout for 100-TB fact tables.
+
+    Bucketing pays the shuffle ONCE at write time: every later equi-join
+    or aggregation keyed on ``bucket_cols`` between tables bucketed with
+    the same column set and bucket count runs exchange-free (the scan
+    itself satisfies the hash-clustered distribution requirement), which
+    at scale removes the dominant cost of repeated fact⋈fact joins —
+    exactly what ``repartition()`` per query cannot do, since a plain
+    parquet scan forgets its layout.
+
+    The frame is pre-repartitioned by the same hash Spark's bucketing
+    uses (``HashPartitioning`` = pmod(murmur3, n)), so each write task
+    holds exactly one bucket and the table lands as one file per bucket
+    — without this, every task writes a sliver of every bucket and the
+    table explodes into tasks × buckets small files. ``sort_cols`` adds
+    per-bucket sort order (sort-merge joins skip their sort step).
+
+    The bucket spec lives in the session catalog (``table_name``); the
+    data is external at ``path``. Size ``num_buckets`` so one bucket of
+    the LARGEST co-bucketed table fits an executor core's working set
+    (~100-500 MB of parquet per bucket at the target scale).
+    """
+    bc = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    sc = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols or [])
+    writer = (
+        df.repartition(num_buckets, *[F.col(c) for c in bc])
+        .write.format("parquet")
+        .mode(mode)
+        .bucketBy(num_buckets, *bc)
+        .option("path", path)
+    )
+    if sc:
+        writer = writer.sortBy(*sc)
+    writer.saveAsTable(table_name)
+    return df.sparkSession.table(table_name)
