@@ -3,6 +3,8 @@ actually executes, as one lazy DataFrame plan.
 
 Stages (each individually oracle-tested elsewhere; this module wires them):
 
+-1. html front door — optional in-place boilerplate-removing extraction
+                     when the input is raw HTML (``web.html_text_exprs``)
 0. normalization   — optional unicode NFC + control-char/whitespace
                      cleanup (``text.normalize_text``) BEFORE any
                      hashing, so byte-variant renderings of identical
@@ -11,6 +13,8 @@ Stages (each individually oracle-tested elsewhere; this module wires them):
 2. language gate   — stopword-vote lang-id, keep an allowlist
 2b. blocklist gate — optional C4-style term filter (``text.term_filter``):
                      any blocklisted phrase drops the document
+2c. domain cap     — optional RefinedWeb-style per-domain keep cap
+                     (``web.domain_frequency_cap``, salted two-level)
 3. exact dedup     — md5 canonical-form groupBy, keep lowest id
 3b. paragraph dedup— optional corpus-wide duplicate-paragraph removal
                      with text reconstruction (``dedup.dedup_paragraphs``);
@@ -58,6 +62,15 @@ class CorpusPrepConfig:
     near_dup_threshold: float = 0.8
     sample_fractions: dict[str, float] | float = 1.0
     sample_seed: str = "corpus"
+    # stage -1: the input's text_col holds raw HTML — extract boilerplate-
+    # free text in place (web.html_text_exprs kernel, pure projection);
+    # docs with no surviving block are dropped
+    html_input: bool = False
+    html_max_link_density: float = 0.5
+    # stage 2c: RefinedWeb-style anti-domination — keep at most this many
+    # gated docs per domain_col value (web.domain_frequency_cap, salted)
+    domain_cap: int | None = None
+    domain_col: str = "source"
     normalize: bool = False       # stage 0: NFC + whitespace cleanup
     dedup_paragraphs: bool = False  # stage 3b: drop repeated paragraphs
     blocklist: list[str] | None = None  # stage 2b: C4-style term gate
@@ -79,6 +92,20 @@ def prepare_corpus(
     annotated with ``lang``. Deterministic end to end: same input, same
     config ⇒ byte-identical corpus, on any cluster size."""
     cfg = cfg or CorpusPrepConfig()
+
+    # -1. optional html front door: replace raw HTML with extracted text
+    # IN PLACE (projection — no join, no shuffle; the kernel is shared
+    # with web.extract_html_text so the block rules cannot drift). Docs
+    # whose every block was boilerplate extract to "" and are dropped.
+    if cfg.html_input:
+        from rtstore_spark.operators import web
+
+        _, extracted, _, _ = web.html_text_exprs(
+            F.col(text_col), max_link_density=cfg.html_max_link_density
+        )
+        df = df.withColumn(text_col, extracted).filter(
+            F.length(F.col(text_col)) > 0
+        )
 
     # 0. optional stage-zero cleanup: must precede every md5/minhash so
     # composed-vs-decomposed unicode and CRLF noise can't split dup groups
@@ -130,6 +157,17 @@ def prepare_corpus(
         kept = kept.join(
             bad.withColumnRenamed("id", id_col), id_col, "left_anti"
         )
+
+    # 2c. optional per-domain cap — on the GATED corpus (cap slots are not
+    # wasted on junk the earlier stages drop) and before the persist so
+    # the cached set is already capped. Deterministic md5-ordered keep;
+    # the salted two-level window never funnels a hot domain into one task
+    if cfg.domain_cap is not None:
+        from rtstore_spark.operators import web
+
+        kept = web.domain_frequency_cap(
+            kept, cfg.domain_col, id_col, cfg.domain_cap
+        ).drop("domain_rank")
 
     from pyspark import StorageLevel
 

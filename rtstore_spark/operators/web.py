@@ -64,6 +64,50 @@ def _decode_entities(col: Column) -> Column:
     return out
 
 
+def html_text_exprs(
+    raw: Column,
+    max_link_density: float = 0.5,
+    min_block_chars: int = 2,
+) -> tuple[Column, Column, Column, Column]:
+    """The extraction kernel as pure Column expressions:
+    (title, text, n_blocks, n_blocks_dropped) over a raw-HTML column.
+    Shared by ``extract_html_text`` and the pipeline's html front door so
+    the block rules live in exactly one place."""
+    title = _decode_entities(
+        _strip_tags(F.regexp_extract(raw, r"(?is)<title[^>]*>(.*?)</title\s*>", 1))
+    )
+
+    cleaned = F.regexp_replace(raw, r"(?s)<!--.*?-->", " ")
+    for tag in _CONTENT_STRIP_TAGS:
+        cleaned = F.regexp_replace(cleaned, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", " ")
+    # source whitespace (incl. newlines inside a paragraph) is not
+    # block-structural in HTML — collapse it BEFORE inserting block
+    # boundaries, so only block-level tags split blocks
+    cleaned = F.regexp_replace(cleaned, r"\s+", " ")
+    blocks = F.split(F.regexp_replace(cleaned, _BLOCK_TAG_RE, "\n"), r"\n+")
+
+    def _block_struct(b: Column) -> Column:
+        anchors = F.regexp_extract_all(b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a\s*>"), F.lit(1))
+        link_chars = F.aggregate(
+            anchors, F.lit(0), lambda acc, s: acc + F.length(_strip_tags(s))
+        )
+        return F.struct(_strip_tags(b).alias("txt"), link_chars.alias("lc"))
+
+    per = F.transform(blocks, _block_struct)
+    visible = F.filter(per, lambda p: F.length(p["txt"]) > 0)
+
+    def _keep(p: Column) -> Column:
+        return (F.length(p["txt"]) >= min_block_chars) & (
+            p["lc"] / F.length(p["txt"]) <= max_link_density
+        )
+
+    kept = F.filter(visible, _keep)
+    text = _decode_entities(
+        F.array_join(F.transform(kept, lambda p: p["txt"]), "\n")
+    )
+    return title, text, F.size(visible), F.size(visible) - F.size(kept)
+
+
 def extract_html_text(
     df: DataFrame,
     html_col: str,
@@ -97,46 +141,21 @@ def extract_html_text(
     does the same); CDATA and conditional comments are treated as
     comments. ``n_blocks`` counts blocks with any visible text;
     ``n_blocks_dropped`` counts those removed by rule 4.
+
+    The column kernel is ``html_text_exprs`` — callers that need the
+    extracted text as a projection on an existing frame (prepare_corpus's
+    html front door) use it directly instead of joining this function's
+    output back.
     """
-    raw = F.col(html_col)
-    title = _decode_entities(
-        _strip_tags(F.regexp_extract(raw, r"(?is)<title[^>]*>(.*?)</title\s*>", 1))
-    )
-
-    cleaned = F.regexp_replace(raw, r"(?s)<!--.*?-->", " ")
-    for tag in _CONTENT_STRIP_TAGS:
-        cleaned = F.regexp_replace(cleaned, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", " ")
-    # source whitespace (incl. newlines inside a paragraph) is not
-    # block-structural in HTML — collapse it BEFORE inserting block
-    # boundaries, so only block-level tags split blocks
-    cleaned = F.regexp_replace(cleaned, r"\s+", " ")
-    blocks = F.split(F.regexp_replace(cleaned, _BLOCK_TAG_RE, "\n"), r"\n+")
-
-    def _block_struct(b: Column) -> Column:
-        anchors = F.regexp_extract_all(b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a\s*>"), F.lit(1))
-        link_chars = F.aggregate(
-            anchors, F.lit(0), lambda acc, s: acc + F.length(_strip_tags(s))
-        )
-        return F.struct(_strip_tags(b).alias("txt"), link_chars.alias("lc"))
-
-    per = F.transform(blocks, _block_struct)
-    visible = F.filter(per, lambda p: F.length(p["txt"]) > 0)
-
-    def _keep(p: Column) -> Column:
-        return (F.length(p["txt"]) >= min_block_chars) & (
-            p["lc"] / F.length(p["txt"]) <= max_link_density
-        )
-
-    kept = F.filter(visible, _keep)
-    text = _decode_entities(
-        F.array_join(F.transform(kept, lambda p: p["txt"]), "\n")
+    title, text, n_blocks, n_dropped = html_text_exprs(
+        F.col(html_col), max_link_density, min_block_chars
     )
     out = df.select(
         F.col(id_col).alias("id"),
         title.alias("title"),
         text.alias("text"),
-        F.size(visible).alias("n_blocks"),
-        (F.size(visible) - F.size(kept)).alias("n_blocks_dropped"),
+        n_blocks.alias("n_blocks"),
+        n_dropped.alias("n_blocks_dropped"),
     )
     if full_unescape:
         import html as _html

@@ -234,3 +234,48 @@ def test_blocklist_stage_drops_hit_docs(spark):
     )
     assert {r["id"] for r in base.select("id").collect()} == {1, 2, 3}
     assert {r["id"] for r in gated.select("id").collect()} == {1, 2}
+
+
+def test_html_front_door_stage(spark):
+    wrap = (
+        "<html><head><title>t</title><script>junk()</script></head><body>"
+        "<nav><a href='/'>AAAA</a> <a href='/'>BBBB</a></nav><p>{}</p>"
+        "</body></html>"
+    )
+    rows = [
+        Row(doc_id=0, body=wrap.format(GOOD_EN)),
+        Row(doc_id=1, body=wrap.format(GOOD_EN)),        # exact dup post-extract
+        Row(doc_id=2, body="<nav><a href='/x'>only nav links here</a></nav>"),
+        Row(doc_id=3, body=GOOD_FR),                     # tag-free passthrough
+    ]
+    cfg = CorpusPrepConfig(min_tokens=10, html_input=True)
+    out = prepare_corpus(spark.createDataFrame(rows), "body", "doc_id", cfg)
+    got = {r["doc_id"]: r["body"] for r in out.collect()}
+    # 1 deduped against 0 (markup removed BEFORE hashing), 2 extracted to
+    # nothing (pure boilerplate) and dropped, 0 and 3 keep clean text
+    assert set(got) == {0, 3}
+    assert got[0] == GOOD_EN
+    assert "script" not in got[0] and "AAAA" not in got[0]
+    assert got[3] == GOOD_FR
+
+
+def test_domain_cap_stage(spark):
+    rows = [
+        Row(doc_id=i, body=f"{GOOD_EN} variant {i} {'x' * (i % 7)}", src="hot")
+        for i in range(8)
+    ] + [Row(doc_id=100, body=GOOD_FR, src="cold")]
+    cfg = CorpusPrepConfig(
+        min_tokens=10, near_dup_threshold=0.99,
+        domain_cap=3, domain_col="src",
+    )
+    out = prepare_corpus(spark.createDataFrame(rows), "body", "doc_id", cfg)
+    by_src = {}
+    for r in out.collect():
+        by_src.setdefault(r["src"], []).append(r["doc_id"])
+    assert len(by_src["hot"]) == 3
+    assert by_src["cold"] == [100]
+    # deterministic: re-run keeps the same md5-ordered winners
+    again = prepare_corpus(spark.createDataFrame(rows), "body", "doc_id", cfg)
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        d for v in by_src.values() for d in v
+    )
