@@ -364,3 +364,31 @@ class TestSessionAdditionsPlanShapes:
         assert "hashpartitioning(id" in plan
         assert "SinglePartition" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestWebPlanShapes:
+    """Plan pins for the web-corpus operators."""
+
+    def test_html_extraction_is_shuffle_free(self, spark):
+        from rtstore_spark.operators.web import extract_html_text
+
+        df = spark.createDataFrame(
+            [(i, f"<p>doc {i} body text</p>") for i in range(20)],
+            "pid long, html string",
+        )
+        plan = _plan(extract_html_text(df, "html", "pid"))
+        assert "Exchange" not in plan  # scan -> project only
+
+    def test_domain_cap_windows_are_salted_then_keyed(self, spark):
+        from rtstore_spark.operators.web import domain_frequency_cap
+
+        df = spark.createDataFrame(
+            [(i, f"s{i % 3}") for i in range(60)], "id long, dom string"
+        )
+        plan = _plan(domain_frequency_cap(df, "dom", "id", 2))
+        # two window exchanges: (domain, salt) local top-N, then domain
+        # global over <= salt*cap survivors; NEVER a single partition
+        assert plan.count("Exchange hashpartitioning") == 2
+        assert "SinglePartition" not in plan
+        # salted pass really partitions by (domain, pmod(hash))
+        assert "pmod" in plan
