@@ -216,6 +216,58 @@ def resize_images(
     )
 
 
+def media_dedup(media: DataFrame) -> DataFrame:
+    """Exact media dedup: one row per distinct byte content —
+    (content_hash, keep_id, n_copies, kind), lowest media_id wins.
+
+    The binary-column twin of ``dedup.exact_dedup``: the groupBy key is
+    the 128-bit md5 computed JVM-side over the blob, so the media bytes
+    themselves never cross a shuffle — the exchange moves (16-byte hash,
+    id, kind) rows regardless of blob size. At crawl scale this is the
+    first image/audio pass (byte-identical copies dominate: same asset
+    served by thousands of pages); feature-space near-dup
+    (``media_neardup``) runs on the survivors.
+    """
+    return (
+        media.select(
+            F.md5(F.col("content")).alias("content_hash"),
+            F.col("media_id").alias("keep_id"),
+            "kind",
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("keep_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("kind").alias("kind"),
+        )
+    )
+
+
+def media_neardup(
+    media: DataFrame,
+    threshold: float = 0.98,
+    feature_dim: int = 8,
+    decode_stub: bool = True,
+    band_planes: int = 8,
+) -> DataFrame:
+    """Perceptual near-duplicate media pairs: (id_a, id_b, cosine).
+
+    Composition, not new machinery: ``extract_features`` (Arrow-batched
+    decode → stripe-mean feature; a real embedding model slots in there)
+    feeds ``dedup.embedding_neardup_pairs`` (hyperplane-LSH buckets +
+    exact cosine verify) — so the only corpus-wide operation is the
+    bucket equi-join over ``feature_dim``-float vectors, never the blobs.
+    """
+    from rtstore_spark.operators.dedup import embedding_neardup_pairs
+
+    feats = extract_features(media, feature_dim, decode_stub).select(
+        "media_id", "feature"
+    )
+    return embedding_neardup_pairs(
+        feats, "feature", "media_id", threshold=threshold, band_planes=band_planes
+    )
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling: one output row per sampled frame offset.
 

@@ -472,6 +472,29 @@ class TestMultimodal:
         # deterministic: same bytes → same sha
         assert by_id[1]["sha16"] == extract_features(media, 4).collect()[0]["sha16"] or True
 
+    def test_media_dedup_and_neardup(self, spark):
+        from rtstore_spark.operators.multimodal import media_dedup, media_neardup
+
+        rows = [
+            Row(mid=1, blob=b"\x00\x01\x02\x03" * 64),
+            Row(mid=2, blob=b"\x00\x01\x02\x03" * 64),   # byte-identical to 1
+            Row(mid=3, blob=b"\xff" * 100),
+            Row(mid=4, blob=b"\x00\x01\x02\x03" * 64 + b"\x04"),  # near 1
+        ]
+        m = attach_media(spark.createDataFrame(rows), "mid", "blob", "image")
+        groups = {r["keep_id"]: r for r in media_dedup(m).collect()}
+        assert groups[1]["n_copies"] == 2          # 1 and 2 collapse
+        assert groups[3]["n_copies"] == 1
+        assert groups[4]["n_copies"] == 1
+        assert all(r["kind"] == "image" for r in groups.values())
+        # near-dup: stripe features of 4 are within cosine 0.98 of 1/2
+        pairs = {
+            (r["id_a"], r["id_b"]) for r in media_neardup(m, threshold=0.98).collect()
+        }
+        assert (1, 2) in pairs        # identical bytes: cosine 1.0
+        assert (1, 4) in pairs or (2, 4) in pairs
+        assert not any(3 in p for p in pairs)
+
     def test_decode_stub_gate(self, media):
         if _has_pil():
             pytest.skip("Pillow installed: the real decode path is active")
