@@ -6,6 +6,8 @@ Generic DataFrame transforms (no testdata coupling):
                    semantic dedup over clustered embeddings (SemDeDup),
                    paragraph-granular exact dedup with reconstruction
 - ``similarity`` — brute-force cosine top-k, hyperplane-LSH + IVF ANN,
+                   product quantization (PQ/IVF-PQ: sampled codebook fit,
+                   Arrow-batched encode, LUT-based compressed scoring),
                    learned k-means routing, distributed PCA
                    (moments-merge fit, codegen transform),
                    reciprocal-rank fusion of ranked lists,

@@ -616,3 +616,267 @@ def knn_clusters(
     return connected_components(mutual).select(
         "id", F.col("comp").alias("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization — compressed-domain ANN (PQ / IVF-PQ layout)
+# ---------------------------------------------------------------------------
+
+
+def _pq_sample_gate(vec_col: str, per_myriad: int) -> Column:
+    """Deterministic content-hash sampling gate (keep ≈ per_myriad/10000):
+    md5 of the vector's JSON rendering, first 8 hex digits mod 10000 — the
+    same engine-reproducible family as the LSH planes, so a refit on the
+    same corpus trains on the same rows regardless of partitioning."""
+    h = F.conv(
+        F.substring(F.md5(F.to_json(F.struct(F.col(vec_col)))), 1, 8), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(10000)) < per_myriad
+
+
+def pq_fit(
+    df: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    ksub: int = 256,
+    seed: int = 7,
+    max_train: int = 65536,
+    iters: int = 25,
+) -> dict:
+    """Fit a product quantizer (Jégou, Douze, Schmid 2011): split the
+    L2-normalized vector into ``m`` contiguous subvectors and learn an
+    independent ``ksub``-word codebook per subspace with Lloyd's k-means.
+
+    A fitted PQ turns every d-float embedding into ``m`` small ints —
+    at m=8, a 64-dim float vector (256 B raw) becomes 8 bytes, a 32×
+    compression — and distance evaluation into table lookups
+    (``pq_topk``). That is the standard way a 100-TB embedding corpus
+    becomes scannable: the CODES table fits where the vectors never
+    would, and candidate generation reads codes only; exact re-ranking
+    (``brute_force_topk`` on the survivors) touches raw vectors for a
+    few hundred rows, not the corpus.
+
+    Training follows the faiss convention: k-means runs on a bounded
+    **sample** (``max_train`` rows, deterministic content-hash gate) —
+    codebook quality saturates around 100–1000 training points per
+    centroid, so sampling is the correct scale behavior, not a shortcut.
+    Cost: one count + one gated scan collecting ≤ max_train vectors;
+    Lloyd's iterations are driver-side numpy over that sample (m × ksub
+    × dsub ≈ a few MB of centroids). Everything is seeded/md5-derived —
+    two fits on the same corpus produce byte-identical codebooks.
+
+    Returns ``{"m", "dsub", "ksub", "dim", "codebooks"}`` with codebooks
+    as an (m, ksub, dsub) nested list (plain JSON-able floats).
+    ``ksub`` is clipped to the training-row count. Raises if the
+    dimension does not divide evenly by ``m``.
+    """
+    import numpy as np
+
+    n = df.count()
+    if n == 0:
+        raise ValueError("pq_fit: no vectors to fit")
+    if n > max_train:
+        per_myriad = max(1, int(10000 * max_train / n))
+        sample = df.filter(_pq_sample_gate(vec_col, per_myriad))
+    else:
+        sample = df
+    rows = sample.select(F.col(vec_col).alias("v")).filter(
+        F.col("v").isNotNull()
+    ).collect()
+    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    ksub = min(ksub, x.shape[0])
+    rng = np.random.RandomState(seed)
+    codebooks = []
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        cents = xs[rng.choice(xs.shape[0], size=ksub, replace=False)].copy()
+        for _ in range(iters):
+            # ||x - c||² = ||x||² - 2x·c + ||c||²; ||x||² is rank-invariant
+            d = -2.0 * xs @ cents.T + (cents**2).sum(axis=1)
+            assign = d.argmin(axis=1)
+            moved = False
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():  # empty cluster keeps its center (determinism)
+                    nc = xs[mask].mean(axis=0)
+                    if not np.array_equal(nc, cents[c]):
+                        cents[c] = nc
+                        moved = True
+            if not moved:
+                break
+        codebooks.append(cents.tolist())
+    return {"m": m, "dsub": dsub, "ksub": ksub, "dim": dim, "codebooks": codebooks}
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, id_col: str, model: dict
+) -> DataFrame:
+    """Encode vectors to PQ codes: (id, codes array<int> of length m).
+
+    Arrow-batched ``mapInPandas``: per batch, each subspace's nearest
+    codeword is one numpy GEMM against the (ksub, dsub) codebook —
+    argmin over 256 centroids × m subspaces as 2048 codegen'd Column
+    expressions would blow past the JVM method-size limit, so the
+    batched-BLAS path IS the fast one here (same reasoning as
+    ``pca_fit``). Shuffle-free: scan → MapInPandas, nothing else. The
+    codebooks ship by value in the closure (m·ksub·dsub floats, ≤ a few
+    MB — broadcast-sized by construction). Null vectors are dropped;
+    a vector of the wrong dimension raises inside the batch rather than
+    mis-encoding. The id column keeps the caller's type.
+    """
+    import numpy as np
+
+    cb = [np.asarray(c, dtype=np.float64) for c in model["codebooks"]]
+    m, dsub, dim = model["m"], model["dsub"], model["dim"]
+    cnorms = [(c**2).sum(axis=1) for c in cb]
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf.dropna(subset=["_v"])
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            if x.shape[1] != dim:
+                raise ValueError(
+                    f"pq_encode: vector dim {x.shape[1]} != model dim {dim}"
+                )
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((x.shape[0], m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * dsub : (j + 1) * dsub]
+                d = -2.0 * xs @ cb[j].T + cnorms[j]
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "codes": list(codes.tolist())})
+
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    return src.mapInPandas(encode, schema=f"id {id_type}, codes array<int>")
+
+
+def _adc_lut(model: dict, query_vec: list[float]):
+    """(m, ksub) inner-product lookup table for an L2-normalized query:
+    lut[j][c] = ⟨q_j, codebook_j[c]⟩, so Σ_j lut[j][codes_j] approximates
+    cosine(q, x) for normalized x (asymmetric distance computation — the
+    query stays exact, only the database side is quantized)."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.shape[0] != model["dim"]:
+        raise ValueError(
+            f"query dim {q.shape[0]} != model dim {model['dim']}"
+        )
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    dsub = model["dsub"]
+    return [
+        (np.asarray(cb, dtype=np.float64) @ q[j * dsub : (j + 1) * dsub]).tolist()
+        for j, cb in enumerate(model["codebooks"])
+    ]
+
+
+def _adc_score(model: dict, query_vec: list[float], codes_col: str = "codes") -> Column:
+    """JVM-side ADC score Column: the per-subspace LUT is a literal
+    array-of-arrays (m·ksub doubles — a few KB shipped once in the plan),
+    and the score folds codes through element_at lookups inside
+    whole-stage codegen. No Python runs at scoring time."""
+    lut = _adc_lut(model, query_vec)
+    lut_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in lut]
+    )
+    m = model["m"]
+    return F.expr(
+        f"aggregate(zip_with({codes_col}, sequence(0, {m - 1}),"
+        f" (c, j) -> element_at(element_at(_pq_lut, j + 1), c + 1)),"
+        f" 0.0D, (acc, v) -> acc + v)"
+    ), lut_lit
+
+
+def pq_topk(
+    codes: DataFrame,
+    model: dict,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """ANN top-k over a PQ-codes table by asymmetric distance: one scan
+    of the CODES (m ints per row — the compressed corpus), LUT lookups in
+    whole-stage codegen, TakeOrderedAndProject top-k (per-partition heaps
+    + one merge; no global sort, no shuffle of the corpus). Returns
+    (id, score) — score ≈ cosine for unit-normalized data, exactly
+    Σ_j ⟨q_j, codeword⟩. The standard recipe at 100 TB: pq_topk for
+    candidates (k′ ≈ 10k), then exact re-rank of the k′ survivors
+    against raw vectors.
+    """
+    score, lut_lit = _adc_score(model, query_vec, codes_col)
+    return (
+        codes.withColumn("_pq_lut", lut_lit)
+        .select(F.col(id_col).alias("id"), F.round(score, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def ivf_pq_topk(
+    codes: DataFrame,
+    model: dict,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "id",
+    codes_col: str = "codes",
+    route_col: str = "route",
+) -> DataFrame:
+    """IVF-PQ: coarse route pruning + compressed-domain scoring — the
+    faiss ``IndexIVFPQ`` layout re-expressed as a DataFrame plan. Ranks
+    routes by centroid cosine (``centroids`` from ``compute_centroids``
+    or ``kmeans_routes``; rows = routes, tiny), broadcast-semi-joins the
+    best ``nprobe`` routes against the codes table — when the codes are
+    parquet-partitioned by route (``write_ivf_index`` layout), that join
+    prunes to nprobe directories — then ADC-scores only the probed
+    fraction. The full index for a 10-billion-vector corpus is the
+    centroid table (k rows) + the codes table (m bytes/vector): both
+    scannable, neither resembling the raw 30-TB vector set.
+    """
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    ranked = (
+        centroids.withColumn("_q", qv)
+        .select(route_col, cosine_expr("centroid", "_q").alias("_rs"))
+        .orderBy(F.col("_rs").desc())
+        .limit(nprobe)
+    )
+    probed = codes.join(
+        F.broadcast(ranked.select(route_col)), route_col
+    )
+    return pq_topk(probed, model, query_vec, k, id_col, codes_col)
+
+
+def pq_save(spark, model: dict, path: str) -> None:
+    """Persist a PQ model as one tiny parquet: rows (j, c, codeword) plus
+    the scalar config embedded per-row (self-describing, no side file)."""
+    rows = [
+        (j, c, list(map(float, w)), model["m"], model["dsub"], model["ksub"], model["dim"])
+        for j, cb in enumerate(model["codebooks"])
+        for c, w in enumerate(cb)
+    ]
+    spark.createDataFrame(
+        rows, "j int, c int, w array<double>, m int, dsub int, ksub int, dim int"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def pq_load(spark, path: str) -> dict:
+    """Reload a model written by ``pq_save``."""
+    rows = spark.read.parquet(path).collect()
+    head = rows[0]
+    m, dsub, ksub, dim = head["m"], head["dsub"], head["ksub"], head["dim"]
+    codebooks = [[None] * ksub for _ in range(m)]
+    for r in rows:
+        codebooks[r["j"]][r["c"]] = list(r["w"])
+    return {"m": m, "dsub": dsub, "ksub": ksub, "dim": dim, "codebooks": codebooks}

@@ -1,0 +1,200 @@
+"""Product quantization (pq_fit / pq_encode / pq_topk / ivf_pq_topk).
+
+Recall calibration (sf0.001 embeddings, m=8, ksub=32, query = vec_id 0):
+observed recall@10 vs exact = 0.3 (the synthetic vectors are near-random —
+the hard case for any ANN), pq-top10 ⊆ exact-top50 = 1.0, top-1 = the query
+itself. Thresholds below sit under those with margin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rtstore_spark.operators.similarity import (
+    brute_force_topk,
+    compute_centroids,
+    ivf_pq_topk,
+    pq_encode,
+    pq_fit,
+    pq_load,
+    pq_save,
+    pq_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def model(emb):
+    return pq_fit(emb, "embedding", m=8, ksub=32, seed=7)
+
+
+@pytest.fixture(scope="module")
+def codes(emb, model):
+    return pq_encode(emb, "embedding", "vec_id", model)
+
+
+@pytest.fixture(scope="module")
+def query(emb):
+    return emb.filter("vec_id = 0").collect()[0]["embedding"]
+
+
+class TestFit:
+    def test_shapes(self, model):
+        assert model["m"] == 8 and model["dsub"] == 8 and model["dim"] == 64
+        cb = np.asarray(model["codebooks"])
+        assert cb.shape == (8, 32, 8)
+        assert np.isfinite(cb).all()
+
+    def test_deterministic(self, emb, model):
+        again = pq_fit(emb, "embedding", m=8, ksub=32, seed=7)
+        assert again["codebooks"] == model["codebooks"]
+
+    def test_seed_changes_codebooks(self, emb, model):
+        other = pq_fit(emb, "embedding", m=8, ksub=32, seed=8)
+        assert other["codebooks"] != model["codebooks"]
+
+    def test_indivisible_dim_rejected(self, emb):
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_fit(emb, "embedding", m=7)
+
+    def test_ksub_clipped_to_sample(self, spark):
+        tiny = spark.createDataFrame(
+            [(i, [float(i), 0.0]) for i in range(3)], "id long, v array<float>"
+        )
+        m = pq_fit(tiny, "v", m=2, ksub=256)
+        assert m["ksub"] == 3
+
+    def test_sampled_fit_bounded_and_deterministic(self, emb):
+        a = pq_fit(emb, "embedding", m=8, ksub=8, seed=7, max_train=100)
+        b = pq_fit(emb, "embedding", m=8, ksub=8, seed=7, max_train=100)
+        assert a["codebooks"] == b["codebooks"]
+        assert a["ksub"] == 8
+
+
+class TestEncode:
+    def test_codes_shape_and_range(self, codes, model, emb):
+        rows = codes.collect()
+        assert len(rows) == emb.count()
+        for r in rows:
+            assert len(r["codes"]) == model["m"]
+            assert all(0 <= c < model["ksub"] for c in r["codes"])
+
+    def test_id_type_preserved(self, spark, model):
+        df = spark.createDataFrame(
+            [("a", [0.1] * 64)], "sid string, v array<float>"
+        )
+        out = pq_encode(df, "v", "sid", model)
+        assert dict(out.dtypes)["id"] == "string"
+
+    def test_shuffle_free_plan(self, codes):
+        plan = codes._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_wrong_dim_raises(self, spark, model):
+        bad = spark.createDataFrame([(1, [0.1, 0.2])], "id long, v array<float>")
+        with pytest.raises(Exception, match="model dim"):
+            pq_encode(bad, "v", "id", model).collect()
+
+
+class TestTopK:
+    def test_top1_is_query_and_candidates_near_exact(
+        self, emb, codes, model, query
+    ):
+        exact50 = {
+            r["id"]
+            for r in brute_force_topk(emb, "embedding", "vec_id", query, 50).collect()
+        }
+        got = pq_topk(codes, model, query, 10).collect()
+        ids = [r["id"] for r in got]
+        assert ids[0] == 0  # the query vector itself wins
+        assert len(set(ids) & exact50) >= 8  # observed 10/10
+        exact10 = {
+            r["id"]
+            for r in brute_force_topk(emb, "embedding", "vec_id", query, 10).collect()
+        }
+        assert len(set(ids) & exact10) >= 2  # observed 3/10
+
+    def test_scores_match_numpy_adc(self, codes, model, query):
+        got = {r["id"]: r["score"] for r in pq_topk(codes, model, query, 5).collect()}
+        cb = np.asarray(model["codebooks"])
+        q = np.asarray(query, dtype=np.float64)
+        q /= np.linalg.norm(q)
+        dsub = model["dsub"]
+        lut = np.stack(
+            [cb[j] @ q[j * dsub : (j + 1) * dsub] for j in range(model["m"])]
+        )
+        code_rows = {
+            r["id"]: r["codes"]
+            for r in codes.filter(F.col("id").isin(list(got))).collect()
+        }
+        for i, score in got.items():
+            expect = sum(lut[j][c] for j, c in enumerate(code_rows[i]))
+            assert score == pytest.approx(expect, abs=1e-6)
+
+    def test_scoring_plan_is_jvm_side_topk(self, codes, model, query):
+        out = pq_topk(codes, model, query, 10)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        # the one Python stage is the (upstream) encode; scoring adds none
+        assert plan.count("MapInPandas") == 1
+        assert "BatchEvalPython" not in plan
+
+    def test_query_dim_mismatch_raises(self, codes, model):
+        with pytest.raises(ValueError, match="query dim"):
+            pq_topk(codes, model, [0.1, 0.2], 5)
+
+
+class TestIvfPq:
+    def test_all_probes_matches_plain_pq(self, emb, codes, model, query):
+        routed = emb.select(
+            F.col("vec_id").alias("id"), "embedding", F.col("label").alias("route")
+        )
+        cents = compute_centroids(routed, "embedding", "route")
+        rcodes = codes.join(routed.select("id", "route"), "id")
+        n_routes = cents.count()
+        full = ivf_pq_topk(rcodes, model, cents, query, 10, nprobe=n_routes)
+        assert [r["id"] for r in full.collect()] == [
+            r["id"] for r in pq_topk(codes, model, query, 10).collect()
+        ]
+
+    def test_probe_subset_returns_k_from_probed_routes_only(
+        self, emb, codes, model, query
+    ):
+        routed = emb.select(
+            F.col("vec_id").alias("id"), "embedding", F.col("label").alias("route")
+        )
+        cents = compute_centroids(routed, "embedding", "route")
+        rcodes = codes.join(routed.select("id", "route"), "id")
+        got = ivf_pq_topk(rcodes, model, cents, query, 5, nprobe=1).collect()
+        assert len(got) == 5
+        # every hit belongs to the single probed (best) route
+        qv = F.array(*[F.lit(float(x)) for x in query])
+        from rtstore_spark.operators.similarity import cosine_expr
+
+        best = (
+            cents.withColumn("_q", qv)
+            .select("route", cosine_expr("centroid", "_q").alias("s"))
+            .orderBy(F.col("s").desc())
+            .first()["route"]
+        )
+        members = {
+            r["id"] for r in routed.filter(F.col("route") == best).collect()
+        }
+        assert {r["id"] for r in got} <= members
+
+
+class TestPersistence:
+    def test_save_load_roundtrip(self, spark, codes, model, query, tmp_path):
+        path = str(tmp_path / "pq_model")
+        pq_save(spark, model, path)
+        again = pq_load(spark, path)
+        assert again["codebooks"] == model["codebooks"]
+        assert [r["id"] for r in pq_topk(codes, again, query, 10).collect()] == [
+            r["id"] for r in pq_topk(codes, model, query, 10).collect()
+        ]
