@@ -30,7 +30,8 @@ Generic DataFrame transforms (no testdata coupling):
 - ``skew``       — hot-key broadcast-routed joins
 - ``sketches``   — mergeable rollup sketches: HLL distinct counts,
                    bounded-error top-k heavy hitters, histogram
-                   quantiles, count-min point frequencies
+                   quantiles, count-min point frequencies, Bloom
+                   set-membership filters (cross-shard seen-gate)
 - ``lm``         — pruned interpolated bigram LM: perplexity scoring and
                    filtering (CCNet-style quality signal)
 - ``tokenizer``  — learned BPE subword vocabulary: one-shuffle distributed

@@ -26,6 +26,11 @@ produced (HLL, histograms) or one with a tracked error bound (top-k).
   with probability 1 − e^−depth (Cormode & Muthukrishnan 2005). It
   answers the query ``topk_rollup`` cannot: "how often did THIS item
   occur", for items the truncated top-k dropped.
+- Bloom: ``k`` hashed bits per item in an ``nbits`` filter, stored as
+  non-zero 64-bit words; membership probes never false-negative and
+  false-positive at ≈ (1 − e^(−k·n/nbits))^k. The merge is a bitwise
+  OR — byte-identical to building over the union — which makes it the
+  carry-forward "seen before?" gate for cross-shard dedup.
 """
 
 from __future__ import annotations
@@ -439,3 +444,137 @@ def hist_quantiles(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# set membership — Bloom filter rollup
+# ---------------------------------------------------------------------------
+
+
+def _bloom_pos(item: F.Column, i: F.Column | int, nbits: int) -> F.Column:
+    """Hash ``i``'s bit position for an item: xxhash64 seeded by the hash
+    index — one shared definition for the build and probe sides (the
+    filter is only meaningful if both hash identically; cf. _cms_bucket)."""
+    i_col = F.lit(i) if isinstance(i, int) else i
+    return F.pmod(F.xxhash64(i_col, item.cast("string")), F.lit(nbits))
+
+
+def bloom_rollup(
+    df: DataFrame,
+    item_col: str,
+    by: list[str],
+    nbits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Bloom filter per ``by`` group, long form: one row per NON-ZERO
+    64-bit word — ``*by, word, bits, nbits, k`` — so an almost-empty
+    filter costs almost nothing and a persisted rollup is
+    self-describing (absent words are implicit zeros; ``bloom_contains``
+    restores them with a left join).
+
+    The membership question this answers at 100 TB: "might this item have
+    been seen before?" with **no false negatives** and a tunable
+    false-positive rate ≈ (1 − e^(−k·n/nbits))^k — nbits = 10 bits/item
+    with k=5 gives ~1%. That is the cross-shard dedup gate: carry forward
+    one filter per processed shard (nbits/8 bytes each, independent of
+    text size), OR them together with ``bloom_merge``, and a new shard's
+    exact-dup check touches only the rows the filter flags — the
+    guaranteed-new majority never joins against history at all. Same
+    state-not-corpus trade as ``dedup.incremental_neardup``, at set-
+    membership precision instead of similarity.
+
+    Shape: each row fans out ``k`` ways BEFORE the map-side combine, so
+    the one partial-agg shuffle (``bit_or``) moves at most
+    groups × nbits/64 word rows regardless of input size. Build rollups
+    with the same (nbits, k) and ``bloom_merge`` is an exact bitwise OR —
+    the merged filter is byte-identical to one built over the union.
+    """
+    i = F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("i")
+    pos = _bloom_pos(F.col("_it"), F.col("i"), nbits)
+    return (
+        df.filter(F.col(item_col).isNotNull())
+        .select(*by, F.col(item_col).alias("_it"), i)
+        .select(*by, pos.alias("_pos"))
+        .groupBy(*by, (F.col("_pos") / 64).cast("long").alias("word"))
+        .agg(
+            F.bit_or(F.expr("shiftleft(1L, cast(_pos % 64 as int))")).alias("bits")
+        )
+        .withColumn("nbits", F.lit(nbits))
+        .withColumn("k", F.lit(k))
+    )
+
+
+def bloom_merge(rollup: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Merge filters to a coarser grouping ([]/None = one global filter):
+    exact per-word bitwise OR (inputs must share nbits/k — they ride
+    along). Lossless: membership answers after the merge are exactly the
+    union filter's."""
+    by = by or []
+    return (
+        rollup.groupBy(*by, "word", "nbits", "k")
+        .agg(F.bit_or("bits").alias("bits"))
+        .select(*by, "word", "bits", "nbits", "k")  # rollup column order
+    )
+
+
+def bloom_contains(
+    rollup: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    by: list[str] | None = None,
+    nbits: int | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Membership probes off a filter table: one row per (group, item)
+    with ``might_contain`` — False is certain (never a false negative),
+    True means "seen, or a ≈fpp collision". Null probes report False
+    (``bloom_rollup`` never inserts nulls).
+
+    ``by=[]``/None probes the global filter; with ``by``, ``items`` must
+    carry the same group columns. The rollup is first merged down to that
+    granularity (idempotent if already there; REQUIRED for finer input —
+    a word absent from one source group must not borrow another group's
+    bits, so the join keys on the group columns).
+
+    Config comes from the rollup's metadata columns — one tiny eager read
+    that doubles as validation, exactly like ``cms_query``: mixed
+    (nbits, k) raises instead of probing the wrong positions (which would
+    break the no-false-negative guarantee). Pass ``nbits``/``k``
+    explicitly to skip the read and stay fully lazy. An EMPTY rollup
+    means an empty set: every probe is False.
+
+    Scale: probes fan out k× (the small side); the merged filter is ≤
+    groups × nbits/64 rows. AQE picks the join strategy.
+    """
+    by = by or []
+    items = items.filter(F.col(item_col).isNotNull())
+    if nbits is None or k is None:
+        configs = rollup.select("nbits", "k").distinct().collect()
+        if len(configs) > 1:
+            raise ValueError(
+                f"rollup mixes filter configs {sorted(map(tuple, configs))}: "
+                "Bloom filters are only mergeable/probe-able at one (nbits, k)"
+            )
+        if not configs:  # empty filter: nothing is a member
+            return (
+                items.select(*by, F.col(item_col).alias("item"))
+                .distinct()
+                .withColumn("might_contain", F.lit(False))
+            )
+        nbits, k = int(configs[0]["nbits"]), int(configs[0]["k"])
+    merged = bloom_merge(rollup, by)
+    i = F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("i")
+    probes = (
+        items.select(*by, F.col(item_col).alias("item"), i)
+        .withColumn("_pos", _bloom_pos(F.col("item"), F.col("i"), nbits))
+        .withColumn("word", (F.col("_pos") / 64).cast("long"))
+        .withColumn("_mask", F.expr("shiftleft(1L, cast(_pos % 64 as int))"))
+    )
+    hit = probes.join(merged.select(*by, "word", "bits"), [*by, "word"], "left")
+    # a missing word row is an all-zero word: that probe bit is unset
+    bit_set = F.coalesce(
+        F.col("bits").bitwiseAND(F.col("_mask")) == F.col("_mask"), F.lit(False)
+    )
+    return hit.groupBy(*by, "item").agg(
+        F.bool_and(bit_set).alias("might_contain")
+    )

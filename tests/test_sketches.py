@@ -416,3 +416,129 @@ class TestLogBins:
             # auto range not poisoned by the NaN (max would be NaN)
             lo, hi = roll.select("lo", "hi").first()
             assert lo == lo and hi == hi  # not NaN
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter rollup
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from rtstore_spark.operators.sketches import (  # noqa: E402
+    bloom_contains,
+    bloom_merge,
+    bloom_rollup,
+)
+
+
+class TestBloom:
+    def _probe(self, spark, rollup, words, **kw):
+        items = spark.createDataFrame([(w,) for w in words], "item string")
+        return {
+            r["item"]: r["might_contain"]
+            for r in bloom_contains(rollup, items, "item", **kw).collect()
+        }
+
+    def test_no_false_negatives(self, spark):
+        inserted = [f"doc-{i}" for i in range(200)]
+        df = spark.createDataFrame([(w,) for w in inserted], "t string")
+        roll = bloom_rollup(df, "t", by=[], nbits=4096, k=5)
+        got = self._probe(spark, roll, inserted)
+        assert all(got[w] for w in inserted)  # the Bloom guarantee
+
+    def test_fpr_bounded(self, spark):
+        # 200 items in 4096 bits, k=5 -> theoretical fpp ~ (1-e^-0.244)^5
+        # ~ 0.05%; assert the observed rate on 1000 absent probes stays
+        # far under an order-of-magnitude cushion
+        df = spark.createDataFrame([(f"doc-{i}",) for i in range(200)], "t string")
+        roll = bloom_rollup(df, "t", by=[], nbits=4096, k=5)
+        absent = [f"other-{i}" for i in range(1000)]
+        got = self._probe(spark, roll, absent)
+        assert sum(got.values()) / len(absent) < 0.02
+
+    def test_merge_equals_direct_build(self, spark):
+        rows = [(f"w-{i}",) for i in range(100)]
+        whole = spark.createDataFrame(rows, "t string")
+        a = spark.createDataFrame(rows[:50], "t string")
+        b = spark.createDataFrame(rows[50:], "t string")
+        direct = bloom_rollup(whole, "t", by=[], nbits=2048, k=4)
+        merged = bloom_merge(
+            bloom_rollup(a, "t", by=[], nbits=2048, k=4).unionByName(
+                bloom_rollup(b, "t", by=[], nbits=2048, k=4)
+            )
+        )
+        assert sorted(map(tuple, direct.collect())) == sorted(
+            map(tuple, merged.collect())
+        )
+
+    def test_group_isolation(self, spark):
+        df = spark.createDataFrame(
+            [("a", "only-in-a"), ("b", "only-in-b")], "g string, t string"
+        )
+        roll = bloom_rollup(df, "t", by=["g"], nbits=4096, k=5)
+        items = spark.createDataFrame(
+            [("a", "only-in-b"), ("b", "only-in-b")], "g string, item string"
+        )
+        got = {
+            (r["g"], r["item"]): r["might_contain"]
+            for r in bloom_contains(roll, items, "item", by=["g"]).collect()
+        }
+        assert got[("a", "only-in-b")] is False
+        assert got[("b", "only-in-b")] is True
+
+    def test_empty_rollup_all_false(self, spark):
+        empty = bloom_rollup(
+            spark.createDataFrame([], "t string"), "t", by=[], nbits=1024, k=3
+        )
+        got = self._probe(spark, empty, ["x", "y"])
+        assert got == {"x": False, "y": False}
+
+    def test_mixed_config_raises(self, spark):
+        df = spark.createDataFrame([("x",)], "t string")
+        mixed = bloom_rollup(df, "t", by=[], nbits=1024, k=3).unionByName(
+            bloom_rollup(df, "t", by=[], nbits=2048, k=3)
+        )
+        with pytest.raises(ValueError, match="mixes filter configs"):
+            self._probe(spark, mixed, ["x"])
+
+    def test_explicit_config_skips_metadata_read(self, spark):
+        df = spark.createDataFrame([("x",)], "t string")
+        roll = bloom_rollup(df, "t", by=[], nbits=1024, k=3)
+        got = self._probe(spark, roll, ["x", "y"], nbits=1024, k=3)
+        assert got["x"] is True
+
+    def test_null_items_and_probes_ignored(self, spark):
+        df = spark.createDataFrame([("x",), (None,)], "t string")
+        roll = bloom_rollup(df, "t", by=[], nbits=1024, k=3)
+        items = spark.createDataFrame([("x",), (None,)], "item string")
+        rows = bloom_contains(roll, items, "item").collect()
+        assert {r["item"] for r in rows} == {"x"}
+
+    def test_rollup_is_one_partial_agg_shuffle(self, spark):
+        df = spark.createDataFrame([(f"w{i}",) for i in range(50)], "t string")
+        plan = (
+            bloom_rollup(df, "t", by=[], nbits=1024, k=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "partial_bit_or" in plan
+
+    def test_cross_shard_gate_pattern(self, spark):
+        # the documented use: filter a new shard against history's filter;
+        # flagged rows are a superset of the true repeats
+        history = spark.createDataFrame(
+            [(i, f"seen-{i}") for i in range(100)], "id long, t string"
+        )
+        new = spark.createDataFrame(
+            [(200 + i, f"seen-{i}") for i in range(10)]
+            + [(300 + i, f"fresh-{i}") for i in range(90)],
+            "id long, t string",
+        )
+        roll = bloom_rollup(history, "t", by=[], nbits=8192, k=5)
+        flags = bloom_contains(roll, new, "t")
+        joined = {r["item"]: r["might_contain"] for r in flags.collect()}
+        repeats = {t for t, f in joined.items() if f}
+        assert {f"seen-{i}" for i in range(10)} <= repeats  # no misses
+        assert len(repeats) <= 15  # few collisions among the 90 fresh
