@@ -880,3 +880,47 @@ def pq_load(spark, path: str) -> dict:
     for r in rows:
         codebooks[r["j"]][r["c"]] = list(r["w"])
     return {"m": m, "dsub": dsub, "ksub": ksub, "dim": dim, "codebooks": codebooks}
+
+
+def write_pq_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    route_col: str,
+    model: dict,
+    path: str,
+) -> None:
+    """Materialize an IVF-PQ index — the durable form of the full ANN
+    stack for a corpus that will be queried many times:
+
+    - ``<path>/codes``      — (id, codes, route) parquet, PARTITIONED BY
+      route, so an ``nprobe``-probe query is a partition-pruned scan of
+      nprobe directories over m-byte codes (at m=8 the whole index for a
+      billion vectors is ~8 GB + ids — a single executor's disk);
+    - ``<path>/_centroids`` — the coarse router (``compute_centroids``);
+    - ``<path>/_model``     — the PQ codebooks (``pq_save``).
+
+    One corpus scan total: codes are encoded on the way in. Readers get
+    everything back with ``read_pq_index`` and query via ``ivf_pq_topk``;
+    exact re-ranking, when wanted, joins survivors back to the raw
+    vectors by id.
+    """
+    codes = pq_encode(df, vec_col, id_col, model).join(
+        df.select(F.col(id_col).alias("id"), F.col(route_col).alias("route")),
+        "id",
+    )
+    codes.write.mode("overwrite").partitionBy("route").parquet(path + "/codes")
+    compute_centroids(df, vec_col, route_col).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path + "/_centroids")
+    pq_save(df.sparkSession, model, path + "/_model")
+
+
+def read_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
+    """(codes partitioned by route, centroids, model) from
+    ``write_pq_index`` — pass straight to ``ivf_pq_topk``."""
+    return (
+        spark.read.parquet(path + "/codes"),
+        spark.read.parquet(path + "/_centroids"),
+        pq_load(spark, path + "/_model"),
+    )

@@ -198,3 +198,78 @@ class TestPersistence:
         assert [r["id"] for r in pq_topk(codes, again, query, 10).collect()] == [
             r["id"] for r in pq_topk(codes, model, query, 10).collect()
         ]
+
+
+class TestDuckDBOracle:
+    def test_adc_topk_matches_duckdb_replay(self, emb, codes, model, query, tmp_path):
+        """Full independent replay: DuckDB recomputes every document's ADC
+        score from the persisted codes and the per-query LUT, and must
+        produce the same top-10 (ids AND rounded scores, same tie-break)."""
+        import duckdb
+
+        from rtstore_spark.operators.similarity import _adc_lut
+
+        codes.write.mode("overwrite").parquet(str(tmp_path / "codes"))
+        lut = _adc_lut(model, query)
+        con = duckdb.connect()
+        con.sql(
+            "create table lut as select * from (values "
+            + ",".join(
+                f"({j},{c},{v!r})"
+                for j, row in enumerate(lut)
+                for c, v in enumerate(row)
+            )
+            + ") t(j, c, v)"
+        )
+        oracle = con.sql(
+            f"""
+            with unn as (
+              select id, unnest(codes) as code,
+                     generate_subscripts(codes, 1) - 1 as j
+              from '{tmp_path}/codes/*.parquet')
+            select id, round(sum(v), 6) as score
+            from unn join lut on lut.j = unn.j and lut.c = unn.code
+            group by id order by score desc, id limit 10
+            """
+        ).fetchall()
+        got = [(r["id"], float(r["score"])) for r in pq_topk(codes, model, query, 10).collect()]
+        assert got == [(a, float(b)) for a, b in oracle]
+
+
+class TestPersistedIndex:
+    def test_write_read_query_roundtrip(self, spark, emb, model, query, tmp_path):
+        from rtstore_spark.operators.similarity import (
+            read_pq_index,
+            write_pq_index,
+        )
+
+        routed = emb.select(
+            F.col("vec_id").alias("id"), "embedding", F.col("label").alias("route")
+        )
+        path = str(tmp_path / "pq_index")
+        write_pq_index(routed, "embedding", "id", "route", model, path)
+        codes, cents, loaded = read_pq_index(spark, path)
+        assert loaded["codebooks"] == model["codebooks"]
+        n_routes = cents.count()
+        got = ivf_pq_topk(codes, loaded, cents, query, 10, nprobe=n_routes)
+        # matches the in-memory path end to end
+        mem = pq_topk(pq_encode(emb, "embedding", "vec_id", model), model, query, 10)
+        assert [r["id"] for r in got.collect()] == [r["id"] for r in mem.collect()]
+
+    def test_probe_scan_is_partition_pruned(self, spark, emb, model, query, tmp_path):
+        from rtstore_spark.operators.similarity import (
+            read_pq_index,
+            write_pq_index,
+        )
+
+        routed = emb.select(
+            F.col("vec_id").alias("id"), "embedding", F.col("label").alias("route")
+        )
+        path = str(tmp_path / "pq_index2")
+        write_pq_index(routed, "embedding", "id", "route", model, path)
+        codes, cents, loaded = read_pq_index(spark, path)
+        out = ivf_pq_topk(codes, loaded, cents, query, 5, nprobe=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the route filter must reach the scan as dynamic partition pruning
+        # (the broadcast semi-join keys on the partition column)
+        assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
