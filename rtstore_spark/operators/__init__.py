@@ -36,6 +36,7 @@ Generic DataFrame transforms (no testdata coupling):
                    filtering (CCNet-style quality signal)
 - ``tokenizer``  — learned BPE subword vocabulary: one-shuffle distributed
                    fit over word counts, Arrow-batched encode
-- ``pipeline``   — end-to-end corpus preparation composition + training-
-                   shard export + fixed-budget sequence packing
+- ``pipeline``   — end-to-end corpus preparation composition (+ per-stage
+                   yield audit via CollectMetrics observations) +
+                   training-shard export + fixed-budget sequence packing
 """

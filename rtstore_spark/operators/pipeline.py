@@ -85,13 +85,83 @@ class CorpusPrepConfig:
     lm_model: dict | None = None
 
 
+@dataclass
+class PrepAudit:
+    """Per-stage yield accounting for one ``prepare_corpus`` run, built on
+    Spark's ``Observation`` (a ``CollectMetrics`` node at each stage
+    boundary): the counts ride along with whatever action the caller runs
+    — where a naive ``.count()`` per stage would re-execute the pipeline
+    prefix once per stage. At 100 TB that is the difference between "the
+    write also produced the yield report" and "the report cost five more
+    corpus scans".
+
+    Usage::
+
+        audit = PrepAudit()
+        out = prepare_corpus(df, "text", "doc_id", cfg, audit=audit)
+        out.write.parquet(...)        # any action
+        audit.counts()                # {"input": ..., "gated": ..., ...}
+
+    Execution notes:
+
+    - An ``Observation`` keeps the FIRST action that traverses its node,
+      and the near-dup stage's component propagation runs internal
+      ``localCheckpoint`` actions that traverse the early taps without
+      producing metrics (an empty row would permanently poison them).
+      Audit mode therefore runs ONE eager count right after the
+      exact-dedup stage: a real action that fires ``input``/``gated``/
+      ``exact_dedup`` correctly before any internal action can. It
+      doubles as the cache materialization the first downstream action
+      would have paid anyway, so the true extra cost is one md5-groupBy
+      pass over the CACHED gated set — never a second raw-corpus scan.
+      The later taps (``near_dedup``, ``lm_gate``, ``final``) ride the
+      caller's own action for free.
+    - ``counts()`` BLOCKS until an action has executed each observed
+      stage — call it after the caller's action, never before.
+
+    Stage keys (in pipeline order): ``input``, ``gated`` (post quality/
+    lang/blocklist/cap, the persisted set), ``exact_dedup``,
+    ``near_dedup``, ``lm_gate`` (only if enabled), ``final`` (rows
+    returned — chunks, not docs, when chunking is on). Counts are
+    observed once per run; use a fresh PrepAudit per prepare_corpus call.
+    """
+
+    observations: dict = field(default_factory=dict)
+
+    def tap(self, df: DataFrame, name: str) -> DataFrame:
+        from pyspark.sql import Observation
+
+        obs = Observation(f"prep_{name}")
+        self.observations[name] = obs
+        return df.observe(obs, F.count(F.lit(1)).alias("rows"))
+
+    def counts(self) -> dict[str, int]:
+        return {
+            name: int(obs.get["rows"]) for name, obs in self.observations.items()
+        }
+
+
 def prepare_corpus(
-    df: DataFrame, text_col: str, id_col: str, cfg: CorpusPrepConfig | None = None
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    cfg: CorpusPrepConfig | None = None,
+    audit: PrepAudit | None = None,
 ) -> DataFrame:
     """Full prep pipeline → the kept rows of ``df`` (original columns),
     annotated with ``lang``. Deterministic end to end: same input, same
-    config ⇒ byte-identical corpus, on any cluster size."""
+    config ⇒ byte-identical corpus, on any cluster size.
+
+    Pass a fresh ``PrepAudit`` as ``audit`` to get per-stage survivor
+    counts piggybacked on the caller's action (see PrepAudit); with
+    ``audit=None`` (default) no metrics nodes enter the plan.
+    """
     cfg = cfg or CorpusPrepConfig()
+
+    def _tap(d: DataFrame, name: str) -> DataFrame:
+        return audit.tap(d, name) if audit is not None else d
+
+    df = _tap(df, "input")
 
     # -1. optional html front door: replace raw HTML with extracted text
     # IN PLACE (projection — no join, no shuffle; the kernel is shared
@@ -171,7 +241,10 @@ def prepare_corpus(
 
     from pyspark import StorageLevel
 
-    kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+    # the tap sits UNDER the persist: the cached plan includes the metrics
+    # node, so the count fires exactly once (at cache materialization) and
+    # later re-reads of the cache don't re-observe
+    kept = _tap(kept, "gated").persist(StorageLevel.MEMORY_AND_DISK)
 
     # 3. exact dedup: keep the lowest id per canonical text (the full text
     # never shuffles — the md5 is the groupBy key)
@@ -184,7 +257,12 @@ def prepare_corpus(
         .filter(F.col(id_col) != F.col("keep_id"))
         .select(id_col)
     )
-    kept = kept.join(drop_exact, id_col, "left_anti")
+    kept = _tap(kept.join(drop_exact, id_col, "left_anti"), "exact_dedup")
+    if audit is not None:
+        # fire the three early taps with a real action BEFORE the near-dup
+        # stage's internal localCheckpoints traverse them metric-less (see
+        # PrepAudit); also materializes the persisted gated cache
+        kept.count()
 
     # 3b. optional paragraph-granular dedup: rewrites text in place, so it
     # runs after exact dedup (whole-doc dups are gone — cheaper) and
@@ -200,7 +278,7 @@ def prepare_corpus(
     drop_near = dedup.minhash_dedup(
         kept, text_col, id_col, threshold=cfg.near_dup_threshold
     ).select(F.col("drop_id").alias(id_col))
-    kept = kept.join(drop_near, id_col, "left_anti")
+    kept = _tap(kept.join(drop_near, id_col, "left_anti"), "near_dedup")
 
     # 4.5 optional LM perplexity gate (CCNet-style): drop documents whose
     # bigram-LM cross-entropy exceeds the cutoff. Runs after dedup so the
@@ -214,9 +292,12 @@ def prepare_corpus(
         from rtstore_spark.operators import lm as lm_ops
 
         model = cfg.lm_model or lm_ops.lm_fit(kept, text_col)
-        kept = lm_ops.lm_filter(
-            kept, model, text_col, id_col,
-            max_cross_entropy=cfg.lm_max_cross_entropy,
+        kept = _tap(
+            lm_ops.lm_filter(
+                kept, model, text_col, id_col,
+                max_cross_entropy=cfg.lm_max_cross_entropy,
+            ),
+            "lm_gate",
         )
 
     # 5. deterministic sampling (uniform or per-language). The pipeline's
@@ -254,7 +335,7 @@ def prepare_corpus(
             kept, text_col, id_col,
             max_tokens=cfg.chunk_max_tokens, overlap=cfg.chunk_overlap,
         )
-    return kept
+    return _tap(kept, "final")
 
 
 def export_training_shards(

@@ -111,3 +111,181 @@ class StreamingDedup:
             + [T.StructField("fp", T.StringType(), True)]
         )
         return read_parquet_or_empty(self.spark, self.dest_dir, out)
+
+
+class StreamingBloomDedup:
+    """Full-history streaming exact dedup with FIXED-SIZE state: the
+    carry-forward "seen before?" gate is a Bloom filter
+    (``operators.sketches.bloom_rollup``), not a per-key state store.
+
+    ``StreamingDedup`` above is exact but horizon-bounded: its state
+    grows with docs-in-horizon and forgets older history by design. This
+    surface makes the opposite trade — the filter covers EVERY document
+    ever kept, at nbits/8 bytes total forever, and in exchange a
+    ≈(1−e^(−k·n/nbits))^k fraction of genuinely-new documents is falsely
+    dropped (never the reverse: a Bloom has no false negatives, so a true
+    duplicate can never sneak through the gate). Size nbits ≈ 10 bits per
+    expected corpus document for ~1% false-drop — 10 billion docs is a
+    12.5 GB filter, stored as parquet word rows and read band-pruned by
+    the probe join, while the equivalent exact state (16-byte md5 per
+    doc) is 160 GB of *state-store* the streaming engine must snapshot
+    per batch. The standard crawl-pipeline compromise: losing 1% of
+    uniques is invisible next to crawl noise; re-keeping boilerplate
+    copies forever is not.
+
+    Mechanics mirror ``StreamingNearDedup``: ``foreachBatch`` + an
+    external per-batch-partitioned state table. Each micro-batch is
+    exact-deduped within itself (first arrival by event time, id
+    tie-break — deterministic under replay), probed against the OR-merge
+    of every PRIOR batch's filter partition (self-exclusion makes
+    replayed batches idempotent), and its kept fingerprints are written
+    as a new ``batch=<id>`` filter partition with overwrite. The
+    streaming checkpoint tracks only source progress; deleting it and
+    re-attaching loses nothing — the filter is the state and lives with
+    the data. A stream restarted with a different (nbits, k) fails
+    loudly at the first probe (mixed-config guard in ``bloom_contains``).
+
+    Filter reads scan batches × ≤nbits/64 word rows; a long-lived stream
+    can periodically compact with ``sketches.bloom_merge`` (rewrite the
+    partitions as one) without changing any answer — the merge is
+    byte-identical to a union build.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        source_schema: T.StructType,
+        dest_dir: str,
+        filter_dir: str,
+        checkpoint: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        ts_col: str = "ts",
+        nbits: int = 1 << 20,
+        k: int = 5,
+    ):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.source_schema = source_schema
+        self.dest_dir = dest_dir
+        self.filter_dir = filter_dir
+        self.checkpoint = checkpoint
+        self.text_col = text_col
+        self.id_col = id_col
+        self.ts_col = ts_col
+        self.nbits = nbits
+        self.k = k
+
+    # ------------------------------------------------------------------
+
+    def _prior_filter(self, batch_id: int) -> DataFrame | None:
+        """Filter partitions of every PRIOR batch (self-exclusion: a
+        replayed batch must not probe its own previously-written
+        fingerprints — cf. StreamingNearDedup._ref_signatures)."""
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        from rtstore_spark.store.fs import fs_for
+
+        if not fs_for(self.filter_dir, self.spark).exists(self.filter_dir):
+            return None
+        try:
+            ref = self.spark.read.parquet(self.filter_dir)
+        except AnalysisException:
+            return None
+        # config validation runs over ALL partitions — own batch included:
+        # self-exclusion here would blind a freshly-checkpointed stream
+        # (whose first replayed batch id collides with an old partition)
+        # to a config mismatch, and bloom_contains with explicit nbits/k
+        # skips its own metadata check. Probing wrong positions would
+        # break the no-false-negative guarantee silently; raising is the
+        # only safe answer.
+        stored = ref.select("nbits", "k").distinct().collect()
+        bad = [
+            (int(r["nbits"]), int(r["k"]))
+            for r in stored
+            if (int(r["nbits"]), int(r["k"])) != (self.nbits, self.k)
+        ]
+        if bad:
+            raise ValueError(
+                f"filter table at {self.filter_dir} was built with "
+                f"(nbits, k) {bad}; this stream is configured "
+                f"({self.nbits}, {self.k}) — Bloom state is only "
+                "valid at one config"
+            )
+        return ref.filter(F.col("batch") != batch_id).drop("batch")
+
+    def _apply(self, batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        from rtstore_spark.operators.sketches import bloom_contains, bloom_rollup
+
+        if batch.isEmpty():
+            return
+        fp = batch.withColumn("fp", content_fingerprint(self.text_col))
+        # within-batch: first arrival per fingerprint, deterministic under
+        # replay ((ts, id) order — dropDuplicates' arbitrary pick is not)
+        w = Window.partitionBy("fp").orderBy(
+            F.col(self.ts_col).asc(), F.col(self.id_col).asc()
+        )
+        kept = (
+            fp.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+        # against all history: Bloom probe on the fingerprint
+        # (_prior_filter also validates the stored (nbits, k) — including
+        # the own-batch partition a replay would otherwise hide)
+        ref = self._prior_filter(batch_id)
+        if ref is not None:
+            seen = bloom_contains(
+                ref, kept.select("fp"), "fp", nbits=self.nbits, k=self.k
+            ).filter(F.col("might_contain"))
+            kept = kept.join(
+                seen.select(F.col("item").alias("fp")), "fp", "left_anti"
+            )
+        # stable column order regardless of which joins ran: the replayed
+        # form of a batch must be byte-identical to the original write
+        kept = kept.select(*batch.columns, "fp")
+
+        from pyspark import StorageLevel
+
+        kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            kept.write.mode("overwrite").parquet(
+                f"{self.dest_dir}/batch={batch_id}"
+            )
+            bloom_rollup(
+                kept, "fp", by=[], nbits=self.nbits, k=self.k
+            ).write.mode("overwrite").parquet(
+                f"{self.filter_dir}/batch={batch_id}"
+            )
+        finally:
+            kept.unpersist()
+
+    # ------------------------------------------------------------------
+
+    def run_once(self) -> None:
+        src = self.spark.readStream.schema(self.source_schema).parquet(
+            self.source_dir
+        )
+        q = (
+            src.writeStream.foreachBatch(self._apply)
+            .option("checkpointLocation", self.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def table(self) -> DataFrame:
+        """Everything kept so far (``batch`` = micro-batch id rides along)."""
+        from rtstore_spark.store.fs import read_parquet_or_empty
+
+        schema = T.StructType(
+            list(self.source_schema)
+            + [
+                T.StructField("fp", T.StringType()),
+                T.StructField("batch", T.IntegerType()),
+            ]
+        )
+        return read_parquet_or_empty(self.spark, self.dest_dir, schema)

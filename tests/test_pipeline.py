@@ -279,3 +279,45 @@ def test_domain_cap_stage(spark):
     assert sorted(r["doc_id"] for r in again.collect()) == sorted(
         d for v in by_src.values() for d in v
     )
+
+
+class TestPrepAudit:
+    def test_stage_counts_ride_the_action(self, spark, corpus):
+        from rtstore_spark.operators.pipeline import PrepAudit
+
+        audit = PrepAudit()
+        out = prepare_corpus(corpus, "body", "doc_id", audit=audit)
+        n = out.count()
+        c = audit.counts()
+        # fixture arithmetic: 7 in; 4/5/6 fail the gates; 1 exact dup of 0;
+        # 2 near dup of 0 -> 2 survivors
+        assert c["input"] == 7
+        assert c["gated"] == 4
+        assert c["exact_dedup"] == 3
+        assert c["near_dedup"] == 2
+        assert c["final"] == n == 2
+
+    def test_counts_monotone_and_final_matches_chunks(self, spark, corpus):
+        from rtstore_spark.operators.pipeline import PrepAudit
+
+        audit = PrepAudit()
+        cfg = CorpusPrepConfig(chunk_max_tokens=8, chunk_overlap=2)
+        out = prepare_corpus(corpus, "body", "doc_id", cfg, audit=audit)
+        n_chunks = out.count()
+        c = audit.counts()
+        assert c["input"] >= c["gated"] >= c["exact_dedup"] >= c["near_dedup"]
+        assert c["final"] == n_chunks > c["near_dedup"]  # chunk fan-out
+
+    def test_audit_off_leaves_no_metrics_nodes(self, spark, corpus):
+        out = prepare_corpus(corpus, "body", "doc_id")
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "CollectMetrics" not in plan
+
+    def test_audited_output_identical_to_plain(self, spark, corpus):
+        from rtstore_spark.operators.pipeline import PrepAudit
+
+        audited = prepare_corpus(corpus, "body", "doc_id", audit=PrepAudit())
+        plain = prepare_corpus(corpus, "body", "doc_id")
+        assert sorted(r["doc_id"] for r in audited.collect()) == sorted(
+            r["doc_id"] for r in plain.collect()
+        )
