@@ -83,6 +83,15 @@ class CorpusPrepConfig:
     # which turns the cutoff into a self-surprisal outlier filter.
     lm_max_cross_entropy: float | None = None
     lm_model: dict | None = None
+    # stage 2d: cross-RUN dedup gate — a Bloom rollup of previously-kept
+    # corpora's text md5s (build with ``corpus_seen_filter``, OR-merge
+    # shards with ``sketches.bloom_merge``). Docs whose fingerprint
+    # probes True are dropped before this run's own dedup: no false
+    # negatives (every true repeat of history goes), ≈fpp false drops of
+    # genuinely-new docs (the documented Bloom trade). This is how run
+    # N+1 dedups against runs 1..N without their text: the carried state
+    # is nbits/8 bytes, not a corpus.
+    seen_filter: DataFrame | None = None
 
 
 @dataclass
@@ -238,6 +247,30 @@ def prepare_corpus(
         kept = web.domain_frequency_cap(
             kept, cfg.domain_col, id_col, cfg.domain_cap
         ).drop("domain_rank")
+
+    # 2d. optional cross-run seen-gate: Bloom probe of each doc's text md5
+    # against prior runs' filter (cfg.seen_filter). Before the persist so
+    # the cached set is already history-clean, and before this run's own
+    # dedup so a historical repeat can't become a duplicate group's
+    # canonical. The same md5 key as stage 3, so "same document" means
+    # the same thing within a run and across runs.
+    if cfg.seen_filter is not None:
+        from rtstore_spark.operators.sketches import bloom_contains
+
+        seen_fp = (
+            bloom_contains(
+                cfg.seen_filter,
+                kept.select(F.md5(F.col(text_col)).alias("_fp")),
+                "_fp",
+            )
+            .filter(F.col("might_contain"))
+            .select(F.col("item").alias("_fp"))
+        )
+        kept = (
+            kept.withColumn("_fp", F.md5(F.col(text_col)))
+            .join(seen_fp, "_fp", "left_anti")
+            .drop("_fp")
+        )
 
     from pyspark import StorageLevel
 
@@ -554,3 +587,24 @@ def pack_sequences(
             yield to_pdf(out_rows)
 
     return src.mapInPandas(packer, schema=schema)
+
+
+def corpus_seen_filter(
+    df: DataFrame, text_col: str, nbits: int = 1 << 20, k: int = 5
+) -> DataFrame:
+    """The carry-forward dedup state of a prepared corpus: a Bloom rollup
+    of text md5s, sized nbits (~10 bits per expected document across ALL
+    runs for ~1% false-positive rate). Persist it next to the corpus;
+    feed it to the next run as ``CorpusPrepConfig.seen_filter`` —
+    OR-merging several runs' filters (``sketches.bloom_merge``) is
+    byte-identical to building one over their union, so shards compose.
+    Keyed on the same md5 as prepare_corpus stage 3 / its seen-gate."""
+    from rtstore_spark.operators.sketches import bloom_rollup
+
+    return bloom_rollup(
+        df.select(F.md5(F.col(text_col)).alias("fp")),
+        "fp",
+        by=[],
+        nbits=nbits,
+        k=k,
+    )

@@ -924,3 +924,95 @@ def read_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
         spark.read.parquet(path + "/_centroids"),
         pq_load(spark, path + "/_model"),
     )
+
+
+def assign_routes(
+    df: DataFrame, vec_col: str, centers: list[list[float]]
+) -> DataFrame:
+    """Route each vector to its nearest centroid (cosine geometry:
+    vectors and centers are L2-normalized before the distance, matching
+    ``kmeans_routes``). Returns the input plus a ``route`` int column.
+
+    Arrow-batched GEMM against the (k, dim) center matrix — the same
+    argmin-over-codewords shape as ``pq_encode`` and the same reasoning:
+    k×dim distance expressions in codegen would blow the JVM method-size
+    limit at real k, while one numpy matmul per batch is the linear
+    path. Centers ship by value (k·dim floats — broadcast-sized by
+    construction). Shuffle-free. Null vectors get route −1 rather than
+    being dropped: the caller decides.
+    """
+    import numpy as np
+
+    c = np.asarray(centers, dtype=np.float64)
+    c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    cn = (c**2).sum(axis=1)
+    dim = c.shape[1]
+    cols = df.columns
+
+    def route(batches):
+        for pdf in batches:
+            vecs = pdf["_v"]
+            mask = vecs.notna()
+            out = np.full(len(pdf), -1, dtype=np.int32)
+            if mask.any():
+                x = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in vecs[mask]]
+                )
+                if x.shape[1] != dim:
+                    raise ValueError(
+                        f"assign_routes: vector dim {x.shape[1]} != "
+                        f"centers dim {dim}"
+                    )
+                x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+                d = -2.0 * x @ c.T + cn
+                out[np.asarray(mask)] = d.argmin(axis=1)
+            pdf = pdf.drop(columns=["_v"])
+            pdf["route"] = out
+            yield pdf
+
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema
+    ) + ", route int"
+    return df.withColumn("_v", F.col(vec_col)).mapInPandas(route, schema=schema)
+
+
+def append_pq_index(
+    df: DataFrame, vec_col: str, id_col: str, path: str
+) -> None:
+    """Incrementally extend a persisted IVF-PQ index with new vectors —
+    the daily-crawl maintenance path: encode and route ONLY the new rows
+    (one scan of the increment; the existing corpus is never re-read,
+    never re-encoded) and append them into the route-partitioned codes
+    table. Routing uses the index's own persisted centroids and encoding
+    its own codebooks, so appended codes are exactly what a full rebuild
+    would have produced for those rows; queries see the union
+    immediately.
+
+    The codebooks and centroids themselves are deliberately NOT updated:
+    a quantizer that drifts with every append would silently change the
+    meaning of already-stored codes (old codes decode against new
+    codebooks — garbage). That is the faiss contract too: train once on
+    a representative sample, append forever, retrain + rebuild only when
+    the corpus distribution has genuinely moved.
+
+    Caller contract: ids must be new (the index does no upsert — append
+    of an existing id yields two code rows and duplicate hits).
+    """
+    spark = df.sparkSession
+    model = pq_load(spark, path + "/_model")
+    cents = spark.read.parquet(path + "/_centroids").orderBy("route").collect()
+    if [int(r["route"]) for r in cents] != list(range(len(cents))):
+        raise ValueError(
+            "append_pq_index: centroid table routes are not dense 0..k-1 — "
+            "not a write_pq_index layout"
+        )
+    centers = [list(map(float, r["centroid"])) for r in cents]
+    routed = assign_routes(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_vec")),
+        "_vec",
+        centers,
+    )
+    codes = pq_encode(routed, "_vec", "id", model).join(
+        routed.select("id", "route"), "id"
+    )
+    codes.write.mode("append").partitionBy("route").parquet(path + "/codes")

@@ -321,3 +321,49 @@ class TestPrepAudit:
         assert sorted(r["doc_id"] for r in audited.collect()) == sorted(
             r["doc_id"] for r in plain.collect()
         )
+
+
+class TestSeenFilterGate:
+    def test_cross_run_duplicates_dropped(self, spark, corpus):
+        from rtstore_spark.operators.pipeline import corpus_seen_filter
+
+        # run 1 keeps docs {0, 3}; its filter is the only carried state
+        run1 = prepare_corpus(corpus, "body", "doc_id")
+        filt = corpus_seen_filter(run1, "body", nbits=1 << 14)
+        # run 2: a repeat of run 1's keeper plus a genuinely new doc
+        rows = [
+            Row(doc_id=100, body=GOOD_EN),            # repeat of kept doc 0
+            Row(doc_id=101, body=GOOD_FR + " encore du texte nouveau ici"),
+        ]
+        run2 = prepare_corpus(
+            spark.createDataFrame(rows), "body", "doc_id",
+            CorpusPrepConfig(seen_filter=filt),
+        )
+        assert {r["doc_id"] for r in run2.collect()} == {101}
+
+    def test_no_filter_keeps_repeat(self, spark, corpus):
+        rows = [Row(doc_id=100, body=GOOD_EN)]
+        out = prepare_corpus(spark.createDataFrame(rows), "body", "doc_id")
+        assert {r["doc_id"] for r in out.collect()} == {100}
+
+    def test_merged_filters_compose(self, spark):
+        from rtstore_spark.operators.pipeline import corpus_seen_filter
+        from rtstore_spark.operators.sketches import bloom_merge
+
+        a = spark.createDataFrame([Row(doc_id=1, body=GOOD_EN)])
+        b = spark.createDataFrame([Row(doc_id=2, body=GOOD_FR)])
+        merged = bloom_merge(
+            corpus_seen_filter(a, "body", nbits=1 << 14).unionByName(
+                corpus_seen_filter(b, "body", nbits=1 << 14)
+            )
+        )
+        rows = [
+            Row(doc_id=10, body=GOOD_EN),   # in shard a
+            Row(doc_id=11, body=GOOD_FR),   # in shard b
+            Row(doc_id=12, body=GOOD_EN + " mais avec une fin differente ici"),
+        ]
+        out = prepare_corpus(
+            spark.createDataFrame(rows), "body", "doc_id",
+            CorpusPrepConfig(seen_filter=merged),
+        )
+        assert {r["doc_id"] for r in out.collect()} == {12}
