@@ -15,6 +15,9 @@ Stages (each individually oracle-tested elsewhere; this module wires them):
                      any blocklisted phrase drops the document
 2c. domain cap     — optional RefinedWeb-style per-domain keep cap
                      (``web.domain_frequency_cap``, salted two-level)
+2d. seen gate      — optional cross-RUN dedup: Bloom probe of text md5s
+                     against prior runs' carried filter
+                     (``corpus_seen_filter`` / ``sketches.bloom_*``)
 3. exact dedup     — md5 canonical-form groupBy, keep lowest id
 3b. paragraph dedup— optional corpus-wide duplicate-paragraph removal
                      with text reconstruction (``dedup.dedup_paragraphs``);
