@@ -82,6 +82,58 @@ _CONTROL_ACTIONS = ("create_database", "add_collection")
 _DOC_ACTIONS = ("add_document", "update_document", "delete_document")
 
 
+def pinned_state(store, path: str) -> DataFrame:
+    """current_state over a frozen file list (merge-on-read window:
+    latest (block, order) per doc_id, tombstones dropped). The file
+    list is collected recursively (collection data lives under
+    doc_bucket= partition directories) through the store's FS interface
+    — object-store roots list the same way local ones do; basePath
+    keeps Spark from re-rooting the explicit file list.
+
+    Parquet files are immutable, so every plan built from this snapshot
+    stays stable even when lazily re-evaluated after further appends land
+    in the same directory — the property both the block applier and the
+    set-wise replayer rely on (a directory-listing read would see a
+    batch's own later tombstones on recompute and mis-validate)."""
+    from rtstore_spark.store.docstore import GEN_PREFIX
+
+    # skip orphan gen-* snapshots (written but never pointer-flipped by
+    # a crashed compaction) — they are not part of the live table
+    files = [
+        f
+        for f in store.fs.list_files_recursive(path)
+        if f.endswith(".parquet")
+        and not os.path.relpath(f, path).startswith(GEN_PREFIX)
+    ]
+    if not files:
+        return store.spark.createDataFrame([], schema=DOC_SCHEMA).drop("op")
+    # root-level (legacy flat) files must be read separately: partition
+    # discovery drops them silently once doc_bucket= paths are present
+    flat = [f for f in files if os.path.dirname(f) == path.rstrip("/")]
+    bucketed = [f for f in files if f not in flat]
+    parts = []
+    if bucketed:
+        parts.append(
+            store.spark.read.schema(DOC_READ_SCHEMA)
+            .option("basePath", path)
+            .parquet(*bucketed)
+            .drop("doc_bucket")
+        )
+    if flat:
+        parts.append(store.spark.read.schema(DOC_SCHEMA).parquet(*flat))
+    df = parts[0]
+    for extra in parts[1:]:
+        df = df.unionByName(extra)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("block").desc(), F.col("order").desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("op") != "D"))
+        .drop("_rn", "op")
+    )
+
+
 def make_admit_fn(initial_nonces: dict[str, int], sig_mode: str):
     """Build the per-sender admission function for ``applyInPandas``.
 
@@ -650,49 +702,7 @@ class BatchApplier:
             )
 
     def _pinned_state(self, path: str) -> DataFrame:
-        """current_state over a frozen file list (merge-on-read window:
-        latest (block, order) per doc_id, tombstones dropped). The file
-        list is collected recursively (collection data lives under
-        doc_bucket= partition directories) through the store's FS interface
-        — object-store roots list the same way local ones do; basePath
-        keeps Spark from re-rooting the explicit file list."""
-        from rtstore_spark.store.docstore import GEN_PREFIX
-
-        # skip orphan gen-* snapshots (written but never pointer-flipped by
-        # a crashed compaction) — they are not part of the live table
-        files = [
-            f
-            for f in self.store.fs.list_files_recursive(path)
-            if f.endswith(".parquet")
-            and not os.path.relpath(f, path).startswith(GEN_PREFIX)
-        ]
-        if not files:
-            return self.spark.createDataFrame([], schema=DOC_SCHEMA).drop("op")
-        # root-level (legacy flat) files must be read separately: partition
-        # discovery drops them silently once doc_bucket= paths are present
-        flat = [f for f in files if os.path.dirname(f) == path.rstrip("/")]
-        bucketed = [f for f in files if f not in flat]
-        parts = []
-        if bucketed:
-            parts.append(
-                self.spark.read.schema(DOC_READ_SCHEMA)
-                .option("basePath", path)
-                .parquet(*bucketed)
-                .drop("doc_bucket")
-            )
-        if flat:
-            parts.append(self.spark.read.schema(DOC_SCHEMA).parquet(*flat))
-        df = parts[0]
-        for extra in parts[1:]:
-            df = df.unionByName(extra)
-        w = Window.partitionBy("doc_id").orderBy(
-            F.col("block").desc(), F.col("order").desc()
-        )
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter((F.col("_rn") == 1) & (F.col("op") != "D"))
-            .drop("_rn", "op")
-        )
+        return pinned_state(self.store, path)
 
     def _apply_collection(
         self,

@@ -1103,11 +1103,12 @@ class DocStore:
             raise InvalidMutation(f"unknown action {action}")
 
     def replay_from(self, other: "DocStore", block_start: int = 0) -> None:
-        """S13 cold-start catch-up: page the origin's log and re-apply
-        (indexer_impl.rs:110-142)."""
-        rows = (
-            other.get_range_mutations(block_start, other.state.block + 1)
-            .collect()
+        """S13 cold-start catch-up from the origin's log
+        (indexer_impl.rs:110-142) — applied set-wise (store/replay.py):
+        one batch apply with O(collections touched) Spark jobs, not the
+        reference's O(mutations) sequential loop."""
+        from rtstore_spark.store.replay import replay_log_batch
+
+        replay_log_batch(
+            self, other.get_range_mutations(block_start, other.state.block + 1)
         )
-        for r in rows:
-            self.apply_mutation(r.asDict())

@@ -176,6 +176,117 @@ class TestGcRecordRanges:
         assert recs[1][0] == recs[0][1] + 1  # contiguous, not overlapping
 
 
+class TestSetWiseReplay:
+    """store/replay.py: replica catch-up is a batch apply, not a driver
+    loop — O(collections touched) Spark jobs regardless of mutation count,
+    and byte-identical end state."""
+
+    @staticmethod
+    def _build_origin(spark, path, n_adds):
+        origin = DocStore(spark, path)
+        db = origin.create_database(ALICE, nonce=1)
+        origin.create_collection(db, "c", [], ALICE)
+        ids = origin.add_docs(
+            db, "c", [f'{{"v": {i}}}' for i in range(n_adds)], ALICE
+        )
+        origin.state.next_block()
+        origin.update_docs(db, "c", [ids[0]], ['{"v": -1}'], ALICE)
+        origin.update_docs(db, "c", [ids[0]], ['{"w": 2}'], ALICE)
+        origin.delete_docs(db, "c", [ids[1]], ALICE)
+        return origin, db, ids
+
+    @staticmethod
+    def _replay_counting_jobs(spark, origin, dest, group):
+        sc = spark.sparkContext
+        replica = DocStore(spark, dest)
+        sc.setJobGroup(group, "replay")
+        try:
+            replica.replay_from(origin)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return replica, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    def test_job_count_independent_of_mutation_count(self, spark, tmp_path):
+        """Replaying a 10×-larger log must not cost 10× the Spark jobs:
+        the set-wise applier's job count depends on collections touched,
+        not mutations (the round-4 scale-killer was O(mutations) driver
+        round-trips)."""
+        small, _, _ = self._build_origin(spark, str(tmp_path / "o_s"), 3)
+        large, _, _ = self._build_origin(spark, str(tmp_path / "o_l"), 30)
+
+        _, jobs_small = self._replay_counting_jobs(
+            spark, small, str(tmp_path / "r_s"), "replay-small"
+        )
+        _, jobs_large = self._replay_counting_jobs(
+            spark, large, str(tmp_path / "r_l"), "replay-large"
+        )
+        # identical mutation MIX (same ops, same collections) → identical
+        # plan shape; only the add row count differs. Tiny slack for AQE.
+        assert jobs_large <= jobs_small + 2, (jobs_small, jobs_large)
+
+    def test_full_lifecycle_converges(self, spark, tmp_path):
+        """A doc added, updated twice and deleted INSIDE the replayed batch
+        (A→U*→D folding), another surviving with a folded patch chain —
+        current_state, log ids, nonces and doc counters all converge."""
+        origin, db, ids = self._build_origin(spark, str(tmp_path / "lc_o"), 4)
+        replica = DocStore(spark, str(tmp_path / "lc_r"))
+        replica.replay_from(origin)
+
+        want = sorted(
+            (r["doc_id"], r["doc"], r["owner"])
+            for r in origin.current_state(db, "c").collect()
+        )
+        got = sorted(
+            (r["doc_id"], r["doc"], r["owner"])
+            for r in replica.current_state(db, "c").collect()
+        )
+        assert got == want
+        # folded chain merged both patches into the survivor
+        survivor = dict(
+            (r["doc_id"], r["doc"])
+            for r in replica.current_state(db, "c").collect()
+        )[ids[0]]
+        assert json.loads(survivor) == {"v": -1, "w": 2}
+        # verbatim log copy: identical mutation ids
+        assert sorted(r["id"] for r in replica.mutation_log().collect()) == sorted(
+            r["id"] for r in origin.mutation_log().collect()
+        )
+        # sequencer convergence: ids keep flowing from the origin's counter
+        assert (
+            replica.state._state["doc_counters"][db]
+            == origin.state._state["doc_counters"][db]
+        )
+        new_ids = replica.add_docs(db, "c", ['{"v": 99}'], ALICE)
+        assert new_ids[0] == max(ids) + 1
+
+    def test_multi_collection_batch(self, spark, tmp_path):
+        """Doc ops spanning several collections in one batch land in the
+        right tables, including a collection created mid-batch."""
+        origin = DocStore(spark, str(tmp_path / "mc_o"))
+        db = origin.create_database(ALICE, nonce=1)
+        origin.create_collection(db, "c1", [], ALICE)
+        origin.add_docs(db, "c1", ['{"a": 1}'], ALICE)
+        origin.create_collection(db, "c2", [], ALICE)  # created mid-log
+        c2_ids = origin.add_docs(db, "c2", ['{"b": 2}', '{"b": 3}'], ALICE)
+        origin.delete_docs(db, "c2", [c2_ids[0]], ALICE)
+
+        replica = DocStore(spark, str(tmp_path / "mc_r"))
+        replica.replay_from(origin)
+        for col in ("c1", "c2"):
+            want = sorted(
+                (r["doc_id"], r["doc"])
+                for r in origin.current_state(db, col).collect()
+            )
+            got = sorted(
+                (r["doc_id"], r["doc"])
+                for r in replica.current_state(db, col).collect()
+            )
+            assert got == want, col
+        assert [r["doc_id"] for r in replica.current_state(db, "c2").collect()] == [
+            c2_ids[1]
+        ]
+
+
 class TestSendMutationContract:
     def test_missing_fields_are_invalid_mutation(self, spark, tmp_path):
         """Well-signed but incomplete payloads reject with InvalidMutation
