@@ -1,0 +1,383 @@
+"""Network service front end — the reference's RPC surface over HTTP/JSON.
+
+The reference serves its whole API over gRPC: StorageNode
+(db3_storage.proto:185-203 — SendMutation, GetNonce, GetMutationHeader,
+ScanMutationHeader, GetMutationBody, ScanRollupRecord, GetDatabaseOfOwner,
+GetDatabase, GetCollectionOfDatabase, ScanGcRecord, Subscribe, GetBlock,
+GetMutationState), IndexerNode (db3_indexer.proto:73-79 —
+GetContractSyncStatus, GetCollectionOfDatabase, RunQuery, GetDoc) and
+System (db3_system.proto:24-38 — Setup, GetSystemStatus). This module
+exposes the same method surface on a localhost HTTP server with JSON
+request/response bodies shaped like the proto messages — grpcio is not in
+this container, and the method-per-POST mapping keeps the wire contract
+1:1 testable with stdlib clients:
+
+    POST /v1/storage/SendMutation   {"payload": {...}, "signature": "...",
+                                     "sender": "0x..", "nonce": 3}
+    POST /v1/indexer/RunQuery       {"db_addr": "...", "col_name": "...",
+                                     "query": {"query_str": "/* | limit 5",
+                                               "parameters": [...]}}
+    POST /v1/system/Setup           {"payload": "...", "signature": "..."}
+
+Authentication happens at this boundary exactly as in the reference:
+SendMutation verifies the signature + nonce inside ``Ingest.send_mutation``
+(EIP-712 recovery in ``eip712`` mode), Setup inside ``SystemStore.setup``
+(admin check); a failed verify is a ``{"code": 1, "msg": ...}`` response,
+never an applied mutation.
+
+Design notes:
+- ``NodeService.dispatch`` is transport-free (dict in → dict out) so the
+  whole method surface unit-tests without sockets; the HTTP layer only
+  parses/serializes.
+- All handlers are driver-side control-plane calls (the node process IS
+  the Spark driver — same topology as the reference's node owning its
+  RocksDB). Spark work happens inside the store calls, distributed as
+  usual; no response materializes more than the proto's own page caps
+  (scan limit 50, query result pages).
+- ``Subscribe`` streams newline-delimited JSON BlockEvents over a chunked
+  response, polling the mutation log's block high-water mark — the HTTP
+  analog of the gRPC server-stream (storage_node_light_impl.rs:270-374).
+  Each poll is one tiny aggregate over block-pruned partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import functions as F
+
+from rtstore_spark.errors import RTStoreError
+from rtstore_spark.store.docstore import DocStore
+from rtstore_spark.store.ingest import Ingest
+from rtstore_spark.system import SetupError, SystemStore, contract_sync_status
+
+
+class ServiceError(Exception):
+    """Request-level failure surfaced as {"code": N, "msg": ...}."""
+
+    def __init__(self, msg: str, code: int = 1, http_status: int = 400):
+        super().__init__(msg)
+        self.code = code
+        self.http_status = http_status
+
+
+def _rows(df) -> list[dict]:
+    return [r.asDict() for r in df.collect()]
+
+
+class NodeService:
+    """Transport-free method dispatch for the three reference services."""
+
+    def __init__(
+        self,
+        store: DocStore,
+        ingest: Ingest | None = None,
+        system: SystemStore | None = None,
+        rollup=None,
+    ):
+        self.store = store
+        self.ingest = ingest or Ingest(store)
+        self.system = system
+        self.rollup = rollup
+
+    # -- entry ---------------------------------------------------------
+
+    def dispatch(self, service: str, method: str, body: dict) -> dict:
+        handler = getattr(self, f"_{service}_{method}", None)
+        if handler is None:
+            raise ServiceError(
+                f"unknown method {service}/{method}", http_status=404
+            )
+        try:
+            return handler(body)
+        except ServiceError:
+            raise
+        except SetupError as e:
+            raise ServiceError(str(e)) from e
+        except RTStoreError as e:
+            raise ServiceError(str(e)) from e
+        except (KeyError, TypeError, ValueError) as e:
+            raise ServiceError(f"bad request: {e}") from e
+
+    @staticmethod
+    def _need(body: dict, key: str):
+        if key not in body:
+            raise ServiceError(f"missing field {key!r}")
+        return body[key]
+
+    # -- StorageNode ---------------------------------------------------
+
+    def _storage_SendMutation(self, body: dict) -> dict:
+        out = self.ingest.send_mutation(
+            self._need(body, "payload"), self._need(body, "signature"),
+            self._need(body, "sender"), int(self._need(body, "nonce")),
+        )
+        return {"code": 0, "msg": "ok", **out}
+
+    def _storage_GetNonce(self, body: dict) -> dict:
+        return {"nonce": self.store.state.nonce_of(self._need(body, "address"))}
+
+    def _storage_GetMutationHeader(self, body: dict) -> dict:
+        block = int(self._need(body, "block_id"))
+        order = int(self._need(body, "order_id"))
+        rows = (
+            self.store.get_block(block)
+            .filter(F.col("order") == order)
+            .drop("payload")
+            .head(1)
+        )
+        return {"header": rows[0].asDict() if rows else None}
+
+    def _storage_GetMutationBody(self, body: dict) -> dict:
+        row = self.store.get_mutation(self._need(body, "id"))
+        return {"body": row.asDict() if row is not None else None}
+
+    def _storage_ScanMutationHeader(self, body: dict) -> dict:
+        return {
+            "headers": _rows(
+                self.store.scan_mutation_headers(
+                    offset=int(body.get("start", 0)),
+                    limit=int(body.get("limit", 50)),
+                )
+            )
+        }
+
+    def _storage_GetDatabaseOfOwner(self, body: dict) -> dict:
+        owner = self._need(body, "owner")
+        return {
+            "databases": [
+                d for d in self.store.databases_latest() if d["sender"] == owner
+            ]
+        }
+
+    def _storage_GetDatabase(self, body: dict) -> dict:
+        addr = self._need(body, "addr")
+        rows = [
+            d for d in self.store.databases_latest() if d["db_addr"] == addr
+        ]
+        return {"database": rows[0] if rows else None}
+
+    def _storage_GetCollectionOfDatabase(self, body: dict) -> dict:
+        return {
+            "collections": _rows(
+                self.store.collections(self._need(body, "db_addr"))
+            )
+        }
+
+    def _storage_GetBlock(self, body: dict) -> dict:
+        return {
+            "mutations": _rows(
+                self.store.get_range_mutations(
+                    int(self._need(body, "block_start")),
+                    int(self._need(body, "block_end")),
+                )
+            )
+        }
+
+    def _storage_GetMutationState(self, body: dict) -> dict:
+        return {"view": self.store.mutation_state()}
+
+    def _storage_ScanRollupRecord(self, body: dict) -> dict:
+        if self.rollup is None:
+            return {"records": []}
+        return {
+            "records": _rows(
+                self.rollup.scan_rollup_records(
+                    offset=int(body.get("start", 0)),
+                    limit=int(body.get("limit", 50)),
+                )
+            )
+        }
+
+    def _storage_ScanGcRecord(self, body: dict) -> dict:
+        if self.rollup is None:
+            return {"records": []}
+        return {
+            "records": _rows(
+                self.rollup.scan_gc_records(
+                    offset=int(body.get("start", 0)),
+                    limit=int(body.get("limit", 50)),
+                )
+            )
+        }
+
+    def block_events_after(self, after_block: int) -> list[dict]:
+        """Closed-block events newer than ``after_block`` — the Subscribe
+        poll kernel. One partition-pruned aggregate; O(new blocks) rows."""
+        top = self.store.state.block
+        rows = (
+            self.store.get_range_mutations(after_block + 1, top + 1)
+            .groupBy("block")
+            .agg(F.count(F.lit(1)).alias("mutation_count"))
+            .orderBy("block")
+            .collect()
+        )
+        return [
+            {"block_id": int(r["block"]), "mutation_count": int(r["mutation_count"])}
+            for r in rows
+            if r["block"] < top  # only CLOSED blocks, like the timer tick
+        ]
+
+    # -- IndexerNode ---------------------------------------------------
+
+    def _indexer_RunQuery(self, body: dict) -> dict:
+        q = self._need(body, "query")
+        if isinstance(q, str):
+            q = {"query_str": q}
+        docs_df, count = self.store.query_docs(
+            self._need(body, "db_addr"), self._need(body, "col_name"),
+            self._need(q, "query_str"), params=q.get("parameters"),
+        )
+        if "doc_id" not in docs_df.columns:  # `| count` collector
+            return {"documents": [], "count": count}
+        documents = [
+            {
+                "id": r["doc_id"],
+                "doc": json.loads(r["doc"]) if r["doc"] else None,
+                "owner": r["owner"] if "owner" in r.__fields__ else None,
+            }
+            for r in docs_df.collect()
+        ]
+        return {"documents": documents, "count": count}
+
+    def _indexer_GetDoc(self, body: dict) -> dict:
+        row = self.store.get_doc(
+            self._need(body, "db_addr"), self._need(body, "col_name"),
+            int(self._need(body, "id")),
+        )
+        if row is None:
+            return {"document": None}
+        return {
+            "document": {
+                "id": row["doc_id"],
+                "doc": json.loads(row["doc"]) if row["doc"] else None,
+                "owner": row["owner"],
+            }
+        }
+
+    def _indexer_GetContractSyncStatus(self, body: dict) -> dict:
+        return {"status_list": contract_sync_status(self.store)}
+
+    def _indexer_GetCollectionOfDatabase(self, body: dict) -> dict:
+        return self._storage_GetCollectionOfDatabase(body)
+
+    # -- System --------------------------------------------------------
+
+    def _system_Setup(self, body: dict) -> dict:
+        if self.system is None:
+            raise ServiceError("system service not configured", http_status=404)
+        code, msg = self.system.setup(
+            self._need(body, "payload"), self._need(body, "signature"),
+            body.get("sender", self.system.admin_addr),
+        )
+        return {"code": code, "msg": msg}
+
+    def _system_GetSystemStatus(self, body: dict) -> dict:
+        if self.system is None:
+            raise ServiceError("system service not configured", http_status=404)
+        return self.system.get_system_status()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+    node: NodeService = None  # set by serve()
+
+    def log_message(self, fmt, *args):  # quiet test output
+        pass
+
+    def _send_json(self, status: int, obj: dict) -> None:
+        data = json.dumps(obj).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_POST(self):  # noqa: N802 — http.server naming
+        parts = self.path.strip("/").split("/")
+        if len(parts) != 3 or parts[0] != "v1":
+            self._send_json(404, {"code": 1, "msg": f"no route {self.path}"})
+            return
+        _, service, method = parts
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n) or b"{}")
+        except json.JSONDecodeError as e:
+            self._send_json(400, {"code": 1, "msg": f"bad json: {e}"})
+            return
+        if service == "storage" and method == "Subscribe":
+            self._subscribe(body)
+            return
+        try:
+            self._send_json(200, self.node.dispatch(service, method, body))
+        except ServiceError as e:
+            self._send_json(e.http_status, {"code": e.code, "msg": str(e)})
+        except Exception as e:  # noqa: BLE001 — server must answer, not die
+            self._send_json(500, {"code": 1, "msg": f"internal: {e}"})
+
+    def _subscribe(self, body: dict) -> None:
+        """Chunked stream of BlockEvent lines. ``from_block`` (default: the
+        current block — i.e. only future blocks) positions the cursor;
+        ``max_events``/``max_seconds`` bound the stream (tests and polite
+        clients; the gRPC stream's cancellation analog is the client
+        closing the socket, which surfaces here as a write error)."""
+        after = int(body.get("from_block", self.node.store.state.block))
+        max_events = int(body.get("max_events", 0)) or None
+        deadline = time.monotonic() + float(body.get("max_seconds", 30.0))
+        poll = float(body.get("poll_seconds", 0.5))
+        self.send_response(200)
+        self.send_header("Content-Type", "application/x-ndjson")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+        def emit(obj) -> None:
+            line = (json.dumps(obj) + "\n").encode()
+            self.wfile.write(f"{len(line):x}\r\n".encode() + line + b"\r\n")
+            self.wfile.flush()
+
+        sent = 0
+        try:
+            while time.monotonic() < deadline:
+                for ev in self.node.block_events_after(after):
+                    emit({"type": "Block", "block_event": ev})
+                    after = max(after, ev["block_id"])
+                    sent += 1
+                    if max_events and sent >= max_events:
+                        break
+                if max_events and sent >= max_events:
+                    break
+                time.sleep(poll)
+        except (BrokenPipeError, ConnectionResetError):  # client went away
+            return
+        self.wfile.write(b"0\r\n\r\n")
+
+
+class NodeServer:
+    """Threaded localhost HTTP server over a ``NodeService``.
+
+    ``port=0`` binds an ephemeral port (read it back from ``.port``).
+    The server shares the driver's SparkSession; handler threads call into
+    Spark concurrently, which the driver supports (separate jobs).
+    """
+
+    def __init__(self, node: NodeService, host: str = "127.0.0.1", port: int = 0):
+        handler = type("BoundHandler", (_Handler,), {"node": node})
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "NodeServer":
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, name="rtstore-http", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)

@@ -1,0 +1,201 @@
+"""End-to-end HTTP service tests: the reference's RPC surface
+(db3_storage.proto:185-203, db3_indexer.proto:73-79, db3_system.proto:24-38)
+driven over a real localhost socket — sign → send → query."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from rtstore_spark.service import NodeServer, NodeService
+from rtstore_spark.store import DocStore
+from rtstore_spark.store.ingest import Ingest, digest_signature
+from rtstore_spark.system import SystemStore
+
+ALICE = "0x" + "aa" * 20
+BOB = "0x" + "bb" * 20
+
+
+def _post(port: int, path: str, body: dict):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _signed(payload: dict, nonce: int, sender: str) -> dict:
+    body = json.dumps(payload, sort_keys=True)
+    return {
+        "payload": payload,
+        "signature": digest_signature(body, nonce, sender),
+        "sender": sender,
+        "nonce": nonce,
+    }
+
+
+@pytest.fixture(scope="class")
+def server(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("svc")
+    store = DocStore(spark, str(root / "node"))
+    system = SystemStore(spark, str(root / "node"), admin_addr=ALICE)
+    srv = NodeServer(NodeService(store, Ingest(store), system=system)).start()
+    yield srv
+    srv.stop()
+
+
+class TestServiceEndToEnd:
+    def test_full_write_read_cycle(self, server):
+        port = server.port
+        # 1. signed create_database over the wire
+        status, r = _post(
+            port, "storage/SendMutation",
+            _signed({"action": "create_database", "body": {"desc": "d"}}, 1, ALICE),
+        )
+        assert status == 200 and r["code"] == 0 and r["id"]
+        db = next(i["value"] for i in r["items"] if i["key"] == "db_addr")
+
+        status, r = _post(port, "storage/GetNonce", {"address": ALICE})
+        assert status == 200 and r["nonce"] == 1
+
+        # 2. collection + documents
+        status, r = _post(
+            port, "storage/SendMutation",
+            _signed(
+                {"action": "add_collection", "db_addr": db, "col_name": "c",
+                 "body": {}},
+                2, ALICE,
+            ),
+        )
+        assert status == 200 and r["code"] == 0
+        status, r = _post(
+            port, "storage/SendMutation",
+            _signed(
+                {"action": "add_document", "db_addr": db, "col_name": "c",
+                 "body": {"docs": ['{"v": 1}', '{"v": 2}', '{"v": 3}']}},
+                3, ALICE,
+            ),
+        )
+        assert status == 200 and r["code"] == 0
+        doc_ids = [
+            int(i["value"]) for i in r["items"] if i["key"] == "document"
+        ]
+        assert len(doc_ids) == 3
+
+        # 3. the reference-shaped read surface
+        status, r = _post(
+            port, "indexer/RunQuery",
+            {"db_addr": db, "col_name": "c",
+             "query": {"query_str": "/[v > 1]"}},
+        )
+        assert status == 200
+        assert r["count"] == 2
+        assert sorted(d["doc"]["v"] for d in r["documents"]) == [2, 3]
+
+        status, r = _post(
+            port, "indexer/GetDoc",
+            {"db_addr": db, "col_name": "c", "id": doc_ids[0]},
+        )
+        assert status == 200 and r["document"]["doc"] == {"v": 1}
+
+        status, r = _post(port, "storage/GetDatabase", {"addr": db})
+        assert status == 200 and r["database"]["db_addr"] == db
+        status, r = _post(port, "storage/GetDatabaseOfOwner", {"owner": ALICE})
+        assert [d["db_addr"] for d in r["databases"]] == [db]
+        status, r = _post(
+            port, "storage/GetCollectionOfDatabase", {"db_addr": db}
+        )
+        assert [c["col_name"] for c in r["collections"]] == ["c"]
+
+        # 4. mutation metadata surface
+        status, r = _post(port, "storage/GetMutationState", {})
+        assert status == 200 and r["view"]["mutation_count"] == 3
+        status, r = _post(port, "storage/ScanMutationHeader", {})
+        assert len(r["headers"]) == 3 and "payload" not in r["headers"][0]
+        h = r["headers"][0]
+        status, r = _post(
+            port, "storage/GetMutationHeader",
+            {"block_id": h["block"], "order_id": h["order"]},
+        )
+        assert r["header"]["id"] == h["id"]
+        status, r = _post(port, "storage/GetMutationBody", {"id": h["id"]})
+        assert r["body"]["payload"] is not None
+        status, r = _post(
+            port, "storage/GetBlock", {"block_start": 0, "block_end": 10}
+        )
+        assert len(r["mutations"]) == 3
+        status, r = _post(port, "storage/ScanRollupRecord", {})
+        assert r["records"] == []  # no rollup executor configured
+
+    def test_bad_signature_rejected_at_boundary(self, server):
+        port = server.port
+        payload = {"action": "create_database", "body": {}}
+        status, r = _post(
+            port, "storage/SendMutation",
+            {"payload": payload, "signature": "ff" * 32, "sender": BOB,
+             "nonce": 1},
+        )
+        assert status == 400 and r["code"] == 1 and "signature" in r["msg"]
+        # nothing applied, nonce unconsumed
+        status, r = _post(port, "storage/GetNonce", {"address": BOB})
+        assert r["nonce"] == 0
+
+    def test_unknown_method_404(self, server):
+        status, r = _post(server.port, "storage/NoSuchThing", {})
+        assert status == 404 and r["code"] == 1
+
+    def test_setup_and_status(self, server):
+        port = server.port
+        cfg = {
+            "chainId": 1, "contractAddr": "0xc0ffee",
+            "evmNodeUrl": "ws://localhost:8546", "arNodeUrl": "http://ar",
+            "networkId": 7,
+        }
+        payload = json.dumps(cfg)
+        # non-admin signer rejected
+        status, r = _post(
+            port, "system/Setup",
+            {"payload": payload,
+             "signature": digest_signature(payload, 0, BOB), "sender": BOB},
+        )
+        assert status == 400 and "admin" in r["msg"]
+        # admin accepted
+        status, r = _post(
+            port, "system/Setup",
+            {"payload": payload,
+             "signature": digest_signature(payload, 0, ALICE), "sender": ALICE},
+        )
+        assert status == 200 and r["code"] == 0
+        status, r = _post(port, "system/GetSystemStatus", {})
+        assert r["has_inited"] and r["config"]["chain_id"] == 1
+        assert r["config"]["network_id"] == 7
+
+    def test_subscribe_streams_block_events(self, server, spark):
+        """Subscribe replays closed-block events over a chunked response —
+        the HTTP analog of the gRPC block-event stream."""
+        port = server.port
+        store = server.httpd.RequestHandlerClass.node.store
+        # close the current block so its mutations become a closed block
+        store.state.next_block()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/storage/Subscribe",
+            data=json.dumps(
+                {"from_block": -1, "max_events": 1, "poll_seconds": 0.1,
+                 "max_seconds": 60}
+            ).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            lines = [json.loads(x) for x in r.read().decode().splitlines() if x]
+        assert lines and lines[0]["type"] == "Block"
+        ev = lines[0]["block_event"]
+        assert ev["mutation_count"] >= 1 and ev["block_id"] >= 0
