@@ -253,6 +253,112 @@ def url_domain(col: Column | str, registrable: bool = True) -> Column:
     ).otherwise(F.when(n >= 2, last2).otherwise(host))
 
 
+def load_psl_rules(spark, path: str) -> DataFrame:
+    """Parse a public-suffix list file (publicsuffix.org/list format) into
+    a broadcastable rule table: ``(suffix, ps_labels, is_exception)``.
+
+    Rule encoding (the PSL algorithm's three rule kinds):
+    - normal rule ``co.uk``      → (co.uk, 2, false): a host ending in the
+      suffix has a public suffix of ``ps_labels`` labels;
+    - wildcard ``*.ck``          → (ck, 2, false): any direct child of the
+      base is itself a public suffix, so matching hosts get base+1 labels;
+    - exception ``!www.ck``      → (www.ck, 1, true): overrides the
+      wildcard — the public suffix is the rule minus its first label.
+
+    The full list is ~9.5k rules / ~250 KB — a textbook broadcast table.
+    The file is read driver-side (control-plane size), parsed here so the
+    engine needs no third-party PSL library.
+    """
+    rules = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            line = line.split()[0].lower()  # spec: first token only
+            if line.startswith("!"):
+                s = line[1:]
+                rules.append((s, s.count(".") , True))  # labels(rule)-1
+            elif line.startswith("*."):
+                s = line[2:]
+                rules.append((s, s.count(".") + 2, False))
+            else:
+                rules.append((line, line.count(".") + 1, False))
+    return spark.createDataFrame(
+        rules, schema="suffix string, ps_labels int, is_exception boolean"
+    )
+
+
+# longest suffix candidate generated per host when matching PSL rules; the
+# deepest real rules are 5 labels, +1 for the wildcard child slot
+_PSL_MAX_LABELS = 6
+
+
+def with_registrable_domain(
+    df: DataFrame,
+    url_col: str,
+    rules: DataFrame | None = None,
+    out_col: str = "domain",
+) -> DataFrame:
+    """Append the registrable (eTLD+1) domain of ``url_col`` as
+    ``out_col`` — exact PSL semantics when a ``load_psl_rules`` table is
+    given, the built-in two-level heuristic otherwise.
+
+    Scale shape: rules broadcast (~9.5k rows); candidate suffixes explode
+    per DISTINCT host (≤ 6 short rows each), never per document, so the
+    PSL match costs one bounded shuffle on host — the corpus itself takes
+    exactly one hash join against the resolved host→domain map. Hosts
+    that ARE a public suffix ("co.il" itself) resolve to NULL, matching
+    the PSL contract that they have no registrable domain.
+    """
+    if rules is None:
+        return df.withColumn(out_col, url_domain(url_col))
+    # raw lowercase host — NOT url_domain(registrable=False), whose
+    # www-strip would defeat PSL exception rules like !www.ck (the PSL
+    # algorithm itself decides whether www is part of the registrable
+    # domain)
+    u = F.col(url_col)
+    host_expr = F.lower(
+        F.when(u.contains("://"), F.try_parse_url(u, F.lit("HOST"))).otherwise(u)
+    )
+    hosts = df.select(host_expr.alias("_h")).filter(
+        F.col("_h").isNotNull()
+    ).distinct()
+    parts = F.split(F.col("_h"), r"\.")
+    n = F.size(parts)
+    # candidate suffixes: the last k labels, k = 1..min(n, max)
+    cand = hosts.select(
+        "_h", n.alias("_n"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.least(n, F.lit(_PSL_MAX_LABELS))),
+                lambda k: F.array_join(F.slice(parts, n - k + 1, k), "."),
+            )
+        ).alias("_cand"),
+    )
+    matched = (
+        cand.join(F.broadcast(rules), cand["_cand"] == rules["suffix"], "left")
+        .groupBy("_h", "_n")
+        .agg(
+            F.min(F.when(F.col("is_exception"), F.col("ps_labels"))).alias("_exc"),
+            F.max(F.when(~F.col("is_exception"), F.col("ps_labels"))).alias("_ps"),
+        )
+        # exception wins; else longest rule; else the default rule "*"
+        .withColumn(
+            "_eff", F.coalesce(F.col("_exc"), F.col("_ps"), F.lit(1))
+        )
+    )
+    parts_m = F.split(F.col("_h"), r"\.")
+    reg = F.when(
+        F.col("_n") > F.col("_eff"),
+        F.array_join(
+            F.slice(parts_m, F.col("_n") - F.col("_eff"), F.col("_eff") + 1), "."
+        ),
+    )  # _n <= _eff: the host IS a public suffix → no registrable domain
+    host_map = matched.select("_h", reg.alias(out_col))
+    return df.withColumn("_h", host_expr).join(host_map, "_h", "left").drop("_h")
+
+
 def domain_frequency_cap(
     df: DataFrame,
     domain_col: str,

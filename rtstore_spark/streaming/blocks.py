@@ -35,11 +35,17 @@ class BlockEventStream:
         store: DocStore,
         checkpoint: str | None = None,
         interval: str = "2 seconds",  # --block-interval default (command.rs:93-94)
+        max_events_per_trigger: int = 1024,
     ):
         self.spark = spark
         self.store = store
         self.checkpoint = checkpoint or os.path.join(store.root, "_chk", "blocks")
         self.interval = interval
+        # driver-memory bound on the per-trigger block-count collect: a
+        # catch-up trigger over a long-idle subscription can cover O(many)
+        # blocks; past the cap the batch degrades to ONE aggregate event
+        # instead of collecting an unbounded row list
+        self.max_events_per_trigger = max_events_per_trigger
 
     def _source(self):
         # parquet dir as a file stream: each appended file is a micro-batch input
@@ -49,19 +55,45 @@ class BlockEventStream:
             .parquet(self.store._log_path())
         )
 
-    def start(self, on_block: Callable[[int, int], None], once: bool = False):
+    def start(
+        self,
+        on_block: Callable[[int, int], None],
+        once: bool = False,
+        on_overflow: Callable[[int, int, int, int], None] | None = None,
+    ):
         """Start the subscription; ``on_block(block_id, mutation_count)`` is
-        invoked per closed block, in block order within each micro-batch."""
+        invoked per closed block, in block order within each micro-batch.
+
+        A trigger spanning more than ``max_events_per_trigger`` distinct
+        blocks switches to aggregate-only delivery for that batch:
+        ``on_overflow(block_lo, block_hi, n_blocks, n_mutations)`` gets ONE
+        summary call (or, without an overflow handler, ``on_block`` gets
+        one ``(block_hi, total)`` call) — the driver never materializes an
+        unbounded per-block list. Mirrors the reference's stance that the
+        subscriber stream is a notification channel, not a replay channel
+        (storage_node_light_impl.rs:270-374); a subscriber that needs the
+        skipped range replays it via GetBlock/get_range_mutations."""
+        cap = self.max_events_per_trigger
 
         def emit(batch_df, batch_id):
-            rows = (
-                batch_df.groupBy("block")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .orderBy("block")
-                .collect()
-            )
-            for r in rows:
-                on_block(int(r["block"]), int(r["n"]))
+            agg = batch_df.groupBy("block").agg(F.count(F.lit(1)).alias("n"))
+            rows = agg.orderBy("block").head(cap + 1)
+            if len(rows) <= cap:
+                for r in rows:
+                    on_block(int(r["block"]), int(r["n"]))
+                return
+            # aggregate-only: one bounded summary job for the whole batch
+            s = batch_df.agg(
+                F.min("block").alias("lo"), F.max("block").alias("hi"),
+                F.count_distinct("block").alias("blocks"),
+                F.count(F.lit(1)).alias("muts"),
+            ).collect()[0]
+            if on_overflow is not None:
+                on_overflow(
+                    int(s["lo"]), int(s["hi"]), int(s["blocks"]), int(s["muts"])
+                )
+            else:
+                on_block(int(s["hi"]), int(s["muts"]))
 
         writer = (
             self._source()

@@ -299,6 +299,67 @@ class TestStreaming:
         stream.start(lambda b, n: events.append((b, n)), once=True)
         assert dict(events) == {2: 1}
 
+    def test_block_event_overflow_stays_bounded(self, spark, tmp_path):
+        """A catch-up trigger spanning 10k tiny blocks must NOT collect 10k
+        rows to the driver: past max_events_per_trigger the batch delivers
+        one aggregate summary (on_overflow) instead."""
+        from pyspark.sql import functions as F
+
+        from rtstore_spark.store.docstore import (
+            LOG_BLOCKS_PER_BUCKET,
+            LOG_SCHEMA,
+        )
+
+        store = DocStore(spark, str(tmp_path / "ovf"))
+        # 10k one-mutation blocks, written straight to the log path (the
+        # store API would be 10k driver round-trips — exactly the thing the
+        # engine avoids; the stream only cares about the log's contents)
+        spark.range(10_000).select(
+            F.concat(F.lit("m"), F.col("id")).alias("id"),
+            F.lit("0xaa").alias("sender"), F.lit(0).cast("long").alias("nonce"),
+            F.lit("add_document").alias("action"),
+            F.lit("0xdb").alias("db_addr"), F.lit("c").alias("col_name"),
+            F.lit("{}").alias("payload"), F.lit("[1]").alias("doc_ids"),
+            F.col("id").alias("block"), F.lit(1).cast("int").alias("order"),
+        ).withColumn(
+            "block_bucket", F.expr(f"block div {LOG_BLOCKS_PER_BUCKET}")
+        ).repartition(2).write.mode("append").partitionBy(
+            "block_bucket"
+        ).parquet(store._log_path())
+
+        events: list[tuple[int, int]] = []
+        summaries: list[tuple[int, int, int, int]] = []
+        stream = BlockEventStream(
+            spark, store, max_events_per_trigger=100,
+        )
+        stream.start(
+            lambda b, n: events.append((b, n)),
+            once=True,
+            on_overflow=lambda lo, hi, nb, nm: summaries.append((lo, hi, nb, nm)),
+        )
+        assert events == []  # never fanned out per-block
+        assert summaries == [(0, 9_999, 10_000, 10_000)]
+
+        # under the cap (new delta of 2 blocks) → per-block delivery again
+        spark.createDataFrame(
+            [("mA", "0xaa", 0, "add_document", "0xdb", "c", "{}", "[1]",
+              10_000, 1),
+             ("mB", "0xaa", 0, "add_document", "0xdb", "c", "{}", "[1]",
+              10_001, 1)],
+            schema=LOG_SCHEMA,
+        ).withColumn(
+            "block_bucket", F.expr(f"block div {LOG_BLOCKS_PER_BUCKET}")
+        ).coalesce(1).write.mode("append").partitionBy("block_bucket").parquet(
+            store._log_path()
+        )
+        summaries.clear()
+        stream.start(
+            lambda b, n: events.append((b, n)),
+            once=True,
+            on_overflow=lambda lo, hi, nb, nm: summaries.append((lo, hi, nb, nm)),
+        )
+        assert events == [(10_000, 1), (10_001, 1)] and summaries == []
+
     def test_indexer_tail_streaming_replay(self, spark, tmp_path):
         origin = DocStore(spark, str(tmp_path / "o"))
         db = origin.create_database(ALICE, nonce=1)

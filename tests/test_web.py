@@ -167,3 +167,102 @@ class TestDomainFrequencyCap:
         capped = domain_frequency_cap(docs, "source", "doc_id", 2)
         assert capped.columns == docs.columns + ["domain_rank"]
         assert capped.groupBy("source").count().agg(F.max("count")).first()[0] <= 2
+
+
+class TestPublicSuffixList:
+    """with_registrable_domain: exact PSL semantics (normal / wildcard /
+    exception rules) from a broadcast rule table, heuristic fallback
+    without one."""
+
+    PSL = """\
+// ===BEGIN ICANN DOMAINS===
+com
+uk
+co.uk
+il
+co.il
+org.il
+jp
+ck
+*.ck
+!www.ck
+// comment line
+kawasaki.jp  a-trailing-token-is-ignored
+"""
+
+    @pytest.fixture()
+    def rules(self, spark, tmp_path):
+        from rtstore_spark.operators.web import load_psl_rules
+
+        p = tmp_path / "psl.dat"
+        p.write_text(self.PSL)
+        return load_psl_rules(spark, str(p))
+
+    def test_rule_parse(self, rules):
+        got = {r["suffix"]: (r["ps_labels"], r["is_exception"])
+               for r in rules.collect()}
+        assert got["com"] == (1, False)
+        assert got["co.uk"] == (2, False)
+        assert got["ck"] == (2, False)        # wildcard *.ck
+        assert got["www.ck"] == (1, True)     # exception
+        assert got["kawasaki.jp"] == (2, False)  # trailing token dropped
+
+    def test_psl_grouping(self, spark, rules):
+        from rtstore_spark.operators.web import with_registrable_domain
+
+        df = spark.createDataFrame(
+            [
+                ("https://www.example.co.il/x",),   # ccTLD 2-level
+                ("http://sub.deep.example.co.il",),  # deep subdomain
+                ("https://news.bbc.co.uk/",),
+                ("https://example.com/page",),
+                ("http://bar.foo.ck/",),             # wildcard: foo.ck is PS
+                ("http://www.ck/",),                 # exception: registrable
+                ("https://co.il/",),                 # IS a public suffix
+                ("not a url",),
+            ],
+            "url string",
+        )
+        out = {
+            r["url"]: r["domain"]
+            for r in with_registrable_domain(df, "url", rules=rules).collect()
+        }
+        assert out["https://www.example.co.il/x"] == "example.co.il"
+        assert out["http://sub.deep.example.co.il"] == "example.co.il"
+        assert out["https://news.bbc.co.uk/"] == "bbc.co.uk"
+        assert out["https://example.com/page"] == "example.com"
+        assert out["http://bar.foo.ck/"] == "bar.foo.ck"
+        assert out["http://www.ck/"] == "www.ck"
+        assert out["https://co.il/"] is None
+        assert out["not a url"] is None
+
+    def test_unknown_tld_default_rule(self, spark, rules):
+        """No matching rule → the PSL default rule '*' (TLD itself is the
+        public suffix)."""
+        from rtstore_spark.operators.web import with_registrable_domain
+
+        df = spark.createDataFrame([("https://a.b.example.zz/",)], "url string")
+        assert (
+            with_registrable_domain(df, "url", rules=rules).first()["domain"]
+            == "example.zz"
+        )
+
+    def test_heuristic_fallback_without_rules(self, spark):
+        from rtstore_spark.operators.web import with_registrable_domain
+
+        df = spark.createDataFrame([("https://news.bbc.co.uk/",)], "url string")
+        assert (
+            with_registrable_domain(df, "url").first()["domain"] == "bbc.co.uk"
+        )
+
+    def test_rules_are_broadcast(self, spark, rules):
+        """The rule join must be a broadcast, never a shuffle of hosts
+        against a 9.5k-row table."""
+        from rtstore_spark.operators.web import with_registrable_domain
+
+        df = spark.createDataFrame([("https://x.co.uk/",)], "url string")
+        plan = (
+            with_registrable_domain(df, "url", rules=rules)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
