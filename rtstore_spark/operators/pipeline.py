@@ -47,6 +47,7 @@ exchange reuse fires.
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -140,10 +141,19 @@ class PrepAudit:
 
     observations: dict = field(default_factory=dict)
 
+    # Observation names must be unique among concurrently-active queries
+    # on one session — two audited runs in flight with fixed names could
+    # cross-capture each other's first-completed metrics. A process-wide
+    # counter keeps names unique per PrepAudit instance.
+    _seq = itertools.count()
+
+    def __post_init__(self):
+        self._nonce = next(PrepAudit._seq)
+
     def tap(self, df: DataFrame, name: str) -> DataFrame:
         from pyspark.sql import Observation
 
-        obs = Observation(f"prep_{name}")
+        obs = Observation(f"prep_{name}_{self._nonce}")
         self.observations[name] = obs
         return df.observe(obs, F.count(F.lit(1)).alias("rows"))
 
@@ -153,12 +163,57 @@ class PrepAudit:
         }
 
 
+@dataclass
+class SeenState:
+    """Cross-run dedup state captured BY ``prepare_corpus`` itself — the
+    safe way to build the next run's ``seen_filter``.
+
+    The seen-gate (stage 2d) probes md5s of the STAGE-2d TEXT FORM
+    (post-normalize, pre paragraph-dedup / PII-scrub / chunking).
+    Fingerprinting a run's *output* with ``corpus_seen_filter`` only
+    matches that form when none of those rewriting stages ran; with any
+    of them on, every stored fingerprint is of rewritten text (or chunk
+    rows) and the next run's gate silently never fires. Passing a
+    ``SeenState`` makes prepare_corpus capture fingerprints at exactly
+    the probe point instead::
+
+        state = SeenState()
+        out = prepare_corpus(df, "text", "id", cfg, seen_state=state)
+        out.write.parquet(...)
+        state.filter_df().write.parquet(".../seen_bloom")   # next run's gate
+
+    The captured set is the GATED corpus (every doc that passed stages
+    1-2d), deliberately a superset of the final output: docs this run
+    discarded as duplicates or sampled out are still *seen* content a
+    future run should not re-admit. Reads the stage's persisted cache —
+    no extra corpus scan.
+    """
+
+    nbits: int = 1 << 20
+    k: int = 5
+    fingerprints: DataFrame | None = None  # set by prepare_corpus
+
+    def filter_df(self) -> DataFrame:
+        """One-row Bloom filter frame (``sketches.bloom_rollup`` layout),
+        OR-mergeable across runs with ``sketches.bloom_merge``."""
+        if self.fingerprints is None:
+            raise ValueError(
+                "SeenState not populated — pass it to prepare_corpus first"
+            )
+        from rtstore_spark.operators.sketches import bloom_rollup
+
+        return bloom_rollup(
+            self.fingerprints, "fp", by=[], nbits=self.nbits, k=self.k
+        )
+
+
 def prepare_corpus(
     df: DataFrame,
     text_col: str,
     id_col: str,
     cfg: CorpusPrepConfig | None = None,
     audit: PrepAudit | None = None,
+    seen_state: SeenState | None = None,
 ) -> DataFrame:
     """Full prep pipeline → the kept rows of ``df`` (original columns),
     annotated with ``lang``. Deterministic end to end: same input, same
@@ -260,10 +315,15 @@ def prepare_corpus(
     if cfg.seen_filter is not None:
         from rtstore_spark.operators.sketches import bloom_contains
 
+        # probe md5s from the RAW (post-normalize) source, not from
+        # ``kept``: deriving the probe set from kept would replicate the
+        # un-persisted quality/lang/blocklist/cap subtree into a self-join
+        # (executing it twice before the persist). Probing a superset of
+        # ids is harmless — the left_anti join only ever removes rows.
         seen_fp = (
             bloom_contains(
                 cfg.seen_filter,
-                kept.select(F.md5(F.col(text_col)).alias("_fp")),
+                df.select(F.md5(F.col(text_col)).alias("_fp")),
                 "_fp",
             )
             .filter(F.col("might_contain"))
@@ -281,6 +341,11 @@ def prepare_corpus(
     # node, so the count fires exactly once (at cache materialization) and
     # later re-reads of the cache don't re-observe
     kept = _tap(kept, "gated").persist(StorageLevel.MEMORY_AND_DISK)
+    if seen_state is not None:
+        # fingerprints of the stage-2d text form, off the persisted cache
+        seen_state.fingerprints = kept.select(
+            F.md5(F.col(text_col)).alias("fp")
+        )
 
     # 3. exact dedup: keep the lowest id per canonical text (the full text
     # never shuffles — the md5 is the groupBy key)
@@ -383,6 +448,7 @@ def export_training_shards(
     shard_tokens: int = 100_000_000,
     n_shards: int | None = None,
     seed: str = "shards",
+    audit: PrepAudit | None = None,
 ) -> dict:
     """Stage 8 — write the prepared corpus as fixed-budget training shards.
 
@@ -404,7 +470,12 @@ def export_training_shards(
     the input's arrival order, which is what "shuffle the corpus before
     training" actually requires.
 
-    Returns ``{"n_shards", "total_tokens", "mean_tokens_per_shard"}``.
+    Returns ``{"n_shards", "total_tokens", "mean_tokens_per_shard"}`` —
+    plus ``"audit"`` (the per-stage yield counts) when the ``PrepAudit``
+    that observed the upstream ``prepare_corpus`` is passed in: the
+    export's own actions fire the remaining observation taps, so the
+    operational report a 100-TB prep run reads comes out of the SAME
+    write, with no extra corpus scans.
     """
     if (token_col is None) == (text_col is None):
         raise ValueError("pass exactly one of token_col / text_col")
@@ -441,11 +512,14 @@ def export_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
-    return {
+    out = {
         "n_shards": int(n_shards),
         "total_tokens": int(total),
         "mean_tokens_per_shard": int(total // n_shards),
     }
+    if audit is not None:
+        out["audit"] = audit.counts()
+    return out
 
 
 def pack_sequences(
@@ -601,7 +675,15 @@ def corpus_seen_filter(
     feed it to the next run as ``CorpusPrepConfig.seen_filter`` —
     OR-merging several runs' filters (``sketches.bloom_merge``) is
     byte-identical to building one over their union, so shards compose.
-    Keyed on the same md5 as prepare_corpus stage 3 / its seen-gate."""
+
+    CONTRACT: the next run's seen-gate probes md5s of the STAGE-2d text
+    form. Fingerprinting a prepare_corpus OUTPUT here is only correct
+    when no text-rewriting stage ran (``dedup_paragraphs``, ``scrub_pii``
+    and ``chunk_max_tokens`` all off) — otherwise the stored fingerprints
+    are of rewritten text and every cross-run repeat probes False. With
+    any of those stages on, capture the state with ``SeenState`` (which
+    prepare_corpus populates at the probe point) instead of this
+    function."""
     from rtstore_spark.operators.sketches import bloom_rollup
 
     return bloom_rollup(
@@ -611,3 +693,50 @@ def corpus_seen_filter(
         nbits=nbits,
         k=k,
     )
+
+
+def save_seen_filter(filter_df: DataFrame, path: str) -> int:
+    """Durably advance the cross-run seen state — the storage plane's
+    manifest-pointer protocol, because this file is MUTATED by every prep
+    run and a torn write would silently disable (or corrupt) the dedup
+    gate for all future runs.
+
+    Protocol: merge the given filter with the currently-committed
+    generation (Bloom OR — byte-identical to building one filter over the
+    union of runs), write the result to a fresh ``<path>/gen-N``
+    directory (``overwrite`` mode, so a retry cleanly replaces a crashed
+    attempt's orphan), then atomically overwrite the tiny
+    ``<path>/_current`` pointer. A crash between the data write and the
+    flip leaves an orphan generation ``load_seen_filter`` never reads —
+    the previous state stays live, and the run is simply re-run.
+    Returns the committed generation number.
+    """
+    from rtstore_spark.operators.sketches import bloom_merge
+    from rtstore_spark.store.fs import fs_for
+
+    spark = filter_df.sparkSession
+    fs = fs_for(path, spark)
+    cur = fs.read_text(f"{path}/_current")
+    gen = int(cur.strip()) if cur is not None else 0
+    if gen:
+        prev = spark.read.parquet(f"{path}/gen-{gen}")
+        filter_df = bloom_merge(prev.unionByName(filter_df), by=[])
+    # long-form rollup: ≤ nbits/64 rows (~16k at the 1M-bit default)
+    filter_df.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/gen-{gen + 1}"
+    )
+    fs.write_text_atomic(f"{path}/_current", str(gen + 1))
+    return gen + 1
+
+
+def load_seen_filter(spark, path: str) -> DataFrame | None:
+    """The committed seen state from ``save_seen_filter`` (None before the
+    first commit) — pass as ``CorpusPrepConfig.seen_filter``. Orphan
+    ``gen-*`` directories a crashed save left behind are ignored: only
+    the generation the ``_current`` pointer names is live."""
+    from rtstore_spark.store.fs import fs_for
+
+    cur = fs_for(path, spark).read_text(f"{path}/_current")
+    if cur is None:
+        return None
+    return spark.read.parquet(f"{path}/gen-{int(cur.strip())}")

@@ -367,3 +367,186 @@ class TestSeenFilterGate:
             CorpusPrepConfig(seen_filter=merged),
         )
         assert {r["doc_id"] for r in out.collect()} == {12}
+
+
+class TestSeenState:
+    def test_state_survives_text_rewriting_stages(self, spark, corpus):
+        """The ADVICE failure scenario: run 1 scrubs PII (rewriting its
+        output text), so fingerprinting the OUTPUT would never match run
+        2's stage-2d probes. SeenState captures at the probe point and the
+        cross-run gate fires."""
+        from rtstore_spark.operators.pipeline import SeenState
+
+        dirty = GOOD_EN + " contact me at alice@example.com for details"
+        run1_rows = [Row(doc_id=0, body=dirty), Row(doc_id=3, body=GOOD_FR)]
+        state = SeenState(nbits=1 << 14)
+        run1 = prepare_corpus(
+            spark.createDataFrame(run1_rows), "body", "doc_id",
+            CorpusPrepConfig(scrub_pii=True), seen_state=state,
+        )
+        out1 = run1.collect()
+        # sanity: the output text was rewritten (email gone)
+        assert all("alice@example.com" not in r["body"] for r in out1)
+        filt = state.filter_df()
+        # run 2 sees the ORIGINAL (unscrubbed) text again + a new doc
+        run2 = prepare_corpus(
+            spark.createDataFrame(
+                [Row(doc_id=100, body=dirty),
+                 Row(doc_id=101, body=GOOD_FR + " encore du texte nouveau ici")]
+            ),
+            "body", "doc_id", CorpusPrepConfig(seen_filter=filt),
+        )
+        assert {r["doc_id"] for r in run2.collect()} == {101}
+
+    def test_unpopulated_state_raises(self):
+        import pytest as _pytest
+
+        from rtstore_spark.operators.pipeline import SeenState
+
+        with _pytest.raises(ValueError, match="not populated"):
+            SeenState().filter_df()
+
+    def test_state_includes_deduped_docs(self, spark, corpus):
+        """Docs run 1 dropped as duplicates are still SEEN content: run 2
+        must not re-admit them."""
+        from rtstore_spark.operators.pipeline import SeenState
+
+        state = SeenState(nbits=1 << 14)
+        prepare_corpus(corpus, "body", "doc_id", seen_state=state).collect()
+        near_dup_text = GOOD_EN + " tonight again"  # doc 2, dropped by near-dup
+        run2 = prepare_corpus(
+            spark.createDataFrame([Row(doc_id=200, body=near_dup_text)]),
+            "body", "doc_id",
+            CorpusPrepConfig(seen_filter=state.filter_df()),
+        )
+        assert run2.count() == 0
+
+
+class TestExportAuditRide:
+    def test_shard_export_emits_yield_report(self, spark, corpus, tmp_path):
+        """VERDICT item: one export action also produces the per-stage
+        yield report — no separate counting pass over the corpus."""
+        from rtstore_spark.operators.pipeline import (
+            PrepAudit,
+            export_training_shards,
+            prepare_corpus,
+        )
+
+        audit = PrepAudit()
+        out = prepare_corpus(corpus, "body", "doc_id", audit=audit)
+        res = export_training_shards(
+            out, str(tmp_path / "shards"), "doc_id", text_col="body",
+            shard_tokens=50, audit=audit,
+        )
+        rep = res["audit"]
+        assert rep["input"] == 7
+        assert rep["final"] == rep["near_dedup"] == 2
+        assert rep["gated"] >= rep["exact_dedup"] >= rep["near_dedup"]
+        # and the shards really landed
+        n = spark.read.parquet(str(tmp_path / "shards")).count()
+        assert n == rep["final"]
+
+    def test_concurrent_audits_do_not_collide(self, spark, corpus):
+        """Observation names are per-instance: two audited runs live on one
+        session must not cross-capture metrics."""
+        from rtstore_spark.operators.pipeline import PrepAudit, prepare_corpus
+
+        a1, a2 = PrepAudit(), PrepAudit()
+        out1 = prepare_corpus(corpus, "body", "doc_id", audit=a1)
+        out2 = prepare_corpus(
+            corpus.limit(4), "body", "doc_id", audit=a2
+        )
+        out1.collect()
+        out2.collect()
+        assert a1.counts()["input"] == 7
+        assert a2.counts()["input"] == 4
+
+
+class TestSeenFilterCrashSafety:
+    """Round-5: the cross-run seen state advances via the manifest-pointer
+    protocol — a crash between the merged-filter write and the pointer
+    flip leaves the previous state live; the retry converges."""
+
+    def _filter_of(self, spark, texts):
+        from rtstore_spark.operators.pipeline import corpus_seen_filter
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id long, text string"
+        )
+        return corpus_seen_filter(df, "text", nbits=1 << 12, k=3)
+
+    def _contains(self, spark, filt, text):
+        from rtstore_spark.operators.sketches import bloom_contains
+
+        probe = spark.createDataFrame([(text,)], "t string").select(
+            F.md5("t").alias("fp")
+        )
+        return bool(bloom_contains(filt, probe, "fp").collect()[0]["might_contain"])
+
+    def test_crash_keeps_previous_generation_live(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import os
+
+        from rtstore_spark.operators.pipeline import (
+            load_seen_filter,
+            save_seen_filter,
+        )
+        from rtstore_spark.store.fs import LocalFS
+
+        path = str(tmp_path / "seen")
+        assert load_seen_filter(spark, path) is None  # pre-first-commit
+        assert save_seen_filter(self._filter_of(spark, ["alpha"]), path) == 1
+
+        def boom(self, p, text):
+            raise RuntimeError("simulated crash before pointer flip")
+
+        monkeypatch.setattr(LocalFS, "write_text_atomic", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            save_seen_filter(self._filter_of(spark, ["beta"]), path)
+        monkeypatch.undo()
+        # orphan gen-2 on disk; the pointer still names gen-1
+        assert os.path.isdir(f"{path}/gen-2")
+        live = load_seen_filter(spark, path)
+        assert self._contains(spark, live, "alpha")
+        assert not self._contains(spark, live, "beta")
+        # retry overwrites the orphan, flips, and the state is the union
+        assert save_seen_filter(self._filter_of(spark, ["beta"]), path) == 2
+        live = load_seen_filter(spark, path)
+        assert self._contains(spark, live, "alpha")  # carried forward
+        assert self._contains(spark, live, "beta")
+
+    def test_saved_state_gates_next_prepare_run(self, spark, tmp_path):
+        """End-to-end: run-1's SeenState, persisted through the pointer
+        protocol, suppresses run-2's repeats."""
+        from rtstore_spark.operators.pipeline import (
+            CorpusPrepConfig,
+            SeenState,
+            load_seen_filter,
+            prepare_corpus,
+            save_seen_filter,
+        )
+
+        texts1 = [
+            "the quick brown fox jumps over the lazy dog repeatedly today",
+            "pack my box with five dozen liquor jugs every single morning",
+        ]
+        run1 = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts1)], "doc_id long, body string"
+        )
+        cfg = CorpusPrepConfig(min_tokens=5)
+        state = SeenState(nbits=1 << 12, k=3)
+        prepare_corpus(run1, "body", "doc_id", cfg, seen_state=state).collect()
+        path = str(tmp_path / "seen")
+        save_seen_filter(state.filter_df(), path)
+
+        run2 = spark.createDataFrame(
+            [(10, texts1[0]),
+             (11, "a genuinely new document with plenty of distinct words here")],
+            "doc_id long, body string",
+        )
+        cfg2 = CorpusPrepConfig(
+            min_tokens=5, seen_filter=load_seen_filter(spark, path)
+        )
+        kept = prepare_corpus(run2, "body", "doc_id", cfg2).collect()
+        assert [r["doc_id"] for r in kept] == [11]
