@@ -77,7 +77,9 @@ def extract_features(
     image rows are DECODED first — Pillow imported lazily inside the
     closure — and the same stripe-mean fold runs over the decoded
     grayscale pixels (a real embedding model would slot in at that point);
-    non-image kinds raise ``NotImplementedError`` (no audio/video libs).
+    audio rows decode through ``soundfile`` when importable, else the
+    stdlib ``wave`` PCM fallback — real waveform stats with zero extra
+    installs; video still raises ``NotImplementedError`` (no codecs here).
     The mapInPandas contract — iterator of pandas batches in, iterator
     out, schema fixed — is identical either way. Partitioning note: media
     rows are large; keep ``maxPartitionBytes`` low enough that a batch of
@@ -92,28 +94,85 @@ def extract_features(
 
         import pandas as pd
 
-        pil_image = None
-        if not stub:
+        pil_cache = []  # memoized per-task lazy import, probed per image row
+
+        def _pil():
+            if not pil_cache:
+                try:
+                    from PIL import Image  # noqa: N813 — lazy
+
+                    pil_cache.append(Image)
+                except ImportError as e:
+                    raise NotImplementedError(
+                        "decode_stub=False on image rows requires Pillow on "
+                        "the executors; install it or run with "
+                        "decode_stub=True"
+                    ) from e
+            return pil_cache[0]
+
+        def _audio_pcm_bytes(b: bytes) -> bytes:
+            """Decode audio bytes to a uint8 waveform rendering.
+
+            Probe order: ``soundfile`` (libsndfile — FLAC/OGG/WAV/...)
+            when importable, else stdlib ``wave`` (PCM WAV, always
+            available) — so unlike images, the real-audio path needs no
+            third-party install for the common training-data case.
+            Samples are mapped to [0, 255] so the shared stripe-mean fold
+            sees the actual waveform, not the container framing.
+            """
+            import io
+
             try:
-                from PIL import Image as pil_image  # noqa: N813 — lazy
-            except ImportError as e:
+                import numpy as np
+                import soundfile as sf
+
+                data, _rate = sf.read(io.BytesIO(b), dtype="float64")
+                if data.ndim > 1:
+                    data = data.mean(axis=1)  # downmix to mono
+                return ((np.clip(data, -1, 1) + 1.0) * 127.5).astype("uint8").tobytes()
+            except ImportError:
+                pass
+            import wave
+
+            import numpy as np
+
+            with wave.open(io.BytesIO(b)) as wf:
+                raw = wf.readframes(wf.getnframes())
+                width, nch = wf.getsampwidth(), wf.getnchannels()
+            if width == 1:  # 8-bit WAV is already unsigned
+                x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+            elif width == 2:
+                x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                x = (x / 32768.0 + 1.0) * 127.5
+            elif width == 4:
+                x = np.frombuffer(raw, dtype="<i4").astype(np.float64)
+                x = (x / 2147483648.0 + 1.0) * 127.5
+            else:
                 raise NotImplementedError(
-                    "decode_stub=False requires Pillow on the executors; "
-                    "install it or run with decode_stub=True"
-                ) from e
+                    f"PCM WAV sample width {width} not supported by the "
+                    "stdlib fallback; install soundfile"
+                )
+            if nch > 1:
+                x = x.reshape(-1, nch).mean(axis=1)
+            return np.clip(x, 0, 255).astype("uint8").tobytes()
 
         def feature_of(b, kind):
             if stub:
                 return _stub_feature(b or b"", dim)
-            if kind != "image":
-                raise NotImplementedError(
-                    f"real decode for kind={kind!r} requires audio/video "
-                    "libraries; run with decode_stub=True"
-                )
             import io
 
-            px = pil_image.open(io.BytesIO(b)).convert("L").tobytes()
-            return _stub_feature(px, dim)
+            if kind == "image":
+                px = _pil().open(io.BytesIO(b)).convert("L").tobytes()
+                return _stub_feature(px, dim)
+            if kind == "audio":
+                # same lazy-probe gate as Pillow: soundfile when present
+                # (any libsndfile format), stdlib wave as the always-there
+                # fallback for PCM WAV — real waveform, same stripe fold
+                return _stub_feature(_audio_pcm_bytes(b), dim)
+            raise NotImplementedError(
+                f"real decode for kind={kind!r} requires video "
+                "libraries; run with decode_stub=True"
+            )
 
         for pdf in batches:
             out = {

@@ -672,17 +672,27 @@ def pq_fit(
     """
     import numpy as np
 
-    n = df.count()
+    nonnull = df.filter(F.col(vec_col).isNotNull())
+    n = nonnull.count()  # null-vector rows must not inflate the sample rate
     if n == 0:
         raise ValueError("pq_fit: no vectors to fit")
     if n > max_train:
         per_myriad = max(1, int(10000 * max_train / n))
-        sample = df.filter(_pq_sample_gate(vec_col, per_myriad))
+        sample = nonnull.filter(_pq_sample_gate(vec_col, per_myriad))
     else:
-        sample = df
-    rows = sample.select(F.col(vec_col).alias("v")).filter(
-        F.col("v").isNotNull()
+        sample = nonnull
+    # collect WITH the content key and sort by it driver-side: collect()
+    # row order is partition-layout-dependent, and both the k-means init
+    # (rng.choice indexes into row order) and tie-breaking depend on it —
+    # sorting by the same md5 the sample gate uses makes two fits on the
+    # same corpus byte-identical regardless of partitioning/cluster size
+    rows = sample.select(
+        F.md5(F.to_json(F.struct(F.col(vec_col)))).alias("k"),
+        F.col(vec_col).alias("v"),
     ).collect()
+    rows.sort(key=lambda r: r["k"])
+    if not rows:
+        raise ValueError("pq_fit: no vectors to fit (sample gate kept zero rows)")
     x = np.asarray([r["v"] for r in rows], dtype=np.float64)
     dim = x.shape[1]
     if dim % m:
@@ -916,11 +926,33 @@ def write_pq_index(
     pq_save(df.sparkSession, model, path + "/_model")
 
 
+def _live_increments(spark, path: str) -> list[str]:
+    """Paths of the COMMITTED increment generations of an index —
+    ``<path>/inc/gen-1 .. gen-current`` where ``current`` comes from the
+    ``_current`` pointer file. A ``gen-*`` directory past the pointer is
+    an orphan a crashed ``append_pq_index`` left behind: it is never
+    read, and the next append overwrites it (same manifest-pointer
+    protocol as the storage plane — see ``store/fs.py`` module doc)."""
+    from rtstore_spark.store.fs import fs_for
+
+    fs = fs_for(path, spark)
+    cur = fs.read_text(f"{path}/inc/_current")
+    if cur is None:
+        return []
+    return [f"{path}/inc/gen-{i}" for i in range(1, int(cur.strip()) + 1)]
+
+
 def read_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
     """(codes partitioned by route, centroids, model) from
-    ``write_pq_index`` — pass straight to ``ivf_pq_topk``."""
+    ``write_pq_index`` — pass straight to ``ivf_pq_topk``. Codes are the
+    union of the base table and every COMMITTED ``append_pq_index``
+    increment; each union arm is its own route-partitioned parquet read,
+    so nprobe pruning still skips directories in every arm."""
+    codes = spark.read.parquet(path + "/codes")
+    for inc in _live_increments(spark, path):
+        codes = codes.unionByName(spark.read.parquet(inc))
     return (
-        spark.read.parquet(path + "/codes"),
+        codes,
         spark.read.parquet(path + "/_centroids"),
         pq_load(spark, path + "/_model"),
     )
@@ -997,7 +1029,20 @@ def append_pq_index(
 
     Caller contract: ids must be new (the index does no upsert — append
     of an existing id yields two code rows and duplicate hits).
+
+    Crash safety — the storage plane's manifest-pointer protocol: the
+    increment is written to a fresh generation directory
+    ``<path>/inc/gen-N`` (N = committed pointer + 1, ``overwrite`` mode
+    so a retry after a crash cleanly replaces the orphan), and only then
+    is the tiny ``<path>/inc/_current`` pointer overwritten to N — an
+    atomic-enough single-object PUT on every filesystem. A crash between
+    the data write and the flip leaves an orphan generation that
+    ``read_pq_index`` never reads; no torn/partial increment is ever
+    visible, even on object-store committers that surface
+    partially-committed task files.
     """
+    from rtstore_spark.store.fs import fs_for
+
     spark = df.sparkSession
     model = pq_load(spark, path + "/_model")
     cents = spark.read.parquet(path + "/_centroids").orderBy("route").collect()
@@ -1015,4 +1060,10 @@ def append_pq_index(
     codes = pq_encode(routed, "_vec", "id", model).join(
         routed.select("id", "route"), "id"
     )
-    codes.write.mode("append").partitionBy("route").parquet(path + "/codes")
+    fs = fs_for(path, spark)
+    cur = fs.read_text(f"{path}/inc/_current")
+    nxt = (int(cur.strip()) if cur is not None else 0) + 1
+    codes.write.mode("overwrite").partitionBy("route").parquet(
+        f"{path}/inc/gen-{nxt}"
+    )
+    fs.write_text_atomic(f"{path}/inc/_current", str(nxt))

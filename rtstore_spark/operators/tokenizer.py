@@ -45,6 +45,11 @@ from pyspark.sql.types import ArrayType, IntegerType, StringType, StructField, S
 # restore spacing; standard BPE convention (Sennrich 2016 uses `</w>`)
 END = "</w>"
 
+# hard ceiling on the (word, count) rows bpe_fit will collect to the
+# driver — past this the collect alone is hundreds of MB before the merge
+# loop's inverted index multiplies it
+BPE_MAX_WORD_TYPES_HARD = 4_000_000
+
 
 def _tokens(text_col: str):
     """Lowercased whitespace tokens — the library-wide convention
@@ -176,20 +181,48 @@ def bpe_fit(
     """Fit a BPE merge table on a corpus.
 
     Returns ``{"merges": [(a, b), ...] in rank order, "vocab":
-    sorted symbol list}``. See module docstring for why the corpus-sized
-    work is exactly one word-count shuffle.
+    sorted symbol list, "truncated": bool}``. See module docstring for
+    why the corpus-sized work is exactly one word-count shuffle.
+
+    Driver-memory guard: the fit collects up to ``max_word_types``
+    (word, count) rows — ~tens of MB at the 1M default. A request past
+    ``BPE_MAX_WORD_TYPES_HARD`` (4M, ~hundreds of MB collected plus the
+    merge loop's inverted index on top) is refused up front with the
+    projected size in the message rather than OOMing the driver mid-fit.
+    When the frequency prune actually fired (collected == cap), the
+    model carries ``truncated=True`` and a warning states the collect
+    size, so a silently-capped vocabulary is visible to the caller.
     """
+    if max_word_types > BPE_MAX_WORD_TYPES_HARD:
+        raise ValueError(
+            f"bpe_fit: max_word_types={max_word_types:,} would collect "
+            f"~{max_word_types * 40 / 1e6:.0f}+ MB of word counts to the "
+            f"driver (hard cap {BPE_MAX_WORD_TYPES_HARD:,}); fit on a "
+            "frequency-pruned vocabulary instead — BPE quality saturates "
+            "well below 1M word types"
+        )
     freqs = [
         (r["w"], int(r["c"]))
         for r in word_counts(df, text_col, max_word_types, min_count).collect()
     ]
+    truncated = len(freqs) >= max_word_types
+    if truncated:
+        import warnings
+
+        warnings.warn(
+            f"bpe_fit: corpus has more than max_word_types={max_word_types:,} "
+            "distinct words ≥ min_count; the fit used the heaviest "
+            f"{len(freqs):,} types (deterministic count-desc prune). "
+            "Raise max_word_types or min_count if tail words matter.",
+            stacklevel=2,
+        )
     merges = _merge_loop(freqs, n_merges)
     vocab = set()
     for w, _ in freqs:
         vocab.update(w)
     vocab.add(END)
     vocab.update(a + b for a, b in merges)
-    return {"merges": merges, "vocab": sorted(vocab)}
+    return {"merges": merges, "vocab": sorted(vocab), "truncated": truncated}
 
 
 def _word_encoder(ranks: dict[tuple[str, str], int]):

@@ -256,3 +256,37 @@ class TestReviewFixes:
         zz = bpe_encode(_corpus(spark, ["zz"]), "text", "doc_id", model,
                         output="ids").collect()[0]["tokens"]
         assert "�" in bpe_decode(zz, model)
+
+
+class TestDriverMemoryGuard:
+    """Round-5 fix: the word-count collect size is bounded and visible."""
+
+    def test_hard_cap_refused_up_front(self, spark):
+        from rtstore_spark.operators.tokenizer import BPE_MAX_WORD_TYPES_HARD
+
+        df = _corpus(spark, ["a b c"])
+        with pytest.raises(ValueError, match="hard cap"):
+            bpe_fit(df, "text", max_word_types=BPE_MAX_WORD_TYPES_HARD + 1)
+
+    def test_truncation_is_flagged_and_warned(self, spark):
+        import warnings
+
+        df = _corpus(spark, ["aa bb cc dd ee aa bb cc dd ee"])
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            model = bpe_fit(df, "text", max_word_types=2, min_count=1)
+        assert model["truncated"] is True
+        assert any("max_word_types" in str(x.message) for x in w)
+        # the prune kept the heaviest 2 word types (all tied → lexical)
+        syms = set("".join(model["vocab"]))
+        assert "e" not in syms  # tail word types dropped
+
+    def test_untruncated_fit_is_clean(self, spark):
+        import warnings
+
+        df = _corpus(spark, ["low low lower"])
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            model = bpe_fit(df, "text", min_count=1)
+        assert model["truncated"] is False
+        assert not [x for x in w if "max_word_types" in str(x.message)]

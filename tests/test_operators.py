@@ -738,3 +738,73 @@ class TestRrfFuse:
         df = spark.createDataFrame([(1, 1.0)], "id LONG, s DOUBLE")
         with pytest.raises(ValueError, match="must match"):
             rrf_fuse({"bm25.v2": df})
+
+
+class TestAudioDecode:
+    """Round-5: audio rows behind the same lazy-probe gate as Pillow —
+    soundfile when importable, stdlib ``wave`` (always present) for PCM
+    WAV, so the real-waveform path runs even in this container."""
+
+    @staticmethod
+    def _wav_bytes(samples, width=2, rate=8000, nch=1):
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(nch)
+            wf.setsampwidth(width)
+            wf.setframerate(rate)
+            wf.writeframes(samples)
+        return buf.getvalue()
+
+    def test_real_wav_features(self, spark):
+        import struct
+
+        # constant zero-amplitude 16-bit signal → every waveform byte is
+        # 127 → every stripe mean is exactly 127/255
+        silent = self._wav_bytes(struct.pack("<100h", *([0] * 100)))
+        # full-scale alternating square wave → stripe means near 0.5 too,
+        # but distinct bytes (0 and 255) prove real samples were read
+        square = self._wav_bytes(
+            struct.pack("<100h", *([32767, -32768] * 50))
+        )
+        media = attach_media(
+            spark.createDataFrame(
+                [Row(mid=1, blob=silent), Row(mid=2, blob=square)]
+            ),
+            "mid", "blob", "audio",
+        )
+        out = {
+            r["media_id"]: r["feature"]
+            for r in extract_features(
+                media, feature_dim=4, decode_stub=False
+            ).collect()
+        }
+        assert out[1] == pytest.approx([127 / 255.0] * 4)
+        # stripes of the square wave: stripe 0/2 get the +32767 bytes
+        # (≈255), 1/3 the -32768 bytes (0) — real waveform, not container
+        assert out[2][0] == pytest.approx(1.0, abs=0.01)
+        assert out[2][1] == pytest.approx(0.0, abs=0.01)
+
+    def test_stereo_downmix(self, spark):
+        import struct
+
+        # L=+32767, R=-32768 per frame: mono downmix ≈ 127.5 per sample
+        frames = struct.pack("<40h", *([32767, -32768] * 20))
+        media = attach_media(
+            spark.createDataFrame(
+                [Row(mid=1, blob=self._wav_bytes(frames, nch=2))]
+            ),
+            "mid", "blob", "audio",
+        )
+        feat = extract_features(media, 2, decode_stub=False).collect()[0]["feature"]
+        assert feat == pytest.approx([127.5 / 255.0] * 2, abs=0.01)
+
+    def test_video_still_gated(self, spark):
+        media = attach_media(
+            spark.createDataFrame([Row(mid=1, blob=b"xx")]),
+            "mid", "blob", "video",
+        )
+        with pytest.raises(Exception, match="NotImplementedError|video"):
+            extract_features(media, decode_stub=False).collect()

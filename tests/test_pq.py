@@ -344,3 +344,113 @@ class TestIncrementalIndex:
         ).write.parquet(path + "/_centroids")
         with pytest.raises(ValueError, match="not dense"):
             append_pq_index(emb, "embedding", "vec_id", path)
+
+
+class TestFitDeterminismAndGuards:
+    """Round-5 review fixes: partition-independent fit, clean empty errors."""
+
+    def test_fit_partitioning_invariant(self, emb, model):
+        # collect() order is partition-layout-dependent; the fit sorts the
+        # sample by content hash, so a different layout must yield the
+        # byte-identical codebook
+        scrambled = emb.repartition(13)
+        again = pq_fit(scrambled, "embedding", m=8, ksub=32, seed=7)
+        assert again["codebooks"] == model["codebooks"]
+
+    def test_sampled_fit_partitioning_invariant(self, emb):
+        a = pq_fit(emb, "embedding", m=8, ksub=8, seed=7, max_train=100)
+        b = pq_fit(
+            emb.repartition(5), "embedding", m=8, ksub=8, seed=7, max_train=100
+        )
+        assert a["codebooks"] == b["codebooks"]
+
+    def test_all_null_vectors_raise_clean(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, None)], "id long, v array<float>"
+        )
+        with pytest.raises(ValueError, match="no vectors to fit"):
+            pq_fit(df, "v", m=2)
+
+    def test_null_rows_do_not_inflate_sample_rate(self, spark):
+        # 10 real vectors + 90 null rows, max_train=20: nulls must not
+        # count toward n (which would shrink the gate to ~2/10000 and
+        # usually sample zero rows) — the fit sees all 10 real vectors
+        rows = [(i, [float(i % 3), float(i % 5)]) for i in range(10)]
+        rows += [(100 + i, None) for i in range(90)]
+        df = spark.createDataFrame(rows, "id long, v array<float>")
+        m = pq_fit(df, "v", m=2, ksub=16, max_train=20)
+        assert m["ksub"] == 10  # clipped to the full non-null sample
+
+
+class TestAppendCrashSafety:
+    """Round-5: append_pq_index inherits the storage plane's
+    manifest-pointer protocol — a crash between the increment write and
+    the pointer flip leaves the index exactly as it was."""
+
+    @pytest.fixture()
+    def base_index(self, spark, emb, model, tmp_path):
+        from rtstore_spark.operators.similarity import write_pq_index
+
+        base = emb.filter("vec_id < 40").select(
+            F.col("vec_id").alias("id"), "embedding",
+            F.col("label").alias("route"),
+        )
+        path = str(tmp_path / "ivfpq")
+        write_pq_index(base, "embedding", "id", "route", model, path)
+        return path, base
+
+    def test_crash_before_flip_is_invisible_then_retry_converges(
+        self, spark, emb, base_index, monkeypatch
+    ):
+        import os
+
+        from rtstore_spark.operators.similarity import (
+            append_pq_index,
+            read_pq_index,
+        )
+        from rtstore_spark.store.fs import LocalFS
+
+        path, base = base_index
+        n_base = read_pq_index(spark, path)[0].count()
+        inc = emb.filter("vec_id >= 40 and vec_id < 60")
+
+        def boom(self, p, text):
+            raise RuntimeError("simulated crash before pointer flip")
+
+        monkeypatch.setattr(LocalFS, "write_text_atomic", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            append_pq_index(inc, "embedding", "vec_id", path)
+        monkeypatch.undo()
+        # orphan generation on disk, but readers never see it
+        assert os.path.isdir(f"{path}/inc/gen-1")
+        assert not os.path.exists(f"{path}/inc/_current")
+        codes, _, _ = read_pq_index(spark, path)
+        assert codes.count() == n_base
+        # retry overwrites the orphan and flips: exactly one increment
+        append_pq_index(inc, "embedding", "vec_id", path)
+        codes, _, _ = read_pq_index(spark, path)
+        assert codes.count() == n_base + 20
+        ids = [r["id"] for r in codes.collect()]
+        assert len(ids) == len(set(ids))  # no duplicate rows from the orphan
+
+    def test_multiple_appends_stack_generations(self, spark, emb, base_index):
+        from rtstore_spark.operators.similarity import (
+            append_pq_index,
+            ivf_pq_topk,
+            read_pq_index,
+        )
+
+        path, _ = base_index
+        append_pq_index(
+            emb.filter("vec_id >= 40 and vec_id < 50"), "embedding", "vec_id", path
+        )
+        append_pq_index(
+            emb.filter("vec_id >= 50 and vec_id < 60"), "embedding", "vec_id", path
+        )
+        codes, cents, loaded = read_pq_index(spark, path)
+        assert codes.count() == 60
+        # appended vectors are queryable: vec 55's own code row must rank
+        # it in the all-probe top-k
+        q = emb.filter("vec_id = 55").collect()[0]["embedding"]
+        hits = ivf_pq_topk(codes, loaded, cents, q, k=5, nprobe=4).collect()
+        assert 55 in [r["id"] for r in hits]
