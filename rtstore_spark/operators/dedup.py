@@ -621,9 +621,9 @@ def repeated_spans(
 
     Returns (id, start_tok, end_tok, n_tokens) — ``start_tok`` 0-based
     inclusive, ``end_tok`` exclusive, so ``end_tok - start_tok =
-    n_tokens`` and adjacent/overlapping flagged shingles merge into one
-    maximal span (consecutive flagged start positions p, p+1 … p+k cover
-    tokens [p, p+k+span_tokens)).
+    n_tokens`` and flagged shingles whose coverages touch or overlap
+    (start positions ≤ span_tokens apart) merge into one maximal span —
+    returned spans are disjoint by construction.
 
     Scale shape: positional shingles off the zip_with chain (shuffle-free
     posexplode), hashed to 60-bit longs — every exchange moves (id, pos,
@@ -643,11 +643,16 @@ def repeated_spans(
     flagged = sh.join(counts.filter(F.col("cnt") >= min_count), "hv").select(
         "id", "pos"
     )
-    # run-merge: consecutive flagged positions share (pos - row_number),
-    # the classic gaps-and-islands segmentation — window is per doc,
-    # ordered by pos, never global
+    # interval merge: starts p, p' share a span whenever p' - p <=
+    # span_tokens (their [p, p+span) coverages touch or overlap), not
+    # just when consecutive — two runs a small gap apart would otherwise
+    # report two OVERLAPPING rows, breaking the maximal-span contract.
+    # Window is per doc, ordered by pos, never global.
     w = Window.partitionBy("id").orderBy("pos")
-    seg = flagged.withColumn("_seg", F.col("pos") - F.row_number().over(w))
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) > span_tokens, 1
+    ).otherwise(0)
+    seg = flagged.withColumn("_seg", F.sum(brk).over(w))
     return (
         seg.groupBy("id", "_seg")
         .agg(F.min("pos").alias("start_tok"), F.max("pos").alias("_last"))
@@ -658,6 +663,121 @@ def repeated_spans(
             (F.col("_last") + span_tokens - F.col("start_tok")).alias(
                 "n_tokens"
             ),
+        )
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_tokens: int = 32,
+) -> DataFrame:
+    """Exact substring dedup WITH removal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", keep-one semantics): every
+    corpus-wide repeat of a ``span_tokens``-token-or-longer substring is
+    cut from the text of all but its canonical first occurrence — ordered
+    by (document id, token position) — and each document's text is rebuilt
+    from the tokens it kept.
+
+    The remediation counterpart to ``repeated_spans`` (which flags ALL
+    occurrences, boundaries only, no rewrite): a quoted license block or
+    syndicated article body survives exactly once in the corpus; every
+    other document keeps its unique prose with the repeat excised. The
+    canonical occurrence is resolved PER WINDOW HASH, so a long repeated
+    region — a run of flagged windows — survives intact wherever its
+    windows are canonical (the minimal (id, pos) document) and disappears
+    as one merged span everywhere else, including second occurrences
+    within the canonical document itself.
+
+    The paper's suffix array finds repeats of arbitrary length ≥ k
+    exactly; this fixed-window formulation finds every such repeat as a
+    union of flagged k-token windows — identical coverage for repeats
+    ≥ ``span_tokens``, none below — with three linear shuffles and no
+    global sort, which is the right trade at corpus scale (a distributed
+    suffix array shuffles the token stream several times and needs a
+    global order).
+
+    Returns the input columns with ``text_col`` rewritten (tokens
+    re-joined with single spaces — the same whitespace normalization as
+    every shingle operator here) plus ``n_tokens`` (before),
+    ``n_tokens_removed`` and ``n_spans_removed``. Documents shorter than
+    ``span_tokens`` tokens pass through byte-identical. A document whose
+    every token sat in removed spans comes back with EMPTY text
+    (``n_tokens == n_tokens_removed``) — the caller's signal to drop the
+    row (document-level dedup upstream usually prevents this; it arises
+    when a doc is a non-canonical concatenation of repeats). Idempotent
+    on its own output. NOT run by default in ``prepare_corpus``: the
+    paper applies it once, corpus-wide, after document-level dedup.
+
+    Scale shape (same exchange discipline as ``repeated_spans``): shingle
+    hashes move as (id, pos, 8-byte hv) triples; the winner aggregate is
+    a partial-agg min per hv (combinable map-side); the hv-keyed back-
+    join reuses the exchange; the run-merge window is per doc; and the
+    cut-set rides home on an id join where AQE broadcasts it in the
+    common case (cuts ≪ corpus). The corpus text itself never shuffles —
+    the rewrite is a positional ``filter`` on the original split.
+    """
+    sh = shingles(
+        df, text_col, id_col, n=span_tokens, keep_short=False, positional=True
+    ).select("id", "pos", _hash60(F.col("shingle")).alias("hv"))
+    winners = sh.groupBy("hv").agg(
+        F.min(F.struct("id", "pos")).alias("win"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    flagged = (
+        sh.join(winners.filter(F.col("cnt") >= 2), "hv")
+        .filter(F.struct("id", "pos") != F.col("win"))
+        .select("id", "pos")
+    )
+    # interval merge: window starts p, p' belong to one span whenever
+    # p' - p <= span_tokens (their [p, p+span) coverages touch or
+    # overlap — NOT just consecutive starts: two runs a 10-token gap
+    # apart still produce overlapping spans at span_tokens=32, and naive
+    # run-merging would double-count the overlap in n_tokens_removed).
+    # Segment id = running count of gaps wide enough to break coverage.
+    w = Window.partitionBy("id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) > span_tokens, 1
+    ).otherwise(0)
+    cuts = (
+        flagged.withColumn("_seg", F.sum(brk).over(w))
+        .groupBy("id", "_seg")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + span_tokens).alias("e"),
+        )
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_cut"))
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    kept = F.filter(
+        toks,
+        lambda _, i: ~F.exists(
+            F.col("_cut"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
+        ),
+    )
+    out_text = F.when(F.col("_cut").isNull(), F.col(text_col)).otherwise(
+        F.concat_ws(" ", kept)
+    )
+    # merged spans never overlap: removed token total is a plain fold
+    n_removed = F.coalesce(
+        F.aggregate(
+            "_cut", F.lit(0), lambda acc, sp: acc + sp["e"] - sp["s"]
+        ),
+        F.lit(0),
+    )
+    return (
+        df.join(cuts, df[id_col] == cuts["id"], "left")
+        .drop(cuts["id"])
+        .select(
+            *[
+                out_text.alias(c) if c == text_col else F.col(c)
+                for c in df.columns
+            ],
+            F.size(toks).alias("n_tokens"),
+            n_removed.alias("n_tokens_removed"),
+            F.coalesce(F.size("_cut"), F.lit(0)).alias("n_spans_removed"),
         )
     )
 

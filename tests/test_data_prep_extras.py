@@ -404,10 +404,15 @@ class TestRepeatedSpans:
                     e AS (SELECT doc_id, pr.pos AS pos, pr.s AS s FROM sh),
                     cnt AS (SELECT s, count(*) AS c FROM e GROUP BY s),
                     fl AS (SELECT doc_id, pos FROM e JOIN cnt USING (s) WHERE c >= 2),
+                    seg0 AS (
+                      SELECT doc_id, pos,
+                             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                                  THEN 1 ELSE 0 END AS b
+                      FROM fl),
                     seg AS (
                       SELECT doc_id, pos,
-                             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
-                      FROM fl)
+                             sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                      FROM seg0)
                    SELECT doc_id, min(pos) AS start_tok, max(pos) + 8 AS end_tok,
                           max(pos) + 8 - min(pos) AS n_tokens
                    FROM seg GROUP BY doc_id, g"""
@@ -491,3 +496,152 @@ class TestQualityClassifier:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "Exchange" not in plan  # scoring is a pure projection pass
+
+
+class TestSubstringDedup:
+    """substring_dedup: Lee-et-al-style repeat removal, keep-one semantics."""
+
+    P = " ".join(f"p{i}" for i in range(12))
+
+    def test_keep_canonical_cut_copies(self, spark):
+        from rtstore_spark.operators.dedup import substring_dedup
+
+        rows = [
+            Row(id=1, text="x1 x2 x3 x4 " + self.P + " y1 y2 y3 y4"),
+            Row(id=2, text="z1 z2 " + self.P + " w1"),
+            Row(id=3, text=" ".join(f"u{i}" for i in range(20))),
+        ]
+        out = {
+            r["id"]: r
+            for r in substring_dedup(
+                spark.createDataFrame(rows), "text", "id", span_tokens=8
+            ).collect()
+        }
+        # doc 1 holds the canonical occurrence: byte-identical passthrough
+        assert out[1]["text"] == rows[0].text
+        assert out[1]["n_tokens_removed"] == 0
+        # doc 2 loses exactly the shared passage, keeps its unique prose
+        assert out[2]["text"] == "z1 z2 w1"
+        assert out[2]["n_tokens_removed"] == 12
+        assert out[2]["n_spans_removed"] == 1
+        assert out[3]["text"] == rows[2].text  # unique doc untouched
+
+    def test_within_doc_second_occurrence_cut(self, spark):
+        from rtstore_spark.operators.dedup import substring_dedup
+
+        df = spark.createDataFrame(
+            [Row(id=4, text=self.P + " m1 m2 " + self.P)]
+        )
+        r = substring_dedup(df, "text", "id", span_tokens=8).collect()[0]
+        assert r["text"] == self.P + " m1 m2"
+        assert r["n_tokens_removed"] == 12 and r["n_spans_removed"] == 1
+
+    def test_near_adjacent_repeats_merge_exact_counts(self, spark):
+        from rtstore_spark.operators.dedup import substring_dedup
+
+        # doc 6 repeats two passages from doc 5 separated by a 2-token gap
+        # (< span_tokens): the flagged coverages overlap, so the cut is ONE
+        # merged span — and the gap tokens it swallows are themselves
+        # inside duplicated windows, so the count is exact, not doubled
+        q = " ".join(f"q{i}" for i in range(12))
+        rows = [
+            Row(id=5, text=self.P + " g1 g2 " + q),
+            Row(id=6, text="a1 a2 " + self.P + " g1 g2 " + q + " b1"),
+        ]
+        out = {
+            r["id"]: r
+            for r in substring_dedup(
+                spark.createDataFrame(rows), "text", "id", span_tokens=8
+            ).collect()
+        }
+        assert out[5]["n_tokens_removed"] == 0
+        assert out[6]["text"] == "a1 a2 b1"
+        assert out[6]["n_tokens_removed"] == 26  # 12 + 2 + 12, once
+        assert out[6]["n_spans_removed"] == 1
+
+    def test_short_docs_pass_through(self, spark):
+        from rtstore_spark.operators.dedup import substring_dedup
+
+        df = spark.createDataFrame(
+            [Row(id=7, text="tiny  doc"), Row(id=8, text="tiny  doc")]
+        )
+        out = substring_dedup(df, "text", "id", span_tokens=8).collect()
+        assert all(r["text"] == "tiny  doc" for r in out)  # spacing kept
+        assert all(r["n_tokens_removed"] == 0 for r in out)
+
+    def test_idempotent(self, spark):
+        from rtstore_spark.operators.dedup import substring_dedup
+
+        rows = [
+            Row(id=1, text="x1 x2 " + self.P),
+            Row(id=2, text=self.P + " y1 y2"),
+            Row(id=4, text=self.P + " m1 m2 " + self.P),
+        ]
+        once = substring_dedup(
+            spark.createDataFrame(rows), "text", "id", span_tokens=8
+        ).select("id", "text")
+        twice = substring_dedup(once, "text", "id", span_tokens=8)
+        assert twice.filter("n_tokens_removed > 0").count() == 0
+
+    def test_duckdb_replay_on_real_docs(self, spark):
+        """Independent DuckDB replay of winner selection, interval merge
+        and removal counts on the real sf0.001 documents table."""
+        import duckdb
+
+        from rtstore_spark.operators.dedup import substring_dedup
+        from rtstore_spark.tables import load_table
+
+        sf = "/root/testdata/sf0.001"
+        docs = load_table(spark, sf, "documents")
+        out = substring_dedup(docs, "text", "doc_id", span_tokens=8)
+        got = {
+            (r["doc_id"], r["n_tokens_removed"], r["n_spans_removed"])
+            for r in out.filter("n_spans_removed > 0").collect()
+        }
+        want = set(
+            duckdb.sql(
+                rf"""WITH t AS (
+                      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                      FROM '{sf}/documents.parquet'),
+                    sh0 AS (
+                      SELECT doc_id,
+                             list_transform(generate_series(1, len(toks) - 7),
+                               i -> struct_pack(pos := i - 1,
+                                                s := array_to_string(toks[i:i+7], ' '))) AS prs
+                      FROM t WHERE len(toks) >= 8),
+                    e AS (SELECT doc_id, pr.pos AS pos, pr.s AS s
+                          FROM (SELECT doc_id, unnest(prs) AS pr FROM sh0)),
+                    fl AS (SELECT doc_id, pos FROM (
+                             SELECT doc_id, pos,
+                                    row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn,
+                                    count(*) OVER (PARTITION BY s) AS c
+                             FROM e) WHERE c >= 2 AND rn > 1),
+                    seg0 AS (SELECT doc_id, pos,
+                                    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                                         THEN 1 ELSE 0 END AS b FROM fl),
+                    seg AS (SELECT doc_id, pos,
+                                   sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                            FROM seg0),
+                    sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+                           FROM seg GROUP BY doc_id, g)
+                   SELECT doc_id, sum(e - s) AS n_removed, count(*) AS n_spans
+                   FROM sp GROUP BY doc_id"""
+            ).fetchall()
+        )
+        assert got == want and len(got) > 0
+        # kept token counts line up too: tokens - removed = rebuilt tokens
+        chk = out.filter("n_spans_removed > 0").select(
+            "doc_id",
+            (F.col("n_tokens") - F.col("n_tokens_removed")).alias("want_kept"),
+            F.when(F.length(F.trim("text")) == 0, 0)  # fully-cut doc
+            .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+            .alias("got_kept"),
+        ).collect()
+        assert all(r["want_kept"] == r["got_kept"] for r in chk)
+        assert any(r["want_kept"] == 0 for r in chk)  # full-dup docs exist
+        # …and a wholly-duplicated document comes back as empty text, the
+        # caller's signal to drop the row
+        assert out.filter(
+            (F.col("n_tokens") == F.col("n_tokens_removed"))
+            & (F.length(F.trim("text")) > 0)
+        ).count() == 0

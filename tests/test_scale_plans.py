@@ -392,3 +392,22 @@ class TestWebPlanShapes:
         assert "SinglePartition" not in plan
         # salted pass really partitions by (domain, pmod(hash))
         assert "pmod" in plan
+
+
+class TestSubstringDedupPlanShapes:
+    def test_windows_per_doc_text_never_shuffles_wide(self, spark):
+        from rtstore_spark.operators.dedup import substring_dedup
+
+        df = spark.createDataFrame(
+            [(i, " ".join(f"t{j}" for j in range(40))) for i in range(20)],
+            "id long, text string",
+        )
+        plan = _plan(substring_dedup(df, "text", "id", span_tokens=8))
+        # interval-merge window partitions by doc id, never SinglePartition
+        assert "hashpartitioning(id" in plan
+        assert "SinglePartition" not in plan
+        assert "CartesianProduct" not in plan
+        # exchanges: hv winner agg + hv back-join (reused), per-doc window,
+        # cut-set agg, id back-join — the corpus text column rides only the
+        # final id join (AQE-broadcastable), never the hv exchanges
+        assert plan.count("Exchange hashpartitioning") <= 6
