@@ -22,6 +22,9 @@ Stages (each individually oracle-tested elsewhere; this module wires them):
 3b. paragraph dedup— optional corpus-wide duplicate-paragraph removal
                      with text reconstruction (``dedup.dedup_paragraphs``);
                      docs emptied by it are dropped
+3c. substring dedup— optional exact repeat removal at token-span
+                     granularity, keep-one semantics
+                     (``dedup.substring_dedup``); emptied docs dropped
 4. near dedup      — MinHash/LSH candidates → Jaccard verify → exact
                      connected components → drop non-representatives
 4b. LM gate        — optional bigram-LM cross-entropy cutoff
@@ -77,6 +80,10 @@ class CorpusPrepConfig:
     domain_col: str = "source"
     normalize: bool = False       # stage 0: NFC + whitespace cleanup
     dedup_paragraphs: bool = False  # stage 3b: drop repeated paragraphs
+    # stage 3c: exact substring dedup — cut every corpus-wide repeat of at
+    # least this many tokens from all but its canonical occurrence
+    # (dedup.substring_dedup); None = off
+    substring_dedup_tokens: int | None = None
     blocklist: list[str] | None = None  # stage 2b: C4-style term gate
     scrub_pii: bool = False
     chunk_max_tokens: int | None = None  # None = no chunking
@@ -373,6 +380,18 @@ def prepare_corpus(
         kept = dedup.dedup_paragraphs(kept, text_col, id_col).drop(
             "n_paragraphs", "n_dropped"
         )
+        kept = kept.filter(F.length(F.trim(F.col(text_col))) > 0)
+
+    # 3c. optional exact substring dedup (Lee et al. 2022 keep-one
+    # removal): cuts every corpus-wide repeat >= substring_dedup_tokens
+    # tokens from all but its canonical occurrence. After paragraph dedup
+    # (coarser structure first) and before near-dup for the same reason
+    # as 3b: minhash signatures see repeat-free text. Docs whose every
+    # token sat in removed spans come back empty and are dropped.
+    if cfg.substring_dedup_tokens is not None:
+        kept = dedup.substring_dedup(
+            kept, text_col, id_col, span_tokens=cfg.substring_dedup_tokens
+        ).drop("n_tokens", "n_tokens_removed", "n_spans_removed")
         kept = kept.filter(F.length(F.trim(F.col(text_col))) > 0)
 
     # 4. near dedup on the survivors

@@ -550,3 +550,31 @@ class TestSeenFilterCrashSafety:
         )
         kept = prepare_corpus(run2, "body", "doc_id", cfg2).collect()
         assert [r["doc_id"] for r in kept] == [11]
+
+
+class TestSubstringDedupStage:
+    def test_stage_3c_cuts_repeats_keeps_canonical(self, spark):
+        from rtstore_spark.operators.pipeline import (
+            CorpusPrepConfig,
+            prepare_corpus,
+        )
+
+        passage = " ".join(f"license{i}" for i in range(24))  # > span, no
+        # internal repetition (a self-repeating passage would be trimmed
+        # within the canonical doc too — correct, but not this test)
+        rows = [
+            (1, "unique opening words about engines and planners " + passage),
+            (2, passage + " and then the closing prose is of the usual kind that we see"),
+            (3, "a fully independent document with its own words and nothing shared"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, body string")
+        cfg = CorpusPrepConfig(
+            min_tokens=3, near_dup_threshold=0.99, substring_dedup_tokens=8
+        )
+        out = {r["doc_id"]: r["body"] for r in
+               prepare_corpus(df, "body", "doc_id", cfg).collect()}
+        assert set(out) == {1, 2, 3}
+        assert passage in out[1]          # canonical (lowest id) keeps it
+        assert "license" not in out[2]    # repeat cut from doc 2
+        assert out[2].startswith("and then the closing")
+        assert out[3] == rows[2][1]
