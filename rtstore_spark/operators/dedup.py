@@ -730,12 +730,31 @@ def substring_dedup(
         .filter(F.struct("id", "pos") != F.col("win"))
         .select("id", "pos")
     )
-    # interval merge: window starts p, p' belong to one span whenever
-    # p' - p <= span_tokens (their [p, p+span) coverages touch or
-    # overlap — NOT just consecutive starts: two runs a 10-token gap
-    # apart still produce overlapping spans at span_tokens=32, and naive
-    # run-merging would double-count the overlap in n_tokens_removed).
-    # Segment id = running count of gaps wide enough to break coverage.
+    return _cut_flagged_spans(df, flagged, text_col, id_col, span_tokens)
+
+
+def _cut_flagged_spans(
+    df: DataFrame,
+    flagged: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_tokens: int,
+) -> DataFrame:
+    """Shared removal kernel: merge flagged window starts ``(id, pos)``
+    into maximal spans and rebuild each document's text without them
+    (the back half of ``substring_dedup`` and ``decontaminate``).
+
+    Interval merge: starts p, p' belong to one span whenever
+    p' - p <= span_tokens (their [p, p+span) coverages touch or overlap
+    — NOT just consecutive starts: two runs a 10-token gap apart still
+    produce overlapping spans at span_tokens=32, and naive run-merging
+    would double-count the overlap in n_tokens_removed). Segment id =
+    running count of gaps wide enough to break coverage, so merged spans
+    are disjoint and their union is exactly the flagged coverage — the
+    removed-token fold is exact. The per-doc window shuffles only the
+    flagged rows; the corpus text rides home on one id join (AQE
+    broadcasts the cut-set in the common case).
+    """
     w = Window.partitionBy("id").orderBy("pos")
     brk = F.when(
         F.col("pos") - F.lag("pos").over(w) > span_tokens, 1
@@ -780,6 +799,64 @@ def substring_dedup(
             F.coalesce(F.size("_cut"), F.lit(0)).alias("n_spans_removed"),
         )
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_text_col: str | None = None,
+    span_tokens: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination with span REMOVAL: cut from every corpus
+    document each token range whose every ``span_tokens``-token window
+    also appears verbatim in the benchmark/eval set — the remediation
+    counterpart to ``sampling.ngram_contamination`` (which only reports
+    doc-level overlap). The standard pre-training hygiene step: a 13-gram
+    collision with an eval suite (the GPT-3 appendix setting) is removed
+    surgically, so a long document quoting one benchmark question keeps
+    its other 10k tokens instead of being dropped whole.
+
+    Unlike ``substring_dedup`` there is no canonical survivor: EVERY
+    matching occurrence is cut (the eval set itself is never training
+    data). Documents shorter than ``span_tokens`` pass through
+    byte-identical, as do benchmark docs too short to leak a full window
+    (the ``ngram_contamination`` contract). Returns the corpus columns
+    with ``text_col`` rewritten plus ``n_tokens`` / ``n_tokens_removed``
+    / ``n_spans_removed``; a wholly-contaminated document comes back with
+    empty text, the caller's drop signal.
+
+    Scale shape: the benchmark side reduces to a DISTINCT 8-byte hash
+    set (eval suites are MBs against a 100-TB corpus) and broadcasts;
+    the corpus windows hit it with a map-side left-semi join — the
+    corpus never shuffles for matching, only the flagged (id, pos) rows
+    move through the merge window, and the text rides one id join
+    (``_cut_flagged_spans``).
+    """
+    bench_text = bench_text_col or text_col
+    sh = shingles(
+        corpus, text_col, id_col, n=span_tokens, keep_short=False,
+        positional=True,
+    ).select("id", "pos", _hash60(F.col("shingle")).alias("hv"))
+    bench_hv = (
+        shingles(
+            benchmark.select(
+                F.monotonically_increasing_id().alias("_bid"),
+                F.col(bench_text).alias("_bt"),
+            ),
+            "_bt",
+            "_bid",
+            n=span_tokens,
+            keep_short=False,
+        )
+        .select(_hash60(F.col("shingle")).alias("hv"))
+        .distinct()
+    )
+    flagged = sh.join(F.broadcast(bench_hv), "hv", "left_semi").select(
+        "id", "pos"
+    )
+    return _cut_flagged_spans(corpus, flagged, text_col, id_col, span_tokens)
 
 
 def dedup_paragraphs(

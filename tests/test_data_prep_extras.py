@@ -645,3 +645,74 @@ class TestSubstringDedup:
             (F.col("n_tokens") == F.col("n_tokens_removed"))
             & (F.length(F.trim("text")) > 0)
         ).count() == 0
+
+
+class TestDecontaminate:
+    """decontaminate: eval-set span removal (every occurrence cut)."""
+
+    Q = " ".join(f"benchq{i}" for i in range(15))  # a 15-token eval item
+
+    def test_matching_spans_cut_everywhere(self, spark):
+        from rtstore_spark.operators.dedup import decontaminate
+
+        corpus = spark.createDataFrame(
+            [
+                Row(id=1, text="intro words " + self.Q + " outro prose"),
+                Row(id=2, text=self.Q + " different unique continuation"),
+                Row(id=3, text=" ".join(f"clean{i}" for i in range(30))),
+            ]
+        )
+        bench = spark.createDataFrame(
+            [Row(q=self.Q), Row(q="another unrelated eval question")]
+        )
+        out = {
+            r["id"]: r
+            for r in decontaminate(
+                corpus, bench, "text", "id", bench_text_col="q",
+                span_tokens=8,
+            ).collect()
+        }
+        # NO canonical survivor: both occurrences of the eval item go
+        assert out[1]["text"] == "intro words outro prose"
+        assert out[2]["text"] == "different unique continuation"
+        assert out[1]["n_tokens_removed"] == 15
+        assert out[2]["n_tokens_removed"] == 15
+        assert out[3]["text"].startswith("clean0")  # untouched
+        assert out[3]["n_tokens_removed"] == 0
+
+    def test_short_benchmark_doc_cannot_leak(self, spark):
+        from rtstore_spark.operators.dedup import decontaminate
+
+        corpus = spark.createDataFrame(
+            [Row(id=1, text="one two three four five six seven eight nine ten")]
+        )
+        bench = spark.createDataFrame([Row(text="one two three")])  # < span
+        out = decontaminate(corpus, bench, "text", "id", span_tokens=8).collect()
+        assert out[0]["n_tokens_removed"] == 0
+        assert out[0]["text"].startswith("one two three")
+
+    def test_wholly_contaminated_doc_empties(self, spark):
+        from rtstore_spark.operators.dedup import decontaminate
+
+        corpus = spark.createDataFrame([Row(id=1, text=self.Q)])
+        bench = spark.createDataFrame([Row(text=self.Q)])
+        r = decontaminate(corpus, bench, "text", "id", span_tokens=8).collect()[0]
+        assert r["text"] == "" and r["n_tokens_removed"] == 15
+
+    def test_plan_broadcast_semi_join_and_per_doc_window(self, spark):
+        from rtstore_spark.operators.dedup import decontaminate
+
+        corpus = spark.createDataFrame(
+            [(i, " ".join(f"t{j}" for j in range(40))) for i in range(20)],
+            "id long, text string",
+        )
+        bench = spark.createDataFrame([Row(text=self.Q)])
+        plan = (
+            decontaminate(corpus, bench, "text", "id", span_tokens=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # eval hashes broadcast into a semi join: corpus never shuffles
+        # to match, and the merge window partitions by doc id
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+        assert "hashpartitioning(id" in plan
+        assert "SinglePartition" not in plan
