@@ -25,6 +25,9 @@ Stages (each individually oracle-tested elsewhere; this module wires them):
 3c. substring dedup— optional exact repeat removal at token-span
                      granularity, keep-one semantics
                      (``dedup.substring_dedup``); emptied docs dropped
+3d. decontamination— optional eval-set span removal: every benchmark
+                     n-gram collision cut from every occurrence
+                     (``dedup.decontaminate``); emptied docs dropped
 4. near dedup      — MinHash/LSH candidates → Jaccard verify → exact
                      connected components → drop non-representatives
 4b. LM gate        — optional bigram-LM cross-entropy cutoff
@@ -84,6 +87,13 @@ class CorpusPrepConfig:
     # least this many tokens from all but its canonical occurrence
     # (dedup.substring_dedup); None = off
     substring_dedup_tokens: int | None = None
+    # stage 3d: benchmark decontamination — cut every span whose
+    # decontaminate_tokens-token windows appear verbatim in this eval-set
+    # DataFrame (dedup.decontaminate; text col named by
+    # decontaminate_text_col, default = the corpus text_col); None = off
+    decontaminate_against: DataFrame | None = None
+    decontaminate_tokens: int = 13
+    decontaminate_text_col: str | None = None
     blocklist: list[str] | None = None  # stage 2b: C4-style term gate
     scrub_pii: bool = False
     chunk_max_tokens: int | None = None  # None = no chunking
@@ -391,6 +401,20 @@ def prepare_corpus(
     if cfg.substring_dedup_tokens is not None:
         kept = dedup.substring_dedup(
             kept, text_col, id_col, span_tokens=cfg.substring_dedup_tokens
+        ).drop("n_tokens", "n_tokens_removed", "n_spans_removed")
+        kept = kept.filter(F.length(F.trim(F.col(text_col))) > 0)
+
+    # 3d. optional benchmark decontamination: cut eval-set collisions
+    # before near-dup/sampling so no contaminated text can become a
+    # cluster survivor. Wholly-contaminated docs end up empty → dropped.
+    if cfg.decontaminate_against is not None:
+        kept = dedup.decontaminate(
+            kept,
+            cfg.decontaminate_against,
+            text_col,
+            id_col,
+            bench_text_col=cfg.decontaminate_text_col,
+            span_tokens=cfg.decontaminate_tokens,
         ).drop("n_tokens", "n_tokens_removed", "n_spans_removed")
         kept = kept.filter(F.length(F.trim(F.col(text_col))) > 0)
 

@@ -578,3 +578,32 @@ class TestSubstringDedupStage:
         assert "license" not in out[2]    # repeat cut from doc 2
         assert out[2].startswith("and then the closing")
         assert out[3] == rows[2][1]
+
+
+class TestDecontaminateStage:
+    def test_stage_3d_cuts_eval_collisions_everywhere(self, spark):
+        from rtstore_spark.operators.pipeline import (
+            CorpusPrepConfig,
+            prepare_corpus,
+        )
+
+        evalq = " ".join(f"evalq{i}" for i in range(16))
+        rows = [
+            (1, "the opening words that we often see here " + evalq),
+            (2, evalq + " and the closing words that we also see in text"),
+            (3, "a fully independent document with its own words and nothing shared"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, body string")
+        bench = spark.createDataFrame([(evalq,)], "q string")
+        cfg = CorpusPrepConfig(
+            min_tokens=3, near_dup_threshold=0.99,
+            decontaminate_against=bench, decontaminate_tokens=8,
+            decontaminate_text_col="q",
+        )
+        out = {r["doc_id"]: r["body"] for r in
+               prepare_corpus(df, "body", "doc_id", cfg).collect()}
+        assert set(out) == {1, 2, 3}
+        # NO canonical survivor — the eval item is gone from BOTH docs
+        assert "evalq0" not in out[1] and "evalq0" not in out[2]
+        assert out[1] == "the opening words that we often see here"
+        assert out[3] == rows[2][1]
