@@ -1,0 +1,246 @@
+"""Streaming corpus preparation — the full prep pipeline as a rolling
+crawl sink.
+
+``operators.pipeline.prepare_corpus`` is the batch form: one corpus in, one
+prepared corpus out. A real crawl never stops arriving, and re-running the
+batch prep over all history per delivery is O(corpus) per day. This surface
+is the incremental form: each micro-batch of raw documents flows through
+
+1. the STATELESS gates — optional NFC normalization, quality features,
+   language allowlist, optional blocklist — exactly the stage -1/0/1/2/2b
+   kernels of ``prepare_corpus`` (shared code, so the gates cannot drift
+   between the batch and streaming forms);
+2. within-batch exact dedup — first arrival by (event time, id) per
+   normalized content fingerprint, deterministic under replay;
+3. the cross-history EXACT gate — a Bloom probe against the filter
+   partitions of every prior batch (``dedup_stream.prior_bloom_filter``):
+   fixed-size state forever, no false negatives, ≈fpp false drops;
+4. the cross-history NEAR-DUP gate — within-batch minhash dedup, then a
+   band-pruned join against the rolling signature table of everything kept
+   (``dedup.incremental_neardup`` via ``neardup_stream.prior_signatures``):
+   state is k longs per kept doc, never historical text;
+5. idempotent writes — kept docs, the batch's Bloom partition and its
+   signature partition each land in ``batch=<id>/`` directories with
+   overwrite, so an at-least-once replay rewrites byte-identically instead
+   of duplicating.
+
+State at 100 TB: the streaming checkpoint tracks ONLY source progress; the
+dedup state (filter + signatures) lives with the data and survives
+checkpoint resets. Ten billion kept docs ≈ a 12.5 GB filter (at 10
+bits/doc) + ~640 GB of signatures — both read pruned per batch, neither
+resembling the corpus. The gates are projections and hit only the arriving
+batch. This is the composition a crawl pipeline actually runs; the heavy
+once-per-corpus passes that need global context (substring dedup,
+DSIR selection, shard export) stay batch jobs over ``table()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rtstore_spark.operators.pipeline import CorpusPrepConfig
+from rtstore_spark.streaming.dedup_stream import (
+    content_fingerprint,
+    prior_bloom_filter,
+)
+from rtstore_spark.streaming.neardup_stream import prior_signatures
+
+
+class StreamingCorpusPrep:
+    """Tail a staging directory of raw documents; append gated,
+    exact-deduped and near-deduped docs (plus their ``lang``) to
+    ``dest_dir``, maintaining the Bloom seen-filter and the minhash
+    signature table under ``state_dir``. Gate knobs come from the same
+    ``CorpusPrepConfig`` as the batch ``prepare_corpus`` (only the
+    stateless fields apply: ``normalize``, ``min_tokens``/``max_tokens``/
+    ``max_digit_ratio``, ``langs``, ``blocklist``; dedup knobs are this
+    class's own parameters because their state lives here)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        source_schema: T.StructType,
+        dest_dir: str,
+        state_dir: str,
+        checkpoint: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        ts_col: str = "ts",
+        cfg: CorpusPrepConfig | None = None,
+        nbits: int = 1 << 20,
+        k: int = 5,
+        near_threshold: float = 0.8,
+        num_hashes: int = 8,
+        bands: int = 4,
+        shingle_n: int = 3,
+    ):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.source_schema = source_schema
+        self.dest_dir = dest_dir
+        self.filter_dir = f"{state_dir}/seen_bloom"
+        self.sig_dir = f"{state_dir}/signatures"
+        self.checkpoint = checkpoint
+        self.text_col = text_col
+        self.id_col = id_col
+        self.ts_col = ts_col
+        self.cfg = cfg or CorpusPrepConfig()
+        self.nbits = nbits
+        self.k = k
+        self.near_threshold = near_threshold
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+
+    # ------------------------------------------------------------------
+
+    def _gate(self, batch: DataFrame) -> DataFrame:
+        """Stages -1/0/1/2/2b on one micro-batch — the same kernels the
+        batch ``prepare_corpus`` calls, minus its persist (a micro-batch
+        is small; foreachBatch already pins the input)."""
+        from rtstore_spark.operators import text
+
+        cfg, text_col, id_col = self.cfg, self.text_col, self.id_col
+        df = batch
+        if cfg.normalize:
+            df = text.normalize_text(df, text_col)
+        q = text.quality_features(df, text_col, id_col)
+        ok_q = q.filter(
+            (F.col("n_tokens") >= cfg.min_tokens)
+            & (F.col("n_tokens") <= cfg.max_tokens)
+            & (F.col("digit_ratio") <= cfg.max_digit_ratio)
+        ).select("id")
+        lang = text.lang_id(df, text_col, id_col).select(
+            "id", F.col("pred_lang").alias("lang")
+        )
+        ok_l = lang.filter(F.col("lang").isin(cfg.langs))
+        if "lang" in df.columns:  # pipeline contract: our prediction wins
+            df = df.drop("lang")
+        kept = df.join(
+            ok_q.withColumnRenamed("id", id_col), id_col, "leftsemi"
+        ).join(ok_l.withColumnRenamed("id", id_col), id_col)
+        if cfg.blocklist:
+            bad = (
+                text._term_hit_stream(df, text_col, id_col, cfg.blocklist)
+                .select("id")
+                .distinct()
+            )
+            kept = kept.join(
+                bad.withColumnRenamed("id", id_col), id_col, "left_anti"
+            )
+        return kept
+
+    def _apply(self, batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        from rtstore_spark.operators import dedup as D
+        from rtstore_spark.operators.sketches import bloom_contains, bloom_rollup
+
+        if batch.isEmpty():
+            return
+        kept = self._gate(batch)
+        out_cols = [*batch.columns, "lang"]
+        if "lang" in batch.columns:
+            out_cols = [*[c for c in batch.columns if c != "lang"], "lang"]
+
+        # within-batch exact: first arrival by (ts, id) per fingerprint —
+        # deterministic under replay (dropDuplicates' pick is not)
+        fp = kept.withColumn("fp", content_fingerprint(self.text_col))
+        w = Window.partitionBy("fp").orderBy(
+            F.col(self.ts_col).asc(), F.col(self.id_col).asc()
+        )
+        kept = (
+            fp.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+
+        # cross-history exact: Bloom probe (no false negatives)
+        ref = prior_bloom_filter(
+            self.spark, self.filter_dir, batch_id, self.nbits, self.k
+        )
+        if ref is not None:
+            seen = bloom_contains(
+                ref, kept.select("fp"), "fp", nbits=self.nbits, k=self.k
+            ).filter(F.col("might_contain"))
+            kept = kept.join(
+                seen.select(F.col("item").alias("fp")), "fp", "left_anti"
+            )
+
+        # within-batch near-dup (full verify — text is present)
+        drop = D.minhash_dedup(
+            kept, self.text_col, self.id_col,
+            threshold=self.near_threshold, num_hashes=self.num_hashes,
+            bands=self.bands, shingle_n=self.shingle_n,
+        ).select(F.col("drop_id").alias(self.id_col))
+        kept = kept.join(drop, self.id_col, "left_anti")
+
+        # cross-history near-dup: stored signatures only
+        sigs = prior_signatures(self.spark, self.sig_dir, batch_id)
+        if sigs is not None:
+            pairs = D.incremental_neardup(
+                kept, sigs, self.text_col, self.id_col,
+                threshold=self.near_threshold, num_hashes=self.num_hashes,
+                bands=self.bands, shingle_n=self.shingle_n,
+            )
+            kept = kept.join(
+                pairs.select(F.col("new_id").alias(self.id_col)).distinct(),
+                self.id_col,
+                "left_anti",
+            )
+
+        # stable column order: a replayed batch must rewrite byte-identically
+        kept = kept.select(*out_cols, "fp")
+
+        from pyspark import StorageLevel
+
+        kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            kept.drop("fp").write.mode("overwrite").parquet(
+                f"{self.dest_dir}/batch={batch_id}"
+            )
+            bloom_rollup(
+                kept, "fp", by=[], nbits=self.nbits, k=self.k
+            ).write.mode("overwrite").parquet(
+                f"{self.filter_dir}/batch={batch_id}"
+            )
+            D.minhash_signatures_wide(
+                kept, self.text_col, self.id_col,
+                self.num_hashes, self.shingle_n,
+            ).write.mode("overwrite").parquet(
+                f"{self.sig_dir}/batch={batch_id}"
+            )
+        finally:
+            kept.unpersist()
+
+    # ------------------------------------------------------------------
+
+    def run_once(self) -> None:
+        src = self.spark.readStream.schema(self.source_schema).parquet(
+            self.source_dir
+        )
+        q = (
+            src.writeStream.foreachBatch(self._apply)
+            .option("checkpointLocation", self.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def table(self) -> DataFrame:
+        """The prepared corpus so far: source columns + ``lang`` +
+        ``batch`` (micro-batch id, for replay audits)."""
+        from rtstore_spark.store.fs import read_parquet_or_empty
+
+        cols = [f for f in self.source_schema if f.name != "lang"]
+        schema = T.StructType(
+            cols
+            + [
+                T.StructField("lang", T.StringType()),
+                T.StructField("batch", T.IntegerType()),
+            ]
+        )
+        return read_parquet_or_empty(self.spark, self.dest_dir, schema)

@@ -113,6 +113,46 @@ class StreamingDedup:
         return read_parquet_or_empty(self.spark, self.dest_dir, out)
 
 
+def prior_bloom_filter(
+    spark, filter_dir: str, batch_id: int, nbits: int, k: int
+) -> DataFrame | None:
+    """Filter partitions of every PRIOR batch (self-exclusion: a replayed
+    batch must not probe its own previously-written fingerprints — cf.
+    ``neardup_stream.prior_signatures``). Shared by ``StreamingBloomDedup``
+    and ``corpus_stream.StreamingCorpusPrep``.
+
+    Config validation runs over ALL partitions — own batch included:
+    self-exclusion there would blind a freshly-checkpointed stream (whose
+    first replayed batch id collides with an old partition) to a config
+    mismatch, and ``bloom_contains`` with explicit nbits/k skips its own
+    metadata check. Probing wrong positions would break the
+    no-false-negative guarantee silently; raising is the only safe answer.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from rtstore_spark.store.fs import fs_for
+
+    if not fs_for(filter_dir, spark).exists(filter_dir):
+        return None
+    try:
+        ref = spark.read.parquet(filter_dir)
+    except AnalysisException:
+        return None
+    stored = ref.select("nbits", "k").distinct().collect()
+    bad = [
+        (int(r["nbits"]), int(r["k"]))
+        for r in stored
+        if (int(r["nbits"]), int(r["k"])) != (nbits, k)
+    ]
+    if bad:
+        raise ValueError(
+            f"filter table at {filter_dir} was built with (nbits, k) "
+            f"{bad}; this stream is configured ({nbits}, {k}) — Bloom "
+            "state is only valid at one config"
+        )
+    return ref.filter(F.col("batch") != batch_id).drop("batch")
+
+
 class StreamingBloomDedup:
     """Full-history streaming exact dedup with FIXED-SIZE state: the
     carry-forward "seen before?" gate is a Bloom filter
@@ -180,40 +220,9 @@ class StreamingBloomDedup:
     # ------------------------------------------------------------------
 
     def _prior_filter(self, batch_id: int) -> DataFrame | None:
-        """Filter partitions of every PRIOR batch (self-exclusion: a
-        replayed batch must not probe its own previously-written
-        fingerprints — cf. StreamingNearDedup._ref_signatures)."""
-        from pyspark.errors.exceptions.captured import AnalysisException
-
-        from rtstore_spark.store.fs import fs_for
-
-        if not fs_for(self.filter_dir, self.spark).exists(self.filter_dir):
-            return None
-        try:
-            ref = self.spark.read.parquet(self.filter_dir)
-        except AnalysisException:
-            return None
-        # config validation runs over ALL partitions — own batch included:
-        # self-exclusion here would blind a freshly-checkpointed stream
-        # (whose first replayed batch id collides with an old partition)
-        # to a config mismatch, and bloom_contains with explicit nbits/k
-        # skips its own metadata check. Probing wrong positions would
-        # break the no-false-negative guarantee silently; raising is the
-        # only safe answer.
-        stored = ref.select("nbits", "k").distinct().collect()
-        bad = [
-            (int(r["nbits"]), int(r["k"]))
-            for r in stored
-            if (int(r["nbits"]), int(r["k"])) != (self.nbits, self.k)
-        ]
-        if bad:
-            raise ValueError(
-                f"filter table at {self.filter_dir} was built with "
-                f"(nbits, k) {bad}; this stream is configured "
-                f"({self.nbits}, {self.k}) — Bloom state is only "
-                "valid at one config"
-            )
-        return ref.filter(F.col("batch") != batch_id).drop("batch")
+        return prior_bloom_filter(
+            self.spark, self.filter_dir, batch_id, self.nbits, self.k
+        )
 
     def _apply(self, batch: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window

@@ -31,6 +31,30 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def prior_signatures(spark, sig_dir: str, batch_id: int) -> DataFrame | None:
+    """Signatures of every PRIOR batch. Excluding the current batch id is
+    a correctness requirement, not an optimization: a replayed micro-batch
+    (at-least-once foreachBatch, or a checkpoint reset) would otherwise
+    find its own previously-stored signatures, match every kept doc
+    against itself at est_jaccard = 1.0, drop them all, and overwrite the
+    partition with empty data. Existence is probed with a read-and-catch
+    instead of a recursive listing — the signature table grows for the
+    stream's whole life, and a full LIST per micro-batch would grow with
+    it. Shared by ``StreamingNearDedup`` and
+    ``corpus_stream.StreamingCorpusPrep``."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from rtstore_spark.store.fs import fs_for
+
+    if not fs_for(sig_dir, spark).exists(sig_dir):
+        return None
+    try:
+        ref = spark.read.parquet(sig_dir)
+    except AnalysisException:  # exists but holds no readable parquet yet
+        return None
+    return ref.filter(F.col("batch") != batch_id)
+
+
 class StreamingNearDedup:
     """Tail a staging directory of documents; append near-dup-free docs to
     ``dest_dir`` and their minhash signatures to ``sig_dir``. Same run_once
@@ -70,26 +94,7 @@ class StreamingNearDedup:
     # ------------------------------------------------------------------
 
     def _ref_signatures(self, batch_id: int) -> DataFrame | None:
-        """Signatures of every PRIOR batch. Excluding the current batch id
-        is a correctness requirement, not an optimization: a replayed
-        micro-batch (at-least-once foreachBatch, or a checkpoint reset)
-        would otherwise find its own previously-stored signatures, match
-        every kept doc against itself at est_jaccard = 1.0, drop them all,
-        and overwrite the partition with empty data. Existence is probed
-        with a read-and-catch instead of a recursive listing — the
-        signature table grows for the stream's whole life, and a full
-        LIST per micro-batch would grow with it."""
-        from pyspark.errors.exceptions.captured import AnalysisException
-
-        from rtstore_spark.store.fs import fs_for
-
-        if not fs_for(self.sig_dir, self.spark).exists(self.sig_dir):
-            return None
-        try:
-            ref = self.spark.read.parquet(self.sig_dir)
-        except AnalysisException:  # exists but holds no readable parquet yet
-            return None
-        return ref.filter(F.col("batch") != batch_id)
+        return prior_signatures(self.spark, self.sig_dir, batch_id)
 
     def _apply(self, batch: DataFrame, batch_id: int) -> None:
         from rtstore_spark.operators import dedup as D

@@ -1,0 +1,162 @@
+"""Streaming corpus prep: the composed crawl sink — stateless gates +
+within-batch exact dedup + cross-history Bloom gate + cross-history
+near-dup — matches the batch prepare_corpus semantics batch-by-batch and
+replays idempotently."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rtstore_spark.operators.pipeline import CorpusPrepConfig
+from rtstore_spark.streaming.corpus_stream import StreamingCorpusPrep
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+GOOD_EN = (
+    "the quick brown fox jumps over the lazy dog and the cat is in the "
+    "house that it was built near to the river in the morning light"
+)
+GOOD_EN2 = (
+    "careful measurement beats clever guessing when the system is too "
+    "large to hold in one head and the plan must survive the next scale"
+)
+FRESH = (
+    "novel unrelated content concerning mountain hiking trails and the "
+    "various birds one might encounter on an early morning walk uphill"
+)
+DIGITS = "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20"
+
+
+def make(spark, tmp_path, name="cp", **kw):
+    return StreamingCorpusPrep(
+        spark,
+        str(tmp_path / f"{name}_staging"),
+        SCHEMA,
+        str(tmp_path / f"{name}_kept"),
+        str(tmp_path / f"{name}_state"),
+        str(tmp_path / f"{name}_chk"),
+        cfg=CorpusPrepConfig(min_tokens=10, near_dup_threshold=0.7),
+        near_threshold=0.7,
+        **kw,
+    )
+
+
+def stage(spark, cp, rows, ts="2026-01-01 00:00:00"):
+    import datetime
+
+    t0 = datetime.datetime.fromisoformat(ts)
+    spark.createDataFrame(
+        [(i, txt, t0) for i, txt in rows], schema=SCHEMA
+    ).coalesce(1).write.mode("append").parquet(cp.source_dir)
+
+
+def kept_ids(cp):
+    return sorted(r["doc_id"] for r in cp.table().collect())
+
+
+class TestStreamingCorpusPrep:
+    def test_gates_dedup_and_history(self, spark, tmp_path):
+        cp = make(spark, tmp_path)
+        # batch 1: keeper, its exact copy, a near-dup, a too-short doc,
+        # a digit-spam doc
+        stage(
+            spark, cp,
+            [
+                (1, GOOD_EN),
+                (2, GOOD_EN),                        # exact dup of 1
+                (3, GOOD_EN + " tonight again"),     # near dup of 1
+                (4, "short text"),                   # fails min_tokens
+                (5, DIGITS),                         # fails digit gate
+            ],
+        )
+        cp.run_once()
+        assert kept_ids(cp) == [1]
+        out = {r["doc_id"]: r["lang"] for r in cp.table().collect()}
+        assert out[1] == "en"  # lang annotation rides along
+
+        # batch 2: exact repeat of history (Bloom gate — text long gone),
+        # near-dup of history (signature gate), and a genuinely new doc
+        stage(
+            spark, cp,
+            [
+                (10, GOOD_EN),                       # historical exact
+                (11, GOOD_EN.replace("cat", "dog")),  # historical near
+                (12, FRESH),
+            ],
+        )
+        cp.run_once()
+        assert kept_ids(cp) == [1, 12]
+
+        # state tables carry exactly the kept docs
+        sigs = spark.read.parquet(cp.sig_dir)
+        assert sorted(r["id"] for r in sigs.select("id").collect()) == [1, 12]
+        filt = spark.read.parquet(cp.filter_dir)
+        assert set(r["batch"] for r in filt.select("batch").collect()) == {0, 1}
+
+    def test_matches_batch_prepare_corpus(self, spark, tmp_path):
+        """One delivery through the stream ≡ prepare_corpus on the same
+        rows (same kernels, same knobs): identical kept ids and langs."""
+        from rtstore_spark.operators.pipeline import prepare_corpus
+
+        rows = [
+            (1, GOOD_EN),
+            (2, GOOD_EN),
+            (3, GOOD_EN + " tonight again"),
+            (4, "short text"),
+            (5, DIGITS),
+            (6, GOOD_EN2),
+        ]
+        cp = make(spark, tmp_path, name="eq")
+        stage(spark, cp, rows)
+        cp.run_once()
+        streamed = {
+            (r["doc_id"], r["lang"]) for r in cp.table().collect()
+        }
+        batch_df = spark.createDataFrame(
+            [(i, t) for i, t in rows], "doc_id long, text string"
+        )
+        cfg = CorpusPrepConfig(min_tokens=10, near_dup_threshold=0.7)
+        batched = {
+            (r["doc_id"], r["lang"])
+            for r in prepare_corpus(batch_df, "text", "doc_id", cfg).collect()
+        }
+        assert streamed == batched and streamed
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        """Deleting the checkpoint and re-running (at-least-once replay of
+        every batch) rewrites the same partitions byte-identically —
+        nothing duplicates, nothing self-cancels."""
+        import shutil
+
+        cp = make(spark, tmp_path, name="rp")
+        stage(spark, cp, [(1, GOOD_EN), (2, FRESH)])
+        cp.run_once()
+        stage(spark, cp, [(3, GOOD_EN2), (4, GOOD_EN)])  # 4 = history dup
+        cp.run_once()
+        before = kept_ids(cp)
+        assert before == [1, 2, 3]
+        shutil.rmtree(cp.checkpoint)
+        cp.run_once()  # replays everything as one batch-0
+        assert kept_ids(cp) == before
+
+    def test_blocklist_gate(self, spark, tmp_path):
+        cp = make(spark, tmp_path, name="bl")
+        cp.cfg = CorpusPrepConfig(
+            min_tokens=10, blocklist=["lazy dog"]
+        )
+        stage(spark, cp, [(1, GOOD_EN), (2, GOOD_EN2)])
+        cp.run_once()
+        assert kept_ids(cp) == [2]  # "lazy dog" drops doc 1
+
+    def test_empty_table_before_first_run(self, spark, tmp_path):
+        cp = make(spark, tmp_path, name="mt")
+        assert cp.table().count() == 0
+        assert cp.table().schema["lang"].dataType == T.StringType()
