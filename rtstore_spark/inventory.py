@@ -751,15 +751,52 @@ def dedup_exact(spark, sf):
 
 
 @register(
-    "dedup_fingerprint",
-    """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
-       FROM documents""",
+    "substring_dedup_stats",
+    r"""WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        sh0 AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, len(toks) - 7),
+                   i -> struct_pack(pos := i - 1,
+                                    s := array_to_string(toks[i:i+7], ' '))) AS prs
+          FROM t WHERE len(toks) >= 8),
+        e AS (SELECT doc_id, pr.pos AS pos, pr.s AS s
+              FROM (SELECT doc_id, unnest(prs) AS pr FROM sh0)),
+        fl AS (SELECT doc_id, pos FROM (
+                 SELECT doc_id, pos,
+                        row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn,
+                        count(*) OVER (PARTITION BY s) AS c
+                 FROM e) WHERE c >= 2 AND rn > 1),
+        seg0 AS (SELECT doc_id, pos,
+                        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                             THEN 1 ELSE 0 END AS b FROM fl),
+        seg AS (SELECT doc_id, pos,
+                       sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                FROM seg0),
+        sp AS (SELECT doc_id, min(pos) AS st, max(pos) + 8 AS en
+               FROM seg GROUP BY doc_id, g),
+        agg AS (SELECT doc_id, sum(en - st) AS rem, count(*) AS ns
+                FROM sp GROUP BY doc_id)
+       SELECT d.doc_id,
+              CAST(coalesce(agg.rem, 0) AS INT) AS n_tokens_removed,
+              CAST(coalesce(agg.ns, 0) AS INT) AS n_spans_removed
+       FROM documents d LEFT JOIN agg USING (doc_id)""",
 )
-def dedup_fingerprint(spark, sf):
-    """Normalized document fingerprint (whitespace-collapsed, lowercased)."""
+def substring_dedup_stats(spark, sf):
+    """Exact substring dedup (Lee et al. 2022 keep-one removal,
+    ``dedup.substring_dedup``): per document, how many tokens and merged
+    spans the removal cut. The oracle replays winner selection (first
+    (doc, pos) occurrence per 8-token window), interval-overlap span
+    merging and the removal counts from raw shingle STRINGS — the
+    engine's 60-bit hashing is internal, so agreement also certifies the
+    hash path collision-free at this scale. (Replaces dedup_fingerprint:
+    a one-line md5 projection whose kernel dedup_exact already pins.)"""
+    from rtstore_spark.operators.dedup import substring_dedup
+
     docs = load_table(spark, sf, "documents")
-    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
-    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+    return substring_dedup(docs, "text", "doc_id", span_tokens=8).select(
+        "doc_id", "n_tokens_removed", "n_spans_removed"
+    )
 
 
 def _minhash_wide_sql() -> str:
