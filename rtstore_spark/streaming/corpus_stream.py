@@ -55,8 +55,13 @@ class StreamingCorpusPrep:
     signature table under ``state_dir``. Gate knobs come from the same
     ``CorpusPrepConfig`` as the batch ``prepare_corpus`` (only the
     stateless fields apply: ``normalize``, ``min_tokens``/``max_tokens``/
-    ``max_digit_ratio``, ``langs``, ``blocklist``; dedup knobs are this
-    class's own parameters because their state lives here)."""
+    ``max_digit_ratio``, ``langs``, ``blocklist``, and
+    ``decontaminate_against`` — the eval set is a fixed broadcast side,
+    so span removal is a per-batch gate. Dedup knobs are this class's own
+    parameters because their state lives here; ``domain_cap``,
+    ``seen_filter`` and ``substring_dedup_tokens`` are ignored — the cap
+    and substring winners need global context, and the seen gate IS this
+    stream's Bloom state)."""
 
     def __init__(
         self,
@@ -131,6 +136,22 @@ class StreamingCorpusPrep:
             kept = kept.join(
                 bad.withColumnRenamed("id", id_col), id_col, "left_anti"
             )
+        # eval-set decontamination is stateless w.r.t. the stream (the
+        # benchmark is a fixed broadcast side), so it runs as a gate here
+        # — BEFORE the dedup stages, so a contaminated doc can never
+        # become the canonical its clean near-dups are dropped for
+        if cfg.decontaminate_against is not None:
+            from rtstore_spark.operators import dedup as D
+
+            kept = D.decontaminate(
+                kept,
+                cfg.decontaminate_against,
+                text_col,
+                id_col,
+                bench_text_col=cfg.decontaminate_text_col,
+                span_tokens=cfg.decontaminate_tokens,
+            ).drop("n_tokens", "n_tokens_removed", "n_spans_removed")
+            kept = kept.filter(F.length(F.trim(F.col(text_col))) > 0)
         return kept
 
     def _apply(self, batch: DataFrame, batch_id: int) -> None:

@@ -160,3 +160,27 @@ class TestStreamingCorpusPrep:
         cp = make(spark, tmp_path, name="mt")
         assert cp.table().count() == 0
         assert cp.table().schema["lang"].dataType == T.StringType()
+
+
+class TestStreamingDecontaminateGate:
+    def test_eval_spans_cut_per_batch(self, spark, tmp_path):
+        evalq = " ".join(f"evalq{i}" for i in range(16))
+        bench = spark.createDataFrame([(evalq,)], "text string")
+        cp = make(spark, tmp_path, name="dc")
+        cp.cfg = CorpusPrepConfig(
+            min_tokens=10, decontaminate_against=bench,
+            decontaminate_tokens=8,
+        )
+        stage(
+            spark, cp,
+            [
+                (1, GOOD_EN + " " + evalq),   # contaminated tail
+                (2, GOOD_EN2),                # clean
+                (3, evalq + " " + evalq),     # wholly contaminated → empty
+            ],
+        )
+        cp.run_once()
+        out = {r["doc_id"]: r["text"] for r in cp.table().collect()}
+        assert set(out) == {1, 2}            # doc 3 emptied and dropped
+        assert "evalq0" not in out[1]
+        assert out[1].startswith("the quick brown fox")
