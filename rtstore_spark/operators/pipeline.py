@@ -763,7 +763,20 @@ def save_seen_filter(filter_df: DataFrame, path: str) -> int:
     gen = int(cur.strip()) if cur is not None else 0
     if gen:
         prev = spark.read.parquet(f"{path}/gen-{gen}")
-        filter_df = bloom_merge(prev.unionByName(filter_df), by=[])
+        both = prev.unionByName(filter_df)
+        # ORing two filters is only meaningful at ONE (nbits, k): a
+        # mismatched config would interleave word rows of two different
+        # geometries into state that probes wrong positions forever after
+        cfgs = both.select("nbits", "k").distinct().collect()
+        if len(cfgs) > 1:
+            raise ValueError(
+                f"save_seen_filter: committed state at {path} uses "
+                f"(nbits, k) = {(int(cfgs[0]['nbits']), int(cfgs[0]['k']))}-style "
+                f"configs {sorted((int(r['nbits']), int(r['k'])) for r in cfgs)}; "
+                "Bloom state is only valid at one config — rebuild with "
+                "matching nbits/k"
+            )
+        filter_df = bloom_merge(both, by=[])
     # long-form rollup: ≤ nbits/64 rows (~16k at the 1M-bit default)
     filter_df.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/gen-{gen + 1}"

@@ -607,3 +607,19 @@ class TestDecontaminateStage:
         assert "evalq0" not in out[1] and "evalq0" not in out[2]
         assert out[1] == "the opening words that we often see here"
         assert out[3] == rows[2][1]
+
+
+class TestSeenFilterConfigGuard:
+    def test_mismatched_config_refused(self, spark, tmp_path):
+        from rtstore_spark.operators.pipeline import (
+            corpus_seen_filter,
+            save_seen_filter,
+        )
+
+        docs = spark.createDataFrame([(1, "alpha")], "id long, text string")
+        path = str(tmp_path / "seen")
+        save_seen_filter(corpus_seen_filter(docs, "text", nbits=1 << 12), path)
+        with pytest.raises(ValueError, match="one config"):
+            save_seen_filter(
+                corpus_seen_filter(docs, "text", nbits=1 << 13), path
+            )
