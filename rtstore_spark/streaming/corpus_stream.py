@@ -239,6 +239,22 @@ class StreamingCorpusPrep:
 
     # ------------------------------------------------------------------
 
+    def compact_state(self) -> None:
+        """Collapse the filter and signature tables' per-batch partitions
+        into one each — probe cost stops growing with micro-batches ever
+        run; answers unchanged. Run between clean ``run_once`` calls; a
+        checkpoint reset afterwards requires a full state + dest rebuild
+        (see ``dedup_stream.compact_bloom_partitions``)."""
+        from rtstore_spark.streaming.dedup_stream import (
+            compact_bloom_partitions,
+        )
+        from rtstore_spark.streaming.neardup_stream import (
+            compact_signature_partitions,
+        )
+
+        compact_bloom_partitions(self.spark, self.filter_dir)
+        compact_signature_partitions(self.spark, self.sig_dir)
+
     def run_once(self) -> None:
         src = self.spark.readStream.schema(self.source_schema).parquet(
             self.source_dir

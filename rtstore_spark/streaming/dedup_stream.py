@@ -113,6 +113,49 @@ class StreamingDedup:
         return read_parquet_or_empty(self.spark, self.dest_dir, out)
 
 
+def compact_bloom_partitions(spark, filter_dir: str) -> None:
+    """Rewrite a per-batch Bloom filter table as ONE merged partition
+    (``batch=-1`` — a sentinel no live micro-batch id ever takes, so the
+    self-exclusion filter always includes it). Lossless: the OR-merge is
+    byte-identical to a union build, so every membership answer is
+    unchanged; what changes is the probe cost — one partition instead of
+    one per micro-batch ever run.
+
+    Crash-safe without a pointer: the merged partition is written FIRST,
+    the superseded ``batch=N`` directories deleted after. A crash in
+    between leaves both — and double-counted Bloom words are harmless
+    (OR is idempotent), so a re-run of the compaction just converges.
+
+    Operational contract: run between clean ``run_once`` calls (no stream
+    in flight). After compacting, a CHECKPOINT RESET demands clearing the
+    state and dest directories too (full rebuild): a reset replays all
+    history as batch 0, which can no longer self-exclude fingerprints
+    that were folded into the merged partition, and would wrongly drop
+    its own documents.
+    """
+    from rtstore_spark.operators.sketches import bloom_merge
+    from rtstore_spark.store.fs import fs_for
+
+    fs = fs_for(filter_dir, spark)
+    if not fs.exists(filter_dir):
+        return
+    parts = [
+        p for p in fs.listdir(filter_dir)
+        if p.startswith("batch=") and p != "batch=-1"
+    ]
+    if not parts:
+        return
+    # localCheckpoint materializes the merge BEFORE the overwrite: a
+    # second compaction reads the existing batch=-1 partition, and Spark
+    # cannot overwrite a path an in-flight plan still reads from
+    merged = bloom_merge(
+        spark.read.parquet(filter_dir).drop("batch"), by=[]
+    ).coalesce(1).localCheckpoint()
+    merged.write.mode("overwrite").parquet(f"{filter_dir}/batch=-1")
+    for p in parts:
+        fs.delete(f"{filter_dir}/{p}", recursive=True)
+
+
 def prior_bloom_filter(
     spark, filter_dir: str, batch_id: int, nbits: int, k: int
 ) -> DataFrame | None:
@@ -285,6 +328,18 @@ class StreamingBloomDedup:
             .start()
         )
         q.awaitTermination()
+
+    def compact_state(self) -> None:
+        """Collapse the filter's per-batch partitions into one — answers
+        are unchanged (``bloom_merge`` OR is byte-identical to a union
+        build), but a stream that has run thousands of micro-batches
+        stops re-reading thousands of small partitions per probe.
+        Delegates to ``compact_bloom_partitions``; see it for the
+        operational contract (run between clean ``run_once`` calls; a
+        checkpoint reset after compacting requires clearing state + dest
+        — a full rebuild — because a replayed batch can no longer
+        self-exclude fingerprints folded into the merged partition)."""
+        compact_bloom_partitions(self.spark, self.filter_dir)
 
     def table(self) -> DataFrame:
         """Everything kept so far (``batch`` = micro-batch id rides along)."""

@@ -31,6 +31,39 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def compact_signature_partitions(spark, sig_dir: str) -> None:
+    """Coalesce a per-batch signature table into ONE ``batch=-1``
+    partition (the sentinel the self-exclusion filter always includes).
+    Row content is unchanged — this is purely a small-files compaction
+    for streams that have run thousands of micro-batches.
+
+    Crash-safe without a pointer: merged partition written first, old
+    partitions deleted after; if both coexist briefly, duplicate
+    signature rows only produce duplicate candidate pairs, which the
+    left-anti/distinct consumers already collapse. Same operational
+    contract as ``dedup_stream.compact_bloom_partitions``: run between
+    clean runs; a checkpoint reset afterwards requires a full state +
+    dest rebuild (a replayed batch can no longer self-exclude rows
+    folded into the merged partition)."""
+    from rtstore_spark.store.fs import fs_for
+
+    fs = fs_for(sig_dir, spark)
+    if not fs.exists(sig_dir):
+        return
+    parts = [
+        p for p in fs.listdir(sig_dir)
+        if p.startswith("batch=") and p != "batch=-1"
+    ]
+    if not parts:
+        return
+    # materialize before the overwrite (a second compaction reads the
+    # existing batch=-1 partition it is about to replace)
+    rows = spark.read.parquet(sig_dir).drop("batch").coalesce(1).localCheckpoint()
+    rows.write.mode("overwrite").parquet(f"{sig_dir}/batch=-1")
+    for p in parts:
+        fs.delete(f"{sig_dir}/{p}", recursive=True)
+
+
 def prior_signatures(spark, sig_dir: str, batch_id: int) -> DataFrame | None:
     """Signatures of every PRIOR batch. Excluding the current batch id is
     a correctness requirement, not an optimization: a replayed micro-batch
@@ -141,6 +174,11 @@ class StreamingNearDedup:
             kept.unpersist()
 
     # ------------------------------------------------------------------
+
+    def compact_state(self) -> None:
+        """Collapse per-batch signature partitions into one — see
+        ``compact_signature_partitions`` for the contract."""
+        compact_signature_partitions(self.spark, self.sig_dir)
 
     def run_once(self) -> None:
         src = self.spark.readStream.schema(self.source_schema).parquet(

@@ -184,3 +184,54 @@ class TestStreamingDecontaminateGate:
         assert set(out) == {1, 2}            # doc 3 emptied and dropped
         assert "evalq0" not in out[1]
         assert out[1].startswith("the quick brown fox")
+
+
+class TestCompactState:
+    def test_answers_unchanged_after_compaction(self, spark, tmp_path):
+        """Compaction collapses the filter + signature tables to one
+        partition each; history gating afterwards is identical — and a
+        second compaction (reading its own batch=-1) also works."""
+        import glob
+
+        cp = make(spark, tmp_path, name="cs")
+        stage(spark, cp, [(1, GOOD_EN), (2, FRESH)])
+        cp.run_once()
+        stage(spark, cp, [(3, GOOD_EN2)])
+        cp.run_once()
+        cp.compact_state()
+        assert glob.glob(f"{cp.filter_dir}/batch=*") == [
+            f"{cp.filter_dir}/batch=-1"
+        ]
+        assert glob.glob(f"{cp.sig_dir}/batch=*") == [
+            f"{cp.sig_dir}/batch=-1"
+        ]
+        cp.compact_state()  # idempotent second pass (folds batch=-1 only)
+        # history still gates: exact + near repeats of pre-compaction docs
+        stage(
+            spark, cp,
+            [
+                (10, GOOD_EN),                         # exact historical
+                (11, GOOD_EN2.replace("head", "mind")),  # near historical
+                (12, "entirely new prose is arriving here about the sea and"
+                     " the long voyage that the old captain quietly planned"),
+            ],
+        )
+        cp.run_once()
+        assert kept_ids(cp) == [1, 2, 3, 12]
+
+    def test_signature_rows_preserved(self, spark, tmp_path):
+        from rtstore_spark.streaming.neardup_stream import (
+            compact_signature_partitions,
+        )
+
+        cp = make(spark, tmp_path, name="sp")
+        stage(spark, cp, [(1, GOOD_EN), (2, FRESH)])
+        cp.run_once()
+        before = sorted(
+            tuple(r) for r in spark.read.parquet(cp.sig_dir).drop("batch").collect()
+        )
+        compact_signature_partitions(spark, cp.sig_dir)
+        after = sorted(
+            tuple(r) for r in spark.read.parquet(cp.sig_dir).drop("batch").collect()
+        )
+        assert before == after
