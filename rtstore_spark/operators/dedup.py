@@ -754,7 +754,21 @@ def _cut_flagged_spans(
     removed-token fold is exact. The per-doc window shuffles only the
     flagged rows; the corpus text rides home on one id join (AQE
     broadcasts the cut-set in the common case).
+
+    The three stat columns are appended by NAME; an input that already
+    carries one of them would come back with duplicate column names
+    (ambiguous on first use) — refused up front instead. Callers with a
+    colliding annotation rename it around the call (``prepare_corpus``
+    stages 3c/3d do exactly that).
     """
+    clash = sorted(
+        {"n_tokens", "n_tokens_removed", "n_spans_removed"} & set(df.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"span removal appends stat column(s) {clash} but the input "
+            "already has them — rename the input column(s) first"
+        )
     w = Window.partitionBy("id").orderBy("pos")
     brk = F.when(
         F.col("pos") - F.lag("pos").over(w) > span_tokens, 1
@@ -801,6 +815,30 @@ def _cut_flagged_spans(
     )
 
 
+def benchmark_span_hashes(
+    benchmark: DataFrame, text_col: str, span_tokens: int
+) -> DataFrame:
+    """The eval set reduced to its DISTINCT ``span_tokens``-token window
+    hashes — one ``hv`` long column. Compute once and persist when the
+    same benchmark gates many corpora/batches (``decontaminate`` accepts
+    it via ``bench_hashes``); eval suites are MBs, so the set broadcasts.
+    """
+    return (
+        shingles(
+            benchmark.select(
+                F.monotonically_increasing_id().alias("_bid"),
+                F.col(text_col).alias("_bt"),
+            ),
+            "_bt",
+            "_bid",
+            n=span_tokens,
+            keep_short=False,
+        )
+        .select(_hash60(F.col("shingle")).alias("hv"))
+        .distinct()
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -808,6 +846,7 @@ def decontaminate(
     id_col: str,
     bench_text_col: str | None = None,
     span_tokens: int = 13,
+    bench_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination with span REMOVAL: cut from every corpus
     document each token range whose every ``span_tokens``-token window
@@ -828,30 +867,24 @@ def decontaminate(
     empty text, the caller's drop signal.
 
     Scale shape: the benchmark side reduces to a DISTINCT 8-byte hash
-    set (eval suites are MBs against a 100-TB corpus) and broadcasts;
+    set (eval suites are MBs against a 100-TB corpus; pass a persisted
+    ``bench_hashes`` from ``benchmark_span_hashes`` when the same eval
+    set gates many corpora or micro-batches) and broadcasts;
     the corpus windows hit it with a map-side left-semi join — the
     corpus never shuffles for matching, only the flagged (id, pos) rows
     move through the merge window, and the text rides one id join
     (``_cut_flagged_spans``).
     """
-    bench_text = bench_text_col or text_col
     sh = shingles(
         corpus, text_col, id_col, n=span_tokens, keep_short=False,
         positional=True,
     ).select("id", "pos", _hash60(F.col("shingle")).alias("hv"))
     bench_hv = (
-        shingles(
-            benchmark.select(
-                F.monotonically_increasing_id().alias("_bid"),
-                F.col(bench_text).alias("_bt"),
-            ),
-            "_bt",
-            "_bid",
-            n=span_tokens,
-            keep_short=False,
+        bench_hashes
+        if bench_hashes is not None
+        else benchmark_span_hashes(
+            benchmark, bench_text_col or text_col, span_tokens
         )
-        .select(_hash60(F.col("shingle")).alias("hv"))
-        .distinct()
     )
     flagged = sh.join(F.broadcast(bench_hv), "hv", "left_semi").select(
         "id", "pos"

@@ -224,6 +224,25 @@ class SeenState:
         )
 
 
+_SPAN_STATS = ("n_tokens", "n_tokens_removed", "n_spans_removed")
+
+
+def _strip_span_stats(df: DataFrame, op) -> DataFrame:
+    """Apply a span-removal operator and return the ORIGINAL columns only —
+    shielding any same-named corpus annotation (``n_tokens`` is a common
+    one) from the operator's appended stat columns, which would otherwise
+    either be dropped together with the user's column or collide
+    ambiguously (the kernel refuses collisions up front)."""
+    clash = [c for c in df.columns if c in _SPAN_STATS]
+    renamed = df
+    for c in clash:
+        renamed = renamed.withColumnRenamed(c, f"__prep_{c}")
+    out = op(renamed).drop(*_SPAN_STATS)
+    for c in clash:
+        out = out.withColumnRenamed(f"__prep_{c}", c)
+    return out
+
+
 def prepare_corpus(
     df: DataFrame,
     text_col: str,
@@ -399,23 +418,29 @@ def prepare_corpus(
     # as 3b: minhash signatures see repeat-free text. Docs whose every
     # token sat in removed spans come back empty and are dropped.
     if cfg.substring_dedup_tokens is not None:
-        kept = dedup.substring_dedup(
-            kept, text_col, id_col, span_tokens=cfg.substring_dedup_tokens
-        ).drop("n_tokens", "n_tokens_removed", "n_spans_removed")
+        kept = _strip_span_stats(
+            kept,
+            lambda d: dedup.substring_dedup(
+                d, text_col, id_col, span_tokens=cfg.substring_dedup_tokens
+            ),
+        )
         kept = kept.filter(F.length(F.trim(F.col(text_col))) > 0)
 
     # 3d. optional benchmark decontamination: cut eval-set collisions
     # before near-dup/sampling so no contaminated text can become a
     # cluster survivor. Wholly-contaminated docs end up empty → dropped.
     if cfg.decontaminate_against is not None:
-        kept = dedup.decontaminate(
+        kept = _strip_span_stats(
             kept,
-            cfg.decontaminate_against,
-            text_col,
-            id_col,
-            bench_text_col=cfg.decontaminate_text_col,
-            span_tokens=cfg.decontaminate_tokens,
-        ).drop("n_tokens", "n_tokens_removed", "n_spans_removed")
+            lambda d: dedup.decontaminate(
+                d,
+                cfg.decontaminate_against,
+                text_col,
+                id_col,
+                bench_text_col=cfg.decontaminate_text_col,
+                span_tokens=cfg.decontaminate_tokens,
+            ),
+        )
         kept = kept.filter(F.length(F.trim(F.col(text_col))) > 0)
 
     # 4. near dedup on the survivors

@@ -915,6 +915,18 @@ def write_pq_index(
     exact re-ranking, when wanted, joins survivors back to the raw
     vectors by id.
     """
+    from rtstore_spark.store.fs import fs_for
+
+    # In-place REBUILD support: retire any committed increments FIRST by
+    # deleting the inc/_current pointer (one atomic-enough small-object
+    # delete — read_pq_index stops unioning them immediately), else the
+    # new base would be unioned with stale gen-N codes encoded under the
+    # OLD codebooks: duplicate ids and garbage distances. A crash after
+    # the retire leaves a smaller-but-consistent index (old base, no
+    # increments) until the rebuild is re-run; the orphan gen dirs are
+    # swept last.
+    fs = fs_for(path, df.sparkSession)
+    fs.delete(f"{path}/inc/_current")
     codes = pq_encode(df, vec_col, id_col, model).join(
         df.select(F.col(id_col).alias("id"), F.col(route_col).alias("route")),
         "id",
@@ -924,6 +936,7 @@ def write_pq_index(
         "overwrite"
     ).parquet(path + "/_centroids")
     pq_save(df.sparkSession, model, path + "/_model")
+    fs.delete(f"{path}/inc", recursive=True)
 
 
 def _live_increments(spark, path: str) -> list[str]:

@@ -201,12 +201,18 @@ def bpe_fit(
             "frequency-pruned vocabulary instead — BPE quality saturates "
             "well below 1M word types"
         )
+    # fetch ONE row past the cap: a corpus with exactly max_word_types
+    # distinct words is complete, not truncated — collected == cap alone
+    # cannot tell the two apart
     freqs = [
         (r["w"], int(r["c"]))
-        for r in word_counts(df, text_col, max_word_types, min_count).collect()
+        for r in word_counts(
+            df, text_col, max_word_types + 1, min_count
+        ).collect()
     ]
-    truncated = len(freqs) >= max_word_types
+    truncated = len(freqs) > max_word_types
     if truncated:
+        freqs = freqs[:max_word_types]
         import warnings
 
         warnings.warn(
@@ -332,7 +338,9 @@ def bpe_encode(
 
 def bpe_save(spark, model: dict, path: str) -> None:
     """Persist merges (rank-ordered) as one small parquet table; the
-    vocab is derivable but stored too so a reader needs no re-derivation."""
+    vocab is derivable but stored too so a reader needs no re-derivation.
+    The ``truncated`` fit diagnostic rides in a one-row meta table so
+    save→load round-trips the whole model dict."""
     spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(model["merges"])],
         "rank INT, a STRING, b STRING",
@@ -340,13 +348,29 @@ def bpe_save(spark, model: dict, path: str) -> None:
     spark.createDataFrame(
         [(s,) for s in model["vocab"]], "sym STRING"
     ).coalesce(1).write.mode("overwrite").parquet(path + "/vocab")
+    spark.createDataFrame(
+        [(bool(model.get("truncated", False)),)], "truncated BOOLEAN"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
 
 
 def bpe_load(spark, path: str) -> dict:
-    """Reload a model written by ``bpe_save``."""
+    """Reload a model written by ``bpe_save`` (``truncated`` defaults to
+    False for models saved before the meta table existed)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     rows = spark.read.parquet(path + "/merges").orderBy("rank").collect()
     vocab = [r["sym"] for r in spark.read.parquet(path + "/vocab").collect()]
-    return {"merges": [(r["a"], r["b"]) for r in rows], "vocab": sorted(vocab)}
+    try:
+        truncated = bool(
+            spark.read.parquet(path + "/meta").collect()[0]["truncated"]
+        )
+    except AnalysisException:
+        truncated = False
+    return {
+        "merges": [(r["a"], r["b"]) for r in rows],
+        "vocab": sorted(vocab),
+        "truncated": truncated,
+    }
 
 
 def bpe_decode(tokens: list, model: dict) -> str:

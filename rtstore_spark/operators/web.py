@@ -269,6 +269,17 @@ def load_psl_rules(spark, path: str) -> DataFrame:
     The file is read driver-side (control-plane size), parsed here so the
     engine needs no third-party PSL library.
     """
+    def forms(s: str) -> set[str]:
+        # the list publishes IDN rules as Unicode (U-labels) while crawled
+        # URL hosts are almost always punycode (A-labels) — emit BOTH
+        # renderings of every rule so either host form matches
+        out = {s}
+        try:
+            out.add(s.encode("idna").decode("ascii"))
+        except UnicodeError:
+            pass  # not IDNA-encodable (already ASCII with odd chars, etc.)
+        return out
+
     rules = []
     with open(path, encoding="utf-8") as f:
         for line in f:
@@ -278,12 +289,12 @@ def load_psl_rules(spark, path: str) -> DataFrame:
             line = line.split()[0].lower()  # spec: first token only
             if line.startswith("!"):
                 s = line[1:]
-                rules.append((s, s.count(".") , True))  # labels(rule)-1
+                rules += [(v, s.count("."), True) for v in forms(s)]
             elif line.startswith("*."):
                 s = line[2:]
-                rules.append((s, s.count(".") + 2, False))
+                rules += [(v, s.count(".") + 2, False) for v in forms(s)]
             else:
-                rules.append((line, line.count(".") + 1, False))
+                rules += [(v, line.count(".") + 1, False) for v in forms(line)]
     return spark.createDataFrame(
         rules, schema="suffix string, ps_labels int, is_exception boolean"
     )
@@ -316,10 +327,23 @@ def with_registrable_domain(
     # raw lowercase host — NOT url_domain(registrable=False), whose
     # www-strip would defeat PSL exception rules like !www.ck (the PSL
     # algorithm itself decides whether www is part of the registrable
-    # domain)
+    # domain). try_parse_url (java.net.URI) rejects non-ASCII authorities,
+    # so raw-Unicode IDN urls fall back to a regex authority extraction
+    # (strip userinfo@ and :port) — matching the Unicode rule forms
+    # load_psl_rules also emits.
     u = F.col(url_col)
+    auth = F.regexp_extract(u, r"^[^:/?#]+://([^/?#]+)", 1)
+    fallback_host = F.nullif(
+        F.regexp_replace(
+            F.element_at(F.split(auth, "@"), -1), r":\d+$", ""
+        ),
+        F.lit(""),
+    )
     host_expr = F.lower(
-        F.when(u.contains("://"), F.try_parse_url(u, F.lit("HOST"))).otherwise(u)
+        F.when(
+            u.contains("://"),
+            F.coalesce(F.try_parse_url(u, F.lit("HOST")), fallback_host),
+        ).otherwise(u)
     )
     hosts = df.select(host_expr.alias("_h")).filter(
         F.col("_h").isNotNull()

@@ -410,31 +410,41 @@ class RollupExecutor:
         """
         from rtstore_spark.store.replay import replay_log_batch
 
+        from pyspark import StorageLevel
+
+        # persist the DECODED history once: the bad-envelope probe, the
+        # control collect, the doc-op derivation and the end-of-batch
+        # converge aggregate all traverse it — unpersisted, each would
+        # re-read and re-from_json the whole rollup chain (3-4 full
+        # history decodes per recovery)
         log_df = self.read_rollups().select(
             F.from_json(
                 F.decode(F.col("payload"), "utf-8"), self._ENVELOPE_SCHEMA
             ).alias("e"),
             "block", "order", "doc_ids",
-        )
-        bad = (
-            log_df.filter(F.col("e").isNull() | F.col("e.action").isNull())
-            .limit(1)
-            .count()
-        )
-        if bad:
-            raise ValueError(
-                "rollup payload is not a self-describing envelope "
-                "(foreign/reference-era rollup file) — cannot replay"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            bad = (
+                log_df.filter(F.col("e").isNull() | F.col("e.action").isNull())
+                .limit(1)
+                .count()
             )
-        return replay_log_batch(
-            store,
-            log_df.select(
-                F.col("e.id").alias("id"), F.col("e.sender").alias("sender"),
-                F.coalesce(F.col("e.nonce"), F.lit(0)).alias("nonce"),
-                F.col("e.action").alias("action"),
-                F.col("e.db_addr").alias("db_addr"),
-                F.col("e.col_name").alias("col_name"),
-                F.col("e.body").alias("payload"),
-                "doc_ids", "block", "order",
-            ),
-        )
+            if bad:
+                raise ValueError(
+                    "rollup payload is not a self-describing envelope "
+                    "(foreign/reference-era rollup file) — cannot replay"
+                )
+            return replay_log_batch(
+                store,
+                log_df.select(
+                    F.col("e.id").alias("id"), F.col("e.sender").alias("sender"),
+                    F.coalesce(F.col("e.nonce"), F.lit(0)).alias("nonce"),
+                    F.col("e.action").alias("action"),
+                    F.col("e.db_addr").alias("db_addr"),
+                    F.col("e.col_name").alias("col_name"),
+                    F.col("e.body").alias("payload"),
+                    "doc_ids", "block", "order",
+                ),
+            )
+        finally:
+            log_df.unpersist()

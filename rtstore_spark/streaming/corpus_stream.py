@@ -99,6 +99,7 @@ class StreamingCorpusPrep:
         self.num_hashes = num_hashes
         self.bands = bands
         self.shingle_n = shingle_n
+        self._bench_hv_cache: dict = {}
 
     # ------------------------------------------------------------------
 
@@ -142,17 +143,46 @@ class StreamingCorpusPrep:
         # become the canonical its clean near-dups are dropped for
         if cfg.decontaminate_against is not None:
             from rtstore_spark.operators import dedup as D
+            from rtstore_spark.operators.pipeline import _strip_span_stats
 
-            kept = D.decontaminate(
+            kept = _strip_span_stats(
                 kept,
-                cfg.decontaminate_against,
-                text_col,
-                id_col,
-                bench_text_col=cfg.decontaminate_text_col,
-                span_tokens=cfg.decontaminate_tokens,
-            ).drop("n_tokens", "n_tokens_removed", "n_spans_removed")
+                lambda d: D.decontaminate(
+                    d,
+                    cfg.decontaminate_against,
+                    text_col,
+                    id_col,
+                    bench_text_col=cfg.decontaminate_text_col,
+                    span_tokens=cfg.decontaminate_tokens,
+                    bench_hashes=self._bench_hashes(),
+                ),
+            )
             kept = kept.filter(F.length(F.trim(F.col(text_col))) > 0)
         return kept
+
+    def _bench_hashes(self):
+        """The benchmark's span-hash set, computed ONCE per stream instance
+        and persisted — without this every micro-batch re-shingles,
+        re-hashes and re-distincts the whole eval set forever (thousands
+        of redundant jobs over a long crawl). Keyed by the benchmark
+        DataFrame's identity + span size so a cfg swap invalidates it."""
+        from pyspark import StorageLevel
+
+        from rtstore_spark.operators.dedup import benchmark_span_hashes
+
+        cfg = self.cfg
+        key = (id(cfg.decontaminate_against), cfg.decontaminate_tokens)
+        if self._bench_hv_cache.get("key") != key:
+            old = self._bench_hv_cache.get("df")
+            if old is not None:
+                old.unpersist()
+            hv = benchmark_span_hashes(
+                cfg.decontaminate_against,
+                cfg.decontaminate_text_col or self.text_col,
+                cfg.decontaminate_tokens,
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            self._bench_hv_cache = {"key": key, "df": hv}
+        return self._bench_hv_cache["df"]
 
     def _apply(self, batch: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window

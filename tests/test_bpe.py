@@ -290,3 +290,29 @@ class TestDriverMemoryGuard:
             model = bpe_fit(df, "text", min_count=1)
         assert model["truncated"] is False
         assert not [x for x in w if "max_word_types" in str(x.message)]
+
+
+class TestTruncationBoundary:
+    def test_exactly_at_cap_is_not_truncated(self, spark):
+        import warnings
+
+        df = _corpus(spark, ["aa bb cc aa bb cc"])  # exactly 3 word types
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            model = bpe_fit(df, "text", max_word_types=3, min_count=1)
+        assert model["truncated"] is False
+        assert not [x for x in w if "max_word_types" in str(x.message)]
+        syms = set("".join(model["vocab"]))
+        assert {"a", "b", "c"} <= syms  # nothing pruned
+
+    def test_truncated_flag_round_trips_through_save_load(
+        self, spark, tmp_path
+    ):
+        df = _corpus(spark, ["aa bb cc dd ee"])
+        model = bpe_fit(df, "text", max_word_types=2, min_count=1)
+        assert model["truncated"] is True
+        p = str(tmp_path / "bpe_t")
+        bpe_save(spark, model, p)
+        again = bpe_load(spark, p)
+        assert again["truncated"] is True
+        assert again["merges"] == model["merges"]

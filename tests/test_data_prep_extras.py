@@ -716,3 +716,34 @@ class TestDecontaminate:
         assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
         assert "hashpartitioning(id" in plan
         assert "SinglePartition" not in plan
+
+
+class TestSpanStatCollisions:
+    def test_kernel_refuses_colliding_input(self, spark):
+        from rtstore_spark.operators.dedup import substring_dedup
+
+        df = spark.createDataFrame(
+            [(1, "a b c", 3)], "id long, text string, n_tokens int"
+        )
+        with pytest.raises(ValueError, match="rename the input"):
+            substring_dedup(df, "text", "id", span_tokens=2)
+
+    def test_precomputed_bench_hashes_equivalent(self, spark):
+        from rtstore_spark.operators.dedup import (
+            benchmark_span_hashes,
+            decontaminate,
+        )
+
+        q = " ".join(f"e{i}" for i in range(12))
+        corpus = spark.createDataFrame(
+            [(1, "x1 x2 " + q), (2, "clean " * 12)], "id long, text string"
+        )
+        bench = spark.createDataFrame([(q,)], "text string")
+        direct = decontaminate(corpus, bench, "text", "id", span_tokens=8)
+        hv = benchmark_span_hashes(bench, "text", 8)
+        cached = decontaminate(
+            corpus, bench, "text", "id", span_tokens=8, bench_hashes=hv
+        )
+        assert sorted(map(tuple, direct.collect())) == sorted(
+            map(tuple, cached.collect())
+        )

@@ -623,3 +623,29 @@ class TestSeenFilterConfigGuard:
             save_seen_filter(
                 corpus_seen_filter(docs, "text", nbits=1 << 13), path
             )
+
+
+class TestSpanStageShieldsUserColumns:
+    def test_user_n_tokens_column_survives_stage_3c(self, spark):
+        from rtstore_spark.operators.pipeline import (
+            CorpusPrepConfig,
+            prepare_corpus,
+        )
+
+        passage = " ".join(f"lic{i}" for i in range(24))
+        rows = [
+            (1, "the opening words that we often see here " + passage, 777),
+            (2, passage + " and then the closing prose that we usually see", 888),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, body string, n_tokens int"
+        )
+        cfg = CorpusPrepConfig(
+            min_tokens=3, near_dup_threshold=0.99, substring_dedup_tokens=8
+        )
+        out = {r["doc_id"]: r for r in
+               prepare_corpus(df, "body", "doc_id", cfg).collect()}
+        # the user's annotation column is preserved verbatim, not dropped
+        # with the operator's same-named stat
+        assert out[1]["n_tokens"] == 777 and out[2]["n_tokens"] == 888
+        assert "lic0" in out[1]["body"] and "lic0" not in out[2]["body"]

@@ -454,3 +454,39 @@ class TestAppendCrashSafety:
         q = emb.filter("vec_id = 55").collect()[0]["embedding"]
         hits = ivf_pq_topk(codes, loaded, cents, q, k=5, nprobe=4).collect()
         assert 55 in [r["id"] for r in hits]
+
+
+class TestRebuildClearsIncrements:
+    def test_in_place_rebuild_retires_stale_increments(
+        self, spark, emb, model
+    ):
+        import os
+        import tempfile
+
+        from rtstore_spark.operators.similarity import (
+            append_pq_index,
+            read_pq_index,
+            write_pq_index,
+        )
+
+        path = tempfile.mkdtemp(prefix="pq_rebuild_")
+        routed = emb.select(
+            F.col("vec_id").alias("id"), "embedding",
+            F.col("label").alias("route"),
+        )
+        write_pq_index(routed.filter("id < 250"), "embedding", "id", "route",
+                       model, path)
+        append_pq_index(
+            emb.filter("vec_id >= 250 and vec_id < 300"), "embedding",
+            "vec_id", path,
+        )
+        assert read_pq_index(spark, path)[0].count() == 300
+        # in-place FULL rebuild: stale increments must not union in (their
+        # rows would duplicate ids under possibly-old codebooks)
+        write_pq_index(routed.filter("id < 320"), "embedding", "id", "route",
+                       model, path)
+        codes, _, _ = read_pq_index(spark, path)
+        ids = [r["id"] for r in codes.collect()]
+        assert sorted(ids) == list(range(320))
+        assert len(ids) == len(set(ids))
+        assert not os.path.exists(f"{path}/inc")

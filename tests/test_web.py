@@ -266,3 +266,35 @@ kawasaki.jp  a-trailing-token-is-ignored
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+class TestPslIdnRules:
+    def test_unicode_rule_matches_punycode_host(self, spark, tmp_path):
+        """The real list publishes IDN rules as U-labels; crawled hosts
+        are A-labels (punycode) — both renderings must match."""
+        from rtstore_spark.operators.web import (
+            load_psl_rules,
+            with_registrable_domain,
+        )
+
+        p = str(tmp_path / "psl_idn.dat")
+        with open(p, "w", encoding="utf-8") as f:
+            f.write("// idn\ncom\n公司.cn\ncn\n")
+        rules = load_psl_rules(spark, p)
+        # the unicode rule yields a punycode twin with the same label math
+        stored = {r["suffix"]: r["ps_labels"] for r in rules.collect()}
+        assert stored.get("xn--55qx5d.cn") == 2
+        assert stored.get("公司.cn") == 2
+        df = spark.createDataFrame(
+            [
+                (1, "http://shop.xn--55qx5d.cn/x"),     # punycode host
+                (2, "http://shop.公司.cn/x"),    # unicode host
+            ],
+            "id long, url string",
+        )
+        got = {
+            r["id"]: r["domain"]
+            for r in with_registrable_domain(df, "url", rules).collect()
+        }
+        assert got[1] == "shop.xn--55qx5d.cn"
+        assert got[2] == "shop.公司.cn"
