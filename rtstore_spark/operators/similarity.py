@@ -868,6 +868,144 @@ def ivf_pq_topk(
     return pq_topk(probed, model, query_vec, k, id_col, codes_col)
 
 
+def ivf_pq_search_batch(
+    codes: DataFrame,
+    model: dict,
+    centroids: DataFrame,
+    queries: DataFrame,
+    query_vec_col: str,
+    query_id_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "id",
+    codes_col: str = "codes",
+    route_col: str = "route",
+) -> DataFrame:
+    """Batch ANN: every row of a QUERY TABLE against the IVF-PQ index at
+    once — the shape every other top-k op here lacks (they take one query
+    vector as a literal). This is the RAG-ingestion / semantic-join
+    workload: "embed today's million new documents and find each one's
+    top-k against the ten-billion-vector index" as ONE Spark job, not a
+    driver loop of per-query plans.
+
+    Returns (query_id, id, score, rank), rank 1..k per query, score ≈
+    cosine (ADC — the query side stays exact). Per query it probes the
+    same routes ``ivf_pq_topk`` would, so results match the one-query
+    operator at equal nprobe.
+
+    Scale shape:
+
+    - query routing is an Arrow-batched GEMM against the (routes, dim)
+      centroid matrix (same reasoning as ``assign_routes``), emitting
+      nprobe (query_id, route) rows per query — never a query×centroid
+      cross join;
+    - candidates come from ONE equi-join of those route keys against the
+      codes table: each query touches only its probed routes' m-byte
+      codes, and the join key is a small int, so the big side shuffles
+      code rows only where probed (with AQE broadcasting the probe side
+      when the query batch is small);
+    - scoring rejoins the query VECTORS by query_id (one hash join; the
+      raw vectors ride to candidates once, never through the route
+      explode) and computes ADC per batch as two numpy gathers — the LUT
+      path used for a literal query cannot apply, the table per row
+      differs;
+    - top-k is a per-query window (partitioned by query_id, never
+      SinglePartition).
+
+    Null query vectors are dropped. Dimensions are validated inside the
+    batch. Queries with fewer than k candidates in their probed routes
+    return what exists (the ivf contract).
+    """
+    import numpy as np
+
+    cents = centroids.orderBy(route_col).collect()
+    centers = np.asarray(
+        [list(map(float, r["centroid"])) for r in cents], dtype=np.float64
+    )
+    routes_ids = [int(r[route_col]) for r in cents]
+    centers /= np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
+    n_probe = min(nprobe, len(routes_ids))
+    dim = model["dim"]
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+
+    def route_queries(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf.dropna(subset=["_qv"])
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_qv"]])
+            if x.shape[1] != dim:
+                raise ValueError(
+                    f"ivf_pq_search_batch: query dim {x.shape[1]} != "
+                    f"model dim {dim}"
+                )
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            sims = x @ centers.T
+            # top-nprobe routes per query, ranked (argsort desc)
+            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            out = {
+                "query_id": np.repeat(pdf["query_id"].to_numpy(), n_probe),
+                "route": np.asarray(
+                    [routes_ids[j] for j in top.ravel()], dtype=np.int32
+                ),
+            }
+            yield pd.DataFrame(out)
+
+    q_src = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
+    )
+    probes = q_src.mapInPandas(
+        route_queries, schema=f"query_id {qid_type}, route int"
+    )
+    cand = codes.select(
+        F.col(id_col).alias("id"),
+        F.col(codes_col).alias("_codes"),
+        F.col(route_col).alias("route"),
+    ).join(probes, "route")
+    # the raw query vectors join the candidates ONCE, keyed by query_id
+    cand = cand.join(q_src.filter(F.col("_qv").isNotNull()), "query_id")
+
+    cb = np.asarray(model["codebooks"], dtype=np.float64)  # (m, ksub, dsub)
+    m = model["m"]
+
+    def adc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_qv"]])
+            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            c = np.asarray(list(pdf["_codes"]), dtype=np.int64)  # (n, m)
+            # reconstruct x̂ by codebook gather, score = ⟨q, x̂⟩ — two
+            # vectorized gathers + one row-wise dot, no per-row python
+            xhat = np.concatenate(
+                [cb[j][c[:, j]] for j in range(m)], axis=1
+            )  # (n, dim)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "id": pdf["id"],
+                    "score": np.round((q * xhat).sum(axis=1), 6),
+                }
+            )
+
+    id_type = codes.schema[id_col].dataType.simpleString()
+    scored = cand.mapInPandas(
+        adc, schema=f"query_id {qid_type}, id {id_type}, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "score", "rank")
+    )
+
+
 def pq_save(spark, model: dict, path: str) -> None:
     """Persist a PQ model as one tiny parquet: rows (j, c, codeword) plus
     the scalar config embedded per-row (self-describing, no side file)."""

@@ -490,3 +490,74 @@ class TestRebuildClearsIncrements:
         assert sorted(ids) == list(range(320))
         assert len(ids) == len(set(ids))
         assert not os.path.exists(f"{path}/inc")
+
+
+class TestBatchSearch:
+    """ivf_pq_search_batch: a query TABLE against the index in one job."""
+
+    @pytest.fixture(scope="class")
+    def index(self, emb, model):
+        routed = emb.select(
+            F.col("vec_id").alias("id"), "embedding",
+            F.col("label").alias("route"),
+        )
+        cents = compute_centroids(routed, "embedding", "route")
+        codes = pq_encode(emb, "embedding", "vec_id", model).join(
+            routed.select("id", "route"), "id"
+        )
+        return codes, cents
+
+    def test_matches_per_query_operator(self, spark, emb, model, index):
+        from rtstore_spark.operators.similarity import ivf_pq_search_batch
+
+        codes, cents = index
+        queries = emb.filter("vec_id in (0, 7, 42)").select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        batch = ivf_pq_search_batch(
+            codes, model, cents, queries, "qv", "qid", k=5, nprobe=3
+        ).collect()
+        got = {}
+        for r in batch:
+            got.setdefault(r["query_id"], []).append((r["rank"], r["id"], r["score"]))
+        for qid in (0, 7, 42):
+            qv = emb.filter(f"vec_id = {qid}").collect()[0]["embedding"]
+            want = [
+                (i + 1, r["id"], r["score"])
+                for i, r in enumerate(
+                    ivf_pq_topk(codes, model, cents, qv, k=5, nprobe=3).collect()
+                )
+            ]
+            assert sorted(got[qid]) == want, qid
+
+    def test_null_queries_dropped_and_ranks_contiguous(
+        self, spark, model, index
+    ):
+        from rtstore_spark.operators.similarity import ivf_pq_search_batch
+
+        codes, cents = index
+        queries = spark.createDataFrame(
+            [(1, [0.1] * 64), (2, None)], "qid long, qv array<float>"
+        )
+        out = ivf_pq_search_batch(
+            codes, model, cents, queries, "qv", "qid", k=3, nprobe=2
+        ).collect()
+        qids = {r["query_id"] for r in out}
+        assert qids == {1}
+        assert sorted(r["rank"] for r in out) == [1, 2, 3]
+
+    def test_plan_no_cartesian_per_query_window(self, spark, emb, model, index):
+        from rtstore_spark.operators.similarity import ivf_pq_search_batch
+
+        codes, cents = index
+        queries = emb.filter("vec_id < 5").select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        plan = (
+            ivf_pq_search_batch(codes, model, cents, queries, "qv", "qid")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "hashpartitioning(query_id" in plan
+        assert "SinglePartition" not in plan
