@@ -1006,6 +1006,57 @@ def ivf_pq_search_batch(
     )
 
 
+def rerank_exact_batch(
+    candidates: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_vec_col: str,
+    query_id_col: str,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact re-ranking of ANN candidates — the second half of the
+    standard 100-TB recipe (``ivf_pq_search_batch`` with k′ ≈ 10·k for
+    candidates, then exact cosine on just the survivors): join each
+    (query_id, id) candidate pair back to the RAW vectors on both sides,
+    score with the JVM ``cosine_expr`` kernel, keep the exact top-``k``
+    per query. Raw vectors are touched only for candidate rows — a few
+    hundred per query, never the corpus.
+
+    Returns (query_id, id, score, rank) with exact cosine scores
+    (rounded to 6, id tie-break) — same shape as the batch search, so
+    the two compose: ``rerank_exact_batch(ivf_pq_search_batch(...), …)``.
+    Shape: two hash joins on ids (the candidate side is the small one —
+    AQE broadcasts it against the corpus scan) + a per-query window.
+    """
+    cand = candidates.select("query_id", "id")
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("_qv"),
+    ).filter(F.col("_qv").isNotNull())
+    cv = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_cv")
+    ).filter(F.col("_cv").isNotNull())
+    scored = (
+        cand.join(cv, "id")
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            "id",
+            F.round(cosine_expr("_qv", "_cv"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "score", "rank")
+    )
+
+
 def pq_save(spark, model: dict, path: str) -> None:
     """Persist a PQ model as one tiny parquet: rows (j, c, codeword) plus
     the scalar config embedded per-row (self-describing, no side file)."""

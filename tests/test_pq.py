@@ -561,3 +561,50 @@ class TestBatchSearch:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "hashpartitioning(query_id" in plan
         assert "SinglePartition" not in plan
+
+
+class TestRerankExact:
+    def test_composes_with_batch_search_and_matches_brute_force(
+        self, spark, emb, model, index=None
+    ):
+        from rtstore_spark.operators.similarity import (
+            compute_centroids,
+            ivf_pq_search_batch,
+            rerank_exact_batch,
+        )
+
+        routed = emb.select(
+            F.col("vec_id").alias("id"), "embedding",
+            F.col("label").alias("route"),
+        )
+        cents = compute_centroids(routed, "embedding", "route")
+        codes = pq_encode(emb, "embedding", "vec_id", model).join(
+            routed.select("id", "route"), "id"
+        )
+        queries = emb.filter("vec_id in (0, 9)").select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        n_routes = cents.count()
+        # EXHAUSTIVE candidates (k' = corpus size, all probes) make the
+        # re-rank equal brute force exactly — isolating the operator from
+        # PQ recall, which on these near-random vectors is deliberately low
+        cand = ivf_pq_search_batch(
+            codes, model, cents, queries, "qv", "qid",
+            k=emb.count(), nprobe=n_routes,
+        )
+        got = rerank_exact_batch(
+            cand, queries, emb, "qv", "qid", "embedding", "vec_id", k=5
+        ).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append((r["rank"], r["id"]))
+        for qid in (0, 9):
+            qv = emb.filter(f"vec_id = {qid}").collect()[0]["embedding"]
+            want = [
+                (i + 1, r["id"])
+                for i, r in enumerate(
+                    brute_force_topk(emb, "embedding", "vec_id", qv, 5).collect()
+                )
+            ]
+            assert sorted(by_q[qid]) == want, qid
+            assert by_q[qid][0] == (1, qid) or (1, qid) in by_q[qid]
