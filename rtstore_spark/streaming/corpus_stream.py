@@ -185,17 +185,32 @@ class StreamingCorpusPrep:
         return self._bench_hv_cache["df"]
 
     def _apply(self, batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        from pyspark import StorageLevel
+
+        # pin the gated batch: the fingerprint window, the Bloom probe,
+        # the within-batch minhash and the signature join all branch off
+        # it — un-persisted, each action re-runs the quality/lang/
+        # blocklist/decontaminate subtree (the same multi-branch re-scan
+        # prepare_corpus persists against)
+        gated = self._gate(batch).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            self._dedup_and_write(gated, batch.columns, batch_id)
+        finally:
+            gated.unpersist()
+
+    def _dedup_and_write(
+        self, kept: DataFrame, batch_cols: list, batch_id: int
+    ) -> None:
         from pyspark.sql import Window
 
         from rtstore_spark.operators import dedup as D
         from rtstore_spark.operators.sketches import bloom_contains, bloom_rollup
 
-        if batch.isEmpty():
-            return
-        kept = self._gate(batch)
-        out_cols = [*batch.columns, "lang"]
-        if "lang" in batch.columns:
-            out_cols = [*[c for c in batch.columns if c != "lang"], "lang"]
+        out_cols = [*batch_cols, "lang"]
+        if "lang" in batch_cols:
+            out_cols = [*[c for c in batch_cols if c != "lang"], "lang"]
 
         # within-batch exact: first arrival by (ts, id) per fingerprint —
         # deterministic under replay (dropDuplicates' pick is not)
@@ -249,7 +264,7 @@ class StreamingCorpusPrep:
         from pyspark import StorageLevel
 
         kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
+        try:  # noqa: SIM105 — three writes off one pinned survivor set
             kept.drop("fp").write.mode("overwrite").parquet(
                 f"{self.dest_dir}/batch={batch_id}"
             )
