@@ -819,9 +819,12 @@ def benchmark_span_hashes(
     benchmark: DataFrame, text_col: str, span_tokens: int
 ) -> DataFrame:
     """The eval set reduced to its DISTINCT ``span_tokens``-token window
-    hashes — one ``hv`` long column. Compute once and persist when the
-    same benchmark gates many corpora/batches (``decontaminate`` accepts
-    it via ``bench_hashes``); eval suites are MBs, so the set broadcasts.
+    hashes — columns ``(hv, span)``, where ``span`` carries the window
+    size as provenance so ``decontaminate`` can refuse a mismatched
+    reuse (8-token corpus windows semi-joined against 13-token eval
+    hashes match nothing and would silently disable the gate). Compute
+    once and persist when the same benchmark gates many corpora/batches;
+    eval suites are MBs, so the set broadcasts.
     """
     return (
         shingles(
@@ -834,7 +837,10 @@ def benchmark_span_hashes(
             n=span_tokens,
             keep_short=False,
         )
-        .select(_hash60(F.col("shingle")).alias("hv"))
+        .select(
+            _hash60(F.col("shingle")).alias("hv"),
+            F.lit(span_tokens).alias("span"),
+        )
         .distinct()
     )
 
@@ -879,13 +885,28 @@ def decontaminate(
         corpus, text_col, id_col, n=span_tokens, keep_short=False,
         positional=True,
     ).select("id", "pos", _hash60(F.col("shingle")).alias("hv"))
-    bench_hv = (
-        bench_hashes
-        if bench_hashes is not None
-        else benchmark_span_hashes(
+    if bench_hashes is not None:
+        bench_hv = bench_hashes
+        if "span" in bench_hv.columns:
+            # provenance check: a hash set built at a different window
+            # size matches essentially nothing — the gate would silently
+            # no-op, which is the one failure mode decontamination must
+            # never have. The span column is one distinct tiny value;
+            # the probe is a trivially small job on a (usually persisted)
+            # eval-side frame.
+            spans = [int(r["span"]) for r in bench_hv.select("span").distinct().collect()]
+            if spans != [span_tokens]:
+                raise ValueError(
+                    f"decontaminate: bench_hashes were built at "
+                    f"span_tokens={spans}, this call uses "
+                    f"span_tokens={span_tokens} — rebuild with "
+                    "benchmark_span_hashes at the matching size"
+                )
+            bench_hv = bench_hv.select("hv")
+    else:
+        bench_hv = benchmark_span_hashes(
             benchmark, bench_text_col or text_col, span_tokens
-        )
-    )
+        ).select("hv")
     flagged = sh.join(F.broadcast(bench_hv), "hv", "left_semi").select(
         "id", "pos"
     )

@@ -1106,57 +1106,85 @@ def write_pq_index(
     """
     from rtstore_spark.store.fs import fs_for
 
-    # In-place REBUILD support: retire any committed increments FIRST by
-    # deleting the inc/_current pointer (one atomic-enough small-object
-    # delete — read_pq_index stops unioning them immediately), else the
-    # new base would be unioned with stale gen-N codes encoded under the
-    # OLD codebooks: duplicate ids and garbage distances. A crash after
-    # the retire leaves a smaller-but-consistent index (old base, no
-    # increments) until the rebuild is re-run; the orphan gen dirs are
-    # swept last.
-    fs = fs_for(path, df.sparkSession)
-    fs.delete(f"{path}/inc/_current")
+    # Atomic in-place REBUILD — the storage plane's generation protocol
+    # applied to the whole base: the new codes/centroids/model land in a
+    # fresh <path>/gen-N directory, and only when all three writes have
+    # committed does the tiny root _current pointer flip. A crash
+    # ANYWHERE before the flip leaves the previous generation — base AND
+    # its committed increments — fully live; readers never see a torn or
+    # increment-less index. Increments nest under their own generation
+    # (resolve_index_base), so a flip atomically retires the old
+    # generation's increments along with its base. Superseded
+    # generations and legacy root-layout artifacts are swept last,
+    # best-effort.
+    spark = df.sparkSession
+    fs = fs_for(path, spark)
+    cur = fs.read_text(f"{path}/_current")
+    gen = (int(cur.strip()) if cur is not None else 0) + 1
+    base = f"{path}/gen-{gen}"
     codes = pq_encode(df, vec_col, id_col, model).join(
         df.select(F.col(id_col).alias("id"), F.col(route_col).alias("route")),
         "id",
     )
-    codes.write.mode("overwrite").partitionBy("route").parquet(path + "/codes")
+    codes.write.mode("overwrite").partitionBy("route").parquet(base + "/codes")
     compute_centroids(df, vec_col, route_col).coalesce(1).write.mode(
         "overwrite"
-    ).parquet(path + "/_centroids")
-    pq_save(df.sparkSession, model, path + "/_model")
-    fs.delete(f"{path}/inc", recursive=True)
+    ).parquet(base + "/_centroids")
+    pq_save(spark, model, base + "/_model")
+    fs.write_text_atomic(f"{path}/_current", str(gen))
+    # sweep: older generations + pre-pointer root artifacts
+    for g in range(1, gen):
+        fs.delete(f"{path}/gen-{g}", recursive=True)
+    for legacy in ("codes", "_centroids", "_model", "inc"):
+        fs.delete(f"{path}/{legacy}", recursive=True)
 
 
-def _live_increments(spark, path: str) -> list[str]:
-    """Paths of the COMMITTED increment generations of an index —
-    ``<path>/inc/gen-1 .. gen-current`` where ``current`` comes from the
-    ``_current`` pointer file. A ``gen-*`` directory past the pointer is
-    an orphan a crashed ``append_pq_index`` left behind: it is never
-    read, and the next append overwrites it (same manifest-pointer
-    protocol as the storage plane — see ``store/fs.py`` module doc)."""
+def resolve_index_base(spark, path: str) -> str:
+    """The live BASE directory of an index: ``<path>/gen-N`` named by the
+    root ``_current`` pointer, or (legacy pre-pointer layout) ``path``
+    itself. Every reader and appender resolves through this, so a
+    rebuild's pointer flip atomically retargets them all."""
     from rtstore_spark.store.fs import fs_for
 
-    fs = fs_for(path, spark)
-    cur = fs.read_text(f"{path}/inc/_current")
+    cur = fs_for(path, spark).read_text(f"{path}/_current")
+    if cur is None:
+        return path
+    return f"{path}/gen-{int(cur.strip())}"
+
+
+def _live_increments(spark, base: str) -> list[str]:
+    """Paths of the COMMITTED increment generations of an index base —
+    ``<base>/inc/gen-1 .. gen-current`` where ``current`` comes from the
+    increment ``_current`` pointer file. A ``gen-*`` directory past the
+    pointer is an orphan a crashed ``append_pq_index`` left behind: it
+    is never read, and the next append overwrites it (same
+    manifest-pointer protocol as the storage plane — see ``store/fs.py``
+    module doc). Increments live UNDER the base generation, so a rebuilt
+    base can never union another generation's increments."""
+    from rtstore_spark.store.fs import fs_for
+
+    fs = fs_for(base, spark)
+    cur = fs.read_text(f"{base}/inc/_current")
     if cur is None:
         return []
-    return [f"{path}/inc/gen-{i}" for i in range(1, int(cur.strip()) + 1)]
+    return [f"{base}/inc/gen-{i}" for i in range(1, int(cur.strip()) + 1)]
 
 
 def read_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
     """(codes partitioned by route, centroids, model) from
     ``write_pq_index`` — pass straight to ``ivf_pq_topk``. Codes are the
-    union of the base table and every COMMITTED ``append_pq_index``
-    increment; each union arm is its own route-partitioned parquet read,
-    so nprobe pruning still skips directories in every arm."""
-    codes = spark.read.parquet(path + "/codes")
-    for inc in _live_increments(spark, path):
+    union of the live base generation and every COMMITTED
+    ``append_pq_index`` increment of THAT generation; each union arm is
+    its own route-partitioned parquet read, so nprobe pruning still
+    skips directories in every arm."""
+    base = resolve_index_base(spark, path)
+    codes = spark.read.parquet(base + "/codes")
+    for inc in _live_increments(spark, base):
         codes = codes.unionByName(spark.read.parquet(inc))
     return (
         codes,
-        spark.read.parquet(path + "/_centroids"),
-        pq_load(spark, path + "/_model"),
+        spark.read.parquet(base + "/_centroids"),
+        pq_load(spark, base + "/_model"),
     )
 
 
@@ -1234,9 +1262,10 @@ def append_pq_index(
 
     Crash safety — the storage plane's manifest-pointer protocol: the
     increment is written to a fresh generation directory
-    ``<path>/inc/gen-N`` (N = committed pointer + 1, ``overwrite`` mode
+    ``<base>/inc/gen-N`` under the LIVE base generation (N = committed
+    pointer + 1, ``overwrite`` mode
     so a retry after a crash cleanly replaces the orphan), and only then
-    is the tiny ``<path>/inc/_current`` pointer overwritten to N — an
+    is the tiny ``<base>/inc/_current`` pointer overwritten to N — an
     atomic-enough single-object PUT on every filesystem. A crash between
     the data write and the flip leaves an orphan generation that
     ``read_pq_index`` never reads; no torn/partial increment is ever
@@ -1246,8 +1275,9 @@ def append_pq_index(
     from rtstore_spark.store.fs import fs_for
 
     spark = df.sparkSession
-    model = pq_load(spark, path + "/_model")
-    cents = spark.read.parquet(path + "/_centroids").orderBy("route").collect()
+    base = resolve_index_base(spark, path)
+    model = pq_load(spark, base + "/_model")
+    cents = spark.read.parquet(base + "/_centroids").orderBy("route").collect()
     if [int(r["route"]) for r in cents] != list(range(len(cents))):
         raise ValueError(
             "append_pq_index: centroid table routes are not dense 0..k-1 — "
@@ -1262,10 +1292,10 @@ def append_pq_index(
     codes = pq_encode(routed, "_vec", "id", model).join(
         routed.select("id", "route"), "id"
     )
-    fs = fs_for(path, spark)
-    cur = fs.read_text(f"{path}/inc/_current")
+    fs = fs_for(base, spark)
+    cur = fs.read_text(f"{base}/inc/_current")
     nxt = (int(cur.strip()) if cur is not None else 0) + 1
     codes.write.mode("overwrite").partitionBy("route").parquet(
-        f"{path}/inc/gen-{nxt}"
+        f"{base}/inc/gen-{nxt}"
     )
-    fs.write_text_atomic(f"{path}/inc/_current", str(nxt))
+    fs.write_text_atomic(f"{base}/inc/_current", str(nxt))

@@ -333,11 +333,16 @@ def with_registrable_domain(
     # load_psl_rules also emits.
     u = F.col(url_col)
     auth = F.regexp_extract(u, r"^[^:/?#]+://([^/?#]+)", 1)
-    fallback_host = F.nullif(
-        F.regexp_replace(
-            F.element_at(F.split(auth, "@"), -1), r":\d+$", ""
-        ),
-        F.lit(""),
+    raw_host = F.regexp_replace(
+        F.element_at(F.split(auth, "@"), -1), r":\d+$", ""
+    )
+    # the fallback exists ONLY for the IDN case (non-ASCII authorities
+    # java.net.URI rejects even though they are well-formed hosts) — it
+    # must NOT resurrect ASCII-malformed URLs (spaces, commas, ...)
+    # try_parse_url correctly rejects; those stay NULL and out of every
+    # domain grouping
+    fallback_host = F.when(
+        raw_host.rlike(r"[^\x00-\x7F]"), F.nullif(raw_host, F.lit(""))
     )
     host_expr = F.lower(
         F.when(

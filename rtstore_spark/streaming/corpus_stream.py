@@ -171,7 +171,16 @@ class StreamingCorpusPrep:
         from rtstore_spark.operators.dedup import benchmark_span_hashes
 
         cfg = self.cfg
-        key = (id(cfg.decontaminate_against), cfg.decontaminate_tokens)
+        # the cache entry holds a STRONG reference to the benchmark frame
+        # ("bench") precisely so CPython cannot free + reuse its address
+        # while the id() is a live cache key; text_col is part of the key
+        # because the same frame gated through a different column is a
+        # different hash set
+        key = (
+            id(cfg.decontaminate_against),
+            cfg.decontaminate_tokens,
+            cfg.decontaminate_text_col or self.text_col,
+        )
         if self._bench_hv_cache.get("key") != key:
             old = self._bench_hv_cache.get("df")
             if old is not None:
@@ -181,7 +190,11 @@ class StreamingCorpusPrep:
                 cfg.decontaminate_text_col or self.text_col,
                 cfg.decontaminate_tokens,
             ).persist(StorageLevel.MEMORY_AND_DISK)
-            self._bench_hv_cache = {"key": key, "df": hv}
+            self._bench_hv_cache = {
+                "key": key,
+                "df": hv,
+                "bench": cfg.decontaminate_against,
+            }
         return self._bench_hv_cache["df"]
 
     def _apply(self, batch: DataFrame, batch_id: int) -> None:

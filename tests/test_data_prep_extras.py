@@ -747,3 +747,21 @@ class TestSpanStatCollisions:
         assert sorted(map(tuple, direct.collect())) == sorted(
             map(tuple, cached.collect())
         )
+
+
+class TestBenchHashProvenance:
+    def test_span_mismatch_refused(self, spark):
+        from rtstore_spark.operators.dedup import (
+            benchmark_span_hashes,
+            decontaminate,
+        )
+
+        bench = spark.createDataFrame(
+            [(" ".join(f"e{i}" for i in range(15)),)], "text string"
+        )
+        corpus = spark.createDataFrame([(1, "a b c")], "id long, text string")
+        hv13 = benchmark_span_hashes(bench, "text", 13)
+        with pytest.raises(ValueError, match="span_tokens"):
+            decontaminate(
+                corpus, bench, "text", "id", span_tokens=8, bench_hashes=hv13
+            )

@@ -417,13 +417,16 @@ class TestAppendCrashSafety:
         def boom(self, p, text):
             raise RuntimeError("simulated crash before pointer flip")
 
+        from rtstore_spark.operators.similarity import resolve_index_base
+
         monkeypatch.setattr(LocalFS, "write_text_atomic", boom)
         with pytest.raises(RuntimeError, match="simulated crash"):
             append_pq_index(inc, "embedding", "vec_id", path)
         monkeypatch.undo()
-        # orphan generation on disk, but readers never see it
-        assert os.path.isdir(f"{path}/inc/gen-1")
-        assert not os.path.exists(f"{path}/inc/_current")
+        # orphan generation on disk (under the live base), never read
+        base = resolve_index_base(spark, path)
+        assert os.path.isdir(f"{base}/inc/gen-1")
+        assert not os.path.exists(f"{base}/inc/_current")
         codes, _, _ = read_pq_index(spark, path)
         assert codes.count() == n_base
         # retry overwrites the orphan and flips: exactly one increment
@@ -608,3 +611,50 @@ class TestRerankExact:
             ]
             assert sorted(by_q[qid]) == want, qid
             assert by_q[qid][0] == (1, qid) or (1, qid) in by_q[qid]
+
+
+class TestRebuildCrashSafety:
+    def test_crash_mid_rebuild_keeps_base_and_increments_live(
+        self, spark, emb, model, tmp_path, monkeypatch
+    ):
+        """A rebuild that dies before the pointer flip must leave the
+        previous generation — base AND its committed increments — fully
+        readable; the retry converges."""
+        from rtstore_spark.operators.similarity import (
+            append_pq_index,
+            read_pq_index,
+            write_pq_index,
+        )
+        from rtstore_spark.store.fs import LocalFS
+
+        path = str(tmp_path / "rebuildcrash")
+        routed = emb.select(
+            F.col("vec_id").alias("id"), "embedding",
+            F.col("label").alias("route"),
+        )
+        write_pq_index(routed.filter("id < 250"), "embedding", "id",
+                       "route", model, path)
+        append_pq_index(
+            emb.filter("vec_id >= 250 and vec_id < 300"), "embedding",
+            "vec_id", path,
+        )
+        assert read_pq_index(spark, path)[0].count() == 300
+
+        def boom(self, p, text):
+            raise RuntimeError("simulated crash before pointer flip")
+
+        monkeypatch.setattr(LocalFS, "write_text_atomic", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            write_pq_index(routed.filter("id < 320"), "embedding", "id",
+                           "route", model, path)
+        monkeypatch.undo()
+        # the crashed rebuild is invisible: old base + increments intact
+        codes, _, _ = read_pq_index(spark, path)
+        assert codes.count() == 300
+        # retry lands atomically; stale increments retired with their gen
+        write_pq_index(routed.filter("id < 320"), "embedding", "id",
+                       "route", model, path)
+        codes, _, _ = read_pq_index(spark, path)
+        ids = [r["id"] for r in codes.collect()]
+        assert sorted(ids) == list(range(320))
+        assert len(ids) == len(set(ids))

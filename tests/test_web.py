@@ -298,3 +298,31 @@ class TestPslIdnRules:
         }
         assert got[1] == "shop.xn--55qx5d.cn"
         assert got[2] == "shop.公司.cn"
+
+
+class TestHostFallbackScope:
+    def test_ascii_malformed_urls_stay_null(self, spark, tmp_path):
+        """The IDN fallback must not resurrect hosts java.net.URI rightly
+        rejects — ASCII-garbage authorities stay out of domain grouping."""
+        from rtstore_spark.operators.web import (
+            load_psl_rules,
+            with_registrable_domain,
+        )
+
+        p = str(tmp_path / "psl_small.dat")
+        with open(p, "w") as f:
+            f.write("com\n")
+        rules = load_psl_rules(spark, p)
+        df = spark.createDataFrame(
+            [
+                (1, "http://exa mple.com,junk/x"),   # space+comma authority
+                (2, "http://good.example.com/x"),
+            ],
+            "id long, url string",
+        )
+        got = {
+            r["id"]: r["domain"]
+            for r in with_registrable_domain(df, "url", rules).collect()
+        }
+        assert got[1] is None
+        assert got[2] == "example.com"

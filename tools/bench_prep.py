@@ -24,6 +24,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _sf_of(sf_dir: str):
+    """Scale factor from an 'sf<scale>'-named dir; None for custom paths —
+    never raise after the timed work is done."""
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from rtstore_spark import get_spark
@@ -111,7 +120,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
-                "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+                "sf": _sf_of(sf_dir),
                 "rows": {
                     "docs": docs.count(),
                     "kept": int(n_kept),
