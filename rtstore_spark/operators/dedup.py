@@ -706,9 +706,13 @@ def substring_dedup(
     every token sat in removed spans comes back with EMPTY text
     (``n_tokens == n_tokens_removed``) — the caller's signal to drop the
     row (document-level dedup upstream usually prevents this; it arises
-    when a doc is a non-canonical concatenation of repeats). Idempotent
-    on its own output. NOT run by default in ``prepare_corpus``: the
-    paper applies it once, corpus-wide, after document-level dedup.
+    when a doc is a non-canonical concatenation of repeats). Near-
+    idempotent, not strictly: cutting a span splices previously
+    non-adjacent tokens together, so a second pass can remove at most
+    spans newly formed across cut boundaries (first-pass coverage is
+    complete for the ORIGINAL text; the paper's suffix-array form has the
+    same property). NOT run by default in ``prepare_corpus``: the paper
+    applies it once, corpus-wide, after document-level dedup.
 
     Scale shape (same exchange discipline as ``repeated_spans``): shingle
     hashes move as (id, pos, 8-byte hv) triples; the winner aggregate is
@@ -895,7 +899,12 @@ def decontaminate(
             # the probe is a trivially small job on a (usually persisted)
             # eval-side frame.
             spans = [int(r["span"]) for r in bench_hv.select("span").distinct().collect()]
-            if spans != [span_tokens]:
+            # an EMPTY hash set is valid provenance, not a mismatch: a
+            # benchmark whose docs are all shorter than span_tokens yields
+            # zero windows, and the gate is correctly a no-op (the
+            # ngram_contamination short-doc contract) — only a CONFLICTING
+            # recorded size is the silently-disabled-gate failure mode
+            if spans and spans != [span_tokens]:
                 raise ValueError(
                     f"decontaminate: bench_hashes were built at "
                     f"span_tokens={spans}, this call uses "

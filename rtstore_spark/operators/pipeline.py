@@ -778,6 +778,15 @@ def save_seen_filter(filter_df: DataFrame, path: str) -> int:
     flip leaves an orphan generation ``load_seen_filter`` never reads —
     the previous state stays live, and the run is simply re-run.
     Returns the committed generation number.
+
+    SINGLE WRITER: like every manifest-pointer mutation in this engine
+    (store rewrites, ``write_pq_index``), concurrent saves against one
+    ``path`` are a lost-update hazard — two runs that both read gen N
+    would each OR their own fingerprints into a gen N+1 and the last flip
+    would discard the other's. The pointer is re-read immediately before
+    the flip and a conflicting advance raises ``RuntimeError`` (the run
+    that lost re-runs its save against the new state); serialize prep
+    runs per seen-state path rather than relying on that backstop.
     """
     from rtstore_spark.operators.sketches import bloom_merge
     from rtstore_spark.store.fs import fs_for
@@ -806,6 +815,17 @@ def save_seen_filter(filter_df: DataFrame, path: str) -> int:
     filter_df.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/gen-{gen + 1}"
     )
+    # conflict backstop before the flip: if another writer advanced the
+    # pointer while this merge ran, flipping now would silently discard
+    # that writer's fingerprints — refuse instead (see docstring)
+    cur2 = fs.read_text(f"{path}/_current")
+    gen2 = int(cur2.strip()) if cur2 is not None else 0
+    if gen2 != gen:
+        raise RuntimeError(
+            f"save_seen_filter: concurrent writer advanced {path} from "
+            f"gen {gen} to gen {gen2} during this save — re-run the save "
+            "against the new committed state (single-writer contract)"
+        )
     fs.write_text_atomic(f"{path}/_current", str(gen + 1))
     return gen + 1
 

@@ -1131,6 +1131,17 @@ def write_pq_index(
         "overwrite"
     ).parquet(base + "/_centroids")
     pq_save(spark, model, base + "/_model")
+    # single-writer backstop (same contract as every manifest-pointer
+    # mutation): if another rebuild advanced the pointer while this one
+    # wrote, flipping now could point at a directory the other writer is
+    # still overwriting — refuse loudly instead of racing
+    cur2 = fs.read_text(f"{path}/_current")
+    if (int(cur2.strip()) if cur2 is not None else 0) != gen - 1:
+        raise RuntimeError(
+            f"write_pq_index: concurrent rebuild advanced {path} to gen "
+            f"{cur2.strip() if cur2 else 0} during this build — indexes "
+            "have a single-writer contract; re-run the rebuild"
+        )
     fs.write_text_atomic(f"{path}/_current", str(gen))
     # sweep: older generations + pre-pointer root artifacts
     for g in range(1, gen):

@@ -303,10 +303,15 @@ class _Handler(BaseHTTPRequestHandler):
             return
         _, service, method = parts
         try:
-            n = int(self.headers.get("Content-Length", 0))
+            n = int(self.headers.get("Content-Length", 0) or 0)
             body = json.loads(self.rfile.read(n) or b"{}")
-        except json.JSONDecodeError as e:
-            self._send_json(400, {"code": 1, "msg": f"bad json: {e}"})
+        except (json.JSONDecodeError, ValueError, TypeError) as e:
+            # malformed Content-Length is a 400 like malformed JSON — never
+            # an uncaught traceback that drops the connection
+            self._send_json(400, {"code": 1, "msg": f"bad request: {e}"})
+            return
+        if not isinstance(body, dict):
+            self._send_json(400, {"code": 1, "msg": "body must be an object"})
             return
         if service == "storage" and method == "Subscribe":
             self._subscribe(body)
@@ -324,10 +329,17 @@ class _Handler(BaseHTTPRequestHandler):
         ``max_events``/``max_seconds`` bound the stream (tests and polite
         clients; the gRPC stream's cancellation analog is the client
         closing the socket, which surfaces here as a write error)."""
-        after = int(body.get("from_block", self.node.store.state.block))
-        max_events = int(body.get("max_events", 0)) or None
-        deadline = time.monotonic() + float(body.get("max_seconds", 30.0))
-        poll = float(body.get("poll_seconds", 0.5))
+        try:
+            # validate EVERY parameter before send_response: once headers
+            # are committed a bad value could only surface as a hung or
+            # half-terminated chunked stream, not a clean 400
+            after = int(body.get("from_block", self.node.store.state.block))
+            max_events = int(body.get("max_events", 0)) or None
+            deadline = time.monotonic() + float(body.get("max_seconds", 30.0))
+            poll = float(body.get("poll_seconds", 0.5))
+        except (ValueError, TypeError) as e:
+            self._send_json(400, {"code": 1, "msg": f"bad request: {e}"})
+            return
         self.send_response(200)
         self.send_header("Content-Type", "application/x-ndjson")
         self.send_header("Transfer-Encoding", "chunked")

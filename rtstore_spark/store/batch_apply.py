@@ -404,7 +404,20 @@ class BatchApplier:
         envelope sets), so adaptive re-planning can only add
         per-query-stage scheduling round-trips, never a better plan. The
         analytics read path keeps the session default (AQE on).
+
+        Holds the sequencer lock for the whole block apply: the admit walk
+        snapshots the nonce table up front and the batch then advances
+        nonces / reserves doc-id ranges / stamps (block, order) — a direct
+        ``send_mutation`` interleaving anywhere in between would replay
+        against the stale snapshot or collide on the same sequence keys.
+        The reference's timer-driven block build holds its block-state
+        mutex the same way (mutation_store.rs:596-606); queries and reads
+        never take this lock.
         """
+        with self.store.state.lock:
+            return self._apply_under_lock(batch_df)
+
+    def _apply_under_lock(self, batch_df: DataFrame) -> list[tuple[dict, str]]:
         store, state = self.store, self.store.state
         block = state.block
         if state.order > 0:

@@ -110,6 +110,21 @@ class Ingest:
         # and threaded into the log so the returned id is the logged id.
         tx_id = hashlib.sha3_256(f"{body_text}|{signature}".encode()).hexdigest()
 
+        # Sequencing span: nonce guard → doc-id assignment → (block, order)
+        # → log append → response read must be ATOMIC per mutation. The
+        # service front end (NodeServer) handles requests on concurrent
+        # threads; without this span two simultaneous SendMutations could
+        # interleave between the nonce check and the order assignment —
+        # duplicate doc ids, colliding (block, order) keys (which break
+        # merge-on-read and update-chain folding), or a replayed nonce
+        # slipping through. The reference holds its block-state mutex at
+        # exactly this point (mutation_store.rs:596-606); like its single
+        # sequencer, mutations are applied one at a time — reads and
+        # queries stay fully concurrent.
+        with self.store.state.lock:
+            return self._apply(payload, sender, nonce, tx_id)
+
+    def _apply(self, payload: dict, sender: str, nonce: int, tx_id: str) -> dict:
         action = payload.get("action")
         body = payload.get("body") or {}
         store = self.store

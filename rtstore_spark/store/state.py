@@ -15,16 +15,26 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 from rtstore_spark.errors import BadNonce
 
 
 class StateStore:
+    """Thread-safe: every read-modify-write below runs under ``self.lock``
+    (the reference holds its block-state mutex at exactly these points —
+    mutation_store.rs:596-606). The lock is REENTRANT and public so the
+    write path (``Ingest.send_mutation``, ``DocStore`` mutations) can hold
+    it across a multi-step verify → nonce → id-assignment → sequence span:
+    per-method atomicity alone would let two concurrent mutations
+    interleave between the nonce check and the order assignment."""
+
     def __init__(self, root: str, fs=None):
         from rtstore_spark.store.fs import LocalFS
 
         self.fs = fs or LocalFS()
         self.path = os.path.join(root, "__state.json")
+        self.lock = threading.RLock()
         self._state = {"block": 0, "order": 0, "doc_counters": {}, "nonces": {}}
         txt = self.fs.read_text(self.path)
         if txt is not None:
@@ -39,16 +49,18 @@ class StateStore:
 
     def next_block(self) -> int:
         """Close the current block (the reference's timer tick)."""
-        self._state["block"] += 1
-        self._state["order"] = 0
-        self._flush()
-        return self._state["block"]
+        with self.lock:
+            self._state["block"] += 1
+            self._state["order"] = 0
+            self._flush()
+            return self._state["block"]
 
     def next_order(self) -> tuple[int, int]:
         """Assign (block, order) to one mutation within the current block."""
-        self._state["order"] += 1
-        self._flush()
-        return self._state["block"], self._state["order"]
+        with self.lock:
+            self._state["order"] += 1
+            self._flush()
+            return self._state["block"], self._state["order"]
 
     @property
     def block(self) -> int:
@@ -64,18 +76,20 @@ class StateStore:
 
     def observe_seq(self, block: int, order: int) -> None:
         """Replay path: adopt the origin's (block, order) as our position."""
-        if (block, order) >= (self._state["block"], self._state["order"]):
-            self._state["block"], self._state["order"] = block, order
-            self._flush()
+        with self.lock:
+            if (block, order) >= (self._state["block"], self._state["order"]):
+                self._state["block"], self._state["order"] = block, order
+                self._flush()
 
     # -- per-database sequential doc ids: db_store_v2.rs:358-398 --
 
     def take_doc_ids(self, db_addr: str, n: int, start_id: int = 1) -> list[int]:
-        cur = self._state["doc_counters"].get(db_addr, start_id - 1)
-        ids = list(range(cur + 1, cur + 1 + n))
-        self._state["doc_counters"][db_addr] = cur + n
-        self._flush()
-        return ids
+        with self.lock:
+            cur = self._state["doc_counters"].get(db_addr, start_id - 1)
+            ids = list(range(cur + 1, cur + 1 + n))
+            self._state["doc_counters"][db_addr] = cur + n
+            self._flush()
+            return ids
 
     def reserve_doc_ids(self, db_addr: str, n: int, start_id: int = 1) -> int:
         """Reserve a contiguous id range [first, first+n) and return ``first``.
@@ -83,24 +97,27 @@ class StateStore:
         The range form of take_doc_ids: batch ingest assigns ids to exploded
         document rows distributedly (base + row_number), so the driver only
         ever holds the base — never a list of O(batch) ids."""
-        cur = self._state["doc_counters"].get(db_addr, start_id - 1)
-        self._state["doc_counters"][db_addr] = cur + n
-        self._flush()
-        return cur + 1
+        with self.lock:
+            cur = self._state["doc_counters"].get(db_addr, start_id - 1)
+            self._state["doc_counters"][db_addr] = cur + n
+            self._flush()
+            return cur + 1
 
     def observe_doc_ids(self, db_addr: str, ids: list[int]) -> None:
         """Replay path: advance the counter past explicitly-supplied ids."""
         if not ids:
             return
-        cur = self._state["doc_counters"].get(db_addr, 0)
-        self._state["doc_counters"][db_addr] = max(cur, max(ids))
-        self._flush()
+        with self.lock:
+            cur = self._state["doc_counters"].get(db_addr, 0)
+            self._state["doc_counters"][db_addr] = max(cur, max(ids))
+            self._flush()
 
     # -- nonce replay guard: state_store.rs:171+, 'bad nonce' --
 
     def incr_nonce(self, sender: str, nonce: int) -> None:
-        last = self._state["nonces"].get(sender, 0)
-        if nonce <= last:
-            raise BadNonce(f"bad nonce for {sender}: {nonce} <= {last}")
-        self._state["nonces"][sender] = nonce
-        self._flush()
+        with self.lock:
+            last = self._state["nonces"].get(sender, 0)
+            if nonce <= last:
+                raise BadNonce(f"bad nonce for {sender}: {nonce} <= {last}")
+            self._state["nonces"][sender] = nonce
+            self._flush()

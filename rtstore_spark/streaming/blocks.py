@@ -67,9 +67,12 @@ class BlockEventStream:
         A trigger spanning more than ``max_events_per_trigger`` distinct
         blocks switches to aggregate-only delivery for that batch:
         ``on_overflow(block_lo, block_hi, n_blocks, n_mutations)`` gets ONE
-        summary call (or, without an overflow handler, ``on_block`` gets
-        one ``(block_hi, total)`` call) — the driver never materializes an
-        unbounded per-block list. Mirrors the reference's stance that the
+        summary call — the driver never materializes an unbounded per-block
+        list. Without an overflow handler the batch FAILS loudly
+        (``RuntimeError``) instead of calling ``on_block`` with blended
+        semantics: attributing a whole batch's mutation count to one block
+        id would silently corrupt any per-block accounting the subscriber
+        keeps. Mirrors the reference's stance that the
         subscriber stream is a notification channel, not a replay channel
         (storage_node_light_impl.rs:270-374); a subscriber that needs the
         skipped range replays it via GetBlock/get_range_mutations."""
@@ -88,12 +91,17 @@ class BlockEventStream:
                 F.count_distinct("block").alias("blocks"),
                 F.count(F.lit(1)).alias("muts"),
             ).collect()[0]
-            if on_overflow is not None:
-                on_overflow(
-                    int(s["lo"]), int(s["hi"]), int(s["blocks"]), int(s["muts"])
+            if on_overflow is None:
+                raise RuntimeError(
+                    f"BlockEventStream: trigger spans {int(s['blocks'])} "
+                    f"blocks (> max_events_per_trigger="
+                    f"{cap}) and no on_overflow handler was given — "
+                    "pass one, or raise the cap; per-block on_block "
+                    "delivery is never blended into one aggregate call"
                 )
-            else:
-                on_block(int(s["hi"]), int(s["muts"]))
+            on_overflow(
+                int(s["lo"]), int(s["hi"]), int(s["blocks"]), int(s["muts"])
+            )
 
         writer = (
             self._source()

@@ -199,3 +199,78 @@ class TestServiceEndToEnd:
         assert lines and lines[0]["type"] == "Block"
         ev = lines[0]["block_event"]
         assert ev["mutation_count"] >= 1 and ev["block_id"] >= 0
+
+
+class TestConcurrentSequencing:
+    """The sequencer under concurrent wire traffic: the reference holds a
+    block-state mutex across nonce → id-assignment → (block, order)
+    (mutation_store.rs:596-606); our span is StateStore.lock held by
+    Ingest.send_mutation. Eight simultaneous SendMutation POSTs through a
+    real ThreadingHTTPServer must produce unique (block, order) keys,
+    gap-free unique doc ids, and exactly one rejection per replayed nonce."""
+
+    def test_concurrent_send_mutations_socket(self, spark, tmp_path):
+        from concurrent.futures import ThreadPoolExecutor
+
+        store = DocStore(spark, str(tmp_path / "conc"))
+        srv = NodeServer(NodeService(store, Ingest(store))).start()
+        try:
+            port = srv.port
+            _, r = _post(
+                port, "storage/SendMutation",
+                _signed({"action": "create_database", "body": {}}, 1, ALICE),
+            )
+            assert r["code"] == 0
+            db = next(i["value"] for i in r["items"] if i["key"] == "db_addr")
+            _, r = _post(
+                port, "storage/SendMutation",
+                _signed({"action": "add_collection", "db_addr": db,
+                         "col_name": "c", "body": {}}, 2, ALICE),
+            )
+            assert r["code"] == 0
+
+            # 6 distinct senders, 2 docs each (each sender's first nonce),
+            # plus TWO same-nonce BOB requests — a replayed nonce that must
+            # be accepted exactly once
+            senders = ["0x" + f"{i:02x}" * 20 for i in range(0x10, 0x16)]
+            reqs = [
+                _signed({"action": "add_document", "db_addr": db,
+                         "col_name": "c",
+                         "body": {"docs": [json.dumps({"s": s, "j": j})
+                                           for j in (0, 1)]}}, 1, s)
+                for s in senders
+            ]
+            reqs += [
+                _signed({"action": "add_document", "db_addr": db,
+                         "col_name": "c",
+                         "body": {"docs": [json.dumps({"dup": tag})]}}, 1, BOB)
+                for tag in ("first", "second")
+            ]
+            with ThreadPoolExecutor(max_workers=8) as ex:
+                results = list(
+                    ex.map(lambda b: _post(port, "storage/SendMutation", b),
+                           reqs)
+                )
+
+            accepted = [r for _, r in results if r.get("code") == 0]
+            rejected = [r for _, r in results if r.get("code") != 0]
+            # exactly one of the two BOB nonce-1 requests rejected, as a
+            # nonce error — not a crash, not a silent double-accept
+            assert len(accepted) == 7 and len(rejected) == 1
+            assert "nonce" in rejected[0]["msg"].lower()
+
+            # every accepted mutation got a UNIQUE (block, order)
+            seqs = [(r["block"], r["order"]) for r in accepted]
+            assert len(set(seqs)) == len(seqs)
+
+            # doc ids are unique and gap-free: 6 senders x 2 + BOB's 1
+            ids = sorted(
+                int(i["value"]) for r in accepted for i in r["items"]
+                if i["key"] == "document"
+            )
+            assert ids == list(range(1, 14))
+
+            # and the store agrees: 13 live docs, one version each
+            assert store.current_state(db, "c").count() == 13
+        finally:
+            srv.stop()
