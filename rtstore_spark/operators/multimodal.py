@@ -79,7 +79,9 @@ def extract_features(
     grayscale pixels (a real embedding model would slot in at that point);
     audio rows decode through ``soundfile`` when importable, else the
     stdlib ``wave`` PCM fallback — real waveform stats with zero extra
-    installs; video still raises ``NotImplementedError`` (no codecs here).
+    installs; video rows decode through ``PyAV`` or ``imageio`` when one
+    is importable (up to 4 sampled frames, grayscale fold), else the
+    honest ``NotImplementedError`` gate (no codecs in this container).
     The mapInPandas contract — iterator of pandas batches in, iterator
     out, schema fixed — is identical either way. Partitioning note: media
     rows are large; keep ``maxPartitionBytes`` low enough that a batch of
@@ -156,6 +158,61 @@ def extract_features(
                 x = x.reshape(-1, nch).mean(axis=1)
             return np.clip(x, 0, 255).astype("uint8").tobytes()
 
+        vid_cache = []  # memoized per-task probe: ("av"|"imageio", module)
+
+        def _video_gray_bytes(b: bytes) -> bytes:
+            """Decode video bytes to grayscale pixels of a few sampled
+            frames (up to 4) — the same lazy-probe pattern as Pillow /
+            soundfile: PyAV when importable (full ffmpeg codecs), else
+            imageio v3 (whose pyav/ffmpeg plugins carry the codecs), else
+            the honest environment gate. Neither library ships in this
+            container, so here the gate raises — but the plumbing (probe
+            order, frame sampling, gray fold into the shared stripe
+            feature) is the real path a codec-equipped cluster runs."""
+            if not vid_cache:
+                try:
+                    import av  # noqa: F401 — lazy probe
+
+                    vid_cache.append(("av", av))
+                except ImportError:
+                    try:
+                        import imageio.v3 as iio  # noqa: F401 — lazy probe
+
+                        vid_cache.append(("imageio", iio))
+                    except ImportError as e:
+                        raise NotImplementedError(
+                            "decode_stub=False on video rows requires "
+                            "PyAV ('av') or imageio on the executors; "
+                            "install one or run with decode_stub=True"
+                        ) from e
+            backend, mod = vid_cache[0]
+            import io
+
+            import numpy as np
+
+            frames = []
+            if backend == "av":
+                with mod.open(io.BytesIO(b)) as container:
+                    for frame in container.decode(
+                        container.streams.video[0]
+                    ):
+                        frames.append(frame.to_ndarray(format="gray"))
+                        if len(frames) >= 4:
+                            break
+            else:
+                for arr in mod.imiter(b):
+                    a = np.asarray(arr)
+                    if a.ndim == 3:  # RGB(A) → gray
+                        a = a[..., :3].mean(axis=2)
+                    frames.append(a)
+                    if len(frames) >= 4:
+                        break
+            if not frames:
+                raise ValueError("video stream decoded to zero frames")
+            return b"".join(
+                np.clip(f, 0, 255).astype("uint8").tobytes() for f in frames
+            )
+
         def feature_of(b, kind):
             if stub:
                 return _stub_feature(b or b"", dim)
@@ -169,9 +226,11 @@ def extract_features(
                 # (any libsndfile format), stdlib wave as the always-there
                 # fallback for PCM WAV — real waveform, same stripe fold
                 return _stub_feature(_audio_pcm_bytes(b), dim)
+            if kind == "video":
+                return _stub_feature(_video_gray_bytes(b), dim)
             raise NotImplementedError(
-                f"real decode for kind={kind!r} requires video "
-                "libraries; run with decode_stub=True"
+                f"real decode for kind={kind!r} is not supported; run "
+                "with decode_stub=True"
             )
 
         for pdf in batches:

@@ -43,6 +43,7 @@ Design notes:
 from __future__ import annotations
 
 import json
+import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -68,6 +69,90 @@ def _rows(df) -> list[dict]:
     return [r.asDict() for r in df.collect()]
 
 
+class BlockEventBroadcaster:
+    """One shared block-event poll fanned out to every Subscribe client.
+
+    The reference serves all gRPC subscribers from a single broadcast
+    channel fed by the block timer (storage_node_light_impl.rs:270-374);
+    the naive HTTP analog — each handler thread polling its own aggregate
+    — costs N recurring driver jobs for N subscribers. This poller runs
+    the ``block_events_after`` aggregate ONCE per tick on its own thread
+    (only while subscribers exist; it starts on the first subscribe and
+    exits when the last unsubscribes) and pushes each event into every
+    subscriber's queue. Poll jobs carry the ``rtstore-block-poller`` job
+    group so tests can pin the one-job-per-tick contract.
+    """
+
+    JOB_GROUP = "rtstore-block-poller"
+
+    def __init__(self, node: "NodeService", poll_seconds: float = 0.5):
+        self.node = node
+        self.poll_seconds = poll_seconds
+        self._lock = threading.Lock()
+        self._subs: dict[int, queue.Queue] = {}
+        self._next_token = 0
+        self._cursor: int | None = None
+        self._thread: threading.Thread | None = None
+        self._wake = threading.Event()
+
+    def subscribe(self) -> tuple[int, queue.Queue, int]:
+        """Register a subscriber; returns ``(token, events_queue,
+        cursor_at_join)``. Every closed block with id > cursor_at_join
+        arrives on the queue exactly once; blocks at or before it are the
+        subscriber's own (one-shot) catch-up problem."""
+        with self._lock:
+            if self._cursor is None:
+                # first-ever subscriber: the CURRENT (still open) block is
+                # part of the live stream — it closes after this join, so
+                # the poll must cover it (cursor = block - 1). A default
+                # subscriber (from_block = current block) still filters it
+                # out queue-side; from_block older than the cursor is
+                # served by the handler's one-shot catch-up.
+                self._cursor = self.node.store.state.block - 1
+            token = self._next_token
+            self._next_token += 1
+            q: queue.Queue = queue.Queue()
+            self._subs[token] = q
+            if self._thread is None:
+                self._wake.clear()
+                self._thread = threading.Thread(
+                    target=self._run, name="rtstore-block-poller", daemon=True
+                )
+                self._thread.start()
+            return token, q, self._cursor
+
+    def unsubscribe(self, token: int) -> None:
+        with self._lock:
+            self._subs.pop(token, None)
+            if not self._subs:
+                self._wake.set()  # idle poller exits at its next check
+
+    def _run(self) -> None:
+        sc = self.node.store.spark.sparkContext
+        # thread-local job group: every poll aggregate this thread submits
+        # is attributed here (the test's one-job-per-tick counter)
+        sc.setJobGroup(self.JOB_GROUP, "shared Subscribe block poll", False)
+        while True:
+            with self._lock:
+                if not self._subs:
+                    self._thread = None
+                    return
+                cursor = self._cursor
+            try:
+                events = self.node.block_events_after(cursor)
+            except Exception:  # noqa: BLE001 — a failed poll is retried,
+                events = []  # never the death of every subscription
+            if events:
+                with self._lock:
+                    self._cursor = max(cursor, events[-1]["block_id"])
+                    queues = list(self._subs.values())
+                for ev in events:
+                    for q in queues:
+                        q.put(ev)
+            self._wake.wait(self.poll_seconds)
+            self._wake.clear()
+
+
 class NodeService:
     """Transport-free method dispatch for the three reference services."""
 
@@ -77,11 +162,20 @@ class NodeService:
         ingest: Ingest | None = None,
         system: SystemStore | None = None,
         rollup=None,
+        query_page_limit: int = 200,
+        subscribe_poll_seconds: float = 0.5,
     ):
         self.store = store
         self.ingest = ingest or Ingest(store)
         self.system = system
         self.rollup = rollup
+        # RunQuery response cap — the reference's scan_max_limit stance
+        # (mutation_store.rs:58): a wire response is a page, never an
+        # unbounded collect of a whole collection into driver memory
+        self.query_page_limit = query_page_limit
+        # ONE shared block-event poller for all Subscribe clients
+        # (storage_node_light_impl.rs:270-374: a single broadcast channel)
+        self.broadcaster = BlockEventBroadcaster(self, subscribe_poll_seconds)
 
     # -- entry ---------------------------------------------------------
 
@@ -224,6 +318,18 @@ class NodeService:
     # -- IndexerNode ---------------------------------------------------
 
     def _indexer_RunQuery(self, body: dict) -> dict:
+        """RunQuery with a response page cap. The reference's
+        RunQueryResponse returns every matching doc, but its own scan cap
+        (``scan_max_limit``, mutation_store.rs:58,395-403) sets the
+        precedent this boundary follows: at most ``query_page_limit``
+        documents per response unless the client explicitly asks for a
+        larger ``limit`` (opting into the memory cost). ``count`` is
+        always the TRUE matched total from the query snapshot;
+        ``next_page_token`` (an opaque offset) is present when more pages
+        remain — echo it back as ``page_token``. Page boundaries are
+        stable whenever the query itself orders (asc/desc/limit queries);
+        an unordered full scan pages best-effort within the snapshot,
+        exactly as an unordered scan's row order is unspecified."""
         q = self._need(body, "query")
         if isinstance(q, str):
             q = {"query_str": q}
@@ -233,15 +339,24 @@ class NodeService:
         )
         if "doc_id" not in docs_df.columns:  # `| count` collector
             return {"documents": [], "count": count}
+        cap = int(body["limit"]) if "limit" in body else self.query_page_limit
+        cap = max(1, cap)
+        offset = int(body.get("page_token") or 0)
+        page = docs_df.offset(offset) if offset else docs_df
+        rows = page.limit(cap + 1).collect()  # +1 row = "more pages" probe
+        more = len(rows) > cap
         documents = [
             {
                 "id": r["doc_id"],
                 "doc": json.loads(r["doc"]) if r["doc"] else None,
                 "owner": r["owner"] if "owner" in r.__fields__ else None,
             }
-            for r in docs_df.collect()
+            for r in rows[:cap]
         ]
-        return {"documents": documents, "count": count}
+        out = {"documents": documents, "count": count}
+        if more:
+            out["next_page_token"] = str(offset + cap)
+        return out
 
     def _indexer_GetDoc(self, body: dict) -> dict:
         row = self.store.get_doc(
@@ -328,7 +443,16 @@ class _Handler(BaseHTTPRequestHandler):
         current block — i.e. only future blocks) positions the cursor;
         ``max_events``/``max_seconds`` bound the stream (tests and polite
         clients; the gRPC stream's cancellation analog is the client
-        closing the socket, which surfaces here as a write error)."""
+        closing the socket, which surfaces here as a write error).
+
+        Events come from the node's SHARED ``BlockEventBroadcaster`` — one
+        poll aggregate per tick regardless of subscriber count. A
+        ``from_block`` older than the broadcaster's join cursor is served
+        by ONE subscriber-local catch-up aggregate before the live queue
+        takes over (the reference's replay-via-GetBlock stance, folded
+        into the stream for convenience). ``poll_seconds`` only paces this
+        handler's queue waits; the poll cadence itself is node-level
+        (``NodeService(subscribe_poll_seconds=...)``)."""
         try:
             # validate EVERY parameter before send_response: once headers
             # are committed a bad value could only surface as a hung or
@@ -340,6 +464,7 @@ class _Handler(BaseHTTPRequestHandler):
         except (ValueError, TypeError) as e:
             self._send_json(400, {"code": 1, "msg": f"bad request: {e}"})
             return
+        token, events_q, joined = self.node.broadcaster.subscribe()
         self.send_response(200)
         self.send_header("Content-Type", "application/x-ndjson")
         self.send_header("Transfer-Encoding", "chunked")
@@ -352,18 +477,33 @@ class _Handler(BaseHTTPRequestHandler):
 
         sent = 0
         try:
-            while time.monotonic() < deadline:
+            if after < joined:
+                # one-shot catch-up for THIS subscriber: blocks the live
+                # broadcast will never replay (closed at or before join)
                 for ev in self.node.block_events_after(after):
+                    if ev["block_id"] > joined:
+                        break  # the queue delivers these
                     emit({"type": "Block", "block_event": ev})
                     after = max(after, ev["block_id"])
                     sent += 1
                     if max_events and sent >= max_events:
                         break
-                if max_events and sent >= max_events:
-                    break
-                time.sleep(poll)
+            while (not max_events or sent < max_events) and (
+                (remaining := deadline - time.monotonic()) > 0
+            ):
+                try:
+                    ev = events_q.get(timeout=min(poll, remaining))
+                except queue.Empty:
+                    continue
+                if ev["block_id"] <= after:
+                    continue  # already sent during catch-up
+                emit({"type": "Block", "block_event": ev})
+                after = max(after, ev["block_id"])
+                sent += 1
         except (BrokenPipeError, ConnectionResetError):  # client went away
             return
+        finally:
+            self.node.broadcaster.unsubscribe(token)
         self.wfile.write(b"0\r\n\r\n")
 
 

@@ -63,6 +63,116 @@ from rtstore_spark.store.docstore import (
 
 _PAYLOAD = "docs array<string>, patches array<string>"
 
+# bound on concurrently-replaying collections per batch: each worker holds
+# one in-flight Spark job round; 8 keeps the driver's scheduler and memory
+# pressure flat while hiding nearly all of the per-collection write latency
+REPLAY_MAX_PARALLEL_COLLECTIONS = 8
+
+
+def _replay_collection(
+    replica, db: str, col: str, actions: set, doc: DataFrame
+) -> None:
+    """One collection's document ops from a replayed batch — adds, folded
+    updates, deletes, in that order (the pinned state for updates must see
+    this batch's adds). Runs on a pool thread; everything it touches is
+    collection-local (the data directory, the append counter note)."""
+    # UDF wrappers are created per call: pandas-UDF objects are cheap, and
+    # per-thread instances avoid sharing one lazily-registered function
+    # across concurrently-built plans
+    fold = make_fold_patches()
+    merge = make_json_merge_patch()
+    muts = doc.filter(
+        (F.col("db_addr") == db) & (F.col("col_name") == col)
+    )
+    path = replica._data_path(db, col)
+
+    # ---- adds first: logged ids ∥ docs, one exploded append.
+    # repartition on doc_bucket keeps the write parallel across
+    # buckets while still producing one file per bucket.
+    if "add_document" in actions:
+        add_rows = (
+            muts.filter(F.col("action") == "add_document")
+            .select(
+                F.col("sender").alias("owner"), "block", "order",
+                F.explode(
+                    F.arrays_zip(F.col("_log_ids"), F.col("_p.docs"))
+                ).alias("_z"),
+            )
+            .select(
+                F.col("_z._log_ids").alias("doc_id"), "owner",
+                F.col("_z.docs").alias("doc"),
+                F.lit("A").alias("op"), "block", "order",
+            )
+        )
+        _with_doc_bucket(
+            add_rows.select([f.name for f in DOC_SCHEMA.fields])
+        ).repartition(F.col("doc_bucket")).write.mode(
+            "append"
+        ).partitionBy("doc_bucket").parquet(path)
+
+    # state for the update merge: pinned AFTER the adds append, so
+    # the frozen file list covers pre-batch files ∪ this batch's
+    # adds — and, files being immutable, stays valid while the U/D
+    # appends below land in the same directory
+    if "update_document" in actions:
+        state_df = pinned_state(replica, path)
+        upd = (
+            muts.filter(F.col("action") == "update_document")
+            .select(
+                "block", "order",
+                F.explode(
+                    F.arrays_zip(F.col("_log_ids"), F.col("_p.patches"))
+                ).alias("_z"),
+            )
+            .select(
+                F.col("_z._log_ids").alias("doc_id"),
+                "block", "order", F.col("_z.patches").alias("patch"),
+            )
+        )
+        folded = (
+            upd.groupBy("doc_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("block", "order", "patch"))
+                ).alias("_chain"),
+                F.max(F.struct("block", "order")).alias("_last"),
+            )
+            .select(
+                "doc_id", fold(F.col("_chain")).alias("_patch"),
+                F.col("_last.block").alias("block"),
+                F.col("_last.order").alias("order"),
+            )
+        )
+        merged = state_df.select("doc_id", "owner", "doc").join(
+            folded, "doc_id"
+        ).select(
+            "doc_id", "owner",
+            merge(F.col("doc"), F.col("_patch")).alias("doc"),
+            F.lit("U").alias("op"), "block", "order",
+        )
+        _with_doc_bucket(merged).repartition(
+            F.col("doc_bucket")
+        ).write.mode("append").partitionBy("doc_bucket").parquet(path)
+
+    if "delete_document" in actions:
+        del_rows = (
+            muts.filter(F.col("action") == "delete_document")
+            .select(
+                F.col("sender").alias("owner"), "block", "order",
+                F.explode("_log_ids").alias("doc_id"),
+            )
+            .select(
+                "doc_id", "owner",
+                F.lit(None).cast("string").alias("doc"),
+                F.lit("D").alias("op"), "block", "order",
+            )
+        )
+        _with_doc_bucket(del_rows).repartition(
+            F.col("doc_bucket")
+        ).write.mode("append").partitionBy("doc_bucket").parquet(path)
+
+    replica._note_append(db, col)
+
 
 def replay_log_batch(replica, batch_df: DataFrame) -> int:
     """Apply one micro-batch of origin mutation-log rows to ``replica``.
@@ -125,101 +235,33 @@ def replay_log_batch(replica, batch_df: DataFrame) -> int:
                 f"log references unknown collections: {missing}"
             )
 
-        fold = make_fold_patches()
-        merge = make_json_merge_patch()
-        for db, col in sorted(by_col):
-            actions = by_col[(db, col)]
-            muts = doc.filter(
-                (F.col("db_addr") == db) & (F.col("col_name") == col)
-            )
-            path = replica._data_path(db, col)
+        cols = sorted(by_col)
+        if len(cols) == 1:
+            _replay_collection(replica, cols[0][0], cols[0][1], by_col[cols[0]], doc)
+        else:
+            # Collections are independent (disjoint data directories), so
+            # their append rounds run through a BOUNDED thread pool: Spark
+            # schedules concurrent jobs from one driver, so a batch that
+            # touches 50 collections overlaps its writes instead of paying
+            # 50 sequential driver-blocking rounds. Within one collection
+            # the adds → pinned-state → updates → deletes order is
+            # preserved (it is one task). Pool size caps driver memory and
+            # scheduler pressure; errors propagate after all tasks settle
+            # (fail-fast would leave sibling writes mid-flight).
+            from concurrent.futures import ThreadPoolExecutor
 
-            # ---- adds first: logged ids ∥ docs, one exploded append.
-            # repartition on doc_bucket keeps the write parallel across
-            # buckets while still producing one file per bucket.
-            if "add_document" in actions:
-                add_rows = (
-                    muts.filter(F.col("action") == "add_document")
-                    .select(
-                        F.col("sender").alias("owner"), "block", "order",
-                        F.explode(
-                            F.arrays_zip(F.col("_log_ids"), F.col("_p.docs"))
-                        ).alias("_z"),
+            workers = min(REPLAY_MAX_PARALLEL_COLLECTIONS, len(cols))
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                futures = [
+                    pool.submit(
+                        _replay_collection, replica, db, col, by_col[(db, col)], doc
                     )
-                    .select(
-                        F.col("_z._log_ids").alias("doc_id"), "owner",
-                        F.col("_z.docs").alias("doc"),
-                        F.lit("A").alias("op"), "block", "order",
-                    )
-                )
-                _with_doc_bucket(
-                    add_rows.select([f.name for f in DOC_SCHEMA.fields])
-                ).repartition(F.col("doc_bucket")).write.mode(
-                    "append"
-                ).partitionBy("doc_bucket").parquet(path)
-
-            # state for the update merge: pinned AFTER the adds append, so
-            # the frozen file list covers pre-batch files ∪ this batch's
-            # adds — and, files being immutable, stays valid while the U/D
-            # appends below land in the same directory
-            if "update_document" in actions:
-                state_df = pinned_state(replica, path)
-                upd = (
-                    muts.filter(F.col("action") == "update_document")
-                    .select(
-                        "block", "order",
-                        F.explode(
-                            F.arrays_zip(F.col("_log_ids"), F.col("_p.patches"))
-                        ).alias("_z"),
-                    )
-                    .select(
-                        F.col("_z._log_ids").alias("doc_id"),
-                        "block", "order", F.col("_z.patches").alias("patch"),
-                    )
-                )
-                folded = (
-                    upd.groupBy("doc_id")
-                    .agg(
-                        F.sort_array(
-                            F.collect_list(F.struct("block", "order", "patch"))
-                        ).alias("_chain"),
-                        F.max(F.struct("block", "order")).alias("_last"),
-                    )
-                    .select(
-                        "doc_id", fold(F.col("_chain")).alias("_patch"),
-                        F.col("_last.block").alias("block"),
-                        F.col("_last.order").alias("order"),
-                    )
-                )
-                merged = state_df.select("doc_id", "owner", "doc").join(
-                    folded, "doc_id"
-                ).select(
-                    "doc_id", "owner",
-                    merge(F.col("doc"), F.col("_patch")).alias("doc"),
-                    F.lit("U").alias("op"), "block", "order",
-                )
-                _with_doc_bucket(merged).repartition(
-                    F.col("doc_bucket")
-                ).write.mode("append").partitionBy("doc_bucket").parquet(path)
-
-            if "delete_document" in actions:
-                del_rows = (
-                    muts.filter(F.col("action") == "delete_document")
-                    .select(
-                        F.col("sender").alias("owner"), "block", "order",
-                        F.explode("_log_ids").alias("doc_id"),
-                    )
-                    .select(
-                        "doc_id", "owner",
-                        F.lit(None).cast("string").alias("doc"),
-                        F.lit("D").alias("op"), "block", "order",
-                    )
-                )
-                _with_doc_bucket(del_rows).repartition(
-                    F.col("doc_bucket")
-                ).write.mode("append").partitionBy("doc_bucket").parquet(path)
-
-            replica._note_append(db, col)
+                    for db, col in cols
+                ]
+                errors = [f.exception() for f in futures]
+            for e in errors:
+                if e is not None:
+                    raise e
 
         # -- 3. the log: origin rows verbatim, one distributed append
         doc.select([f.name for f in LOG_SCHEMA.fields]).withColumn(
@@ -242,9 +284,6 @@ def _converge_state(replica, batch: DataFrame, doc: DataFrame, has_doc_ops: bool
     state = replica.state
     if has_doc_ops:
         agg = doc.groupBy("sender").agg(F.max("nonce").alias("_n")).collect()
-        for r in agg:
-            if r["_n"] and r["_n"] > state._state["nonces"].get(r["sender"], 0):
-                state._state["nonces"][r["sender"]] = int(r["_n"])
         id_max = (
             doc.filter(F.col("action") == "add_document")
             .select("db_addr", F.array_max("_log_ids").alias("_m"))
@@ -252,13 +291,20 @@ def _converge_state(replica, batch: DataFrame, doc: DataFrame, has_doc_ops: bool
             .agg(F.max("_m").alias("_m"))
             .collect()
         )
-        for r in id_max:
-            if r["_m"] is not None:
-                cur = state._state["doc_counters"].get(r["db_addr"], 0)
-                state._state["doc_counters"][r["db_addr"]] = max(cur, int(r["_m"]))
     top = batch.agg(F.max(F.struct("block", "order")).alias("_t")).collect()[0]["_t"]
-    if top is not None and (top["block"], top["order"]) >= (state.block, state.order):
-        state._state["block"], state._state["order"] = (
-            int(top["block"]), int(top["order"]),
-        )
-    state._flush()
+    # aggregates above run unlocked (Spark jobs); only the counter folds
+    # hold the sequencer lock
+    with state.lock:
+        if has_doc_ops:
+            for r in agg:
+                if r["_n"] and r["_n"] > state._state["nonces"].get(r["sender"], 0):
+                    state._state["nonces"][r["sender"]] = int(r["_n"])
+            for r in id_max:
+                if r["_m"] is not None:
+                    cur = state._state["doc_counters"].get(r["db_addr"], 0)
+                    state._state["doc_counters"][r["db_addr"]] = max(cur, int(r["_m"]))
+        if top is not None and (top["block"], top["order"]) >= (state.block, state.order):
+            state._state["block"], state._state["order"] = (
+                int(top["block"]), int(top["order"]),
+            )
+        state._flush()

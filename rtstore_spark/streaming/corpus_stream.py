@@ -81,6 +81,7 @@ class StreamingCorpusPrep:
         num_hashes: int = 8,
         bands: int = 4,
         shingle_n: int = 3,
+        audit: bool = True,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -99,6 +100,8 @@ class StreamingCorpusPrep:
         self.num_hashes = num_hashes
         self.bands = bands
         self.shingle_n = shingle_n
+        self.audit = audit
+        self.audit_dir = f"{state_dir}/audit"
         self._bench_hv_cache: dict = {}
 
     # ------------------------------------------------------------------
@@ -202,20 +205,82 @@ class StreamingCorpusPrep:
             return
         from pyspark import StorageLevel
 
+        in_cols = batch.columns
+        observations = {}
+        if self.audit:
+            # stage taps ride the actions the batch runs anyway
+            # (PrepAudit's Observation pattern — pipeline.py:119): the
+            # input/gated counts fire when the persisted gated set first
+            # materializes, costing zero extra scans of the raw batch
+            from pyspark.sql import Observation
+
+            for name, frame in (("input", batch),):
+                obs = Observation(f"csp_{name}_{batch_id}_{id(self)}")
+                observations[name] = obs
+                batch = frame.observe(obs, F.count(F.lit(1)).alias("rows"))
         # pin the gated batch: the fingerprint window, the Bloom probe,
         # the within-batch minhash and the signature join all branch off
         # it — un-persisted, each action re-runs the quality/lang/
         # blocklist/decontaminate subtree (the same multi-branch re-scan
         # prepare_corpus persists against)
-        gated = self._gate(batch).persist(StorageLevel.MEMORY_AND_DISK)
+        gated = self._gate(batch)
+        if self.audit:
+            from pyspark.sql import Observation
+
+            obs = Observation(f"csp_gated_{batch_id}_{id(self)}")
+            observations["gated"] = obs
+            gated = gated.observe(obs, F.count(F.lit(1)).alias("rows"))
+        gated = gated.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            self._dedup_and_write(gated, batch.columns, batch_id)
+            stage_counts = self._dedup_and_write(
+                gated, in_cols, batch_id, observations
+            )
+            if self.audit:
+                self._write_audit(batch_id, stage_counts)
         finally:
             gated.unpersist()
 
+    def _write_audit(self, batch_id: int, stage_counts: dict) -> None:
+        """One tiny idempotent append per micro-batch: the stage-yield
+        rows of THIS batch land in ``audit/batch=<id>`` with overwrite
+        (a replayed batch rewrites its own rows, like every other
+        per-batch write here). This is the operational report a rolling
+        crawl reads — per-batch gate/dedup yields without re-scanning
+        anything: counts came from Observations and already-persisted
+        frames."""
+        rows = [
+            {"stage": k, "rows": int(v)} for k, v in stage_counts.items()
+        ]
+        self.spark.createDataFrame(
+            rows, schema="stage string, rows long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{self.audit_dir}/batch={batch_id}"
+        )
+
+    def audit_table(self) -> DataFrame:
+        """Per-micro-batch stage yields: ``(stage, rows, batch)``. Stages
+        in pipeline order: ``input`` (raw arrivals), ``gated`` (post
+        quality/lang/blocklist/decontaminate), ``exact_dedup`` (post
+        within-batch + cross-history exact), ``final`` (written
+        survivors, post near-dup). Empty until an audited batch runs."""
+        from rtstore_spark.store.fs import read_parquet_or_empty
+
+        schema = T.StructType(
+            [
+                T.StructField("stage", T.StringType()),
+                T.StructField("rows", T.LongType()),
+                T.StructField("batch", T.IntegerType()),
+            ]
+        )
+        return read_parquet_or_empty(self.spark, self.audit_dir, schema)
+
     def _dedup_and_write(
-        self, kept: DataFrame, batch_cols: list, batch_id: int
-    ) -> None:
+        self,
+        kept: DataFrame,
+        batch_cols: list,
+        batch_id: int,
+        observations: dict | None = None,
+    ) -> dict | None:
         from pyspark.sql import Window
 
         from rtstore_spark.operators import dedup as D
@@ -248,6 +313,17 @@ class StreamingCorpusPrep:
             kept = kept.join(
                 seen.select(F.col("item").alias("fp")), "fp", "left_anti"
             )
+
+        n_exact = None
+        if self.audit:
+            # ONE eager count after the exact stage — the same move (and
+            # the same reasoning) as batch PrepAudit's exact-dedup count:
+            # it fires the input/gated Observations via the gated set's
+            # cache materialization BEFORE the near-dup stage's internal
+            # localCheckpoint actions can traverse the taps, and its own
+            # cost is one window+probe pass over the CACHED gated rows,
+            # never a second scan of the raw batch
+            n_exact = kept.count()
 
         # within-batch near-dup (full verify — text is present)
         drop = D.minhash_dedup(
@@ -292,6 +368,17 @@ class StreamingCorpusPrep:
             ).write.mode("overwrite").parquet(
                 f"{self.sig_dir}/batch={batch_id}"
             )
+            if self.audit:
+                # survivors are cached by now (the writes materialized the
+                # persist) — this count is a cache scan, and the input /
+                # gated Observations fired during the eager exact count
+                return {
+                    "input": observations["input"].get["rows"],
+                    "gated": observations["gated"].get["rows"],
+                    "exact_dedup": n_exact,
+                    "final": kept.count(),
+                }
+            return None
         finally:
             kept.unpersist()
 

@@ -114,17 +114,18 @@ class StreamingDedup:
 
 
 def compact_bloom_partitions(spark, filter_dir: str) -> None:
-    """Rewrite a per-batch Bloom filter table as ONE merged partition
-    (``batch=-1`` — a sentinel no live micro-batch id ever takes, so the
-    self-exclusion filter always includes it). Lossless: the OR-merge is
-    byte-identical to a union build, so every membership answer is
-    unchanged; what changes is the probe cost — one partition instead of
-    one per micro-batch ever run.
+    """Rewrite a per-batch Bloom filter table as ONE merged sentinel
+    partition. Lossless: the OR-merge is byte-identical to a union build,
+    so every membership answer is unchanged; what changes is the probe
+    cost — one partition instead of one per micro-batch ever run.
 
-    Crash-safe without a pointer: the merged partition is written FIRST,
-    the superseded ``batch=N`` directories deleted after. A crash in
-    between leaves both — and double-counted Bloom words are harmless
-    (OR is idempotent), so a re-run of the compaction just converges.
+    Crash-safe via the generation-pointer protocol
+    (``streaming/state_table.py``): the merged state lands in a fresh
+    ``batch=-<gen>`` sentinel, the ``_compacted`` pointer flips
+    atomically, stale partitions are swept last. A torn sentinel write
+    can no longer lose Bloom words (the failure mode that forced the old
+    "crash ⇒ full rebuild" contract): readers only see the generation
+    the pointer names.
 
     Operational contract: run between clean ``run_once`` calls (no stream
     in flight). After compacting, a CHECKPOINT RESET demands clearing the
@@ -134,26 +135,11 @@ def compact_bloom_partitions(spark, filter_dir: str) -> None:
     its own documents.
     """
     from rtstore_spark.operators.sketches import bloom_merge
-    from rtstore_spark.store.fs import fs_for
+    from rtstore_spark.streaming.state_table import compact_state_partitions
 
-    fs = fs_for(filter_dir, spark)
-    if not fs.exists(filter_dir):
-        return
-    parts = [
-        p for p in fs.listdir(filter_dir)
-        if p.startswith("batch=") and p != "batch=-1"
-    ]
-    if not parts:
-        return
-    # localCheckpoint materializes the merge BEFORE the overwrite: a
-    # second compaction reads the existing batch=-1 partition, and Spark
-    # cannot overwrite a path an in-flight plan still reads from
-    merged = bloom_merge(
-        spark.read.parquet(filter_dir).drop("batch"), by=[]
-    ).coalesce(1).localCheckpoint()
-    merged.write.mode("overwrite").parquet(f"{filter_dir}/batch=-1")
-    for p in parts:
-        fs.delete(f"{filter_dir}/{p}", recursive=True)
+    compact_state_partitions(
+        spark, filter_dir, lambda live: bloom_merge(live, by=[])
+    )
 
 
 def prior_bloom_filter(
@@ -193,7 +179,15 @@ def prior_bloom_filter(
             f"{bad}; this stream is configured ({nbits}, {k}) — Bloom "
             "state is only valid at one config"
         )
-    return ref.filter(F.col("batch") != batch_id).drop("batch")
+    from rtstore_spark.streaming.state_table import (
+        live_sentinel_gen,
+        live_state_filter,
+    )
+
+    gen = live_sentinel_gen(spark, filter_dir)
+    return ref.filter(live_state_filter(gen, exclude_batch=batch_id)).drop(
+        "batch"
+    )
 
 
 class StreamingBloomDedup:

@@ -32,36 +32,24 @@ from pyspark.sql import types as T
 
 
 def compact_signature_partitions(spark, sig_dir: str) -> None:
-    """Coalesce a per-batch signature table into ONE ``batch=-1``
-    partition (the sentinel the self-exclusion filter always includes).
+    """Coalesce a per-batch signature table into ONE sentinel partition.
     Row content is unchanged — this is purely a small-files compaction
     for streams that have run thousands of micro-batches.
 
-    Crash-safe without a pointer: merged partition written first, old
-    partitions deleted after; if both coexist briefly, duplicate
-    signature rows only produce duplicate candidate pairs, which the
-    left-anti/distinct consumers already collapse. Same operational
-    contract as ``dedup_stream.compact_bloom_partitions``: run between
-    clean runs; a checkpoint reset afterwards requires a full state +
-    dest rebuild (a replayed batch can no longer self-exclude rows
-    folded into the merged partition)."""
-    from rtstore_spark.store.fs import fs_for
+    Crash-safe via the generation-pointer protocol
+    (``streaming/state_table.py``): fresh ``batch=-<gen>`` sentinel →
+    atomic ``_compacted`` pointer flip → stale sweep. A torn sentinel
+    write can no longer truncate the signature table (silently missed
+    near-dups); a crash after the flip only double-includes folded rows,
+    whose duplicate candidate pairs the left-anti/distinct consumers
+    already collapse. Same operational contract as
+    ``dedup_stream.compact_bloom_partitions``: run between clean runs;
+    a checkpoint reset afterwards requires a full state + dest rebuild
+    (a replayed batch can no longer self-exclude rows folded into the
+    merged partition)."""
+    from rtstore_spark.streaming.state_table import compact_state_partitions
 
-    fs = fs_for(sig_dir, spark)
-    if not fs.exists(sig_dir):
-        return
-    parts = [
-        p for p in fs.listdir(sig_dir)
-        if p.startswith("batch=") and p != "batch=-1"
-    ]
-    if not parts:
-        return
-    # materialize before the overwrite (a second compaction reads the
-    # existing batch=-1 partition it is about to replace)
-    rows = spark.read.parquet(sig_dir).drop("batch").coalesce(1).localCheckpoint()
-    rows.write.mode("overwrite").parquet(f"{sig_dir}/batch=-1")
-    for p in parts:
-        fs.delete(f"{sig_dir}/{p}", recursive=True)
+    compact_state_partitions(spark, sig_dir, lambda live: live)
 
 
 def prior_signatures(spark, sig_dir: str, batch_id: int) -> DataFrame | None:
@@ -85,7 +73,13 @@ def prior_signatures(spark, sig_dir: str, batch_id: int) -> DataFrame | None:
         ref = spark.read.parquet(sig_dir)
     except AnalysisException:  # exists but holds no readable parquet yet
         return None
-    return ref.filter(F.col("batch") != batch_id)
+    from rtstore_spark.streaming.state_table import (
+        live_sentinel_gen,
+        live_state_filter,
+    )
+
+    gen = live_sentinel_gen(spark, sig_dir)
+    return ref.filter(live_state_filter(gen, exclude_batch=batch_id))
 
 
 class StreamingNearDedup:

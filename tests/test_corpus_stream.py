@@ -199,13 +199,22 @@ class TestCompactState:
         stage(spark, cp, [(3, GOOD_EN2)])
         cp.run_once()
         cp.compact_state()
+        # one sentinel partition each, named by the _compacted pointer
+        # (generations start at 2 — batch=-1 is reserved for the legacy
+        # pointer-less layout)
+        from rtstore_spark.streaming.state_table import live_sentinel_gen
+
+        gen_f = live_sentinel_gen(spark, cp.filter_dir)
+        gen_s = live_sentinel_gen(spark, cp.sig_dir)
+        assert gen_f == 2 and gen_s == 2
         assert glob.glob(f"{cp.filter_dir}/batch=*") == [
-            f"{cp.filter_dir}/batch=-1"
+            f"{cp.filter_dir}/batch=-{gen_f}"
         ]
         assert glob.glob(f"{cp.sig_dir}/batch=*") == [
-            f"{cp.sig_dir}/batch=-1"
+            f"{cp.sig_dir}/batch=-{gen_s}"
         ]
-        cp.compact_state()  # idempotent second pass (folds batch=-1 only)
+        cp.compact_state()  # second pass: only the live sentinel → no-op
+        assert live_sentinel_gen(spark, cp.filter_dir) == 2
         # history still gates: exact + near repeats of pre-compaction docs
         stage(
             spark, cp,
@@ -235,3 +244,49 @@ class TestCompactState:
             tuple(r) for r in spark.read.parquet(cp.sig_dir).drop("batch").collect()
         )
         assert before == after
+
+
+class TestPerBatchAudit:
+    def test_stage_yields_per_micro_batch(self, spark, tmp_path):
+        """Every audited micro-batch appends its stage-yield rows —
+        input → gated → exact_dedup → final — to the audit state table,
+        with counts that reconcile against the known data. The counts
+        ride Observations + already-persisted frames (the PrepAudit
+        pattern), so the report costs no extra scan of the raw batch."""
+        cp = make(spark, tmp_path, name="aud")
+        # batch 0: 1 keeper, 1 exact dup, 1 short reject
+        stage(spark, cp, [(1, GOOD_EN), (2, GOOD_EN), (3, "short text")])
+        cp.run_once()
+        # batch 1: 1 historical exact (Bloom), 1 near dup of history,
+        # 1 fresh keeper, 1 digit reject
+        stage(
+            spark, cp,
+            [
+                (10, GOOD_EN),
+                (11, GOOD_EN.replace("cat", "dog")),
+                (12, FRESH),
+                (13, DIGITS),
+            ],
+        )
+        cp.run_once()
+
+        audit = {
+            (int(r["batch"]), r["stage"]): int(r["rows"])
+            for r in cp.audit_table().collect()
+        }
+        assert audit[(0, "input")] == 3
+        assert audit[(0, "gated")] == 2        # short doc rejected
+        assert audit[(0, "exact_dedup")] == 1  # within-batch dup dropped
+        assert audit[(0, "final")] == 1
+        assert audit[(1, "input")] == 4
+        assert audit[(1, "gated")] == 3        # digit spam rejected
+        assert audit[(1, "exact_dedup")] == 2  # Bloom drops historical
+        assert audit[(1, "final")] == 1        # near-dup drops doc 11
+        assert kept_ids(cp) == [1, 12]
+
+    def test_audit_off_writes_nothing(self, spark, tmp_path):
+        cp = make(spark, tmp_path, name="noaud", audit=False)
+        stage(spark, cp, [(1, GOOD_EN)])
+        cp.run_once()
+        assert cp.audit_table().count() == 0
+        assert kept_ids(cp) == [1]

@@ -307,3 +307,52 @@ class TestSendMutationContract:
             b = json.dumps(p, sort_keys=True)
             with pytest.raises(InvalidMutation, match="missing"):
                 ing.send_mutation(p, digest_signature(b, i, ALICE), ALICE, i)
+
+
+class TestParallelCollectionReplay:
+    def test_many_collections_overlap_and_converge(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A replayed batch touching many collections runs its
+        per-collection append rounds through the bounded pool — writes
+        measurably overlap (two tasks in flight at once) instead of
+        paying O(collections) sequential driver-blocking rounds — and the
+        replica still converges exactly."""
+        import threading
+        import time
+
+        from rtstore_spark.store import replay as R
+
+        origin = DocStore(spark, str(tmp_path / "o_many"))
+        db = origin.create_database(ALICE, nonce=1)
+        n_cols = 10
+        expected = {}
+        for i in range(n_cols):
+            origin.create_collection(db, f"c{i}", [], ALICE)
+            ids = origin.add_docs(db, f"c{i}", [f'{{"c": {i}}}'], ALICE)
+            expected[f"c{i}"] = ids
+
+        active = [0]
+        peak = [0]
+        gate = threading.Lock()
+        inner = R._replay_collection
+
+        def tracked(replica, dbx, col, actions, doc):
+            with gate:
+                active[0] += 1
+                peak[0] = max(peak[0], active[0])
+            try:
+                return inner(replica, dbx, col, actions, doc)
+            finally:
+                with gate:
+                    active[0] -= 1
+
+        monkeypatch.setattr(R, "_replay_collection", tracked)
+        replica = DocStore(spark, str(tmp_path / "r_many"))
+        replica.replay_from(origin)
+
+        assert peak[0] >= 2, f"no overlap: peak concurrency {peak[0]}"
+        for i in range(n_cols):
+            rows = replica.current_state(db, f"c{i}").collect()
+            assert [r["doc_id"] for r in rows] == expected[f"c{i}"]
+            assert json.loads(rows[0]["doc"]) == {"c": i}

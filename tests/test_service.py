@@ -274,3 +274,121 @@ class TestConcurrentSequencing:
             assert store.current_state(db, "c").count() == 13
         finally:
             srv.stop()
+
+
+class TestRunQueryPaging:
+    """The RunQuery response cap: the wire boundary returns pages (the
+    reference's scan_max_limit stance, mutation_store.rs:58,395-403), never
+    an unbounded collect of a whole collection into the driver thread."""
+
+    def test_default_cap_and_page_token(self, spark, tmp_path):
+        store = DocStore(spark, str(tmp_path / "page"))
+        srv = NodeServer(
+            NodeService(store, Ingest(store), query_page_limit=5)
+        ).start()
+        try:
+            port = srv.port
+            db = store.create_database(ALICE, nonce=1)
+            store.create_collection(db, "c", [], ALICE)
+            store.add_docs(
+                db, "c", [json.dumps({"i": i}) for i in range(12)], ALICE
+            )
+            q = {"db_addr": db, "col_name": "c", "query": "/*"}
+
+            # page 1: capped at 5, true total count, token for more
+            _, r = _post(port, "indexer/RunQuery", q)
+            assert len(r["documents"]) == 5 and r["count"] == 12
+            assert r["next_page_token"] == "5"
+
+            # walk every page; union must be exactly the 12 docs, no dupes
+            seen = [d["id"] for d in r["documents"]]
+            while "next_page_token" in r:
+                _, r = _post(
+                    port, "indexer/RunQuery",
+                    {**q, "page_token": r["next_page_token"]},
+                )
+                assert len(r["documents"]) <= 5 and r["count"] == 12
+                seen += [d["id"] for d in r["documents"]]
+            assert sorted(seen) == list(range(1, 13))
+
+            # explicit limit opts into a bigger page: one response, no token
+            _, r = _post(port, "indexer/RunQuery", {**q, "limit": 50})
+            assert len(r["documents"]) == 12 and "next_page_token" not in r
+
+            # a query's own `| limit` under the cap: unaffected
+            _, r = _post(
+                port, "indexer/RunQuery",
+                {"db_addr": db, "col_name": "c", "query": "/* | limit 3"},
+            )
+            assert len(r["documents"]) == 3 and "next_page_token" not in r
+        finally:
+            srv.stop()
+
+
+class TestSharedSubscribePoller:
+    """N concurrent Subscribe clients must cost ONE poll aggregate per tick,
+    not N — the reference's single broadcast channel
+    (storage_node_light_impl.rs:270-374). Poll jobs carry the
+    rtstore-block-poller job group; the counter pins the contract."""
+
+    def test_one_poll_job_per_tick(self, spark, tmp_path):
+        import threading as _threading
+        import time as _time
+
+        from rtstore_spark.service import BlockEventBroadcaster
+
+        store = DocStore(spark, str(tmp_path / "sub"))
+        srv = NodeServer(
+            NodeService(store, Ingest(store), subscribe_poll_seconds=0.4)
+        ).start()
+        try:
+            port = srv.port
+            db = store.create_database(ALICE, nonce=1)
+            store.create_collection(db, "c", [], ALICE)
+            store.state.next_block()
+
+            results: list[list[dict]] = [[] for _ in range(4)]
+
+            def listen(slot: int) -> None:
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/v1/storage/Subscribe",
+                    data=json.dumps(
+                        # from_block 0: deliver the block that is open right
+                        # now once it closes (the default skips it)
+                        {"from_block": 0, "max_events": 1, "max_seconds": 20}
+                    ).encode(),
+                    method="POST",
+                )
+                with urllib.request.urlopen(req, timeout=60) as resp:
+                    for raw in resp.read().decode().splitlines():
+                        if raw:
+                            results[slot].append(json.loads(raw))
+
+            t0 = _time.monotonic()
+            threads = [
+                _threading.Thread(target=listen, args=(i,)) for i in range(4)
+            ]
+            for t in threads:
+                t.start()
+            _time.sleep(1.0)  # several empty ticks with 4 live subscribers
+            store.add_docs(db, "c", ['{"v": 1}'], ALICE)
+            store.state.next_block()  # close the block -> one event fans out
+            for t in threads:
+                t.join(timeout=60)
+            elapsed = _time.monotonic() - t0
+
+            # every subscriber got the SAME closed-block event exactly once
+            for evs in results:
+                assert len(evs) == 1 and evs[0]["type"] == "Block"
+                assert evs[0]["block_event"]["mutation_count"] == 1
+
+            # poll-job budget: one aggregate per tick regardless of the 4
+            # subscribers. >= 1 proves polling really runs under the group
+            # (a regression to per-handler polling would leave it at 0).
+            jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(
+                BlockEventBroadcaster.JOB_GROUP
+            )
+            max_ticks = int(elapsed / 0.4) + 2
+            assert 1 <= len(jobs) <= max_ticks * 2, (len(jobs), elapsed)
+        finally:
+            srv.stop()
