@@ -200,13 +200,24 @@ def extract_features(
                         if len(frames) >= 4:
                             break
             else:
-                for arr in mod.imiter(b):
-                    a = np.asarray(arr)
-                    if a.ndim == 3:  # RGB(A) → gray
-                        a = a[..., :3].mean(axis=2)
-                    frames.append(a)
-                    if len(frames) >= 4:
-                        break
+                try:
+                    for arr in mod.imiter(b):
+                        a = np.asarray(arr)
+                        if a.ndim == 3:  # RGB(A) → gray
+                            a = a[..., :3].mean(axis=2)
+                        frames.append(a)
+                        if len(frames) >= 4:
+                            break
+                except Exception as e:  # noqa: BLE001 — imageio's video
+                    # support itself rides a plugin (pyav / imageio-ffmpeg);
+                    # a bare imageio install raises an obscure "no backend"
+                    # error here, which must surface as the same actionable
+                    # gate as having no video library at all
+                    raise NotImplementedError(
+                        "imageio is installed but could not decode video "
+                        f"(its video plugins need 'av' or 'imageio-ffmpeg'):"
+                        f" {e}; install one or run with decode_stub=True"
+                    ) from e
             if not frames:
                 raise ValueError("video stream decoded to zero frames")
             return b"".join(

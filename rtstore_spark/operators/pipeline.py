@@ -783,10 +783,15 @@ def save_seen_filter(filter_df: DataFrame, path: str) -> int:
     (store rewrites, ``write_pq_index``), concurrent saves against one
     ``path`` are a lost-update hazard — two runs that both read gen N
     would each OR their own fingerprints into a gen N+1 and the last flip
-    would discard the other's. The pointer is re-read immediately before
-    the flip and a conflicting advance raises ``RuntimeError`` (the run
-    that lost re-runs its save against the new state); serialize prep
-    runs per seen-state path rather than relying on that backstop.
+    would discard the other's. Two backstops make the race loud instead
+    of silent: every attempt writes into its OWN uniquely-suffixed
+    generation directory (``gen-<N+1>-<nonce>`` — racers can never
+    clobber each other's files), and the pointer is re-read immediately
+    before the flip so a conflicting advance raises ``RuntimeError``
+    (the run that lost re-runs its save against the new state). A
+    flip-vs-flip photo finish can still lose the slower writer's rows —
+    serialize prep runs per seen-state path rather than relying on the
+    backstops.
     """
     from rtstore_spark.operators.sketches import bloom_merge
     from rtstore_spark.store.fs import fs_for
@@ -794,9 +799,9 @@ def save_seen_filter(filter_df: DataFrame, path: str) -> int:
     spark = filter_df.sparkSession
     fs = fs_for(path, spark)
     cur = fs.read_text(f"{path}/_current")
-    gen = int(cur.strip()) if cur is not None else 0
+    gen, prev_dir = _parse_seen_pointer(cur)
     if gen:
-        prev = spark.read.parquet(f"{path}/gen-{gen}")
+        prev = spark.read.parquet(f"{path}/{prev_dir}")
         both = prev.unionByName(filter_df)
         # ORing two filters is only meaningful at ONE (nbits, k): a
         # mismatched config would interleave word rows of two different
@@ -811,23 +816,44 @@ def save_seen_filter(filter_df: DataFrame, path: str) -> int:
                 "matching nbits/k"
             )
         filter_df = bloom_merge(both, by=[])
-    # long-form rollup: ≤ nbits/64 rows (~16k at the 1M-bit default)
-    filter_df.coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/gen-{gen + 1}"
-    )
+    # long-form rollup: ≤ nbits/64 rows (~16k at the 1M-bit default).
+    # The directory name carries a per-attempt nonce so a concurrent save
+    # that picked the same generation number writes somewhere ELSE — the
+    # loser's files are never clobbered, and the pointer decides.
+    import uuid
+
+    new_dir = f"gen-{gen + 1}-{uuid.uuid4().hex[:8]}"
+    filter_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/{new_dir}")
     # conflict backstop before the flip: if another writer advanced the
     # pointer while this merge ran, flipping now would silently discard
     # that writer's fingerprints — refuse instead (see docstring)
     cur2 = fs.read_text(f"{path}/_current")
-    gen2 = int(cur2.strip()) if cur2 is not None else 0
+    gen2, _ = _parse_seen_pointer(cur2)
     if gen2 != gen:
         raise RuntimeError(
             f"save_seen_filter: concurrent writer advanced {path} from "
             f"gen {gen} to gen {gen2} during this save — re-run the save "
             "against the new committed state (single-writer contract)"
         )
-    fs.write_text_atomic(f"{path}/_current", str(gen + 1))
+    fs.write_text_atomic(f"{path}/_current", new_dir)
+    if prev_dir is not None:
+        # best-effort sweep of the superseded generation (crash-orphans
+        # from failed attempts are cleaned the same way on later saves)
+        fs.delete(f"{path}/{prev_dir}", recursive=True)
     return gen + 1
+
+
+def _parse_seen_pointer(cur: str | None) -> tuple[int, str | None]:
+    """(generation number, directory name) from a ``_current`` pointer.
+    Legacy pointers hold the bare number (directory ``gen-<N>``); current
+    pointers hold the full uniquely-suffixed directory name
+    (``gen-<N>-<nonce>``)."""
+    if cur is None:
+        return 0, None
+    name = cur.strip()
+    if name.isdigit():
+        return int(name), f"gen-{name}"
+    return int(name.split("-")[1]), name
 
 
 def load_seen_filter(spark, path: str) -> DataFrame | None:
@@ -838,6 +864,7 @@ def load_seen_filter(spark, path: str) -> DataFrame | None:
     from rtstore_spark.store.fs import fs_for
 
     cur = fs_for(path, spark).read_text(f"{path}/_current")
-    if cur is None:
+    _, live_dir = _parse_seen_pointer(cur)
+    if live_dir is None:
         return None
-    return spark.read.parquet(f"{path}/gen-{int(cur.strip())}")
+    return spark.read.parquet(f"{path}/{live_dir}")

@@ -1120,8 +1120,16 @@ def write_pq_index(
     spark = df.sparkSession
     fs = fs_for(path, spark)
     cur = fs.read_text(f"{path}/_current")
-    gen = (int(cur.strip()) if cur is not None else 0) + 1
-    base = f"{path}/gen-{gen}"
+    prev_gen, prev_name = _parse_index_pointer(cur)
+    gen = prev_gen + 1
+    # uniquely-suffixed generation directory: a concurrent rebuild that
+    # picked the same generation number writes somewhere ELSE, so the
+    # winner's committed directory can never be clobbered mid-read — the
+    # pointer re-read below then makes the loser fail loudly
+    import uuid
+
+    gen_name = f"gen-{gen}-{uuid.uuid4().hex[:8]}"
+    base = f"{path}/{gen_name}"
     codes = pq_encode(df, vec_col, id_col, model).join(
         df.select(F.col(id_col).alias("id"), F.col(route_col).alias("route")),
         "id",
@@ -1133,21 +1141,36 @@ def write_pq_index(
     pq_save(spark, model, base + "/_model")
     # single-writer backstop (same contract as every manifest-pointer
     # mutation): if another rebuild advanced the pointer while this one
-    # wrote, flipping now could point at a directory the other writer is
-    # still overwriting — refuse loudly instead of racing
+    # wrote, flipping now would discard its committed generation — refuse
+    # loudly instead of racing (our own directory is uniquely named, so
+    # nothing of the winner's was touched)
     cur2 = fs.read_text(f"{path}/_current")
-    if (int(cur2.strip()) if cur2 is not None else 0) != gen - 1:
+    if _parse_index_pointer(cur2)[0] != prev_gen:
         raise RuntimeError(
-            f"write_pq_index: concurrent rebuild advanced {path} to gen "
+            f"write_pq_index: concurrent rebuild advanced {path} to "
             f"{cur2.strip() if cur2 else 0} during this build — indexes "
             "have a single-writer contract; re-run the rebuild"
         )
-    fs.write_text_atomic(f"{path}/_current", str(gen))
-    # sweep: older generations + pre-pointer root artifacts
-    for g in range(1, gen):
-        fs.delete(f"{path}/gen-{g}", recursive=True)
+    fs.write_text_atomic(f"{path}/_current", gen_name)
+    # sweep: superseded generation directories + pre-pointer root artifacts
+    for d in fs.listdir(path):
+        if d.startswith("gen-") and d != gen_name:
+            fs.delete(f"{path}/{d}", recursive=True)
     for legacy in ("codes", "_centroids", "_model", "inc"):
         fs.delete(f"{path}/{legacy}", recursive=True)
+
+
+def _parse_index_pointer(cur: str | None) -> tuple[int, str | None]:
+    """(generation number, directory name) from an index ``_current``
+    pointer. Legacy pointers hold the bare number (directory
+    ``gen-<N>``); current pointers hold the uniquely-suffixed directory
+    name (``gen-<N>-<nonce>``)."""
+    if cur is None:
+        return 0, None
+    name = cur.strip()
+    if name.isdigit():
+        return int(name), f"gen-{name}"
+    return int(name.split("-")[1]), name
 
 
 def resolve_index_base(spark, path: str) -> str:
@@ -1158,9 +1181,10 @@ def resolve_index_base(spark, path: str) -> str:
     from rtstore_spark.store.fs import fs_for
 
     cur = fs_for(path, spark).read_text(f"{path}/_current")
-    if cur is None:
+    _, live = _parse_index_pointer(cur)
+    if live is None:
         return path
-    return f"{path}/gen-{int(cur.strip())}"
+    return f"{path}/{live}"
 
 
 def _live_increments(spark, base: str) -> list[str]:

@@ -84,6 +84,14 @@ class BlockEventBroadcaster:
     """
 
     JOB_GROUP = "rtstore-block-poller"
+    # per-subscriber delivery buffer: a client that stops reading its
+    # socket blocks its handler thread in the TCP write, so its queue
+    # would otherwise grow with every closed block for the stream's whole
+    # lifetime. Past the bound the subscriber is EVICTED from the
+    # broadcast (the gRPC analog: a failed stream send drops the
+    # subscriber, storage_node_light_impl.rs:270-374); its handler then
+    # drains what was buffered and ends at its deadline.
+    MAX_QUEUED_EVENTS = 1024
 
     def __init__(self, node: "NodeService", poll_seconds: float = 0.5):
         self.node = node
@@ -111,7 +119,7 @@ class BlockEventBroadcaster:
                 self._cursor = self.node.store.state.block - 1
             token = self._next_token
             self._next_token += 1
-            q: queue.Queue = queue.Queue()
+            q: queue.Queue = queue.Queue(maxsize=self.MAX_QUEUED_EVENTS)
             self._subs[token] = q
             if self._thread is None:
                 self._wake.clear()
@@ -145,10 +153,20 @@ class BlockEventBroadcaster:
             if events:
                 with self._lock:
                     self._cursor = max(cursor, events[-1]["block_id"])
-                    queues = list(self._subs.values())
+                    subs = list(self._subs.items())
+                stalled = []
                 for ev in events:
-                    for q in queues:
-                        q.put(ev)
+                    for token, q in subs:
+                        try:
+                            q.put_nowait(ev)
+                        except queue.Full:
+                            stalled.append(token)
+                if stalled:
+                    # evict rather than block the shared poll: delivery to
+                    # every healthy subscriber must not wait on one stuck
+                    # socket, and unbounded buffering is a driver leak
+                    for token in set(stalled):
+                        self.unsubscribe(token)
             self._wake.wait(self.poll_seconds)
             self._wake.clear()
 
@@ -326,10 +344,14 @@ class NodeService:
         larger ``limit`` (opting into the memory cost). ``count`` is
         always the TRUE matched total from the query snapshot;
         ``next_page_token`` (an opaque offset) is present when more pages
-        remain — echo it back as ``page_token``. Page boundaries are
-        stable whenever the query itself orders (asc/desc/limit queries);
-        an unordered full scan pages best-effort within the snapshot,
-        exactly as an unordered scan's row order is unspecified."""
+        remain — echo it back as ``page_token``. Each request evaluates
+        against a FRESH snapshot (RunQuery has no cross-request cursor,
+        matching the reference's per-call semantics), so a walk across
+        pages is exact only while the collection is quiet: a concurrent
+        add/delete that shifts the result order can skip or repeat a
+        boundary row between requests. Within one request, ordered
+        queries page deterministically; unordered scans page best-effort
+        (their row order is unspecified to begin with)."""
         q = self._need(body, "query")
         if isinstance(q, str):
             q = {"query_str": q}
@@ -399,6 +421,10 @@ class NodeService:
 class _Handler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
     node: NodeService = None  # set by serve()
+    # request-body cap: every proto message here is small (mutations,
+    # queries); 64 MB leaves room for large document batches while
+    # bounding what a client can force the driver to buffer
+    MAX_BODY_BYTES = 64 << 20
 
     def log_message(self, fmt, *args):  # quiet test output
         pass
@@ -419,6 +445,18 @@ class _Handler(BaseHTTPRequestHandler):
         _, service, method = parts
         try:
             n = int(self.headers.get("Content-Length", 0) or 0)
+            # a NEGATIVE length would make read() block until EOF (a
+            # client-controlled handler-thread hang, not a clean reject),
+            # and an absurd length would buffer client-controlled bytes
+            # in driver memory — both are 4xx, never a hang
+            if n < 0:
+                raise ValueError(f"negative Content-Length {n}")
+            if n > self.MAX_BODY_BYTES:
+                self._send_json(
+                    413,
+                    {"code": 1, "msg": f"body exceeds {self.MAX_BODY_BYTES} bytes"},
+                )
+                return
             body = json.loads(self.rfile.read(n) or b"{}")
         except (json.JSONDecodeError, ValueError, TypeError) as e:
             # malformed Content-Length is a 400 like malformed JSON — never
@@ -464,19 +502,23 @@ class _Handler(BaseHTTPRequestHandler):
         except (ValueError, TypeError) as e:
             self._send_json(400, {"code": 1, "msg": f"bad request: {e}"})
             return
-        token, events_q, joined = self.node.broadcaster.subscribe()
-        self.send_response(200)
-        self.send_header("Content-Type", "application/x-ndjson")
-        self.send_header("Transfer-Encoding", "chunked")
-        self.end_headers()
-
-        def emit(obj) -> None:
-            line = (json.dumps(obj) + "\n").encode()
-            self.wfile.write(f"{len(line):x}\r\n".encode() + line + b"\r\n")
-            self.wfile.flush()
-
-        sent = 0
+        # the subscription is registered INSIDE the try: a header write
+        # that fails (client already gone) must still unsubscribe, or the
+        # leaked queue would keep the poller alive — and filling — forever
+        token = None
         try:
+            token, events_q, joined = self.node.broadcaster.subscribe()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def emit(obj) -> None:
+                line = (json.dumps(obj) + "\n").encode()
+                self.wfile.write(f"{len(line):x}\r\n".encode() + line + b"\r\n")
+                self.wfile.flush()
+
+            sent = 0
             if after < joined:
                 # one-shot catch-up for THIS subscriber: blocks the live
                 # broadcast will never replay (closed at or before join)
@@ -500,11 +542,12 @@ class _Handler(BaseHTTPRequestHandler):
                 emit({"type": "Block", "block_event": ev})
                 after = max(after, ev["block_id"])
                 sent += 1
+            self.wfile.write(b"0\r\n\r\n")
         except (BrokenPipeError, ConnectionResetError):  # client went away
             return
         finally:
-            self.node.broadcaster.unsubscribe(token)
-        self.wfile.write(b"0\r\n\r\n")
+            if token is not None:
+                self.node.broadcaster.unsubscribe(token)
 
 
 class NodeServer:

@@ -214,10 +214,9 @@ class StreamingCorpusPrep:
             # materializes, costing zero extra scans of the raw batch
             from pyspark.sql import Observation
 
-            for name, frame in (("input", batch),):
-                obs = Observation(f"csp_{name}_{batch_id}_{id(self)}")
-                observations[name] = obs
-                batch = frame.observe(obs, F.count(F.lit(1)).alias("rows"))
+            obs = Observation(f"csp_input_{batch_id}_{id(self)}")
+            observations["input"] = obs
+            batch = batch.observe(obs, F.count(F.lit(1)).alias("rows"))
         # pin the gated batch: the fingerprint window, the Bloom probe,
         # the within-batch minhash and the signature join all branch off
         # it — un-persisted, each action re-runs the quality/lang/
@@ -249,10 +248,14 @@ class StreamingCorpusPrep:
         anything: counts came from Observations and already-persisted
         frames."""
         rows = [
-            {"stage": k, "rows": int(v)} for k, v in stage_counts.items()
+            # batch_id rides as a DATA column too: the partition column is
+            # the idempotent-overwrite key, but compaction folds partitions
+            # into a sentinel — the data column keeps the provenance
+            {"stage": k, "rows": int(v), "batch_id": batch_id}
+            for k, v in stage_counts.items()
         ]
         self.spark.createDataFrame(
-            rows, schema="stage string, rows long"
+            rows, schema="stage string, rows long, batch_id int"
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{self.audit_dir}/batch={batch_id}"
         )
@@ -262,17 +265,22 @@ class StreamingCorpusPrep:
         in pipeline order: ``input`` (raw arrivals), ``gated`` (post
         quality/lang/blocklist/decontaminate), ``exact_dedup`` (post
         within-batch + cross-history exact), ``final`` (written
-        survivors, post near-dup). Empty until an audited batch runs."""
+        survivors, post near-dup). Empty until an audited batch runs.
+        ``batch`` comes from the embedded ``batch_id`` data column, so
+        the report survives ``compact_state`` folding the partition
+        directories into a sentinel."""
         from rtstore_spark.store.fs import read_parquet_or_empty
 
         schema = T.StructType(
             [
                 T.StructField("stage", T.StringType()),
                 T.StructField("rows", T.LongType()),
+                T.StructField("batch_id", T.IntegerType()),
                 T.StructField("batch", T.IntegerType()),
             ]
         )
-        return read_parquet_or_empty(self.spark, self.audit_dir, schema)
+        df = read_parquet_or_empty(self.spark, self.audit_dir, schema)
+        return df.select("stage", "rows", F.col("batch_id").alias("batch"))
 
     def _dedup_and_write(
         self,
@@ -399,6 +407,14 @@ class StreamingCorpusPrep:
 
         compact_bloom_partitions(self.spark, self.filter_dir)
         compact_signature_partitions(self.spark, self.sig_dir)
+        # the audit report compacts too (it grows one tiny directory per
+        # micro-batch forever otherwise); rows are identity-folded and
+        # keep their embedded batch_id provenance
+        from rtstore_spark.streaming.state_table import (
+            compact_state_partitions,
+        )
+
+        compact_state_partitions(self.spark, self.audit_dir, lambda live: live)
 
     def run_once(self) -> None:
         src = self.spark.readStream.schema(self.source_schema).parquet(

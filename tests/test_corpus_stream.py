@@ -284,6 +284,18 @@ class TestPerBatchAudit:
         assert audit[(1, "final")] == 1        # near-dup drops doc 11
         assert kept_ids(cp) == [1, 12]
 
+        # the audit report compacts with the rest of the state (one
+        # sentinel partition) and keeps its per-batch provenance
+        import glob
+
+        cp.compact_state()
+        assert len(glob.glob(f"{cp.audit_dir}/batch=*")) == 1
+        after = {
+            (int(r["batch"]), r["stage"]): int(r["rows"])
+            for r in cp.audit_table().collect()
+        }
+        assert after == audit
+
     def test_audit_off_writes_nothing(self, spark, tmp_path):
         cp = make(spark, tmp_path, name="noaud", audit=False)
         stage(spark, cp, [(1, GOOD_EN)])

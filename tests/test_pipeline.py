@@ -505,8 +505,10 @@ class TestSeenFilterCrashSafety:
         with pytest.raises(RuntimeError, match="simulated crash"):
             save_seen_filter(self._filter_of(spark, ["beta"]), path)
         monkeypatch.undo()
-        # orphan gen-2 on disk; the pointer still names gen-1
-        assert os.path.isdir(f"{path}/gen-2")
+        # orphan gen-2-<nonce> on disk; the pointer still names gen-1
+        import glob as _glob
+
+        assert _glob.glob(f"{path}/gen-2-*")
         live = load_seen_filter(spark, path)
         assert self._contains(spark, live, "alpha")
         assert not self._contains(spark, live, "beta")
