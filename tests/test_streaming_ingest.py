@@ -667,3 +667,80 @@ class TestEnvelopeAndBodyValidation:
         # logged: the block's mutation log carries the no-op update header
         hdr = store.scan_mutation_headers(limit=50).collect()
         assert any(h["action"] == "update_document" for h in hdr)
+
+
+class TestConcurrentStreamAndDirect:
+    def test_direct_sends_interleave_with_live_blocks(self, spark, tmp_path):
+        """The sequencer lock under the REAL mixed topology: a live
+        processingTime ingest stream closing blocks while direct
+        send_mutation calls land from another thread. Every logged
+        mutation must hold a unique (block, order) and the collection's
+        doc ids must come out unique and gap-free — the interleavings
+        this pins are block apply vs direct sequencing (both hold
+        StateStore.lock for their whole span)."""
+        import threading
+        import time
+
+        store = DocStore(spark, str(tmp_path / "mix"))
+        ing = Ingest(store)
+        db = store.create_database(ALICE, nonce=1)
+        store.create_collection(db, "c", [], ALICE)
+        si = StreamingIngest(
+            spark, ing, str(tmp_path / "staging_mix"), interval="1 seconds"
+        )
+
+        direct_errors: list[Exception] = []
+
+        def direct_sender(tag: str, sender: str):
+            try:
+                for n in range(1, 4):
+                    payload = {
+                        "action": "add_document", "db_addr": db,
+                        "col_name": "c",
+                        "body": {"docs": [json.dumps({"d": tag, "n": n})]},
+                    }
+                    body = json.dumps(payload, sort_keys=True)
+                    ing.send_mutation(
+                        payload, digest_signature(body, n, sender), sender, n
+                    )
+            except Exception as e:  # noqa: BLE001 — surfaced in asserts
+                direct_errors.append(e)
+
+        q = si.start()
+        try:
+            # stream side: two envelope files from a streaming sender
+            streamer = "0x" + "dd" * 20
+            (tmp_path / "staging_mix" / "s1.jsonl").write_text("\n".join(
+                json.dumps(envelope(
+                    {"action": "add_document", "db_addr": db, "col_name": "c",
+                     "body": {"docs": [json.dumps({"s": i})]}}, streamer, i,
+                )) for i in (1, 2)
+            ))
+            # direct side: two senders pushing concurrently with the stream
+            threads = [
+                threading.Thread(target=direct_sender, args=(t, s))
+                for t, s in (("x", "0x" + "ee" * 20), ("y", "0x" + "ab" * 20))
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=120)
+            deadline = time.time() + 60
+            while (
+                time.time() < deadline
+                and store.current_state(db, "c").count() < 8
+            ):
+                time.sleep(1)
+        finally:
+            q.stop()
+
+        assert not direct_errors, direct_errors
+        assert not si.rejected
+        docs = store.current_state(db, "c").collect()
+        ids = sorted(r["doc_id"] for r in docs)
+        assert ids == list(range(1, 9))  # 2 streamed + 6 direct, gap-free
+        # every add_document log row holds a unique (block, order)... per
+        # mutation id — a batch apply stamps its rows at arrival order
+        log = store.mutation_log().filter("action = 'add_document'").collect()
+        seqs = [(r["block"], r["order"]) for r in log]
+        assert len(seqs) == 8 and len(set(seqs)) == 8
