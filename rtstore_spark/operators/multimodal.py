@@ -211,8 +211,14 @@ def extract_features(
                 except Exception as e:  # noqa: BLE001 — imageio's video
                     # support itself rides a plugin (pyav / imageio-ffmpeg);
                     # a bare imageio install raises an obscure "no backend"
-                    # error here, which must surface as the same actionable
-                    # gate as having no video library at all
+                    # error here. Blame the environment ONLY when no video
+                    # plugin is actually importable — with plugins present
+                    # this is a data error (corrupt/truncated clip) and
+                    # must keep its own type, not masquerade as a gate
+                    import importlib.util as ilu
+
+                    if ilu.find_spec("av") or ilu.find_spec("imageio_ffmpeg"):
+                        raise
                     raise NotImplementedError(
                         "imageio is installed but could not decode video "
                         f"(its video plugins need 'av' or 'imageio-ffmpeg'):"

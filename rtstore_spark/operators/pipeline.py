@@ -771,12 +771,15 @@ def save_seen_filter(filter_df: DataFrame, path: str) -> int:
 
     Protocol: merge the given filter with the currently-committed
     generation (Bloom OR — byte-identical to building one filter over the
-    union of runs), write the result to a fresh ``<path>/gen-N``
-    directory (``overwrite`` mode, so a retry cleanly replaces a crashed
-    attempt's orphan), then atomically overwrite the tiny
-    ``<path>/_current`` pointer. A crash between the data write and the
-    flip leaves an orphan generation ``load_seen_filter`` never reads —
-    the previous state stays live, and the run is simply re-run.
+    union of runs), write the result to a fresh uniquely-named
+    ``<path>/gen-N-<nonce>`` directory, then atomically overwrite the
+    tiny ``<path>/_current`` pointer with the directory name. A crash
+    between the data write and the flip leaves an orphan generation
+    ``load_seen_filter`` never reads — the previous state stays live, the
+    run is simply re-run, and the orphan is swept by the next successful
+    save. After the flip, all generations except the new one and its
+    immediate predecessor are swept (grace-of-one, so a lazily-held
+    reader of the previous state still evaluates).
     Returns the committed generation number.
 
     SINGLE WRITER: like every manifest-pointer mutation in this engine
@@ -794,12 +797,12 @@ def save_seen_filter(filter_df: DataFrame, path: str) -> int:
     backstops.
     """
     from rtstore_spark.operators.sketches import bloom_merge
-    from rtstore_spark.store.fs import fs_for
+    from rtstore_spark.store.fs import fs_for, parse_gen_pointer
 
     spark = filter_df.sparkSession
     fs = fs_for(path, spark)
     cur = fs.read_text(f"{path}/_current")
-    gen, prev_dir = _parse_seen_pointer(cur)
+    gen, prev_dir = parse_gen_pointer(cur)
     if gen:
         prev = spark.read.parquet(f"{path}/{prev_dir}")
         both = prev.unionByName(filter_df)
@@ -828,7 +831,7 @@ def save_seen_filter(filter_df: DataFrame, path: str) -> int:
     # pointer while this merge ran, flipping now would silently discard
     # that writer's fingerprints — refuse instead (see docstring)
     cur2 = fs.read_text(f"{path}/_current")
-    gen2, _ = _parse_seen_pointer(cur2)
+    gen2, _ = parse_gen_pointer(cur2)
     if gen2 != gen:
         raise RuntimeError(
             f"save_seen_filter: concurrent writer advanced {path} from "
@@ -836,24 +839,17 @@ def save_seen_filter(filter_df: DataFrame, path: str) -> int:
             "against the new committed state (single-writer contract)"
         )
     fs.write_text_atomic(f"{path}/_current", new_dir)
-    if prev_dir is not None:
-        # best-effort sweep of the superseded generation (crash-orphans
-        # from failed attempts are cleaned the same way on later saves)
-        fs.delete(f"{path}/{prev_dir}", recursive=True)
+    # Sweep with a grace-of-one (the storage plane's generation-retention
+    # stance): every gen-* directory EXCEPT the new live one and its
+    # immediate predecessor goes — crash-orphans from failed attempts
+    # included. The predecessor survives one save so a reader that loaded
+    # the seen state just before this save (lazy plans hold file
+    # references) still evaluates; it is reclaimed by the NEXT save.
+    keep = {new_dir, prev_dir} - {None}
+    for d in fs.listdir(path):
+        if d.startswith("gen-") and d not in keep:
+            fs.delete(f"{path}/{d}", recursive=True)
     return gen + 1
-
-
-def _parse_seen_pointer(cur: str | None) -> tuple[int, str | None]:
-    """(generation number, directory name) from a ``_current`` pointer.
-    Legacy pointers hold the bare number (directory ``gen-<N>``); current
-    pointers hold the full uniquely-suffixed directory name
-    (``gen-<N>-<nonce>``)."""
-    if cur is None:
-        return 0, None
-    name = cur.strip()
-    if name.isdigit():
-        return int(name), f"gen-{name}"
-    return int(name.split("-")[1]), name
 
 
 def load_seen_filter(spark, path: str) -> DataFrame | None:
@@ -861,10 +857,10 @@ def load_seen_filter(spark, path: str) -> DataFrame | None:
     first commit) — pass as ``CorpusPrepConfig.seen_filter``. Orphan
     ``gen-*`` directories a crashed save left behind are ignored: only
     the generation the ``_current`` pointer names is live."""
-    from rtstore_spark.store.fs import fs_for
+    from rtstore_spark.store.fs import fs_for, parse_gen_pointer
 
     cur = fs_for(path, spark).read_text(f"{path}/_current")
-    _, live_dir = _parse_seen_pointer(cur)
+    _, live_dir = parse_gen_pointer(cur)
     if live_dir is None:
         return None
     return spark.read.parquet(f"{path}/{live_dir}")

@@ -1104,7 +1104,7 @@ def write_pq_index(
     exact re-ranking, when wanted, joins survivors back to the raw
     vectors by id.
     """
-    from rtstore_spark.store.fs import fs_for
+    from rtstore_spark.store.fs import fs_for, parse_gen_pointer
 
     # Atomic in-place REBUILD — the storage plane's generation protocol
     # applied to the whole base: the new codes/centroids/model land in a
@@ -1120,7 +1120,7 @@ def write_pq_index(
     spark = df.sparkSession
     fs = fs_for(path, spark)
     cur = fs.read_text(f"{path}/_current")
-    prev_gen, prev_name = _parse_index_pointer(cur)
+    prev_gen, _ = parse_gen_pointer(cur)
     gen = prev_gen + 1
     # uniquely-suffixed generation directory: a concurrent rebuild that
     # picked the same generation number writes somewhere ELSE, so the
@@ -1145,7 +1145,7 @@ def write_pq_index(
     # loudly instead of racing (our own directory is uniquely named, so
     # nothing of the winner's was touched)
     cur2 = fs.read_text(f"{path}/_current")
-    if _parse_index_pointer(cur2)[0] != prev_gen:
+    if parse_gen_pointer(cur2)[0] != prev_gen:
         raise RuntimeError(
             f"write_pq_index: concurrent rebuild advanced {path} to "
             f"{cur2.strip() if cur2 else 0} during this build — indexes "
@@ -1160,17 +1160,7 @@ def write_pq_index(
         fs.delete(f"{path}/{legacy}", recursive=True)
 
 
-def _parse_index_pointer(cur: str | None) -> tuple[int, str | None]:
-    """(generation number, directory name) from an index ``_current``
-    pointer. Legacy pointers hold the bare number (directory
-    ``gen-<N>``); current pointers hold the uniquely-suffixed directory
-    name (``gen-<N>-<nonce>``)."""
-    if cur is None:
-        return 0, None
-    name = cur.strip()
-    if name.isdigit():
-        return int(name), f"gen-{name}"
-    return int(name.split("-")[1]), name
+
 
 
 def resolve_index_base(spark, path: str) -> str:
@@ -1178,10 +1168,10 @@ def resolve_index_base(spark, path: str) -> str:
     root ``_current`` pointer, or (legacy pre-pointer layout) ``path``
     itself. Every reader and appender resolves through this, so a
     rebuild's pointer flip atomically retargets them all."""
-    from rtstore_spark.store.fs import fs_for
+    from rtstore_spark.store.fs import fs_for, parse_gen_pointer
 
     cur = fs_for(path, spark).read_text(f"{path}/_current")
-    _, live = _parse_index_pointer(cur)
+    _, live = parse_gen_pointer(cur)
     if live is None:
         return path
     return f"{path}/{live}"
@@ -1196,7 +1186,7 @@ def _live_increments(spark, base: str) -> list[str]:
     manifest-pointer protocol as the storage plane — see ``store/fs.py``
     module doc). Increments live UNDER the base generation, so a rebuilt
     base can never union another generation's increments."""
-    from rtstore_spark.store.fs import fs_for
+    from rtstore_spark.store.fs import fs_for, parse_gen_pointer
 
     fs = fs_for(base, spark)
     cur = fs.read_text(f"{base}/inc/_current")
@@ -1307,7 +1297,7 @@ def append_pq_index(
     visible, even on object-store committers that surface
     partially-committed task files.
     """
-    from rtstore_spark.store.fs import fs_for
+    from rtstore_spark.store.fs import fs_for, parse_gen_pointer
 
     spark = df.sparkSession
     base = resolve_index_base(spark, path)

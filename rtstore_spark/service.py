@@ -154,19 +154,24 @@ class BlockEventBroadcaster:
                 with self._lock:
                     self._cursor = max(cursor, events[-1]["block_id"])
                     subs = list(self._subs.items())
-                stalled = []
+                stalled: set = set()
                 for ev in events:
                     for token, q in subs:
+                        if token in stalled:
+                            # once a put failed, deliver NOTHING further to
+                            # this subscriber: a later event landing after
+                            # a dropped one would advance its cursor past
+                            # a silent gap
+                            continue
                         try:
                             q.put_nowait(ev)
                         except queue.Full:
-                            stalled.append(token)
-                if stalled:
-                    # evict rather than block the shared poll: delivery to
-                    # every healthy subscriber must not wait on one stuck
-                    # socket, and unbounded buffering is a driver leak
-                    for token in set(stalled):
-                        self.unsubscribe(token)
+                            stalled.add(token)
+                # evict rather than block the shared poll: delivery to
+                # every healthy subscriber must not wait on one stuck
+                # socket, and unbounded buffering is a driver leak
+                for token in stalled:
+                    self.unsubscribe(token)
             self._wake.wait(self.poll_seconds)
             self._wake.clear()
 
@@ -452,6 +457,9 @@ class _Handler(BaseHTTPRequestHandler):
             if n < 0:
                 raise ValueError(f"negative Content-Length {n}")
             if n > self.MAX_BODY_BYTES:
+                # the unread body would desync a keep-alive connection
+                # (the next request line parses from body bytes) — close it
+                self.close_connection = True
                 self._send_json(
                     413,
                     {"code": 1, "msg": f"body exceeds {self.MAX_BODY_BYTES} bytes"},
@@ -460,7 +468,10 @@ class _Handler(BaseHTTPRequestHandler):
             body = json.loads(self.rfile.read(n) or b"{}")
         except (json.JSONDecodeError, ValueError, TypeError) as e:
             # malformed Content-Length is a 400 like malformed JSON — never
-            # an uncaught traceback that drops the connection
+            # an uncaught traceback that drops the connection. The body may
+            # be unread/half-read here, so the connection must not be
+            # reused for a next request
+            self.close_connection = True
             self._send_json(400, {"code": 1, "msg": f"bad request: {e}"})
             return
         if not isinstance(body, dict):

@@ -204,3 +204,19 @@ def read_parquet_or_empty(spark, path: str, schema):
         return spark.read.parquet(path)
     except AnalysisException:
         return spark.createDataFrame([], schema=schema)
+
+
+def parse_gen_pointer(cur: str | None) -> tuple[int, str | None]:
+    """(generation number, directory name) from a manifest ``_current``
+    pointer whose target is a ``gen-<N>[-<nonce>]`` directory — the
+    shared format of ``save_seen_filter`` and ``write_pq_index``. Legacy
+    pointers hold the bare number (directory ``gen-<N>``); current
+    pointers hold the full uniquely-suffixed directory name, so two
+    racing writers that pick the same generation number still write to
+    distinct directories and only the pointer decides the winner."""
+    if cur is None:
+        return 0, None
+    name = cur.strip()
+    if name.isdigit():
+        return int(name), f"gen-{name}"
+    return int(name.split("-")[1]), name

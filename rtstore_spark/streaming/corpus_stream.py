@@ -268,8 +268,17 @@ class StreamingCorpusPrep:
         survivors, post near-dup). Empty until an audited batch runs.
         ``batch`` comes from the embedded ``batch_id`` data column, so
         the report survives ``compact_state`` folding the partition
-        directories into a sentinel."""
+        directories into a sentinel. Reads through ``live_state_filter``
+        like every other state reader: an orphan sentinel (compaction
+        crashed before its pointer flip) or an unswept folded partition
+        (crashed after) must not double-count rows — the Bloom/signature
+        "double-include is harmless" reasoning does not extend to an
+        identity-folded report."""
         from rtstore_spark.store.fs import read_parquet_or_empty
+        from rtstore_spark.streaming.state_table import (
+            live_sentinel_gen,
+            live_state_filter,
+        )
 
         schema = T.StructType(
             [
@@ -280,6 +289,16 @@ class StreamingCorpusPrep:
             ]
         )
         df = read_parquet_or_empty(self.spark, self.audit_dir, schema)
+        gen = live_sentinel_gen(self.spark, self.audit_dir)
+        # a batch partition superseded by the live sentinel is dropped by
+        # batch_id dedup below even if the crash left both: sentinel rows
+        # win (they are the committed fold)
+        df = df.filter(live_state_filter(gen))
+        # crash-after-flip window: a folded batch=N dir may still be on
+        # disk AND inside the sentinel. The copies are byte-identical
+        # (identity fold), so exact dedup on the logical key restores the
+        # report — tiny frame, trivial shuffle
+        df = df.dropDuplicates(["stage", "batch_id"])
         return df.select("stage", "rows", F.col("batch_id").alias("batch"))
 
     def _dedup_and_write(
