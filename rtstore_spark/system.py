@@ -72,6 +72,8 @@ class SystemStore:
     ):
         from rtstore_spark.store.fs import fs_for
 
+        import threading
+
         self.spark = spark
         self.root = root
         self.fs = fs_for(root, spark)
@@ -79,6 +81,11 @@ class SystemStore:
         self.role = role
         self.node_url = node_url
         self.sig_mode = sig_mode
+        # Setup is a read-version → append-version+1 sequence; the
+        # threaded service front end can deliver concurrent Setups, which
+        # unlocked would both read version N and both write N+1 (an
+        # ambiguous head). Same stance as the sequencer lock.
+        self._setup_lock = threading.Lock()
 
     def _config_path(self) -> str:
         return os.path.join(self.root, "__system")
@@ -119,6 +126,14 @@ class SystemStore:
             raise SetupError("ar node rpc is empty")
         network_id = int(data.get("networkId", 0))
 
+        with self._setup_lock:
+            return self._apply_config(data, sender, chain_id, contract_addr,
+                                      evm_node_url, ar_node_url, network_id)
+
+    def _apply_config(
+        self, data, sender, chain_id, contract_addr, evm_node_url,
+        ar_node_url, network_id,
+    ) -> tuple[int, str]:
         prev = self.config()
         row = {
             "version": (prev["version"] + 1) if prev else 1,
