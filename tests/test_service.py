@@ -392,3 +392,56 @@ class TestSharedSubscribePoller:
             assert 1 <= len(jobs) <= max_ticks * 2, (len(jobs), elapsed)
         finally:
             srv.stop()
+
+
+class TestSlowSubscriberEviction:
+    def test_stalled_queue_is_evicted_without_gaps(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A subscriber that stops draining is evicted at its queue bound
+        — and receives NOTHING past its first dropped event (a gapped
+        stream would let a reconnect cursor skip a block silently) —
+        while healthy subscribers keep receiving every closed block."""
+        import time
+
+        from rtstore_spark.service import BlockEventBroadcaster
+
+        monkeypatch.setattr(BlockEventBroadcaster, "MAX_QUEUED_EVENTS", 2)
+        store = DocStore(spark, str(tmp_path / "evict"))
+        node = NodeService(store, Ingest(store), subscribe_poll_seconds=0.2)
+        db = store.create_database(ALICE, nonce=1)
+        store.create_collection(db, "c", [], ALICE)
+        store.state.next_block()
+
+        bc = node.broadcaster
+        t_slow, q_slow, _ = bc.subscribe()  # never drained
+        t_ok, q_ok, _ = bc.subscribe()
+        try:
+            # one block at a time, gated on the healthy subscriber's
+            # receipt: the bound applies to EVERY queue, so a burst of 4
+            # events in one poll would outrun any drainer — the scenario
+            # under test is a drained queue vs a never-drained one
+            deadline = time.time() + 120
+            got: list[dict] = []
+            for i in range(4):
+                store.add_docs(db, "c", [json.dumps({"v": i})], ALICE)
+                store.state.next_block()
+                while time.time() < deadline and len(got) < i + 1:
+                    try:
+                        got.append(q_ok.get(timeout=1.0))
+                    except Exception:  # noqa: BLE001 — queue.Empty retry
+                        continue
+            # healthy subscriber: all four closed blocks, in order, no gaps
+            ids = [e["block_id"] for e in got]
+            assert len(ids) == 4 and ids == sorted(ids)
+            assert ids == list(range(ids[0], ids[0] + 4))
+            # stalled subscriber: exactly its bound buffered, evicted, and
+            # the buffered prefix is gapless from the first block
+            with bc._lock:
+                assert t_slow not in bc._subs and t_ok in bc._subs
+            assert q_slow.qsize() == 2
+            slow_ids = [q_slow.get_nowait()["block_id"] for _ in range(2)]
+            assert slow_ids == ids[:2]
+        finally:
+            bc.unsubscribe(t_ok)
+            bc.unsubscribe(t_slow)
