@@ -420,12 +420,22 @@ class DocStore:
         return rows[0] if rows else None
 
     def create_database(
-        self, sender: str, nonce: int, desc: str = "", db_type: str = "doc",
+        self, sender: str, nonce: int | None, desc: str = "", db_type: str = "doc",
         meta: dict | None = None, db_addr: str | None = None,
         seq: tuple[int, int] | None = None, mid: str | None = None,
     ) -> str:
-        """M0 CreateDocumentDB / M5 CreateEventDB / M7 Mint (explicit addr)."""
-        self.state.incr_nonce(sender, nonce)
+        """M0 CreateDocumentDB / M5 CreateEventDB / M7 Mint (explicit addr).
+
+        ``nonce=None`` skips nonce consumption — the foreign-log import
+        path (sources/wire_import.py) synthesizes creates for databases
+        that predate the imported window, whose original nonces are
+        unknown or already consumed; it requires an explicit ``db_addr``
+        since the deterministic derivation needs a nonce.
+        """
+        if nonce is not None:
+            self.state.incr_nonce(sender, nonce)
+        elif db_addr is None:
+            raise InvalidMutation("create without nonce needs an explicit db_addr")
         addr = db_addr or derive_db_addr(sender, nonce, self.network)
         block, order = self._seq(seq)
         self._append(
@@ -440,8 +450,9 @@ class DocStore:
             self.DB_SCHEMA,
             self._db_path(),
         )
-        self._log(sender, nonce, f"create_{db_type}_db", addr, None,
-                  {"desc": desc, "meta": meta}, None, block, order, mid=mid)
+        self._log(sender, 0 if nonce is None else nonce, f"create_{db_type}_db",
+                  addr, None, {"desc": desc, "meta": meta}, None, block, order,
+                  mid=mid)
         if db_type == "event" and meta:
             # each declared event table becomes a collection
             # (db3_database_v2.proto:73-76, db_store_v2.rs:918-979).

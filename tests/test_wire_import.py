@@ -1,0 +1,237 @@
+"""Distributed wire decode + foreign-artifact import (sources/wire_import.py).
+
+Golden path: the reference node's own rollup artifact
+(src/node/resources/test/37829_37968.gz.parquet) replays into a DocStore
+— real signatures recovered in executors, legacy protobuf layout
+auto-detected, FIFO create binding, doc ids assigned set-wise.
+Synthetic path: a v2-layout log with updates/deletes/masks built by our
+own encoder round-trips through the same import.
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from rtstore_spark.store.docstore import DocStore
+from rtstore_spark.sources.wire_import import (
+    WIRE_DECODE_SCHEMA,
+    decode_wire_log,
+    import_wire_rollup,
+)
+from rtstore_spark.wire.bsonlite import bson_encode
+from rtstore_spark.wire.envelope import wrap_and_sign
+from rtstore_spark.wire.protobuf import WireDecodeError
+from rtstore_spark.wire.schemas import encode_mutation
+
+ARTIFACT = "/root/reference/src/node/resources/test/37829_37968.gz.parquet"
+SENDER = "0x2941662b9b76687083caade2eeadeff01eef446c"
+
+ROLLUP_SCHEMA = T.StructType([
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("signature", T.StringType()),
+    T.StructField("block", T.LongType()),
+    T.StructField("order", T.IntegerType()),
+])
+
+
+def load_artifact(spark):
+    df = spark.read.parquet(ARTIFACT)
+    return df.select(
+        df["payload"].cast("binary").alias("payload"),
+        df["signature"].cast("string").alias("signature"),
+        df["block"].cast("long").alias("block"),
+        df["order"].cast("int").alias("order"),
+    )
+
+
+def fresh_store(spark) -> DocStore:
+    return DocStore(spark, tempfile.mkdtemp(prefix="wireimp_"))
+
+
+class TestDecodeWireLog:
+    def test_artifact_decodes_distributed(self, spark):
+        decoded = decode_wire_log(load_artifact(spark))
+        assert decoded.schema == WIRE_DECODE_SCHEMA
+        rows = decoded.collect()
+        assert len(rows) == 204
+        assert all(r["error"] is None for r in rows)
+        # signature recovery ran in executors
+        assert {r["sender"] for r in rows} == {SENDER}
+        assert {r["layout"] for r in rows} == {"legacy"}
+        by_action = {r["action"] for r in rows}
+        assert by_action == {"AddDocument", "CreateDocumentDB", "AddCollection"}
+
+    def test_corrupt_row_becomes_error_row(self, spark):
+        df = spark.createDataFrame(
+            [(b"garbage", "0xnope", 1, 1)], schema=ROLLUP_SCHEMA
+        )
+        r = decode_wire_log(df).collect()[0]
+        assert r["error"] is not None and "WireDecodeError" in r["error"]
+        assert r["block"] == 1 and r["body_idx"] == -1
+
+    def test_verify_false_skips_recovery(self, spark):
+        decoded = decode_wire_log(load_artifact(spark).limit(3), verify=False)
+        assert {r["sender"] for r in decoded.collect()} == {""}
+
+
+class TestGoldenArtifactImport:
+    @pytest.fixture(scope="class")
+    def imported(self, spark):
+        store = fresh_store(spark)
+        report = import_wire_rollup(store, load_artifact(spark))
+        return store, report
+
+    def test_report(self, imported):
+        _, report = imported
+        assert report["mutations"] == 204
+        assert report["errors"] == 0
+        assert report["doc_ops"] == 68
+        assert report["control_applied"] == 136  # 68 creates + 68 addcols
+        # 68 in-window creates bind FIFO to their referenced addresses;
+        # the one db created before the window is synthesized
+        assert report["bound_creates"] == 68
+        assert report["synthesized_creates"] == 1
+        assert report["autocreated_collections"] == 1
+        assert report["senders"] == [SENDER]
+
+    def test_catalog_shape(self, imported):
+        store, _ = imported
+        assert store.databases().count() == 69
+        cols = store.collections().collect()
+        assert len(cols) == 69
+        assert {c["col_name"] for c in cols} == {"col"}
+        owners = {c["sender"] for c in cols}
+        assert owners == {SENDER}
+
+    def test_documents_land_under_foreign_addresses(self, imported):
+        store, _ = imported
+        # the pre-window database, auto-created at its original address
+        docs = store.current_state(
+            "0xfd456ee5dac9b41918e72d1a230480c5f62d3470", "col"
+        ).collect()
+        assert len(docs) == 1
+        doc = json.loads(docs[0]["doc"])
+        assert doc["name"] == "book1"
+        assert doc["author"] == "db3 developers"
+        assert docs[0]["owner"] == SENDER
+        assert docs[0]["doc_id"] == 1
+
+    def test_total_documents(self, imported):
+        store, _ = imported
+        total = 0
+        for c in store.collections().collect():
+            total += store.current_state(c["db_addr"], c["col_name"]).count()
+        assert total == 68
+
+    def test_log_preserves_origin_block_order(self, imported):
+        store, _ = imported
+        log = store.get_range_mutations(0, 10**9)
+        adds = log.filter(F.col("action") == "add_document").collect()
+        assert len(adds) == 68
+        assert min(r["block"] for r in adds) == 37829
+        assert max(r["block"] for r in adds) <= 37968
+        # mutation ids are the reference TxId form: sha3(payload ‖ sig)
+        assert all(r["id"].startswith("0x") and len(r["id"]) == 66 for r in adds)
+
+    def test_idempotent_reimport(self, spark, imported):
+        store, _ = imported
+        report2 = import_wire_rollup(store, load_artifact(spark))
+        # every control nonce is at or below the converged watermark and
+        # every doc mutation id is already logged: full no-op
+        assert report2["control_applied"] == 0
+        assert report2["already_applied"] == 136
+        assert report2["bound_creates"] == 0
+        assert report2["synthesized_creates"] == 0
+        assert report2["doc_ops"] == 0
+        docs = store.current_state(
+            "0xfd456ee5dac9b41918e72d1a230480c5f62d3470", "col"
+        ).collect()
+        assert len(docs) == 1
+        assert store.databases().count() == 69
+
+
+class TestSyntheticV2Import:
+    PRIV = 0x59C6995E998F97A5A0044966F0945389DC9E86DAE88C7A8412F4603B6B78690D
+
+    def _wire_row(self, action, bodies, nonce, block, order):
+        raw = encode_mutation(action, bodies)
+        payload, sig = wrap_and_sign(raw, nonce, self.PRIV)
+        return (payload, sig, block, order)
+
+    def _log(self, spark):
+        db = "0x" + "77" * 20
+        rows = [
+            self._wire_row("CreateDocumentDB", [{
+                "db_address": None, "kind": "doc_database_mutation",
+                "body": {"db_desc": "synthetic"},
+            }], nonce=1, block=10, order=1),
+            self._wire_row("AddCollection", [{
+                "db_address": db, "kind": "collection_mutation",
+                "body": {"collection_name": "books", "index_fields": [
+                    {"path": "/year", "index_type": 2},
+                ]},
+            }], nonce=2, block=10, order=2),
+            self._wire_row("AddDocument", [{
+                "db_address": db, "kind": "document_mutation",
+                "body": {"collection_name": "books", "documents": [
+                    bson_encode({"t": "a", "year": 1999, "keep": "x"}),
+                    bson_encode({"t": "b", "year": 2001}),
+                    bson_encode({"t": "c", "year": 2003}),
+                ]},
+            }], nonce=3, block=11, order=1),
+            # masked update of doc 2: set year, delete "keep"
+            self._wire_row("UpdateDocument", [{
+                "db_address": db, "kind": "document_mutation",
+                "body": {"collection_name": "books",
+                         "documents": [bson_encode({"year": 2011})],
+                         "ids": [1],
+                         "masks": [{"fields": ["year", "keep"]}]},
+            }], nonce=4, block=12, order=1),
+            self._wire_row("DeleteDocument", [{
+                "db_address": db, "kind": "document_mutation",
+                "body": {"collection_name": "books", "ids": [3]},
+            }], nonce=5, block=12, order=2),
+        ]
+        return spark.createDataFrame(rows, schema=ROLLUP_SCHEMA), db
+
+    def test_full_lifecycle(self, spark):
+        df, db = self._log(spark)
+        store = fresh_store(spark)
+        report = import_wire_rollup(store, df)
+        assert report["errors"] == 0
+        assert report["bound_creates"] == 1
+        assert report["doc_ops"] == 3
+        state = {
+            r["doc_id"]: json.loads(r["doc"])
+            for r in store.current_state(db, "books").collect()
+        }
+        # doc 3 deleted; doc 1 mask-updated (year replaced, keep deleted)
+        assert set(state) == {1, 2}
+        assert state[1] == {"t": "a", "year": 2011}
+        assert state[2] == {"t": "b", "year": 2001}
+        # the declared index survived translation
+        idx = store._indexed_paths(db, "books")
+        assert ("/year", "int64") in idx
+
+    def test_strict_raises_on_corrupt_row(self, spark):
+        df, _ = self._log(spark)
+        bad = spark.createDataFrame(
+            [(b"junk", "0x00", 99, 1)], schema=ROLLUP_SCHEMA
+        )
+        store = fresh_store(spark)
+        with pytest.raises(WireDecodeError, match="undecodable"):
+            import_wire_rollup(store, df.union(bad))
+
+    def test_lenient_counts_and_continues(self, spark):
+        df, db = self._log(spark)
+        bad = spark.createDataFrame(
+            [(b"junk", "0x00", 99, 1)], schema=ROLLUP_SCHEMA
+        )
+        store = fresh_store(spark)
+        report = import_wire_rollup(store, df.union(bad), strict=False)
+        assert report["errors"] == 1
+        assert store.current_state(db, "books").count() == 2
