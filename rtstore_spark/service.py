@@ -199,6 +199,18 @@ class NodeService:
         # ONE shared block-event poller for all Subscribe clients
         # (storage_node_light_impl.rs:270-374: a single broadcast channel)
         self.broadcaster = BlockEventBroadcaster(self, subscribe_poll_seconds)
+        # gRPC-Web gateway — the reference SDK's stock transport
+        # (service_grpcweb.py); built lazily to keep import cost off the
+        # JSON-only path
+        self._grpcweb = None
+
+    @property
+    def grpcweb(self):
+        if self._grpcweb is None:
+            from rtstore_spark.service_grpcweb import GrpcWebGateway
+
+            self._grpcweb = GrpcWebGateway(self)
+        return self._grpcweb
 
     # -- entry ---------------------------------------------------------
 
@@ -228,10 +240,24 @@ class NodeService:
     # -- StorageNode ---------------------------------------------------
 
     def _storage_SendMutation(self, body: dict) -> dict:
-        out = self.ingest.send_mutation(
-            self._need(body, "payload"), self._need(body, "signature"),
-            self._need(body, "sender"), int(self._need(body, "nonce")),
-        )
+        payload = self._need(body, "payload")
+        signature = self._need(body, "signature")
+        if isinstance(payload, str):
+            # REFERENCE WIRE FORM: payload is the EIP-712 TypedData JSON
+            # (as text, or 0x-hex of its bytes — SendMutationRequest's
+            # bytes field in JSON transport). Sender and nonce live
+            # INSIDE the signed envelope; nothing outside it is trusted.
+            if payload.startswith("0x"):
+                try:
+                    payload = bytes.fromhex(payload[2:])
+                except ValueError as e:
+                    raise ServiceError(f"bad hex payload: {e}") from e
+            out = self.ingest.send_wire_mutation(payload, signature)
+        else:
+            out = self.ingest.send_mutation(
+                payload, signature,
+                self._need(body, "sender"), int(self._need(body, "nonce")),
+            )
         return {"code": 0, "msg": "ok", **out}
 
     def _storage_GetNonce(self, body: dict) -> dict:
@@ -443,6 +469,11 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(data)
 
     def do_POST(self):  # noqa: N802 — http.server naming
+        from rtstore_spark.service_grpcweb import GrpcWebGateway
+
+        if GrpcWebGateway.is_grpc_path(self.path):
+            self._grpc_web()
+            return
         parts = self.path.strip("/").split("/")
         if len(parts) != 3 or parts[0] != "v1":
             self._send_json(404, {"code": 1, "msg": f"no route {self.path}"})
@@ -486,6 +517,96 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(e.http_status, {"code": e.code, "msg": str(e)})
         except Exception as e:  # noqa: BLE001 — server must answer, not die
             self._send_json(500, {"code": 1, "msg": f"internal: {e}"})
+
+    def _grpc_web(self) -> None:
+        """One gRPC-Web call (the reference SDK's transport — see
+        service_grpcweb.py). HTTP status is 200 even for errors; failures
+        ride the trailers frame's grpc-status, per the gRPC-Web contract.
+        """
+        from rtstore_spark.wire import grpcweb
+        from rtstore_spark.service_grpcweb import GrpcStatus
+        from rtstore_spark.wire.protobuf import WireDecodeError
+
+        ctype = self.headers.get("Content-Type", "")
+        text_mode = grpcweb.is_text_mode(ctype)
+        resp_ctype = grpcweb.CT_TEXT if text_mode else grpcweb.CT_BIN
+
+        def send(chunks: list[bytes]) -> None:
+            data = grpcweb.encode_response_chunk(b"".join(chunks), text_mode)
+            self.send_response(200)
+            self.send_header("Content-Type", resp_ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        try:
+            n = int(self.headers.get("Content-Length", 0) or 0)
+            if n < 0 or n > self.MAX_BODY_BYTES:
+                raise ValueError(f"bad Content-Length {n}")
+            message = grpcweb.single_message_request(self.rfile.read(n), ctype)
+        except (ValueError, TypeError, grpcweb.GrpcWebError) as e:
+            self.close_connection = True
+            send([grpcweb.trailers(3, f"bad request: {e}")])
+            return
+        gateway = self.node.grpcweb
+        try:
+            _svc, method, req_schema, _resp, streaming = gateway.resolve(self.path)
+        except GrpcStatus as e:
+            send([grpcweb.trailers(e.code, str(e))])
+            return
+        if streaming:  # Subscribe
+            try:
+                req = req_schema.decode(message)
+            except WireDecodeError as e:
+                send([grpcweb.trailers(3, f"bad request message: {e}")])
+                return
+            self._grpc_web_stream(gateway, req, text_mode, resp_ctype)
+            return
+        try:
+            resp_bytes = gateway.handle_unary(self.path, message)
+        except GrpcStatus as e:
+            send([grpcweb.trailers(e.code, str(e))])
+            return
+        except Exception as e:  # noqa: BLE001 — answer, never die
+            send([grpcweb.trailers(13, f"internal: {e}")])
+            return
+        send([grpcweb.frame(resp_bytes), grpcweb.trailers(0)])
+
+    def _grpc_web_stream(self, gateway, req: dict, text_mode: bool,
+                         resp_ctype: str) -> None:
+        """Server-streaming Subscribe over chunked HTTP. In text mode each
+        chunk is independently base64-encoded (the grpc-web-text streaming
+        rule). Ends when the client disconnects."""
+        from rtstore_spark.wire import grpcweb
+
+        self.send_response(200)
+        self.send_header("Content-Type", resp_ctype)
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+        def emit(data: bytes) -> None:
+            chunk = grpcweb.encode_response_chunk(data, text_mode)
+            self.wfile.write(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
+            self.wfile.flush()
+
+        events = gateway.subscribe_events(req)
+        try:
+            for encoded in events:
+                if encoded is None:
+                    # liveness tick — a zero-byte write still surfaces a
+                    # closed socket as an error on most platforms
+                    self.wfile.flush()
+                    continue
+                emit(grpcweb.frame(encoded))
+        except (BrokenPipeError, ConnectionResetError, OSError):
+            return
+        finally:
+            events.close()
+            try:
+                emit(grpcweb.trailers(0))
+                self.wfile.write(b"0\r\n\r\n")
+            except (BrokenPipeError, ConnectionResetError, OSError):
+                pass
 
     def _subscribe(self, body: dict) -> None:
         """Chunked stream of BlockEvent lines. ``from_block`` (default: the

@@ -223,15 +223,23 @@ def import_wire_rollup(
         def _create(row, addr: str | None):
             meta = json.loads(row["meta"]) if row["meta"] else None
             db_type = "event" if row["action"] == "CreateEventDB" else "doc"
+            # a Mint carries the minted-for owner in its body
+            # (MintDocumentDatabaseMutation.sender) — honor it over the
+            # envelope signer so re-attested exports keep db ownership
+            owner = (meta or {}).get("mint_sender") or row["sender"]
             # best-effort nonce consumption: a create bound AFTER later ops
             # already consumed higher nonces must not violate the
             # strictly-increasing guard — the bulk convergence at the end
             # covers its nonce anyway
             nonce = row["nonce"]
-            if not nonce or nonce <= store.state.nonce_of(row["sender"]):
+            if (
+                not nonce
+                or owner != row["sender"]  # minted-for owner: not the signer's nonce
+                or nonce <= store.state.nonce_of(row["sender"])
+            ):
                 nonce = None
             created = store.create_database(
-                row["sender"], nonce, desc=row["desc"] or "",
+                owner, nonce, desc=row["desc"] or "",
                 db_type=db_type, meta=meta, db_addr=addr,
                 seq=(row["block"], row["order"]), mid=row["mid"],
             )

@@ -85,6 +85,19 @@ LOG_READ_SCHEMA = T.StructType(
     LOG_SCHEMA.fields + [T.StructField("block_bucket", T.LongType(), True)]
 )
 
+# original client envelopes for wire-ingested mutations (the rollup row
+# shape the reference persists — ar_toolbox.rs:83-127): payload is the
+# EIP-712 TypedData JSON bytes exactly as signed
+WIRE_ARCHIVE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("signature", T.StringType(), False),
+        T.StructField("block", T.LongType(), False),
+        T.StructField("order", T.IntegerType(), False),
+    ]
+)
+
 # doc ids per collection partition directory — the directory-level analog of
 # the reference's `/doc/‖db‖id(i64 BE)` key layout (db_doc_key_v2.rs:24-40),
 # where the BE-encoded id prefix makes point gets O(log n). Here
@@ -102,9 +115,23 @@ DOC_READ_SCHEMA = T.StructType(
 def derive_db_addr(sender: str, nonce: int, network: int = 1) -> str:
     """Deterministic 20-byte database address from (sender, nonce, network).
 
-    Mirrors DbId::from((sender, nonce, network_id)) — id.rs:99-120.
+    Byte-exact mirror of ``DbId::from((&DB3Address, u64, u64))`` —
+    id.rs:169-183: sha3_256(nonce_be8 ‖ network_be8 ‖ sender_20_bytes)
+    truncated to 20 bytes — so a database created here gets the SAME
+    address a current reference node would assign for the same
+    (sender, nonce, network). Falls back to hashing the raw sender
+    string when it is not a 0x-address (tests use human-readable ids).
     """
-    h = hashlib.sha3_256(f"{sender}|{nonce}|{network}".encode()).hexdigest()
+    try:
+        sender_bytes = bytes.fromhex(sender.removeprefix("0x"))
+        if len(sender_bytes) != 20:
+            raise ValueError
+    except ValueError:
+        sender_bytes = sender.encode("utf-8")
+    h = hashlib.sha3_256(
+        int(nonce).to_bytes(8, "big") + int(network).to_bytes(8, "big")
+        + sender_bytes
+    ).hexdigest()
     return "0x" + h[:40]
 
 
@@ -1001,6 +1028,60 @@ class DocStore:
         """GetMutationHeader/GetMutationBody: point lookup by mutation id."""
         rows = self.mutation_log().filter(F.col("id") == tx_id).head(1)
         return rows[0] if rows else None
+
+    # -- wire-envelope archive ------------------------------------------
+    # The reference's rollup persists the ORIGINAL client envelope bytes
+    # (payload + signature land verbatim in mutation_store, then in the
+    # rollup parquet — ar_toolbox.rs:83-127). This engine's log stores the
+    # decoded form, so wire-ingested mutations keep their envelopes here;
+    # the rollup export emits them verbatim, preserving client custody.
+
+    def _wire_archive_path(self) -> str:
+        return f"{self.root}/wire_archive"
+
+    def archive_wire_envelope(
+        self, mid: str, payload: bytes, signature: str, block: int, order: int
+    ) -> None:
+        df = self.spark.createDataFrame(
+            [{"id": mid, "payload": payload, "signature": signature,
+              "block": block, "order": order}],
+            schema=WIRE_ARCHIVE_SCHEMA,
+        ).withColumn("block_bucket", F.expr(f"block div {LOG_BLOCKS_PER_BUCKET}"))
+        df.coalesce(1).write.mode("append").partitionBy("block_bucket").parquet(
+            self._wire_archive_path()
+        )
+
+    def wire_archive(self, block_start: int = 0, block_end: int | None = None) -> DataFrame:
+        """Archived original envelopes in [block_start, block_end) —
+        empty-safe, partition-pruned like the log."""
+        path = self._wire_archive_path()
+        read_schema = T.StructType(
+            WIRE_ARCHIVE_SCHEMA.fields
+            + [T.StructField("block_bucket", T.LongType(), True)]
+        )
+        if not self.fs.exists(path):
+            df = self.spark.createDataFrame([], schema=read_schema)
+        else:
+            parts = [
+                os.path.join(path, e)
+                for e in self.fs.listdir(path)
+                if e.startswith("block_bucket=")
+            ]
+            if not parts:
+                df = self.spark.createDataFrame([], schema=read_schema)
+            else:
+                df = (
+                    self.spark.read.schema(read_schema)
+                    .option("basePath", path)
+                    .parquet(*parts)
+                )
+        end = block_end if block_end is not None else (1 << 62)
+        lo = block_start // LOG_BLOCKS_PER_BUCKET
+        hi = (max(end - 1, block_start)) // LOG_BLOCKS_PER_BUCKET
+        return (
+            df.filter((F.col("block_bucket") >= lo) & (F.col("block_bucket") <= hi))
+            .filter((F.col("block") >= block_start) & (F.col("block") < end))
+        )
 
     def scan_mutation_headers(self, offset: int = 0, limit: int = 50) -> DataFrame:
         """ScanMutationHeader: newest-first page, capped at scan_max_limit=50

@@ -177,6 +177,54 @@ class Ingest:
         block, order = store.state.block, store.state.order
         return {"id": tx_id, "items": items, "block": block, "order": order}
 
+    def send_wire_mutation(
+        self, payload: bytes | str, signature: str, archive: bool = True
+    ) -> dict:
+        """Apply one REFERENCE-FORMAT signed mutation.
+
+        ``payload`` is the EIP-712 TypedData JSON envelope the reference
+        SDK produces (hex protobuf Mutation + nonce string inside,
+        db3_account.ts:104-121), ``signature`` its 65-byte r‖s‖v hex.
+        This is the node's own unwrap path (mutation_utils.rs:92-140):
+        recover the signer from the typed data — there is no separate
+        ``sender`` parameter to trust — then decode protobuf + BSON and
+        dispatch. The returned ``id`` is the reference's TxId form,
+        sha3_256(payload ‖ signature) (id.rs:77-85).
+
+        One body per mutation (the SDK's shape); multi-body envelopes are
+        rejected here — the batch import path (sources/wire_import.py)
+        handles them.
+        """
+        from rtstore_spark.wire.envelope import unwrap_and_verify
+        from rtstore_spark.wire.protobuf import WireDecodeError
+        from rtstore_spark.wire.translate import body_to_ingest_payload
+
+        try:
+            wm = unwrap_and_verify(payload, signature, verify=True)
+        except WireDecodeError as e:
+            raise InvalidMutation(str(e)) from e
+        if len(wm.bodies) != 1:
+            raise InvalidMutation(
+                f"wire mutation carries {len(wm.bodies)} bodies, expected 1"
+            )
+        try:
+            ingest_payload = body_to_ingest_payload(wm.action, wm.bodies[0])
+        except ValueError as e:
+            raise InvalidMutation(str(e)) from e
+        with self.store.state.lock:
+            out = self._apply(ingest_payload, wm.sender, wm.nonce, wm.mutation_id)
+        if archive:
+            # keep the ORIGINAL envelope bytes so the rollup export can
+            # emit this mutation exactly as the client signed it (the
+            # reference persists payload+signature verbatim,
+            # ar_toolbox.rs:83-127) — custody survives the round trip
+            raw = payload if isinstance(payload, bytes) else payload.encode("utf-8")
+            self.store.archive_wire_envelope(
+                wm.mutation_id, raw, signature, out["block"], out["order"]
+            )
+        out["sender"] = wm.sender
+        return out
+
     def get_nonce(self, sender: str) -> int:
         """GetNonce: the next valid nonce for a sender."""
         return self.store.state.nonce_of(sender) + 1

@@ -137,6 +137,111 @@ def body_to_log_fields(action: str, body_entry: dict) -> dict:
     return out
 
 
+INDEX_TYPE_NUMBERS = {v: k for k, v in INDEX_TYPE_NAMES.items()}
+
+
+def log_row_to_wire(action: str, payload: dict, db_addr: str | None,
+                    col_name: str | None, doc_ids: list[int] | None) -> tuple[str, dict]:
+    """One of this engine's mutation-log rows → (wire action, BodyWrapper).
+
+    The inverse of :func:`body_to_log_fields`, used by the rollup export
+    (sources/wire_export.py). Creates are exported as Mint mutations —
+    the only wire form carrying an explicit address + owner
+    (db3_mutation_v2.proto:42-48) — because a re-attested envelope
+    cannot reproduce the original signer-keyed DbId derivation."""
+    from rtstore_spark.wire.bsonlite import bson_encode
+
+    if action in ("create_doc_db", "create_event_db"):
+        desc = payload.get("desc") or ""
+        owner = payload.get("owner")  # export threads the original owner
+        if action == "create_event_db":
+            meta = payload.get("meta") or {}
+            body = {
+                "contract_address": meta.get("contract_address", ""),
+                "ttl": int(meta.get("ttl") or 0),
+                "desc": desc,
+                "tables": [
+                    {"collection_name": t} for t in meta.get("tables", [])
+                ],
+                "events_json_abi": meta.get("events_json_abi", ""),
+                "evm_node_url": meta.get("evm_node_url", ""),
+                "start_block": int(meta.get("start_block") or 0),
+            }
+            body = {k: v for k, v in body.items() if v not in ("", 0, [])}
+            return "CreateEventDB", {
+                "db_address": None, "kind": "event_database_mutation",
+                "body": body,
+            }
+        if db_addr:
+            # a re-attested envelope cannot reproduce the original
+            # DbId derivation (it hashes the SIGNER's address + nonce,
+            # id.rs:169-183), so an exported create always ships as Mint —
+            # the one wire form carrying an explicit address and owner
+            body = {"db_addr": db_addr, "desc": desc}
+            if owner:
+                body["sender"] = owner  # MintDocumentDatabaseMutation.sender
+            return "MintDocumentDB", {
+                "db_address": None, "kind": "mint_doc_database_mutation",
+                "body": body,
+            }
+        return "CreateDocumentDB", {
+            "db_address": None, "kind": "doc_database_mutation",
+            "body": {"db_desc": desc} if desc else {},
+        }
+    if action in ("add_collection", "add_index"):
+        fields = [
+            {"path": i.get("path", ""),
+             "index_type": INDEX_TYPE_NUMBERS.get(i.get("type"), 1)}
+            for i in payload.get("indexes", [])
+        ]
+        fields = [{k: v for k, v in f.items() if v} for f in fields]
+        if action == "add_index":
+            return "AddIndex", {
+                "db_address": db_addr, "kind": "add_index_mutation",
+                "body": {"collection_name": col_name, "index_fields": fields},
+            }
+        body = {"collection_name": col_name}
+        if fields:
+            body["index_fields"] = fields
+        return "AddCollection", {
+            "db_address": db_addr, "kind": "collection_mutation", "body": body,
+        }
+    if action == "add_document":
+        return "AddDocument", {
+            "db_address": db_addr, "kind": "document_mutation",
+            "body": {
+                "collection_name": col_name,
+                "documents": [
+                    bson_encode(json.loads(d)) for d in payload.get("docs", [])
+                ],
+                **({"ids": list(doc_ids)} if doc_ids else {}),
+            },
+        }
+    if action == "update_document":
+        docs, masks = [], []
+        for p in payload.get("patches", []):
+            patch = json.loads(p)
+            # RFC-7386 → mask form: every patch key is masked; null means
+            # delete, i.e. masked-but-absent in the wire document
+            docs.append(bson_encode(
+                {k: v for k, v in patch.items() if v is not None}
+            ))
+            masks.append({"fields": sorted(patch)})
+        return "UpdateDocument", {
+            "db_address": db_addr, "kind": "document_mutation",
+            "body": {
+                "collection_name": col_name, "documents": docs,
+                "ids": list(doc_ids or []), "masks": masks,
+            },
+        }
+    if action == "delete_document":
+        return "DeleteDocument", {
+            "db_address": db_addr, "kind": "document_mutation",
+            "body": {"collection_name": col_name, "ids": list(doc_ids or [])},
+        }
+    raise ValueError(f"log action {action!r} has no wire form")
+
+
 def body_to_ingest_payload(action: str, body_entry: dict) -> dict:
     """One BodyWrapper → the dict payload ``Ingest._apply`` dispatches on.
 

@@ -235,3 +235,149 @@ class TestSyntheticV2Import:
         report = import_wire_rollup(store, df.union(bad), strict=False)
         assert report["errors"] == 1
         assert store.current_state(db, "books").count() == 2
+
+
+class TestExportRoundTrip:
+    """export_wire_rollup → import_wire_rollup reproduces the data state:
+    documents, doc ids, collections, indexes, database addresses, and db
+    ownership (creates ship as Mint, carrying address + original owner)."""
+
+    PRIV = 0x7C852118294E51E653712A81E05800F419141751BE58F605C371E15141B007A6
+    ALICE = "0x" + "aa" * 20
+    BOB = "0x" + "bb" * 20
+
+    def _populate(self, spark):
+        store = fresh_store(spark)
+        db_a = store.create_database(self.ALICE, 1, desc="alpha")
+        store.create_collection(db_a, "c1", [{"path": "/k", "type": "int64"}],
+                                self.ALICE, nonce=2)
+        ids = store.add_docs(
+            db_a, "c1",
+            [json.dumps({"k": 1, "s": "one"}), json.dumps({"k": 2, "s": "two"}),
+             json.dumps({"k": 3})],
+            self.ALICE, nonce=3,
+        )
+        store.update_docs(db_a, "c1", [ids[0]],
+                          [json.dumps({"s": "uno", "gone": None})],
+                          self.ALICE, nonce=4)
+        store.delete_docs(db_a, "c1", [ids[2]], self.ALICE, nonce=5)
+        db_b = store.create_database(self.BOB, 1, desc="beta")
+        store.create_collection(db_b, "c2", [], self.BOB, nonce=2)
+        store.add_docs(db_b, "c2", [json.dumps({"x": True})], self.BOB, nonce=3)
+        return store, db_a, db_b
+
+    def test_round_trip(self, spark, tmp_path):
+        from rtstore_spark.crypto.secp256k1 import priv_to_address
+        from rtstore_spark.sources.wire_export import export_wire_rollup
+
+        origin, db_a, db_b = self._populate(spark)
+        path = str(tmp_path / "wire_export")
+        n = export_wire_rollup(origin, path, priv=self.PRIV)
+        assert n == 8  # 2 creates + 2 addcols + 3 doc batches + 1 delete... counted as mutations
+
+        # every exported envelope verifies against the export key
+        art = spark.read.parquet(path)
+        decoded = decode_wire_log(art).collect()
+        assert all(r["error"] is None for r in decoded)
+        exporter = priv_to_address(self.PRIV).lower()
+        assert {r["sender"].lower() for r in decoded} == {exporter}
+        assert {r["layout"] for r in decoded} == {"v2"}
+        # creates travel as Mint with explicit address + original owner
+        mints = [r for r in decoded if r["action"] == "MintDocumentDB"]
+        assert {m["db_addr"] for m in mints} == {db_a, db_b}
+        owners = {json.loads(m["meta"])["mint_sender"] for m in mints}
+        assert owners == {self.ALICE, self.BOB}
+
+        replica = fresh_store(spark)
+        report = import_wire_rollup(replica, art)
+        assert report["errors"] == 0
+
+        # catalog: same addresses, same owners
+        dbs = {r["db_addr"]: r["sender"] for r in replica.databases().collect()}
+        assert dbs == {db_a: self.ALICE, db_b: self.BOB}
+        assert replica._indexed_paths(db_a, "c1") == [("/k", "int64")]
+
+        # documents: same ids, same merged contents, tombstone preserved
+        orig = {
+            r["doc_id"]: json.loads(r["doc"])
+            for r in origin.current_state(db_a, "c1").collect()
+        }
+        got = {
+            r["doc_id"]: json.loads(r["doc"])
+            for r in replica.current_state(db_a, "c1").collect()
+        }
+        assert got == orig
+        assert set(got) == {1, 2}
+        assert got[1] == {"k": 1, "s": "uno"}  # update applied, "gone" never set
+        got_b = replica.current_state(db_b, "c2").collect()
+        assert len(got_b) == 1 and json.loads(got_b[0]["doc"]) == {"x": True}
+
+
+class TestArchivedEnvelopeExport:
+    """A mutation ingested through the WIRE path keeps its original
+    envelope: the export emits it byte-identically (client signature and
+    custody intact), while direct-API mutations are re-attested."""
+
+    CLIENT_PRIV = 0x6370FD033278C143179D81C5526140625662B8DAA446C22EE2D73DB3707E620C
+
+    def test_wire_ingested_rows_export_verbatim(self, spark, tmp_path):
+        from rtstore_spark.crypto.secp256k1 import priv_to_address
+        from rtstore_spark.sources.wire_export import export_wire_rollup
+        from rtstore_spark.store.ingest import Ingest
+
+        client = priv_to_address(self.CLIENT_PRIV)
+        store = fresh_store(spark)
+        ingest = Ingest(store)
+
+        def send(action, bodies, nonce):
+            raw = encode_mutation(action, bodies)
+            payload, sig = wrap_and_sign(raw, nonce, self.CLIENT_PRIV)
+            out = ingest.send_wire_mutation(payload, sig)
+            return payload, sig, out
+
+        p1, s1, r1 = send("CreateDocumentDB", [{
+            "db_address": None, "kind": "doc_database_mutation",
+            "body": {"db_desc": "mine"},
+        }], nonce=1)
+        db = next(i["value"] for i in r1["items"] if i["key"] == "db_addr")
+        p2, s2, _ = send("AddCollection", [{
+            "db_address": db, "kind": "collection_mutation",
+            "body": {"collection_name": "c"},
+        }], nonce=2)
+        p3, s3, _ = send("AddDocument", [{
+            "db_address": db, "kind": "document_mutation",
+            "body": {"collection_name": "c",
+                     "documents": [bson_encode({"mine": 1})]},
+        }], nonce=3)
+        # one direct-API (unsigned) mutation in the same log
+        other = store.create_database("0x" + "dd" * 20, 1, desc="direct")
+
+        path = str(tmp_path / "mixed_export")
+        export_key = 0x1111111111111111111111111111111111111111111111111111111111111111
+        n = export_wire_rollup(store, path, priv=export_key)
+        assert n == 4
+
+        rows = {
+            (r["block"], r["order"]): r
+            for r in spark.read.parquet(path).collect()
+        }
+        originals = {p1: s1, p2: s2, p3: s3}
+        verbatim = 0
+        for r in rows.values():
+            payload = bytes(r["payload"])
+            if payload in originals:
+                assert r["signature"] == originals[payload]
+                verbatim += 1
+        assert verbatim == 3  # every wire-ingested row is byte-identical
+
+        # reimport: wire rows recover the ORIGINAL client as sender/owner
+        replica = fresh_store(spark)
+        report = import_wire_rollup(replica, spark.read.parquet(path))
+        assert report["errors"] == 0
+        dbs = {r["db_addr"]: r["sender"] for r in replica.databases().collect()}
+        assert dbs[db].lower() == client.lower()
+        assert dbs[other] == "0x" + "dd" * 20  # Mint preserved direct owner
+        docs = replica.current_state(db, "c").collect()
+        assert len(docs) == 1
+        assert docs[0]["owner"].lower() == client.lower()
+        assert json.loads(docs[0]["doc"]) == {"mine": 1}
