@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import queue
+import socket
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -261,7 +262,13 @@ class NodeService:
         return {"code": 0, "msg": "ok", **out}
 
     def _storage_GetNonce(self, body: dict) -> dict:
-        return {"nonce": self.store.state.nonce_of(self._need(body, "address"))}
+        from rtstore_spark.store.state import normalize_addr
+
+        return {
+            "nonce": self.store.state.nonce_of(
+                normalize_addr(self._need(body, "address"))
+            )
+        }
 
     def _storage_GetMutationHeader(self, body: dict) -> dict:
         block = int(self._need(body, "block_id"))
@@ -289,10 +296,13 @@ class NodeService:
         }
 
     def _storage_GetDatabaseOfOwner(self, body: dict) -> dict:
-        owner = self._need(body, "owner")
+        from rtstore_spark.store.state import normalize_addr
+
+        owner = normalize_addr(self._need(body, "owner"))
         return {
             "databases": [
-                d for d in self.store.databases_latest() if d["sender"] == owner
+                d for d in self.store.databases_latest()
+                if normalize_addr(d["sender"]) == owner
             ]
         }
 
@@ -469,12 +479,14 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(data)
 
     def do_POST(self):  # noqa: N802 — http.server naming
-        from rtstore_spark.service_grpcweb import GrpcWebGateway
-
-        if GrpcWebGateway.is_grpc_path(self.path):
+        parts = self.path.strip("/").split("/")
+        # gRPC-Web shape: /<package>.<Service>/<Method> — the dependency-
+        # free test keeps the schema imports (service_grpcweb) entirely
+        # off the JSON path; an unknown dotted service still routes to the
+        # gateway, which answers with grpc-status 12 as the spec wants
+        if len(parts) == 2 and "." in parts[0]:
             self._grpc_web()
             return
-        parts = self.path.strip("/").split("/")
         if len(parts) != 3 or parts[0] != "v1":
             self._send_json(404, {"code": 1, "msg": f"no route {self.path}"})
             return
@@ -593,9 +605,15 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             for encoded in events:
                 if encoded is None:
-                    # liveness tick — a zero-byte write still surfaces a
-                    # closed socket as an error on most platforms
-                    self.wfile.flush()
+                    # liveness tick: flushing an EMPTY buffer performs no
+                    # syscall, so probe the socket instead — after the
+                    # request is fully read, readability means EOF (a
+                    # closed client) or a stray pipelined byte
+                    import select as _select
+
+                    readable, _, _ = _select.select([self.connection], [], [], 0)
+                    if readable and not self.connection.recv(1, socket.MSG_PEEK):
+                        return  # client disconnected during a quiet period
                     continue
                 emit(grpcweb.frame(encoded))
         except (BrokenPipeError, ConnectionResetError, OSError):

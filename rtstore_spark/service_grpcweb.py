@@ -135,7 +135,13 @@ class GrpcWebGateway:
         return resp
 
     def _StorageNode_GetNonce(self, req: dict) -> dict:
-        return {"nonce": self.node.store.state.nonce_of(req.get("address", ""))}
+        from rtstore_spark.store.state import normalize_addr
+
+        return {
+            "nonce": self.node.store.state.nonce_of(
+                normalize_addr(req.get("address", ""))
+            )
+        }
 
     def _header_from_log_row(self, r: dict) -> dict:
         h = {
@@ -289,16 +295,33 @@ class GrpcWebGateway:
         return {"collections": cols, "states": [{} for _ in cols]}
 
     def _StorageNode_GetBlock(self, req: dict) -> dict:
+        bs = int(req.get("block_start", 0))
+        be = int(req.get("block_end", 0))
         out = self.node.dispatch("storage", "GetBlock", {
-            "block_start": req.get("block_start", 0),
-            "block_end": req.get("block_end", 0),
+            "block_start": bs, "block_end": be,
         })
-        muts = [
-            {"header": self._header_from_log_row(r),
-             "body": self._body_from_log_row(r)}
-            for r in out["mutations"]
-        ]
-        return {"mutations": muts} if muts else {}
+        if not out["mutations"]:
+            return {}
+        # ONE archive read covers every mutation in the range — the
+        # indexer's tail-sync calls this per block batch, so a per-row
+        # filter+head here would be the O(mutations)-jobs scale-killer
+        # store/replay.py exists to avoid
+        archived = {
+            r["id"]: (bytes(r["payload"]), r["signature"])
+            for r in self.node.store.wire_archive(bs, be).collect()
+        }
+        muts = []
+        for r in out["mutations"]:
+            arch = archived.get(r["id"])
+            body = (
+                {"payload": arch[0], "signature": arch[1]}
+                if arch
+                else {"payload": (r.get("payload") or "").encode("utf-8")}
+            )
+            muts.append(
+                {"header": self._header_from_log_row(r), "body": body}
+            )
+        return {"mutations": muts}
 
     def _StorageNode_GetMutationState(self, req: dict) -> dict:
         view = self.node.dispatch("storage", "GetMutationState", {})["view"]
@@ -347,6 +370,13 @@ class GrpcWebGateway:
 
     # ---------------------------------------------------------- IndexerNode
 
+    # RunQueryResponse has no paging fields, so the gateway walks the JSON
+    # surface's pages internally. The hard total bound keeps a `/*` over a
+    # huge collection from buffering the world in driver memory — beyond
+    # it the client gets a LOUD RESOURCE_EXHAUSTED (gRPC status 8), never
+    # a silently truncated result.
+    RUN_QUERY_MAX_DOCS = 10_000
+
     def _IndexerNode_RunQuery(self, req: dict) -> dict:
         q = req.get("query") or {}
         params: dict = {}
@@ -363,7 +393,16 @@ class GrpcWebGateway:
             "db_addr": req.get("db", ""), "col_name": req.get("col_name", ""),
             "query": {"query_str": q.get("query_str", ""),
                       "parameters": params or None},
+            # one evaluation at the gateway's bound (the JSON surface's
+            # default page would force O(pages) query re-evaluations)
+            "limit": self.RUN_QUERY_MAX_DOCS,
         })
+        if out.get("next_page_token"):
+            raise GrpcStatus(
+                8,
+                f"result exceeds {self.RUN_QUERY_MAX_DOCS} documents "
+                f"({out['count']} matched) — narrow the query or add a limit",
+            )
         docs = [
             {"id": int(d["id"]),
              "doc": json.dumps(d["doc"]) if d["doc"] is not None else ""}

@@ -8,15 +8,22 @@ re-encoded as a protobuf Mutation (CURRENT v2 field numbering — what a
 stock node compiled from today's proto parses), documents become BSON,
 and the envelope is a real EIP-712 TypedData signature.
 
-RE-ATTESTATION semantics: this engine's log does not retain the original
-client envelopes (it logs the verified, decoded form), so the exported
-rows are signed by the EXPORT KEY — provenance moves from the original
-senders to the exporting node, exactly like a custodial migration. What
-IS preserved bit-for-bit: document contents, assigned doc ids, block and
-order sequencing, collection/index definitions, and database addresses
-(creates at a non-standard address ship as Mint mutations, the one wire
-form carrying an explicit address). ``import_wire_rollup`` of an export
-therefore reproduces the full data state on a fresh node.
+Envelope provenance: mutations that ARRIVED in wire form kept their
+original envelopes (DocStore.wire_archive) and are emitted
+byte-identically — client custody survives the round trip. Direct-API
+mutations have no original envelope, so those rows are RE-ATTESTED:
+signed by the EXPORT KEY, like a custodial migration. For re-attested
+rows the export preserves bit-for-bit: document contents, assigned doc
+ids, block/order sequencing, collection/index definitions, document-db
+addresses AND owners (creates ship as Mint — the one wire form carrying
+an explicit address + owner). Known re-attestation limits, inherent to
+the wire vocabulary: per-document ``owner`` follows the envelope signer
+(preserved only for archived rows), and EVENT databases — whose create
+message carries neither address nor owner — re-import owned by the
+export key, at their original address only when the log references them
+(the FIFO binding in sources/wire_import.py). Engine-to-engine transfer
+wanting full fidelity should use the native log replay
+(``DocStore.replay_from``); this export targets REFERENCE interop.
 
 Scale: one groupBy (block, order) to reassemble multi-body mutations,
 then embarrassingly-parallel encode+sign per mutation (pure-Python
@@ -60,12 +67,10 @@ def export_wire_rollup(
     # one wire mutation per (block, order); rows of a multi-body mutation
     # (suffixed log ids from an import) fold back into one envelope
     grouped = log.groupBy("block", "order").agg(
-        F.sort_array(
-            F.collect_list(F.struct(
-                "id", "sender", "nonce", "action", "db_addr", "col_name",
-                "payload", "doc_ids",
-            ))
-        ).alias("rows")
+        F.collect_list(F.struct(
+            "id", "sender", "nonce", "action", "db_addr", "col_name",
+            "payload", "doc_ids",
+        )).alias("rows")
     )
     # wire-ingested mutations kept their ORIGINAL envelopes — emit those
     # verbatim (client custody preserved); everything else is re-encoded
@@ -76,6 +81,12 @@ def export_wire_rollup(
         F.col("signature").alias("_arch_sig"),
     )
     grouped = grouped.join(archived, ["block", "order"], "left")
+
+    def _body_rank(r) -> int:
+        # "<sha3-hex>" → 0, "<sha3-hex>-<n>" → n (import's body_idx suffix)
+        rid = r["id"]
+        tail = rid.rsplit("-", 1)
+        return int(tail[1]) if len(tail) == 2 and tail[1].isdigit() else 0
 
     def _encode(batches: Iterator) -> Iterator:
         import json as _json
@@ -97,6 +108,10 @@ def export_wire_rollup(
                     continue
                 action = None
                 bodies = []
+                # multi-body mutations carry their body index as a numeric
+                # log-id suffix ("mid", "mid-1", …) — sort NUMERICALLY; a
+                # lexicographic sort would put body 10 before body 2
+                rows = sorted(rows, key=_body_rank)
                 for r in rows:
                     payload = _json.loads(r["payload"]) if r["payload"] else {}
                     if r["action"].startswith("create_"):

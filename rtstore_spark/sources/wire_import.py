@@ -206,6 +206,37 @@ def import_wire_rollup(
                 )
         good = decoded.filter(F.col("error").isNull()).persist()
 
+        # shape validation BEFORE any state mutation: doc ops (and
+        # collection-level control ops) must carry an address + collection
+        # — a null-addressed row would otherwise pollute the catalog and
+        # crash id assignment far from its cause
+        needs_addr = good.filter(
+            (
+                F.col("action").isin(
+                    *_DOC_WIRE_ACTIONS, "AddCollection", "AddIndex"
+                )
+                & (F.col("db_addr").isNull() | F.col("col_name").isNull())
+            )
+        )
+        bad_shape = needs_addr.limit(1).collect()
+        if bad_shape:
+            n_bad = needs_addr.count()
+            if strict:
+                raise InvalidMutation(
+                    f"{n_bad} rows lack db_address/collection (first at "
+                    f"block={bad_shape[0]['block']} "
+                    f"order={bad_shape[0]['order']})"
+                )
+            report["skipped"] += n_bad
+            good = good.filter(
+                ~(
+                    F.col("action").isin(
+                        *_DOC_WIRE_ACTIONS, "AddCollection", "AddIndex"
+                    )
+                    & (F.col("db_addr").isNull() | F.col("col_name").isNull())
+                )
+            ).persist()
+
         # ---- driver-side control pass, in (block, order) order -----------
         control = (
             good.filter(~F.col("action").isin(*_DOC_WIRE_ACTIONS))
@@ -456,11 +487,16 @@ def import_wire_rollup(
                 F.when(
                     F.col("wire_ids").isNotNull(), F.col("wire_ids")
                 ).when(
-                    F.col("action") == "AddDocument",
+                    # zero-doc adds must yield [] — sequence(n+1, n) would
+                    # DESCEND (step defaults to -1), minting phantom ids
+                    (F.col("action") == "AddDocument") & (F.size("docs") > 0),
                     F.sequence(
                         F.col("_base") + F.col("_off") + 1,
                         F.col("_base") + F.col("_off") + F.size("docs"),
                     ),
+                ).when(
+                    F.col("action") == "AddDocument",
+                    F.array().cast("array<long>"),
                 ),
             )
         )

@@ -106,6 +106,11 @@ class Ingest:
         """
         body_text = json.dumps(payload, sort_keys=True)
         verify_signature(body_text, nonce, sender, signature, self.sig_mode)
+        # state keys (nonces, owners) use ONE spelling per account: a
+        # checksummed sender and its lowercase recovery are the same key
+        from rtstore_spark.store.state import normalize_addr
+
+        sender = normalize_addr(sender)
         # mutation id = sha3(payload ‖ sig) (id.rs:78-86) — computed up front
         # and threaded into the log so the returned id is the logged id.
         tx_id = hashlib.sha3_256(f"{body_text}|{signature}".encode()).hexdigest()
@@ -227,4 +232,6 @@ class Ingest:
 
     def get_nonce(self, sender: str) -> int:
         """GetNonce: the next valid nonce for a sender."""
-        return self.store.state.nonce_of(sender) + 1
+        from rtstore_spark.store.state import normalize_addr
+
+        return self.store.state.nonce_of(normalize_addr(sender)) + 1

@@ -20,6 +20,28 @@ import threading
 from rtstore_spark.errors import BadNonce
 
 
+def normalize_addr(sender: str) -> str:
+    """Canonical form for an account identifier used as a state key.
+
+    EIP-55 checksummed addresses are the SAME account as their lowercase
+    form — a stock SDK signs with a mixed-case address while signature
+    recovery yields lowercase, so every nonce/owner lookup must agree on
+    one spelling. 0x-hex strings fold to lowercase; anything else (tests
+    use human-readable ids) passes through untouched.
+    """
+    if (
+        isinstance(sender, str)
+        and sender.startswith(("0x", "0X"))
+        and len(sender) == 42
+    ):
+        try:
+            bytes.fromhex(sender[2:])
+        except ValueError:
+            return sender
+        return "0x" + sender[2:].lower()
+    return sender
+
+
 class StateStore:
     """Thread-safe: every read-modify-write below runs under ``self.lock``
     (the reference holds its block-state mutex at exactly these points —

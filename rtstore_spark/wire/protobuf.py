@@ -102,15 +102,23 @@ class Schema:
                 raise WireDecodeError(f"{self.name}: unknown field {fnum}")
             if f.repeated and f.kind in _PACKABLE_KINDS and wt == 2:
                 ln, i = _read_varint(data, i)
-                if i + ln > n:
+                end = i + ln
+                if end > n:
                     raise WireDecodeError(f"{self.name}.{f.name}: truncated packed")
-                chunk, j = data[: i + ln], i
+                # scan in place over the original buffer (no prefix copy);
+                # the end check below catches a varint running past the
+                # packed region into following fields
+                j = i
                 vals = out.setdefault(f.name, [])
-                while j < i + ln:
-                    v, j = _read_scalar(chunk, j, f.kind, _expected_wire(f.kind),
+                while j < end:
+                    v, j = _read_scalar(data, j, f.kind, _expected_wire(f.kind),
                                         self.name, f.name)
                     vals.append(v)
-                i += ln
+                if j != end:
+                    raise WireDecodeError(
+                        f"{self.name}.{f.name}: packed element overruns field"
+                    )
+                i = end
                 continue
             expected = 2 if f.kind in ("string", "bytes", "message") else _expected_wire(f.kind)
             if wt != expected:

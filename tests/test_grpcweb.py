@@ -410,3 +410,73 @@ class TestSubscribeStream:
                 events.append(EVENT_MESSAGE.decode(data[i + 5 : i + 5 + ln]))
             i += 5 + ln
         return events
+
+
+class TestReviewRegressions:
+    """Pins for the review findings on the gateway surface."""
+
+    def test_checksummed_address_same_account(self, server):
+        # EIP-55 mixed case and lowercase are ONE account: nonce lookups
+        # and owner scans must agree with the lowercase recovery form
+        from rtstore_spark.crypto.secp256k1 import priv_to_address
+
+        priv = 0x2222222222222222222222222222222222222222222222222222222222222222
+        me = priv_to_address(priv)
+        checksummed = "0x" + "".join(
+            c.upper() if i % 2 else c for i, c in enumerate(me[2:])
+        )
+        assert checksummed != me  # the test means something
+        r = wire_send(server.port, "CreateDocumentDB", [{
+            "db_address": None, "kind": "doc_database_mutation",
+            "body": {"db_desc": "case"},
+        }], nonce=1, priv=priv)
+        db = next(i["value"] for i in r["items"] if i["key"] == "db_addr")
+        msgs, status, _ = grpc_call(
+            server.port, "/db3_storage_proto.StorageNode/GetNonce",
+            {"address": checksummed},
+        )
+        assert status == 0 and msgs[0]["nonce"] == 1
+        msgs, status, _ = grpc_call(
+            server.port, "/db3_storage_proto.StorageNode/GetDatabaseOfOwner",
+            {"owner": checksummed},
+        )
+        assert status == 0
+        addrs = {"0x" + d["doc_db"]["address"].hex() for d in msgs[0]["databases"]}
+        assert db in addrs
+
+    def test_run_query_over_cap_is_loud(self, server):
+        gateway = server.httpd.RequestHandlerClass.node.grpcweb
+        priv = 0x3333333333333333333333333333333333333333333333333333333333333333
+        r = wire_send(server.port, "CreateDocumentDB", [{
+            "db_address": None, "kind": "doc_database_mutation", "body": {},
+        }], nonce=1, priv=priv)
+        db = next(i["value"] for i in r["items"] if i["key"] == "db_addr")
+        wire_send(server.port, "AddCollection", [{
+            "db_address": db, "kind": "collection_mutation",
+            "body": {"collection_name": "many"},
+        }], nonce=2, priv=priv)
+        wire_send(server.port, "AddDocument", [{
+            "db_address": db, "kind": "document_mutation",
+            "body": {"collection_name": "many", "documents": [
+                bson_encode({"i": i}) for i in range(5)
+            ]},
+        }], nonce=3, priv=priv)
+        gateway.RUN_QUERY_MAX_DOCS = 3  # instance override, not the class
+        try:
+            from rtstore_spark.service_grpcweb import GrpcStatus
+
+            with pytest.raises(GrpcStatus) as e:
+                gateway._IndexerNode_RunQuery({
+                    "db": db, "col_name": "many", "query": {"query_str": "/*"},
+                })
+            assert e.value.code == 8  # RESOURCE_EXHAUSTED, never truncation
+        finally:
+            del gateway.RUN_QUERY_MAX_DOCS
+
+    def test_packed_overrun_rejected(self):
+        from rtstore_spark.wire.protobuf import Field, Schema, WireDecodeError
+
+        s = Schema("P", (Field(1, "v", "int64", repeated=True),))
+        # declared packed length 1, but the varint needs 2 bytes
+        with pytest.raises(WireDecodeError, match="overrun|truncated"):
+            s.decode(b"\x0a\x01\x80\x01")

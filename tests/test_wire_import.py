@@ -381,3 +381,63 @@ class TestArchivedEnvelopeExport:
         assert len(docs) == 1
         assert docs[0]["owner"].lower() == client.lower()
         assert json.loads(docs[0]["doc"]) == {"mine": 1}
+
+
+class TestImportShapeGuards:
+    """Review-finding pins: malformed-but-decodable rows must fail loudly
+    (strict) or be counted and skipped (lenient), never corrupt state."""
+
+    PRIV = 0x4444444444444444444444444444444444444444444444444444444444444444
+
+    def _row(self, action, bodies, nonce, block, order):
+        raw = encode_mutation(action, bodies)
+        payload, sig = wrap_and_sign(raw, nonce, self.PRIV)
+        return (payload, sig, block, order)
+
+    def test_zero_doc_add_mints_no_phantom_ids(self, spark):
+        db = "0x" + "55" * 20
+        rows = [
+            self._row("CreateDocumentDB", [{
+                "db_address": None, "kind": "doc_database_mutation",
+                "body": {},
+            }], 1, 5, 1),
+            self._row("AddCollection", [{
+                "db_address": db, "kind": "collection_mutation",
+                "body": {"collection_name": "c"},
+            }], 2, 5, 2),
+            self._row("AddDocument", [{
+                "db_address": db, "kind": "document_mutation",
+                "body": {"collection_name": "c", "documents": []},
+            }], 3, 6, 1),
+            self._row("AddDocument", [{
+                "db_address": db, "kind": "document_mutation",
+                "body": {"collection_name": "c",
+                         "documents": [bson_encode({"x": 1})]},
+            }], 4, 6, 2),
+        ]
+        df = spark.createDataFrame(rows, schema=ROLLUP_SCHEMA)
+        store = fresh_store(spark)
+        import_wire_rollup(store, df)
+        docs = store.current_state(db, "c").collect()
+        # exactly ONE real doc with id 1 — no phantom/null rows from the
+        # empty add (sequence(n+1, n) would have descended)
+        assert len(docs) == 1 and docs[0]["doc_id"] == 1
+        assert json.loads(docs[0]["doc"]) == {"x": 1}
+
+    def test_null_addressed_doc_op_strict_raise(self, spark):
+        from rtstore_spark.errors import InvalidMutation
+
+        rows = [self._row("AddDocument", [{
+            "db_address": None, "kind": "document_mutation",
+            "body": {"collection_name": "c",
+                     "documents": [bson_encode({"x": 1})]},
+        }], 1, 7, 1)]
+        df = spark.createDataFrame(rows, schema=ROLLUP_SCHEMA)
+        store = fresh_store(spark)
+        with pytest.raises(InvalidMutation, match="db_address"):
+            import_wire_rollup(store, df)
+        # nothing leaked into the catalog before the raise
+        assert store.collections().count() == 0
+        # lenient mode counts and continues
+        report = import_wire_rollup(fresh_store(spark), df, strict=False)
+        assert report["skipped"] == 1 and report["doc_ops"] == 0
