@@ -267,8 +267,16 @@ def load_psl_rules(spark, path: str) -> DataFrame:
 
     The full list is ~9.5k rules / ~250 KB — a textbook broadcast table.
     The file is read driver-side (control-plane size), parsed here so the
-    engine needs no third-party PSL library.
+    engine needs no third-party PSL library. With no file at hand,
+    ``operators.psl_snapshot.builtin_psl_rules`` provides a curated
+    built-in subset through the same parser.
     """
+    with open(path, encoding="utf-8") as f:
+        return parse_psl_text(spark, f.read())
+
+
+def parse_psl_text(spark, text: str) -> DataFrame:
+    """publicsuffix.org list TEXT → the rule table (see load_psl_rules)."""
     def forms(s: str) -> set[str]:
         # the list publishes IDN rules as Unicode (U-labels) while crawled
         # URL hosts are almost always punycode (A-labels) — emit BOTH
@@ -281,20 +289,19 @@ def load_psl_rules(spark, path: str) -> DataFrame:
         return out
 
     rules = []
-    with open(path, encoding="utf-8") as f:
-        for line in f:
-            line = line.strip()
-            if not line or line.startswith("//"):
-                continue
-            line = line.split()[0].lower()  # spec: first token only
-            if line.startswith("!"):
-                s = line[1:]
-                rules += [(v, s.count("."), True) for v in forms(s)]
-            elif line.startswith("*."):
-                s = line[2:]
-                rules += [(v, s.count(".") + 2, False) for v in forms(s)]
-            else:
-                rules += [(v, line.count(".") + 1, False) for v in forms(line)]
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("//"):
+            continue
+        line = line.split()[0].lower()  # spec: first token only
+        if line.startswith("!"):
+            s = line[1:]
+            rules += [(v, s.count("."), True) for v in forms(s)]
+        elif line.startswith("*."):
+            s = line[2:]
+            rules += [(v, s.count(".") + 2, False) for v in forms(s)]
+        else:
+            rules += [(v, line.count(".") + 1, False) for v in forms(line)]
     return spark.createDataFrame(
         rules, schema="suffix string, ps_labels int, is_exception boolean"
     )
@@ -308,12 +315,15 @@ _PSL_MAX_LABELS = 6
 def with_registrable_domain(
     df: DataFrame,
     url_col: str,
-    rules: DataFrame | None = None,
+    rules: "DataFrame | str | None" = None,
     out_col: str = "domain",
 ) -> DataFrame:
     """Append the registrable (eTLD+1) domain of ``url_col`` as
     ``out_col`` — exact PSL semantics when a ``load_psl_rules`` table is
     given, the built-in two-level heuristic otherwise.
+    ``rules="builtin"`` runs the exact algorithm over the embedded
+    curated snapshot (operators/psl_snapshot.py) — no external file,
+    strictly broader than the heuristic.
 
     Scale shape: rules broadcast (~9.5k rows); candidate suffixes explode
     per DISTINCT host (≤ 6 short rows each), never per document, so the
@@ -324,6 +334,12 @@ def with_registrable_domain(
     """
     if rules is None:
         return df.withColumn(out_col, url_domain(url_col))
+    if isinstance(rules, str):
+        if rules != "builtin":
+            raise ValueError(f"rules must be a DataFrame or 'builtin', got {rules!r}")
+        from rtstore_spark.operators.psl_snapshot import builtin_psl_rules
+
+        rules = builtin_psl_rules(df.sparkSession)
     # raw lowercase host — NOT url_domain(registrable=False), whose
     # www-strip would defeat PSL exception rules like !www.ck (the PSL
     # algorithm itself decides whether www is part of the registrable

@@ -326,3 +326,54 @@ class TestHostFallbackScope:
         }
         assert got[1] is None
         assert got[2] == "example.com"
+
+
+class TestBuiltinPslSnapshot:
+    """The embedded curated snapshot (operators/psl_snapshot.py) runs the
+    EXACT PSL algorithm with no external file — rules='builtin'."""
+
+    def test_builtin_covers_and_exceeds_the_heuristic(self, spark):
+        from rtstore_spark.operators.psl_snapshot import SNAPSHOT
+        from rtstore_spark.operators.web import _TWO_LEVEL_SUFFIXES
+
+        lines = {
+            ln.split()[0] for ln in SNAPSHOT.splitlines()
+            if ln.strip() and not ln.startswith(("//", "*", "!"))
+        }
+        missing = set(_TWO_LEVEL_SUFFIXES) - lines
+        assert not missing, f"snapshot lost heuristic coverage: {missing}"
+        assert len(lines) > 3 * len(_TWO_LEVEL_SUFFIXES)
+
+    def test_builtin_grouping(self, spark):
+        from rtstore_spark.operators.web import with_registrable_domain
+
+        df = spark.createDataFrame(
+            [
+                ("https://news.example.co.uk/a",),
+                ("https://blog.shop.com.br/x",),
+                ("https://a.b.k12.tr/y",),      # snapshot-only rule
+                ("https://any.example.ck/z",),   # wildcard *.ck
+                ("https://www.ck/z",),           # exception !www.ck
+                ("https://deep.sub.example.io/q",),  # default rule (1 label)
+            ],
+            "url string",
+        )
+        out = {
+            r["url"]: r["domain"]
+            for r in with_registrable_domain(df, "url", rules="builtin").collect()
+        }
+        assert out["https://news.example.co.uk/a"] == "example.co.uk"
+        assert out["https://blog.shop.com.br/x"] == "shop.com.br"
+        assert out["https://a.b.k12.tr/y"] == "b.k12.tr"
+        assert out["https://any.example.ck/z"] == "any.example.ck"
+        assert out["https://www.ck/z"] == "www.ck"
+        assert out["https://deep.sub.example.io/q"] == "example.io"
+
+    def test_bad_rules_string_rejected(self, spark):
+        import pytest as _pytest
+
+        from rtstore_spark.operators.web import with_registrable_domain
+
+        df = spark.createDataFrame([("https://a.io/x",)], "url string")
+        with _pytest.raises(ValueError, match="builtin"):
+            with_registrable_domain(df, "url", rules="latest")
