@@ -398,10 +398,16 @@ class RollupExecutor:
         (block, order) sequence — the cold-start path once gc() has
         reclaimed the hot log (recover.rs:140-236 walks the same chain).
 
-        Only rollups written by THIS engine are replayable (their payloads
-        are self-describing envelopes); a foreign payload that does not
-        decode raises instead of silently skipping history. Returns the
-        number of mutations applied. The decoded envelopes form a
+        Two replayable formats, auto-detected: this engine's
+        self-describing JSON envelopes (the native rollup() output), and
+        REFERENCE WIRE FORMAT — EIP-712 TypedData around protobuf
+        Mutations, the rows the reference node itself rolls up
+        (ar_toolbox.rs:83-127) and sources/wire_export.py produces. A
+        wire-format chain routes through ``import_wire_rollup`` (same
+        set-wise replay underneath); an undecodable payload, or a chain
+        MIXING both formats (whose interleaving this recovery has no
+        order contract for), raises instead of silently skipping history.
+        Returns the number of mutations applied. Native envelopes form a
         LOG_SCHEMA-shaped DataFrame applied SET-WISE (store/replay.py) —
         logged (block, order) and mutation ids are adopted, so the
         recovered replica's log matches the origin's, in O(collections
@@ -412,28 +418,46 @@ class RollupExecutor:
 
         from pyspark import StorageLevel
 
-        # persist the DECODED history once: the bad-envelope probe, the
+        raw = self.read_rollups()
+        # persist the DECODED history once: the format probe, the
         # control collect, the doc-op derivation and the end-of-batch
         # converge aggregate all traverse it — unpersisted, each would
         # re-read and re-from_json the whole rollup chain (3-4 full
         # history decodes per recovery)
-        log_df = self.read_rollups().select(
+        log_df = raw.select(
             F.from_json(
                 F.decode(F.col("payload"), "utf-8"), self._ENVELOPE_SCHEMA
             ).alias("e"),
+            # wire probe: a TypedData envelope has message.payload hex
+            F.get_json_object(
+                F.decode(F.col("payload"), "utf-8"), "$.message.payload"
+            ).alias("_wire"),
             "block", "order", "doc_ids",
         ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            bad = (
-                log_df.filter(F.col("e").isNull() | F.col("e.action").isNull())
-                .limit(1)
-                .count()
-            )
-            if bad:
+            ours = F.col("e").isNotNull() & F.col("e.action").isNotNull()
+            shape = log_df.agg(
+                F.sum(ours.cast("int")).alias("n_ours"),
+                F.sum((~ours & F.col("_wire").isNotNull()).cast("int")).alias("n_wire"),
+                F.sum((~ours & F.col("_wire").isNull()).cast("int")).alias("n_bad"),
+            ).collect()[0]
+            if shape["n_bad"]:
                 raise ValueError(
-                    "rollup payload is not a self-describing envelope "
-                    "(foreign/reference-era rollup file) — cannot replay"
+                    f"{shape['n_bad']} rollup payloads decode as neither a "
+                    "self-describing envelope nor reference wire format — "
+                    "cannot replay"
                 )
+            if shape["n_wire"]:
+                if shape["n_ours"]:
+                    raise ValueError(
+                        "rollup chain mixes native and wire-format payloads "
+                        f"({shape['n_ours']} native, {shape['n_wire']} wire) "
+                        "— replay them separately"
+                    )
+                from rtstore_spark.sources.wire_import import import_wire_rollup
+
+                report = import_wire_rollup(store, raw)
+                return int(report["control_applied"] + report["doc_ops"])
             return replay_log_batch(
                 store,
                 log_df.select(
