@@ -1,0 +1,123 @@
+"""Trainable text-quality classifier — the fastText-style corpus filter.
+
+The standard LLM-data recipe (GPT-3/CCNet-style quality filtering: score
+web text against a high-quality seed corpus and keep probabilistically)
+needs a TRAINABLE classifier, not just the static heuristics in
+operators/text.py (gopher_rules, quality_score). This is the idiomatic
+Spark version: a Pipeline of RegexTokenizer → [unigrams ∥ bigrams] →
+HashingTF → IDF → LogisticRegression. Everything is Spark ML, so both
+training and scoring run as JVM transforms — no Python in the scoring
+hot path, and the fitted model broadcasts to executors like any
+PipelineModel.
+
+Scale: scoring a 100-TB corpus is one map-side transform per partition
+(hashing trick keeps the feature space fixed at ``num_features``
+regardless of vocabulary); training cost is bounded by the LABELED set,
+which is sampled — never the whole corpus.
+
+Scope note: this replaces the reference's... nothing — the reference has
+no ML surface (SURVEY §2.9). It belongs to the data-prep operator family
+the engine adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.feature import (
+    SQLTransformer,
+    HashingTF,
+    IDF,
+    NGram,
+    RegexTokenizer,
+)
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame, functions as F
+
+
+def quality_fit(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    num_features: int = 1 << 18,
+    use_bigrams: bool = True,
+    reg_param: float = 1e-4,
+    max_iter: int = 50,
+) -> PipelineModel:
+    """Fit the quality classifier on a labeled sample.
+
+    ``label_col``: 1.0 = high quality (the seed/reference distribution),
+    0.0 = reject class (e.g. unfiltered crawl). Returns a PipelineModel
+    (save/load with its own ``.save(path)`` / ``PipelineModel.load``).
+    """
+    stages = [
+        RegexTokenizer(
+            inputCol=text_col, outputCol="_words",
+            pattern=r"[^\p{L}\p{N}']+", toLowercase=True, minTokenLength=1,
+        ),
+    ]
+    if use_bigrams:
+        stages += [
+            NGram(n=2, inputCol="_words", outputCol="_bigrams"),
+            SQLTransformer(
+                statement="SELECT *, concat(_words, _bigrams) AS _grams FROM __THIS__"
+            ),
+        ]
+        grams_col = "_grams"
+    else:
+        grams_col = "_words"
+    stages += [
+        HashingTF(inputCol=grams_col, outputCol="_tf", numFeatures=num_features),
+        IDF(inputCol="_tf", outputCol="_features"),
+        LogisticRegression(
+            featuresCol="_features", labelCol=label_col,
+            regParam=reg_param, maxIter=max_iter,
+        ),
+    ]
+    return Pipeline(stages=stages).fit(
+        labeled.withColumn(label_col, F.col(label_col).cast("double"))
+    )
+
+
+def quality_score(
+    model: PipelineModel,
+    df: DataFrame,
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """Append P(high quality) per document; drops the pipeline's working
+    columns so the output is the input + one double column."""
+    scored = model.transform(df)
+    keep = df.columns
+    return scored.select(
+        *keep,
+        vector_to_array(F.col("probability")).getItem(1).alias(out_col),
+    )
+
+
+def quality_filter(
+    model: PipelineModel,
+    df: DataFrame,
+    threshold: float = 0.5,
+    out_col: str = "quality_prob",
+    pareto_alpha: float | None = None,
+    seed: int = 13,
+) -> DataFrame:
+    """Keep documents the classifier likes.
+
+    Two published policies:
+    - hard threshold (default): keep ``score >= threshold``;
+    - GPT-3's stochastic variant (``pareto_alpha`` set): keep when
+      ``score >= 1 - pareto_sample``, i.e. admit lower-scored docs with
+      decaying probability so the kept set is not a cliff edge. The
+      Pareto draw uses a per-row hash-seeded uniform, so the decision is
+      DETERMINISTIC given (text, seed) — reruns keep the same documents.
+    """
+    scored = quality_score(model, df, out_col=out_col)
+    if pareto_alpha is None:
+        return scored.filter(F.col(out_col) >= threshold)
+    # inverse-CDF Pareto(alpha) sample from a deterministic per-row
+    # uniform in (0, 1]: u = (hash64 mod M + 1) / M
+    m = F.lit(1 << 31)
+    u = (F.abs(F.xxhash64(F.col(out_col), *df.columns, F.lit(seed))) % m + 1) / m
+    pareto = F.pow(u, F.lit(-1.0 / pareto_alpha)) - F.lit(1.0)
+    return scored.filter(F.col(out_col) >= F.lit(1.0) - pareto)
