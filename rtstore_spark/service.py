@@ -470,9 +470,31 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # quiet test output
         pass
 
+    def _cors(self) -> None:
+        # the reference SDK runs in browsers (gRPC-Web exists FOR that);
+        # without these a browser client's calls die in preflight
+        self.send_header("Access-Control-Allow-Origin", "*")
+        self.send_header("Access-Control-Expose-Headers",
+                         "grpc-status,grpc-message")
+
+    def do_OPTIONS(self):  # noqa: N802 — CORS preflight for browser SDKs
+        self.send_response(204)
+        self._cors()
+        self.send_header(
+            "Access-Control-Allow-Methods", "POST, OPTIONS"
+        )
+        self.send_header(
+            "Access-Control-Allow-Headers",
+            "content-type,x-grpc-web,x-user-agent,grpc-timeout",
+        )
+        self.send_header("Access-Control-Max-Age", "86400")
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
     def _send_json(self, status: int, obj: dict) -> None:
         data = json.dumps(obj).encode()
         self.send_response(status)
+        self._cors()
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(data)))
         self.end_headers()
@@ -546,6 +568,7 @@ class _Handler(BaseHTTPRequestHandler):
         def send(chunks: list[bytes]) -> None:
             data = grpcweb.encode_response_chunk(b"".join(chunks), text_mode)
             self.send_response(200)
+            self._cors()
             self.send_header("Content-Type", resp_ctype)
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
@@ -592,6 +615,7 @@ class _Handler(BaseHTTPRequestHandler):
         from rtstore_spark.wire import grpcweb
 
         self.send_response(200)
+        self._cors()
         self.send_header("Content-Type", resp_ctype)
         self.send_header("Transfer-Encoding", "chunked")
         self.end_headers()

@@ -480,3 +480,40 @@ class TestReviewRegressions:
         # declared packed length 1, but the varint needs 2 bytes
         with pytest.raises(WireDecodeError, match="overrun|truncated"):
             s.decode(b"\x0a\x01\x80\x01")
+
+
+class TestCors:
+    """Browser SDK clients preflight gRPC-Web POSTs — the server must
+    answer OPTIONS and mark responses CORS-readable."""
+
+    def test_preflight(self, server):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/db3_storage_proto.StorageNode/GetNonce",
+            method="OPTIONS",
+            headers={
+                "Origin": "http://app.example",
+                "Access-Control-Request-Method": "POST",
+                "Access-Control-Request-Headers": "content-type,x-grpc-web",
+            },
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.status == 204
+            assert r.headers["Access-Control-Allow-Origin"] == "*"
+            assert "POST" in r.headers["Access-Control-Allow-Methods"]
+            allow = r.headers["Access-Control-Allow-Headers"].lower()
+            assert "content-type" in allow and "x-grpc-web" in allow
+
+    def test_response_exposes_grpc_trailer_headers(self, server):
+        body = grpcweb.frame(
+            METHODS["db3_storage_proto.StorageNode"]["GetNonce"][0].encode(
+                {"address": "0x" + "00" * 20}
+            )
+        )
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/db3_storage_proto.StorageNode/GetNonce",
+            data=body, headers={"Content-Type": grpcweb.CT_BIN}, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.headers["Access-Control-Allow-Origin"] == "*"
+            exposed = r.headers["Access-Control-Expose-Headers"]
+            assert "grpc-status" in exposed and "grpc-message" in exposed
