@@ -72,6 +72,12 @@ def quality_fit(
         LogisticRegression(
             featuresCol="_features", labelCol=label_col,
             regParam=reg_param, maxIter=max_iter,
+            # explicit prefixed outputs: the defaults (probability/
+            # prediction/rawPrediction) collide with corpora that already
+            # carry a classifier's output columns
+            probabilityCol="_quality_prob_vec",
+            predictionCol="_quality_pred",
+            rawPredictionCol="_quality_raw",
         ),
     ]
     return Pipeline(stages=stages).fit(
@@ -90,7 +96,7 @@ def quality_score(
     keep = df.columns
     return scored.select(
         *keep,
-        vector_to_array(F.col("probability")).getItem(1).alias(out_col),
+        vector_to_array(F.col("_quality_prob_vec")).getItem(1).alias(out_col),
     )
 
 

@@ -262,13 +262,8 @@ class NodeService:
         return {"code": 0, "msg": "ok", **out}
 
     def _storage_GetNonce(self, body: dict) -> dict:
-        from rtstore_spark.store.state import normalize_addr
-
-        return {
-            "nonce": self.store.state.nonce_of(
-                normalize_addr(self._need(body, "address"))
-            )
-        }
+        # nonce_of normalizes checksummed addresses itself
+        return {"nonce": self.store.state.nonce_of(self._need(body, "address"))}
 
     def _storage_GetMutationHeader(self, body: dict) -> dict:
         block = int(self._need(body, "block_id"))
@@ -630,14 +625,21 @@ class _Handler(BaseHTTPRequestHandler):
             for encoded in events:
                 if encoded is None:
                     # liveness tick: flushing an EMPTY buffer performs no
-                    # syscall, so probe the socket instead — after the
-                    # request is fully read, readability means EOF (a
-                    # closed client) or a stray pipelined byte
-                    import select as _select
-
-                    readable, _, _ = _select.select([self.connection], [], [], 0)
-                    if readable and not self.connection.recv(1, socket.MSG_PEEK):
-                        return  # client disconnected during a quiet period
+                    # syscall, so probe the socket with a non-blocking
+                    # MSG_PEEK (fd-count-safe, unlike select() which
+                    # raises past FD_SETSIZE). EOF here is treated as
+                    # CANCELLATION: browsers/fetch never half-close an
+                    # HTTP/1.1 request socket while still reading, so a
+                    # FIN during a quiet period means the client is gone.
+                    try:
+                        self.connection.setblocking(False)
+                        try:
+                            if not self.connection.recv(1, socket.MSG_PEEK):
+                                return  # client disconnected
+                        finally:
+                            self.connection.setblocking(True)
+                    except (BlockingIOError, InterruptedError):
+                        pass  # no bytes pending: client still connected
                     continue
                 emit(grpcweb.frame(encoded))
         except (BrokenPipeError, ConnectionResetError, OSError):
@@ -683,6 +685,7 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             token, events_q, joined = self.node.broadcaster.subscribe()
             self.send_response(200)
+            self._cors()
             self.send_header("Content-Type", "application/x-ndjson")
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()

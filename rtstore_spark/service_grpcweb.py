@@ -72,8 +72,12 @@ class GrpcWebGateway:
 
     @staticmethod
     def is_grpc_path(path: str) -> bool:
+        """The ROUTING shape test (mirrored by the HTTP layer, which must
+        not import this module on the JSON path): two segments with a
+        dotted package — an UNKNOWN dotted service still routes here so
+        the reply is grpc-status 12, as the gRPC-Web contract wants."""
         parts = path.strip("/").split("/")
-        return len(parts) == 2 and parts[0] in METHODS
+        return len(parts) == 2 and "." in parts[0]
 
     @staticmethod
     def resolve(path: str):
@@ -135,13 +139,8 @@ class GrpcWebGateway:
         return resp
 
     def _StorageNode_GetNonce(self, req: dict) -> dict:
-        from rtstore_spark.store.state import normalize_addr
-
-        return {
-            "nonce": self.node.store.state.nonce_of(
-                normalize_addr(req.get("address", ""))
-            )
-        }
+        # nonce_of normalizes checksummed addresses itself
+        return {"nonce": self.node.store.state.nonce_of(req.get("address", ""))}
 
     def _header_from_log_row(self, r: dict) -> dict:
         h = {

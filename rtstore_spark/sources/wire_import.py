@@ -206,21 +206,17 @@ def import_wire_rollup(
                 )
         good = decoded.filter(F.col("error").isNull()).persist()
 
-        # shape validation BEFORE any state mutation: doc ops (and
-        # collection-level control ops) must carry an address + collection
-        # — a null-addressed row would otherwise pollute the catalog and
-        # crash id assignment far from its cause
-        needs_addr = good.filter(
-            (
-                F.col("action").isin(
-                    *_DOC_WIRE_ACTIONS, "AddCollection", "AddIndex"
-                )
-                & (F.col("db_addr").isNull() | F.col("col_name").isNull())
-            )
-        )
-        bad_shape = needs_addr.limit(1).collect()
+        # shape validation BEFORE any state mutation: collection-scoped
+        # ops must carry an address + collection name — a null-addressed
+        # row would otherwise pollute the catalog and crash id assignment
+        # far from its cause. (MintCollection's name comes from its body;
+        # it is shape-checked here like the rest.)
+        _misshapen = F.col("action").isin(
+            *_DOC_WIRE_ACTIONS, "AddCollection", "AddIndex", "MintCollection"
+        ) & (F.col("db_addr").isNull() | F.col("col_name").isNull())
+        bad_shape = good.filter(_misshapen).limit(1).collect()
         if bad_shape:
-            n_bad = needs_addr.count()
+            n_bad = good.filter(_misshapen).count()
             if strict:
                 raise InvalidMutation(
                     f"{n_bad} rows lack db_address/collection (first at "
@@ -228,14 +224,9 @@ def import_wire_rollup(
                     f"order={bad_shape[0]['order']})"
                 )
             report["skipped"] += n_bad
-            good = good.filter(
-                ~(
-                    F.col("action").isin(
-                        *_DOC_WIRE_ACTIONS, "AddCollection", "AddIndex"
-                    )
-                    & (F.col("db_addr").isNull() | F.col("col_name").isNull())
-                )
-            ).persist()
+            filtered = good.filter(~_misshapen).persist()
+            good.unpersist()  # drop the superseded cache, not just the name
+            good = filtered
 
         # ---- driver-side control pass, in (block, order) order -----------
         control = (
@@ -536,7 +527,13 @@ def import_wire_rollup(
             r["sender"] for r in good.select("sender").distinct().collect()
             if r["sender"]
         )
-        good.unpersist()
         return report
     finally:
+        # `good` is assigned before anything can raise past this frame;
+        # releasing it here (not on the success path only) keeps a failed
+        # import from pinning executor storage for the session
+        try:
+            good.unpersist()
+        except NameError:
+            pass
         decoded.unpersist()

@@ -231,7 +231,6 @@ class Ingest:
         return out
 
     def get_nonce(self, sender: str) -> int:
-        """GetNonce: the next valid nonce for a sender."""
-        from rtstore_spark.store.state import normalize_addr
-
-        return self.store.state.nonce_of(normalize_addr(sender)) + 1
+        """GetNonce: the next valid nonce for a sender (nonce_of
+        normalizes checksummed addresses itself)."""
+        return self.store.state.nonce_of(sender) + 1

@@ -93,8 +93,10 @@ class StateStore:
         return self._state["order"]
 
     def nonce_of(self, sender: str) -> int:
-        """Last consumed nonce for a sender (0 = none yet)."""
-        return self._state["nonces"].get(sender, 0)
+        """Last consumed nonce for a sender (0 = none yet). Normalizes the
+        key here — the SHARED layer — so no caller can reintroduce the
+        checksummed-vs-lowercase split-account bug."""
+        return self._state["nonces"].get(normalize_addr(sender), 0)
 
     def observe_seq(self, block: int, order: int) -> None:
         """Replay path: adopt the origin's (block, order) as our position."""
@@ -137,6 +139,7 @@ class StateStore:
     # -- nonce replay guard: state_store.rs:171+, 'bad nonce' --
 
     def incr_nonce(self, sender: str, nonce: int) -> None:
+        sender = normalize_addr(sender)
         with self.lock:
             last = self._state["nonces"].get(sender, 0)
             if nonce <= last:

@@ -103,3 +103,19 @@ class TestQualityClassifier:
         plan = quality_score(model, df)._jdf.queryExecution().executedPlan().toString()
         for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
             assert marker not in plan, f"python in the scoring path: {marker}"
+
+
+class TestReviewRegressions:
+    def test_scores_df_with_preexisting_classifier_columns(self, spark, model_and_data):
+        # corpora often carry another model's output columns — the
+        # pipeline's working columns must not collide with them
+        model, rng = model_and_data
+        df = spark.createDataFrame(
+            [(_doc(GOOD_WORDS, rng), 0.4, 1.0)],
+            "text string, probability double, prediction double",
+        )
+        out = quality_score(model, df)
+        assert out.columns == ["text", "probability", "prediction", "quality_prob"]
+        row = out.collect()[0]
+        assert row["probability"] == 0.4  # untouched passthrough
+        assert row["quality_prob"] > 0.9

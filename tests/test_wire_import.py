@@ -557,3 +557,24 @@ class TestWireRollupRecovery:
         replica = fresh_store(spark)
         with pytest.raises(ValueError, match="mixes native and wire"):
             ex.replay_into(replica)
+
+
+class TestMintShapeGuard:
+    def test_mint_collection_without_name_rejected(self, spark):
+        from rtstore_spark.errors import InvalidMutation
+
+        payload, sig = wrap_and_sign(
+            encode_mutation("MintCollection", [{
+                "db_address": None, "kind": "mint_collection_mutation",
+                "body": {"db_addr": "0x" + "99" * 20},  # no name
+            }]),
+            1,
+            0x7777777777777777777777777777777777777777777777777777777777777777,
+        )
+        df = spark.createDataFrame([(payload, sig, 1, 1)], schema=ROLLUP_SCHEMA)
+        store = fresh_store(spark)
+        with pytest.raises(InvalidMutation, match="db_address/collection"):
+            import_wire_rollup(store, df)
+        assert store.collections().count() == 0
+        report = import_wire_rollup(fresh_store(spark), df, strict=False)
+        assert report["skipped"] == 1
