@@ -262,8 +262,12 @@ class NodeService:
         return {"code": 0, "msg": "ok", **out}
 
     def _storage_GetNonce(self, body: dict) -> dict:
-        # nonce_of normalizes checksummed addresses itself
-        return {"nonce": self.store.state.nonce_of(self._need(body, "address"))}
+        # the reference returns the NEXT nonce, not the last used one
+        # (storage_node_light_impl.rs:596-611 replies used_nonce + 1), and
+        # the SDK signs with the response VERBATIM (client_v2.ts:214-218,
+        # document_v2.ts:171) — last-used here would reject every stock
+        # client's next mutation
+        return {"nonce": self.ingest.get_nonce(self._need(body, "address"))}
 
     def _storage_GetMutationHeader(self, body: dict) -> dict:
         block = int(self._need(body, "block_id"))

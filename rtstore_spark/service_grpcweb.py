@@ -139,8 +139,9 @@ class GrpcWebGateway:
         return resp
 
     def _StorageNode_GetNonce(self, req: dict) -> dict:
-        # nonce_of normalizes checksummed addresses itself
-        return {"nonce": self.node.store.state.nonce_of(req.get("address", ""))}
+        # the NEXT nonce, as the reference replies (used + 1,
+        # storage_node_light_impl.rs:596-611) — the SDK signs with it
+        return {"nonce": self.node.ingest.get_nonce(req.get("address", ""))}
 
     def _header_from_log_row(self, r: dict) -> dict:
         h = {

@@ -136,7 +136,7 @@ class TestStockTransportLifecycle:
             port, "/db3_storage_proto.StorageNode/GetNonce",
             {"address": me}, text=text,
         )
-        assert status == 0 and msgs[0]["nonce"] == nonce0
+        assert status == 0 and msgs[0]["nonce"] == nonce0 + 1  # NEXT nonce, used + 1
 
         wire_send(port, "AddCollection", [{
             "db_address": db, "kind": "collection_mutation",
@@ -435,7 +435,7 @@ class TestReviewRegressions:
             server.port, "/db3_storage_proto.StorageNode/GetNonce",
             {"address": checksummed},
         )
-        assert status == 0 and msgs[0]["nonce"] == 1
+        assert status == 0 and msgs[0]["nonce"] == 2  # NEXT nonce after nonce-1 create
         msgs, status, _ = grpc_call(
             server.port, "/db3_storage_proto.StorageNode/GetDatabaseOfOwner",
             {"owner": checksummed},

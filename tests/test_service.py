@@ -65,7 +65,9 @@ class TestServiceEndToEnd:
         db = next(i["value"] for i in r["items"] if i["key"] == "db_addr")
 
         status, r = _post(port, "storage/GetNonce", {"address": ALICE})
-        assert status == 200 and r["nonce"] == 1
+        # the reference replies with the NEXT nonce (used + 1) — the SDK
+        # signs with the response verbatim
+        assert status == 200 and r["nonce"] == 2
 
         # 2. collection + documents
         status, r = _post(
@@ -145,9 +147,9 @@ class TestServiceEndToEnd:
              "nonce": 1},
         )
         assert status == 400 and r["code"] == 1 and "signature" in r["msg"]
-        # nothing applied, nonce unconsumed
+        # nothing applied, nonce unconsumed: the NEXT nonce is still 1
         status, r = _post(port, "storage/GetNonce", {"address": BOB})
-        assert r["nonce"] == 0
+        assert r["nonce"] == 1
 
     def test_unknown_method_404(self, server):
         status, r = _post(server.port, "storage/NoSuchThing", {})
