@@ -48,3 +48,58 @@ def recover_mutation_signer(
 ) -> str:
     """Recover the 0x-address that signed {payload, nonce} as typed data."""
     return recover_address(mutation_signing_hash(payload, nonce), signature)
+
+
+def _encode_value(typ: str, value) -> bytes:
+    """One EIP-712 struct member → its 32-byte encoding."""
+    if typ == "string":
+        return keccak256(str(value).encode("utf-8"))
+    if typ == "bytes":
+        raw = value if isinstance(value, bytes) else bytes.fromhex(
+            str(value).removeprefix("0x")
+        )
+        return keccak256(raw)
+    if typ == "address":
+        return bytes.fromhex(str(value).removeprefix("0x")).rjust(32, b"\x00")
+    if typ == "bool":
+        return int(bool(value)).to_bytes(32, "big")
+    if typ.startswith("uint") or typ.startswith("int"):
+        return int(value).to_bytes(32, "big", signed=typ.startswith("int"))
+    if typ.startswith("bytes"):  # fixed bytesN: right-padded
+        raw = value if isinstance(value, bytes) else bytes.fromhex(
+            str(value).removeprefix("0x")
+        )
+        return raw.ljust(32, b"\x00")
+    raise ValueError(f"unsupported EIP-712 member type {typ!r}")
+
+
+def typed_data_signing_hash(typed: dict) -> bytes:
+    """EIP-712 digest of a FLAT typed-data document with an empty domain.
+
+    Covers the shapes the reference SDK signs — an empty ``EIP712Domain``
+    and a single ``Message`` struct of atomic members (string / address /
+    bytes / bool / uintN), e.g. the 9-field Setup config signature
+    (sdk/src/crypto/sig_utils.ts:22-59) and the mutation envelope.
+    Nested structs and arrays (which the SDK never uses) are rejected.
+    """
+    if typed.get("domain"):
+        raise ValueError("only the SDK's empty domain is supported")
+    primary = typed.get("primaryType", "Message")
+    fields = typed["types"][primary]
+    type_str = primary + "(" + ",".join(
+        f"{f['type']} {f['name']}" for f in fields
+    ) + ")"
+    message = typed["message"]
+    encoded = keccak256(type_str.encode("ascii")) + b"".join(
+        _encode_value(f["type"], message[f["name"]]) for f in fields
+    )
+    return keccak256(b"\x19\x01" + _DOMAIN_SEPARATOR + keccak256(encoded))
+
+
+def recover_typed_data_signer(payload: str | bytes, signature: str | bytes) -> str:
+    """MutationUtil::verify_setup's recovery half (mutation_utils.rs:74-91):
+    parse a TypedData JSON document, recover the 0x-address that signed it."""
+    import json
+
+    typed = json.loads(payload)
+    return recover_address(typed_data_signing_hash(typed), signature)

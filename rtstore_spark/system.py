@@ -102,14 +102,32 @@ class SystemStore:
         the recovered address; in ``digest`` mode it is bound into the
         digest. (The reference recovers the address from the typed-data
         signature alone — the extra parameter is the no-crypto analog.)
+
+        WIRE FORM: when ``payload`` is the SDK's TypedData document
+        (generate_config_sig, sdk/src/crypto/sig_utils.ts:22-59 — the
+        9-field Message struct signed with an empty domain), the signer
+        is RECOVERED from the signature exactly as the node does
+        (MutationUtil::verify_setup, mutation_utils.rs:74-91); the
+        claimed ``sender`` is ignored and the config values come from
+        ``message``. A stock SDK ``setup(client, config)`` call lands
+        here unchanged, over JSON or gRPC-Web.
         """
-        try:
-            verify_signature(payload, 0, sender, signature, self.sig_mode)
-        except Exception as e:
-            raise SetupError(f"invalid signature: {e}") from e
+        data = json.loads(payload)
+        if isinstance(data, dict) and "types" in data and "message" in data:
+            from rtstore_spark.crypto.eip712 import recover_typed_data_signer
+
+            try:
+                sender = recover_typed_data_signer(payload, signature)
+            except Exception as e:
+                raise SetupError(f"invalid signature: {e}") from e
+            data = dict(data["message"])
+        else:
+            try:
+                verify_signature(payload, 0, sender, signature, self.sig_mode)
+            except Exception as e:
+                raise SetupError(f"invalid signature: {e}") from e
         if sender.lower() != self.admin_addr.lower():
             raise SetupError("You are not the admin")
-        data = json.loads(payload)
         chain_id = int(data.get("chainId", 0))
         if chain_id == 0:
             raise SetupError(f"invalid chain id {chain_id}")

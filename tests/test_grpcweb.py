@@ -517,3 +517,103 @@ class TestCors:
             assert r.headers["Access-Control-Allow-Origin"] == "*"
             exposed = r.headers["Access-Control-Expose-Headers"]
             assert "grpc-status" in exposed and "grpc-message" in exposed
+
+
+class TestStockSetup:
+    """System.Setup with the SDK's EXACT signed payload
+    (generate_config_sig, sdk/src/crypto/sig_utils.ts:22-59): the 9-field
+    TypedData document, signer recovered — not claimed."""
+
+    ADMIN_PRIV = 0x5555555555555555555555555555555555555555555555555555555555555555
+    OTHER_PRIV = 0x1212121212121212121212121212121212121212121212121212121212121212
+
+    @pytest.fixture(scope="class")
+    def admin_server(self, spark, tmp_path_factory):
+        from rtstore_spark.crypto.secp256k1 import priv_to_address
+
+        root = tmp_path_factory.mktemp("grpcweb_admin")
+        store = DocStore(spark, str(root / "node"))
+        system = SystemStore(
+            spark, str(root / "node"),
+            admin_addr=priv_to_address(self.ADMIN_PRIV),
+        )
+        srv = NodeServer(NodeService(store, Ingest(store), system=system)).start()
+        yield srv
+        srv.stop()
+
+    def _signed_config(self, priv):
+        from rtstore_spark.crypto.eip712 import typed_data_signing_hash
+        from rtstore_spark.crypto.secp256k1 import sign
+
+        typed = {
+            "types": {
+                "EIP712Domain": [],
+                "Message": [
+                    {"name": "rollupInterval", "type": "string"},
+                    {"name": "minRollupSize", "type": "string"},
+                    {"name": "networkId", "type": "string"},
+                    {"name": "chainId", "type": "string"},
+                    {"name": "contractAddr", "type": "address"},
+                    {"name": "rollupMaxInterval", "type": "string"},
+                    {"name": "evmNodeUrl", "type": "string"},
+                    {"name": "arNodeUrl", "type": "string"},
+                    {"name": "minGcOffset", "type": "string"},
+                ],
+            },
+            "domain": {},
+            "primaryType": "Message",
+            "message": {
+                "rollupInterval": "600000",
+                "minRollupSize": "1048576",
+                "networkId": "7",
+                "chainId": "80001",
+                "contractAddr": "0xb9709cE5E749b80978182db1bEdfb8c7340039A9",
+                "rollupMaxInterval": "6000000",
+                "evmNodeUrl": "wss://node.example/ws",
+                "arNodeUrl": "https://arweave.example",
+                "minGcOffset": "864000",
+            },
+        }
+        digest = typed_data_signing_hash(typed)
+        sig = sign(digest, priv)
+        v = sig[64]
+        if v < 27:
+            sig = sig[:64] + bytes([v + 27])
+        return json.dumps(typed), "0x" + sig.hex()
+
+    def test_admin_setup_applies_config(self, admin_server):
+        payload, sig = self._signed_config(self.ADMIN_PRIV)
+        msgs, status, _ = grpc_call(
+            admin_server.port, "/db3_system_proto.System/Setup",
+            {"signature": sig, "payload": payload},
+        )
+        assert status == 0 and msgs[0].get("code", 0) == 0
+        msgs, status, _ = grpc_call(
+            admin_server.port, "/db3_system_proto.System/GetSystemStatus", {},
+        )
+        assert status == 0
+        cfg = msgs[0]["config"]
+        assert cfg["chain_id"] == 80001
+        assert cfg["network_id"] == 7
+        assert cfg["rollup_interval"] == 600000
+        assert cfg["min_gc_offset"] == 864000
+        assert cfg["evm_node_url"] == "wss://node.example/ws"
+
+    def test_non_admin_signer_rejected(self, admin_server):
+        payload, sig = self._signed_config(self.OTHER_PRIV)
+        msgs, status, message = grpc_call(
+            admin_server.port, "/db3_system_proto.System/Setup",
+            {"signature": sig, "payload": payload},
+        )
+        # recovered signer != admin → the node's "You are not the admin"
+        assert status != 0 and "admin" in message.lower()
+
+    def test_tampered_config_rejected(self, admin_server):
+        payload, sig = self._signed_config(self.ADMIN_PRIV)
+        doc = json.loads(payload)
+        doc["message"]["chainId"] = "1337"  # re-point after signing
+        msgs, status, message = grpc_call(
+            admin_server.port, "/db3_system_proto.System/Setup",
+            {"signature": sig, "payload": json.dumps(doc)},
+        )
+        assert status != 0  # recovered address no longer matches the admin
