@@ -110,6 +110,17 @@ class GrpcWebGateway:
             raise GrpcStatus(3, str(e)) from e
         except (KeyError, TypeError, ValueError) as e:
             raise GrpcStatus(3, f"bad request: {e}") from e
+        except Exception as e:
+            # handlers that route through NodeService.dispatch surface
+            # app-level rejections as ServiceError — an authz failure is
+            # PERMISSION_DENIED (7), anything else INVALID_ARGUMENT (3),
+            # never 13 INTERNAL (which clients treat as retryable)
+            from rtstore_spark.service import ServiceError
+
+            if isinstance(e, ServiceError):
+                code = 7 if "admin" in str(e).lower() else 3
+                raise GrpcStatus(code, str(e)) from e
+            raise
         return resp_schema.encode(resp)
 
     # ---------------------------------------------------------- StorageNode

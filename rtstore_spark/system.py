@@ -114,10 +114,11 @@ class SystemStore:
         """
         data = json.loads(payload)
         if isinstance(data, dict) and "types" in data and "message" in data:
-            from rtstore_spark.crypto.eip712 import recover_typed_data_signer
+            from rtstore_spark.crypto.eip712 import typed_data_signing_hash
+            from rtstore_spark.crypto.secp256k1 import recover_address
 
             try:
-                sender = recover_typed_data_signer(payload, signature)
+                sender = recover_address(typed_data_signing_hash(data), signature)
             except Exception as e:
                 raise SetupError(f"invalid signature: {e}") from e
             data = dict(data["message"])

@@ -574,11 +574,7 @@ class TestStockSetup:
                 "minGcOffset": "864000",
             },
         }
-        digest = typed_data_signing_hash(typed)
-        sig = sign(digest, priv)
-        v = sig[64]
-        if v < 27:
-            sig = sig[:64] + bytes([v + 27])
+        sig = sign(typed_data_signing_hash(typed), priv)  # v already 27/28
         return json.dumps(typed), "0x" + sig.hex()
 
     def test_admin_setup_applies_config(self, admin_server):
@@ -605,8 +601,9 @@ class TestStockSetup:
             admin_server.port, "/db3_system_proto.System/Setup",
             {"signature": sig, "payload": payload},
         )
-        # recovered signer != admin → the node's "You are not the admin"
-        assert status != 0 and "admin" in message.lower()
+        # recovered signer != admin → PERMISSION_DENIED, not INTERNAL
+        # (clients treat 13 as retryable; this rejection is permanent)
+        assert status == 7 and "admin" in message.lower()
 
     def test_tampered_config_rejected(self, admin_server):
         payload, sig = self._signed_config(self.ADMIN_PRIV)
@@ -616,4 +613,5 @@ class TestStockSetup:
             admin_server.port, "/db3_system_proto.System/Setup",
             {"signature": sig, "payload": json.dumps(doc)},
         )
-        assert status != 0  # recovered address no longer matches the admin
+        # recovered address no longer matches the admin; never 13 INTERNAL
+        assert status in (3, 7)

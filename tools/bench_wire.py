@@ -18,7 +18,8 @@ block ranges so ids/ranges don't collide), then times:
   tests/test_wire_import.py.
 
 Prints ONE JSON line: {"metric": "wire_path_total_wall", "value": sec,
-"stages": {...}, "mutations": N, "decode_mutations_per_sec": r}.
+"stages": {...}, "input_mutations": N, "decode_mutations_per_sec": r}
+(plus "mutations"/"exported" under --full).
 
 Methodology: run on an IDLE machine (same rule as bench.py); each stage
 timed cold, one pass — these are linear scans, not cached-plan queries.
@@ -76,14 +77,16 @@ def main() -> None:
 
     t0 = time.time()
     decoded = decode_wire_log(df)
-    ok = decoded.filter(F.col("error").isNull()).count()
+    # one OUTPUT row per (mutation, BodyWrapper): count FAILURES, not a
+    # row-for-row match — a multi-body mutation legitimately fans out
+    errors = decoded.filter(F.col("error").isNotNull()).count()
     stages["decode_verify"] = round(time.time() - t0, 3)
-    assert ok == n, f"decode failures: {n - ok}"
+    assert errors == 0, f"{errors} decode failures"
 
     result = {
         "metric": "wire_path_total_wall",
         "unit": "sec",
-        "rows": int(n),
+        "input_mutations": int(n),
         "decode_mutations_per_sec": round(n / stages["decode_verify"], 1),
     }
     if FULL:
