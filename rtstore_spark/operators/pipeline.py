@@ -104,6 +104,14 @@ class CorpusPrepConfig:
     # which turns the cutoff into a self-surprisal outlier filter.
     lm_max_cross_entropy: float | None = None
     lm_model: dict | None = None
+    # stage 4b: TRAINED quality-classifier gate (None = off). Pass a
+    # fitted model from quality_classifier.quality_fit — its tokenizer
+    # must have been fit on the SAME text column name this pipeline uses.
+    # Hard threshold by default; quality_pareto_alpha switches to the
+    # GPT-3 stochastic keep policy (deterministic per document).
+    quality_model: object | None = None
+    quality_threshold: float = 0.5
+    quality_pareto_alpha: float | None = None
     # stage 2d: cross-RUN dedup gate — a Bloom rollup of previously-kept
     # corpora's text md5s (build with ``corpus_seen_filter``, OR-merge
     # shards with ``sketches.bloom_merge``). Docs whose fingerprint
@@ -467,6 +475,25 @@ def prepare_corpus(
                 max_cross_entropy=cfg.lm_max_cross_entropy,
             ),
             "lm_gate",
+        )
+
+    # 4b. trained quality-classifier gate — the fastText-style filter
+    # (operators/quality_classifier.py): JVM-side scoring, so the gate is
+    # one more map-side transform on the already-gated subset
+    if cfg.quality_model is not None:
+        from rtstore_spark.operators.quality_classifier import quality_filter
+
+        # NOTE: the model must carry no training summary (quality_fit
+        # clears it) — a summary pins the training SparkSession inside
+        # the serialized prediction UDF, which breaks any plan carrying
+        # the audit's Observation nodes
+        kept = _tap(
+            quality_filter(
+                cfg.quality_model, kept,
+                threshold=cfg.quality_threshold,
+                pareto_alpha=cfg.quality_pareto_alpha,
+            ).drop("quality_prob"),
+            "quality_model_gate",
         )
 
     # 5. deterministic sampling (uniform or per-language). The pipeline's

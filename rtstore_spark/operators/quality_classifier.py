@@ -25,11 +25,11 @@ from __future__ import annotations
 from pyspark.ml import Pipeline, PipelineModel
 from pyspark.ml.classification import LogisticRegression
 from pyspark.ml.feature import (
-    SQLTransformer,
     HashingTF,
     IDF,
     NGram,
     RegexTokenizer,
+    VectorAssembler,
 )
 from pyspark.ml.functions import vector_to_array
 from pyspark.sql import DataFrame, functions as F
@@ -55,19 +55,22 @@ def quality_fit(
             inputCol=text_col, outputCol="_words",
             pattern=r"[^\p{L}\p{N}']+", toLowercase=True, minTokenLength=1,
         ),
+        HashingTF(inputCol="_words", outputCol="_tf_w", numFeatures=num_features),
     ]
     if use_bigrams:
+        # separate hash spaces per n-gram order, assembled — all JVM
+        # transforms (no SQLTransformer: its temp-view round trip breaks
+        # on plans carrying Observation/CollectMetrics nodes, which the
+        # prepare_corpus audit adds)
         stages += [
             NGram(n=2, inputCol="_words", outputCol="_bigrams"),
-            SQLTransformer(
-                statement="SELECT *, concat(_words, _bigrams) AS _grams FROM __THIS__"
-            ),
+            HashingTF(inputCol="_bigrams", outputCol="_tf_b",
+                      numFeatures=num_features),
+            VectorAssembler(inputCols=["_tf_w", "_tf_b"], outputCol="_tf"),
         ]
-        grams_col = "_grams"
     else:
-        grams_col = "_words"
+        stages += [VectorAssembler(inputCols=["_tf_w"], outputCol="_tf")]
     stages += [
-        HashingTF(inputCol=grams_col, outputCol="_tf", numFeatures=num_features),
         IDF(inputCol="_tf", outputCol="_features"),
         LogisticRegression(
             featuresCol="_features", labelCol=label_col,
@@ -80,9 +83,29 @@ def quality_fit(
             rawPredictionCol="_quality_raw",
         ),
     ]
-    return Pipeline(stages=stages).fit(
+    model = Pipeline(stages=stages).fit(
         labeled.withColumn(label_col, F.col(label_col).cast("double"))
     )
+    drop_training_summary(model, labeled.sparkSession)
+    return model
+
+
+def drop_training_summary(model: PipelineModel, spark) -> None:
+    """Strip training summaries from a fitted pipeline's stages.
+
+    A summary pins the TRAINING SparkSession inside the model, and the
+    prediction UDF serializes the model per task — "Task not
+    serializable: ObservationManager" as soon as the session has ever
+    registered an ``Observation`` (e.g. a PrepAudit elsewhere in the
+    process). Summaries are training-time metadata scoring never needs;
+    save/load drops them too. Best-effort across Spark versions."""
+    empty = spark._jvm.scala.Option.empty()
+    for stage in getattr(model, "stages", []):
+        try:
+            if getattr(stage, "hasSummary", False):
+                stage._java_obj.setSummary(empty)
+        except Exception:  # noqa: BLE001 — private API; tolerate changes
+            pass
 
 
 def quality_score(

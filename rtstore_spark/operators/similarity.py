@@ -300,6 +300,13 @@ def kmeans_routes(
         k=k, seed=seed, maxIter=max_iter,
         featuresCol="_feat", predictionCol="route",
     ).fit(feats)
+    # the training summary pins the session inside the serialized model —
+    # scoring then breaks on sessions that ever registered an Observation
+    # (see quality_classifier.drop_training_summary)
+    try:
+        model._java_obj.setSummary(df.sparkSession._jvm.scala.Option.empty())
+    except Exception:  # noqa: BLE001 — private API; tolerate changes
+        pass
     routed = model.transform(feats).drop("_feat")
     centers = [list(map(float, c)) for c in model.clusterCenters()]
     return routed, centers

@@ -535,7 +535,13 @@ def quality_classifier_fit(
             LogisticRegression(maxIter=max_iter, labelCol="label"),
         ]
     )
-    return pipe.fit(feats)
+    model = pipe.fit(feats)
+    # without this, scoring breaks once any Observation has registered on
+    # the session — see quality_classifier.drop_training_summary
+    from rtstore_spark.operators.quality_classifier import drop_training_summary
+
+    drop_training_summary(model, df.sparkSession)
+    return model
 
 
 def quality_classifier_score(

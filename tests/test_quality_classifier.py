@@ -119,3 +119,33 @@ class TestReviewRegressions:
         row = out.collect()[0]
         assert row["probability"] == 0.4  # untouched passthrough
         assert row["quality_prob"] > 0.9
+
+
+class TestPrepareCorpusIntegration:
+    def test_quality_model_gate_stage(self, spark, model_and_data):
+        from pyspark.sql import Row
+
+        from rtstore_spark.operators.pipeline import (
+            CorpusPrepConfig,
+            PrepAudit,
+            prepare_corpus,
+        )
+
+        model, rng = model_and_data
+        rows = [Row(doc_id=i, body=_doc(GOOD_WORDS, rng, n=40)) for i in range(4)]
+        rows += [Row(doc_id=10 + i, body=_doc(BAD_WORDS, rng, n=40)) for i in range(4)]
+        corpus = spark.createDataFrame(rows)
+        # the fixture model was fit with text_col="text": rename to match
+        corpus = corpus.withColumnRenamed("body", "text")
+        audit = PrepAudit()
+        cfg = CorpusPrepConfig(
+            min_tokens=5, langs=["en", "und"],  # word-salad text ids as und
+            quality_model=model, quality_threshold=0.5,
+        )
+        out = prepare_corpus(corpus, "text", "doc_id", cfg, audit=audit)
+        kept = sorted(r["doc_id"] for r in out.collect())
+        assert kept and all(i < 10 for i in kept)  # every BAD doc gated
+        counts = audit.counts()
+        assert counts["quality_model_gate"] == len(kept)
+        # schema unchanged by the gate (score column dropped)
+        assert "quality_prob" not in out.columns
