@@ -733,6 +733,12 @@ def cluster_texts(
         k=k, seed=seed, maxIter=max_iter,
         featuresCol="_feat", predictionCol="cluster",
     ).fit(normed)
+    # see quality_classifier.drop_training_summary: a retained summary
+    # breaks transform on sessions that ever registered an Observation
+    try:
+        model._java_obj.setSummary(df.sparkSession._jvm.scala.Option.empty())
+    except Exception:  # noqa: BLE001 — private API; tolerate changes
+        pass
     return model.transform(normed).select("id", "cluster")
 
 
