@@ -492,6 +492,7 @@ def prepare_corpus(
                 cfg.quality_model, kept,
                 threshold=cfg.quality_threshold,
                 pareto_alpha=cfg.quality_pareto_alpha,
+                text_col=text_col,
             ).drop("quality_prob"),
             "quality_model_gate",
         )

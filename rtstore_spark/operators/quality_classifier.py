@@ -130,6 +130,7 @@ def quality_filter(
     out_col: str = "quality_prob",
     pareto_alpha: float | None = None,
     seed: int = 13,
+    text_col: str = "text",
 ) -> DataFrame:
     """Keep documents the classifier likes.
 
@@ -138,15 +139,23 @@ def quality_filter(
     - GPT-3's stochastic variant (``pareto_alpha`` set): keep when
       ``score >= 1 - pareto_sample``, i.e. admit lower-scored docs with
       decaying probability so the kept set is not a cliff edge. The
-      Pareto draw uses a per-row hash-seeded uniform, so the decision is
-      DETERMINISTIC given (text, seed) — reruns keep the same documents.
+      Pareto draw hashes ONLY (``text_col``, seed) — not the score or
+      any metadata column — so the uniform draw for a document is
+      DETERMINISTIC given (text, seed): refitting the model moves the
+      score (and hence which side of the cut a doc lands on) but never
+      reshuffles the random draws themselves.
     """
     scored = quality_score(model, df, out_col=out_col)
     if pareto_alpha is None:
         return scored.filter(F.col(out_col) >= threshold)
+    if text_col not in df.columns:
+        raise ValueError(
+            f"quality_filter: text_col {text_col!r} not in input columns "
+            f"(needed for the deterministic Pareto draw)"
+        )
     # inverse-CDF Pareto(alpha) sample from a deterministic per-row
     # uniform in (0, 1]: u = (hash64 mod M + 1) / M
     m = F.lit(1 << 31)
-    u = (F.abs(F.xxhash64(F.col(out_col), *df.columns, F.lit(seed))) % m + 1) / m
+    u = (F.abs(F.xxhash64(F.col(text_col), F.lit(seed))) % m + 1) / m
     pareto = F.pow(u, F.lit(-1.0 / pareto_alpha)) - F.lit(1.0)
     return scored.filter(F.col(out_col) >= F.lit(1.0) - pareto)

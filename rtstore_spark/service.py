@@ -60,10 +60,15 @@ from rtstore_spark.system import SetupError, SystemStore, contract_sync_status
 class ServiceError(Exception):
     """Request-level failure surfaced as {"code": N, "msg": ...}."""
 
-    def __init__(self, msg: str, code: int = 1, http_status: int = 400):
+    def __init__(
+        self, msg: str, code: int = 1, http_status: int = 400, grpc_code: int = 3
+    ):
         super().__init__(msg)
         self.code = code
         self.http_status = http_status
+        # canonical gRPC status for transport fronts (7 = PERMISSION_DENIED
+        # for authz rejections); typed data, never inferred from the message
+        self.grpc_code = grpc_code
 
 
 def _rows(df) -> list[dict]:
@@ -226,7 +231,7 @@ class NodeService:
         except ServiceError:
             raise
         except SetupError as e:
-            raise ServiceError(str(e)) from e
+            raise ServiceError(str(e), grpc_code=e.grpc_code) from e
         except RTStoreError as e:
             raise ServiceError(str(e)) from e
         except (KeyError, TypeError, ValueError) as e:

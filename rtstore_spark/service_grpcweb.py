@@ -118,8 +118,7 @@ class GrpcWebGateway:
             from rtstore_spark.service import ServiceError
 
             if isinstance(e, ServiceError):
-                code = 7 if "admin" in str(e).lower() else 3
-                raise GrpcStatus(code, str(e)) from e
+                raise GrpcStatus(e.grpc_code, str(e)) from e
             raise
         return resp_schema.encode(resp)
 
@@ -399,7 +398,12 @@ class GrpcWebGateway:
                     break
             if p.get("name"):
                 params[p["name"]] = value
-            params[int(p.get("idx", 0))] = value
+            # positional binding only when the client actually sent idx (or
+            # sent neither — a lone anonymous param is #0); proto3 skips
+            # idx=0 on the wire, so two NAMED params both omitting idx must
+            # not collide on positional key 0
+            if "idx" in p or not p.get("name"):
+                params[int(p.get("idx", 0))] = value
         out = self.node.dispatch("indexer", "RunQuery", {
             "db_addr": req.get("db", ""), "col_name": req.get("col_name", ""),
             "query": {"query_str": q.get("query_str", ""),

@@ -931,6 +931,13 @@ class DocStore:
         ):
             self.compact_catalogs()
             done.append(("__catalogs", ""))
+        wire_root = self._wire_archive_path()
+        if (
+            self.fs.exists(wire_root)
+            and self._live_file_count(wire_root) > max_files
+        ):
+            self.compact_wire_archive()
+            done.append(("__wire_archive", ""))
         return done
 
     def _zorder_value(self, snap: DataFrame, cols: list, bits: int = 16):
@@ -1047,14 +1054,39 @@ class DocStore:
               "block": block, "order": order}],
             schema=WIRE_ARCHIVE_SCHEMA,
         ).withColumn("block_bucket", F.expr(f"block div {LOG_BLOCKS_PER_BUCKET}"))
+        # appends land in the live generation (pointer-resolved) so
+        # compact_wire_archive's snapshot rewrites fold them in; a busy
+        # SendMutation path is one file per mutation until the next
+        # maybe_compact sweep collapses each block_bucket partition
         df.coalesce(1).write.mode("append").partitionBy("block_bucket").parquet(
-            self._wire_archive_path()
+            self._resolve(self._wire_archive_path())
+        )
+
+    def compact_wire_archive(self) -> None:
+        """Collapse the per-mutation envelope files — the wire ingest path
+        appends one single-row parquet per SendMutation, so a busy node
+        accumulates tiny files every export/GetBlock scan must open.
+        Same pointer-flip rewrite as ``compact``: one file per
+        block_bucket partition afterwards, bucket pruning preserved."""
+        root = self._wire_archive_path()
+        if not self.fs.exists(root):
+            return
+        snap = self.wire_archive()
+        self._rewrite(
+            root,
+            lambda dest: (
+                snap.repartition("block_bucket")
+                .sortWithinPartitions("block_bucket", "block", "order")
+                .write.mode("overwrite")
+                .partitionBy("block_bucket")
+                .parquet(dest)
+            ),
         )
 
     def wire_archive(self, block_start: int = 0, block_end: int | None = None) -> DataFrame:
         """Archived original envelopes in [block_start, block_end) —
         empty-safe, partition-pruned like the log."""
-        path = self._wire_archive_path()
+        path = self._resolve(self._wire_archive_path())
         read_schema = T.StructType(
             WIRE_ARCHIVE_SCHEMA.fields
             + [T.StructField("block_bucket", T.LongType(), True)]

@@ -55,7 +55,17 @@ CONFIG_SCHEMA = T.StructType(
 
 
 class SetupError(Exception):
-    """Invalid or unauthorized Setup request (maps to gRPC error codes)."""
+    """Invalid or unauthorized Setup request (maps to gRPC error codes).
+
+    ``grpc_code`` is the canonical gRPC status for this failure: 7
+    (PERMISSION_DENIED) for authz rejections, 3 (INVALID_ARGUMENT)
+    otherwise — carried as data so transport fronts never have to
+    classify by matching the message text.
+    """
+
+    def __init__(self, msg: str, grpc_code: int = 3):
+        super().__init__(msg)
+        self.grpc_code = grpc_code
 
 
 class SystemStore:
@@ -128,7 +138,7 @@ class SystemStore:
             except Exception as e:
                 raise SetupError(f"invalid signature: {e}") from e
         if sender.lower() != self.admin_addr.lower():
-            raise SetupError("You are not the admin")
+            raise SetupError("You are not the admin", grpc_code=7)
         chain_id = int(data.get("chainId", 0))
         if chain_id == 0:
             raise SetupError(f"invalid chain id {chain_id}")

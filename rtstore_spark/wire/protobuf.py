@@ -171,8 +171,12 @@ class Schema:
                     for x in v:
                         parts.append(self._encode_single(f, x))
             else:
-                if f.kind != "message" and _is_default(v, f.kind):
-                    continue  # proto3 implicit presence
+                # proto3 implicit presence skips default scalars, but oneof
+                # members have EXPLICIT presence: a set member serializes even
+                # at its zero value (int64_value=0, str_value="") — matching
+                # protobuf-ts/prost, and required so the decoder sees the case.
+                if f.kind != "message" and f.oneof is None and _is_default(v, f.kind):
+                    continue
                 parts.append(self._encode_single(f, v))
         return b"".join(parts)
 

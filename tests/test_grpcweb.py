@@ -473,6 +473,50 @@ class TestReviewRegressions:
         finally:
             del gateway.RUN_QUERY_MAX_DOCS
 
+    def test_mixed_positional_and_named_params_do_not_collide(self, server):
+        # proto3 skips idx=0 on the wire, so a named parameter that omits
+        # idx must NOT also bind positional key 0 — it would overwrite the
+        # real positional #0 binding (ADVICE r6)
+        priv = 0x4444444444444444444444444444444444444444444444444444444444444444
+        r = wire_send(server.port, "CreateDocumentDB", [{
+            "db_address": None, "kind": "doc_database_mutation", "body": {},
+        }], nonce=1, priv=priv)
+        db = next(i["value"] for i in r["items"] if i["key"] == "db_addr")
+        wire_send(server.port, "AddCollection", [{
+            "db_address": db, "kind": "collection_mutation",
+            "body": {"collection_name": "mix"},
+        }], nonce=2, priv=priv)
+        wire_send(server.port, "AddDocument", [{
+            "db_address": db, "kind": "document_mutation",
+            "body": {"collection_name": "mix", "documents": [
+                bson_encode({"a": 1, "b": 2}), bson_encode({"a": 2, "b": 2}),
+            ]},
+        }], nonce=3, priv=priv)
+        msgs, status, message = grpc_call(
+            server.port, "/db3_indexer_proto.IndexerNode/RunQuery",
+            {"db": db, "col_name": "mix", "query": {
+                "query_str": "/[a = ? and b = :y]",
+                "parameters": [
+                    {"int64_value": 1},              # positional #0 (idx=0 elided)
+                    {"name": "y", "int64_value": 2}, # named, no idx on the wire
+                ],
+            }},
+        )
+        assert status == 0, message
+        docs = [json.loads(d["doc"]) for d in msgs[0]["documents"]]
+        assert docs == [{"a": 1, "b": 2}]  # #0 bound 1, not clobbered by :y
+
+    def test_non_authz_error_mentioning_admin_is_invalid_argument(self, server):
+        # status mapping is typed (ServiceError.grpc_code), never inferred
+        # from the message text: an error that merely MENTIONS "admin"
+        # must map to 3 INVALID_ARGUMENT, not 7 PERMISSION_DENIED
+        msgs, status, message = grpc_call(
+            server.port, "/db3_indexer_proto.IndexerNode/RunQuery",
+            {"db": "0x" + "77" * 20, "col_name": "admin",
+             "query": {"query_str": "/*"}},
+        )
+        assert status == 3, (status, message)
+
     def test_packed_overrun_rejected(self):
         from rtstore_spark.wire.protobuf import Field, Schema, WireDecodeError
 

@@ -85,6 +85,31 @@ class TestQualityClassifier:
         assert goods >= 20  # ≥ 2/3 of 30, well above any plausible noise
         assert bads < goods
 
+    def test_pareto_draw_depends_only_on_text_and_seed(self, spark, model_and_data):
+        # the determinism contract (ADVICE r6): the uniform draw hashes
+        # ONLY (text, seed) — metadata columns and the model score must
+        # not reshuffle which documents survive
+        model, rng = model_and_data
+        df = spark.createDataFrame(
+            [(_doc(GOOD_WORDS, rng),) for _ in range(30)]
+            + [(_doc(BAD_WORDS, rng),) for _ in range(30)],
+            "text string",
+        )
+        a = quality_filter(model, df, pareto_alpha=9.0, seed=3)
+        b = quality_filter(
+            model,
+            df.withColumn("source", F.lit("crawl-2026")).withColumn(
+                "rank", F.monotonically_increasing_id()
+            ),
+            pareto_alpha=9.0,
+            seed=3,
+        )
+        assert sorted(r["text"] for r in a.collect()) == sorted(
+            r["text"] for r in b.collect()
+        )
+        with pytest.raises(ValueError, match="text_col"):
+            quality_filter(model, df, pareto_alpha=9.0, text_col="docbody")
+
     def test_save_load_round_trip(self, spark, model_and_data, tmp_path):
         from pyspark.ml import PipelineModel
 

@@ -112,6 +112,18 @@ class TestProtobufCodec:
         with pytest.raises(ValueError, match="oneof"):
             EVERY.encode({"one_a": "x", "one_b": {}})
 
+    def test_oneof_zero_values_serialize(self):
+        # oneof members have EXPLICIT presence: a set member encodes even
+        # at its zero value (protobuf-ts/prost emit the field) — otherwise
+        # int64_value=0 / str_value="" silently loses its oneof case
+        raw = EVERY.encode({"one_a": ""})
+        assert raw != b""
+        assert EVERY.decode(raw) == {"one_a": ""}
+        from rtstore_spark.wire.rpc_schemas import QUERY_PARAMETER
+
+        for msg in ({"int64_value": 0}, {"bool_value": False}, {"str_value": ""}):
+            assert QUERY_PARAMETER.decode(QUERY_PARAMETER.encode(msg)) == msg
+
     def test_unpacked_repeated_scalars_accepted(self):
         # two separate varint occurrences of field 6 (pre-packing form)
         raw = b"\x30\x05\x30\x07"

@@ -383,6 +383,89 @@ class TestArchivedEnvelopeExport:
         assert json.loads(docs[0]["doc"]) == {"mine": 1}
 
 
+class TestWireArchiveCompaction:
+    """The wire ingest path appends ONE single-row parquet per mutation;
+    compact_wire_archive (and the maybe_compact sweep) must collapse the
+    tiny files without changing a byte of any archived envelope."""
+
+    PRIV = 0x6370FD033278C143179D81C5526140625662B8DAA446C22EE2D73DB3707E620C
+
+    def _send_n(self, ingest, start_nonce: int, db: str | None, n: int):
+        out = []
+        nonce = start_nonce
+        if db is None:
+            raw = encode_mutation("CreateDocumentDB", [{
+                "db_address": None, "kind": "doc_database_mutation",
+                "body": {"db_desc": "arch"},
+            }])
+            payload, sig = wrap_and_sign(raw, nonce, self.PRIV)
+            r = ingest.send_wire_mutation(payload, sig)
+            db = next(i["value"] for i in r["items"] if i["key"] == "db_addr")
+            nonce += 1
+            raw = encode_mutation("AddCollection", [{
+                "db_address": db, "kind": "collection_mutation",
+                "body": {"collection_name": "c"},
+            }])
+            payload, sig = wrap_and_sign(raw, nonce, self.PRIV)
+            ingest.send_wire_mutation(payload, sig)
+            nonce += 1
+            n -= 2
+        for i in range(n):
+            raw = encode_mutation("AddDocument", [{
+                "db_address": db, "kind": "document_mutation",
+                "body": {"collection_name": "c",
+                         "documents": [bson_encode({"i": int(i), "n": nonce})]},
+            }])
+            payload, sig = wrap_and_sign(raw, nonce, self.PRIV)
+            ingest.send_wire_mutation(payload, sig)
+            nonce += 1
+        return db, nonce
+
+    @staticmethod
+    def _archive_rows(store):
+        return sorted(
+            (r["id"], bytes(r["payload"]), r["signature"], r["block"], r["order"])
+            for r in store.wire_archive().collect()
+        )
+
+    def test_compaction_collapses_files_preserves_envelopes(self, spark):
+        from rtstore_spark.store.ingest import Ingest
+
+        store = fresh_store(spark)
+        ingest = Ingest(store)
+        db, nonce = self._send_n(ingest, 1, None, 6)
+
+        root = store._wire_archive_path()
+        before_files = store._live_file_count(root)
+        assert before_files >= 6  # one tiny file per wire mutation
+        before = self._archive_rows(store)
+        assert len(before) == 6
+
+        store.compact_wire_archive()
+        assert self._archive_rows(store) == before  # byte-identical envelopes
+        assert store._live_file_count(root) < before_files
+
+        # appends after compaction land in the live generation and a
+        # second compaction folds them in too
+        db, nonce = self._send_n(ingest, nonce, db, 2)
+        assert len(self._archive_rows(store)) == 8
+        store.compact_wire_archive()
+        after = self._archive_rows(store)
+        assert len(after) == 8
+        assert before == [r for r in after if r in before]
+
+    def test_maybe_compact_sweeps_wire_archive(self, spark):
+        from rtstore_spark.store.ingest import Ingest
+
+        store = fresh_store(spark)
+        ingest = Ingest(store)
+        self._send_n(ingest, 1, None, 5)
+        before = self._archive_rows(store)
+        done = store.maybe_compact(max_files=2)
+        assert ("__wire_archive", "") in done
+        assert self._archive_rows(store) == before
+
+
 class TestImportShapeGuards:
     """Review-finding pins: malformed-but-decodable rows must fail loudly
     (strict) or be counted and skipped (lenient), never corrupt state."""
