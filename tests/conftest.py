@@ -6,6 +6,41 @@ import pytest
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "8")  # keep test JVM light
 
+# ---------------------------------------------------------------- tiering
+# The full suite is ~700 tests / ~60 min under load; the per-commit gate
+# runs the FAST tier (`-m "not slow"`, target < 15 min idle) and the full
+# suite runs once at round end. Slow = the stream-trigger, socket-service
+# and state-machinery modules whose tests each cost tens of seconds;
+# membership lives here (one list) instead of per-file marks.
+SLOW_MODULES = {
+    "test_continuous_agg",
+    "test_corpus_stream",
+    "test_evm_live",
+    "test_fs_storage",
+    "test_grpcweb",
+    "test_ingest",
+    "test_pipeline",
+    "test_planes",
+    "test_pq",
+    "test_quality_classifier",
+    "test_replication",
+    "test_service",
+    "test_state_compaction",
+    "test_streaming_dedup",
+    "test_streaming_ingest",
+    "test_streaming_neardup",
+    "test_streaming_sessions",
+    "test_system",
+    "test_training_path",
+    "test_wire_import",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark():
