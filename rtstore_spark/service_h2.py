@@ -1,0 +1,413 @@
+"""Raw gRPC over cleartext HTTP/2 (h2c) — the reference's native transport.
+
+The TS SDK speaks gRPC-Web (served by service_grpcweb.py), but the
+reference's Java SDK builds a plaintext ``ManagedChannel``
+(java/src/main/java/network/db3/client/Client.java:11-13 /
+StorageProvider's ``usePlaintext()``) and the Rust SDK uses tonic
+(src/sdk/src/store_sdk_v2.rs) — both gRPC over HTTP/2 with prior
+knowledge. This module serves that: connection preface, SETTINGS
+exchange, HPACK-coded HEADERS/CONTINUATION, DATA with both-direction
+flow control, PING/GOAWAY/RST_STREAM, and the gRPC semantics on top
+(length-prefixed messages, trailers as an END_STREAM HEADERS frame,
+``grpc-status``/``grpc-message`` percent-encoded).
+
+Method dispatch reuses the transport-free ``GrpcWebGateway`` core —
+one implementation of every RPC behind all three fronts (JSON,
+gRPC-Web, raw gRPC), so the fronts cannot drift.
+
+Concurrency model: one OS thread per connection (ThreadingTCPServer,
+matching the JSON front's ThreadingHTTPServer); within a connection,
+frames process sequentially and responses serialize in request-
+completion order. Client streams may interleave at the frame level —
+request assembly is per-stream — but handler execution is sequential
+per connection, which is the same discipline the single-sequencer
+write path imposes anyway.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import threading
+from urllib.parse import quote
+
+from rtstore_spark.service_grpcweb import GrpcStatus
+from rtstore_spark.wire import h2
+from rtstore_spark.wire.hpack import HpackDecoder, HpackEncoder, HpackError
+
+_MAX_HEADER_BLOCK = 1 << 16   # accumulated fragment cap per header block
+_MAX_BODY = 1 << 24           # per-stream request body cap (16 MiB)
+_OUR_MAX_FRAME = h2.DEFAULT_MAX_FRAME
+
+
+class _Stream:
+    __slots__ = ("sid", "headers", "body", "header_done", "ended", "reset")
+
+    def __init__(self, sid: int):
+        self.sid = sid
+        self.headers: list[tuple[str, str]] = []
+        self.body = bytearray()
+        self.header_done = False
+        self.ended = False
+        self.reset = False
+
+
+class _Connection:
+    """One h2c connection: frame loop, per-stream assembly, dispatch."""
+
+    def __init__(self, sock: socket.socket, gateway):
+        self.sock = sock
+        self.gateway = gateway
+        self.decoder = HpackDecoder()
+        self.encoder = HpackEncoder()
+        self.streams: dict[int, _Stream] = {}
+        self.done_streams: set[int] = set()
+        self.ready: list[_Stream] = []
+        self.dispatching = False
+        # flow control for OUR sends: connection window + per-stream
+        self.send_window = h2.DEFAULT_WINDOW
+        self.stream_send_windows: dict[int, int] = {}
+        self.peer_initial_window = h2.DEFAULT_WINDOW
+        self.peer_max_frame = h2.DEFAULT_MAX_FRAME
+        self.closing = False
+        self.wlock = threading.Lock()
+
+    # ------------------------------------------------------------ raw io
+
+    def _recv_exact(self, n: int) -> bytes:
+        buf = bytearray()
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("peer closed")
+            buf += chunk
+        return bytes(buf)
+
+    def _send(self, raw: bytes) -> None:
+        with self.wlock:
+            self.sock.sendall(raw)
+
+    # ------------------------------------------------------------- serve
+
+    def serve(self) -> None:
+        try:
+            preface = self._recv_exact(len(h2.PREFACE))
+            if preface != h2.PREFACE:
+                return  # not an h2c client; nothing sensible to answer
+            self._send(h2.pack_frame(
+                h2.SETTINGS, 0, 0,
+                h2.build_settings({h2.SETTINGS_MAX_CONCURRENT_STREAMS: 128}),
+            ))
+            while not self.closing:
+                self._process_one_frame()
+                self._drain_ready()
+        except (ConnectionError, BrokenPipeError, OSError):
+            pass
+        except h2.H2Error as e:
+            try:
+                self._send(h2.pack_frame(
+                    h2.GOAWAY, 0, 0,
+                    (0).to_bytes(4, "big") + e.code.to_bytes(4, "big")
+                    + str(e).encode()[:128],
+                ))
+            except OSError:
+                pass
+
+    # ------------------------------------------------------- frame intake
+
+    def _process_one_frame(self) -> None:
+        length, ftype, flags, sid = h2.parse_frame_header(self._recv_exact(9))
+        if length > _OUR_MAX_FRAME + 255:
+            raise h2.H2Error(h2.FRAME_SIZE_ERROR, f"frame of {length} bytes")
+        payload = self._recv_exact(length) if length else b""
+
+        if ftype == h2.SETTINGS:
+            self._on_settings(flags, sid, payload)
+        elif ftype == h2.HEADERS:
+            self._on_headers(flags, sid, payload)
+        elif ftype == h2.CONTINUATION:
+            raise h2.H2Error(h2.PROTOCOL_ERROR, "CONTINUATION outside a header block")
+        elif ftype == h2.DATA:
+            self._on_data(flags, sid, payload)
+        elif ftype == h2.WINDOW_UPDATE:
+            self._on_window_update(sid, payload)
+        elif ftype == h2.PING:
+            if len(payload) != 8:
+                raise h2.H2Error(h2.FRAME_SIZE_ERROR, "PING payload != 8")
+            if not flags & h2.FLAG_ACK:
+                self._send(h2.pack_frame(h2.PING, h2.FLAG_ACK, 0, payload))
+        elif ftype == h2.RST_STREAM:
+            st = self.streams.pop(sid, None)
+            if st:
+                st.reset = True
+            self.done_streams.add(sid)
+        elif ftype == h2.GOAWAY:
+            self.closing = True
+        elif ftype in (h2.PRIORITY, h2.PUSH_PROMISE):
+            pass  # PRIORITY ignored; clients never push
+        # unknown frame types are ignored per spec
+
+    def _on_settings(self, flags: int, sid: int, payload: bytes) -> None:
+        if sid != 0:
+            raise h2.H2Error(h2.PROTOCOL_ERROR, "SETTINGS on a stream")
+        if flags & h2.FLAG_ACK:
+            return
+        settings = h2.parse_settings(payload)
+        if h2.SETTINGS_MAX_FRAME_SIZE in settings:
+            v = settings[h2.SETTINGS_MAX_FRAME_SIZE]
+            if not (h2.DEFAULT_MAX_FRAME <= v <= (1 << 24) - 1):
+                raise h2.H2Error(h2.PROTOCOL_ERROR, "bad MAX_FRAME_SIZE")
+            self.peer_max_frame = v
+        if h2.SETTINGS_INITIAL_WINDOW_SIZE in settings:
+            v = settings[h2.SETTINGS_INITIAL_WINDOW_SIZE]
+            if v > (1 << 31) - 1:
+                raise h2.H2Error(h2.FLOW_CONTROL_ERROR, "bad INITIAL_WINDOW_SIZE")
+            delta = v - self.peer_initial_window
+            self.peer_initial_window = v
+            for k in self.stream_send_windows:
+                self.stream_send_windows[k] += delta
+        self._send(h2.pack_frame(h2.SETTINGS, h2.FLAG_ACK, 0))
+
+    def _on_headers(self, flags: int, sid: int, payload: bytes) -> None:
+        if sid == 0 or sid % 2 == 0:
+            raise h2.H2Error(h2.PROTOCOL_ERROR, "bad client stream id")
+        body = h2.strip_padding(payload, flags)
+        if flags & h2.FLAG_PRIORITY:
+            if len(body) < 5:
+                raise h2.H2Error(h2.PROTOCOL_ERROR, "short priority block")
+            body = body[5:]
+        fragment = bytearray(body)
+        end_headers = bool(flags & h2.FLAG_END_HEADERS)
+        while not end_headers:
+            ln, ft, fl, cs = h2.parse_frame_header(self._recv_exact(9))
+            if ft != h2.CONTINUATION or cs != sid:
+                raise h2.H2Error(h2.PROTOCOL_ERROR, "expected CONTINUATION")
+            fragment += self._recv_exact(ln)
+            if len(fragment) > _MAX_HEADER_BLOCK:
+                raise h2.H2Error(h2.PROTOCOL_ERROR, "header block too large")
+            end_headers = bool(fl & h2.FLAG_END_HEADERS)
+        try:
+            headers = self.decoder.decode(bytes(fragment))
+        except HpackError as e:
+            raise h2.H2Error(h2.PROTOCOL_ERROR, f"HPACK: {e}") from e
+        st = _Stream(sid)
+        st.headers = headers
+        st.header_done = True
+        self.streams[sid] = st
+        self.stream_send_windows.setdefault(sid, self.peer_initial_window)
+        if flags & h2.FLAG_END_STREAM:
+            st.ended = True
+            self.ready.append(st)
+
+    def _on_data(self, flags: int, sid: int, payload: bytes) -> None:
+        st = self.streams.get(sid)
+        raw_len = len(payload)
+        body = h2.strip_padding(payload, flags)
+        # replenish BOTH receive windows so the client never stalls;
+        # we consume data as it arrives (assembly buffer, bounded below)
+        if raw_len:
+            upd = raw_len.to_bytes(4, "big")
+            self._send(
+                h2.pack_frame(h2.WINDOW_UPDATE, 0, 0, upd)
+                + h2.pack_frame(h2.WINDOW_UPDATE, 0, sid, upd)
+            )
+        if st is None or st.ended:
+            if sid not in self.done_streams:
+                raise h2.H2Error(h2.PROTOCOL_ERROR, f"DATA on idle stream {sid}")
+            return  # late DATA after reset/response: drop
+        st.body += body
+        if len(st.body) > _MAX_BODY:
+            self._send(h2.pack_frame(
+                h2.RST_STREAM, 0, sid, (h2.FLOW_CONTROL_ERROR).to_bytes(4, "big")
+            ))
+            self.streams.pop(sid, None)
+            self.done_streams.add(sid)
+            return
+        if flags & h2.FLAG_END_STREAM:
+            st.ended = True
+            self.ready.append(st)
+
+    def _on_window_update(self, sid: int, payload: bytes) -> None:
+        if len(payload) != 4:
+            raise h2.H2Error(h2.FRAME_SIZE_ERROR, "WINDOW_UPDATE payload != 4")
+        inc = int.from_bytes(payload, "big") & 0x7FFFFFFF
+        if inc == 0:
+            raise h2.H2Error(h2.PROTOCOL_ERROR, "zero WINDOW_UPDATE")
+        if sid == 0:
+            self.send_window += inc
+        else:
+            self.stream_send_windows[sid] = (
+                self.stream_send_windows.get(sid, self.peer_initial_window) + inc
+            )
+
+    # ---------------------------------------------------------- dispatch
+
+    def _drain_ready(self) -> None:
+        if self.dispatching:
+            return  # nested intake during a flow-control wait: defer
+        self.dispatching = True
+        try:
+            while self.ready:
+                st = self.ready.pop(0)
+                self.streams.pop(st.sid, None)
+                self.done_streams.add(st.sid)
+                if not st.reset:
+                    self._respond(st)
+        finally:
+            self.dispatching = False
+
+    def _respond(self, st: _Stream) -> None:
+        pseudo = {k: v for k, v in st.headers if k.startswith(":")}
+        path = pseudo.get(":path", "")
+        try:
+            if pseudo.get(":method") != "POST":
+                raise GrpcStatus(12, "gRPC requires POST")
+            frames = h2.parse_grpc_frames(bytes(st.body))
+            if any(flag for flag, _ in frames):
+                raise GrpcStatus(12, "compressed gRPC messages not supported")
+            messages = [m for _, m in frames]
+            service, method, req_schema, resp_schema, streaming = (
+                self.gateway.resolve(path)
+            )
+            if streaming:
+                self._respond_stream(st, req_schema, messages)
+                return
+            if len(messages) != 1:
+                raise GrpcStatus(3, f"expected 1 message, got {len(messages)}")
+            resp = self.gateway.handle_unary(path, messages[0])
+        except GrpcStatus as e:
+            self._send_trailers_only(st.sid, e.code, str(e))
+            return
+        except ValueError as e:
+            self._send_trailers_only(st.sid, 3, f"bad request: {e}")
+            return
+        except Exception as e:  # noqa: BLE001 — never kill the connection
+            self._send_trailers_only(st.sid, 13, f"internal: {e}")
+            return
+        self._send_headers(st.sid, end_stream=False)
+        self._send_data(st.sid, h2.grpc_frame(resp))
+        self._send_trailers(st.sid, 0, "")
+
+    def _respond_stream(self, st: _Stream, req_schema, messages) -> None:
+        """Server-streaming Subscribe over the shared broadcaster."""
+        if len(messages) != 1:
+            self._send_trailers_only(
+                st.sid, 3, f"expected 1 message, got {len(messages)}"
+            )
+            return
+        try:
+            req = req_schema.decode(messages[0])
+        except Exception as e:  # noqa: BLE001
+            self._send_trailers_only(st.sid, 3, f"bad request message: {e}")
+            return
+        self._send_headers(st.sid, end_stream=False)
+        try:
+            for encoded in self.gateway.subscribe_events(req):
+                if encoded is None:
+                    # liveness tick — PING the peer so a vanished client
+                    # surfaces as a send error instead of an eternal wait
+                    self._send(h2.pack_frame(h2.PING, 0, 0, b"\x00" * 8))
+                    continue
+                self._send_data(st.sid, h2.grpc_frame(encoded))
+        except (ConnectionError, BrokenPipeError, OSError):
+            raise ConnectionError("subscriber vanished")
+        self._send_trailers(st.sid, 0, "")
+
+    # ----------------------------------------------------------- senders
+
+    def _send_headers(self, sid: int, end_stream: bool) -> None:
+        block = self.encoder.encode([
+            (":status", "200"),
+            ("content-type", "application/grpc"),
+        ])
+        flags = h2.FLAG_END_HEADERS | (h2.FLAG_END_STREAM if end_stream else 0)
+        self._send(h2.pack_frame(h2.HEADERS, flags, sid, block))
+
+    def _trailer_block(self, status: int, message: str) -> bytes:
+        trailers = [("grpc-status", str(status))]
+        if message:
+            trailers.append(("grpc-message", quote(message)))
+        return self.encoder.encode(trailers)
+
+    def _send_trailers(self, sid: int, status: int, message: str) -> None:
+        self._send(h2.pack_frame(
+            h2.HEADERS, h2.FLAG_END_HEADERS | h2.FLAG_END_STREAM, sid,
+            self._trailer_block(status, message),
+        ))
+
+    def _send_trailers_only(self, sid: int, status: int, message: str) -> None:
+        """gRPC trailers-only response: one HEADERS frame with the
+        response headers AND the trailers, END_STREAM set."""
+        block = self.encoder.encode([
+            (":status", "200"),
+            ("content-type", "application/grpc"),
+            ("grpc-status", str(status)),
+        ] + ([("grpc-message", quote(message))] if message else []))
+        self._send(h2.pack_frame(
+            h2.HEADERS, h2.FLAG_END_HEADERS | h2.FLAG_END_STREAM, sid, block
+        ))
+
+    def _send_data(self, sid: int, data: bytes) -> None:
+        """DATA with flow control: when a window is exhausted, keep
+        processing incoming frames (WINDOW_UPDATE / PING / RST) until the
+        peer opens it. Completed requests that arrive while we wait queue
+        in ``ready`` and dispatch after this response."""
+        view = memoryview(data)
+        while view:
+            budget = min(
+                self.send_window,
+                self.stream_send_windows.get(sid, self.peer_initial_window),
+                self.peer_max_frame,
+            )
+            if budget <= 0:
+                self._process_one_frame()  # wait for WINDOW_UPDATE
+                continue
+            chunk = view[:budget]
+            view = view[len(chunk):]
+            self.send_window -= len(chunk)
+            self.stream_send_windows[sid] = self.stream_send_windows.get(
+                sid, self.peer_initial_window
+            ) - len(chunk)
+            self._send(h2.pack_frame(h2.DATA, 0, sid, bytes(chunk)))
+
+
+class _H2Handler(socketserver.BaseRequestHandler):
+    def handle(self) -> None:
+        self.request.settimeout(self.server.io_timeout)
+        conn = _Connection(self.request, self.server.gateway)
+        conn.serve()
+
+
+class _H2TCPServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+class GrpcH2Server:
+    """Threaded localhost h2c gRPC server over a ``NodeService``.
+
+    Same lifecycle shape as ``NodeServer``: ``port=0`` binds ephemeral,
+    ``.start()`` spins the accept thread, ``.stop()`` shuts down.
+    """
+
+    def __init__(self, node, host: str = "127.0.0.1", port: int = 0,
+                 io_timeout: float = 120.0):
+        self.node = node
+        self.tcp = _H2TCPServer((host, port), _H2Handler)
+        self.tcp.gateway = node.grpcweb  # the transport-free RPC core
+        self.tcp.io_timeout = io_timeout
+        self.port = self.tcp.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "GrpcH2Server":
+        self._thread = threading.Thread(
+            target=self.tcp.serve_forever, name="rtstore-h2c", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.tcp.shutdown()
+        self.tcp.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)

@@ -1,0 +1,468 @@
+"""Raw gRPC over h2c (service_h2.py) — the Java/Rust SDKs' transport.
+
+The client half hand-frames exactly what a plaintext ``ManagedChannel``
+(java/.../Client.java:11-13) puts on the wire: the h2c connection
+preface, SETTINGS, HPACK-coded HEADERS, DATA carrying length-prefixed
+gRPC messages, trailers read back from an END_STREAM HEADERS frame.
+The acceptance test mirrors the Java SDK's own flow
+(java/src/test/java/network/db3/client/ClientTest.java: updateNonce →
+createDocDatabase → getDatabase → createCollection → getCollection →
+addDoc → runQuery) over ONE multiplexed connection.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import struct
+
+import pytest
+
+from rtstore_spark.service import NodeServer, NodeService
+from rtstore_spark.service_h2 import GrpcH2Server
+from rtstore_spark.store import DocStore
+from rtstore_spark.store.ingest import Ingest
+from rtstore_spark.system import SystemStore
+from rtstore_spark.wire import h2
+from rtstore_spark.wire.bsonlite import bson_encode
+from rtstore_spark.wire.envelope import wrap_and_sign
+from rtstore_spark.wire.hpack import HpackDecoder, HpackEncoder, encode_int
+from rtstore_spark.wire.rpc_schemas import METHODS
+from rtstore_spark.wire.schemas import encode_mutation
+
+PRIV = 0x8DA4EF21B864D2CC526DBDB2A120BD2874C36C9D0A1FB7F8C63D7F7A8B41DE8F
+ADMIN = "0x" + "aa" * 20
+
+
+def _schemas(path: str):
+    service, method = path.strip("/").split("/")
+    return METHODS[service][method]
+
+
+class H2Client:
+    """Minimal h2c gRPC client built on the same wire helpers."""
+
+    def __init__(self, port: int, huffman: bool = False,
+                 initial_window: int | None = None, timeout: float = 120.0):
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=timeout)
+        self.encoder = HpackEncoder(huffman=huffman)
+        self.decoder = HpackDecoder()
+        self.next_sid = 1
+        self.recv_windows: dict[int, int] = {}
+        self.initial_window = (
+            h2.DEFAULT_WINDOW if initial_window is None else initial_window
+        )
+        self.sock.sendall(h2.PREFACE)
+        settings = {}
+        if initial_window is not None:
+            settings[h2.SETTINGS_INITIAL_WINDOW_SIZE] = initial_window
+        self.sock.sendall(h2.pack_frame(
+            h2.SETTINGS, 0, 0, h2.build_settings(settings)
+        ))
+
+    def close(self):
+        self.sock.close()
+
+    # ---------------------------------------------------------------- io
+
+    def _recv_exact(self, n: int) -> bytes:
+        buf = bytearray()
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("server closed")
+            buf += chunk
+        return bytes(buf)
+
+    def recv_frame(self):
+        length, ftype, flags, sid = h2.parse_frame_header(self._recv_exact(9))
+        payload = self._recv_exact(length) if length else b""
+        if ftype == h2.SETTINGS and not flags & h2.FLAG_ACK:
+            self.sock.sendall(h2.pack_frame(h2.SETTINGS, h2.FLAG_ACK, 0))
+        if ftype == h2.PING and not flags & h2.FLAG_ACK:
+            self.sock.sendall(h2.pack_frame(h2.PING, h2.FLAG_ACK, 0, payload))
+        return ftype, flags, sid, payload
+
+    def send_request(self, path: str, message: bytes,
+                     header_block: bytes | None = None) -> int:
+        sid = self.next_sid
+        self.next_sid += 2
+        block = header_block if header_block is not None else self.encoder.encode([
+            (":method", "POST"), (":scheme", "http"), (":path", path),
+            (":authority", "localhost"), ("content-type", "application/grpc"),
+            ("te", "trailers"),
+        ])
+        self.sock.sendall(h2.pack_frame(
+            h2.HEADERS, h2.FLAG_END_HEADERS, sid, block
+        ))
+        self.sock.sendall(h2.pack_frame(
+            h2.DATA, h2.FLAG_END_STREAM, sid, h2.grpc_frame(message)
+        ))
+        self.recv_windows[sid] = self.initial_window
+        return sid
+
+    def read_response(self, sid: int):
+        """Collect DATA + trailers for one stream; replenishes its recv
+        window so a flow-controlled server can finish large responses."""
+        data = bytearray()
+        headers: list[tuple[str, str]] = []
+        trailers: list[tuple[str, str]] = []
+        while True:
+            ftype, flags, fsid, payload = self.recv_frame()
+            if ftype == h2.HEADERS:
+                decoded = self.decoder.decode(h2.strip_padding(payload, flags))
+                if fsid != sid:
+                    continue
+                (trailers if headers else headers).extend(decoded)
+                if flags & h2.FLAG_END_STREAM:
+                    break
+            elif ftype == h2.DATA and fsid == sid:
+                body = h2.strip_padding(payload, flags)
+                data += body
+                if len(payload):
+                    upd = len(payload).to_bytes(4, "big")
+                    self.sock.sendall(
+                        h2.pack_frame(h2.WINDOW_UPDATE, 0, 0, upd)
+                        + h2.pack_frame(h2.WINDOW_UPDATE, 0, sid, upd)
+                    )
+                if flags & h2.FLAG_END_STREAM:
+                    break
+        hd = dict(headers)
+        td = dict(trailers or headers)  # trailers-only responses
+        status = int(td.get("grpc-status", "0"))
+        message = td.get("grpc-message", "")
+        msgs = [m for _, m in h2.parse_grpc_frames(bytes(data))]
+        return hd, msgs, status, message
+
+    def call(self, path: str, msg: dict):
+        req_schema, resp_schema, _ = _schemas(path)
+        sid = self.send_request(path, req_schema.encode(msg))
+        hd, msgs, status, message = self.read_response(sid)
+        return [resp_schema.decode(m) for m in msgs], status, message
+
+
+@pytest.fixture(scope="module")
+def h2_server(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("h2c")
+    store = DocStore(spark, str(root / "node"))
+    system = SystemStore(spark, str(root / "node"), admin_addr=ADMIN)
+    node = NodeService(store, Ingest(store), system=system)
+    srv = GrpcH2Server(node).start()
+    yield srv
+    srv.stop()
+
+
+def wire_send(client: H2Client, action: str, bodies: list, nonce: int,
+              priv: int = PRIV):
+    payload, sig = wrap_and_sign(encode_mutation(action, bodies), nonce, priv)
+    msgs, status, message = client.call(
+        "/db3_storage_proto.StorageNode/SendMutation",
+        {"signature": sig, "payload": payload},
+    )
+    assert status == 0, message
+    assert msgs[0].get("code", 0) == 0, msgs[0]
+    return msgs[0]
+
+
+# ------------------------------------------------------------- unit layer
+
+
+class TestFrameLayer:
+    def test_frame_round_trip(self):
+        raw = h2.pack_frame(h2.DATA, h2.FLAG_END_STREAM, 7, b"hello")
+        length, ftype, flags, sid = h2.parse_frame_header(raw[:9])
+        assert (length, ftype, flags, sid) == (5, h2.DATA, 1, 7)
+        assert raw[9:] == b"hello"
+
+    def test_settings_round_trip(self):
+        s = {h2.SETTINGS_MAX_FRAME_SIZE: 65536, h2.SETTINGS_INITIAL_WINDOW_SIZE: 100}
+        assert h2.parse_settings(h2.build_settings(s)) == s
+        with pytest.raises(h2.H2Error):
+            h2.parse_settings(b"\x00\x01\x02")
+
+    def test_padding_strip(self):
+        padded = bytes([3]) + b"payload" + b"\x00" * 3
+        assert h2.strip_padding(padded, h2.FLAG_PADDED) == b"payload"
+        with pytest.raises(h2.H2Error):
+            h2.strip_padding(bytes([9]) + b"x", h2.FLAG_PADDED)
+
+    def test_grpc_frames(self):
+        two = h2.grpc_frame(b"a") + h2.grpc_frame(b"bc")
+        assert h2.parse_grpc_frames(two) == [(0, b"a"), (0, b"bc")]
+        with pytest.raises(ValueError):
+            h2.parse_grpc_frames(two[:-1])
+
+
+# --------------------------------------------------------------- sockets
+
+
+class TestJavaAcceptanceFlow:
+    """ClientTest.java's testAddCollection over hand-framed h2c."""
+
+    def test_full_flow_one_connection(self, h2_server):
+        c = H2Client(h2_server.port)
+        try:
+            # updateNonce
+            from rtstore_spark.crypto.secp256k1 import priv_to_address
+
+            me = priv_to_address(PRIV)
+            msgs, status, _ = c.call(
+                "/db3_storage_proto.StorageNode/GetNonce", {"address": me}
+            )
+            assert status == 0
+            nonce = msgs[0].get("nonce", 0)
+            assert nonce >= 1
+
+            # createDocDatabase
+            r = wire_send(c, "CreateDocumentDB", [{
+                "db_address": None, "kind": "doc_database_mutation",
+                "body": {"db_desc": "desc"},
+            }], nonce=nonce)
+            db = next(i["value"] for i in r["items"] if i["key"] == "db_addr")
+
+            # getDatabase — address echoes back
+            msgs, status, _ = c.call(
+                "/db3_storage_proto.StorageNode/GetDatabase", {"addr": db}
+            )
+            assert status == 0
+            got = "0x" + msgs[0]["database"]["doc_db"]["address"].hex()
+            assert got == db
+
+            # createCollection + getCollection
+            wire_send(c, "AddCollection", [{
+                "db_address": db, "kind": "collection_mutation",
+                "body": {"collection_name": "col1"},
+            }], nonce=nonce + 1)
+            msgs, status, _ = c.call(
+                "/db3_storage_proto.StorageNode/GetCollectionOfDatabase",
+                {"db_addr": db},
+            )
+            assert status == 0
+            assert [col["name"] for col in msgs[0]["collections"]] == ["col1"]
+
+            # addDoc {"name": 1}
+            wire_send(c, "AddDocument", [{
+                "db_address": db, "kind": "document_mutation",
+                "body": {"collection_name": "col1",
+                         "documents": [bson_encode({"name": 1})]},
+            }], nonce=nonce + 2)
+
+            # runQuery "/[name=1]"
+            msgs, status, message = c.call(
+                "/db3_indexer_proto.IndexerNode/RunQuery",
+                {"db": db, "col_name": "col1",
+                 "query": {"query_str": "/[name=1]"}},
+            )
+            assert status == 0, message
+            docs = [json.loads(d["doc"]) for d in msgs[0]["documents"]]
+            assert docs == [{"name": 1}]
+            assert msgs[0]["count"] == 1
+        finally:
+            c.close()
+
+    def test_huffman_coded_requests(self, h2_server):
+        # grpc-java Huffman-codes header literals; same flow, huffman on
+        c = H2Client(h2_server.port, huffman=True)
+        try:
+            msgs, status, _ = c.call(
+                "/db3_storage_proto.StorageNode/GetNonce",
+                {"address": "0x" + "12" * 20},
+            )
+            assert status == 0 and msgs[0].get("nonce", 0) >= 1
+        finally:
+            c.close()
+
+    def test_incremental_indexing_dynamic_table(self, h2_server):
+        # real clients insert repeated headers into the dynamic table and
+        # reference them by index on later requests — exercise the server
+        # decoder's stateful path across two streams
+        c = H2Client(h2_server.port)
+        try:
+            def lit_inc(name: str, value: str) -> bytes:
+                nb, vb = name.encode(), value.encode()
+                return (encode_int(0, 6, 0x40)
+                        + encode_int(len(nb), 7) + nb
+                        + encode_int(len(vb), 7) + vb)
+
+            enc = HpackEncoder()
+            path = "/db3_storage_proto.StorageNode/GetNonce"
+            base = enc.encode([
+                (":method", "POST"), (":scheme", "http"), (":path", path),
+            ])
+            block1 = base + lit_inc("content-type", "application/grpc") \
+                + lit_inc("te", "trailers")
+            req_schema, resp_schema, _ = _schemas(path)
+            msg = req_schema.encode({"address": "0x" + "34" * 20})
+            sid = c.send_request(path, msg, header_block=block1)
+            _, msgs, status, _ = c.read_response(sid)
+            assert status == 0
+
+            # second stream: reference both entries by dynamic index
+            # (te=trailers is newest → index 62, content-type → 63)
+            block2 = base + encode_int(63, 7, 0x80) + encode_int(62, 7, 0x80)
+            sid = c.send_request(path, msg, header_block=block2)
+            _, msgs, status, _ = c.read_response(sid)
+            assert status == 0
+            assert resp_schema.decode(msgs[0]).get("nonce", 0) >= 1
+        finally:
+            c.close()
+
+
+class TestTransportEdges:
+    def test_unknown_method_unimplemented(self, h2_server):
+        c = H2Client(h2_server.port)
+        try:
+            sid = c.send_request("/db3_storage_proto.StorageNode/NoSuch", b"")
+            _, msgs, status, _ = c.read_response(sid)
+            assert status == 12 and msgs == []
+        finally:
+            c.close()
+
+    def test_get_method_rejected(self, h2_server):
+        c = H2Client(h2_server.port)
+        try:
+            block = c.encoder.encode([
+                (":method", "GET"), (":scheme", "http"),
+                (":path", "/db3_storage_proto.StorageNode/GetNonce"),
+            ])
+            sid = c.send_request(
+                "/db3_storage_proto.StorageNode/GetNonce", b"",
+                header_block=block,
+            )
+            _, _, status, message = c.read_response(sid)
+            assert status == 12 and "POST" in message
+        finally:
+            c.close()
+
+    def test_compressed_message_rejected(self, h2_server):
+        c = H2Client(h2_server.port)
+        try:
+            sid = c.next_sid
+            c.next_sid += 2
+            block = c.encoder.encode([
+                (":method", "POST"), (":scheme", "http"),
+                (":path", "/db3_storage_proto.StorageNode/GetNonce"),
+                ("content-type", "application/grpc"),
+            ])
+            c.sock.sendall(h2.pack_frame(h2.HEADERS, h2.FLAG_END_HEADERS, sid, block))
+            body = b"\x01" + struct.pack(">I", 3) + b"xyz"  # compressed flag
+            c.sock.sendall(h2.pack_frame(h2.DATA, h2.FLAG_END_STREAM, sid, body))
+            c.recv_windows[sid] = c.initial_window
+            _, _, status, _ = c.read_response(sid)
+            assert status == 12
+        finally:
+            c.close()
+
+    def test_ping_is_acked(self, h2_server):
+        c = H2Client(h2_server.port)
+        try:
+            c.sock.sendall(h2.pack_frame(h2.PING, 0, 0, b"12345678"))
+            while True:
+                ftype, flags, _, payload = c.recv_frame()
+                if ftype == h2.PING and flags & h2.FLAG_ACK:
+                    assert payload == b"12345678"
+                    break
+        finally:
+            c.close()
+
+    def test_flow_control_small_client_window(self, h2_server):
+        # client advertises a 64-byte stream window: the server must chunk
+        # the response and wait for WINDOW_UPDATEs (read_response sends
+        # them as DATA arrives)
+        c = H2Client(h2_server.port, initial_window=64)
+        try:
+            msgs, status, _ = c.call(
+                "/db3_system_proto.System/GetSystemStatus", {},
+            )
+            assert status == 0
+            assert msgs[0]["admin_addr"] == ADMIN  # response > 64 bytes total
+        finally:
+            c.close()
+
+    def test_json_and_h2_fronts_share_state(self, h2_server, spark):
+        # one store behind both fronts: mutate over h2c, read over JSON
+        import json as _json
+        import urllib.request
+
+        http = NodeServer(h2_server.node).start()
+        try:
+            c = H2Client(h2_server.port)
+            priv = 0x5151515151515151515151515151515151515151515151515151515151515151
+            r = wire_send(c, "CreateDocumentDB", [{
+                "db_address": None, "kind": "doc_database_mutation",
+                "body": {"db_desc": "shared"},
+            }], nonce=1, priv=priv)
+            db = next(i["value"] for i in r["items"] if i["key"] == "db_addr")
+            c.close()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{http.port}/v1/storage/GetDatabase",
+                data=_json.dumps({"addr": db}).encode(),
+                headers={"Content-Type": "application/json"}, method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                out = _json.loads(resp.read())
+            assert out["database"]["db_addr"] == db
+        finally:
+            http.stop()
+
+
+class TestSubscribeStream:
+    def test_block_events_stream_over_h2(self, h2_server):
+        import threading
+        import time
+
+        gateway = h2_server.tcp.gateway
+        old = getattr(gateway, "SUBSCRIBE_MAX_SECONDS", None)
+        gateway.SUBSCRIBE_MAX_SECONDS = 30
+        c = H2Client(h2_server.port, timeout=60)
+        try:
+            req_schema, resp_schema, streaming = _schemas(
+                "/db3_storage_proto.StorageNode/Subscribe"
+            )
+            assert streaming
+            sid = c.send_request(
+                "/db3_storage_proto.StorageNode/Subscribe",
+                req_schema.encode({"signature": "", "payload": ""}),
+            )
+
+            # drive a block CLOSE through the node's own store (events
+            # fire on closed blocks, like the grpcweb Subscribe test)
+            store = h2_server.node.store
+
+            def mutate():
+                time.sleep(0.5)
+                store.create_database("0x" + "ab" * 20, 1, desc="sub-h2")
+                store.state.next_block()
+
+            t = threading.Thread(target=mutate, daemon=True)
+            t.start()
+            # read frames until one EventMessage DATA arrives
+            deadline = time.monotonic() + 45
+            event = None
+            buf = bytearray()
+            while time.monotonic() < deadline and event is None:
+                ftype, flags, fsid, payload = c.recv_frame()
+                if ftype == h2.HEADERS and fsid == sid and (
+                    flags & h2.FLAG_END_STREAM
+                ):
+                    break  # stream ended (deadline) without an event
+                if ftype == h2.DATA and fsid == sid:
+                    buf += h2.strip_padding(payload, flags)
+                    if payload:
+                        upd = len(payload).to_bytes(4, "big")
+                        c.sock.sendall(
+                            h2.pack_frame(h2.WINDOW_UPDATE, 0, 0, upd)
+                            + h2.pack_frame(h2.WINDOW_UPDATE, 0, sid, upd)
+                        )
+                    for _, m in h2.parse_grpc_frames(bytes(buf)):
+                        ev = resp_schema.decode(m)
+                        if "block_event" in ev:
+                            event = ev
+                            break
+            t.join(timeout=10)
+            assert event is not None, "no block event within deadline"
+            assert event["block_event"].get("mutation_count", 0) >= 1
+        finally:
+            c.close()
+            if old is not None:
+                gateway.SUBSCRIBE_MAX_SECONDS = old
