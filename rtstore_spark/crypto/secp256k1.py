@@ -165,6 +165,29 @@ _G_ODD: list[Point] = _batch_to_affine(
     _odd_multiples_jac((G[0], G[1], 1), 1 << (_GW - 2))
 )
 
+# ---------------------------------------------------------------- GLV
+# secp256k1's efficient endomorphism φ(x, y) = (βx, y) = λ·(x, y), with
+# β³ ≡ 1 (mod P) and λ³ ≡ 1 (mod N) — the standard GLV split (public
+# constants, as in libsecp256k1): any scalar k decomposes into
+# k ≡ k1 + k2·λ (mod N) with |k1|, |k2| ≤ 129 bits, halving the doubling
+# chain of every scalar multiplication that uses it.
+BETA = 0x7AE96A2B657C07106E64479EAC3434E99CF0497512F58995C1396C28719501EE
+LAMBDA = 0x5363AD4CC05C30E0A5261C028812645A122E22EA20816678DF02967C1B23BD72
+_A1 = 0x3086D221A7D46BCDE86C90E49284EB15
+_B1 = -0xE4437ED6010E88286F547FA90ABFE4C3
+_A2 = 0x114CA50F7A8E2F3F657C1108D9D44CFD8
+_B2 = _A1
+
+_G_ODD_LAM: list[Point] = [(x * BETA % P, y) for x, y in _G_ODD]  # φ(G) table
+
+
+def _split_glv(k: int) -> tuple[int, int]:
+    """k (mod N) → (k1, k2) with k1 + k2·λ ≡ k, both ≤ ~2^128 in
+    magnitude (possibly negative). Round-to-nearest lattice reduction."""
+    c1 = (_B2 * k + N // 2) // N
+    c2 = (-_B1 * k + N // 2) // N
+    return k - c1 * _A1 - c2 * _A2, -c1 * _B1 - c2 * _B2
+
 
 def _mul_g(k: int):
     """k·G (Jacobian) via wNAF against the precomputed affine table."""
@@ -183,10 +206,10 @@ def _mul_g(k: int):
 
 
 def _mul_shamir(u1: int, u2: int, q: Point):
-    """u1·G + u2·q with one shared doubling chain (Strauss-Shamir).
-
-    G rides its precomputed affine table (width _GW); q gets a width-5
-    odd-multiple table built per call (1 double + 7 adds)."""
+    """u1·G + u2·q with one shared doubling chain (Strauss-Shamir),
+    GLV-split four ways: each scalar becomes two ≤129-bit halves (the
+    second riding the φ-mapped table), so the chain is ~128 doublings
+    instead of ~256, with four interleaved wNAF addition streams."""
     u1 %= N
     u2 %= N
     if not u2 or q is None:
@@ -194,26 +217,34 @@ def _mul_shamir(u1: int, u2: int, q: Point):
     if not u1:
         return _jmul(q, u2)
     qtab = _odd_multiples_jac((q[0], q[1], 1), 8)  # 1q..15q, width 5
-    w1 = _wnaf(u1, _GW)
-    w2 = _wnaf(u2, 5)
-    n = max(len(w1), len(w2))
-    w1 += [0] * (n - len(w1))
-    w2 += [0] * (n - len(w2))
+    qtab_lam = [(X * BETA % P, Y, Z) for X, Y, Z in qtab]  # φ(q) table
+    a1, a2 = _split_glv(u1)
+    b1, b2 = _split_glv(u2)
+    streams = []
+    for k, tab, affine, width in (
+        (a1, _G_ODD, True, _GW), (a2, _G_ODD_LAM, True, _GW),
+        (b1, qtab, False, 5), (b2, qtab_lam, False, 5),
+    ):
+        neg = k < 0
+        streams.append((_wnaf(-k if neg else k, width), tab, affine, neg))
+    n = max(len(w) for w, _, _, _ in streams)
     acc = _JINF
     for i in range(n - 1, -1, -1):
         acc = _jdouble(acc)
-        d1 = w1[i]
-        if d1 > 0:
-            acc = _jadd_affine(acc, _G_ODD[d1 >> 1])
-        elif d1 < 0:
-            x, y = _G_ODD[(-d1) >> 1]
-            acc = _jadd_affine(acc, (x, P - y))
-        d2 = w2[i]
-        if d2 > 0:
-            acc = _jadd(acc, qtab[d2 >> 1])
-        elif d2 < 0:
-            X, Y, Z = qtab[(-d2) >> 1]
-            acc = _jadd(acc, (X, P - Y, Z))
+        for w, tab, affine, neg in streams:
+            if i >= len(w):
+                continue
+            d = w[i]
+            if not d:
+                continue
+            if neg:
+                d = -d
+            if affine:
+                x, y = tab[abs(d) >> 1]
+                acc = _jadd_affine(acc, (x, y if d > 0 else P - y))
+            else:
+                X, Y, Z = tab[abs(d) >> 1]
+                acc = _jadd(acc, (X, Y if d > 0 else P - Y, Z))
     return acc
 
 
