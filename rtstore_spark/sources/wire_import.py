@@ -537,3 +537,85 @@ def import_wire_rollup(
         except NameError:
             pass
         decoded.unpersist()
+
+
+# --------------------------------------------------------------- tail-import
+
+WIRE_ROLLUP_SCHEMA = T.StructType([
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("signature", T.StringType(), True),
+    T.StructField("block", T.LongType(), True),
+    T.StructField("order", T.IntegerType(), True),
+])
+
+
+class WireTailImport:
+    """Streaming tail of a GROWING foreign wire chain (S15, streaming form).
+
+    The reference indexer cold-starts from the permaweb then keeps tailing
+    new rollup artifacts (recover.rs:140-236, indexer_impl.rs:110-142).
+    ``import_wire_rollup`` is the batch (cold-start) half; this class is
+    the tail: a Structured Streaming file source over the artifact
+    directory with an ``availableNow`` trigger — the same pattern as
+    ``IndexerTail`` (streaming/blocks.py) — so each ``run_once()`` imports
+    exactly the files that appeared since the last run, tracked by the
+    streaming checkpoint.
+
+    Idempotence comes from two layers: the checkpoint (each file is
+    offered once) and the import's own ``already_applied`` dedup (a
+    replayed micro-batch after a checkpoint rollback re-applies nothing).
+    Databases created in earlier artifacts already exist in the store, so
+    later windows bind to them by address like any mid-chain import.
+
+    ``strict`` defaults to False here (unlike the batch form): a tail
+    loop that dies on the first malformed foreign row can never make
+    progress past it; errors are counted in the per-batch reports.
+    """
+
+    def __init__(self, spark: SparkSession, store, path: str,
+                 checkpoint: str | None = None, layout: str = "auto",
+                 verify: bool = True, strict: bool = False):
+        import os
+
+        self.spark = spark
+        self.store = store
+        self.path = path
+        self.checkpoint = checkpoint or os.path.join(
+            store.root, "_chk", "wire_tail"
+        )
+        self.layout = layout
+        self.verify = verify
+        self.strict = strict
+        self.reports: list[dict] = []
+
+    def run_once(self) -> dict:
+        """Import everything new under ``path``; returns the aggregated
+        report for this run (zeros when no new files appeared)."""
+        first = len(self.reports)
+
+        def apply_batch(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            self.reports.append(import_wire_rollup(
+                self.store, batch_df, layout=self.layout,
+                verify=self.verify, strict=self.strict,
+            ))
+
+        q = (
+            self.spark.readStream.schema(WIRE_ROLLUP_SCHEMA)
+            .parquet(self.path)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", self.checkpoint)
+            .foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        agg: dict = {}
+        for rep in self.reports[first:]:
+            for k, v in rep.items():
+                if isinstance(v, (int, float)):
+                    agg[k] = agg.get(k, 0) + v
+                elif isinstance(v, list):
+                    agg[k] = sorted(set(agg.get(k, [])) | set(v))
+        return agg

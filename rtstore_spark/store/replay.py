@@ -263,25 +263,38 @@ def replay_log_batch(replica, batch_df: DataFrame) -> int:
                 if e is not None:
                     raise e
 
-        # -- 3. the log: origin rows verbatim, one distributed append
+        # -- 3a. sequencer-convergence aggregates, evaluated BEFORE the
+        # log append: an incremental import's batch plan anti-joins
+        # against the replica's own mutation log (sources/wire_import.py)
+        # — lazy re-evaluation AFTER the append would see its own rows in
+        # the log, anti-join everything away, and silently skip the
+        # nonce / doc-counter folds (the bug the wire tail-import
+        # surfaced: the next batch then re-assigns doc ids from 0)
+        snapshot = _converge_aggregates(batch, doc, has_doc_ops=True)
+
+        # -- 3b. the log: origin rows verbatim, one distributed append
         doc.select([f.name for f in LOG_SCHEMA.fields]).withColumn(
             "block_bucket", F.expr(f"block div {LOG_BLOCKS_PER_BUCKET}")
         ).repartition(F.col("block_bucket")).write.mode("append").partitionBy(
             "block_bucket"
         ).parquet(replica._log_path())
 
-        # -- 4. sequencer convergence
-        _converge_state(replica, batch, doc, has_doc_ops=True)
+        # -- 4. sequencer convergence (fold AFTER the append so a crash
+        # between 3b and 4 leaves watermarks behind the log, never ahead
+        # — re-applying the batch stays safe)
+        _converge_fold(replica, snapshot)
         return len(control) + int(n_doc_ops)
     finally:
         doc.unpersist()
 
 
-def _converge_state(replica, batch: DataFrame, doc: DataFrame, has_doc_ops: bool):
-    """Advance the replica's sequencer to the origin's end-of-batch state:
-    per-sender max nonce, per-db max logged doc id, max (block, order).
-    Small aggregates — O(senders + dbs) collected rows, 1-2 jobs."""
-    state = replica.state
+def _converge_aggregates(batch: DataFrame, doc: DataFrame, has_doc_ops: bool):
+    """Evaluate the sequencer-convergence aggregates: per-sender max
+    nonce, per-db max logged doc id, max (block, order). Small —
+    O(senders + dbs) collected rows, 1-2 jobs. MUST run before the
+    batch's rows are appended to the replica log when the batch plan
+    reads that log (self-referential anti-join)."""
+    agg = id_max = ()
     if has_doc_ops:
         agg = doc.groupBy("sender").agg(F.max("nonce").alias("_n")).collect()
         id_max = (
@@ -292,19 +305,29 @@ def _converge_state(replica, batch: DataFrame, doc: DataFrame, has_doc_ops: bool
             .collect()
         )
     top = batch.agg(F.max(F.struct("block", "order")).alias("_t")).collect()[0]["_t"]
-    # aggregates above run unlocked (Spark jobs); only the counter folds
-    # hold the sequencer lock
+    return agg, id_max, top
+
+
+def _converge_fold(replica, snapshot) -> None:
+    """Fold pre-evaluated convergence aggregates into the sequencer."""
+    agg, id_max, top = snapshot
+    state = replica.state
     with state.lock:
-        if has_doc_ops:
-            for r in agg:
-                if r["_n"] and r["_n"] > state._state["nonces"].get(r["sender"], 0):
-                    state._state["nonces"][r["sender"]] = int(r["_n"])
-            for r in id_max:
-                if r["_m"] is not None:
-                    cur = state._state["doc_counters"].get(r["db_addr"], 0)
-                    state._state["doc_counters"][r["db_addr"]] = max(cur, int(r["_m"]))
+        for r in agg:
+            if r["_n"] and r["_n"] > state._state["nonces"].get(r["sender"], 0):
+                state._state["nonces"][r["sender"]] = int(r["_n"])
+        for r in id_max:
+            if r["_m"] is not None:
+                cur = state._state["doc_counters"].get(r["db_addr"], 0)
+                state._state["doc_counters"][r["db_addr"]] = max(cur, int(r["_m"]))
         if top is not None and (top["block"], top["order"]) >= (state.block, state.order):
             state._state["block"], state._state["order"] = (
                 int(top["block"]), int(top["order"]),
             )
         state._flush()
+
+
+def _converge_state(replica, batch: DataFrame, doc: DataFrame, has_doc_ops: bool):
+    """Evaluate + fold in one step (safe when the batch plan does not
+    read the replica's own log, e.g. the empty-doc-ops path)."""
+    _converge_fold(replica, _converge_aggregates(batch, doc, has_doc_ops))

@@ -16,6 +16,7 @@ SLOW_MODULES = {
     "test_continuous_agg",
     "test_corpus_stream",
     "test_evm_live",
+    "test_front_parity",
     "test_fs_storage",
     "test_grpcweb",
     "test_ingest",
@@ -33,6 +34,7 @@ SLOW_MODULES = {
     "test_system",
     "test_training_path",
     "test_wire_import",
+    "test_wire_tail",
 }
 
 
