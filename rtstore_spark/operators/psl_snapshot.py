@@ -10,9 +10,16 @@ exception forms the algorithm must handle. Coverage notes:
 
 - every unlisted TLD falls back to the PSL default rule (one label), so
   gTLDs (.com/.org/.io/...) need no entries;
-- geographic second-levels (city .jp, voivodeship .pl, ...) and the
-  private section (github.io, ...) are NOT included — supply the full
-  list via ``load_psl_rules(spark, path)`` when those matter;
+- the largest geographic families ARE included: the 47 Japanese
+  prefecture second-levels and the US state space (``<st>.us`` plus the
+  ``k12.<st>.us`` school family); the finer city spaces (city .jp,
+  voivodeship .pl, ...) remain omitted;
+- the high-traffic PRIVATE-section suffixes crawls actually hit are
+  included (github.io, blogspot.*, wordpress.com, the
+  *.compute.amazonaws.com wildcards, netlify/vercel/pages.dev, ...) so
+  domain caps group by site, not by hosting provider; the long tail of
+  the private section is not — supply the full publicsuffix.org list
+  via ``load_psl_rules(spark, path)`` when it matters;
 - the subset is a strict superset of the two-level heuristic
   ``web.url_domain`` uses, so switching to ``builtin_psl_rules`` never
   loses a grouping the heuristic had.
@@ -370,6 +377,203 @@ publ.pt
 *.kw
 *.er
 *.fk
+// ---- Japan prefecture second-levels (the largest geographic family;
+// ---- the finer city space below prefectures is still omitted)
+hokkaido.jp
+aomori.jp
+iwate.jp
+miyagi.jp
+akita.jp
+yamagata.jp
+fukushima.jp
+ibaraki.jp
+tochigi.jp
+gunma.jp
+saitama.jp
+chiba.jp
+tokyo.jp
+kanagawa.jp
+niigata.jp
+toyama.jp
+ishikawa.jp
+fukui.jp
+yamanashi.jp
+nagano.jp
+gifu.jp
+shizuoka.jp
+aichi.jp
+mie.jp
+shiga.jp
+kyoto.jp
+osaka.jp
+hyogo.jp
+nara.jp
+wakayama.jp
+tottori.jp
+shimane.jp
+okayama.jp
+hiroshima.jp
+yamaguchi.jp
+tokushima.jp
+kagawa.jp
+ehime.jp
+kochi.jp
+fukuoka.jp
+saga.jp
+nagasaki.jp
+kumamoto.jp
+oita.jp
+miyazaki.jp
+kagoshima.jp
+okinawa.jp
+// ---- United States state second-levels + the k12 school family
+ak.us
+al.us
+ar.us
+az.us
+ca.us
+co.us
+ct.us
+dc.us
+de.us
+fl.us
+ga.us
+hi.us
+ia.us
+id.us
+il.us
+in.us
+ks.us
+ky.us
+la.us
+ma.us
+md.us
+me.us
+mi.us
+mn.us
+mo.us
+ms.us
+mt.us
+nc.us
+nd.us
+ne.us
+nh.us
+nj.us
+nm.us
+nv.us
+ny.us
+oh.us
+ok.us
+or.us
+pa.us
+ri.us
+sc.us
+sd.us
+tn.us
+tx.us
+ut.us
+va.us
+vt.us
+wa.us
+wi.us
+wv.us
+wy.us
+k12.ak.us
+k12.al.us
+k12.ar.us
+k12.az.us
+k12.ca.us
+k12.co.us
+k12.ct.us
+k12.dc.us
+k12.de.us
+k12.fl.us
+k12.ga.us
+k12.ia.us
+k12.id.us
+k12.il.us
+k12.in.us
+k12.ks.us
+k12.ky.us
+k12.la.us
+k12.ma.us
+k12.md.us
+k12.me.us
+k12.mi.us
+k12.mn.us
+k12.mo.us
+k12.ms.us
+k12.mt.us
+k12.nc.us
+k12.ne.us
+k12.nh.us
+k12.nj.us
+k12.nm.us
+k12.nv.us
+k12.ny.us
+k12.oh.us
+k12.ok.us
+k12.or.us
+k12.pa.us
+k12.ri.us
+k12.sc.us
+k12.tn.us
+k12.tx.us
+k12.ut.us
+k12.va.us
+k12.vt.us
+k12.wa.us
+k12.wi.us
+k12.wy.us
+// ---- private section: the hosting/CDN suffixes crawls actually hit.
+// ---- Grouping by SITE (user subdomain), not by hosting provider, is
+// ---- what domain caps / dedup-by-registrable-domain want here.
+github.io
+githubusercontent.com
+gitlab.io
+blogspot.com
+blogspot.co.uk
+blogspot.co.nz
+blogspot.com.au
+blogspot.com.br
+blogspot.com.ar
+blogspot.ca
+blogspot.de
+blogspot.fr
+blogspot.it
+blogspot.es
+blogspot.nl
+blogspot.in
+blogspot.jp
+blogspot.kr
+blogspot.mx
+blogspot.ru
+blogspot.se
+blogspot.ch
+blogspot.pt
+wordpress.com
+tumblr.com
+weebly.com
+wixsite.com
+neocities.org
+readthedocs.io
+herokuapp.com
+netlify.app
+vercel.app
+pages.dev
+workers.dev
+web.app
+firebaseapp.com
+appspot.com
+azurewebsites.net
+cloudfront.net
+fly.dev
+onrender.com
+surge.sh
+s3.amazonaws.com
+*.compute.amazonaws.com
+*.compute-1.amazonaws.com
+elasticbeanstalk.com
 """
 
 

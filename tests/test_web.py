@@ -369,6 +369,46 @@ class TestBuiltinPslSnapshot:
         assert out["https://www.ck/z"] == "www.ck"
         assert out["https://deep.sub.example.io/q"] == "example.io"
 
+    def test_private_section_and_geographic_families(self, spark):
+        # round-7 snapshot extension: hosting/CDN suffixes group by SITE
+        # (user subdomain), and the largest geographic second-level
+        # families (JP prefectures, US states + k12) are exact
+        from rtstore_spark.operators.web import with_registrable_domain
+
+        df = spark.createDataFrame(
+            [
+                ("https://alice.github.io/p",),
+                ("https://bob.github.io/q",),
+                ("https://me.blogspot.co.uk/x",),
+                ("https://ec2-1-2-3-4.us-east-1.compute.amazonaws.com/",),
+                ("https://mybucket.s3.amazonaws.com/k",),
+                ("https://shinjuku.metro.tokyo.jp/a",),
+                ("https://www.pref.osaka.jp/b",),
+                ("https://school.district.k12.ca.us/c",),
+                ("https://city.sacramento.ca.us/d",),
+                ("https://app.herokuapp.com/e",),
+            ],
+            "url string",
+        )
+        out = {
+            r["url"]: r["domain"]
+            for r in with_registrable_domain(df, "url", rules="builtin").collect()
+        }
+        # two github.io users are two SITES, not one provider domain
+        assert out["https://alice.github.io/p"] == "alice.github.io"
+        assert out["https://bob.github.io/q"] == "bob.github.io"
+        assert out["https://me.blogspot.co.uk/x"] == "me.blogspot.co.uk"
+        # *.compute.amazonaws.com wildcard: region label is the suffix
+        assert out[
+            "https://ec2-1-2-3-4.us-east-1.compute.amazonaws.com/"
+        ] == "ec2-1-2-3-4.us-east-1.compute.amazonaws.com"
+        assert out["https://mybucket.s3.amazonaws.com/k"] == "mybucket.s3.amazonaws.com"
+        assert out["https://shinjuku.metro.tokyo.jp/a"] == "metro.tokyo.jp"
+        assert out["https://www.pref.osaka.jp/b"] == "pref.osaka.jp"
+        assert out["https://school.district.k12.ca.us/c"] == "district.k12.ca.us"
+        assert out["https://city.sacramento.ca.us/d"] == "sacramento.ca.us"
+        assert out["https://app.herokuapp.com/e"] == "app.herokuapp.com"
+
     def test_bad_rules_string_rejected(self, spark):
         import pytest as _pytest
 
