@@ -57,11 +57,19 @@ class _Connection:
 
     def __init__(self, sock: socket.socket, gateway):
         self.sock = sock
+        self.io_timeout = sock.gettimeout()  # restored after probes
         self.gateway = gateway
         self.decoder = HpackDecoder()
         self.encoder = HpackEncoder()
         self.streams: dict[int, _Stream] = {}
-        self.done_streams: set[int] = set()
+        # bounded stream bookkeeping (a gRPC channel lives for hours and
+        # carries millions of streams — no per-stream set may grow with
+        # connection lifetime): high-water ids instead of a done-set, and
+        # a reset-set whose entries die with their stream's dispatch
+        self.max_started_sid = 0
+        self.max_processed_sid = 0
+        self.reset_streams: set[int] = set()
+        self.responding_sid: int | None = None
         self.ready: list[_Stream] = []
         self.dispatching = False
         # flow control for OUR sends: connection window + per-stream
@@ -105,9 +113,13 @@ class _Connection:
             pass
         except h2.H2Error as e:
             try:
+                # last-stream-id = highest FULLY PROCESSED stream: anything
+                # above it the peer may safely retry (RFC 9113 §6.8) —
+                # advertising 0 would invite replays of applied mutations
                 self._send(h2.pack_frame(
                     h2.GOAWAY, 0, 0,
-                    (0).to_bytes(4, "big") + e.code.to_bytes(4, "big")
+                    self.max_processed_sid.to_bytes(4, "big")
+                    + e.code.to_bytes(4, "big")
                     + str(e).encode()[:128],
                 ))
             except OSError:
@@ -140,7 +152,14 @@ class _Connection:
             st = self.streams.pop(sid, None)
             if st:
                 st.reset = True
-            self.done_streams.add(sid)
+            # remember the cancellation ONLY while its stream can still be
+            # acted on (assembling, queued, or mid-response) — pruned when
+            # that dispatch finishes, so the set stays bounded
+            if st is not None or sid == self.responding_sid or any(
+                s.sid == sid for s in self.ready
+            ):
+                self.reset_streams.add(sid)
+            self.stream_send_windows.pop(sid, None)
         elif ftype == h2.GOAWAY:
             self.closing = True
         elif ftype in (h2.PRIORITY, h2.PUSH_PROMISE):
@@ -194,6 +213,7 @@ class _Connection:
         st.headers = headers
         st.header_done = True
         self.streams[sid] = st
+        self.max_started_sid = max(self.max_started_sid, sid)
         self.stream_send_windows.setdefault(sid, self.peer_initial_window)
         if flags & h2.FLAG_END_STREAM:
             st.ended = True
@@ -212,7 +232,7 @@ class _Connection:
                 + h2.pack_frame(h2.WINDOW_UPDATE, 0, sid, upd)
             )
         if st is None or st.ended:
-            if sid not in self.done_streams:
+            if sid > self.max_started_sid:
                 raise h2.H2Error(h2.PROTOCOL_ERROR, f"DATA on idle stream {sid}")
             return  # late DATA after reset/response: drop
         st.body += body
@@ -221,7 +241,7 @@ class _Connection:
                 h2.RST_STREAM, 0, sid, (h2.FLOW_CONTROL_ERROR).to_bytes(4, "big")
             ))
             self.streams.pop(sid, None)
-            self.done_streams.add(sid)
+            self.stream_send_windows.pop(sid, None)
             return
         if flags & h2.FLAG_END_STREAM:
             st.ended = True
@@ -250,9 +270,16 @@ class _Connection:
             while self.ready:
                 st = self.ready.pop(0)
                 self.streams.pop(st.sid, None)
-                self.done_streams.add(st.sid)
-                if not st.reset:
-                    self._respond(st)
+                try:
+                    if not st.reset and st.sid not in self.reset_streams:
+                        self.responding_sid = st.sid
+                        self._respond(st)
+                finally:
+                    self.responding_sid = None
+                    self.max_processed_sid = max(self.max_processed_sid, st.sid)
+                    # stream is over: its bookkeeping dies with it
+                    self.reset_streams.discard(st.sid)
+                    self.stream_send_windows.pop(st.sid, None)
         finally:
             self.dispatching = False
 
@@ -286,7 +313,8 @@ class _Connection:
             return
         self._send_headers(st.sid, end_stream=False)
         self._send_data(st.sid, h2.grpc_frame(resp))
-        self._send_trailers(st.sid, 0, "")
+        if st.sid not in self.reset_streams:  # cancelled mid-send: no trailers
+            self._send_trailers(st.sid, 0, "")
 
     def _respond_stream(self, st: _Stream, req_schema, messages) -> None:
         """Server-streaming Subscribe over the shared broadcaster."""
@@ -303,15 +331,44 @@ class _Connection:
         self._send_headers(st.sid, end_stream=False)
         try:
             for encoded in self.gateway.subscribe_events(req):
+                # honor cancellation promptly: drain whatever the peer has
+                # already sent (RST_STREAM, WINDOW_UPDATE, new requests)
+                # before each event/tick, and stop streaming on reset so
+                # queued RPCs on this connection dispatch right away
+                # instead of after the stream deadline
+                self._drain_incoming()
+                if st.sid in self.reset_streams:
+                    return  # client cancelled; stream is already closed
                 if encoded is None:
                     # liveness tick — PING the peer so a vanished client
                     # surfaces as a send error instead of an eternal wait
                     self._send(h2.pack_frame(h2.PING, 0, 0, b"\x00" * 8))
                     continue
                 self._send_data(st.sid, h2.grpc_frame(encoded))
+                if st.sid in self.reset_streams:
+                    return  # reset arrived during a flow-control wait
         except (ConnectionError, BrokenPipeError, OSError):
             raise ConnectionError("subscriber vanished")
         self._send_trailers(st.sid, 0, "")
+
+    def _drain_incoming(self) -> None:
+        """Process every frame the peer has ALREADY sent, without
+        blocking. Non-blocking MSG_PEEK probe (not select() — FD_SETSIZE)
+        decides whether a frame is pending; each pending frame is then
+        read normally. The socket must flip to non-blocking for the probe:
+        in timeout mode Python's recv WAITS for readability before the
+        syscall, so MSG_DONTWAIT alone would still block."""
+        while True:
+            try:
+                self.sock.settimeout(0)
+                probe = self.sock.recv(1, socket.MSG_PEEK)
+            except (BlockingIOError, InterruptedError):
+                return
+            finally:
+                self.sock.settimeout(self.io_timeout)
+            if not probe:
+                raise ConnectionError("peer closed")
+            self._process_one_frame()
 
     # ----------------------------------------------------------- senders
 
@@ -351,16 +408,20 @@ class _Connection:
         """DATA with flow control: when a window is exhausted, keep
         processing incoming frames (WINDOW_UPDATE / PING / RST) until the
         peer opens it. Completed requests that arrive while we wait queue
-        in ``ready`` and dispatch after this response."""
+        in ``ready`` and dispatch after this response. A RST_STREAM for
+        THIS stream aborts the send — a cancelled stream's window never
+        reopens, so looping on it would deadlock the whole connection."""
         view = memoryview(data)
         while view:
+            if sid in self.reset_streams:
+                return  # peer cancelled mid-response
             budget = min(
                 self.send_window,
                 self.stream_send_windows.get(sid, self.peer_initial_window),
                 self.peer_max_frame,
             )
             if budget <= 0:
-                self._process_one_frame()  # wait for WINDOW_UPDATE
+                self._process_one_frame()  # wait for WINDOW_UPDATE / RST
                 continue
             chunk = view[:budget]
             view = view[len(chunk):]

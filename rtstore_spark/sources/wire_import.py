@@ -611,7 +611,14 @@ class WireTailImport:
             .start()
         )
         q.awaitTermination()
-        agg: dict = {}
+        # zeroed skeleton so a quiet trigger still returns every counter
+        # (callers read report["mutations"] per the documented contract)
+        agg: dict = {
+            "mutations": 0, "bodies": 0, "errors": 0, "control_applied": 0,
+            "doc_ops": 0, "bound_creates": 0, "synthesized_creates": 0,
+            "leftover_creates": 0, "autocreated_collections": 0,
+            "skipped": 0, "already_applied": 0, "senders": [],
+        }
         for rep in self.reports[first:]:
             for k, v in rep.items():
                 if isinstance(v, (int, float)):

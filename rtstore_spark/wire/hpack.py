@@ -182,7 +182,10 @@ def decode_int(data: bytes, pos: int, prefix_bits: int) -> tuple[int, int]:
             return value, pos
 
 
-def _decode_string(data: bytes, pos: int) -> tuple[str, int]:
+def _decode_string(data: bytes, pos: int) -> tuple[str, int, int]:
+    """→ (string, new pos, decoded OCTET length). The octet length is what
+    RFC 7541 §4.1 table accounting uses — it can differ from
+    ``len(s.encode())`` when non-UTF8 header octets fall back to latin-1."""
     if pos >= len(data):
         raise HpackError("truncated string")
     huff = bool(data[pos] & 0x80)
@@ -194,9 +197,9 @@ def _decode_string(data: bytes, pos: int) -> tuple[str, int]:
     if huff:
         raw = huffman_decode(raw)
     try:
-        return raw.decode("utf-8"), pos
+        return raw.decode("utf-8"), pos, len(raw)
     except UnicodeDecodeError:
-        return raw.decode("latin-1"), pos  # header octets are opaque
+        return raw.decode("latin-1"), pos, len(raw)  # header octets are opaque
 
 
 def _encode_string(s: str, huffman: bool = False) -> bytes:
@@ -220,19 +223,27 @@ class HpackDecoder:
         self._dyn: list[tuple[str, str]] = []  # newest first
         self._dyn_size = 0
 
-    @staticmethod
-    def _entry_size(name: str, value: str) -> int:
-        return len(name.encode()) + len(value.encode()) + 32  # RFC 7541 §4.1
-
     def _evict(self) -> None:
         while self._dyn_size > self.max_size:
-            name, value = self._dyn.pop()
-            self._dyn_size -= self._entry_size(name, value)
+            entry = self._dyn.pop()
+            self._dyn_size -= entry[2]
 
-    def _insert(self, name: str, value: str) -> None:
-        self._dyn.insert(0, (name, value))
-        self._dyn_size += self._entry_size(name, value)
+    def _insert(self, name: str, value: str, name_oct: int, value_oct: int) -> None:
+        # entry size = name octets + value octets + 32 (RFC 7541 §4.1),
+        # measured on the RECEIVED (decoded) octets, never a re-encode —
+        # latin-1-fallback strings would re-encode larger and desync our
+        # eviction from the peer encoder's
+        size = name_oct + value_oct + 32
+        self._dyn.insert(0, (name, value, size, name_oct))
+        self._dyn_size += size
         self._evict()
+
+    def _name_octets(self, index: int) -> int:
+        """Octet length of an indexed entry's NAME, for re-insertion
+        accounting (static names are ASCII; dynamic entries carry theirs)."""
+        if index <= _STATIC_LEN:
+            return len(STATIC_TABLE[index - 1][0])
+        return self._dyn[index - _STATIC_LEN - 1][3]
 
     def _lookup(self, index: int) -> tuple[str, str]:
         if index <= 0:
@@ -242,7 +253,7 @@ class HpackDecoder:
         d = index - _STATIC_LEN - 1
         if d >= len(self._dyn):
             raise HpackError(f"dynamic index {index} out of range")
-        return self._dyn[d]
+        return self._dyn[d][:2]
 
     def decode(self, block: bytes) -> list[tuple[str, str]]:
         headers: list[tuple[str, str]] = []
@@ -257,10 +268,11 @@ class HpackDecoder:
                 index, pos = decode_int(block, pos, 6)
                 if index:
                     name = self._lookup(index)[0]
+                    n_oct = self._name_octets(index)
                 else:
-                    name, pos = _decode_string(block, pos)
-                value, pos = _decode_string(block, pos)
-                self._insert(name, value)
+                    name, pos, n_oct = _decode_string(block, pos)
+                value, pos, v_oct = _decode_string(block, pos)
+                self._insert(name, value, n_oct, v_oct)
                 headers.append((name, value))
             elif b & 0x20:  # dynamic table size update
                 size, pos = decode_int(block, pos, 5)
@@ -273,8 +285,8 @@ class HpackDecoder:
                 if index:
                     name = self._lookup(index)[0]
                 else:
-                    name, pos = _decode_string(block, pos)
-                value, pos = _decode_string(block, pos)
+                    name, pos, _ = _decode_string(block, pos)
+                value, pos, _ = _decode_string(block, pos)
                 headers.append((name, value))
         return headers
 

@@ -167,6 +167,54 @@ def wire_send(client: H2Client, action: str, bodies: list, nonce: int,
 # ------------------------------------------------------------- unit layer
 
 
+class TestHpackRfcVectors:
+    """RFC 7541 Appendix C official vectors — asymmetric (decode the
+    spec's exact bytes), so a symmetric encode/decode bug in our own
+    Huffman/table code cannot hide behind a clean round trip."""
+
+    def test_c4_request_series_huffman(self):
+        d = HpackDecoder()
+        # C.4.1
+        hs = d.decode(bytes.fromhex("828684418cf1e3c2e5f23a6ba0ab90f4ff"))
+        assert hs == [(":method", "GET"), (":scheme", "http"),
+                      (":path", "/"), (":authority", "www.example.com")]
+        # C.4.2 — dynamic-table reference from the first request
+        hs = d.decode(bytes.fromhex("828684be5886a8eb10649cbf"))
+        assert hs[-1] == ("cache-control", "no-cache")
+        assert hs[3] == (":authority", "www.example.com")
+        # C.4.3 — huffman-coded new name + value
+        hs = d.decode(bytes.fromhex(
+            "828785bf408825a849e95ba97d7f8925a849e95bb8e8b4bf"))
+        assert hs[0] == (":method", "GET")
+        assert hs[1] == (":scheme", "https")
+        assert hs[2] == (":path", "/index.html")
+        assert hs[-1] == ("custom-key", "custom-value")
+
+    def test_c6_response_series_with_eviction(self):
+        # table capped at 256: inserting the third response's entries
+        # EVICTS the oldest — exercises size accounting + eviction order
+        d = HpackDecoder(max_table_size=256)
+        r1 = d.decode(bytes.fromhex(
+            "488264025885aec3771a4b6196d07abe941054d444a8200595040b8166"
+            "e082a62d1bff6e919d29ad171863c78f0b97c8e9ae82ae43d3"))
+        assert r1[0] == (":status", "302")
+        assert r1[1] == ("cache-control", "private")
+        assert r1[2] == ("date", "Mon, 21 Oct 2013 20:13:21 GMT")
+        assert r1[3] == ("location", "https://www.example.com")
+        r2 = d.decode(bytes.fromhex("4883640effc1c0bf"))
+        assert r2[0] == (":status", "307")
+        assert r2[1:] == r1[1:]  # all indexed references resolve
+
+    def test_dynamic_table_accounts_received_octets(self):
+        # a non-UTF8 value (latin-1 fallback) must account its RECEIVED
+        # octet length (3), not its UTF-8 re-encode (6) — RFC 7541 §4.1
+        d = HpackDecoder(max_table_size=200)
+        blk = (bytes([0x40]) + encode_int(1, 7) + b"x"
+               + encode_int(3, 7) + bytes([0x80, 0xFF, 0xFE]))
+        d.decode(blk)
+        assert d._dyn_size == 1 + 3 + 32
+
+
 class TestFrameLayer:
     def test_frame_round_trip(self):
         raw = h2.pack_frame(h2.DATA, h2.FLAG_END_STREAM, 7, b"hello")
@@ -361,6 +409,92 @@ class TestTransportEdges:
                 ftype, flags, _, payload = c.recv_frame()
                 if ftype == h2.PING and flags & h2.FLAG_ACK:
                     assert payload == b"12345678"
+                    break
+        finally:
+            c.close()
+
+    def test_rst_on_flow_blocked_stream_unblocks_connection(self, h2_server):
+        # review regression: a cancelled stream's window never reopens —
+        # the server must abort that send on RST_STREAM, not spin on it
+        # until io_timeout kills the whole connection
+        c = H2Client(h2_server.port, initial_window=48, timeout=30)
+        try:
+            req_schema, _, _ = _schemas("/db3_system_proto.System/GetSystemStatus")
+            sid = c.send_request(
+                "/db3_system_proto.System/GetSystemStatus",
+                req_schema.encode({}),
+            )
+            # read until the first (window-capped) DATA chunk, then cancel
+            while True:
+                ftype, flags, fsid, payload = c.recv_frame()
+                if ftype == h2.DATA and fsid == sid:
+                    break
+            c.sock.sendall(h2.pack_frame(
+                h2.RST_STREAM, 0, sid, (8).to_bytes(4, "big")
+            ))
+            # the connection must still serve new requests promptly
+            msgs, status, message = c.call(
+                "/db3_storage_proto.StorageNode/GetNonce",
+                {"address": "0x" + "56" * 20},
+            )
+            assert status == 0, message
+            assert msgs[0].get("nonce", 0) >= 1
+        finally:
+            c.close()
+
+    def test_rst_cancels_subscribe_promptly(self, h2_server):
+        # review regression: Subscribe must honor RST_STREAM between
+        # events, not stream into the void until its deadline while
+        # queued RPCs starve
+        import time
+
+        gateway = h2_server.tcp.gateway
+        old = gateway.SUBSCRIBE_MAX_SECONDS
+        gateway.SUBSCRIBE_MAX_SECONDS = 60
+        c = H2Client(h2_server.port, timeout=30)
+        try:
+            req_schema, _, _ = _schemas(
+                "/db3_storage_proto.StorageNode/Subscribe")
+            sid = c.send_request(
+                "/db3_storage_proto.StorageNode/Subscribe",
+                req_schema.encode({"signature": "", "payload": ""}),
+            )
+            # response headers arrive, then cancel the stream
+            while True:
+                ftype, flags, fsid, _ = c.recv_frame()
+                if ftype == h2.HEADERS and fsid == sid:
+                    break
+            c.sock.sendall(h2.pack_frame(
+                h2.RST_STREAM, 0, sid, (8).to_bytes(4, "big")
+            ))
+            t0 = time.monotonic()
+            msgs, status, message = c.call(
+                "/db3_storage_proto.StorageNode/GetNonce",
+                {"address": "0x" + "57" * 20},
+            )
+            assert status == 0, message
+            assert time.monotonic() - t0 < 20  # not the 60 s stream window
+        finally:
+            c.close()
+            gateway.SUBSCRIBE_MAX_SECONDS = old
+
+    def test_goaway_carries_last_processed_stream(self, h2_server):
+        # review regression: GOAWAY must advertise the highest PROCESSED
+        # stream id so clients never replay applied mutations
+        c = H2Client(h2_server.port)
+        try:
+            msgs, status, _ = c.call(
+                "/db3_storage_proto.StorageNode/GetNonce",
+                {"address": "0x" + "58" * 20},
+            )
+            assert status == 0
+            # CONTINUATION outside a header block = connection error
+            c.sock.sendall(h2.pack_frame(h2.CONTINUATION, 0, 3, b"x"))
+            while True:
+                ftype, flags, fsid, payload = c.recv_frame()
+                if ftype == h2.GOAWAY:
+                    last_sid = int.from_bytes(payload[:4], "big")
+                    assert last_sid == 1  # stream 1 WAS processed
                     break
         finally:
             c.close()
