@@ -152,10 +152,13 @@ class _Connection:
             st = self.streams.pop(sid, None)
             if st:
                 st.reset = True
-            # remember the cancellation ONLY while its stream can still be
-            # acted on (assembling, queued, or mid-response) — pruned when
-            # that dispatch finishes, so the set stays bounded
-            if st is not None or sid == self.responding_sid or any(
+            # remember the cancellation ONLY while a dispatch for this
+            # stream is pending (queued) or running — those paths prune
+            # the entry when they finish, so the set stays bounded. A
+            # stream cancelled mid-assembly (st popped above, never
+            # reaching `ready`) needs no memory: it can never dispatch,
+            # and late DATA for it already drops via max_started_sid.
+            if sid == self.responding_sid or any(
                 s.sid == sid for s in self.ready
             ):
                 self.reset_streams.add(sid)
@@ -255,10 +258,17 @@ class _Connection:
             raise h2.H2Error(h2.PROTOCOL_ERROR, "zero WINDOW_UPDATE")
         if sid == 0:
             self.send_window += inc
-        else:
+        elif (
+            sid in self.stream_send_windows
+            or sid in self.streams
+            or sid == self.responding_sid
+        ):
             self.stream_send_windows[sid] = (
                 self.stream_send_windows.get(sid, self.peer_initial_window) + inc
             )
+        # else: update for a finished/idle stream (the client's in-flight
+        # WINDOW_UPDATE racing our END_STREAM, or garbage sids) — ignore
+        # rather than resurrect bookkeeping that nothing would ever prune
 
     # ---------------------------------------------------------- dispatch
 
@@ -352,22 +362,33 @@ class _Connection:
         self._send_trailers(st.sid, 0, "")
 
     def _drain_incoming(self) -> None:
-        """Process every frame the peer has ALREADY sent, without
-        blocking. Non-blocking MSG_PEEK probe (not select() — FD_SETSIZE)
-        decides whether a frame is pending; each pending frame is then
-        read normally. The socket must flip to non-blocking for the probe:
-        in timeout mode Python's recv WAITS for readability before the
-        syscall, so MSG_DONTWAIT alone would still block."""
+        """Process every COMPLETE frame the peer has already sent, without
+        blocking. Non-blocking MSG_PEEK probes (not select() — FD_SETSIZE)
+        check that the full frame header AND payload are buffered before
+        committing to the blocking read — a partial frame (slow sender,
+        split segments) is left for the next drain or the main serve loop
+        rather than stalling this one on io_timeout. The socket flips to
+        non-blocking for the probe: in timeout mode Python's recv WAITS
+        for readability before the syscall, so MSG_DONTWAIT alone would
+        still block. Frames (≤ ~16 KiB + padding) are far smaller than
+        any SO_RCVBUF, so a complete frame is always fully peekable."""
         while True:
             try:
                 self.sock.settimeout(0)
-                probe = self.sock.recv(1, socket.MSG_PEEK)
+                head = self.sock.recv(9, socket.MSG_PEEK)
+                if head and len(head) == 9:
+                    need = 9 + int.from_bytes(head[:3], "big")
+                    whole = self.sock.recv(need, socket.MSG_PEEK)
+                else:
+                    whole = head
             except (BlockingIOError, InterruptedError):
                 return
             finally:
                 self.sock.settimeout(self.io_timeout)
-            if not probe:
+            if whole == b"":
                 raise ConnectionError("peer closed")
+            if len(head) < 9 or len(whole) < need:
+                return  # partial frame: revisit when the rest arrives
             self._process_one_frame()
 
     # ----------------------------------------------------------- senders
@@ -436,6 +457,9 @@ class _H2Handler(socketserver.BaseRequestHandler):
     def handle(self) -> None:
         self.request.settimeout(self.server.io_timeout)
         conn = _Connection(self.request, self.server.gateway)
+        # observability hook: tests assert the bounded-bookkeeping
+        # invariant (per-stream state dies with its stream) on a live conn
+        self.server.last_connection = conn
         conn.serve()
 
 

@@ -176,6 +176,18 @@ def _missing_collections(store, good: DataFrame) -> list:
     return [t for t in touched if (t["db_addr"], t["col_name"]) not in existing]
 
 
+def _empty_report() -> dict:
+    """The import-report skeleton — ONE definition shared by the batch
+    import and the streaming tail's quiet-trigger aggregate, so a new
+    counter can't silently go missing from either."""
+    return {
+        "mutations": 0, "bodies": 0, "errors": 0, "control_applied": 0,
+        "doc_ops": 0, "bound_creates": 0, "synthesized_creates": 0,
+        "leftover_creates": 0, "autocreated_collections": 0,
+        "skipped": 0, "already_applied": 0, "senders": [],
+    }
+
+
 def import_wire_rollup(
     store, rollup_df: DataFrame, layout: str = "auto", verify: bool = True,
     strict: bool = True,
@@ -188,12 +200,7 @@ def import_wire_rollup(
     """
     decoded = decode_wire_log(rollup_df, layout=layout, verify=verify).persist()
     try:
-        report = {
-            "mutations": 0, "bodies": 0, "errors": 0, "control_applied": 0,
-            "doc_ops": 0, "bound_creates": 0, "synthesized_creates": 0,
-            "leftover_creates": 0, "autocreated_collections": 0,
-            "skipped": 0, "already_applied": 0, "senders": [],
-        }
+        report = _empty_report()
         err_rows = decoded.filter(F.col("error").isNotNull())
         examples = err_rows.limit(3).collect()
         if examples:
@@ -613,12 +620,7 @@ class WireTailImport:
         q.awaitTermination()
         # zeroed skeleton so a quiet trigger still returns every counter
         # (callers read report["mutations"] per the documented contract)
-        agg: dict = {
-            "mutations": 0, "bodies": 0, "errors": 0, "control_applied": 0,
-            "doc_ops": 0, "bound_creates": 0, "synthesized_creates": 0,
-            "leftover_creates": 0, "autocreated_collections": 0,
-            "skipped": 0, "already_applied": 0, "senders": [],
-        }
+        agg: dict = _empty_report()
         for rep in self.reports[first:]:
             for k, v in rep.items():
                 if isinstance(v, (int, float)):

@@ -540,6 +540,60 @@ class TestTransportEdges:
             http.stop()
 
 
+class TestBoundedBookkeeping:
+    def test_per_stream_state_dies_with_its_stream(self, h2_server):
+        # review regression: on an hours-long gRPC channel, NO per-stream
+        # container may grow with connection lifetime — completed streams,
+        # streams cancelled mid-assembly (RST before END_STREAM), and
+        # WINDOW_UPDATEs racing our END_STREAM must all leave no residue
+        import time
+
+        c = H2Client(h2_server.port)
+        try:
+            addr = "0x" + "60" * 20
+            for _ in range(3):  # completed unary streams
+                msgs, status, _ = c.call(
+                    "/db3_storage_proto.StorageNode/GetNonce",
+                    {"address": addr},
+                )
+                assert status == 0
+            # stream cancelled mid-assembly: HEADERS without END_STREAM,
+            # then RST before any body
+            sid = c.next_sid
+            c.next_sid += 2
+            block = c.encoder.encode([
+                (":method", "POST"), (":scheme", "http"),
+                (":path", "/db3_storage_proto.StorageNode/GetNonce"),
+                ("content-type", "application/grpc"),
+            ])
+            c.sock.sendall(h2.pack_frame(h2.HEADERS, h2.FLAG_END_HEADERS, sid, block))
+            c.sock.sendall(h2.pack_frame(
+                h2.RST_STREAM, 0, sid, (8).to_bytes(4, "big")
+            ))
+            # WINDOW_UPDATE for an already-finished stream (the race with
+            # our END_STREAM) must not resurrect its bookkeeping
+            c.sock.sendall(h2.pack_frame(
+                h2.WINDOW_UPDATE, 0, 1, (1000).to_bytes(4, "big")
+            ))
+            # one more full round trip so the server has processed it all
+            msgs, status, _ = c.call(
+                "/db3_storage_proto.StorageNode/GetNonce", {"address": addr},
+            )
+            assert status == 0
+            conn = h2_server.tcp.last_connection
+            deadline = time.monotonic() + 5
+            while time.monotonic() < deadline and (
+                conn.streams or conn.reset_streams or conn.stream_send_windows
+            ):
+                time.sleep(0.05)
+            assert conn.streams == {}
+            assert conn.reset_streams == set()
+            assert conn.stream_send_windows == {}
+            assert conn.max_processed_sid >= 7
+        finally:
+            c.close()
+
+
 class TestSubscribeStream:
     def test_block_events_stream_over_h2(self, h2_server):
         import threading
