@@ -272,6 +272,23 @@ class _Connection:
 
     # ---------------------------------------------------------- dispatch
 
+    def _dispatch_st(self, st: _Stream) -> None:
+        """Respond to one completed stream, with the per-stream
+        bookkeeping torn down afterwards. responding_sid save/restore
+        makes this safe to NEST (a unary dispatched from inside a live
+        Subscribe loop)."""
+        saved = self.responding_sid
+        try:
+            if not st.reset and st.sid not in self.reset_streams:
+                self.responding_sid = st.sid
+                self._respond(st)
+        finally:
+            self.responding_sid = saved
+            self.max_processed_sid = max(self.max_processed_sid, st.sid)
+            # stream is over: its bookkeeping dies with it
+            self.reset_streams.discard(st.sid)
+            self.stream_send_windows.pop(st.sid, None)
+
     def _drain_ready(self) -> None:
         if self.dispatching:
             return  # nested intake during a flow-control wait: defer
@@ -280,18 +297,32 @@ class _Connection:
             while self.ready:
                 st = self.ready.pop(0)
                 self.streams.pop(st.sid, None)
-                try:
-                    if not st.reset and st.sid not in self.reset_streams:
-                        self.responding_sid = st.sid
-                        self._respond(st)
-                finally:
-                    self.responding_sid = None
-                    self.max_processed_sid = max(self.max_processed_sid, st.sid)
-                    # stream is over: its bookkeeping dies with it
-                    self.reset_streams.discard(st.sid)
-                    self.stream_send_windows.pop(st.sid, None)
+                self._dispatch_st(st)
         finally:
             self.dispatching = False
+
+    def _is_streaming_request(self, st: _Stream) -> bool:
+        try:
+            path = next((v for k, v in st.headers if k == ":path"), "")
+            return bool(self.gateway.resolve(path)[4])
+        except Exception:  # noqa: BLE001 — unknown method: unary error path
+            return False
+
+    def _dispatch_unary_pending(self) -> None:
+        """Answer completed UNARY requests that arrived while a Subscribe
+        stream holds this connection's thread — grpc-java multiplexes
+        calls over one channel, and a 300 s stream must not starve a
+        GetNonce. Server-streaming requests stay queued (nesting two
+        subscribes would deadlock the inner behind the outer); they
+        dispatch when the current stream ends."""
+        i = 0
+        while i < len(self.ready):
+            if self._is_streaming_request(self.ready[i]):
+                i += 1
+                continue
+            st = self.ready.pop(i)
+            self.streams.pop(st.sid, None)
+            self._dispatch_st(st)
 
     def _respond(self, st: _Stream) -> None:
         pseudo = {k: v for k, v in st.headers if k.startswith(":")}
@@ -349,6 +380,8 @@ class _Connection:
                 self._drain_incoming()
                 if st.sid in self.reset_streams:
                     return  # client cancelled; stream is already closed
+                # multiplexed unary calls answer NOW, between events
+                self._dispatch_unary_pending()
                 if encoded is None:
                     # liveness tick — PING the peer so a vanished client
                     # surfaces as a send error instead of an eternal wait

@@ -540,6 +540,50 @@ class TestTransportEdges:
             http.stop()
 
 
+class TestMultiplexedUnaryDuringSubscribe:
+    def test_unary_answers_while_stream_is_live(self, h2_server):
+        # grpc-java multiplexes calls over ONE channel: a unary issued
+        # while a Subscribe stream is live must answer between events,
+        # not after the stream's deadline
+        import time
+
+        gateway = h2_server.tcp.gateway
+        old = gateway.SUBSCRIBE_MAX_SECONDS
+        gateway.SUBSCRIBE_MAX_SECONDS = 45
+        c = H2Client(h2_server.port, timeout=30)
+        try:
+            req_schema, _, _ = _schemas(
+                "/db3_storage_proto.StorageNode/Subscribe")
+            sub_sid = c.send_request(
+                "/db3_storage_proto.StorageNode/Subscribe",
+                req_schema.encode({"signature": "", "payload": ""}),
+            )
+            while True:  # stream is live once its headers arrive
+                ftype, flags, fsid, _ = c.recv_frame()
+                if ftype == h2.HEADERS and fsid == sub_sid:
+                    break
+            t0 = time.monotonic()
+            msgs, status, message = c.call(
+                "/db3_storage_proto.StorageNode/GetNonce",
+                {"address": "0x" + "61" * 20},
+            )
+            assert status == 0, message
+            assert time.monotonic() - t0 < 15  # between ticks, not at 45 s
+            # the stream is STILL live afterwards: liveness PINGs keep coming
+            saw_ping = False
+            deadline = time.monotonic() + 10
+            while time.monotonic() < deadline and not saw_ping:
+                ftype, flags, fsid, _ = c.recv_frame()
+                saw_ping = ftype == h2.PING and not flags & h2.FLAG_ACK
+            assert saw_ping
+            c.sock.sendall(h2.pack_frame(
+                h2.RST_STREAM, 0, sub_sid, (8).to_bytes(4, "big")
+            ))
+        finally:
+            c.close()
+            gateway.SUBSCRIBE_MAX_SECONDS = old
+
+
 class TestBoundedBookkeeping:
     def test_per_stream_state_dies_with_its_stream(self, h2_server):
         # review regression: on an hours-long gRPC channel, NO per-stream
