@@ -69,7 +69,12 @@ class _Connection:
         self.max_started_sid = 0
         self.max_processed_sid = 0
         self.reset_streams: set[int] = set()
-        self.responding_sid: int | None = None
+        # stack of streams currently being responded to — MORE than one
+        # when a unary dispatches nested inside a live Subscribe; RST and
+        # WINDOW_UPDATE checks must see every level, not just the top,
+        # or a cancel for the outer stream during a nested dispatch is
+        # lost and the server streams to a dead stream forever
+        self.responding_sids: list[int] = []
         self.ready: list[_Stream] = []
         self.dispatching = False
         # flow control for OUR sends: connection window + per-stream
@@ -158,7 +163,7 @@ class _Connection:
             # stream cancelled mid-assembly (st popped above, never
             # reaching `ready`) needs no memory: it can never dispatch,
             # and late DATA for it already drops via max_started_sid.
-            if sid == self.responding_sid or any(
+            if sid in self.responding_sids or any(
                 s.sid == sid for s in self.ready
             ):
                 self.reset_streams.add(sid)
@@ -223,20 +228,29 @@ class _Connection:
             self.ready.append(st)
 
     def _on_data(self, flags: int, sid: int, payload: bytes) -> None:
+        # validate the stream id BEFORE granting window: DATA on stream 0
+        # or an idle stream is a connection error (RFC 9113 §6.1), and
+        # replying to it with WINDOW_UPDATE frames would double-grant our
+        # own receive window / emit frames on a stream that never existed
+        if sid == 0:
+            raise h2.H2Error(h2.PROTOCOL_ERROR, "DATA on stream 0")
         st = self.streams.get(sid)
+        if st is None and sid > self.max_started_sid:
+            raise h2.H2Error(h2.PROTOCOL_ERROR, f"DATA on idle stream {sid}")
         raw_len = len(payload)
         body = h2.strip_padding(payload, flags)
-        # replenish BOTH receive windows so the client never stalls;
-        # we consume data as it arrives (assembly buffer, bounded below)
+        # replenish receive windows so the client never stalls; we consume
+        # data as it arrives (assembly buffer, bounded below). Late DATA
+        # for a finished stream still counted against the CONNECTION
+        # window, so that grant always goes out; the stream-level grant is
+        # only meaningful while the stream is open
         if raw_len:
             upd = raw_len.to_bytes(4, "big")
-            self._send(
-                h2.pack_frame(h2.WINDOW_UPDATE, 0, 0, upd)
-                + h2.pack_frame(h2.WINDOW_UPDATE, 0, sid, upd)
-            )
+            grant = h2.pack_frame(h2.WINDOW_UPDATE, 0, 0, upd)
+            if st is not None and not st.ended:
+                grant += h2.pack_frame(h2.WINDOW_UPDATE, 0, sid, upd)
+            self._send(grant)
         if st is None or st.ended:
-            if sid > self.max_started_sid:
-                raise h2.H2Error(h2.PROTOCOL_ERROR, f"DATA on idle stream {sid}")
             return  # late DATA after reset/response: drop
         st.body += body
         if len(st.body) > _MAX_BODY:
@@ -261,7 +275,7 @@ class _Connection:
         elif (
             sid in self.stream_send_windows
             or sid in self.streams
-            or sid == self.responding_sid
+            or sid in self.responding_sids
         ):
             self.stream_send_windows[sid] = (
                 self.stream_send_windows.get(sid, self.peer_initial_window) + inc
@@ -274,16 +288,18 @@ class _Connection:
 
     def _dispatch_st(self, st: _Stream) -> None:
         """Respond to one completed stream, with the per-stream
-        bookkeeping torn down afterwards. responding_sid save/restore
-        makes this safe to NEST (a unary dispatched from inside a live
-        Subscribe loop)."""
-        saved = self.responding_sid
+        bookkeeping torn down afterwards. responding_sids is a STACK so
+        this is safe to NEST (a unary dispatched from inside a live
+        Subscribe loop) without hiding the outer stream from RST and
+        WINDOW_UPDATE bookkeeping."""
         try:
             if not st.reset and st.sid not in self.reset_streams:
-                self.responding_sid = st.sid
-                self._respond(st)
+                self.responding_sids.append(st.sid)
+                try:
+                    self._respond(st)
+                finally:
+                    self.responding_sids.pop()
         finally:
-            self.responding_sid = saved
             self.max_processed_sid = max(self.max_processed_sid, st.sid)
             # stream is over: its bookkeeping dies with it
             self.reset_streams.discard(st.sid)
@@ -346,6 +362,13 @@ class _Connection:
         except GrpcStatus as e:
             self._send_trailers_only(st.sid, e.code, str(e))
             return
+        except (h2.H2Error, OSError):
+            # connection-level failure (malformed frame seen during a
+            # nested drain, peer vanished): let serve() tear the whole
+            # connection down with GOAWAY — answering with trailers-only
+            # would put a second `:status` HEADERS on an open stream and
+            # leave a desynced connection alive
+            raise
         except ValueError as e:
             self._send_trailers_only(st.sid, 3, f"bad request: {e}")
             return
@@ -392,6 +415,18 @@ class _Connection:
                     return  # reset arrived during a flow-control wait
         except (ConnectionError, BrokenPipeError, OSError):
             raise ConnectionError("subscriber vanished")
+        except h2.H2Error:
+            raise  # malformed peer frame: connection-level GOAWAY path
+        except GrpcStatus as e:
+            # response HEADERS are already out — report the failure in
+            # REGULAR trailers (no :status), never a trailers-only block
+            if st.sid not in self.reset_streams:
+                self._send_trailers(st.sid, e.code, str(e))
+            return
+        except Exception as e:  # noqa: BLE001 — stream fails, conn survives
+            if st.sid not in self.reset_streams:
+                self._send_trailers(st.sid, 13, f"internal: {e}")
+            return
         self._send_trailers(st.sid, 0, "")
 
     def _drain_incoming(self) -> None:
@@ -422,7 +457,39 @@ class _Connection:
                 raise ConnectionError("peer closed")
             if len(head) < 9 or len(whole) < need:
                 return  # partial frame: revisit when the rest arrives
+            if head[3] == h2.HEADERS and not head[4] & h2.FLAG_END_HEADERS:
+                # a header block spans CONTINUATION frames and
+                # _on_headers reads them ALL with blocking recvs — only
+                # commit once every fragment through END_HEADERS is
+                # buffered, or a half-sent block stalls the whole drain
+                # (liveness pings, event delivery) for up to io_timeout
+                if not self._header_block_buffered(need):
+                    return
             self._process_one_frame()
+
+    def _header_block_buffered(self, off: int) -> bool:
+        """True when every CONTINUATION through END_HEADERS is already in
+        the socket buffer, peeking past ``off`` (the HEADERS frame's end).
+        Capped at the header-block limit: an over-limit block commits to
+        processing anyway — _on_headers raises the protocol error for it."""
+        try:
+            self.sock.settimeout(0)
+            while off <= _MAX_HEADER_BLOCK + 4096:
+                probe = self.sock.recv(off + 9, socket.MSG_PEEK)
+                if len(probe) < off + 9:
+                    return False
+                ln = int.from_bytes(probe[off:off + 3], "big")
+                flags = probe[off + 4]
+                off += 9 + ln
+                if len(self.sock.recv(off, socket.MSG_PEEK)) < off:
+                    return False
+                if flags & h2.FLAG_END_HEADERS:
+                    return True
+            return True  # over the cap: let _on_headers reject it
+        except (BlockingIOError, InterruptedError):
+            return False
+        finally:
+            self.sock.settimeout(self.io_timeout)
 
     # ----------------------------------------------------------- senders
 

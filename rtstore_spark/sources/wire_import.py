@@ -593,17 +593,20 @@ class WireTailImport:
         self.layout = layout
         self.verify = verify
         self.strict = strict
-        self.reports: list[dict] = []
+        # running totals across every run_once() — bounded (one dict),
+        # unlike a per-batch report list, which would grow forever on a
+        # long-lived tail loop (each report carries a senders list)
+        self.totals: dict = _empty_report()
 
     def run_once(self) -> dict:
         """Import everything new under ``path``; returns the aggregated
         report for this run (zeros when no new files appeared)."""
-        first = len(self.reports)
+        batch_reports: list[dict] = []
 
         def apply_batch(batch_df, batch_id):
             if batch_df.isEmpty():
                 return
-            self.reports.append(import_wire_rollup(
+            batch_reports.append(import_wire_rollup(
                 self.store, batch_df, layout=self.layout,
                 verify=self.verify, strict=self.strict,
             ))
@@ -621,10 +624,15 @@ class WireTailImport:
         # zeroed skeleton so a quiet trigger still returns every counter
         # (callers read report["mutations"] per the documented contract)
         agg: dict = _empty_report()
-        for rep in self.reports[first:]:
+        for rep in batch_reports:
             for k, v in rep.items():
                 if isinstance(v, (int, float)):
                     agg[k] = agg.get(k, 0) + v
                 elif isinstance(v, list):
                     agg[k] = sorted(set(agg.get(k, [])) | set(v))
+        for k, v in agg.items():
+            if isinstance(v, (int, float)):
+                self.totals[k] = self.totals.get(k, 0) + v
+            elif isinstance(v, list):
+                self.totals[k] = sorted(set(self.totals.get(k, [])) | set(v))
         return agg

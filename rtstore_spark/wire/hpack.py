@@ -81,6 +81,10 @@ def huffman_encode(data: bytes) -> bytes:
         while nbits >= 8:
             nbits -= 8
             out.append((acc >> nbits) & 0xFF)
+        # truncate emitted high bits: without this the accumulator grows
+        # with the input and every shift turns O(len), making the whole
+        # encode quadratic in the string length
+        acc &= (1 << nbits) - 1
     if nbits:
         # pad with the EOS prefix (all ones)
         out.append(((acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)) & 0xFF)

@@ -214,6 +214,21 @@ class TestHpackRfcVectors:
         d.decode(blk)
         assert d._dyn_size == 1 + 3 + 32
 
+    def test_huffman_encode_linear_on_large_values(self):
+        # review regression: the encoder never truncated its bit
+        # accumulator, so the int grew with the input and every shift
+        # cost O(len) — quadratic overall; a 64 KiB value took minutes
+        import time
+
+        from rtstore_spark.wire.hpack import huffman_decode, huffman_encode
+
+        data = bytes(range(256)) * 256  # 64 KiB, every symbol length
+        t0 = time.monotonic()
+        enc = huffman_encode(data)
+        elapsed = time.monotonic() - t0
+        assert huffman_decode(enc) == data
+        assert elapsed < 5.0
+
 
 class TestFrameLayer:
     def test_frame_round_trip(self):
@@ -698,3 +713,249 @@ class TestSubscribeStream:
             c.close()
             if old is not None:
                 gateway.SUBSCRIBE_MAX_SECONDS = old
+
+
+class TestConnectionErrorHandling:
+    """Round-7 review regressions: connection-level faults must tear the
+    connection down with GOAWAY — never get mapped to per-stream
+    trailers, and never pass through the window-grant path first."""
+
+    def test_data_on_stream_zero_is_connection_error(self, h2_server):
+        c = H2Client(h2_server.port, timeout=30)
+        try:
+            # a healthy round trip first, so GOAWAY's last-sid is provable
+            msgs, status, _ = c.call(
+                "/db3_storage_proto.StorageNode/GetNonce",
+                {"address": "0x" + "62" * 20},
+            )
+            assert status == 0
+            c.sock.sendall(h2.pack_frame(h2.DATA, 0, 0, b"bogus"))
+            saw_goaway = False
+            while not saw_goaway:
+                ftype, flags, fsid, payload = c.recv_frame()
+                # the server must NOT answer the poison DATA with
+                # WINDOW_UPDATE grants before rejecting it
+                assert ftype != h2.WINDOW_UPDATE
+                if ftype == h2.GOAWAY:
+                    assert int.from_bytes(payload[4:8], "big") == h2.PROTOCOL_ERROR
+                    saw_goaway = True
+        finally:
+            c.close()
+
+    def test_data_on_idle_stream_is_connection_error(self, h2_server):
+        c = H2Client(h2_server.port, timeout=30)
+        try:
+            c.sock.sendall(h2.pack_frame(h2.DATA, 0, 99, b"idle"))
+            while True:
+                ftype, flags, fsid, payload = c.recv_frame()
+                assert ftype != h2.WINDOW_UPDATE
+                if ftype == h2.GOAWAY:
+                    assert int.from_bytes(payload[4:8], "big") == h2.PROTOCOL_ERROR
+                    break
+        finally:
+            c.close()
+
+    def test_malformed_frame_during_subscribe_gets_goaway(self, h2_server):
+        # an H2Error raised from the nested drain inside a live Subscribe
+        # must surface as GOAWAY + teardown, NOT as a trailers-only
+        # HEADERS (a second :status on an open stream is malformed and
+        # leaves a desynced connection alive)
+        gateway = h2_server.tcp.gateway
+        old = gateway.SUBSCRIBE_MAX_SECONDS
+        gateway.SUBSCRIBE_MAX_SECONDS = 30
+        c = H2Client(h2_server.port, timeout=30)
+        try:
+            req_schema, _, _ = _schemas(
+                "/db3_storage_proto.StorageNode/Subscribe")
+            sid = c.send_request(
+                "/db3_storage_proto.StorageNode/Subscribe",
+                req_schema.encode({"signature": "", "payload": ""}),
+            )
+            while True:
+                ftype, flags, fsid, _ = c.recv_frame()
+                if ftype == h2.HEADERS and fsid == sid:
+                    break
+            # SETTINGS with length not a multiple of 6: connection error
+            c.sock.sendall(h2.pack_frame(h2.SETTINGS, 0, 0, b"\x00\x01\x02"))
+            saw_goaway = False
+            deadline = __import__("time").monotonic() + 20
+            while __import__("time").monotonic() < deadline and not saw_goaway:
+                ftype, flags, fsid, payload = c.recv_frame()
+                if ftype == h2.HEADERS and fsid == sid:
+                    # any HEADERS now would be the malformed second
+                    # :status block the fix removes
+                    decoded = HpackDecoder().decode(
+                        h2.strip_padding(payload, flags))
+                    assert (":status", "200") not in decoded
+                if ftype == h2.GOAWAY:
+                    saw_goaway = True
+            assert saw_goaway
+        finally:
+            c.close()
+            gateway.SUBSCRIBE_MAX_SECONDS = old
+
+
+class TestRstDuringNestedDispatch:
+    def test_outer_subscribe_rst_while_unary_flow_blocked(self, h2_server):
+        # review regression: RST for the OUTER Subscribe stream arriving
+        # while a nested unary dispatch is flow-blocked must still be
+        # recorded — the old single responding_sid pointed at the inner
+        # stream, the outer was in neither streams nor ready, and the
+        # cancel was lost (server streams to a dead stream forever)
+        import threading
+        import time
+
+        gateway = h2_server.tcp.gateway
+        old = gateway.SUBSCRIBE_MAX_SECONDS
+        gateway.SUBSCRIBE_MAX_SECONDS = 40
+        c = H2Client(h2_server.port, initial_window=48, timeout=30)
+        try:
+            req_schema, _, _ = _schemas(
+                "/db3_storage_proto.StorageNode/Subscribe")
+            sub_sid = c.send_request(
+                "/db3_storage_proto.StorageNode/Subscribe",
+                req_schema.encode({"signature": "", "payload": ""}),
+            )
+            while True:
+                ftype, flags, fsid, _ = c.recv_frame()
+                if ftype == h2.HEADERS and fsid == sub_sid:
+                    break
+            # nested unary whose >48-byte response will flow-block
+            sys_schema, _, _ = _schemas(
+                "/db3_system_proto.System/GetSystemStatus")
+            uni_sid = c.send_request(
+                "/db3_system_proto.System/GetSystemStatus",
+                sys_schema.encode({}),
+            )
+            while True:  # first capped DATA chunk = server blocked in send
+                ftype, flags, fsid, payload = c.recv_frame()
+                if ftype == h2.DATA and fsid == uni_sid:
+                    break
+            # cancel the OUTER stream while the inner is mid-send
+            c.sock.sendall(h2.pack_frame(
+                h2.RST_STREAM, 0, sub_sid, (8).to_bytes(4, "big")
+            ))
+            # then open the inner stream's window so it can finish
+            upd = (1 << 20).to_bytes(4, "big")
+            c.sock.sendall(
+                h2.pack_frame(h2.WINDOW_UPDATE, 0, 0, upd)
+                + h2.pack_frame(h2.WINDOW_UPDATE, 0, uni_sid, upd)
+            )
+            # hand-scan to the unary trailers (the first DATA chunk was
+            # already consumed above, so read_response can't reassemble)
+            status = None
+            while status is None:
+                ftype, flags, fsid, payload = c.recv_frame()
+                if ftype == h2.HEADERS and fsid == uni_sid:
+                    td = dict(c.decoder.decode(h2.strip_padding(payload, flags)))
+                    if flags & h2.FLAG_END_STREAM:
+                        status = int(td.get("grpc-status", "0"))
+            assert status == 0
+            # drive a block event; NOTHING may arrive on the cancelled
+            # subscribe stream now
+            store = h2_server.node.store
+            def mutate():
+                store.create_database("0x" + "ac" * 20, 1, desc="rst-nested")
+                store.state.next_block()
+            threading.Thread(target=mutate, daemon=True).start()
+            deadline = time.monotonic() + 8
+            c.sock.settimeout(2)
+            while time.monotonic() < deadline:
+                try:
+                    ftype, flags, fsid, payload = c.recv_frame()
+                except (TimeoutError, socket.timeout):
+                    continue
+                assert not (ftype == h2.DATA and fsid == sub_sid), \
+                    "event streamed to a cancelled subscribe stream"
+        finally:
+            c.close()
+            gateway.SUBSCRIBE_MAX_SECONDS = old
+
+
+class TestPartialHeaderBlockDuringSubscribe:
+    def test_half_sent_header_block_does_not_stall_stream(self, h2_server):
+        # review regression: the non-blocking drain only verified the
+        # FIRST frame was buffered; a HEADERS without END_HEADERS then
+        # committed to blocking CONTINUATION reads and one half-sent
+        # header block froze event delivery for io_timeout
+        import threading
+        import time
+
+        gateway = h2_server.tcp.gateway
+        old = gateway.SUBSCRIBE_MAX_SECONDS
+        gateway.SUBSCRIBE_MAX_SECONDS = 40
+        c = H2Client(h2_server.port, timeout=30)
+        try:
+            req_schema, resp_schema, _ = _schemas(
+                "/db3_storage_proto.StorageNode/Subscribe")
+            sub_sid = c.send_request(
+                "/db3_storage_proto.StorageNode/Subscribe",
+                req_schema.encode({"signature": "", "payload": ""}),
+            )
+            while True:
+                ftype, flags, fsid, _ = c.recv_frame()
+                if ftype == h2.HEADERS and fsid == sub_sid:
+                    break
+            # half a header block for a new unary: HEADERS w/o END_HEADERS
+            nonce_sid = c.next_sid
+            c.next_sid += 2
+            block = c.encoder.encode([
+                (":method", "POST"), (":scheme", "http"),
+                (":path", "/db3_storage_proto.StorageNode/GetNonce"),
+                ("content-type", "application/grpc"),
+            ])
+            half = len(block) // 2
+            c.sock.sendall(h2.pack_frame(h2.HEADERS, 0, nonce_sid, block[:half]))
+            # events must still flow while the block is incomplete
+            store = h2_server.node.store
+            def mutate():
+                time.sleep(0.5)
+                store.create_database("0x" + "ad" * 20, 1, desc="stall-test")
+                store.state.next_block()
+            t = threading.Thread(target=mutate, daemon=True)
+            t.start()
+            buf = bytearray()
+            event = None
+            deadline = time.monotonic() + 25
+
+            def recv_no_ack():
+                # recv_frame auto-acks PINGs, but our header block is
+                # still open and NOTHING may interleave inside it
+                ln, ft, fl, fs = h2.parse_frame_header(c._recv_exact(9))
+                return ft, fl, fs, (c._recv_exact(ln) if ln else b"")
+
+            while time.monotonic() < deadline and event is None:
+                ftype, flags, fsid, payload = recv_no_ack()
+                if ftype == h2.DATA and fsid == sub_sid:
+                    buf += h2.strip_padding(payload, flags)
+                    # NOTE: no WINDOW_UPDATE replenish here — our header
+                    # block is still open, and RFC 9113 §4.3 forbids
+                    # interleaving any other frame inside it; the default
+                    # 64 KiB windows cover these small events easily
+                    for _, m in h2.parse_grpc_frames(bytes(buf)):
+                        if "block_event" in resp_schema.decode(m):
+                            event = m
+                            break
+            t.join(timeout=10)
+            assert event is not None, \
+                "half-sent header block stalled the subscribe stream"
+            # complete the header block + body: the unary must now answer
+            c.sock.sendall(h2.pack_frame(
+                h2.CONTINUATION, h2.FLAG_END_HEADERS, nonce_sid, block[half:]
+            ))
+            nonce_schema, nonce_resp, _ = _schemas(
+                "/db3_storage_proto.StorageNode/GetNonce")
+            c.sock.sendall(h2.pack_frame(
+                h2.DATA, h2.FLAG_END_STREAM, nonce_sid,
+                h2.grpc_frame(nonce_schema.encode({"address": "0x" + "63" * 20})),
+            ))
+            c.recv_windows[nonce_sid] = c.initial_window
+            hd, msgs, status, message = c.read_response(nonce_sid)
+            assert status == 0, message
+            assert nonce_resp.decode(msgs[0]).get("nonce", 0) >= 1
+            c.sock.sendall(h2.pack_frame(
+                h2.RST_STREAM, 0, sub_sid, (8).to_bytes(4, "big")
+            ))
+        finally:
+            c.close()
+            gateway.SUBSCRIBE_MAX_SECONDS = old

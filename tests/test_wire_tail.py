@@ -115,6 +115,11 @@ class TestWireTailImport:
         # quiet trigger: nothing new → zero-work report, state unchanged
         rep3 = tail.run_once()
         assert rep3.get("mutations", 0) == 0
+
+        # bounded bookkeeping: a long-lived tail loop keeps ONE running
+        # totals dict, not a per-batch report list that grows forever
+        assert tail.totals["mutations"] == 6
+        assert not hasattr(tail, "reports")
         before = _docs_state(replica, db, "c")
 
         # checkpoint loss: every file is re-offered; already_applied /
