@@ -1,0 +1,342 @@
+"""Permaweb (Arweave) upload + recovery client for the rollup plane.
+
+The reference ships every rollup artifact to Arweave and cold-starts
+from it: ``ArFileSystem`` (ar_fs.rs:47-96) holds an RSA wallet under
+the node key store and uploads each ``<start>_<end>.gz.parquet`` with
+a tag manifest — App-Name / Version-Id / Start-Block / End-Block /
+File-Name / Network-Id and the ``Last-Rollup-Tx`` chain back-pointer
+(ar_fs.rs:135-190) — and ``ArToolBox`` downloads artifacts and walks
+that chain during recovery (ar_toolbox.rs:63-71,76-130).
+
+This module is the same plane over any HTTP Arweave gateway
+(stdlib urllib, no SDK): ``ArWallet`` (PKCS#8 key under the node key
+root, generated on first use exactly like ar_fs.rs:63-96),
+``ArGatewayClient`` (price / anchor / POST tx / POST chunk / status /
+data / full tx), ``ArPermaweb`` (the upload_file/download_file/
+get_tx_tags surface), ``PermawebUploader`` (tails the rollup
+manifest, uploads the not-yet-shipped artifacts, chains
+Last-Rollup-Tx across REAL arweave tx ids), and
+``recover_permaweb_chain`` (walk the back-pointers from a tip tx,
+download into a local dir the existing recovery/import sources
+consume).
+
+No network leaves this process in tests: ``tests/test_permaweb.py``
+runs an in-process gateway that validates signatures, ids, and chunk
+merkle proofs the way a real node does. Against a real gateway the
+same client works unchanged — the environment boundary is the URL.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import urllib.error
+import urllib.request
+
+from rtstore_spark.crypto.rsa import (
+    RsaKey,
+    b64url_decode,
+    b64url_encode,
+    generate_key,
+    key_from_pkcs8_der,
+    key_to_pkcs8_der,
+)
+from rtstore_spark.wire.arweave import (
+    Tag,
+    Transaction,
+    build_data_transaction,
+)
+
+AR_APP_NAME = "DB3 Network"      # the reference's App-Name tag (ar_fs.rs:142)
+AR_SCHEMA_VERSION = "1"          # Version-Id (ar_fs.rs:35)
+
+
+# ----------------------------------------------------------------- wallet
+
+
+class ArWallet:
+    """RSA wallet under ``<key_root_path>/ar`` (PKCS#8 DER), generated on
+    first use — the reference's key-store flow (ar_fs.rs:63-96)."""
+
+    def __init__(self, key_root_path: str, bits: int = 2048, rng=None):
+        self.path = os.path.join(key_root_path, "ar")
+        if os.path.exists(self.path):
+            with open(self.path, "rb") as f:
+                self.key: RsaKey = key_from_pkcs8_der(f.read())
+        else:
+            os.makedirs(key_root_path, exist_ok=True)
+            self.key = generate_key(bits=bits, rng=rng)
+            tmp = self.path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(key_to_pkcs8_der(self.key))
+            os.replace(tmp, self.path)
+
+    @property
+    def address(self) -> str:
+        return self.key.address()
+
+
+# ---------------------------------------------------------------- gateway
+
+
+class ArGatewayError(RuntimeError):
+    pass
+
+
+class ArGatewayClient:
+    """Thin HTTP client for the public Arweave node API."""
+
+    def __init__(self, base_url: str, timeout: float = 30.0):
+        self.base = base_url.rstrip("/")
+        self.timeout = timeout
+
+    def _get(self, path: str) -> tuple[int, bytes]:
+        req = urllib.request.Request(self.base + path, method="GET")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return resp.status, resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read()
+
+    def _post(self, path: str, body: bytes) -> tuple[int, bytes]:
+        req = urllib.request.Request(
+            self.base + path, data=body, method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return resp.status, resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read()
+
+    def price(self, nbytes: int) -> str:
+        code, body = self._get(f"/price/{nbytes}")
+        if code != 200:
+            raise ArGatewayError(f"price: HTTP {code}")
+        return body.decode().strip()
+
+    def tx_anchor(self) -> str:
+        code, body = self._get("/tx_anchor")
+        if code != 200:
+            raise ArGatewayError(f"tx_anchor: HTTP {code}")
+        return body.decode().strip()
+
+    def wallet_balance(self, address: str) -> str:
+        code, body = self._get(f"/wallet/{address}/balance")
+        if code != 200:
+            raise ArGatewayError(f"balance: HTTP {code}")
+        return body.decode().strip()
+
+    def post_tx(self, tx: Transaction) -> None:
+        code, body = self._post("/tx", tx.to_json().encode())
+        if code != 200:
+            raise ArGatewayError(f"post_tx: HTTP {code}: {body[:200]!r}")
+
+    def post_chunk(self, data_root: bytes, data_size: int, proof,
+                   chunk: bytes) -> None:
+        payload = json.dumps({
+            "data_root": b64url_encode(data_root),
+            "data_size": str(data_size),
+            "data_path": b64url_encode(proof.proof),
+            "offset": str(proof.offset),
+            "chunk": b64url_encode(chunk),
+        }).encode()
+        code, body = self._post("/chunk", payload)
+        if code != 200:
+            raise ArGatewayError(f"post_chunk: HTTP {code}: {body[:200]!r}")
+
+    def tx(self, tx_id: str) -> Transaction:
+        code, body = self._get(f"/tx/{tx_id}")
+        if code != 200:
+            raise ArGatewayError(f"tx {tx_id}: HTTP {code}")
+        return Transaction.from_json(body.decode())
+
+    def tx_status(self, tx_id: str) -> dict | None:
+        """None while pending (HTTP 202), the status JSON once mined."""
+        code, body = self._get(f"/tx/{tx_id}/status")
+        if code == 202:
+            return None
+        if code != 200:
+            raise ArGatewayError(f"tx_status {tx_id}: HTTP {code}")
+        return json.loads(body)
+
+    def tx_data(self, tx_id: str) -> bytes:
+        code, body = self._get(f"/tx/{tx_id}/data")
+        if code != 200:
+            raise ArGatewayError(f"tx_data {tx_id}: HTTP {code}")
+        return b64url_decode(body.decode().strip())
+
+
+# --------------------------------------------------------------- permaweb
+
+
+class ArPermaweb:
+    """The reference's ``ArFileSystem`` surface: wallet + gateway."""
+
+    def __init__(self, gateway_url: str, key_root_path: str,
+                 bits: int = 2048, rng=None, timeout: float = 30.0):
+        self.wallet = ArWallet(key_root_path, bits=bits, rng=rng)
+        self.client = ArGatewayClient(gateway_url, timeout=timeout)
+
+    def get_address(self) -> str:
+        return self.wallet.address
+
+    def get_balance(self) -> str:
+        return self.client.wallet_balance(self.wallet.address)
+
+    def upload_file(self, path: str, last_ar_tx: str, start_block: int,
+                    end_block: int, network_id: int,
+                    filename: str) -> tuple[str, int]:
+        """Upload one artifact with the reference's exact tag manifest
+        (ar_fs.rs:135-190); returns (tx_id, reward_winston)."""
+        with open(path, "rb") as f:
+            data = f.read()
+        tags = [
+            Tag("App-Name", AR_APP_NAME),
+            Tag("Version-Id", AR_SCHEMA_VERSION),
+            Tag("Start-Block", str(start_block)),
+            Tag("End-Block", str(end_block)),
+            Tag("File-Name", filename),
+            Tag("Network-Id", str(network_id)),
+        ]
+        if last_ar_tx:
+            tags.append(Tag("Last-Rollup-Tx", last_ar_tx))
+        reward = self.client.price(len(data))
+        anchor = self.client.tx_anchor()
+        tx, chunks, proofs = build_data_transaction(
+            self.wallet.key, data, tags, anchor, reward
+        )
+        self.client.post_tx(tx)
+        for chunk, proof in zip(chunks, proofs):
+            self.client.post_chunk(
+                tx.data_root, tx.data_size, proof,
+                data[chunk.min_byte_range:chunk.max_byte_range],
+            )
+        return tx.id, int(reward)
+
+    def download_file(self, path_to_write: str, tx_id: str) -> None:
+        data = self.client.tx_data(tx_id)
+        tmp = path_to_write + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path_to_write)
+
+    def get_tx_tags(self, tx_id: str) -> dict[str, str]:
+        """Tag name → value for one transaction (ar_toolbox.rs:76-130
+        reads Start-Block / End-Block / Last-Rollup-Tx / Version-Id /
+        File-Name from here)."""
+        tx = self.client.tx(tx_id)
+        return {t.name: t.value for t in tx.tags}
+
+    def get_tx_status(self, tx_id: str) -> dict | None:
+        return self.client.tx_status(tx_id)
+
+
+# --------------------------------------------------------------- uploader
+
+
+class PermawebUploader:
+    """Tails a RollupExecutor manifest and ships every not-yet-uploaded
+    artifact, chaining ``Last-Rollup-Tx`` across the REAL arweave tx
+    ids. Upload state lives in ``<root>/permaweb_uploads.json``
+    (atomic rewrite; O(rollup rounds) — one small record per round).
+
+    Crash contract: the state file is written AFTER each successful
+    upload, so a crash between upload and record re-uploads one
+    artifact under a fresh tx id — wasteful, never lossy; the chain
+    stays intact because back-pointers come from the recorded state.
+    """
+
+    def __init__(self, executor, permaweb: ArPermaweb, network: int = 1):
+        self.executor = executor
+        self.ar = permaweb
+        self.network = network
+        self.state_path = os.path.join(executor.root, "permaweb_uploads.json")
+        self.fs = executor.fs
+
+    def _load_state(self) -> list[dict]:
+        text = self.fs.read_text(self.state_path)
+        return json.loads(text) if text else []
+
+    def _save_state(self, state: list[dict]) -> None:
+        self.fs.write_text_atomic(self.state_path, json.dumps(state))
+
+    def uploads(self) -> list[dict]:
+        """Recorded uploads, oldest first."""
+        return self._load_state()
+
+    def tip(self) -> str:
+        """The newest uploaded arweave tx id ('' when nothing shipped)."""
+        state = self._load_state()
+        return state[-1]["ar_tx_id"] if state else ""
+
+    def upload_pending(self) -> list[dict]:
+        """Ship every manifest round not in the upload state; returns the
+        new records. Driver-side loop is O(rollup rounds) by design —
+        rollup cadence, not row cadence."""
+        state = self._load_state()
+        done = {rec["tx_id"] for rec in state}
+        last_ar_tx = state[-1]["ar_tx_id"] if state else ""
+        rows = (
+            self.executor.manifest()
+            .orderBy("end_block")
+            .collect()  # O(rollup rounds): one manifest row per round
+        )
+        new: list[dict] = []
+        for row in rows:
+            if row["tx_id"] in done:
+                continue
+            fname = f"{row['start_block']}_{row['end_block']}.gz.parquet"
+            local_dir = os.path.join(self.executor.rollup_dir, fname)
+            part = next(
+                f for f in sorted(self.fs.list_files_recursive(local_dir))
+                if f.endswith(".parquet")
+            )
+            ar_tx, reward = self.ar.upload_file(
+                part, last_ar_tx, row["start_block"], row["end_block"],
+                self.network, fname,
+            )
+            rec = {
+                "tx_id": row["tx_id"],
+                "ar_tx_id": ar_tx,
+                "reward": reward,
+                "start_block": row["start_block"],
+                "end_block": row["end_block"],
+                "uploaded_ms": int(time.time() * 1000),
+            }
+            state.append(rec)
+            new.append(rec)
+            self._save_state(state)  # record per upload: crash re-ships ≤1
+            last_ar_tx = ar_tx
+        return new
+
+
+def recover_permaweb_chain(permaweb: ArPermaweb, tip_tx: str,
+                           dest_dir: str) -> list[str]:
+    """Walk ``Last-Rollup-Tx`` back-pointers from ``tip_tx`` to the
+    chain's genesis, downloading each artifact under its File-Name tag
+    into ``dest_dir`` (ar_toolbox recovery, oldest-first result). The
+    downloaded dir feeds the existing replay sources directly:
+    ``import_wire_rollup(store, spark.read.parquet(dest_dir))`` for
+    wire-format chains, or RecoverySource for JSON-form chains."""
+    os.makedirs(dest_dir, exist_ok=True)
+    chain: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    tx = tip_tx
+    while tx:
+        if tx in seen:
+            raise ArGatewayError(f"Last-Rollup-Tx cycle at {tx}")
+        seen.add(tx)
+        tags = permaweb.get_tx_tags(tx)
+        fname = tags.get("File-Name") or f"{tx}.gz.parquet"
+        chain.append((tx, os.path.basename(fname)))
+        tx = tags.get("Last-Rollup-Tx", "")
+    chain.reverse()  # oldest first, like ar_toolbox's recovery order
+    out: list[str] = []
+    for tx, fname in chain:
+        dest = os.path.join(dest_dir, fname)
+        if not os.path.exists(dest):  # resumable: skip already-downloaded
+            permaweb.download_file(dest, tx)
+        out.append(dest)
+    return out

@@ -20,6 +20,7 @@ SLOW_MODULES = {
     "test_fs_storage",
     "test_grpcweb",
     "test_ingest",
+    "test_permaweb_spark",
     "test_pipeline",
     "test_planes",
     "test_pq",

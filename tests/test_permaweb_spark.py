@@ -1,0 +1,190 @@
+"""Permaweb rollup plane end-to-end over Spark stores.
+
+The reference's cold-start path: rollups upload to Arweave with the
+Last-Rollup-Tx chain (ar_fs.rs upload_file), recovery walks the chain
+and replays (ar_toolbox.rs download_and_parse_record_batch,
+recover.rs:140-236). These tests run that loop against the in-process
+validating gateway from test_permaweb: a wire-format chain exported,
+uploaded, recovered into a fresh directory, and imported into a fresh
+store that must converge to the origin; and PermawebUploader tailing a
+RollupExecutor manifest with real arweave tx ids in the back-pointers.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import random
+import tempfile
+import threading
+from http.server import ThreadingHTTPServer
+
+import pytest
+
+from rtstore_spark.sources.permaweb import (
+    ArPermaweb,
+    PermawebUploader,
+    recover_permaweb_chain,
+)
+from rtstore_spark.sources.rollup import RollupExecutor
+from rtstore_spark.sources.wire_export import export_wire_rollup
+from rtstore_spark.sources.wire_import import import_wire_rollup
+from rtstore_spark.store.docstore import DocStore
+from rtstore_spark.store.ingest import Ingest
+from rtstore_spark.wire.bsonlite import bson_encode
+from rtstore_spark.wire.envelope import wrap_and_sign
+from rtstore_spark.wire.schemas import encode_mutation
+
+from test_permaweb import TEST_BITS, _GatewayHandler, _GatewayState
+
+PRIV = 0x6370FD033278C143179D81C5526140625662B8DAA446C22EE2D73DB3707E620C
+EXPORT_KEY = 0x3333333333333333333333333333333333333333333333333333333333333333
+ALICE = "0x" + "aa" * 20
+
+
+@pytest.fixture(scope="module")
+def gateway():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _GatewayHandler)
+    srv.state = _GatewayState()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+    srv.server_close()
+
+
+@pytest.fixture(scope="module")
+def permaweb(gateway, tmp_path_factory):
+    return ArPermaweb(
+        f"http://127.0.0.1:{gateway.server_address[1]}",
+        str(tmp_path_factory.mktemp("keys")),
+        bits=TEST_BITS, rng=random.Random(0xD0C),
+    )
+
+
+def _send(ingest, action, bodies, nonce):
+    payload, sig = wrap_and_sign(encode_mutation(action, bodies), nonce, PRIV)
+    return ingest.send_wire_mutation(payload, sig)
+
+
+def _docs_state(store: DocStore, db: str, col: str) -> list[tuple]:
+    return sorted(
+        (r["doc_id"], r["doc"], r["owner"].lower())
+        for r in store.current_state(db, col).collect()
+    )
+
+
+class TestWireChainColdStart:
+    def test_export_upload_recover_import(self, spark, permaweb, tmp_path):
+        # origin: a wire-format chain across two export epochs
+        origin = DocStore(spark, tempfile.mkdtemp(prefix="pw_origin_"))
+        ingest = Ingest(origin)
+        r = _send(ingest, "CreateDocumentDB", [{
+            "db_address": None, "kind": "doc_database_mutation",
+            "body": {"db_desc": "permaweb"},
+        }], nonce=1)
+        db = next(i["value"] for i in r["items"] if i["key"] == "db_addr")
+        _send(ingest, "AddCollection", [{
+            "db_address": db, "kind": "collection_mutation",
+            "body": {"collection_name": "c", "index_fields": []},
+        }], nonce=2)
+        for i in range(2):
+            _send(ingest, "AddDocument", [{
+                "db_address": db, "kind": "document_mutation",
+                "body": {"collection_name": "c",
+                         "documents": [bson_encode({"epoch": 1, "i": i})]},
+            }], nonce=3 + i)
+        origin.state.next_block()
+        exp1 = str(tmp_path / "exp1")
+        assert export_wire_rollup(origin, exp1, priv=EXPORT_KEY) == 4
+        epoch1_end = origin.state.block
+
+        _send(ingest, "AddDocument", [{
+            "db_address": db, "kind": "document_mutation",
+            "body": {"collection_name": "c",
+                     "documents": [bson_encode({"epoch": 2, "i": 0})]},
+        }], nonce=5)
+        origin.state.next_block()
+        exp2 = str(tmp_path / "exp2")
+        assert export_wire_rollup(
+            origin, exp2, priv=EXPORT_KEY, block_start=epoch1_end
+        ) == 1
+
+        # upload both artifacts as a chained permaweb history
+        tip = ""
+        for i, exp in enumerate([exp1, exp2]):
+            part = sorted(glob.glob(os.path.join(exp, "*.parquet")))[0]
+            name = f"epoch{i + 1}.gz.parquet"
+            tip, _ = permaweb.upload_file(
+                part, last_ar_tx=tip, start_block=0, end_block=0,
+                network_id=1, filename=name,
+            )
+
+        # fresh node cold-starts from the chain tip alone
+        dest = str(tmp_path / "cold")
+        files = recover_permaweb_chain(permaweb, tip, dest)
+        assert [os.path.basename(f) for f in files] == [
+            "epoch1.gz.parquet", "epoch2.gz.parquet"
+        ]
+        replica = DocStore(spark, tempfile.mkdtemp(prefix="pw_replica_"))
+        report = import_wire_rollup(replica, spark.read.parquet(dest))
+        assert report["errors"] == 0
+        assert report["mutations"] == 5
+        assert _docs_state(replica, db, "c") == _docs_state(origin, db, "c")
+
+
+class TestPermawebUploader:
+    def test_tails_manifest_with_real_tx_chain(self, spark, permaweb,
+                                               tmp_path, gateway):
+        root = str(tmp_path / "node")
+        store = DocStore(spark, root)
+        db = store.create_database(ALICE, nonce=1)
+        store.create_collection(db, "c", [], ALICE)
+        store.state.next_block()
+        store.add_docs(db, "c", ['{"v": 1}', '{"v": 2}'], ALICE)
+        store.state.next_block()
+
+        ex = RollupExecutor(spark, root)
+        row1 = ex.rollup(store.mutation_log(), open_block=store.state.block)
+        assert row1 is not None
+
+        up = PermawebUploader(ex, permaweb, network=1)
+        recs = up.upload_pending()
+        assert len(recs) == 1
+        tags1 = permaweb.get_tx_tags(recs[0]["ar_tx_id"])
+        assert tags1["Start-Block"] == str(row1["start_block"])
+        assert tags1["End-Block"] == str(row1["end_block"])
+        assert "Last-Rollup-Tx" not in tags1  # chain genesis
+
+        # idempotent: nothing new → nothing uploaded
+        assert up.upload_pending() == []
+
+        # a second round chains to the FIRST ROUND'S REAL arweave tx id
+        store.add_docs(db, "c", ['{"v": 3}'], ALICE)
+        store.state.next_block()
+        row2 = ex.rollup(store.mutation_log(), open_block=store.state.block)
+        recs2 = up.upload_pending()
+        assert len(recs2) == 1
+        tags2 = permaweb.get_tx_tags(recs2[0]["ar_tx_id"])
+        assert tags2["Last-Rollup-Tx"] == recs[0]["ar_tx_id"]
+        assert up.tip() == recs2[0]["ar_tx_id"]
+
+        # recovery from the tip gets both artifacts, byte-equal to local
+        dest = str(tmp_path / "recovered")
+        files = recover_permaweb_chain(permaweb, up.tip(), dest)
+        assert len(files) == 2
+        for rec, got in zip(recs + recs2, files):
+            name = f"{rec['start_block']}_{rec['end_block']}.gz.parquet"
+            local_dir = os.path.join(ex.rollup_dir, name)
+            local_part = sorted(
+                f for f in glob.glob(os.path.join(local_dir, "*.parquet"))
+            )[0]
+            with open(local_part, "rb") as a, open(got, "rb") as b:
+                assert a.read() == b.read()
+
+        # the recovered parquet is readable rollup data (5-col schema)
+        recovered = spark.read.parquet(dest)
+        assert recovered.count() == row1["rows"] + row2["rows"]
+        assert set(recovered.columns) == {
+            "payload", "signature", "block", "order", "doc_ids"
+        }
