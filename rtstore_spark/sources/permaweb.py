@@ -46,6 +46,7 @@ from rtstore_spark.wire.arweave import (
     Tag,
     Transaction,
     build_data_transaction,
+    compute_root,
 )
 
 AR_APP_NAME = "DB3 Network"      # the reference's App-Name tag (ar_fs.rs:142)
@@ -68,7 +69,10 @@ class ArWallet:
             os.makedirs(key_root_path, exist_ok=True)
             self.key = generate_key(bits=bits, rng=rng)
             tmp = self.path + ".tmp"
-            with open(tmp, "wb") as f:
+            # 0600 from creation: this is the wallet's PRIVATE key — a
+            # default-umask 0644 file would hand it to every local user
+            fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+            with os.fdopen(fd, "wb") as f:
                 f.write(key_to_pkcs8_der(self.key))
             os.replace(tmp, self.path)
 
@@ -98,6 +102,10 @@ class ArGatewayClient:
                 return resp.status, resp.read()
         except urllib.error.HTTPError as e:
             return e.code, e.read()
+        except (urllib.error.URLError, OSError) as e:
+            # one failure surface: callers catch ArGatewayError, not a mix
+            # of URLError/timeout/ConnectionRefused leaking from urllib
+            raise ArGatewayError(f"GET {path}: {e}") from e
 
     def _post(self, path: str, body: bytes) -> tuple[int, bytes]:
         req = urllib.request.Request(
@@ -109,6 +117,8 @@ class ArGatewayClient:
                 return resp.status, resp.read()
         except urllib.error.HTTPError as e:
             return e.code, e.read()
+        except (urllib.error.URLError, OSError) as e:
+            raise ArGatewayError(f"POST {path}: {e}") from e
 
     def price(self, nbytes: int) -> str:
         code, body = self._get(f"/price/{nbytes}")
@@ -188,10 +198,18 @@ class ArPermaweb:
     def upload_file(self, path: str, last_ar_tx: str, start_block: int,
                     end_block: int, network_id: int,
                     filename: str) -> tuple[str, int]:
-        """Upload one artifact with the reference's exact tag manifest
-        (ar_fs.rs:135-190); returns (tx_id, reward_winston)."""
+        """Upload one LOCAL artifact file with the reference's exact tag
+        manifest (ar_fs.rs:135-190); returns (tx_id, reward_winston).
+        For bytes already in hand (or read through a remote fs) use
+        ``upload_data``."""
         with open(path, "rb") as f:
             data = f.read()
+        return self.upload_data(data, last_ar_tx, start_block, end_block,
+                                network_id, filename)
+
+    def upload_data(self, data: bytes, last_ar_tx: str, start_block: int,
+                    end_block: int, network_id: int,
+                    filename: str) -> tuple[str, int]:
         tags = [
             Tag("App-Name", AR_APP_NAME),
             Tag("Version-Id", AR_SCHEMA_VERSION),
@@ -215,18 +233,47 @@ class ArPermaweb:
             )
         return tx.id, int(reward)
 
-    def download_file(self, path_to_write: str, tx_id: str) -> None:
+    def download_file(self, path_to_write: str, tx_id: str,
+                      verify: bool = True) -> None:
+        """Download one artifact. ``verify`` (default) checks the bytes
+        against the SIGNED transaction: a verified signature over
+        (tags, data_size, data_root), id = sha256(signature), and the
+        downloaded data re-rooting to data_root — the client speaks
+        plain HTTP to an untrusted gateway, so a cold-start that skips
+        this would replay whatever the gateway chose to serve."""
         data = self.client.tx_data(tx_id)
+        if verify:
+            tx = self.client.tx(tx_id)
+            if tx.id != tx_id:
+                raise ArGatewayError(f"gateway returned tx {tx.id} for {tx_id}")
+            if not tx.verify():
+                raise ArGatewayError(f"tx {tx_id}: invalid signature")
+            if len(data) != tx.data_size:
+                raise ArGatewayError(
+                    f"tx {tx_id}: data is {len(data)} bytes, signed "
+                    f"data_size is {tx.data_size}"
+                )
+            root, _, _ = compute_root(data)
+            if root != tx.data_root:
+                raise ArGatewayError(f"tx {tx_id}: data does not match "
+                                     "the signed data_root")
         tmp = path_to_write + ".tmp"
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, path_to_write)
 
-    def get_tx_tags(self, tx_id: str) -> dict[str, str]:
+    def get_tx_tags(self, tx_id: str, verify: bool = True) -> dict[str, str]:
         """Tag name → value for one transaction (ar_toolbox.rs:76-130
         reads Start-Block / End-Block / Last-Rollup-Tx / Version-Id /
-        File-Name from here)."""
+        File-Name from here). ``verify`` checks the signature covers
+        these tags — the chain walk routes on Last-Rollup-Tx, so an
+        unverified tag would let the gateway splice the chain."""
         tx = self.client.tx(tx_id)
+        if verify:
+            if tx.id != tx_id:
+                raise ArGatewayError(f"gateway returned tx {tx.id} for {tx_id}")
+            if not tx.verify():
+                raise ArGatewayError(f"tx {tx_id}: invalid signature")
         return {t.name: t.value for t in tx.tags}
 
     def get_tx_status(self, tx_id: str) -> dict | None:
@@ -290,11 +337,20 @@ class PermawebUploader:
             fname = f"{row['start_block']}_{row['end_block']}.gz.parquet"
             local_dir = os.path.join(self.executor.rollup_dir, fname)
             part = next(
-                f for f in sorted(self.fs.list_files_recursive(local_dir))
-                if f.endswith(".parquet")
+                (f for f in sorted(self.fs.list_files_recursive(local_dir))
+                 if f.endswith(".parquet")),
+                None,
             )
-            ar_tx, reward = self.ar.upload_file(
-                part, last_ar_tx, row["start_block"], row["end_block"],
+            if part is None:
+                raise ArGatewayError(
+                    f"manifest round {row['tx_id']} has no parquet file "
+                    f"under {local_dir} — rollup dir missing or not synced"
+                )
+            data = self.fs.read_binary(part)  # fs-aware: local OR remote root
+            if data is None:
+                raise ArGatewayError(f"cannot read rollup part {part}")
+            ar_tx, reward = self.ar.upload_data(
+                data, last_ar_tx, row["start_block"], row["end_block"],
                 self.network, fname,
             )
             rec = {
@@ -323,20 +379,29 @@ def recover_permaweb_chain(permaweb: ArPermaweb, tip_tx: str,
     os.makedirs(dest_dir, exist_ok=True)
     chain: list[tuple[str, str]] = []
     seen: set[str] = set()
+    used_names: set[str] = set()
     tx = tip_tx
     while tx:
         if tx in seen:
             raise ArGatewayError(f"Last-Rollup-Tx cycle at {tx}")
         seen.add(tx)
-        tags = permaweb.get_tx_tags(tx)
-        fname = tags.get("File-Name") or f"{tx}.gz.parquet"
-        chain.append((tx, os.path.basename(fname)))
+        tags = permaweb.get_tx_tags(tx)  # signature-verified tags
+        # File-Name is foreign input: flatten to a basename, reject
+        # degenerate names, and disambiguate duplicates by tx id —
+        # two txs must never silently share one destination file
+        fname = os.path.basename(tags.get("File-Name", ""))
+        if fname in ("", ".", ".."):
+            fname = f"{tx}.gz.parquet"
+        if fname in used_names:
+            fname = f"{tx[:12]}-{fname}"
+        used_names.add(fname)
+        chain.append((tx, fname))
         tx = tags.get("Last-Rollup-Tx", "")
     chain.reverse()  # oldest first, like ar_toolbox's recovery order
     out: list[str] = []
     for tx, fname in chain:
         dest = os.path.join(dest_dir, fname)
         if not os.path.exists(dest):  # resumable: skip already-downloaded
-            permaweb.download_file(dest, tx)
+            permaweb.download_file(dest, tx)  # verifies sig + data_root
         out.append(dest)
     return out

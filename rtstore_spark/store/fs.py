@@ -62,6 +62,13 @@ class LocalFS:
         except OSError:
             return None
 
+    def read_binary(self, path: str) -> bytes | None:
+        try:
+            with open(path, "rb") as f:
+                return f.read()
+        except OSError:
+            return None
+
     def write_text_atomic(self, path: str, text: str) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
@@ -153,6 +160,18 @@ class HadoopFS:
         try:
             return self._jvm.org.apache.commons.io.IOUtils.toString(
                 stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def read_binary(self, path: str) -> bytes | None:
+        fs, jp = self._fs(path), self._jpath(path)
+        if not fs.exists(jp):
+            return None
+        stream = fs.open(jp)
+        try:
+            return bytes(
+                self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
             )
         finally:
             stream.close()

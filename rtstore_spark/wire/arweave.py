@@ -166,7 +166,11 @@ def _proofs(node: _Node, prefix: bytes) -> list[Proof]:
 def compute_root(data: bytes) -> tuple[bytes, list[Chunk], list[Proof]]:
     """(data_root, chunks, proofs). A trailing zero-length chunk (exact
     multiple of the chunk size) is dropped from the returned chunk/proof
-    lists AFTER the tree is built — it shapes the root but never posts."""
+    lists AFTER the tree is built — it shapes the root but never posts.
+    Zero-byte data has an EMPTY data_root (protocol rule: a format-2 tx
+    with no data carries no root, not the hash of an empty chunk)."""
+    if not data:
+        return b"", [], []
     chunks = chunk_data(data)
     root = _build_layers([_leaf(c) for c in chunks])
     proofs = _proofs(root, b"")
@@ -219,6 +223,17 @@ def validate_path(root_id: bytes, dest: int, left_bound: int,
 # ------------------------------------------------------------ transaction
 
 
+def _tag_bytes(s: str) -> bytes:
+    # surrogateescape keeps arbitrary (non-UTF-8) tag bytes round-trippable:
+    # Arweave tags are raw bytes and a foreign tx in a recovered chain may
+    # carry binary values; strict codecs would abort the whole chain walk
+    return s.encode("utf-8", "surrogateescape")
+
+
+def _tag_str(b: bytes) -> str:
+    return b.decode("utf-8", "surrogateescape")
+
+
 @dataclass
 class Tag:
     name: str
@@ -226,15 +241,15 @@ class Tag:
 
     def to_json(self) -> dict:
         return {
-            "name": b64url_encode(self.name.encode()),
-            "value": b64url_encode(self.value.encode()),
+            "name": b64url_encode(_tag_bytes(self.name)),
+            "value": b64url_encode(_tag_bytes(self.value)),
         }
 
     @classmethod
     def from_json(cls, d: dict) -> "Tag":
         return cls(
-            b64url_decode(d["name"]).decode(),
-            b64url_decode(d["value"]).decode(),
+            _tag_str(b64url_decode(d["name"])),
+            _tag_str(b64url_decode(d["value"])),
         )
 
 
@@ -262,7 +277,7 @@ class Transaction:
             self.quantity.encode(),
             self.reward.encode(),
             b64url_decode(self.last_tx) if self.last_tx else b"",
-            [[t.name.encode(), t.value.encode()] for t in self.tags],
+            [[_tag_bytes(t.name), _tag_bytes(t.value)] for t in self.tags],
             str(self.data_size).encode(),
             self.data_root,
         ])

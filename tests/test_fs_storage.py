@@ -40,6 +40,8 @@ def _exercise_fs(fs, root: str) -> dict:
         "exists_missing": fs.exists(os.path.join(root, "nope")),
         "read": fs.read_text(os.path.join(root, "d1", "a.txt")),
         "read_missing": fs.read_text(os.path.join(root, "nope")),
+        "read_binary": fs.read_binary(os.path.join(root, "d1", "a.txt")),
+        "read_binary_missing": fs.read_binary(os.path.join(root, "nope")),
         "listdir": fs.listdir(os.path.join(root, "d1")),
         "listdir_missing": fs.listdir(os.path.join(root, "nope")),
         "recursive": [

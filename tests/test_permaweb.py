@@ -532,3 +532,112 @@ class TestChainRecovery:
         got2 = recover_permaweb_chain(permaweb, last, str(dest))
         assert got2 == got
         assert {p: os.stat(p).st_mtime_ns for p in got2} == before
+
+
+class TestReviewFixes:
+    """Round-7 review regressions on the permaweb plane."""
+
+    def test_empty_data_has_empty_root(self, key):
+        root, chunks, proofs = compute_root(b"")
+        assert root == b"" and chunks == [] and proofs == []
+        tx, chunks, proofs = build_data_transaction(
+            key, b"", [], anchor=b64url_encode(b"a" * 32), reward="1"
+        )
+        assert tx.data_root == b"" and tx.data_size == 0
+        assert tx.verify()
+
+    def test_binary_tags_roundtrip(self, key):
+        # Arweave tags are arbitrary bytes; a foreign tx with a non-UTF-8
+        # tag must not abort a chain walk, and must round-trip losslessly
+        raw = {"name": b64url_encode(b"Bin"), "value": b64url_encode(b"\xff\xfe\x01")}
+        tag = Tag.from_json(raw)
+        assert tag.to_json() == raw
+        tx = Transaction(
+            owner=key.owner_b64(), last_tx="", reward="1",
+            data_size=3, data_root=b"\x01" * 32, tags=[tag],
+        )
+        tx.sign(key)
+        assert tx.verify()
+        assert Transaction.from_json(tx.to_json()).verify()
+
+    def test_wallet_key_file_is_private(self, tmp_path):
+        from rtstore_spark.sources.permaweb import ArWallet
+
+        w = ArWallet(str(tmp_path / "keys"), bits=TEST_BITS,
+                     rng=random.Random(3))
+        assert os.stat(w.path).st_mode & 0o777 == 0o600
+
+    def test_connection_errors_become_gateway_errors(self):
+        from rtstore_spark.sources.permaweb import (
+            ArGatewayClient,
+            ArGatewayError,
+        )
+
+        c = ArGatewayClient("http://127.0.0.1:1", timeout=2)  # closed port
+        with pytest.raises(ArGatewayError):
+            c.tx_anchor()
+        with pytest.raises(ArGatewayError):
+            c.post_tx(Transaction(
+                owner="", last_tx="", reward="1", data_size=0, data_root=b""
+            ))
+
+    def test_download_rejects_tampered_data(self, permaweb, gateway, tmp_path):
+        from rtstore_spark.sources.permaweb import ArGatewayError
+
+        src = tmp_path / "t.bin"
+        src.write_bytes(b"to-be-tampered" * 100)
+        tx_id, _ = permaweb.upload_file(
+            str(src), last_ar_tx="", start_block=1, end_block=1,
+            network_id=1, filename="t.bin",
+        )
+        # corrupt the gateway's stored bytes AFTER the merkle-validated
+        # ingest: a verified download must now refuse the data
+        with gateway.state.lock:
+            gateway.state.buffers[tx_id][0] ^= 0xFF
+        with pytest.raises(ArGatewayError, match="data_root"):
+            permaweb.download_file(str(tmp_path / "out.bin"), tx_id)
+        # unverified download is the caller's explicit opt-out
+        permaweb.download_file(str(tmp_path / "out.bin"), tx_id, verify=False)
+        with gateway.state.lock:
+            gateway.state.buffers[tx_id][0] ^= 0xFF  # restore
+
+    def test_tag_walk_rejects_forged_tags(self, permaweb, gateway, tmp_path):
+        from rtstore_spark.sources.permaweb import ArGatewayError
+
+        src = tmp_path / "f.bin"
+        src.write_bytes(b"forgery-target")
+        tx_id, _ = permaweb.upload_file(
+            str(src), last_ar_tx="", start_block=2, end_block=2,
+            network_id=1, filename="f.bin",
+        )
+        with gateway.state.lock:
+            original = gateway.state.txs[tx_id].tags
+            gateway.state.txs[tx_id].tags = original[:-1] + [
+                Tag("Last-Rollup-Tx", "spliced-chain-pointer")
+            ]
+        try:
+            with pytest.raises(ArGatewayError, match="signature"):
+                permaweb.get_tx_tags(tx_id)
+        finally:
+            with gateway.state.lock:
+                gateway.state.txs[tx_id].tags = original
+
+    def test_duplicate_filenames_get_distinct_paths(self, permaweb, tmp_path):
+        from rtstore_spark.sources.permaweb import recover_permaweb_chain
+
+        tip = ""
+        payloads = []
+        for i in range(2):
+            p = tmp_path / f"dup-src-{i}.bin"
+            data = f"dup-payload-{i}".encode() * 20
+            p.write_bytes(data)
+            payloads.append(data)
+            tip, _ = permaweb.upload_file(
+                str(p), last_ar_tx=tip, start_block=i, end_block=i,
+                network_id=1, filename="same-name.gz.parquet",  # collision
+            )
+        dest = tmp_path / "dup-recovered"
+        got = recover_permaweb_chain(permaweb, tip, str(dest))
+        assert len(got) == len(set(got)) == 2
+        recovered = sorted(open(p, "rb").read() for p in got)
+        assert recovered == sorted(payloads)
