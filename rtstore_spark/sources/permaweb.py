@@ -368,6 +368,43 @@ class PermawebUploader:
         return new
 
 
+class PermawebWireTail:
+    """The reference indexer's full loop: cold-start from the permaweb,
+    then TAIL new artifacts as the chain tip advances
+    (recover.rs:140-236 then indexer_impl.rs:110-142).
+
+    Composition of the two existing halves: ``recover_permaweb_chain``
+    is resumable (skips files already on disk), so each ``poll(tip)``
+    downloads only the artifacts that appeared since the last poll into
+    the watch directory, and the inner ``WireTailImport`` imports only
+    the files its streaming checkpoint has not seen. The caller supplies
+    the current tip tx id each poll — in the reference it arrives via
+    the rollup node's published state; any side channel works.
+
+    Idempotence stacks three layers deep: on-disk file skip, streaming
+    checkpoint, and the import's nonce-watermark / already-applied
+    dedup — so a crash at ANY point replays to the same state.
+    """
+
+    def __init__(self, spark, store, permaweb: ArPermaweb,
+                 watch_dir: str | None = None, **tail_kwargs):
+        from rtstore_spark.sources.wire_import import WireTailImport
+
+        self.ar = permaweb
+        self.watch_dir = watch_dir or os.path.join(
+            store.root, "_permaweb", "chain"
+        )
+        self.tail = WireTailImport(spark, store, self.watch_dir,
+                                   **tail_kwargs)
+
+    def poll(self, tip_tx: str) -> dict:
+        """Download anything new behind ``tip_tx``, then import it.
+        Returns the tail's aggregated report for this poll."""
+        if tip_tx:
+            recover_permaweb_chain(self.ar, tip_tx, self.watch_dir)
+        return self.tail.run_once()
+
+
 def recover_permaweb_chain(permaweb: ArPermaweb, tip_tx: str,
                            dest_dir: str) -> list[str]:
     """Walk ``Last-Rollup-Tx`` back-pointers from ``tip_tx`` to the

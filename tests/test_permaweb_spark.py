@@ -188,3 +188,70 @@ class TestPermawebUploader:
         assert set(recovered.columns) == {
             "payload", "signature", "block", "order", "doc_ids"
         }
+
+
+class TestPermawebWireTail:
+    def test_cold_start_then_tail(self, spark, permaweb, tmp_path):
+        from rtstore_spark.sources.permaweb import PermawebWireTail
+
+        # origin publishes epoch 1 to the permaweb
+        origin = DocStore(spark, tempfile.mkdtemp(prefix="pwt_origin_"))
+        ingest = Ingest(origin)
+        r = _send(ingest, "CreateDocumentDB", [{
+            "db_address": None, "kind": "doc_database_mutation",
+            "body": {"db_desc": "tail"},
+        }], nonce=1)
+        db = next(i["value"] for i in r["items"] if i["key"] == "db_addr")
+        _send(ingest, "AddCollection", [{
+            "db_address": db, "kind": "collection_mutation",
+            "body": {"collection_name": "c", "index_fields": []},
+        }], nonce=2)
+        _send(ingest, "AddDocument", [{
+            "db_address": db, "kind": "document_mutation",
+            "body": {"collection_name": "c",
+                     "documents": [bson_encode({"epoch": 1})]},
+        }], nonce=3)
+        origin.state.next_block()
+        exp1 = str(tmp_path / "t-exp1")
+        assert export_wire_rollup(origin, exp1, priv=EXPORT_KEY) == 3
+        epoch1_end = origin.state.block
+        part1 = sorted(glob.glob(os.path.join(exp1, "*.parquet")))[0]
+        tip1, _ = permaweb.upload_file(
+            part1, last_ar_tx="", start_block=0, end_block=epoch1_end,
+            network_id=1, filename="t-epoch1.gz.parquet",
+        )
+
+        # replica cold-starts from tip1
+        replica = DocStore(spark, tempfile.mkdtemp(prefix="pwt_replica_"))
+        tail = PermawebWireTail(spark, replica, permaweb,
+                                watch_dir=str(tmp_path / "t-watch"))
+        rep1 = tail.poll(tip1)
+        assert rep1["mutations"] == 3
+        assert _docs_state(replica, db, "c") == _docs_state(origin, db, "c")
+
+        # origin advances the chain mid-stream
+        _send(ingest, "AddDocument", [{
+            "db_address": db, "kind": "document_mutation",
+            "body": {"collection_name": "c",
+                     "documents": [bson_encode({"epoch": 2})]},
+        }], nonce=4)
+        origin.state.next_block()
+        exp2 = str(tmp_path / "t-exp2")
+        assert export_wire_rollup(
+            origin, exp2, priv=EXPORT_KEY, block_start=epoch1_end
+        ) == 1
+        part2 = sorted(glob.glob(os.path.join(exp2, "*.parquet")))[0]
+        tip2, _ = permaweb.upload_file(
+            part2, last_ar_tx=tip1, start_block=epoch1_end,
+            end_block=origin.state.block, network_id=1,
+            filename="t-epoch2.gz.parquet",
+        )
+
+        # the tail imports ONLY the new artifact and converges
+        rep2 = tail.poll(tip2)
+        assert rep2["mutations"] == 1
+        assert _docs_state(replica, db, "c") == _docs_state(origin, db, "c")
+
+        # quiet poll at the same tip: nothing downloads, nothing imports
+        rep3 = tail.poll(tip2)
+        assert rep3.get("mutations", 0) == 0
