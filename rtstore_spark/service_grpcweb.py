@@ -217,7 +217,10 @@ class GrpcWebGateway:
                 "start_block": int(m["start_block"]),
                 "compress_data_size": int(m.get("compress_size") or 0),
                 "mutation_count": int(m.get("rows") or 0),
-                "arweave_tx": m.get("tx_id") or "",
+                # the REAL permaweb tx once the uploader shipped this
+                # round (db3_rollup.proto:35); local manifest id until
+                # then, so followers can still correlate rounds
+                "arweave_tx": m.get("arweave_tx") or m.get("tx_id") or "",
                 "processed_time": int(m.get("time_ms") or 0),
             })
         return {"records": records} if records else {}

@@ -182,6 +182,15 @@ class TestPermawebUploader:
             with open(local_part, "rb") as a, open(got, "rb") as b:
                 assert a.read() == b.read()
 
+        # ScanRollupRecord surfaces the REAL permaweb tx ids newest-first
+        # (RollupRecord.arweave_tx, db3_rollup.proto:35): a follower reads
+        # the newest record's arweave_tx as the tip for PermawebWireTail
+        scanned = ex.scan_rollup_records().collect()
+        assert [r["arweave_tx"] for r in scanned] == [
+            recs2[0]["ar_tx_id"], recs[0]["ar_tx_id"]
+        ]
+        assert scanned[0]["arweave_tx"] == up.tip()
+
         # the recovered parquet is readable rollup data (5-col schema)
         recovered = spark.read.parquet(dest)
         assert recovered.count() == row1["rows"] + row2["rows"]
