@@ -264,3 +264,37 @@ class TestPermawebWireTail:
         # quiet poll at the same tip: nothing downloads, nothing imports
         rep3 = tail.poll(tip2)
         assert rep3.get("mutations", 0) == 0
+
+
+GOLDEN = "/root/reference/src/node/resources/test/37829_37968.gz.parquet"
+
+
+class TestGoldenArtifactThroughPermaweb:
+    def test_reference_artifact_full_permaweb_loop(self, spark, permaweb,
+                                                   tmp_path):
+        """The reference node's own checked-in rollup artifact (204 wire
+        mutations, blocks 37829-37968) goes through the ENTIRE permaweb
+        plane: uploaded as a signed Arweave tx (chunk merkle validated
+        by the gateway), recovered by the verified chain walk, and
+        replayed into a fresh store — 69 databases / 69 collections at
+        their original foreign addresses, exactly like the wire-import
+        golden gate."""
+        if not os.path.exists(GOLDEN):
+            pytest.skip("reference artifact not present")
+        tx_id, _ = permaweb.upload_file(
+            GOLDEN, last_ar_tx="", start_block=37829, end_block=37968,
+            network_id=1, filename="37829_37968.gz.parquet",
+        )
+        assert permaweb.get_tx_status(tx_id) is not None  # fully chunked
+        dest = str(tmp_path / "golden-cold")
+        files = recover_permaweb_chain(permaweb, tx_id, dest)
+        assert [os.path.basename(f) for f in files] == [
+            "37829_37968.gz.parquet"
+        ]
+        with open(GOLDEN, "rb") as a, open(files[0], "rb") as b:
+            assert a.read() == b.read()  # byte-identical after the loop
+        store = DocStore(spark, tempfile.mkdtemp(prefix="pw_golden_"))
+        report = import_wire_rollup(store, spark.read.parquet(dest))
+        assert report["mutations"] == 204
+        assert report["errors"] == 0
+        assert store.databases().count() == 69
