@@ -406,13 +406,23 @@ class PermawebWireTail:
 
 
 def recover_permaweb_chain(permaweb: ArPermaweb, tip_tx: str,
-                           dest_dir: str) -> list[str]:
+                           dest_dir: str,
+                           max_parallel: int = 8) -> list[str]:
     """Walk ``Last-Rollup-Tx`` back-pointers from ``tip_tx`` to the
     chain's genesis, downloading each artifact under its File-Name tag
     into ``dest_dir`` (ar_toolbox recovery, oldest-first result). The
     downloaded dir feeds the existing replay sources directly:
     ``import_wire_rollup(store, spark.read.parquet(dest_dir))`` for
-    wire-format chains, or RecoverySource for JSON-form chains."""
+    wire-format chains, or RecoverySource for JSON-form chains.
+
+    The WALK is sequential by construction (each hop's pointer lives in
+    the previous tx's signed tags), but the walk only fetches tag-sized
+    tx records; the artifact DOWNLOADS are independent and run through
+    a bounded pool (``max_parallel``) — on a years-long chain of
+    thousands of rollups, sequential downloads would dominate the
+    cold-start wall clock. Each download lands via write-then-rename,
+    so a failed worker leaves no partial file and the rerun is
+    resumable."""
     os.makedirs(dest_dir, exist_ok=True)
     chain: list[tuple[str, str]] = []
     seen: set[str] = set()
@@ -435,10 +445,19 @@ def recover_permaweb_chain(permaweb: ArPermaweb, tip_tx: str,
         chain.append((tx, fname))
         tx = tags.get("Last-Rollup-Tx", "")
     chain.reverse()  # oldest first, like ar_toolbox's recovery order
-    out: list[str] = []
-    for tx, fname in chain:
-        dest = os.path.join(dest_dir, fname)
-        if not os.path.exists(dest):  # resumable: skip already-downloaded
-            permaweb.download_file(dest, tx)  # verifies sig + data_root
-        out.append(dest)
-    return out
+    pending = [
+        (tx, os.path.join(dest_dir, fname))
+        for tx, fname in chain
+        if not os.path.exists(os.path.join(dest_dir, fname))
+    ]  # resumable: skip already-downloaded
+    if pending:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max(1, max_parallel)) as pool:
+            futures = [
+                pool.submit(permaweb.download_file, dest, tx)  # verifies
+                for tx, dest in pending
+            ]
+            for f in futures:
+                f.result()  # surface the first failure
+    return [os.path.join(dest_dir, fname) for _, fname in chain]

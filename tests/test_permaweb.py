@@ -641,3 +641,58 @@ class TestReviewFixes:
         assert len(got) == len(set(got)) == 2
         recovered = sorted(open(p, "rb").read() for p in got)
         assert recovered == sorted(payloads)
+
+
+# -------------------------------------------------------------- properties
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+class TestProperties:
+    """Hypothesis sweeps over the new codecs."""
+
+    @given(st.binary(min_size=1, max_size=3 * MAX_CHUNK_SIZE + 7))
+    @settings(max_examples=20, deadline=None)
+    def test_chunks_tile_and_all_proofs_validate(self, data):
+        root, chunks, proofs = compute_root(data)
+        # chunks tile [0, len) contiguously, in order
+        assert chunks[0].min_byte_range == 0
+        assert chunks[-1].max_byte_range == len(data)
+        for a, b in zip(chunks, chunks[1:]):
+            assert a.max_byte_range == b.min_byte_range
+        for chunk, proof in zip(chunks, proofs):
+            res = validate_path(root, proof.offset, 0, len(data), proof.proof)
+            assert res is not None
+            piece = data[chunk.min_byte_range:chunk.max_byte_range]
+            assert hashlib.sha256(piece).digest() == res["data_hash"]
+
+    @given(st.binary(max_size=256))
+    @settings(max_examples=40, deadline=None)
+    def test_pss_sign_verify_any_message(self, msg):
+        k = _PROP_KEY
+        sig = pss_sign(k, msg)
+        assert pss_verify(k.n, k.e, msg, sig)
+        assert not pss_verify(k.n, k.e, msg + b"x", sig)
+
+    @given(st.lists(
+        st.tuples(st.text(max_size=24), st.text(max_size=48)),
+        max_size=8,
+    ), st.integers(min_value=0, max_value=1 << 40))
+    @settings(max_examples=30, deadline=None)
+    def test_transaction_json_roundtrip_any_tags(self, tags, size):
+        tx = Transaction(
+            owner=_PROP_KEY.owner_b64(),
+            last_tx=b64url_encode(b"a" * 32),
+            reward="7",
+            data_size=size,
+            data_root=hashlib.sha256(str(size).encode()).digest(),
+            tags=[Tag(n, v) for n, v in tags],
+        )
+        tx.sign(_PROP_KEY)
+        back = Transaction.from_json(tx.to_json())
+        assert back.verify()
+        assert [(t.name, t.value) for t in back.tags] == tags
+        assert back.signature_data() == tx.signature_data()
+
+
+_PROP_KEY = generate_key(bits=TEST_BITS, rng=random.Random(0x505))
