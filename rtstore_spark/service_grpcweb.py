@@ -221,6 +221,8 @@ class GrpcWebGateway:
                 # round (db3_rollup.proto:35); local manifest id until
                 # then, so followers can still correlate rounds
                 "arweave_tx": m.get("arweave_tx") or m.get("tx_id") or "",
+                "evm_tx": m.get("evm_tx") or "",
+                "evm_cost": int(m.get("evm_cost") or 0),
                 "processed_time": int(m.get("time_ms") or 0),
             })
         return {"records": records} if records else {}

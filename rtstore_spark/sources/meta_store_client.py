@@ -1,0 +1,290 @@
+"""EVM MetaStore registration: anchor each rollup's Arweave tx on-chain.
+
+After every Arweave upload the reference registers the rollup step in
+the DB3MetaStore contract — ``update_rollup_step(ar_tx, network)``
+sends ``updateRollupSteps(uint256 networkId, bytes32 latestArweaveTx)``
+as an eth transaction and waits for the receipt, recording
+``(evm_cost, tx_hash)`` into the RollupRecord
+(meta_store_client.rs:178-230; rollup_executor.rs:322-346; ABI
+``/root/reference/abi/DB3MetaStore.json``).
+
+This module is that client, dependency-free: RLP encode/decode, ABI
+call encoding for the static types the MetaStore methods use, legacy
+EIP-155 transaction signing over the existing secp256k1/keccak stack,
+and a stdlib HTTP JSON-RPC client. Tests run an in-process JSON-RPC
+node that RLP-decodes the raw transaction, recovers the sender from
+the EIP-155 signature, and checks the calldata — the same validation a
+real node performs.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.request
+
+from rtstore_spark.crypto.keccak import keccak256
+from rtstore_spark.crypto.secp256k1 import sign
+
+# --------------------------------------------------------------------- RLP
+
+
+def rlp_encode(item) -> bytes:
+    """RLP: bytes → string item; list → list item. Ints are minimal
+    big-endian with NO leading zeros (0 encodes as empty string)."""
+    if isinstance(item, int):
+        if item < 0:
+            raise ValueError("RLP cannot encode negative ints")
+        item = b"" if item == 0 else item.to_bytes(
+            (item.bit_length() + 7) // 8, "big"
+        )
+    if isinstance(item, (bytes, bytearray)):
+        data = bytes(item)
+        if len(data) == 1 and data[0] < 0x80:
+            return data
+        return _rlp_len(len(data), 0x80) + data
+    if isinstance(item, (list, tuple)):
+        body = b"".join(rlp_encode(x) for x in item)
+        return _rlp_len(len(body), 0xC0) + body
+    raise TypeError(f"RLP: cannot encode {type(item)}")
+
+
+def _rlp_len(n: int, offset: int) -> bytes:
+    if n < 56:
+        return bytes([offset + n])
+    nb = n.to_bytes((n.bit_length() + 7) // 8, "big")
+    return bytes([offset + 55 + len(nb)]) + nb
+
+
+def rlp_decode(data: bytes):
+    """Inverse of rlp_encode (bytes stay bytes). Raises on trailing
+    garbage or truncation."""
+    item, rest = _rlp_decode_one(memoryview(data))
+    if rest:
+        raise ValueError(f"RLP: {len(rest)} trailing bytes")
+    return item
+
+
+def _rlp_decode_one(buf):
+    if not buf:
+        raise ValueError("RLP: empty input")
+    first = buf[0]
+    if first < 0x80:
+        return bytes(buf[:1]), buf[1:]
+    if first <= 0xB7:
+        n = first - 0x80
+        if len(buf) < 1 + n:
+            raise ValueError("RLP: truncated string")
+        return bytes(buf[1:1 + n]), buf[1 + n:]
+    if first <= 0xBF:
+        ln = first - 0xB7
+        n = int.from_bytes(buf[1:1 + ln], "big")
+        end = 1 + ln + n
+        if len(buf) < end:
+            raise ValueError("RLP: truncated long string")
+        return bytes(buf[1 + ln:end]), buf[end:]
+    if first <= 0xF7:
+        n = first - 0xC0
+        body, rest = buf[1:1 + n], buf[1 + n:]
+        if len(body) < n:
+            raise ValueError("RLP: truncated list")
+        return _rlp_decode_list(body), rest
+    ln = first - 0xF7
+    n = int.from_bytes(buf[1:1 + ln], "big")
+    end = 1 + ln + n
+    if len(buf) < end:
+        raise ValueError("RLP: truncated long list")
+    return _rlp_decode_list(buf[1 + ln:end]), buf[end:]
+
+
+def _rlp_decode_list(body) -> list:
+    out = []
+    while body:
+        item, body = _rlp_decode_one(body)
+        out.append(item)
+    return out
+
+
+# --------------------------------------------------------------------- ABI
+
+
+def selector(signature: str) -> bytes:
+    """4-byte function selector: keccak256 of the canonical signature."""
+    return keccak256(signature.encode())[:4]
+
+
+def abi_encode_args(types: list[str], args: list) -> bytes:
+    """Static-type ABI encoding (uint256 / bytes32 / address / bool) —
+    all the MetaStore write methods use static args only."""
+    out = bytearray()
+    for typ, arg in zip(types, args, strict=True):
+        if typ.startswith("uint"):
+            out += int(arg).to_bytes(32, "big")
+        elif typ == "bytes32":
+            b = bytes(arg)
+            if len(b) != 32:
+                raise ValueError(f"bytes32 arg is {len(b)} bytes")
+            out += b
+        elif typ == "address":
+            h = arg[2:] if isinstance(arg, str) and arg.startswith("0x") else arg
+            out += bytes(12) + bytes.fromhex(h)
+        elif typ == "bool":
+            out += int(bool(arg)).to_bytes(32, "big")
+        else:
+            raise ValueError(f"unsupported static ABI type {typ}")
+    return bytes(out)
+
+
+def encode_call(signature: str, args: list) -> bytes:
+    types = signature[signature.index("(") + 1:-1]
+    type_list = [t for t in types.split(",") if t]
+    return selector(signature) + abi_encode_args(type_list, args)
+
+
+# ------------------------------------------------------------ legacy tx
+
+
+def sign_legacy_tx(priv: int, nonce: int, gas_price: int, gas: int,
+                   to: str, value: int, data: bytes,
+                   chain_id: int) -> tuple[bytes, str]:
+    """EIP-155 legacy transaction; returns (raw_rlp, tx_hash_hex).
+    The reference's client sends ``tx.legacy()`` when use_legacy_tx is
+    set (meta_store_client.rs:195-204) — same wire format here."""
+    to_bytes = bytes.fromhex(to[2:] if to.startswith("0x") else to)
+    base = [nonce, gas_price, gas, to_bytes, value, data]
+    sighash = keccak256(rlp_encode(base + [chain_id, 0, 0]))
+    rsv = sign(sighash, priv)
+    r = int.from_bytes(rsv[:32], "big")
+    s = int.from_bytes(rsv[32:64], "big")
+    v = chain_id * 2 + 35 + (rsv[64] - 27)
+    raw = rlp_encode(base + [v, r, s])
+    return raw, "0x" + keccak256(raw).hex()
+
+
+# ------------------------------------------------------------ JSON-RPC
+
+
+class EthRpcError(RuntimeError):
+    pass
+
+
+class EthRpcClient:
+    """Minimal HTTP JSON-RPC client (stdlib urllib)."""
+
+    def __init__(self, url: str, timeout: float = 30.0):
+        self.url = url
+        self.timeout = timeout
+        self._id = 0
+
+    def call(self, method: str, params: list):
+        self._id += 1
+        body = json.dumps({
+            "jsonrpc": "2.0", "id": self._id,
+            "method": method, "params": params,
+        }).encode()
+        req = urllib.request.Request(
+            self.url, data=body, method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                out = json.loads(resp.read())
+        except (urllib.error.URLError, OSError) as e:
+            raise EthRpcError(f"{method}: {e}") from e
+        if "error" in out:
+            raise EthRpcError(f"{method}: {out['error']}")
+        return out.get("result")
+
+    def _int(self, method: str, params: list) -> int:
+        return int(self.call(method, params), 16)
+
+    def chain_id(self) -> int:
+        return self._int("eth_chainId", [])
+
+    def gas_price(self) -> int:
+        return self._int("eth_gasPrice", [])
+
+    def nonce(self, address: str) -> int:
+        return self._int("eth_getTransactionCount", [address, "pending"])
+
+    def estimate_gas(self, tx: dict) -> int:
+        return self._int("eth_estimateGas", [tx])
+
+    def send_raw(self, raw: bytes) -> str:
+        return self.call("eth_sendRawTransaction", ["0x" + raw.hex()])
+
+    def receipt(self, tx_hash: str) -> dict | None:
+        return self.call("eth_getTransactionReceipt", [tx_hash])
+
+
+# ------------------------------------------------------------- MetaStore
+
+
+class MetaStoreClient:
+    """The rollup plane's on-chain registrar (meta_store_client.rs).
+
+    Driver-side at ROLLUP cadence: one transaction per rollup round —
+    nothing here scales with row count.
+    """
+
+    UPDATE_ROLLUP_STEPS = "updateRollupSteps(uint256,bytes32)"
+
+    def __init__(self, rpc_url: str, contract: str, priv: int,
+                 gas_limit_fallback: int = 200_000,
+                 receipt_retries: int = 5,
+                 receipt_poll_s: float = 1.0):
+        from rtstore_spark.crypto.secp256k1 import priv_to_address
+
+        self.rpc = EthRpcClient(rpc_url)
+        self.contract = contract
+        self.priv = priv
+        self.address = priv_to_address(priv)
+        self.gas_limit_fallback = gas_limit_fallback
+        self.receipt_retries = receipt_retries
+        self.receipt_poll_s = receipt_poll_s
+
+    def update_rollup_step(self, ar_tx: str, network: int) -> tuple[int, str]:
+        """Register the rollup's Arweave tx on-chain; returns
+        (evm_cost_wei, evm_tx_hash). ``ar_tx`` is the base64url tx id —
+        exactly 32 raw bytes, like the reference's bytes32 conversion
+        (meta_store_client.rs:180-187)."""
+        from rtstore_spark.crypto.rsa import b64url_decode
+
+        raw_tx_id = b64url_decode(ar_tx)
+        if len(raw_tx_id) != 32:
+            raise ValueError(
+                f"arweave tx decodes to {len(raw_tx_id)} bytes, need 32"
+            )
+        data = encode_call(self.UPDATE_ROLLUP_STEPS, [network, raw_tx_id])
+        chain_id = self.rpc.chain_id()
+        gas_price = self.rpc.gas_price()
+        nonce = self.rpc.nonce(self.address)
+        try:
+            gas = self.rpc.estimate_gas({
+                "from": self.address, "to": self.contract,
+                "data": "0x" + data.hex(),
+            })
+        except EthRpcError:
+            gas = self.gas_limit_fallback
+        raw, tx_hash = sign_legacy_tx(
+            self.priv, nonce, gas_price, gas, self.contract, 0, data,
+            chain_id,
+        )
+        sent = self.rpc.send_raw(raw)
+        if sent.lower() != tx_hash.lower():
+            raise EthRpcError(f"node hashed tx to {sent}, expected {tx_hash}")
+        # bounded receipt wait, like meta_store_client.rs:215-230
+        for _ in range(self.receipt_retries):
+            rec = self.rpc.receipt(tx_hash)
+            if rec is not None:
+                if int(rec.get("status", "0x1"), 16) != 1:
+                    raise EthRpcError(f"tx {tx_hash} reverted")
+                gas_used = int(rec.get("gasUsed", "0x0"), 16)
+                eff_price = int(
+                    rec.get("effectiveGasPrice", hex(gas_price)), 16
+                )
+                return gas_used * eff_price, tx_hash
+            time.sleep(self.receipt_poll_s)
+        raise EthRpcError(f"no receipt for {tx_hash} after "
+                          f"{self.receipt_retries} polls")

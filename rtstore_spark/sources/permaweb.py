@@ -290,15 +290,23 @@ class PermawebUploader:
     (atomic rewrite; O(rollup rounds) — one small record per round).
 
     Crash contract: the state file is written AFTER each successful
-    upload, so a crash between upload and record re-uploads one
-    artifact under a fresh tx id — wasteful, never lossy; the chain
-    stays intact because back-pointers come from the recorded state.
+    upload (and on-chain registration, when configured), so a crash
+    mid-round re-uploads one artifact under a fresh tx id — wasteful,
+    never lossy; the chain stays intact because back-pointers come
+    from the recorded state.
+
+    ``meta_store`` (a MetaStoreClient) registers each round's Arweave
+    tx on-chain after the upload, exactly like the reference's rollup
+    loop (rollup_executor.rs:322-346): the record then carries
+    ``evm_tx`` / ``evm_cost`` alongside the arweave fields.
     """
 
-    def __init__(self, executor, permaweb: ArPermaweb, network: int = 1):
+    def __init__(self, executor, permaweb: ArPermaweb, network: int = 1,
+                 meta_store=None):
         self.executor = executor
         self.ar = permaweb
         self.network = network
+        self.meta_store = meta_store
         self.state_path = os.path.join(executor.root, "permaweb_uploads.json")
         self.fs = executor.fs
 
@@ -361,6 +369,14 @@ class PermawebUploader:
                 "end_block": row["end_block"],
                 "uploaded_ms": int(time.time() * 1000),
             }
+            if self.meta_store is not None:
+                # register on-chain BEFORE recording, like the reference:
+                # a failed registration retries the whole round
+                evm_cost, evm_tx = self.meta_store.update_rollup_step(
+                    ar_tx, self.network
+                )
+                rec["evm_tx"] = evm_tx
+                rec["evm_cost"] = evm_cost
             state.append(rec)
             new.append(rec)
             self._save_state(state)  # record per upload: crash re-ships ≤1

@@ -321,38 +321,52 @@ class RollupExecutor:
             .limit(min(limit, 50))
         )
 
-    def permaweb_uploads(self) -> dict[str, str]:
-        """tx_id → REAL arweave tx id, from the PermawebUploader's state
-        file (sources/permaweb.py) when this node ships its rollups to a
-        permaweb gateway; {} otherwise. O(rollup rounds) JSON."""
+    def permaweb_uploads(self) -> dict[str, dict]:
+        """tx_id → upload record (ar_tx_id, reward, and evm_tx/evm_cost
+        when on-chain registration is configured), from the
+        PermawebUploader's state file (sources/permaweb.py) when this
+        node ships its rollups to a permaweb gateway; {} otherwise.
+        O(rollup rounds) JSON."""
         import json
 
         text = self.fs.read_text(os.path.join(self.root, "permaweb_uploads.json"))
         if not text:
             return {}
-        return {rec["tx_id"]: rec["ar_tx_id"] for rec in json.loads(text)}
+        return {rec["tx_id"]: rec for rec in json.loads(text)}
 
     def scan_rollup_records(self, offset: int = 0, limit: int = 50) -> DataFrame:
         """ScanRollupRecord: the manifest, newest-first, capped page.
         ``arweave_tx`` carries the real permaweb tx id once the uploader
         ships a round (the reference's RollupRecord.arweave_tx,
         db3_rollup.proto:35) — a follower reads the newest record's
-        arweave_tx as the chain tip for PermawebWireTail.poll()."""
+        arweave_tx as the chain tip for PermawebWireTail.poll().
+        ``evm_tx``/``evm_cost`` carry the on-chain registration when the
+        uploader runs with a MetaStoreClient (RollupRecord fields 10/11)."""
         df = (
             self.manifest()
             .orderBy(F.col("end_block").desc())
             .offset(offset)
             .limit(min(limit, 50))
         )
-        ups = self.permaweb_uploads()
-        if ups:
+
+        def _mapped(key, cast):
+            pairs = [
+                (k, rec.get(key)) for k, rec in self.permaweb_uploads().items()
+                if rec.get(key) is not None
+            ]
+            if not pairs:
+                return F.lit(None).cast(cast)
             mapping = F.create_map(*[
-                F.lit(x)
-                for pair in ups.items()
-                for x in pair
+                F.lit(x) for pair in pairs for x in pair
             ])
-            return df.withColumn("arweave_tx", mapping[F.col("tx_id")])
-        return df.withColumn("arweave_tx", F.lit(None).cast("string"))
+            return mapping[F.col("tx_id")].cast(cast)
+
+        return (
+            df
+            .withColumn("arweave_tx", _mapped("ar_tx_id", "string"))
+            .withColumn("evm_tx", _mapped("evm_tx", "string"))
+            .withColumn("evm_cost", _mapped("evm_cost", "long"))
+        )
 
     # -- recovery (S10): rollup files → mutation rows, ordered --
 

@@ -298,3 +298,62 @@ class TestGoldenArtifactThroughPermaweb:
         assert report["mutations"] == 204
         assert report["errors"] == 0
         assert store.databases().count() == 69
+
+
+class TestUploaderWithMetaStore:
+    def test_rounds_register_on_chain(self, spark, permaweb, tmp_path):
+        from test_meta_store import CHAIN_ID, GAS_PRICE, _EthHandler, _EthState
+
+        from rtstore_spark.crypto.secp256k1 import priv_to_address
+        from rtstore_spark.sources.meta_store_client import (
+            MetaStoreClient,
+            selector,
+        )
+
+        eth = ThreadingHTTPServer(("127.0.0.1", 0), _EthHandler)
+        eth.state = _EthState()
+        threading.Thread(target=eth.serve_forever, daemon=True).start()
+        try:
+            root = str(tmp_path / "msnode")
+            store = DocStore(spark, root)
+            db = store.create_database(ALICE, nonce=1)
+            store.create_collection(db, "c", [], ALICE)
+            store.state.next_block()
+            store.add_docs(db, "c", ['{"v": 1}'], ALICE)
+            store.state.next_block()
+
+            ex = RollupExecutor(spark, root)
+            assert ex.rollup(
+                store.mutation_log(), open_block=store.state.block
+            ) is not None
+
+            node_key = 0x1212121212121212121212121212121212121212121212121212121212121212
+            contract = "0x" + "d3" * 20
+            ms = MetaStoreClient(
+                f"http://127.0.0.1:{eth.server_address[1]}",
+                contract, node_key, receipt_poll_s=0.01,
+            )
+            up = PermawebUploader(ex, permaweb, network=9, meta_store=ms)
+            recs = up.upload_pending()
+            assert len(recs) == 1
+            assert recs[0]["evm_tx"].startswith("0x")
+            assert recs[0]["evm_cost"] == 52000 * GAS_PRICE
+
+            # the on-chain call carries THIS round's arweave tx as bytes32
+            sent = eth.state.txs[recs[0]["evm_tx"]]
+            assert sent["sender"] == priv_to_address(node_key).lower()
+            assert sent["to"] == contract
+            data = sent["data"]
+            assert data[:4] == selector("updateRollupSteps(uint256,bytes32)")
+            assert data[4:36] == (9).to_bytes(32, "big")
+            from rtstore_spark.crypto.rsa import b64url_decode
+            assert data[36:68] == b64url_decode(recs[0]["ar_tx_id"])
+
+            # ScanRollupRecord surfaces the registration (fields 10/11)
+            scanned = ex.scan_rollup_records().collect()
+            assert scanned[0]["evm_tx"] == recs[0]["evm_tx"]
+            assert scanned[0]["evm_cost"] == recs[0]["evm_cost"]
+            assert scanned[0]["arweave_tx"] == recs[0]["ar_tx_id"]
+        finally:
+            eth.shutdown()
+            eth.server_close()
