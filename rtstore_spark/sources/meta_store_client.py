@@ -114,26 +114,83 @@ def selector(signature: str) -> bytes:
     return keccak256(signature.encode())[:4]
 
 
+def _abi_static_word(typ: str, arg) -> bytes:
+    if typ.startswith("uint"):
+        return int(arg).to_bytes(32, "big")
+    if typ == "bytes32":
+        b = bytes(arg)
+        if len(b) != 32:
+            raise ValueError(f"bytes32 arg is {len(b)} bytes")
+        return b
+    if typ == "address":
+        h = arg[2:] if isinstance(arg, str) and arg.startswith("0x") else arg
+        return bytes(12) + bytes.fromhex(h)
+    if typ == "bool":
+        return int(bool(arg)).to_bytes(32, "big")
+    raise ValueError(f"unsupported static ABI type {typ}")
+
+
+def _abi_is_dynamic(typ: str) -> bool:
+    return typ in ("string", "bytes") or typ.endswith("[]")
+
+
+def _abi_tail(typ: str, arg) -> bytes:
+    if typ in ("string", "bytes"):
+        b = arg.encode() if isinstance(arg, str) else bytes(arg)
+        padded = b + bytes(-len(b) % 32)
+        return len(b).to_bytes(32, "big") + padded
+    if typ.endswith("[]"):
+        inner = typ[:-2]
+        body = abi_encode_args([inner] * len(arg), list(arg))
+        return len(arg).to_bytes(32, "big") + body
+    raise ValueError(f"not a dynamic type: {typ}")
+
+
 def abi_encode_args(types: list[str], args: list) -> bytes:
-    """Static-type ABI encoding (uint256 / bytes32 / address / bool) —
-    all the MetaStore write methods use static args only."""
-    out = bytearray()
-    for typ, arg in zip(types, args, strict=True):
-        if typ.startswith("uint"):
-            out += int(arg).to_bytes(32, "big")
-        elif typ == "bytes32":
-            b = bytes(arg)
-            if len(b) != 32:
-                raise ValueError(f"bytes32 arg is {len(b)} bytes")
-            out += b
-        elif typ == "address":
-            h = arg[2:] if isinstance(arg, str) and arg.startswith("0x") else arg
-            out += bytes(12) + bytes.fromhex(h)
-        elif typ == "bool":
-            out += int(bool(arg)).to_bytes(32, "big")
+    """ABI head/tail encoding for the types the MetaStore surface uses:
+    uint256 / bytes32 / address / bool statics, plus string / bytes /
+    T[] dynamics (registerDataNetwork takes string, string[],
+    address[])."""
+    if len(types) != len(args):
+        raise ValueError("types/args length mismatch")
+    head = bytearray()
+    tail = bytearray()
+    head_size = 32 * len(types)
+    for typ, arg in zip(types, args):
+        if _abi_is_dynamic(typ):
+            head += (head_size + len(tail)).to_bytes(32, "big")
+            tail += _abi_tail(typ, arg)
         else:
-            raise ValueError(f"unsupported static ABI type {typ}")
-    return bytes(out)
+            head += _abi_static_word(typ, arg)
+    return bytes(head + tail)
+
+
+def abi_decode(types: list[str], data: bytes, base: int = 0) -> list:
+    """Inverse of abi_encode_args over the same type subset. ``base``
+    is the offset dynamic heads are relative to (0 for a top-level
+    parameter list)."""
+    out = []
+    for i, typ in enumerate(types):
+        word = data[base + 32 * i:base + 32 * i + 32]
+        if _abi_is_dynamic(typ):
+            off = base + int.from_bytes(word, "big")
+            n = int.from_bytes(data[off:off + 32], "big")
+            if typ in ("string", "bytes"):
+                raw = data[off + 32:off + 32 + n]
+                out.append(raw.decode() if typ == "string" else raw)
+            else:
+                out.append(abi_decode([typ[:-2]] * n, data, base=off + 32))
+        elif typ.startswith("uint"):
+            out.append(int.from_bytes(word, "big"))
+        elif typ == "bytes32":
+            out.append(word)
+        elif typ == "address":
+            out.append("0x" + word[12:].hex())
+        elif typ == "bool":
+            out.append(bool(int.from_bytes(word, "big")))
+        else:
+            raise ValueError(f"unsupported ABI type {typ}")
+    return out
 
 
 def encode_call(signature: str, args: list) -> bytes:
@@ -214,6 +271,11 @@ class EthRpcClient:
     def send_raw(self, raw: bytes) -> str:
         return self.call("eth_sendRawTransaction", ["0x" + raw.hex()])
 
+    def eth_call(self, to: str, data: bytes) -> bytes:
+        out = self.call("eth_call", [{"to": to, "data": "0x" + data.hex()},
+                                     "latest"])
+        return bytes.fromhex(out[2:]) if out and out != "0x" else b""
+
     def receipt(self, tx_hash: str) -> dict | None:
         return self.call("eth_getTransactionReceipt", [tx_hash])
 
@@ -229,6 +291,19 @@ class MetaStoreClient:
     """
 
     UPDATE_ROLLUP_STEPS = "updateRollupSteps(uint256,bytes32)"
+    CREATE_DOC_DATABASE = "createDocDatabase(uint256,bytes32)"
+    REGISTER_DATA_NETWORK = (
+        "registerDataNetwork(string,address,string[],address[],bytes32)"
+    )
+    GET_DATA_NETWORK = "getDataNetwork(uint256)"
+    # getDataNetwork returns the DataNetwork struct
+    # (abi/DB3MetaStore.json): id, rollupNodeUrl, rollupNodeAddress,
+    # indexNodeUrls, indexNodeAddresses, admin, latestArweaveTx,
+    # latestRollupTime, description
+    _DATA_NETWORK_TYPES = [
+        "uint256", "string", "address", "string[]", "address[]",
+        "address", "bytes32", "uint256", "bytes32",
+    ]
 
     def __init__(self, rpc_url: str, contract: str, priv: int,
                  gas_limit_fallback: int = 200_000,
@@ -257,6 +332,66 @@ class MetaStoreClient:
                 f"arweave tx decodes to {len(raw_tx_id)} bytes, need 32"
             )
         data = encode_call(self.UPDATE_ROLLUP_STEPS, [network, raw_tx_id])
+        return self._send_call(data, wait_receipt=True)
+
+    def create_database(self, network: int, desc: str) -> tuple[int, str]:
+        """createDocDatabase(networkId, bytes32 desc) — the on-chain
+        database registration whose CreateDatabase event the MetaStore
+        event source mints from (meta_store_client.rs:102-152; ≤32-byte
+        desc, zero-padded)."""
+        desc_bytes = desc.encode()
+        if len(desc_bytes) > 32:
+            raise ValueError("bad desc len")
+        data = encode_call(
+            self.CREATE_DOC_DATABASE,
+            [network, desc_bytes + bytes(32 - len(desc_bytes))],
+        )
+        return self._send_call(data, wait_receipt=True)
+
+    def register_data_network(self, rollup_node_address: str,
+                              rollup_node_url: str) -> str:
+        """Register a new data network with this node as its rollup node
+        (meta_store_client.rs:67-100: empty index lists, zero desc;
+        fire-and-forget — the reference does not wait for the receipt).
+        Returns the tx hash."""
+        data = encode_call(self.REGISTER_DATA_NETWORK, [
+            rollup_node_url, rollup_node_address, [], [], bytes(32),
+        ])
+        _, tx_hash = self._send_call(data, wait_receipt=False)
+        return tx_hash
+
+    def get_data_network(self, network: int) -> dict:
+        """eth_call getDataNetwork(networkId) → the DataNetwork struct."""
+        out = self.rpc.eth_call(
+            self.contract, encode_call(self.GET_DATA_NETWORK, [network])
+        )
+        if not out:
+            raise EthRpcError(f"getDataNetwork({network}): empty return")
+        # the struct is a dynamic tuple: one offset word, then the head
+        vals = abi_decode(self._DATA_NETWORK_TYPES, out,
+                          base=int.from_bytes(out[:32], "big"))
+        keys = ["id", "rollup_node_url", "rollup_node_address",
+                "index_node_urls", "index_node_addresses", "admin",
+                "latest_arweave_tx", "latest_rollup_time", "description"]
+        return dict(zip(keys, vals))
+
+    def get_latest_arweave_tx(self, network: int) -> str:
+        """The chain TIP a follower recovers from: base64url of the
+        network's latestArweaveTx bytes32 (meta_store_client.rs:154-166).
+        '' when no rollup has registered yet (all-zero word) — feed the
+        non-empty result straight into PermawebWireTail.poll()."""
+        from rtstore_spark.crypto.rsa import b64url_encode
+
+        raw = self.get_data_network(network)["latest_arweave_tx"]
+        return "" if raw == bytes(32) else b64url_encode(raw)
+
+    def get_admin(self, network: int) -> str:
+        return self.get_data_network(network)["admin"]
+
+    # ------------------------------------------------------------ plumbing
+
+    def _send_call(self, data: bytes,
+                   wait_receipt: bool) -> tuple[int, str]:
         chain_id = self.rpc.chain_id()
         gas_price = self.rpc.gas_price()
         nonce = self.rpc.nonce(self.address)
@@ -274,6 +409,8 @@ class MetaStoreClient:
         sent = self.rpc.send_raw(raw)
         if sent.lower() != tx_hash.lower():
             raise EthRpcError(f"node hashed tx to {sent}, expected {tx_hash}")
+        if not wait_receipt:
+            return 0, tx_hash
         # bounded receipt wait, like meta_store_client.rs:215-230
         for _ in range(self.receipt_retries):
             rec = self.rpc.receipt(tx_hash)

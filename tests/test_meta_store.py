@@ -22,6 +22,7 @@ from rtstore_spark.crypto.secp256k1 import priv_to_address, recover, pubkey_to_a
 from rtstore_spark.sources.meta_store_client import (
     EthRpcError,
     MetaStoreClient,
+    abi_decode,
     abi_encode_args,
     encode_call,
     rlp_decode,
@@ -152,12 +153,76 @@ class _EthState:
     def __init__(self):
         self.txs: dict[str, dict] = {}   # tx_hash -> decoded call
         self.nonces: dict[str, int] = {}
+        # MetaStore contract state: network id -> DataNetwork struct
+        self.networks: dict[int, dict] = {}
+        self.next_network = 1
+        self.logs: list[dict] = []       # raw eth event logs
+        self.block = 1
         self.lock = threading.Lock()
+
+    def _network(self, nid: int, admin: str) -> dict:
+        # lenient auto-vivify (a real contract reverts on unknown ids;
+        # the client-side behaviors under test don't depend on that)
+        return self.networks.setdefault(nid, {
+            "id": nid, "rollup_node_url": "", "rollup_node_address":
+            "0x" + "00" * 20, "index_node_urls": [],
+            "index_node_addresses": [], "admin": admin,
+            "latest_arweave_tx": bytes(32), "latest_rollup_time": 0,
+            "description": bytes(32),
+        })
+
+    def apply_call(self, sender: str, nonce: int, data: bytes) -> None:
+        """Contract dispatch for a validated transaction."""
+        from rtstore_spark.crypto.keccak import keccak256
+        from rtstore_spark.sources.evm import event_topic0
+
+        sel, args = data[:4], data[4:]
+        if sel == selector(MetaStoreClient.UPDATE_ROLLUP_STEPS):
+            nid, ar = abi_decode(["uint256", "bytes32"], args)
+            net = self._network(nid, sender)
+            net["latest_arweave_tx"] = ar
+            net["latest_rollup_time"] = self.block
+        elif sel == selector(MetaStoreClient.CREATE_DOC_DATABASE):
+            nid, desc = abi_decode(["uint256", "bytes32"], args)
+            self._network(nid, sender)
+            db_addr = "0x" + keccak256(
+                bytes.fromhex(sender[2:]) + nonce.to_bytes(8, "big")
+            )[:20].hex()
+            self.logs.append({
+                "address": "0x" + "c0" * 20,
+                "topics": [
+                    event_topic0("CreateDatabase",
+                                 ["address", "uint256", "address",
+                                  "bytes32"]),
+                    "0x" + bytes(12).hex() + sender[2:],  # indexed sender
+                ],
+                "data": "0x" + abi_encode_args(
+                    ["uint256", "address", "bytes32"],
+                    [nid, db_addr, desc],
+                ).hex(),
+                "blockNumber": hex(self.block),
+                "transactionHash": "0x" + keccak256(data).hex(),
+            })
+        elif sel == selector(MetaStoreClient.REGISTER_DATA_NETWORK):
+            url, addr, iurls, iaddrs, desc = abi_decode(
+                ["string", "address", "string[]", "address[]", "bytes32"],
+                args,
+            )
+            nid = self.next_network
+            self.next_network += 1
+            net = self._network(nid, sender)
+            net.update(rollup_node_url=url, rollup_node_address=addr,
+                       index_node_urls=iurls, index_node_addresses=iaddrs,
+                       description=desc)
+        else:
+            raise ValueError(f"unknown selector {sel.hex()}")
+        self.block += 1
 
 
 class _EthHandler(BaseHTTPRequestHandler):
     """Validates eth_sendRawTransaction like a real node: RLP shape,
-    EIP-155 chain id, signature recovery, nonce."""
+    EIP-155 chain id, signature recovery, nonce — then dispatches the
+    calldata into the in-memory MetaStore contract state."""
 
     def log_message(self, *a):
         pass
@@ -214,6 +279,10 @@ class _EthHandler(BaseHTTPRequestHandler):
                         raise ValueError(f"bad nonce {nonce}")
                 except (ValueError, AssertionError) as e:
                     return self._reply(error=str(e), rpc_id=rpc_id)
+                try:
+                    st.apply_call(sender, nonce, fields[5])
+                except ValueError as e:
+                    return self._reply(error=f"revert: {e}", rpc_id=rpc_id)
                 st.nonces[sender] = nonce + 1
                 tx_hash = "0x" + keccak256(raw).hex()
                 st.txs[tx_hash] = {
@@ -223,6 +292,29 @@ class _EthHandler(BaseHTTPRequestHandler):
                     "gas_price": int.from_bytes(fields[1], "big"),
                 }
                 return self._reply(tx_hash, rpc_id=rpc_id)
+            if method == "eth_call":
+                data = bytes.fromhex(params[0]["data"][2:])
+                if data[:4] == selector(MetaStoreClient.GET_DATA_NETWORK):
+                    (nid,) = abi_decode(["uint256"], data[4:])
+                    net = st.networks.get(nid)
+                    if net is None:
+                        return self._reply("0x", rpc_id=rpc_id)
+                    inner = abi_encode_args(
+                        MetaStoreClient._DATA_NETWORK_TYPES,
+                        [net[k] for k in (
+                            "id", "rollup_node_url", "rollup_node_address",
+                            "index_node_urls", "index_node_addresses",
+                            "admin", "latest_arweave_tx",
+                            "latest_rollup_time", "description",
+                        )],
+                    )
+                    return self._reply(
+                        "0x" + ((32).to_bytes(32, "big") + inner).hex(),
+                        rpc_id=rpc_id,
+                    )
+                return self._reply(error="unknown call", rpc_id=rpc_id)
+            if method == "eth_getLogs":
+                return self._reply(list(st.logs), rpc_id=rpc_id)
             if method == "eth_getTransactionReceipt":
                 tx = st.txs.get(params[0])
                 if tx is None:
@@ -282,3 +374,71 @@ class TestMetaStoreClient:
         ms = MetaStoreClient("http://127.0.0.1:1", CONTRACT, PRIV)
         with pytest.raises(EthRpcError):
             ms.update_rollup_step(b64url_encode(bytes(32)), network=1)
+
+
+class TestAbiDynamic:
+    def test_dynamic_roundtrip(self):
+        types = ["string", "address", "string[]", "address[]", "bytes32"]
+        args = ["http://rollup:1234", "0x" + "ab" * 20,
+                ["http://i1", "http://i2-longer-than-one-word-xxxxxxxxxx"],
+                ["0x" + "cd" * 20], bytes(range(32))]
+        enc = abi_encode_args(types, args)
+        assert abi_decode(types, enc) == args
+
+    def test_empty_arrays(self):
+        types = ["string", "string[]", "address[]"]
+        args = ["", [], []]
+        assert abi_decode(types, abi_encode_args(types, args)) == args
+
+
+class TestContractSurface:
+    def test_register_then_read_network(self, eth_node):
+        ms = MetaStoreClient(
+            f"http://127.0.0.1:{eth_node.server_address[1]}",
+            CONTRACT, PRIV, receipt_poll_s=0.01,
+        )
+        tx = ms.register_data_network(
+            rollup_node_address=priv_to_address(PRIV),
+            rollup_node_url="http://rollup:26619",
+        )
+        assert tx.startswith("0x")
+        nid = eth_node.state.next_network - 1
+        net = ms.get_data_network(nid)
+        assert net["rollup_node_url"] == "http://rollup:26619"
+        assert net["rollup_node_address"].lower() == \
+            priv_to_address(PRIV).lower()
+        assert ms.get_admin(nid).lower() == priv_to_address(PRIV).lower()
+        # no rollup registered yet: the tip is empty
+        assert ms.get_latest_arweave_tx(nid) == ""
+
+        # a rollup step sets the tip a follower recovers from
+        ar_raw = bytes(range(32))
+        ms.update_rollup_step(b64url_encode(ar_raw), network=nid)
+        assert ms.get_latest_arweave_tx(nid) == b64url_encode(ar_raw)
+
+    def test_create_database_emits_decodable_event(self, eth_node):
+        from rtstore_spark.sources.evm import decode_event_log
+
+        ms = MetaStoreClient(
+            f"http://127.0.0.1:{eth_node.server_address[1]}",
+            CONTRACT, PRIV, receipt_poll_s=0.01,
+        )
+        before = len(eth_node.state.logs)
+        cost, tx_hash = ms.create_database(network=4, desc="my docs")
+        assert cost > 0
+        raw_logs = ms.rpc.call("eth_getLogs", [{}])
+        assert len(raw_logs) == before + 1
+        # the Events.json shape for CreateDatabase
+        inputs = [
+            {"name": "sender", "type": "address", "indexed": True},
+            {"name": "networkId", "type": "uint256"},
+            {"name": "databaseAddress", "type": "address"},
+            {"name": "desc", "type": "bytes32"},
+        ]
+        ev = decode_event_log(raw_logs[-1], "CreateDatabase", inputs)
+        assert ev["event"] == "CreateDatabase"
+        assert ev["args"]["sender"].lower() == priv_to_address(PRIV).lower()
+        assert ev["args"]["networkId"] == 4
+        assert ev["args"]["databaseAddress"].startswith("0x")
+        with pytest.raises(ValueError, match="desc"):
+            ms.create_database(network=4, desc="x" * 33)

@@ -357,3 +357,63 @@ class TestUploaderWithMetaStore:
         finally:
             eth.shutdown()
             eth.server_close()
+
+
+class TestOnChainMintLoop:
+    def test_create_database_on_chain_mints_in_store(self, spark, tmp_path):
+        """The write side meets the existing event source: our client
+        sends createDocDatabase as a signed EVM transaction, the node
+        emits the CreateDatabase event, decode_event_log +
+        MetaStoreEventProcessor mint the database at its ON-CHAIN
+        address in a DocStore — the reference's S8 Mint path driven
+        end-to-end from our own registrar."""
+        from test_meta_store import _EthHandler, _EthState
+
+        from rtstore_spark.crypto.secp256k1 import priv_to_address
+        from rtstore_spark.sources.evm import (
+            MetaStoreEventProcessor,
+            decode_event_log,
+        )
+        from rtstore_spark.sources.meta_store_client import MetaStoreClient
+
+        eth = ThreadingHTTPServer(("127.0.0.1", 0), _EthHandler)
+        eth.state = _EthState()
+        threading.Thread(target=eth.serve_forever, daemon=True).start()
+        try:
+            key = 0x7A7A7A7A7A7A7A7A7A7A7A7A7A7A7A7A7A7A7A7A7A7A7A7A7A7A7A7A7A7A7A7A
+            ms = MetaStoreClient(
+                f"http://127.0.0.1:{eth.server_address[1]}",
+                "0x" + "c0" * 20, key, receipt_poll_s=0.01,
+            )
+            ms.create_database(network=2, desc="chain-born")
+            raw_logs = ms.rpc.call("eth_getLogs", [{}])
+            inputs = [
+                {"name": "sender", "type": "address", "indexed": True},
+                {"name": "networkId", "type": "uint256"},
+                {"name": "databaseAddress", "type": "address"},
+                {"name": "desc", "type": "bytes32"},
+            ]
+            events = []
+            for rl in raw_logs:
+                ev = decode_event_log(rl, "CreateDatabase", inputs)
+                args = ev["args"]
+                events.append({"event": "CreateDatabase", "args": {
+                    "sender": args["sender"],
+                    "databaseAddress": args["databaseAddress"],
+                    "description": bytes.fromhex(
+                        args["desc"][2:] if isinstance(args["desc"], str)
+                        else args["desc"].hex()
+                    ).rstrip(b"\x00").decode(),
+                }})
+            store = DocStore(spark, tempfile.mkdtemp(prefix="chainmint_"))
+            counts = MetaStoreEventProcessor(store).process(events)
+            assert counts["CreateDatabase"] == 1
+            dbs = store.databases().collect()
+            on_chain_addr = events[0]["args"]["databaseAddress"]
+            assert any(r["db_addr"] == on_chain_addr for r in dbs)
+            row = next(r for r in dbs if r["db_addr"] == on_chain_addr)
+            assert row["desc"] == "chain-born"
+            assert row["sender"].lower() == priv_to_address(key).lower()
+        finally:
+            eth.shutdown()
+            eth.server_close()
