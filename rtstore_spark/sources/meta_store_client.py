@@ -306,16 +306,22 @@ class MetaStoreClient:
     ]
 
     def __init__(self, rpc_url: str, contract: str, priv: int,
-                 gas_limit_fallback: int = 200_000,
+                 gas_limit: int | None = None,
                  receipt_retries: int = 5,
-                 receipt_poll_s: float = 1.0):
+                 receipt_poll_s: float = 5.0):
+        """``receipt_retries`` × ``receipt_poll_s`` defaults to 25 s —
+        the reference's 5 × 5 s wait (meta_store_client.rs:215-230),
+        long enough for a ~12 s block time. ``gas_limit`` pins the gas
+        instead of eth_estimateGas; when unset, an estimation FAILURE
+        (the standard revert signal) raises rather than broadcasting a
+        known-doomed transaction with a fallback limit."""
         from rtstore_spark.crypto.secp256k1 import priv_to_address
 
         self.rpc = EthRpcClient(rpc_url)
         self.contract = contract
         self.priv = priv
         self.address = priv_to_address(priv)
-        self.gas_limit_fallback = gas_limit_fallback
+        self.gas_limit = gas_limit
         self.receipt_retries = receipt_retries
         self.receipt_poll_s = receipt_poll_s
 
@@ -395,13 +401,16 @@ class MetaStoreClient:
         chain_id = self.rpc.chain_id()
         gas_price = self.rpc.gas_price()
         nonce = self.rpc.nonce(self.address)
-        try:
+        if self.gas_limit is not None:
+            gas = self.gas_limit
+        else:
+            # an estimation failure means the call would REVERT: raise
+            # instead of burning gas on a known-doomed transaction (and,
+            # for fire-and-forget sends, silently reporting success)
             gas = self.rpc.estimate_gas({
                 "from": self.address, "to": self.contract,
                 "data": "0x" + data.hex(),
             })
-        except EthRpcError:
-            gas = self.gas_limit_fallback
         raw, tx_hash = sign_legacy_tx(
             self.priv, nonce, gas_price, gas, self.contract, 0, data,
             chain_id,

@@ -51,6 +51,8 @@ from rtstore_spark.wire.arweave import (
 
 AR_APP_NAME = "DB3 Network"      # the reference's App-Name tag (ar_fs.rs:142)
 AR_SCHEMA_VERSION = "1"          # Version-Id (ar_fs.rs:35)
+PERMAWEB_STATE_FILE = "permaweb_uploads.json"  # shared with sources/rollup.py
+CHAIN_MANIFEST = "_chain.json"   # tx → filename map inside a recovery dir
 
 
 # ----------------------------------------------------------------- wallet
@@ -307,7 +309,7 @@ class PermawebUploader:
         self.ar = permaweb
         self.network = network
         self.meta_store = meta_store
-        self.state_path = os.path.join(executor.root, "permaweb_uploads.json")
+        self.state_path = os.path.join(executor.root, PERMAWEB_STATE_FILE)
         self.fs = executor.fs
 
     def _load_state(self) -> list[dict]:
@@ -440,32 +442,57 @@ def recover_permaweb_chain(permaweb: ArPermaweb, tip_tx: str,
     so a failed worker leaves no partial file and the rerun is
     resumable."""
     os.makedirs(dest_dir, exist_ok=True)
-    chain: list[tuple[str, str]] = []
+    # tx → filename assignments are STICKY across walks (recorded in the
+    # dir's manifest): a bare File-Name is keyed to the FIRST tx that
+    # claimed it, so a later tx reusing the name gets a tx-prefixed file
+    # no matter where the tip has moved — name assignment depending on
+    # walk position would let the resume check skip a NEW artifact whose
+    # name collides with an already-downloaded one (losing its mutations)
+    manifest_path = os.path.join(dest_dir, CHAIN_MANIFEST)
+    recorded: list[list[str]] = []  # [[tx, fname], ...] oldest-first
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            recorded = json.load(f)
+    known = dict(recorded)
+    used_names = set(known.values())
+
+    new_segment: list[tuple[str, str]] = []  # newest-first during the walk
     seen: set[str] = set()
-    used_names: set[str] = set()
     tx = tip_tx
     while tx:
         if tx in seen:
             raise ArGatewayError(f"Last-Rollup-Tx cycle at {tx}")
         seen.add(tx)
+        if tx in known:
+            if os.path.exists(os.path.join(dest_dir, known[tx])):
+                # everything older is already recorded+downloaded (the
+                # chain is append-only): stop the walk instead of
+                # re-fetching thousands of historical tx records per poll
+                break
+            # recorded file lost from disk: keep its sticky name (the
+            # pending pass re-downloads it) and keep walking older
+            tags = permaweb.get_tx_tags(tx)
+            tx = tags.get("Last-Rollup-Tx", "")
+            continue
         tags = permaweb.get_tx_tags(tx)  # signature-verified tags
         # File-Name is foreign input: flatten to a basename, reject
-        # degenerate names, and disambiguate duplicates by tx id —
-        # two txs must never silently share one destination file
+        # degenerate names, disambiguate collisions by tx id
         fname = os.path.basename(tags.get("File-Name", ""))
         if fname in ("", ".", ".."):
             fname = f"{tx}.gz.parquet"
         if fname in used_names:
             fname = f"{tx[:12]}-{fname}"
         used_names.add(fname)
-        chain.append((tx, fname))
+        known[tx] = fname
+        new_segment.append((tx, fname))
         tx = tags.get("Last-Rollup-Tx", "")
-    chain.reverse()  # oldest first, like ar_toolbox's recovery order
+    new_segment.reverse()  # oldest first, like ar_toolbox's recovery order
+
     pending = [
         (tx, os.path.join(dest_dir, fname))
-        for tx, fname in chain
+        for tx, fname in (recorded + [list(p) for p in new_segment])
         if not os.path.exists(os.path.join(dest_dir, fname))
-    ]  # resumable: skip already-downloaded
+    ]  # resumable: also re-fetches a recorded file lost from disk
     if pending:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -476,4 +503,9 @@ def recover_permaweb_chain(permaweb: ArPermaweb, tip_tx: str,
             ]
             for f in futures:
                 f.result()  # surface the first failure
-    return [os.path.join(dest_dir, fname) for _, fname in chain]
+    recorded += [[tx, fname] for tx, fname in new_segment]
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(recorded, f)
+    os.replace(tmp, manifest_path)
+    return [os.path.join(dest_dir, fname) for _, fname in recorded]

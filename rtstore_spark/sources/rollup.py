@@ -329,7 +329,9 @@ class RollupExecutor:
         O(rollup rounds) JSON."""
         import json
 
-        text = self.fs.read_text(os.path.join(self.root, "permaweb_uploads.json"))
+        from rtstore_spark.sources.permaweb import PERMAWEB_STATE_FILE
+
+        text = self.fs.read_text(os.path.join(self.root, PERMAWEB_STATE_FILE))
         if not text:
             return {}
         return {rec["tx_id"]: rec for rec in json.loads(text)}
@@ -349,9 +351,11 @@ class RollupExecutor:
             .limit(min(limit, 50))
         )
 
+        uploads = self.permaweb_uploads()  # one read for all three columns
+
         def _mapped(key, cast):
             pairs = [
-                (k, rec.get(key)) for k, rec in self.permaweb_uploads().items()
+                (k, rec.get(key)) for k, rec in uploads.items()
                 if rec.get(key) is not None
             ]
             if not pairs:

