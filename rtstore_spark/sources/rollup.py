@@ -456,61 +456,69 @@ class RollupExecutor:
         touched) Spark jobs instead of the reference's O(mutations)
         sequential recovery walk (recover.rs:140-236).
         """
-        from rtstore_spark.store.replay import replay_log_batch
+        return replay_rollup_frame(store, self.read_rollups())
 
-        from pyspark import StorageLevel
 
-        raw = self.read_rollups()
-        # persist the DECODED history once: the format probe, the
-        # control collect, the doc-op derivation and the end-of-batch
-        # converge aggregate all traverse it — unpersisted, each would
-        # re-read and re-from_json the whole rollup chain (3-4 full
-        # history decodes per recovery)
-        log_df = raw.select(
-            F.from_json(
-                F.decode(F.col("payload"), "utf-8"), self._ENVELOPE_SCHEMA
-            ).alias("e"),
-            # wire probe: a TypedData envelope has message.payload hex
-            F.get_json_object(
-                F.decode(F.col("payload"), "utf-8"), "$.message.payload"
-            ).alias("_wire"),
-            "block", "order", "doc_ids",
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            ours = F.col("e").isNotNull() & F.col("e.action").isNotNull()
-            shape = log_df.agg(
-                F.sum(ours.cast("int")).alias("n_ours"),
-                F.sum((~ours & F.col("_wire").isNotNull()).cast("int")).alias("n_wire"),
-                F.sum((~ours & F.col("_wire").isNull()).cast("int")).alias("n_bad"),
-            ).collect()[0]
-            if shape["n_bad"]:
-                raise ValueError(
-                    f"{shape['n_bad']} rollup payloads decode as neither a "
-                    "self-describing envelope nor reference wire format — "
-                    "cannot replay"
-                )
-            if shape["n_wire"]:
-                if shape["n_ours"]:
-                    raise ValueError(
-                        "rollup chain mixes native and wire-format payloads "
-                        f"({shape['n_ours']} native, {shape['n_wire']} wire) "
-                        "— replay them separately"
-                    )
-                from rtstore_spark.sources.wire_import import import_wire_rollup
+def replay_rollup_frame(store, raw: DataFrame) -> int:
+    """Format-probe + replay an arbitrary rollup-artifact DataFrame (the
+    5-column rollup schema) into ``store`` — the body of
+    ``RollupExecutor.replay_into``, shared with the node launcher's
+    ``recover`` command, which cold-starts from a bare artifact
+    directory (downloaded permaweb chain) with no manifest."""
+    from rtstore_spark.store.replay import replay_log_batch
 
-                report = import_wire_rollup(store, raw)
-                return int(report["control_applied"] + report["doc_ops"])
-            return replay_log_batch(
-                store,
-                log_df.select(
-                    F.col("e.id").alias("id"), F.col("e.sender").alias("sender"),
-                    F.coalesce(F.col("e.nonce"), F.lit(0)).alias("nonce"),
-                    F.col("e.action").alias("action"),
-                    F.col("e.db_addr").alias("db_addr"),
-                    F.col("e.col_name").alias("col_name"),
-                    F.col("e.body").alias("payload"),
-                    "doc_ids", "block", "order",
-                ),
+    from pyspark import StorageLevel
+
+    # persist the DECODED history once: the format probe, the
+    # control collect, the doc-op derivation and the end-of-batch
+    # converge aggregate all traverse it — unpersisted, each would
+    # re-read and re-from_json the whole rollup chain (3-4 full
+    # history decodes per recovery)
+    log_df = raw.select(
+        F.from_json(
+            F.decode(F.col("payload"), "utf-8"), RollupExecutor._ENVELOPE_SCHEMA
+        ).alias("e"),
+        # wire probe: a TypedData envelope has message.payload hex
+        F.get_json_object(
+            F.decode(F.col("payload"), "utf-8"), "$.message.payload"
+        ).alias("_wire"),
+        "block", "order", "doc_ids",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        ours = F.col("e").isNotNull() & F.col("e.action").isNotNull()
+        shape = log_df.agg(
+            F.sum(ours.cast("int")).alias("n_ours"),
+            F.sum((~ours & F.col("_wire").isNotNull()).cast("int")).alias("n_wire"),
+            F.sum((~ours & F.col("_wire").isNull()).cast("int")).alias("n_bad"),
+        ).collect()[0]
+        if shape["n_bad"]:
+            raise ValueError(
+                f"{shape['n_bad']} rollup payloads decode as neither a "
+                "self-describing envelope nor reference wire format — "
+                "cannot replay"
             )
-        finally:
-            log_df.unpersist()
+        if shape["n_wire"]:
+            if shape["n_ours"]:
+                raise ValueError(
+                    "rollup chain mixes native and wire-format payloads "
+                    f"({shape['n_ours']} native, {shape['n_wire']} wire) "
+                    "— replay them separately"
+                )
+            from rtstore_spark.sources.wire_import import import_wire_rollup
+
+            report = import_wire_rollup(store, raw)
+            return int(report["control_applied"] + report["doc_ops"])
+        return replay_log_batch(
+            store,
+            log_df.select(
+                F.col("e.id").alias("id"), F.col("e.sender").alias("sender"),
+                F.coalesce(F.col("e.nonce"), F.lit(0)).alias("nonce"),
+                F.col("e.action").alias("action"),
+                F.col("e.db_addr").alias("db_addr"),
+                F.col("e.col_name").alias("col_name"),
+                F.col("e.body").alias("payload"),
+                "doc_ids", "block", "order",
+            ),
+        )
+    finally:
+        log_df.unpersist()

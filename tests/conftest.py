@@ -14,6 +14,7 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "8")  # keep test JVM light
 # membership lives here (one list) instead of per-file marks.
 SLOW_MODULES = {
     "test_continuous_agg",
+    "test_cli",
     "test_corpus_stream",
     "test_evm_live",
     "test_front_parity",
