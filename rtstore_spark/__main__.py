@@ -118,7 +118,7 @@ def run_rollup(args) -> None:
     from rtstore_spark.system import SystemStore
 
     spark = _spark()
-    store = DocStore(spark, args.root)
+    store = DocStore(spark, args.root, network=args.network)
     system = SystemStore(spark, args.root, admin_addr=args.admin_addr)
     executor = RollupExecutor(spark, args.root)
     node = NodeService(store, Ingest(store), system=system, rollup=executor)
@@ -133,6 +133,11 @@ def run_rollup(args) -> None:
 
         meta = None
         if args.evm_url and args.contract:
+            if not args.evm_key:
+                raise SystemExit(
+                    "rollup: --evm-key is required for on-chain "
+                    "registration (--evm-url/--contract)"
+                )
             from rtstore_spark.sources.meta_store_client import MetaStoreClient
 
             meta = MetaStoreClient(args.evm_url, args.contract,
@@ -154,27 +159,63 @@ def run_rollup(args) -> None:
             cfg["rollup_max_interval"] = args.rollup_max_interval_ms
         return cfg
 
+    def _unrolled_blocks_exist() -> bool:
+        # one startup probe: any closed block beyond the last rollup?
+        from pyspark.sql import functions as F
+
+        last = executor.last_rollup()
+        start = (last["end_block"] + 1) if last else 0
+        return bool(
+            store.mutation_log()
+            .filter((F.col("block") >= start)
+                    & (F.col("block") < store.state.block))
+            .limit(1).count()
+        )
+
     def tick_loop():
+        # idle ticks are FREE: the rollup-policy check (config read +
+        # manifest read + pending-size aggregate — several Spark jobs)
+        # runs only while closed-but-unrolled blocks EXIST (maybe_rollup
+        # can defer them on its time trigger, so the flag clears only
+        # when a rollup actually lands — not on a not-yet-due None), and
+        # the uploader only runs while rounds are known-unshipped (set
+        # again on failure so a transient gateway outage retries next
+        # tick, not next round)
+        policy_due = _unrolled_blocks_exist()  # startup catch-up
+        upload_due = uploader is not None
         while not stop.is_set():
             try:
-                if store.state.open_block_mutations > 0:
+                if store.state.order > 0:  # open block holds mutations
                     store.state.next_block()  # the reference's timer tick
-                row = executor.maybe_rollup(
-                    store.mutation_log(), config=rollup_config(),
-                    network=args.network, open_block=store.state.block,
-                )
-                if row is not None:
-                    print(f"rollup: blocks {row['start_block']}.."
-                          f"{row['end_block']}, {row['rows']} rows", flush=True)
-                    if uploader is not None:
+                    policy_due = True
+                if policy_due:
+                    row = executor.maybe_rollup(
+                        store.mutation_log(), config=rollup_config(),
+                        network=args.network, open_block=store.state.block,
+                    )
+                    if row is not None:
+                        policy_due = False  # everything closed is rolled
+                        print(f"rollup: blocks {row['start_block']}.."
+                              f"{row['end_block']}, {row['rows']} rows",
+                              flush=True)
+                        upload_due = uploader is not None
+                        if args.gc:
+                            executor.gc(store,
+                                        min_gc_offset=args.min_gc_offset)
+                if upload_due:
+                    try:
                         for rec in uploader.upload_pending():
                             print(f"permaweb: {rec['ar_tx_id']}"
                                   + (f" evm {rec['evm_tx']}"
-                                     if rec.get("evm_tx") else ""), flush=True)
-                    if args.gc:
-                        executor.gc(store, min_gc_offset=args.min_gc_offset)
+                                     if rec.get("evm_tx") else ""),
+                                  flush=True)
+                        upload_due = False
+                    except Exception as e:  # noqa: BLE001 — retry next tick
+                        print(f"permaweb upload error (will retry): {e}",
+                              flush=True)
             except Exception as e:  # noqa: BLE001 — the loop must survive
                 print(f"tick error: {e}", flush=True)
+                policy_due = True  # re-check once the fault clears
             stop.wait(args.block_interval)
 
     t = threading.Thread(target=tick_loop, name="rtstore-block-ticker",
@@ -201,7 +242,8 @@ def run_index(args) -> None:
 
     spark = _spark()
     origin = DocStore(spark, args.source_root)
-    replica = DocStore(spark, args.root)
+    replica = DocStore(spark, args.root)  # replayed addresses are ADOPTED
+                                          # from the log; network moot here
     tail = IndexerTail(spark, origin, replica)
     node = NodeService(replica)
     http = NodeServer(node, host=args.host, port=args.port).start()
@@ -213,7 +255,12 @@ def run_index(args) -> None:
           + f", tailing {args.source_root}", flush=True)
     try:
         while True:
-            tail.run_once()  # availableNow catch-up, checkpointed
+            try:
+                tail.run_once()  # availableNow catch-up, checkpointed
+            except Exception as e:  # noqa: BLE001 — transient origin-fs
+                # races (GC'd bucket mid-listing) retry next poll; the
+                # checkpoint makes the rerun exactly-once
+                print(f"tail error (will retry): {e}", flush=True)
             time.sleep(args.poll_interval)
     except KeyboardInterrupt:
         pass
@@ -251,16 +298,16 @@ def run_recover(args) -> None:
     else:
         raise SystemExit("recover: need --from-dir or --arweave-url")
 
-    from rtstore_spark.sources.rollup import ROLLUP_SCHEMA, replay_rollup_frame
+    from rtstore_spark.sources.rollup import RollupExecutor, replay_rollup_frame
 
+    # schema-normalized read (the reference's Arrow writer declares
+    # UNSIGNED block/order — an explicit long/int schema aborts on it;
+    # load_rollup_file reads with inference and casts), then the
     # format-probed replay: native JSON envelopes AND reference wire
     # chains both route correctly (mixed chains raise)
-    df = (
-        spark.read.schema(ROLLUP_SCHEMA)
-        .option("recursiveFileLookup", "true")  # rollups/ holds subdirs
-        .parquet(src)
-        .orderBy("block", "order")
-    )
+    df = RollupExecutor.load_rollup_file(
+        spark, src, recursive=True
+    ).orderBy("block", "order")
     n = replay_rollup_frame(store, df)
     print(f"replayed {n} mutations into {args.root}", flush=True)
 

@@ -188,8 +188,21 @@ class ArPermaweb:
 
     def __init__(self, gateway_url: str, key_root_path: str,
                  bits: int = 2048, rng=None, timeout: float = 30.0):
-        self.wallet = ArWallet(key_root_path, bits=bits, rng=rng)
+        self._key_root = key_root_path
+        self._bits = bits
+        self._rng = rng
+        self._wallet: ArWallet | None = None
         self.client = ArGatewayClient(gateway_url, timeout=timeout)
+
+    @property
+    def wallet(self) -> ArWallet:
+        """LAZY: download/verify paths never touch the wallet — recovery
+        verifies against each tx's embedded owner key, so a read-only
+        cold start must not generate (and persist) a fresh private key."""
+        if self._wallet is None:
+            self._wallet = ArWallet(self._key_root, bits=self._bits,
+                                    rng=self._rng)
+        return self._wallet
 
     def get_address(self) -> str:
         return self.wallet.address

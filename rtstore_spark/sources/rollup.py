@@ -375,7 +375,8 @@ class RollupExecutor:
     # -- recovery (S10): rollup files → mutation rows, ordered --
 
     @staticmethod
-    def load_rollup_file(spark: SparkSession, path: str) -> DataFrame:
+    def load_rollup_file(spark: SparkSession, path: str,
+                         recursive: bool = False) -> DataFrame:
         """Read a rollup parquet written by ANY producer — including the
         reference node's Arrow writer (ar_toolbox.rs:48-54), which declares
         block/order as *unsigned* UInt64/UInt32 — and normalize to
@@ -385,8 +386,13 @@ class RollupExecutor:
         inference (an explicit long/int schema aborts on the unsigned
         dictionaries), so read with the file's own schema and cast; a
         pre-doc_ids file (the reference's 4-column era) gets doc_ids=null.
+        ``recursive`` reads a whole artifact directory tree (the node
+        launcher's recover path over rollups/<range>.gz.parquet/ subdirs).
         """
-        df = spark.read.parquet(path)
+        reader = spark.read
+        if recursive:
+            reader = reader.option("recursiveFileLookup", "true")
+        df = reader.parquet(path)
         cols = [
             F.col("payload").cast("binary").alias("payload"),
             F.col("signature").cast("string").alias("signature"),

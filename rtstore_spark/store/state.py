@@ -89,13 +89,6 @@ class StateStore:
         return self._state["block"]
 
     @property
-    def open_block_mutations(self) -> int:
-        """Mutations sequenced into the still-open block — the node
-        launcher's block ticker closes a block only when this is
-        non-zero (the reference's timer produces no empty blocks)."""
-        return self._state["order"]
-
-    @property
     def order(self) -> int:
         return self._state["order"]
 

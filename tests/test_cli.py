@@ -72,21 +72,31 @@ class TestRollupNodeSubprocess:
             text=True,
         )
         try:
-            # wait for the banner (Spark startup dominates)
+            # wait for the banner via a reader THREAD so a wedged child
+            # (alive but silent) fails at the deadline instead of
+            # blocking forever in readline(); the thread then keeps
+            # draining the pipe so Spark's chatter can't fill it
+            import queue
+            import threading
+
+            banner: queue.Queue = queue.Queue()
+
+            def _drain():
+                for line in proc.stdout:
+                    if "rollup node up" in line:
+                        banner.put(line)
+
+            threading.Thread(target=_drain, daemon=True).start()
             deadline = time.monotonic() + 180
             up = False
             while time.monotonic() < deadline and not up:
-                line = proc.stdout.readline()
-                if "rollup node up" in line:
-                    up = True
                 assert proc.poll() is None, "node exited early"
+                try:
+                    banner.get(timeout=2)
+                    up = True
+                except queue.Empty:
+                    pass
             assert up, "node never came up"
-            # keep draining the pipe so Spark's chatter can't fill it
-            # and block the child
-            import threading
-            threading.Thread(
-                target=lambda: [None for _ in proc.stdout], daemon=True
-            ).start()
 
             priv = 0x4848484848484848484848484848484848484848484848484848484848484848
             me = priv_to_address(priv)
@@ -152,3 +162,27 @@ class TestRollupNodeSubprocess:
                   "--from-dir", os.path.join(root, "rollups")])
         fresh = DocStore(spark, fresh_root)
         assert any(r["db_addr"] == db for r in fresh.databases().collect())
+
+
+class TestRecoverReferenceArtifact:
+    GOLDEN = "/root/reference/src/node/resources/test/37829_37968.gz.parquet"
+
+    def test_recover_handles_unsigned_reference_schema(self, spark, tmp_path):
+        # review regression: recover read with an explicit long/int
+        # schema, which aborts on the reference's UNSIGNED uint64/uint32
+        # parquet — the advertised reference-chain recovery path crashed
+        # before the format probe ran
+        import shutil
+
+        if not os.path.exists(self.GOLDEN):
+            pytest.skip("reference artifact not present")
+        src = tmp_path / "ref-artifacts"
+        os.makedirs(src)
+        shutil.copy(self.GOLDEN, src / "37829_37968.gz.parquet")
+        from rtstore_spark.__main__ import main as cli_main
+        from rtstore_spark.store.docstore import DocStore
+
+        fresh = str(tmp_path / "ref-recovered")
+        cli_main(["recover", "--root", fresh, "--from-dir", str(src)])
+        store = DocStore(spark, fresh)
+        assert store.databases().count() == 69
