@@ -77,6 +77,30 @@ def fronts(spark, tmp_path_factory):
     )
 
 
+@pytest.fixture(scope="module")
+def h2_port(fronts):
+    """Raw gRPC/h2c server over the SAME node as the gateway arm — the
+    third front differs only in framing (HTTP/2 + HPACK + gRPC frames),
+    so socket answers must equal direct gateway answers exactly."""
+    from rtstore_spark.service_h2 import GrpcH2Server
+
+    srv = GrpcH2Server(fronts[1].node).start()
+    yield srv.port
+    srv.stop()
+
+
+def _h2(port: int, service: str, method: str, msg: dict) -> dict:
+    from test_h2 import H2Client
+
+    c = H2Client(port, timeout=60)
+    try:
+        msgs, status, message = c.call(f"/{service}/{method}", msg)
+        assert status == 0, message
+        return msgs[0]
+    finally:
+        c.close()
+
+
 class _Seq:
     """Per-example unique signer so module-scoped stores never clash."""
 
@@ -110,7 +134,7 @@ class TestFrontParity:
                min_size=1, max_size=6))
     @settings(max_examples=6, deadline=None,
               suppress_health_check=list(HealthCheck))
-    def test_same_sequence_same_answers(self, fronts, ops, q_field):
+    def test_same_sequence_same_answers(self, fronts, h2_port, ops, q_field):
         from rtstore_spark.crypto.secp256k1 import priv_to_address
 
         _Seq.n += 1
@@ -227,6 +251,21 @@ class TestFrontParity:
         # the proto view names the byte total total_mutation_bytes
         assert jstate["total_storage_bytes"] == wstate.get(
             "total_mutation_bytes", 0)
+
+        # ---- third arm: the SAME reads over a real h2c socket ------------
+        # the h2c front shares the gateway core, so any difference here is
+        # a FRAMING bug (HTTP/2, HPACK, gRPC length-prefix, trailers)
+        for service, method, msg in [
+            ("db3_storage_proto.StorageNode", "GetNonce", {"address": me}),
+            ("db3_storage_proto.StorageNode", "GetDatabase", {"addr": db}),
+            ("db3_storage_proto.StorageNode", "GetCollectionOfDatabase",
+             {"db_addr": db}),
+            ("db3_storage_proto.StorageNode", "GetMutationState", {}),
+            ("db3_indexer_proto.IndexerNode", "RunQuery",
+             {"db": db, "col_name": "c", "query": {"query_str": "/*"}}),
+        ]:
+            assert _h2(h2_port, service, method, msg) == \
+                _proto(wf.gateway, service, method, msg), (service, method)
 
     def test_error_table_maps_consistently(self, fronts):
         jf, wf = fronts
