@@ -195,9 +195,21 @@ class _Connection:
                 self.stream_send_windows[k] += delta
         self._send(h2.pack_frame(h2.SETTINGS, h2.FLAG_ACK, 0))
 
+    # our advertised SETTINGS_MAX_CONCURRENT_STREAMS — enforced, not
+    # just advertised: excess half-open streams are REFUSED so one
+    # connection cannot accumulate unbounded assembly state
+    MAX_CONCURRENT = 128
+
     def _on_headers(self, flags: int, sid: int, payload: bytes) -> None:
         if sid == 0 or sid % 2 == 0:
             raise h2.H2Error(h2.PROTOCOL_ERROR, "bad client stream id")
+        if sid <= self.max_started_sid:
+            # RFC 9113 §5.1.1: client stream ids are strictly increasing;
+            # a repeated HEADERS would silently replace live assembly
+            # state or double-respond on a finished stream
+            raise h2.H2Error(
+                h2.PROTOCOL_ERROR, f"stream id {sid} not increasing"
+            )
         body = h2.strip_padding(payload, flags)
         if flags & h2.FLAG_PRIORITY:
             if len(body) < 5:
@@ -209,6 +221,12 @@ class _Connection:
             ln, ft, fl, cs = h2.parse_frame_header(self._recv_exact(9))
             if ft != h2.CONTINUATION or cs != sid:
                 raise h2.H2Error(h2.PROTOCOL_ERROR, "expected CONTINUATION")
+            if ln > _OUR_MAX_FRAME + 255:
+                # same bound every top-level frame gets — without it the
+                # peer controls a blocking read of up to 16 MiB before
+                # the header-block cap fires
+                raise h2.H2Error(h2.FRAME_SIZE_ERROR,
+                                 f"CONTINUATION of {ln} bytes")
             fragment += self._recv_exact(ln)
             if len(fragment) > _MAX_HEADER_BLOCK:
                 raise h2.H2Error(h2.PROTOCOL_ERROR, "header block too large")
@@ -217,6 +235,15 @@ class _Connection:
             headers = self.decoder.decode(bytes(fragment))
         except HpackError as e:
             raise h2.H2Error(h2.PROTOCOL_ERROR, f"HPACK: {e}") from e
+        if len(self.streams) >= self.MAX_CONCURRENT:
+            # header block DECODED above (HPACK state is connection-wide
+            # even for refused streams), then the stream is refused —
+            # a retryable stream error, not a connection error
+            self.max_started_sid = max(self.max_started_sid, sid)
+            self._send(h2.pack_frame(
+                h2.RST_STREAM, 0, sid, h2.REFUSED_STREAM.to_bytes(4, "big")
+            ))
+            return
         st = _Stream(sid)
         st.headers = headers
         st.header_done = True
@@ -403,6 +430,11 @@ class _Connection:
                 self._drain_incoming()
                 if st.sid in self.reset_streams:
                     return  # client cancelled; stream is already closed
+                if self.closing:
+                    # peer sent GOAWAY: it is winding the channel down —
+                    # end the stream cleanly NOW instead of emitting
+                    # events/PINGs until the 300 s deadline
+                    break
                 # multiplexed unary calls answer NOW, between events
                 self._dispatch_unary_pending()
                 if encoded is None:
@@ -445,7 +477,16 @@ class _Connection:
                 self.sock.settimeout(0)
                 head = self.sock.recv(9, socket.MSG_PEEK)
                 if head and len(head) == 9:
-                    need = 9 + int.from_bytes(head[:3], "big")
+                    length = int.from_bytes(head[:3], "big")
+                    if length > _OUR_MAX_FRAME + 255:
+                        # reject the oversized frame NOW: its payload may
+                        # exceed the socket buffer, so "wait until fully
+                        # buffered" would never commit and the frames
+                        # queued behind it (RST, WINDOW_UPDATE) would go
+                        # unread until the stream deadline
+                        raise h2.H2Error(h2.FRAME_SIZE_ERROR,
+                                         f"frame of {length} bytes")
+                    need = 9 + length
                     whole = self.sock.recv(need, socket.MSG_PEEK)
                 else:
                     whole = head

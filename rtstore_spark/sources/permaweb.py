@@ -359,17 +359,24 @@ class PermawebUploader:
                 continue
             fname = f"{row['start_block']}_{row['end_block']}.gz.parquet"
             local_dir = os.path.join(self.executor.rollup_dir, fname)
-            part = next(
-                (f for f in sorted(self.fs.list_files_recursive(local_dir))
-                 if f.endswith(".parquet")),
-                None,
-            )
-            if part is None:
+            parts = [
+                f for f in sorted(self.fs.list_files_recursive(local_dir))
+                if f.endswith(".parquet")
+            ]
+            if not parts:
                 raise ArGatewayError(
                     f"manifest round {row['tx_id']} has no parquet file "
                     f"under {local_dir} — rollup dir missing or not synced"
                 )
-            data = self.fs.read_binary(part)  # fs-aware: local OR remote root
+            if len(parts) > 1:
+                # the rollup writer coalesces to ONE part; uploading only
+                # the first of several would permanently archive a subset
+                # of the round — refuse loudly instead
+                raise ArGatewayError(
+                    f"manifest round {row['tx_id']} has {len(parts)} "
+                    f"parquet parts under {local_dir}; expected exactly 1"
+                )
+            data = self.fs.read_binary(parts[0])  # fs-aware: local OR remote
             if data is None:
                 raise ArGatewayError(f"cannot read rollup part {part}")
             ar_tx, reward = self.ar.upload_data(

@@ -344,33 +344,32 @@ class RollupExecutor:
         arweave_tx as the chain tip for PermawebWireTail.poll().
         ``evm_tx``/``evm_cost`` carry the on-chain registration when the
         uploader runs with a MetaStoreClient (RollupRecord fields 10/11)."""
-        df = (
+        page = (
             self.manifest()
             .orderBy(F.col("end_block").desc())
             .offset(offset)
             .limit(min(limit, 50))
+            .collect()  # the page is ≤ 50 rows by contract
         )
-
-        uploads = self.permaweb_uploads()  # one read for all three columns
-
-        def _mapped(key, cast):
-            pairs = [
-                (k, rec.get(key)) for k, rec in uploads.items()
-                if rec.get(key) is not None
-            ]
-            if not pairs:
-                return F.lit(None).cast(cast)
-            mapping = F.create_map(*[
-                F.lit(x) for pair in pairs for x in pair
-            ])
-            return mapping[F.col("tx_id")].cast(cast)
-
-        return (
-            df
-            .withColumn("arweave_tx", _mapped("ar_tx_id", "string"))
-            .withColumn("evm_tx", _mapped("evm_tx", "string"))
-            .withColumn("evm_cost", _mapped("evm_cost", "long"))
-        )
+        # fill the upload columns DRIVER-SIDE from the already-loaded
+        # state dict: a create_map literal per recorded round would make
+        # every RPC build O(rollup rounds) Column expressions for
+        # Catalyst to analyze — multi-second plans after ~10k rounds
+        uploads = self.permaweb_uploads()
+        rows = []
+        for r in page:
+            d = r.asDict()
+            rec = uploads.get(d["tx_id"], {})
+            d["arweave_tx"] = rec.get("ar_tx_id")
+            d["evm_tx"] = rec.get("evm_tx")
+            d["evm_cost"] = rec.get("evm_cost")
+            rows.append(d)
+        schema = T.StructType(MANIFEST_SCHEMA.fields + [
+            T.StructField("arweave_tx", T.StringType(), True),
+            T.StructField("evm_tx", T.StringType(), True),
+            T.StructField("evm_cost", T.LongType(), True),
+        ])
+        return self.spark.createDataFrame(rows, schema=schema)
 
     # -- recovery (S10): rollup files → mutation rows, ordered --
 

@@ -46,6 +46,7 @@ NO_ERROR = 0x0
 PROTOCOL_ERROR = 0x1
 FLOW_CONTROL_ERROR = 0x3
 FRAME_SIZE_ERROR = 0x6
+REFUSED_STREAM = 0x7
 
 DEFAULT_WINDOW = 65535
 DEFAULT_MAX_FRAME = 16384

@@ -959,3 +959,170 @@ class TestPartialHeaderBlockDuringSubscribe:
         finally:
             c.close()
             gateway.SUBSCRIBE_MAX_SECONDS = old
+
+
+class TestStreamLimits:
+    """Round-7 final review: stream state machine + resource bounds."""
+
+    def test_non_increasing_stream_id_is_connection_error(self, h2_server):
+        c = H2Client(h2_server.port, timeout=30)
+        try:
+            msgs, status, _ = c.call(
+                "/db3_storage_proto.StorageNode/GetNonce",
+                {"address": "0x" + "64" * 20},
+            )
+            assert status == 0
+            # repeat stream id 1 (already used): must GOAWAY, not
+            # silently open a duplicate stream
+            block = c.encoder.encode([
+                (":method", "POST"), (":scheme", "http"),
+                (":path", "/db3_storage_proto.StorageNode/GetNonce"),
+                ("content-type", "application/grpc"),
+            ])
+            c.sock.sendall(h2.pack_frame(
+                h2.HEADERS, h2.FLAG_END_HEADERS, 1, block
+            ))
+            while True:
+                ftype, flags, fsid, payload = c.recv_frame()
+                if ftype == h2.GOAWAY:
+                    assert int.from_bytes(payload[4:8], "big") == \
+                        h2.PROTOCOL_ERROR
+                    break
+        finally:
+            c.close()
+
+    def test_excess_half_open_streams_are_refused(self, h2_server):
+        from rtstore_spark.service_h2 import _Connection
+
+        c = H2Client(h2_server.port, timeout=30)
+        try:
+            block = c.encoder.encode([
+                (":method", "POST"), (":scheme", "http"),
+                (":path", "/db3_storage_proto.StorageNode/GetNonce"),
+                ("content-type", "application/grpc"),
+            ])
+            limit = _Connection.MAX_CONCURRENT
+            # open limit+5 half-open streams (HEADERS, no END_STREAM)
+            sid = 1
+            for _ in range(limit + 5):
+                c.sock.sendall(h2.pack_frame(
+                    h2.HEADERS, h2.FLAG_END_HEADERS, sid, block
+                ))
+                sid += 2
+            refused = 0
+            deadline = __import__("time").monotonic() + 20
+            while refused < 5 and __import__("time").monotonic() < deadline:
+                ftype, flags, fsid, payload = c.recv_frame()
+                if ftype == h2.RST_STREAM:
+                    assert int.from_bytes(payload, "big") == h2.REFUSED_STREAM
+                    refused += 1
+            assert refused == 5
+            conn = h2_server.tcp.last_connection
+            assert len(conn.streams) <= limit
+        finally:
+            c.close()
+
+    def test_oversized_frame_header_during_subscribe_goaways(self, h2_server):
+        # a declared length over the frame cap may exceed SO_RCVBUF, so
+        # the drain could never fully buffer it — it must raise NOW, not
+        # leave the RSTs queued behind it unread until the deadline
+        import time
+
+        gateway = h2_server.tcp.gateway
+        old = gateway.SUBSCRIBE_MAX_SECONDS
+        gateway.SUBSCRIBE_MAX_SECONDS = 60
+        c = H2Client(h2_server.port, timeout=30)
+        try:
+            req_schema, _, _ = _schemas(
+                "/db3_storage_proto.StorageNode/Subscribe")
+            sid = c.send_request(
+                "/db3_storage_proto.StorageNode/Subscribe",
+                req_schema.encode({"signature": "", "payload": ""}),
+            )
+            while True:
+                ftype, flags, fsid, _ = c.recv_frame()
+                if ftype == h2.HEADERS and fsid == sid:
+                    break
+            # 9-byte frame header claiming 8 MiB, no payload behind it
+            c.sock.sendall(
+                (8 << 20).to_bytes(3, "big") + bytes([h2.DATA, 0])
+                + (0).to_bytes(4, "big")
+            )
+            t0 = time.monotonic()
+            saw_goaway = False
+            while not saw_goaway and time.monotonic() - t0 < 20:
+                ftype, flags, fsid, payload = c.recv_frame()
+                if ftype == h2.GOAWAY:
+                    assert int.from_bytes(payload[4:8], "big") == \
+                        h2.FRAME_SIZE_ERROR
+                    saw_goaway = True
+            assert saw_goaway
+            assert time.monotonic() - t0 < 20  # not the 60 s deadline
+        finally:
+            c.close()
+            gateway.SUBSCRIBE_MAX_SECONDS = old
+
+    def test_oversized_continuation_rejected_at_header(self, h2_server):
+        c = H2Client(h2_server.port, timeout=30)
+        try:
+            block = c.encoder.encode([
+                (":method", "POST"), (":scheme", "http"),
+                (":path", "/db3_storage_proto.StorageNode/GetNonce"),
+                ("content-type", "application/grpc"),
+            ])
+            sid = c.next_sid
+            c.sock.sendall(h2.pack_frame(h2.HEADERS, 0, sid, block))
+            # CONTINUATION declaring 16 MiB: reject at the frame header,
+            # never block buffering megabytes toward the 64 KiB cap
+            c.sock.sendall(
+                ((1 << 24) - 1).to_bytes(3, "big")
+                + bytes([h2.CONTINUATION, h2.FLAG_END_HEADERS])
+                + sid.to_bytes(4, "big")
+            )
+            while True:
+                ftype, flags, fsid, payload = c.recv_frame()
+                if ftype == h2.GOAWAY:
+                    assert int.from_bytes(payload[4:8], "big") == \
+                        h2.FRAME_SIZE_ERROR
+                    break
+        finally:
+            c.close()
+
+    def test_goaway_ends_subscribe_promptly(self, h2_server):
+        import time
+
+        gateway = h2_server.tcp.gateway
+        old = gateway.SUBSCRIBE_MAX_SECONDS
+        gateway.SUBSCRIBE_MAX_SECONDS = 60
+        c = H2Client(h2_server.port, timeout=30)
+        try:
+            req_schema, _, _ = _schemas(
+                "/db3_storage_proto.StorageNode/Subscribe")
+            sid = c.send_request(
+                "/db3_storage_proto.StorageNode/Subscribe",
+                req_schema.encode({"signature": "", "payload": ""}),
+            )
+            while True:
+                ftype, flags, fsid, _ = c.recv_frame()
+                if ftype == h2.HEADERS and fsid == sid:
+                    break
+            # client announces channel shutdown
+            c.sock.sendall(h2.pack_frame(
+                h2.GOAWAY, 0, 0,
+                (0).to_bytes(4, "big") + h2.NO_ERROR.to_bytes(4, "big"),
+            ))
+            # the stream must END (trailers) well before the 60 s window
+            t0 = time.monotonic()
+            ended = False
+            while not ended and time.monotonic() - t0 < 20:
+                ftype, flags, fsid, payload = c.recv_frame()
+                if ftype == h2.HEADERS and fsid == sid and \
+                        flags & h2.FLAG_END_STREAM:
+                    td = dict(c.decoder.decode(
+                        h2.strip_padding(payload, flags)))
+                    assert td.get("grpc-status", "0") == "0"
+                    ended = True
+            assert ended
+        finally:
+            c.close()
+            gateway.SUBSCRIBE_MAX_SECONDS = old
