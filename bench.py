@@ -57,13 +57,26 @@ def main() -> None:
     for name in BENCH_QUERIES:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    for name in BENCH_QUERIES:
-        best = float("inf")
-        for _ in range(2):  # best-of-2: damp JIT/page-cache/machine noise
+    # Median-of-3 whole PASSES (each pass runs every query once, in
+    # order) with the per-pass totals recorded in the artifact: two
+    # rounds of ±15% single-run noise on unchanged code showed that a
+    # lone total cannot be compared across rounds — the median can, and
+    # the spread of `runs` tells the reader whether the box was loaded.
+    passes: list[dict[str, float]] = []
+    for _ in range(3):
+        p: dict[str, float] = {}
+        for name in BENCH_QUERIES:
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            p[name] = time.perf_counter() - t0
+        passes.append(p)
+
+    def _median3(a: float, b: float, c: float) -> float:
+        return sorted((a, b, c))[1]
+
+    for name in BENCH_QUERIES:
+        timings[name] = round(_median3(*(p[name] for p in passes)), 3)
+    run_totals = [round(sum(p.values()), 3) for p in passes]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -74,8 +87,9 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
+                "value": _median3(*run_totals),
                 "unit": "sec",
+                "runs": run_totals,
                 "queries": timings,
                 "sf": sf_val,
             }

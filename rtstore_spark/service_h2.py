@@ -16,12 +16,25 @@ one implementation of every RPC behind all three fronts (JSON,
 gRPC-Web, raw gRPC), so the fronts cannot drift.
 
 Concurrency model: one OS thread per connection (ThreadingTCPServer,
-matching the JSON front's ThreadingHTTPServer); within a connection,
-frames process sequentially and responses serialize in request-
-completion order. Client streams may interleave at the frame level —
-request assembly is per-stream — but handler execution is sequential
-per connection, which is the same discipline the single-sequencer
-write path imposes anyway.
+matching the JSON front's ThreadingHTTPServer) owns ALL socket reads —
+frame intake, HPACK decode (connection-wide state), and stream
+assembly stay single-threaded. Handler EXECUTION is concurrent for
+read-only unary RPCs: completed requests dispatch to a bounded
+server-wide worker pool, so a slow RunQuery cannot head-of-line-block
+a GetNonce multiplexed on the same channel (grpc-java builds ONE
+plaintext ManagedChannel for every call — Client.java:11-13 — and
+tonic's server executes streams concurrently; sequential-per-
+connection was a real serving gap). Mutations (SendMutation / Setup)
+stay on the connection thread in arrival order — the sequencer
+serializes them anyway — and server-streaming Subscribe stays inline
+because its loop owns the connection's read side. Response frames
+from concurrent workers interleave legally (distinct stream ids);
+each frame is written atomically under ``wlock``, and the HPACK
+encoder is stateless (no dynamic table), so header blocks carry no
+cross-stream ordering constraint. Workers never read the socket: a
+worker that exhausts a flow-control window waits on a condition the
+reader thread notifies after processing WINDOW_UPDATE / RST /
+SETTINGS.
 """
 
 from __future__ import annotations
@@ -29,11 +42,13 @@ from __future__ import annotations
 import socket
 import socketserver
 import threading
+import time
 from urllib.parse import quote
 
 from rtstore_spark.service_grpcweb import GrpcStatus
 from rtstore_spark.wire import h2
 from rtstore_spark.wire.hpack import HpackDecoder, HpackEncoder, HpackError
+from rtstore_spark.wire.rpc_schemas import MUTATING_METHODS
 
 _MAX_HEADER_BLOCK = 1 << 16   # accumulated fragment cap per header block
 _MAX_BODY = 1 << 24           # per-stream request body cap (16 MiB)
@@ -55,10 +70,11 @@ class _Stream:
 class _Connection:
     """One h2c connection: frame loop, per-stream assembly, dispatch."""
 
-    def __init__(self, sock: socket.socket, gateway):
+    def __init__(self, sock: socket.socket, gateway, pool=None):
         self.sock = sock
         self.io_timeout = sock.gettimeout()  # restored after probes
         self.gateway = gateway
+        self.pool = pool  # bounded executor for read-only unary dispatch
         self.decoder = HpackDecoder()
         self.encoder = HpackEncoder()
         self.streams: dict[int, _Stream] = {}
@@ -84,6 +100,18 @@ class _Connection:
         self.peer_max_frame = h2.DEFAULT_MAX_FRAME
         self.closing = False
         self.wlock = threading.Lock()
+        # worker-pool dispatch state. flock guards everything a worker
+        # shares with the reader thread: window arithmetic, reset/
+        # responding/pending bookkeeping, inflight count. window_cv is
+        # notified whenever send budget may have changed (WINDOW_UPDATE,
+        # SETTINGS initial-window delta, RST, GOAWAY, teardown) so a
+        # worker blocked mid-response wakes without reading the socket.
+        self.flock = threading.Lock()
+        self.window_cv = threading.Condition(self.flock)
+        self.pending_sids: set[int] = set()  # submitted, not yet running
+        self.inflight = 0                    # worker dispatches in flight
+        self.conn_thread: threading.Thread | None = None
+        self.dead = False                    # socket torn down: abort sends
 
     # ------------------------------------------------------------ raw io
 
@@ -103,6 +131,7 @@ class _Connection:
     # ------------------------------------------------------------- serve
 
     def serve(self) -> None:
+        self.conn_thread = threading.current_thread()
         try:
             preface = self._recv_exact(len(h2.PREFACE))
             if preface != h2.PREFACE:
@@ -129,6 +158,18 @@ class _Connection:
                 ))
             except OSError:
                 pass
+        finally:
+            # let in-flight worker responses finish before the handler
+            # returns and ThreadingTCPServer closes the socket (a clean
+            # GOAWAY close must not cut off streams already dispatched),
+            # then mark the connection dead so any worker still blocked
+            # on flow control aborts instead of waiting out its deadline
+            with self.flock:
+                deadline = time.monotonic() + 5.0
+                while self.inflight and time.monotonic() < deadline:
+                    self.window_cv.wait(timeout=0.1)
+                self.dead = True
+                self.window_cv.notify_all()
 
     # ------------------------------------------------------- frame intake
 
@@ -158,18 +199,27 @@ class _Connection:
             if st:
                 st.reset = True
             # remember the cancellation ONLY while a dispatch for this
-            # stream is pending (queued) or running — those paths prune
-            # the entry when they finish, so the set stays bounded. A
-            # stream cancelled mid-assembly (st popped above, never
-            # reaching `ready`) needs no memory: it can never dispatch,
-            # and late DATA for it already drops via max_started_sid.
-            if sid in self.responding_sids or any(
-                s.sid == sid for s in self.ready
-            ):
-                self.reset_streams.add(sid)
-            self.stream_send_windows.pop(sid, None)
+            # stream is pending (queued locally or on the worker pool) or
+            # running — those paths prune the entry when they finish, so
+            # the set stays bounded. A stream cancelled mid-assembly (st
+            # popped above, never reaching `ready`) needs no memory: it
+            # can never dispatch, and late DATA for it already drops via
+            # max_started_sid.
+            with self.flock:
+                if (
+                    sid in self.responding_sids
+                    or sid in self.pending_sids
+                    or any(s.sid == sid for s in self.ready)
+                ):
+                    self.reset_streams.add(sid)
+                self.stream_send_windows.pop(sid, None)
+                # a worker mid-send on this stream must wake and abort —
+                # its window never reopens after a reset
+                self.window_cv.notify_all()
         elif ftype == h2.GOAWAY:
-            self.closing = True
+            with self.flock:
+                self.closing = True
+                self.window_cv.notify_all()
         elif ftype in (h2.PRIORITY, h2.PUSH_PROMISE):
             pass  # PRIORITY ignored; clients never push
         # unknown frame types are ignored per spec
@@ -189,10 +239,13 @@ class _Connection:
             v = settings[h2.SETTINGS_INITIAL_WINDOW_SIZE]
             if v > (1 << 31) - 1:
                 raise h2.H2Error(h2.FLOW_CONTROL_ERROR, "bad INITIAL_WINDOW_SIZE")
-            delta = v - self.peer_initial_window
-            self.peer_initial_window = v
-            for k in self.stream_send_windows:
-                self.stream_send_windows[k] += delta
+            with self.flock:
+                delta = v - self.peer_initial_window
+                self.peer_initial_window = v
+                for k in self.stream_send_windows:
+                    self.stream_send_windows[k] += delta
+                if delta > 0:
+                    self.window_cv.notify_all()
         self._send(h2.pack_frame(h2.SETTINGS, h2.FLAG_ACK, 0))
 
     # our advertised SETTINGS_MAX_CONCURRENT_STREAMS — enforced, not
@@ -249,7 +302,8 @@ class _Connection:
         st.header_done = True
         self.streams[sid] = st
         self.max_started_sid = max(self.max_started_sid, sid)
-        self.stream_send_windows.setdefault(sid, self.peer_initial_window)
+        with self.flock:
+            self.stream_send_windows.setdefault(sid, self.peer_initial_window)
         if flags & h2.FLAG_END_STREAM:
             st.ended = True
             self.ready.append(st)
@@ -285,7 +339,8 @@ class _Connection:
                 h2.RST_STREAM, 0, sid, (h2.FLOW_CONTROL_ERROR).to_bytes(4, "big")
             ))
             self.streams.pop(sid, None)
-            self.stream_send_windows.pop(sid, None)
+            with self.flock:
+                self.stream_send_windows.pop(sid, None)
             return
         if flags & h2.FLAG_END_STREAM:
             st.ended = True
@@ -297,40 +352,103 @@ class _Connection:
         inc = int.from_bytes(payload, "big") & 0x7FFFFFFF
         if inc == 0:
             raise h2.H2Error(h2.PROTOCOL_ERROR, "zero WINDOW_UPDATE")
-        if sid == 0:
-            self.send_window += inc
-        elif (
-            sid in self.stream_send_windows
-            or sid in self.streams
-            or sid in self.responding_sids
-        ):
-            self.stream_send_windows[sid] = (
-                self.stream_send_windows.get(sid, self.peer_initial_window) + inc
-            )
-        # else: update for a finished/idle stream (the client's in-flight
-        # WINDOW_UPDATE racing our END_STREAM, or garbage sids) — ignore
-        # rather than resurrect bookkeeping that nothing would ever prune
+        with self.flock:
+            if sid == 0:
+                self.send_window += inc
+            elif (
+                sid in self.stream_send_windows
+                or sid in self.streams
+                or sid in self.responding_sids
+                or sid in self.pending_sids
+            ):
+                self.stream_send_windows[sid] = (
+                    self.stream_send_windows.get(sid, self.peer_initial_window)
+                    + inc
+                )
+            # else: update for a finished/idle stream (the client's
+            # in-flight WINDOW_UPDATE racing our END_STREAM, or garbage
+            # sids) — ignore rather than resurrect bookkeeping that
+            # nothing would ever prune
+            self.window_cv.notify_all()
 
     # ---------------------------------------------------------- dispatch
 
     def _dispatch_st(self, st: _Stream) -> None:
         """Respond to one completed stream, with the per-stream
-        bookkeeping torn down afterwards. responding_sids is a STACK so
-        this is safe to NEST (a unary dispatched from inside a live
-        Subscribe loop) without hiding the outer stream from RST and
-        WINDOW_UPDATE bookkeeping."""
+        bookkeeping torn down afterwards. responding_sids behaves as a
+        STACK on the connection thread, so this is safe to NEST (a unary
+        dispatched from inside a live Subscribe loop) without hiding the
+        outer stream from RST and WINDOW_UPDATE bookkeeping; workers add
+        and remove their single entry under flock (stream ids are unique
+        per connection, so remove-by-value is exact)."""
         try:
-            if not st.reset and st.sid not in self.reset_streams:
-                self.responding_sids.append(st.sid)
+            with self.flock:
+                cancelled = st.reset or st.sid in self.reset_streams
+                if not cancelled:
+                    self.responding_sids.append(st.sid)
+                self.pending_sids.discard(st.sid)
+            if not cancelled:
                 try:
                     self._respond(st)
                 finally:
-                    self.responding_sids.pop()
+                    with self.flock:
+                        self.responding_sids.remove(st.sid)
         finally:
-            self.max_processed_sid = max(self.max_processed_sid, st.sid)
-            # stream is over: its bookkeeping dies with it
-            self.reset_streams.discard(st.sid)
-            self.stream_send_windows.pop(st.sid, None)
+            with self.flock:
+                self.max_processed_sid = max(self.max_processed_sid, st.sid)
+                # stream is over: its bookkeeping dies with it
+                self.reset_streams.discard(st.sid)
+                self.stream_send_windows.pop(st.sid, None)
+
+    def _offloadable(self, st: _Stream) -> bool:
+        """True when this completed request may execute on the worker
+        pool: a KNOWN, read-only, unary method. Mutations keep arrival
+        order on the connection thread; streaming owns the read side;
+        unknown-method errors are cheap and stay inline."""
+        if self.pool is None:
+            return False
+        try:
+            path = next((v for k, v in st.headers if k == ":path"), "")
+            service, method, _, _, streaming = self.gateway.resolve(path)
+        except Exception:  # noqa: BLE001 — unknown method: inline error path
+            return False
+        return not streaming and (service, method) not in MUTATING_METHODS
+
+    def _worker_dispatch(self, st: _Stream) -> None:
+        """Pool-side wrapper: a worker failure must never leak out of the
+        executor or leave inflight/bookkeeping dangling. _respond already
+        converts handler errors to trailers; what reaches here is only
+        transport death (peer vanished mid-send), which the reader thread
+        observes independently."""
+        try:
+            self._dispatch_st(st)
+        except (ConnectionError, BrokenPipeError, OSError):
+            pass
+        except Exception:  # noqa: BLE001 — never kill a pool thread
+            pass
+        finally:
+            with self.flock:
+                self.inflight -= 1
+                self.window_cv.notify_all()
+
+    def _launch(self, st: _Stream) -> None:
+        """Dispatch one completed stream: offload read-only unaries so a
+        slow query cannot head-of-line-block other RPCs multiplexed on
+        this channel; everything else runs inline on the reader thread."""
+        if self._offloadable(st):
+            with self.flock:
+                # visible to the RST handler BEFORE the worker starts, or
+                # a cancel landing in the submit→run gap would be lost
+                self.pending_sids.add(st.sid)
+                self.inflight += 1
+            try:
+                self.pool.submit(self._worker_dispatch, st)
+                return
+            except RuntimeError:  # pool shut down mid-stop: degrade inline
+                with self.flock:
+                    self.pending_sids.discard(st.sid)
+                    self.inflight -= 1
+        self._dispatch_st(st)
 
     def _drain_ready(self) -> None:
         if self.dispatching:
@@ -340,7 +458,7 @@ class _Connection:
             while self.ready:
                 st = self.ready.pop(0)
                 self.streams.pop(st.sid, None)
-                self._dispatch_st(st)
+                self._launch(st)
         finally:
             self.dispatching = False
 
@@ -365,7 +483,7 @@ class _Connection:
                 continue
             st = self.ready.pop(i)
             self.streams.pop(st.sid, None)
-            self._dispatch_st(st)
+            self._launch(st)
 
     def _respond(self, st: _Stream) -> None:
         pseudo = {k: v for k, v in st.headers if k.startswith(":")}
@@ -387,7 +505,8 @@ class _Connection:
                 raise GrpcStatus(3, f"expected 1 message, got {len(messages)}")
             resp = self.gateway.handle_unary(path, messages[0])
         except GrpcStatus as e:
-            self._send_trailers_only(st.sid, e.code, str(e))
+            if st.sid not in self.reset_streams:
+                self._send_trailers_only(st.sid, e.code, str(e))
             return
         except (h2.H2Error, OSError):
             # connection-level failure (malformed frame seen during a
@@ -402,6 +521,8 @@ class _Connection:
         except Exception as e:  # noqa: BLE001 — never kill the connection
             self._send_trailers_only(st.sid, 13, f"internal: {e}")
             return
+        if st.sid in self.reset_streams:
+            return  # cancelled while the handler ran: emit nothing
         self._send_headers(st.sid, end_stream=False)
         self._send_data(st.sid, h2.grpc_frame(resp))
         if st.sid not in self.reset_streams:  # cancelled mid-send: no trailers
@@ -567,37 +688,57 @@ class _Connection:
         ))
 
     def _send_data(self, sid: int, data: bytes) -> None:
-        """DATA with flow control: when a window is exhausted, keep
-        processing incoming frames (WINDOW_UPDATE / PING / RST) until the
-        peer opens it. Completed requests that arrive while we wait queue
-        in ``ready`` and dispatch after this response. A RST_STREAM for
-        THIS stream aborts the send — a cancelled stream's window never
-        reopens, so looping on it would deadlock the whole connection."""
+        """DATA with flow control. When a window is exhausted: on the
+        CONNECTION thread, keep processing incoming frames
+        (WINDOW_UPDATE / PING / RST) until the peer opens it — completed
+        requests that arrive while we wait queue in ``ready`` and
+        dispatch after this response. On a WORKER thread, never touch
+        the socket's read side: wait on window_cv, which the reader
+        notifies after any frame that can change budget. A RST_STREAM
+        for THIS stream aborts the send — a cancelled stream's window
+        never reopens, so looping on it would deadlock the response."""
         view = memoryview(data)
+        on_conn_thread = threading.current_thread() is self.conn_thread
+        deadline = time.monotonic() + (self.io_timeout or 120.0)
         while view:
-            if sid in self.reset_streams:
-                return  # peer cancelled mid-response
-            budget = min(
-                self.send_window,
-                self.stream_send_windows.get(sid, self.peer_initial_window),
-                self.peer_max_frame,
-            )
-            if budget <= 0:
+            with self.flock:
+                if sid in self.reset_streams or self.dead:
+                    return  # peer cancelled mid-response / socket gone
+                budget = min(
+                    self.send_window,
+                    self.stream_send_windows.get(sid, self.peer_initial_window),
+                    self.peer_max_frame,
+                )
+                if budget > 0:
+                    chunk = bytes(view[:budget])
+                    view = view[len(chunk):]
+                    self.send_window -= len(chunk)
+                    self.stream_send_windows[sid] = self.stream_send_windows.get(
+                        sid, self.peer_initial_window
+                    ) - len(chunk)
+                else:
+                    chunk = None
+                    if not on_conn_thread:
+                        if self.closing:
+                            # reader stopped after GOAWAY: no more
+                            # WINDOW_UPDATEs will ever arrive
+                            return
+                        self.window_cv.wait(timeout=0.25)
+                        if time.monotonic() > deadline:
+                            return  # peer never reopened the window
+                        continue
+            if chunk is None:
                 self._process_one_frame()  # wait for WINDOW_UPDATE / RST
                 continue
-            chunk = view[:budget]
-            view = view[len(chunk):]
-            self.send_window -= len(chunk)
-            self.stream_send_windows[sid] = self.stream_send_windows.get(
-                sid, self.peer_initial_window
-            ) - len(chunk)
-            self._send(h2.pack_frame(h2.DATA, 0, sid, bytes(chunk)))
+            self._send(h2.pack_frame(h2.DATA, 0, sid, chunk))
 
 
 class _H2Handler(socketserver.BaseRequestHandler):
     def handle(self) -> None:
         self.request.settimeout(self.server.io_timeout)
-        conn = _Connection(self.request, self.server.gateway)
+        conn = _Connection(
+            self.request, self.server.gateway, self.server.rpc_pool
+        )
         # observability hook: tests assert the bounded-bookkeeping
         # invariant (per-stream state dies with its stream) on a live conn
         self.server.last_connection = conn
@@ -617,11 +758,26 @@ class GrpcH2Server:
     """
 
     def __init__(self, node, host: str = "127.0.0.1", port: int = 0,
-                 io_timeout: float = 120.0):
+                 io_timeout: float = 120.0, rpc_workers: int = 8):
+        from concurrent.futures import ThreadPoolExecutor
+
         self.node = node
         self.tcp = _H2TCPServer((host, port), _H2Handler)
         self.tcp.gateway = node.grpcweb  # the transport-free RPC core
         self.tcp.io_timeout = io_timeout
+        # server-wide BOUNDED pool for read-only unary dispatch: caps
+        # total concurrent query execution regardless of how many
+        # channels are open (per-connection pools would multiply under a
+        # connection flood). rpc_workers=0 disables offload entirely —
+        # every RPC runs inline on its connection thread, the pre-round-8
+        # discipline.
+        self._pool = (
+            ThreadPoolExecutor(
+                max_workers=rpc_workers, thread_name_prefix="rtstore-h2c-rpc"
+            )
+            if rpc_workers > 0 else None
+        )
+        self.tcp.rpc_pool = self._pool
         self.port = self.tcp.server_address[1]
         self._thread: threading.Thread | None = None
 
@@ -635,5 +791,7 @@ class GrpcH2Server:
     def stop(self) -> None:
         self.tcp.shutdown()
         self.tcp.server_close()
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
         if self._thread:
             self._thread.join(timeout=5)

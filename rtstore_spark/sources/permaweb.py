@@ -378,7 +378,7 @@ class PermawebUploader:
                 )
             data = self.fs.read_binary(parts[0])  # fs-aware: local OR remote
             if data is None:
-                raise ArGatewayError(f"cannot read rollup part {part}")
+                raise ArGatewayError(f"cannot read rollup part {parts[0]}")
             ar_tx, reward = self.ar.upload_data(
                 data, last_ar_tx, row["start_block"], row["end_block"],
                 self.network, fname,
@@ -499,9 +499,9 @@ def recover_permaweb_chain(permaweb: ArPermaweb, tip_tx: str,
         # degenerate names, disambiguate collisions by tx id
         fname = os.path.basename(tags.get("File-Name", ""))
         if fname in ("", ".", ".."):
-            fname = f"{tx}.gz.parquet"
+            fname = f"tx-{tx}.gz.parquet"
         if fname in used_names:
-            fname = f"{tx[:12]}-{fname}"
+            fname = f"tx-{tx[:12]}-{fname}"
         used_names.add(fname)
         known[tx] = fname
         new_segment.append((tx, fname))

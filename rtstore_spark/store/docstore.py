@@ -162,6 +162,17 @@ class DocStore:
         # bounded FIFO of persisted RunQuery matched-sets (see query_docs)
         self._query_caches: list = []
         self.query_cache_slots = 8
+        # wire-envelope archive buffer: rows accumulate in memory and
+        # flush ONE parquet file per closed block (the reference's
+        # natural batching unit, mutation_store.rs:444-481) instead of
+        # one file per SendMutation — see archive_wire_envelope
+        import threading as _threading
+
+        self._wire_buffer: list[dict] = []
+        self._wire_buffer_lock = _threading.Lock()
+        # safety valve: a pathological block holding more rows than this
+        # flushes early (>1 file for THAT block, never unbounded memory)
+        self.wire_buffer_cap = 4096
 
     # ------------------------------------------------------------------
     # paths & small helpers
@@ -1049,15 +1060,49 @@ class DocStore:
     def archive_wire_envelope(
         self, mid: str, payload: bytes, signature: str, block: int, order: int
     ) -> None:
+        """Buffer one original client envelope; rows persist ONE parquet
+        file per CLOSED block, not one per mutation (a sustained
+        SendMutation burst used to create thousands of single-row files
+        between compactions). Flush triggers: the first row of a LATER
+        block (lazy block-close detection — no tick integration needed),
+        any wire_archive() read (read-your-writes for GetBlock/export),
+        compact_wire_archive(), and the in-memory cap. Durability trade,
+        explicit: a crash loses only the OPEN block's buffered envelopes
+        — their decoded mutations are already in the durable log, and
+        the rollup export re-attests log rows whose verbatim envelope is
+        missing (sources/wire_export.py), so custody narrows to the
+        open block instead of failing."""
+        with self._wire_buffer_lock:
+            closed = [r for r in self._wire_buffer if r["block"] < block]
+            if closed or len(self._wire_buffer) >= self.wire_buffer_cap:
+                keep = [r for r in self._wire_buffer if r["block"] >= block]
+                if len(self._wire_buffer) >= self.wire_buffer_cap:
+                    closed, keep = self._wire_buffer, []
+                self._wire_buffer = keep
+                self._flush_wire_rows(closed)
+            self._wire_buffer.append({
+                "id": mid, "payload": payload, "signature": signature,
+                "block": block, "order": order,
+            })
+
+    def flush_wire_archive(self) -> None:
+        """Persist every buffered envelope, including the open block's —
+        callers that must see or ship the full archive (reads, exports,
+        compaction, shutdown) invoke this first."""
+        with self._wire_buffer_lock:
+            rows, self._wire_buffer = self._wire_buffer, []
+            self._flush_wire_rows(rows)
+
+    def _flush_wire_rows(self, rows: list[dict]) -> None:
+        # caller holds _wire_buffer_lock; one coalesced file per
+        # block_bucket partition touched (normally exactly one)
+        if not rows:
+            return
         df = self.spark.createDataFrame(
-            [{"id": mid, "payload": payload, "signature": signature,
-              "block": block, "order": order}],
-            schema=WIRE_ARCHIVE_SCHEMA,
+            rows, schema=WIRE_ARCHIVE_SCHEMA,
         ).withColumn("block_bucket", F.expr(f"block div {LOG_BLOCKS_PER_BUCKET}"))
         # appends land in the live generation (pointer-resolved) so
-        # compact_wire_archive's snapshot rewrites fold them in; a busy
-        # SendMutation path is one file per mutation until the next
-        # maybe_compact sweep collapses each block_bucket partition
+        # compact_wire_archive's snapshot rewrites fold them in
         df.coalesce(1).write.mode("append").partitionBy("block_bucket").parquet(
             self._resolve(self._wire_archive_path())
         )
@@ -1068,6 +1113,7 @@ class DocStore:
         accumulates tiny files every export/GetBlock scan must open.
         Same pointer-flip rewrite as ``compact``: one file per
         block_bucket partition afterwards, bucket pruning preserved."""
+        self.flush_wire_archive()
         root = self._wire_archive_path()
         if not self.fs.exists(root):
             return
@@ -1085,7 +1131,10 @@ class DocStore:
 
     def wire_archive(self, block_start: int = 0, block_end: int | None = None) -> DataFrame:
         """Archived original envelopes in [block_start, block_end) —
-        empty-safe, partition-pruned like the log."""
+        empty-safe, partition-pruned like the log. Buffered rows flush
+        first so reads see every archived envelope (the pre-buffering
+        contract: GetBlock over the OPEN block includes its envelopes)."""
+        self.flush_wire_archive()
         path = self._resolve(self._wire_archive_path())
         read_schema = T.StructType(
             WIRE_ARCHIVE_SCHEMA.fields

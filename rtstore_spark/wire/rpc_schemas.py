@@ -336,6 +336,17 @@ GET_SYSTEM_STATUS_REQUEST = Schema("GetSystemStatusRequest", ())
 
 # ---------------------------------------------------------------- registry
 
+# Methods that mutate node state. Fronts that execute RPCs concurrently
+# (service_h2.py's worker pool) must keep these on the connection thread
+# in arrival order — the sequencer serializes them anyway, and in-order
+# nonce application is what the SDK's sequential awaits expect. Every
+# other unary method is a read and may answer out of order, which is
+# exactly the reordering gRPC permits on one channel.
+MUTATING_METHODS: frozenset = frozenset({
+    ("db3_storage_proto.StorageNode", "SendMutation"),
+    ("db3_system_proto.System", "Setup"),
+})
+
 # "package.Service" → method → (request, response, server_streaming)
 METHODS: dict = {
     "db3_storage_proto.StorageNode": {

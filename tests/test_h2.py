@@ -1126,3 +1126,192 @@ class TestStreamLimits:
         finally:
             c.close()
             gateway.SUBSCRIBE_MAX_SECONDS = old
+
+
+# --------------------------------------------------- concurrent dispatch
+
+
+class TestConcurrentDispatch:
+    """Round-8 serving gap fix: read-only unary RPCs execute on a bounded
+    worker pool, so a slow RunQuery no longer head-of-line-blocks other
+    reads multiplexed on the SAME connection — the concurrency grpc-java
+    assumes of one shared ManagedChannel (Client.java:11-13) and tonic's
+    server provides natively."""
+
+    def test_slow_query_does_not_block_getnonce(self, h2_server, monkeypatch):
+        import threading as _th
+
+        from rtstore_spark.service_grpcweb import GrpcStatus, GrpcWebGateway
+
+        gate = _th.Event()
+        entered = _th.Event()
+
+        def slow(self, req):
+            entered.set()
+            gate.wait(15.0)
+            raise GrpcStatus(3, "slow-query-finished")
+
+        monkeypatch.setattr(GrpcWebGateway, "_IndexerNode_RunQuery", slow)
+        c = H2Client(h2_server.port, timeout=30)
+        try:
+            q_req = _schemas("/db3_indexer_proto.IndexerNode/RunQuery")[0]
+            n_req = _schemas("/db3_storage_proto.StorageNode/GetNonce")[0]
+            q_sid = c.send_request(
+                "/db3_indexer_proto.IndexerNode/RunQuery", q_req.encode({})
+            )
+            assert entered.wait(5.0), "RunQuery handler never started"
+            n_sid = c.send_request(
+                "/db3_storage_proto.StorageNode/GetNonce",
+                n_req.encode({"address": "0x" + "61" * 20}),
+            )
+            ends = []  # stream-end order as observed on the wire
+            while len(ends) < 2:
+                ftype, flags, fsid, _ = c.recv_frame()
+                if ftype in (h2.HEADERS, h2.DATA) and flags & h2.FLAG_END_STREAM:
+                    ends.append(fsid)
+                    if len(ends) == 1:
+                        gate.set()  # nonce answered: release the query
+            # OUT OF ORDER: the later GetNonce finished first
+            assert ends == [n_sid, q_sid]
+        finally:
+            gate.set()
+            c.close()
+
+    def test_reads_execute_concurrently(self, h2_server, monkeypatch):
+        # four RunQuery handlers must be IN FLIGHT AT ONCE on one
+        # connection — a Barrier(4) only ever releases if they are
+        import threading as _th
+
+        from rtstore_spark.service_grpcweb import GrpcStatus, GrpcWebGateway
+
+        barrier = _th.Barrier(4, timeout=10)
+
+        def rendezvous(self, req):
+            barrier.wait()
+            raise GrpcStatus(3, "rendezvous-done")
+
+        monkeypatch.setattr(GrpcWebGateway, "_IndexerNode_RunQuery", rendezvous)
+        c = H2Client(h2_server.port, timeout=30)
+        try:
+            q_req = _schemas("/db3_indexer_proto.IndexerNode/RunQuery")[0]
+            sids = {
+                c.send_request(
+                    "/db3_indexer_proto.IndexerNode/RunQuery", q_req.encode({})
+                )
+                for _ in range(4)
+            }
+            done = set()
+            while len(done) < 4:
+                ftype, flags, fsid, _ = c.recv_frame()
+                if ftype == h2.HEADERS and flags & h2.FLAG_END_STREAM:
+                    done.add(fsid)
+            assert done == sids
+            assert not barrier.broken  # all four met inside the window
+        finally:
+            c.close()
+
+    def test_rst_during_pool_dispatch_suppresses_response(
+        self, h2_server, monkeypatch
+    ):
+        import time as _time
+        import threading as _th
+
+        from rtstore_spark.service_grpcweb import GrpcStatus, GrpcWebGateway
+
+        gate = _th.Event()
+        entered = _th.Event()
+
+        def slow(self, req):
+            entered.set()
+            gate.wait(15.0)
+            raise GrpcStatus(3, "cancelled-anyway")
+
+        monkeypatch.setattr(GrpcWebGateway, "_IndexerNode_RunQuery", slow)
+        c = H2Client(h2_server.port, timeout=30)
+        try:
+            q_req = _schemas("/db3_indexer_proto.IndexerNode/RunQuery")[0]
+            q_sid = c.send_request(
+                "/db3_indexer_proto.IndexerNode/RunQuery", q_req.encode({})
+            )
+            assert entered.wait(5.0)
+            c.sock.sendall(h2.pack_frame(
+                h2.RST_STREAM, 0, q_sid, (8).to_bytes(4, "big")  # CANCEL
+            ))
+            # wait until the reader has RECORDED the cancel before letting
+            # the worker finish, then release it
+            conn = h2_server.tcp.last_connection
+            deadline = _time.monotonic() + 5
+            while _time.monotonic() < deadline and (
+                q_sid not in conn.reset_streams
+            ):
+                _time.sleep(0.02)
+            assert q_sid in conn.reset_streams
+            gate.set()
+            # a full later RPC on the same connection: every frame until
+            # ITS end must carry only its own sid — nothing for q_sid
+            n_req = _schemas("/db3_storage_proto.StorageNode/GetNonce")[0]
+            n_sid = c.send_request(
+                "/db3_storage_proto.StorageNode/GetNonce",
+                n_req.encode({"address": "0x" + "62" * 20}),
+            )
+            while True:
+                ftype, flags, fsid, _ = c.recv_frame()
+                if ftype in (h2.HEADERS, h2.DATA):
+                    assert fsid != q_sid, "response for a cancelled stream"
+                if (
+                    ftype == h2.HEADERS and fsid == n_sid
+                    and flags & h2.FLAG_END_STREAM
+                ):
+                    break
+            # worker-pool bookkeeping died with its streams
+            deadline = _time.monotonic() + 5
+            while _time.monotonic() < deadline and (
+                conn.pending_sids or conn.inflight or conn.reset_streams
+            ):
+                _time.sleep(0.02)
+            assert conn.pending_sids == set()
+            assert conn.inflight == 0
+            assert conn.reset_streams == set()
+        finally:
+            gate.set()
+            c.close()
+
+    def test_mutations_stay_ordered_inline(self, h2_server):
+        # SendMutation is NOT offloaded: two mutations pipelined on one
+        # connection with consecutive nonces apply in arrival order (the
+        # second would bounce on a nonce gap if reordered)
+        c = H2Client(h2_server.port, timeout=30)
+        try:
+            priv = 0x51AC3A1E21C9DB2E863C46DA765C1E8E2E3B8F0F13B5F1B1B3D3E2C1A0998877
+            nonce_req = _schemas("/db3_storage_proto.StorageNode/GetNonce")[0]
+            from rtstore_spark.crypto.secp256k1 import priv_to_address
+
+            addr = priv_to_address(priv)
+            msgs, status, _ = c.call(
+                "/db3_storage_proto.StorageNode/GetNonce", {"address": addr}
+            )
+            n0 = msgs[0].get("nonce", 1)
+            send_schema = _schemas(
+                "/db3_storage_proto.StorageNode/SendMutation")[0]
+            sids = []
+            for i in range(2):  # pipelined: both on the wire before reads
+                payload, sig = wrap_and_sign(
+                    encode_mutation("CreateDocumentDB", [{
+                        "db_address": None, "kind": "doc_database_mutation",
+                        "body": {"db_desc": f"ordered-{i}"},
+                    }]),
+                    n0 + i, priv,
+                )
+                sids.append(c.send_request(
+                    "/db3_storage_proto.StorageNode/SendMutation",
+                    send_schema.encode({"signature": sig, "payload": payload}),
+                ))
+            for sid in sids:
+                _, msgs, status, message = c.read_response(sid)
+                assert status == 0, message
+                resp = _schemas(
+                    "/db3_storage_proto.StorageNode/SendMutation")[1].decode(
+                    msgs[0])
+                assert resp.get("code", 0) == 0, resp
+        finally:
+            c.close()

@@ -1,0 +1,513 @@
+"""Captured-bytes interop corpus for the h2c gRPC front.
+
+The hand-framed exchanges in test_h2.py prove our reading of RFC
+9113/7541; this corpus replays the CLIENT-SIDE BYTE PATTERNS a real
+grpc-java/netty channel puts on the wire — derived from netty's and
+grpc-java's documented, publicly-specified behavior (grpc-java opens
+one plaintext ManagedChannel, Client.java:11-13; netty's HTTP/2 codec
+is an RFC 9113 implementation with these well-known defaults):
+
+  * connection start: preface, SETTINGS{HEADER_TABLE_SIZE, MAX_HEADER_
+    LIST_SIZE, INITIAL_WINDOW_SIZE=1 MiB}, then a connection-level
+    WINDOW_UPDATE raising the 64 KiB default toward 1 MiB;
+  * HPACK with INCREMENTAL INDEXING — netty's encoder inserts
+    user-agent / te / content-type / :path into the dynamic table and
+    back-references them on every later request (our production
+    encoder is stateless and can never emit these opcodes, so this
+    corpus exercises decoder paths nothing else in the repo produces);
+  * dynamic-table size updates mid-connection (0x20 opcode), including
+    shrink-to-zero (full eviction) and re-grow;
+  * never-indexed literals (0x10 opcode) for sensitive metadata;
+  * CONTINUATION-split header blocks, padded DATA, PRIORITY-flagged
+    HEADERS, keepalive PINGs between frames, interleaved concurrent
+    streams, and pathological TCP segmentation (1-byte trickle).
+
+Each fixture drives a REAL RPC end-to-end and asserts the response
+decodes with grpc-status 0 — mirroring the acceptance flow of
+java/src/test/java/network/db3/client/ClientTest.java:79.
+
+The client-side HPACK encoder below is implemented INDEPENDENTLY of
+rtstore_spark.wire.hpack's encoder (only the spec-data Huffman codec is
+shared) so a shared encode/decode bug cannot self-cancel.
+"""
+
+from __future__ import annotations
+
+import socket
+
+import pytest
+
+from rtstore_spark.wire import h2
+from rtstore_spark.wire.hpack import (
+    STATIC_TABLE,
+    HpackDecoder,
+    encode_int,
+    huffman_encode,
+)
+from rtstore_spark.wire.rpc_schemas import METHODS
+
+from tests.test_h2 import ADMIN, h2_server  # noqa: F401 — fixture reuse
+
+GETNONCE = "/db3_storage_proto.StorageNode/GetNonce"
+GETSTATUS = "/db3_system_proto.System/GetSystemStatus"
+
+_STATIC_FULL = {pair: i + 1 for i, pair in enumerate(STATIC_TABLE)}
+_STATIC_NAME = {}
+for _i, (_n, _v) in enumerate(STATIC_TABLE):
+    _STATIC_NAME.setdefault(_n, _i + 1)
+
+
+class NettyStyleEncoder:
+    """Stateful HPACK encoder mimicking netty's: incremental indexing
+    with a live dynamic table, optional Huffman, table-size updates.
+    Independent implementation — do NOT fold into wire/hpack."""
+
+    def __init__(self, table_size: int = 4096, huffman: bool = True):
+        self.max_size = table_size
+        self.table: list[tuple[str, str]] = []  # newest first
+        self.size = 0
+        self.huffman = huffman
+        self._pending_resize: list[int] = []
+
+    def resize(self, new_max: int) -> None:
+        self._pending_resize.append(new_max)
+        self.max_size = new_max
+        self._evict()
+
+    def _entry_size(self, n: str, v: str) -> int:
+        return len(n.encode()) + len(v.encode()) + 32
+
+    def _evict(self) -> None:
+        while self.size > self.max_size and self.table:
+            n, v = self.table.pop()
+            self.size -= self._entry_size(n, v)
+
+    def _insert(self, n: str, v: str) -> None:
+        self.table.insert(0, (n, v))
+        self.size += self._entry_size(n, v)
+        self._evict()
+
+    def _string(self, s: str) -> bytes:
+        raw = s.encode()
+        if self.huffman:
+            enc = huffman_encode(raw)
+            if len(enc) < len(raw):
+                return encode_int(len(enc), 7, 0x80) + enc
+        return encode_int(len(raw), 7, 0x00) + raw
+
+    def encode(self, headers: list[tuple[str, str]],
+               sensitive: frozenset[str] = frozenset()) -> bytes:
+        out = bytearray()
+        for new_max in self._pending_resize:
+            out += encode_int(new_max, 5, 0x20)
+        self._pending_resize = []
+        for name, value in headers:
+            if name in sensitive:
+                # never-indexed literal, indexed name when available
+                ni = _STATIC_NAME.get(name, 0)
+                out += encode_int(ni, 4, 0x10)
+                if not ni:
+                    out += self._string(name)
+                out += self._string(value)
+                continue
+            idx = _STATIC_FULL.get((name, value))
+            if idx:
+                out += encode_int(idx, 7, 0x80)
+                continue
+            dyn = next(
+                (i for i, e in enumerate(self.table) if e == (name, value)),
+                None,
+            )
+            if dyn is not None:
+                out += encode_int(62 + dyn, 7, 0x80)
+                continue
+            # literal WITH incremental indexing (netty's default for
+            # request headers) — indexed name when the name is known
+            ni = _STATIC_NAME.get(name, 0)
+            if ni == 0:
+                dyn_name = next(
+                    (i for i, e in enumerate(self.table) if e[0] == name),
+                    None,
+                )
+                if dyn_name is not None:
+                    ni = 62 + dyn_name
+            out += encode_int(ni, 6, 0x40)
+            if not ni:
+                out += self._string(name)
+            out += self._string(value)
+            self._insert(name, value)
+        return bytes(out)
+
+
+class NettyStyleClient:
+    """Drives h2c the way a grpc-java/netty channel does."""
+
+    UA = "grpc-java-netty/1.57.2"
+
+    def __init__(self, port: int, table_size: int = 4096,
+                 huffman: bool = True, send_window_update: bool = True):
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        self.enc = NettyStyleEncoder(table_size=table_size, huffman=huffman)
+        self.dec = HpackDecoder()
+        self.next_sid = 1
+        self.sock.sendall(h2.PREFACE)
+        self.sock.sendall(h2.pack_frame(
+            h2.SETTINGS, 0, 0,
+            h2.build_settings({
+                h2.SETTINGS_HEADER_TABLE_SIZE: table_size,
+                h2.SETTINGS_INITIAL_WINDOW_SIZE: 1048576,
+                h2.SETTINGS_MAX_FRAME_SIZE: 16384,
+            }),
+        ))
+        if send_window_update:
+            # netty lifts the connection window to match the 1 MiB
+            # stream default right after SETTINGS
+            self.sock.sendall(h2.pack_frame(
+                h2.WINDOW_UPDATE, 0, 0, (983041).to_bytes(4, "big")
+            ))
+
+    def close(self) -> None:
+        self.sock.close()
+
+    # ------------------------------------------------------------- io
+
+    def _recv_exact(self, n: int) -> bytes:
+        buf = bytearray()
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("server closed")
+            buf += chunk
+        return bytes(buf)
+
+    def recv_frame(self):
+        length, ftype, flags, sid = h2.parse_frame_header(self._recv_exact(9))
+        payload = self._recv_exact(length) if length else b""
+        if ftype == h2.SETTINGS and not flags & h2.FLAG_ACK:
+            self.sock.sendall(h2.pack_frame(h2.SETTINGS, h2.FLAG_ACK, 0))
+        if ftype == h2.PING and not flags & h2.FLAG_ACK:
+            self.sock.sendall(h2.pack_frame(h2.PING, h2.FLAG_ACK, 0, payload))
+        return ftype, flags, sid, payload
+
+    def request_headers(self, path: str) -> list[tuple[str, str]]:
+        # grpc-java's standard request header set, in its order
+        return [
+            (":method", "POST"),
+            (":scheme", "http"),
+            (":path", path),
+            (":authority", "localhost"),
+            ("te", "trailers"),
+            ("content-type", "application/grpc"),
+            ("user-agent", self.UA),
+            ("grpc-accept-encoding", "gzip"),
+        ]
+
+    def send_request(self, path: str, message: bytes,
+                     header_block: bytes | None = None,
+                     data_padding: int = 0,
+                     continuation_splits: list[int] | None = None,
+                     priority: bool = False,
+                     end_stream_on_empty_data: bool = False) -> int:
+        sid = self.next_sid
+        self.next_sid += 2
+        block = (
+            header_block if header_block is not None
+            else self.enc.encode(self.request_headers(path))
+        )
+        flags = 0
+        payload_prefix = b""
+        if priority:
+            flags |= h2.FLAG_PRIORITY
+            payload_prefix = (0).to_bytes(4, "big") + bytes([16])
+        if continuation_splits:
+            cut = continuation_splits[0]
+            self.sock.sendall(h2.pack_frame(
+                h2.HEADERS, flags, sid, payload_prefix + block[:cut]
+            ))
+            rest = block[cut:]
+            pieces = []
+            for nxt in continuation_splits[1:]:
+                pieces.append(rest[:nxt - cut])
+                rest = rest[nxt - cut:]
+                cut = nxt
+            pieces.append(rest)
+            for i, piece in enumerate(pieces):
+                cf = h2.FLAG_END_HEADERS if i == len(pieces) - 1 else 0
+                self.sock.sendall(h2.pack_frame(h2.CONTINUATION, cf, sid, piece))
+        else:
+            self.sock.sendall(h2.pack_frame(
+                h2.HEADERS, flags | h2.FLAG_END_HEADERS, sid,
+                payload_prefix + block,
+            ))
+        body = h2.grpc_frame(message)
+        if data_padding:
+            self.sock.sendall(h2.pack_frame(
+                h2.DATA, h2.FLAG_END_STREAM | h2.FLAG_PADDED, sid,
+                bytes([data_padding]) + body + b"\x00" * data_padding,
+            ))
+        elif end_stream_on_empty_data:
+            self.sock.sendall(h2.pack_frame(h2.DATA, 0, sid, body))
+            self.sock.sendall(h2.pack_frame(h2.DATA, h2.FLAG_END_STREAM, sid))
+        else:
+            self.sock.sendall(h2.pack_frame(h2.DATA, h2.FLAG_END_STREAM, sid, body))
+        return sid
+
+    def read_response(self, sid: int):
+        data = bytearray()
+        headers: list[tuple[str, str]] = []
+        trailers: list[tuple[str, str]] = []
+        while True:
+            ftype, flags, fsid, payload = self.recv_frame()
+            if ftype == h2.HEADERS:
+                decoded = self.dec.decode(h2.strip_padding(payload, flags))
+                if fsid != sid:
+                    continue
+                (trailers if headers else headers).extend(decoded)
+                if flags & h2.FLAG_END_STREAM:
+                    break
+            elif ftype == h2.DATA and fsid == sid:
+                data += h2.strip_padding(payload, flags)
+                if flags & h2.FLAG_END_STREAM:
+                    break
+        td = dict(trailers or headers)
+        status = int(td.get("grpc-status", "0"))
+        msgs = [m for _, m in h2.parse_grpc_frames(bytes(data))]
+        return msgs, status, td.get("grpc-message", "")
+
+    def call(self, path: str, msg: dict, **kw):
+        service, method = path.strip("/").split("/")
+        req_schema, resp_schema, _ = METHODS[service][method]
+        sid = self.send_request(path, req_schema.encode(msg), **kw)
+        msgs, status, message = self.read_response(sid)
+        return [resp_schema.decode(m) for m in msgs], status, message
+
+
+ADDR = "0x" + "37" * 20
+
+
+def _assert_nonce_ok(msgs, status, message):
+    assert status == 0, message
+    assert msgs and msgs[0].get("nonce", 0) >= 1
+
+
+# ----------------------------------------------------------- the corpus
+
+
+class TestGrpcJavaInterop:
+    def test_01_netty_connection_start(self, h2_server):
+        # SETTINGS with netty's knobs + connection WINDOW_UPDATE before
+        # any request; first RPC uses incremental-indexing HPACK
+        c = NettyStyleClient(h2_server.port)
+        try:
+            _assert_nonce_ok(*c.call(GETNONCE, {"address": ADDR}))
+        finally:
+            c.close()
+
+    def test_02_dynamic_table_back_references(self, h2_server):
+        # request 2/3 re-use dynamic-table entries inserted by request 1
+        # (user-agent, te, content-type, :path) — indexed-field opcodes
+        # pointing past the static table
+        c = NettyStyleClient(h2_server.port)
+        try:
+            for _ in range(3):
+                _assert_nonce_ok(*c.call(GETNONCE, {"address": ADDR}))
+            # the THIRD block must be dominated by indexed fields: every
+            # header was in the table after request 1
+            block = c.enc.encode(c.request_headers(GETNONCE))
+            assert all(b & 0x80 for b in block), "expected all-indexed block"
+        finally:
+            c.close()
+
+    def test_03_table_size_update_shrink_and_regrow(self, h2_server):
+        # netty emits a dynamic-table size update at the head of the
+        # next header block after SETTINGS changes; shrink-to-zero must
+        # EVICT everything server-side, then re-grow and re-index
+        c = NettyStyleClient(h2_server.port)
+        try:
+            _assert_nonce_ok(*c.call(GETNONCE, {"address": ADDR}))
+            c.enc.resize(0)     # full eviction
+            _assert_nonce_ok(*c.call(GETNONCE, {"address": ADDR}))
+            c.enc.resize(4096)  # re-grow, entries re-insert
+            _assert_nonce_ok(*c.call(GETNONCE, {"address": ADDR}))
+            _assert_nonce_ok(*c.call(GETNONCE, {"address": ADDR}))
+        finally:
+            c.close()
+
+    def test_04_continuation_split_header_block(self, h2_server):
+        # header block split across HEADERS + 2 CONTINUATIONs at odd
+        # byte offsets (netty splits when a block exceeds the frame
+        # size; any split point is legal)
+        c = NettyStyleClient(h2_server.port)
+        try:
+            block = c.enc.encode(c.request_headers(GETNONCE))
+            assert len(block) > 7
+            req_schema = METHODS["db3_storage_proto.StorageNode"]["GetNonce"][0]
+            sid = c.send_request(
+                GETNONCE, req_schema.encode({"address": ADDR}),
+                header_block=block, continuation_splits=[3, 7],
+            )
+            msgs, status, message = c.read_response(sid)
+            assert status == 0, message
+        finally:
+            c.close()
+
+    def test_05_padded_data_frame(self, h2_server):
+        # PADDED flag on DATA — pad length byte + trailing zeros must be
+        # stripped, and flow-control counts the WHOLE frame
+        c = NettyStyleClient(h2_server.port)
+        try:
+            _assert_nonce_ok(*c.call(GETNONCE, {"address": ADDR},
+                                     data_padding=7))
+        finally:
+            c.close()
+
+    def test_06_interleaved_concurrent_streams(self, h2_server):
+        # two streams open before either body completes — netty does
+        # this whenever the app fires two calls back to back
+        c = NettyStyleClient(h2_server.port)
+        try:
+            req_schema = METHODS["db3_storage_proto.StorageNode"]["GetNonce"][0]
+            msg = h2.grpc_frame(req_schema.encode({"address": ADDR}))
+            b1 = c.enc.encode(c.request_headers(GETNONCE))
+            b2 = c.enc.encode(c.request_headers(GETNONCE))
+            c.sock.sendall(h2.pack_frame(h2.HEADERS, h2.FLAG_END_HEADERS, 1, b1))
+            c.sock.sendall(h2.pack_frame(h2.HEADERS, h2.FLAG_END_HEADERS, 3, b2))
+            c.sock.sendall(h2.pack_frame(h2.DATA, h2.FLAG_END_STREAM, 3, msg))
+            c.sock.sendall(h2.pack_frame(h2.DATA, h2.FLAG_END_STREAM, 1, msg))
+            c.next_sid = 5
+            done = set()
+            while len(done) < 2:
+                ftype, flags, fsid, _ = c.recv_frame()
+                if ftype in (h2.HEADERS, h2.DATA) and flags & h2.FLAG_END_STREAM:
+                    done.add(fsid)
+            assert done == {1, 3}
+        finally:
+            c.close()
+
+    def test_07_keepalive_ping_between_frames(self, h2_server):
+        # grpc-java keepalive: PING may land between a request's HEADERS
+        # and DATA; the ack must come back and the RPC still answers
+        c = NettyStyleClient(h2_server.port)
+        try:
+            req_schema = METHODS["db3_storage_proto.StorageNode"]["GetNonce"][0]
+            block = c.enc.encode(c.request_headers(GETNONCE))
+            c.sock.sendall(h2.pack_frame(h2.HEADERS, h2.FLAG_END_HEADERS, 1, block))
+            c.sock.sendall(h2.pack_frame(h2.PING, 0, 0, b"\x01\x02\x03\x04\x05\x06\x07\x08"))
+            c.sock.sendall(h2.pack_frame(
+                h2.DATA, h2.FLAG_END_STREAM, 1,
+                h2.grpc_frame(req_schema.encode({"address": ADDR})),
+            ))
+            c.next_sid = 3
+            got_ack = False
+            ended = False
+            while not ended:
+                ftype, flags, fsid, payload = c.recv_frame()
+                if ftype == h2.PING and flags & h2.FLAG_ACK:
+                    got_ack = payload == b"\x01\x02\x03\x04\x05\x06\x07\x08"
+                if ftype == h2.HEADERS and fsid == 1 and flags & h2.FLAG_END_STREAM:
+                    ended = True
+            assert got_ack
+        finally:
+            c.close()
+
+    def test_08_one_byte_trickle(self, h2_server):
+        # pathological segmentation: the whole request sent one byte at
+        # a time (slow links / SSH tunnels do this); assembly must not
+        # depend on frame-per-recv
+        c = NettyStyleClient(h2_server.port)
+        try:
+            req_schema = METHODS["db3_storage_proto.StorageNode"]["GetNonce"][0]
+            block = c.enc.encode(c.request_headers(GETNONCE))
+            raw = (
+                h2.pack_frame(h2.HEADERS, h2.FLAG_END_HEADERS, 1, block)
+                + h2.pack_frame(
+                    h2.DATA, h2.FLAG_END_STREAM, 1,
+                    h2.grpc_frame(req_schema.encode({"address": ADDR})),
+                )
+            )
+            for i in range(len(raw)):
+                c.sock.sendall(raw[i:i + 1])
+            c.next_sid = 3
+            msgs, status, message = c.read_response(1)
+            assert status == 0, message
+        finally:
+            c.close()
+
+    def test_09_zero_header_table_size(self, h2_server):
+        # SETTINGS_HEADER_TABLE_SIZE=0 (a real netty tuning option):
+        # the client encoder must not index — all-literal blocks, every
+        # request, and the server must never assume a dynamic entry
+        c = NettyStyleClient(h2_server.port, table_size=0)
+        try:
+            for _ in range(3):
+                _assert_nonce_ok(*c.call(GETNONCE, {"address": ADDR}))
+        finally:
+            c.close()
+
+    def test_10_never_indexed_sensitive_metadata(self, h2_server):
+        # authorization-style metadata goes NEVER-INDEXED (0x10) in
+        # grpc-java; the server must parse it and not cache it
+        c = NettyStyleClient(h2_server.port)
+        try:
+            headers = c.request_headers(GETNONCE) + [
+                ("authorization", "Bearer not-a-real-token"),
+            ]
+            block = c.enc.encode(
+                headers, sensitive=frozenset({"authorization"})
+            )
+            req_schema = METHODS["db3_storage_proto.StorageNode"]["GetNonce"][0]
+            sid = c.send_request(
+                GETNONCE, req_schema.encode({"address": ADDR}),
+                header_block=block,
+            )
+            msgs, status, message = c.read_response(sid)
+            assert status == 0, message
+        finally:
+            c.close()
+
+    def test_11_priority_flagged_headers(self, h2_server):
+        # HEADERS with FLAG_PRIORITY (stream dependency + weight prefix)
+        # — netty emits these when dependency trees are configured; the
+        # 5-byte block must be skipped, not parsed as HPACK
+        c = NettyStyleClient(h2_server.port)
+        try:
+            _assert_nonce_ok(*c.call(GETNONCE, {"address": ADDR},
+                                     priority=True))
+        finally:
+            c.close()
+
+    def test_12_empty_end_stream_data(self, h2_server):
+        # netty may close a stream with an EMPTY DATA frame carrying
+        # only END_STREAM after the body frame
+        c = NettyStyleClient(h2_server.port)
+        try:
+            _assert_nonce_ok(*c.call(GETNONCE, {"address": ADDR},
+                                     end_stream_on_empty_data=True))
+        finally:
+            c.close()
+
+    def test_13_huffman_off_plain_literals(self, h2_server):
+        # some clients disable Huffman (CPU trade) — plain literals with
+        # incremental indexing across several RPCs
+        c = NettyStyleClient(h2_server.port, huffman=False)
+        try:
+            for _ in range(2):
+                _assert_nonce_ok(*c.call(GETNONCE, {"address": ADDR}))
+            msgs, status, _ = c.call(GETSTATUS, {})
+            assert status == 0
+        finally:
+            c.close()
+
+    def test_14_mixed_paths_share_dynamic_table(self, h2_server):
+        # alternating methods: each new :path inserts a fresh dynamic
+        # entry while shared headers stay back-referenced — the indices
+        # SHIFT as entries are prepended, which is the classic
+        # off-by-one surface in dynamic-table handling
+        c = NettyStyleClient(h2_server.port)
+        try:
+            for _ in range(2):
+                _assert_nonce_ok(*c.call(GETNONCE, {"address": ADDR}))
+                msgs, status, _ = c.call(GETSTATUS, {})
+                assert status == 0
+        finally:
+            c.close()

@@ -384,9 +384,11 @@ class TestArchivedEnvelopeExport:
 
 
 class TestWireArchiveCompaction:
-    """The wire ingest path appends ONE single-row parquet per mutation;
-    compact_wire_archive (and the maybe_compact sweep) must collapse the
-    tiny files without changing a byte of any archived envelope."""
+    """Round-8 contract: envelopes BUFFER in memory and flush one parquet
+    file per closed block (the old path wrote one single-row file per
+    SendMutation — thousands of tiny files under a burst). Compaction
+    still folds the per-block files per bucket and must not change a
+    byte of any archived envelope."""
 
     PRIV = 0x6370FD033278C143179D81C5526140625662B8DAA446C22EE2D73DB3707E620C
 
@@ -428,22 +430,54 @@ class TestWireArchiveCompaction:
             for r in store.wire_archive().collect()
         )
 
+    def test_one_archive_file_per_closed_block(self, spark):
+        # the round-8 done-gate: N mutations across K blocks leave ≤K
+        # archive files BEFORE any compaction (the old path left N)
+        from rtstore_spark.store.ingest import Ingest
+
+        store = fresh_store(spark)
+        ingest = Ingest(store)
+        db, nonce = self._send_n(ingest, 1, None, 4)   # block 0: 4 rows
+        store.state.next_block()
+        db, nonce = self._send_n(ingest, nonce, db, 3)  # block 1: 3 rows
+        store.state.next_block()
+        db, nonce = self._send_n(ingest, nonce, db, 2)  # block 2: 2 rows
+
+        # blocks 0 and 1 are CLOSED but flush lazily — their rows hit
+        # disk when the next block's first row arrived; the open block's
+        # rows are still in memory
+        root = store._wire_archive_path()
+        assert store._live_file_count(root) <= 2
+
+        # reading flushes the open block too (read-your-writes), still
+        # one file per block
+        rows = self._archive_rows(store)
+        assert len(rows) == 9
+        assert store._live_file_count(root) <= 3
+        assert sorted({r[3] for r in rows}) == [0, 1, 2]
+
+        # GetBlock equivalence: per-block slices carry exactly that
+        # block's envelopes
+        assert len(store.wire_archive(1, 2).collect()) == 3
+
     def test_compaction_collapses_files_preserves_envelopes(self, spark):
         from rtstore_spark.store.ingest import Ingest
 
         store = fresh_store(spark)
         ingest = Ingest(store)
-        db, nonce = self._send_n(ingest, 1, None, 6)
+        db, nonce = self._send_n(ingest, 1, None, 4)
+        store.state.next_block()
+        db, nonce = self._send_n(ingest, nonce, db, 2)
 
+        before = self._archive_rows(store)  # read → full flush
+        assert len(before) == 6
         root = store._wire_archive_path()
         before_files = store._live_file_count(root)
-        assert before_files >= 6  # one tiny file per wire mutation
-        before = self._archive_rows(store)
-        assert len(before) == 6
+        assert 1 <= before_files <= 2  # one per flushed block
 
         store.compact_wire_archive()
         assert self._archive_rows(store) == before  # byte-identical envelopes
-        assert store._live_file_count(root) < before_files
+        assert store._live_file_count(root) <= before_files
 
         # appends after compaction land in the live generation and a
         # second compaction folds them in too
@@ -459,7 +493,10 @@ class TestWireArchiveCompaction:
 
         store = fresh_store(spark)
         ingest = Ingest(store)
-        self._send_n(ingest, 1, None, 5)
+        db, nonce = self._send_n(ingest, 1, None, 3)
+        for _ in range(3):  # one archive file lands per closed block
+            store.state.next_block()
+            db, nonce = self._send_n(ingest, nonce, db, 1)
         before = self._archive_rows(store)
         done = store.maybe_compact(max_files=2)
         assert ("__wire_archive", "") in done

@@ -5,22 +5,25 @@ tool records one. It fits ``quality_fit`` on a labeled TRAIN split,
 sweeps the keep-threshold over a held-out split, and prints ONE JSON
 line with precision / recall / F1 per threshold plus the F1-argmax.
 
-Default corpus: a deterministic synthetic labeled set (seeded RNG) in
-the style the classifier is built for — a "seed quality" distribution
-(sentence-shaped text over a common-English vocabulary, stopword-rich)
-against a reject distribution (token salad, boilerplate repetition,
-junk punctuation), with a shared vocabulary fraction so the classes
-OVERLAP and the sweep is non-trivial. Pass ``--labeled <parquet>``
-(columns: text, label — override with --text-col/--label-col) to
-calibrate on a real corpus instead; the synthetic default exists so the
-round artifact is reproducible with no external data.
+Default corpus (synthetic-v2, seeded): the round-7 v1 split saturated —
+precision = recall = 1.0 at every threshold ≤ 0.5, so the sweep carried
+no information about where to put the operating point. v2 adds a
+BOUNDARY CONTINUUM the model genuinely cannot separate: good documents
+progressively contaminated with junk vocabulary (label flips at 30%
+contamination — docs near the cut are ambiguous BY CONSTRUCTION),
+truncations of good docs (severe cuts are rejects, light cuts keep
+their label), and good docs with boilerplate tails of varying length.
+Scores spread over the unit interval, the precision/recall trade-off is
+real, and the F1 curve bends. Pass ``--labeled <parquet>`` (columns:
+text, label — override with --text-col/--label-col) to calibrate on a
+real corpus instead; the synthetic default exists so the round artifact
+is reproducible with no external data.
 
-Chosen default threshold: 0.5 ships in ``quality_filter`` because on
-every synthetic calibration run the F1 curve is FLAT within noise across
-[0.2, 0.8] (the classes the hashing-TF + logistic model separates, it
-separates hard — scores pile up near 0 and 1), so the midpoint is the
-stable choice; a real corpus with genuinely ambiguous documents should
-ship the F1-argmax this tool reports instead.
+Operating-point policy, recorded in the artifact: the shipped default
+is the sweep's F1-argmax UNLESS a lower threshold holds precision above
+the 0.95 floor with materially better recall (corpus prep prefers
+keeping borderline docs when the cost is bounded contamination —
+downstream dedup/decontamination stages catch what slips through).
 
 Usage: python tools/quality_calibration.py [--labeled path]
        [--text-col text] [--label-col label] [--out path.json]
@@ -77,6 +80,43 @@ def _bad_doc(rng: random.Random) -> str:
     )
 
 
+def _boundary_docs(rng: random.Random, n: int) -> list[tuple[str, float]]:
+    """Docs that STRADDLE the decision boundary, labeled by construction.
+
+    Three families, each a continuum the hashing-TF + logistic model
+    cannot cleanly separate (word-distribution evidence varies smoothly
+    with the corruption level, so scores spread instead of piling at
+    0/1):
+      a) contamination — a good doc with a uniform fraction of its words
+         replaced by junk vocabulary; label flips at 30% replaced.
+      b) truncation — a good doc cut mid-sentence; cuts keeping <35% of
+         the words are rejects, lighter cuts keep the good label.
+      c) boilerplate tail — a good doc with a repeated junk phrase
+         appended; label flips when the tail exceeds 60% of the body.
+    """
+    out: list[tuple[str, float]] = []
+    for i in range(n):
+        fam = i % 3
+        words = _good_doc(rng).split()
+        if fam == 0:
+            frac = rng.uniform(0.05, 0.55)
+            k = max(1, int(len(words) * frac))
+            for p in rng.sample(range(len(words)), k):
+                words[p] = rng.choice(JUNK)
+            out.append((" ".join(words), 1.0 if frac < 0.30 else 0.0))
+        elif fam == 1:
+            keep = rng.uniform(0.15, 0.75)
+            cut = max(3, int(len(words) * keep))
+            out.append((" ".join(words[:cut]), 1.0 if keep >= 0.35 else 0.0))
+        else:
+            phrase = " ".join(rng.choice(JUNK) for _ in range(3))
+            tail_frac = rng.uniform(0.2, 1.2)
+            reps = max(1, int(len(words) * tail_frac) // 3)
+            doc = " ".join(words) + " " + " ".join([phrase] * reps)
+            out.append((doc, 1.0 if tail_frac < 0.60 else 0.0))
+    return out
+
+
 def main() -> None:
     args = sys.argv[1:]
 
@@ -102,11 +142,13 @@ def main() -> None:
         source = labeled_path
     else:
         rng = random.Random(20260815)
-        rows = [(_good_doc(rng), 1.0) for _ in range(600)] + [
-            (_bad_doc(rng), 0.0) for _ in range(600)
-        ]
+        rows = (
+            [(_good_doc(rng), 1.0) for _ in range(600)]
+            + [(_bad_doc(rng), 0.0) for _ in range(600)]
+            + _boundary_docs(rng, 900)
+        )
         labeled = spark.createDataFrame(rows, "text string, label double")
-        source = "synthetic-v1 (seeded)"
+        source = "synthetic-v2 (seeded; 900 boundary-continuum docs)"
 
     train, held = labeled.randomSplit([0.7, 0.3], seed=7)
     model = quality_fit(train, text_col="text", label_col="label")
@@ -132,12 +174,28 @@ def main() -> None:
             "recall": round(rec, 4), "f1": round(f1, 4),
         })
     best = max(sweep, key=lambda r: r["f1"])
+    # documented operating-point policy (module docstring): F1-argmax,
+    # unless a LOWER threshold keeps precision >= 0.95 with better
+    # recall — prefer keeping borderline docs when contamination stays
+    # bounded (downstream dedup/decontamination catches the slip)
+    floor_picks = [
+        r for r in sweep
+        if r["precision"] >= 0.95 and r["threshold"] < best["threshold"]
+        and r["recall"] > best["recall"]
+    ]
+    chosen = min(floor_picks, key=lambda r: r["threshold"]) if floor_picks else best
     result = {
         "metric": "quality_threshold_sweep",
         "source": source,
         "held_out_docs": int(n_held),
         "sweep": sweep,
         "best": best,
+        "chosen": chosen,
+        "policy": "f1-argmax unless a lower threshold holds precision>=0.95 "
+                  "with higher recall",
+        "f1_spread": round(
+            max(r["f1"] for r in sweep) - min(r["f1"] for r in sweep), 4
+        ),
         "shipped_default": 0.5,
     }
     out = _opt("--out")
