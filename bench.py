@@ -48,14 +48,19 @@ def main() -> None:
     qs = inventory.queries()
     timings: dict[str, float] = {}
 
-    # Warm-up, untimed: the flagship once (JVM + parquet footers), then ONE
-    # throwaway pass of every benched query. The first execution of a query
-    # in a fresh JVM pays whole-stage-codegen compilation and JIT warm-up
-    # that no steady-state execution pays — on a long-lived cluster those
-    # are amortized to zero, so the measured portion excludes them.
+    # Warm-up, untimed: the flagship once (JVM + parquet footers), then TWO
+    # throwaway passes of every benched query. The first executions of a
+    # query in a fresh JVM pay whole-stage-codegen compilation and JIT
+    # warm-up that no steady-state execution pays — on a long-lived
+    # cluster those are amortized to zero, so the measured portion
+    # excludes them. Two passes, not one: with one, the timed pass totals
+    # still declined monotonically (C2 compilation continues past the
+    # first execution at these sub-second query durations), which skewed
+    # the median upward.
     inventory.flagship(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-    for name in BENCH_QUERIES:
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    for _ in range(2):
+        for name in BENCH_QUERIES:
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     # Median-of-3 whole PASSES (each pass runs every query once, in
     # order) with the per-pass totals recorded in the artifact: two

@@ -110,7 +110,8 @@ class CorpusPrepConfig:
     # Hard threshold by default; quality_pareto_alpha switches to the
     # GPT-3 stochastic keep policy (deterministic per document).
     quality_model: object | None = None
-    quality_threshold: float = 0.5
+    quality_threshold: float = 0.25  # calibration argmax; see
+    # operators/quality_classifier.DEFAULT_KEEP_THRESHOLD
     quality_pareto_alpha: float | None = None
     # stage 2d: cross-RUN dedup gate — a Bloom rollup of previously-kept
     # corpora's text md5s (build with ``corpus_seen_filter``, OR-merge

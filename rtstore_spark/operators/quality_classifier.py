@@ -123,10 +123,20 @@ def quality_score(
     )
 
 
+# Shipped operating point: the F1-argmax of the round-8 calibration
+# sweep (tools/quality_calibration.py → QUALITY_CALIBRATION_r08.json,
+# synthetic-v2 corpus with a boundary continuum: F1 0.895 at 0.25 vs
+# 0.864 at the old symmetric 0.5 — the curve favors recall because
+# borderline admits cost bounded contamination that downstream dedup/
+# decontamination stages catch). Calibrate on YOUR corpus with the same
+# tool and pass the argmax explicitly when it differs.
+DEFAULT_KEEP_THRESHOLD = 0.25
+
+
 def quality_filter(
     model: PipelineModel,
     df: DataFrame,
-    threshold: float = 0.5,
+    threshold: float = DEFAULT_KEEP_THRESHOLD,
     out_col: str = "quality_prob",
     pareto_alpha: float | None = None,
     seed: int = 13,

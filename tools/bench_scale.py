@@ -101,6 +101,90 @@ def _inflate(spark, k: int, out_dir: str) -> None:
     }).write.parquet(os.path.join(out_dir, "embeddings.parquet"))
 
 
+def _wire_probe(spark, k: int) -> dict:
+    """Decode+verify kernel at chain inflation 5·k (the round-8 ask:
+    the wire plane was unprobed at scale). The reference's checked-in
+    artifact (204 signed envelopes) replicates at shifted block ranges
+    — signatures stay valid, so every row pays the real secp256k1
+    recovery. Expected shape: LINEAR in rows (embarrassingly parallel
+    mapInPandas), so the normalized ratio should sit near or below 1
+    once the fixed Python-worker startup amortizes."""
+    from rtstore_spark.sources.wire_import import decode_wire_log
+
+    artifact = "/root/reference/src/node/resources/test/37829_37968.gz.parquet"
+    base = spark.read.parquet(artifact)
+    base = base.select(
+        base["payload"].cast("binary").alias("payload"),
+        base["signature"].cast("string").alias("signature"),
+        base["block"].cast("long").alias("block"),
+        base["order"].cast("int").alias("order"),
+    )
+    copies = spark.range(5 * k).select((F.col("id") * 1000).alias("_shift"))
+    df = copies.crossJoin(base).select(
+        "payload", "signature",
+        (F.col("block") + F.col("_shift")).alias("block"), "order",
+    ).repartition(32).persist()
+    n = df.count()
+    t0 = time.time()
+    errors = decode_wire_log(df).filter(F.col("error").isNotNull()).count()
+    wall = round(time.time() - t0, 3)
+    df.unpersist()
+    assert errors == 0, f"{errors} decode failures"
+    return {"sec": wall, "rows": int(n)}
+
+
+def _recovery_probe(k: int) -> dict:
+    """Permaweb chain recovery at 5·k artifacts (k=20 → the verdict's
+    100-artifact chain). Reuses the test suite's in-process gateway —
+    the one that validates signature/id/fee/merkle like a real node —
+    so the walk, the sig-verified tag reads, and the merkle-checked
+    downloads are all exercised. Expected shape: LINEAR in artifact
+    count by construction (a back-pointer chain walk is O(artifacts);
+    the scale claims to verify are constant per-artifact cost and flat
+    driver RSS), so the normalized ratio should sit near 1."""
+    import random
+    import shutil
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    from rtstore_spark.sources.permaweb import (
+        ArPermaweb,
+        recover_permaweb_chain,
+    )
+    from tests.test_permaweb import _GatewayHandler, _GatewayState
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _GatewayHandler)
+    srv.state = _GatewayState()
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    workdir = tempfile.mkdtemp(prefix="bench_recovery_")
+    try:
+        pw = ArPermaweb(
+            f"http://127.0.0.1:{srv.server_address[1]}",
+            os.path.join(workdir, "keys"),
+            bits=768, rng=random.Random(0xBEEF),
+        )
+        rng = random.Random(k)
+        tip = ""
+        src = os.path.join(workdir, "artifact.bin")
+        for i in range(5 * k):
+            with open(src, "wb") as f:
+                f.write(rng.randbytes(4096))
+            tip, _ = pw.upload_file(
+                src, last_ar_tx=tip, start_block=i, end_block=i,
+                network_id=1, filename=f"round-{i}.gz.parquet",
+            )
+        dest = os.path.join(workdir, "recovered")
+        t0 = time.time()
+        got = recover_permaweb_chain(pw, tip, dest)
+        wall = round(time.time() - t0, 3)
+        assert len(got) == 5 * k, f"recovered {len(got)} of {5 * k}"
+        return {"sec": wall, "rows": 5 * k}
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def main() -> None:
     scales = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 20]
 
@@ -127,6 +211,12 @@ def main() -> None:
             results[name][f"x{k}"] = {
                 "sec": round(time.time() - t0, 3), "rows": int(n),
             }
+        if k == scales[0]:
+            _wire_probe(spark, 1)  # warm the Python workers, untimed
+        results.setdefault("wire_decode_verify", {})[f"x{k}"] = _wire_probe(
+            spark, k
+        )
+        results.setdefault("permaweb_recovery", {})[f"x{k}"] = _recovery_probe(k)
         # Python driver RSS (collect buffers land here) + JVM driver heap
         # in use (broadcasts, JVM-side collects) — both must stay FLAT
         # across scales for the "no driver-side accumulation" claim
@@ -143,7 +233,7 @@ def main() -> None:
     ratios = {}
     if len(scales) > 1:
         k0, k1 = scales[0], scales[-1]
-        for name in QUERIES:
+        for name in results:
             w0 = results[name][f"x{k0}"]["sec"]
             w1 = results[name][f"x{k1}"]["sec"]
             # wall-time growth normalized by data growth: ≈1 is linear,
@@ -157,6 +247,25 @@ def main() -> None:
         "queries": results,
         "driver_peak_rss_mb": rss,
         "ratios_vs_linear": ratios,
+        "notes": {
+            "wire_decode_verify": (
+                "5*k replications of the reference's 204-envelope "
+                "artifact; real signature recovery per row. LINEAR by "
+                "construction (embarrassingly parallel kernel) — the "
+                "scale claim is ratio<=~1 and flat RSS, not sublinear."
+            ),
+            "permaweb_recovery": (
+                "5*k-artifact back-pointer chain against the "
+                "sig/merkle-validating in-process gateway; k=20 is the "
+                "100-artifact chain. A chain walk is O(artifacts) — "
+                "the scale claim is constant per-artifact cost and "
+                "flat RSS, not sublinear. Read the x5->x20 segment: "
+                "the x1 base (5 artifacts through an 8-wide download "
+                "pool) completes in ~tens of ms, below timer noise, so "
+                "the normalized x1->x20 ratio is meaningless for this "
+                "row."
+            ),
+        },
     }))
     spark.stop()
 

@@ -196,8 +196,12 @@ def main() -> None:
         "f1_spread": round(
             max(r["f1"] for r in sweep) - min(r["f1"] for r in sweep), 4
         ),
-        "shipped_default": 0.5,
     }
+    from rtstore_spark.operators.quality_classifier import (
+        DEFAULT_KEEP_THRESHOLD,
+    )
+
+    result["shipped_default"] = DEFAULT_KEEP_THRESHOLD
     out = _opt("--out")
     line = json.dumps(result)
     if out:
