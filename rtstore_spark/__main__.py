@@ -187,6 +187,11 @@ def run_rollup(args) -> None:
             try:
                 if store.state.order > 0:  # open block holds mutations
                     store.state.next_block()  # the reference's timer tick
+                    # persist the closed block's buffered wire envelopes
+                    # NOW (one file per closed block) — without this,
+                    # rows sit in memory until the next block's first
+                    # mutation or an archive read triggers the flush
+                    store.flush_wire_archive()
                     policy_due = True
                 if policy_due:
                     row = executor.maybe_rollup(
@@ -232,6 +237,13 @@ def run_rollup(args) -> None:
         http.stop()
         if h2:
             h2.stop()
+        try:
+            # orderly shutdown persists the OPEN block's buffered
+            # envelopes too — losing them is acceptable only for a
+            # crash, never for a clean SIGINT
+            store.flush_wire_archive()
+        except Exception as e:  # noqa: BLE001 — shutdown must not hang
+            print(f"wire-archive flush on shutdown failed: {e}", flush=True)
 
 
 def run_index(args) -> None:

@@ -60,6 +60,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rtstore_spark.operators import dedup, text
+from rtstore_spark.operators.quality_classifier import DEFAULT_KEEP_THRESHOLD
 from rtstore_spark.operators.sampling import stratified_sample
 
 
@@ -110,8 +111,7 @@ class CorpusPrepConfig:
     # Hard threshold by default; quality_pareto_alpha switches to the
     # GPT-3 stochastic keep policy (deterministic per document).
     quality_model: object | None = None
-    quality_threshold: float = 0.25  # calibration argmax; see
-    # operators/quality_classifier.DEFAULT_KEEP_THRESHOLD
+    quality_threshold: float = DEFAULT_KEEP_THRESHOLD
     quality_pareto_alpha: float | None = None
     # stage 2d: cross-RUN dedup gate — a Bloom rollup of previously-kept
     # corpora's text md5s (build with ``corpus_seen_filter``, OR-merge

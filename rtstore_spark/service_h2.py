@@ -288,7 +288,21 @@ class _Connection:
             headers = self.decoder.decode(bytes(fragment))
         except HpackError as e:
             raise h2.H2Error(h2.PROTOCOL_ERROR, f"HPACK: {e}") from e
-        if len(self.streams) >= self.MAX_CONCURRENT:
+        # the concurrency charge counts every live phase of a stream:
+        # assembling (streams — which also covers completed-but-queued,
+        # `ready` ⊆ streams), queued on the worker pool (pending_sids),
+        # and dispatching (responding_sids). Counting only `streams`
+        # would let a pipelining client push unbounded work onto the
+        # pool queue after the reader popped each stream for dispatch —
+        # the intake throttle the inline path used to get from TCP
+        # backpressure for free.
+        with self.flock:
+            active = (
+                len(self.streams)
+                + len(self.pending_sids)
+                + len(self.responding_sids)
+            )
+        if active >= self.MAX_CONCURRENT:
             # header block DECODED above (HPACK state is connection-wide
             # even for refused streams), then the stream is refused —
             # a retryable stream error, not a connection error
@@ -524,9 +538,21 @@ class _Connection:
         if st.sid in self.reset_streams:
             return  # cancelled while the handler ran: emit nothing
         self._send_headers(st.sid, end_stream=False)
-        self._send_data(st.sid, h2.grpc_frame(resp))
-        if st.sid not in self.reset_streams:  # cancelled mid-send: no trailers
+        complete = self._send_data(st.sid, h2.grpc_frame(resp))
+        if st.sid in self.reset_streams:
+            return  # cancelled mid-send: no trailers
+        if complete:
             self._send_trailers(st.sid, 0, "")
+        elif not self.dead:
+            # truncated response (window never reopened / GOAWAY while
+            # blocked): the peer has a partial gRPC frame — trailers are
+            # HEADERS, exempt from flow control, so the failure can
+            # always be reported; grpc-status 0 here would assert a
+            # response the peer cannot decode
+            self._send_trailers(
+                st.sid, 13,
+                "response truncated: flow-control window never reopened",
+            )
 
     def _respond_stream(self, st: _Stream, req_schema, messages) -> None:
         """Server-streaming Subscribe over the shared broadcaster."""
@@ -563,7 +589,8 @@ class _Connection:
                     # surfaces as a send error instead of an eternal wait
                     self._send(h2.pack_frame(h2.PING, 0, 0, b"\x00" * 8))
                     continue
-                self._send_data(st.sid, h2.grpc_frame(encoded))
+                if not self._send_data(st.sid, h2.grpc_frame(encoded)):
+                    return  # reset/teardown during a flow-control wait
                 if st.sid in self.reset_streams:
                     return  # reset arrived during a flow-control wait
         except (ConnectionError, BrokenPipeError, OSError):
@@ -687,23 +714,29 @@ class _Connection:
             h2.HEADERS, h2.FLAG_END_HEADERS | h2.FLAG_END_STREAM, sid, block
         ))
 
-    def _send_data(self, sid: int, data: bytes) -> None:
-        """DATA with flow control. When a window is exhausted: on the
-        CONNECTION thread, keep processing incoming frames
-        (WINDOW_UPDATE / PING / RST) until the peer opens it — completed
-        requests that arrive while we wait queue in ``ready`` and
-        dispatch after this response. On a WORKER thread, never touch
-        the socket's read side: wait on window_cv, which the reader
-        notifies after any frame that can change budget. A RST_STREAM
+    def _send_data(self, sid: int, data: bytes) -> bool:
+        """DATA with flow control; returns True when EVERY byte went out.
+        When a window is exhausted: on the CONNECTION thread, keep
+        processing incoming frames (WINDOW_UPDATE / PING / RST) until
+        the peer opens it — completed requests that arrive while we
+        wait queue in ``ready`` and dispatch after this response. On a
+        WORKER thread, never touch the socket's read side: wait on
+        window_cv, which the reader notifies after any frame that can
+        change budget; the stall deadline resets on every chunk sent,
+        so a slow-but-progressing client is never cut off — only a
+        window that stays shut for a full io_timeout is. A RST_STREAM
         for THIS stream aborts the send — a cancelled stream's window
-        never reopens, so looping on it would deadlock the response."""
+        never reopens, so looping on it would deadlock the response.
+        Callers must NOT follow a False return with ok trailers: the
+        peer got a DATA stream shorter than its gRPC length prefix."""
         view = memoryview(data)
         on_conn_thread = threading.current_thread() is self.conn_thread
-        deadline = time.monotonic() + (self.io_timeout or 120.0)
+        stall_limit = self.io_timeout or 120.0
+        deadline = time.monotonic() + stall_limit
         while view:
             with self.flock:
                 if sid in self.reset_streams or self.dead:
-                    return  # peer cancelled mid-response / socket gone
+                    return False  # peer cancelled mid-response / socket gone
                 budget = min(
                     self.send_window,
                     self.stream_send_windows.get(sid, self.peer_initial_window),
@@ -722,15 +755,17 @@ class _Connection:
                         if self.closing:
                             # reader stopped after GOAWAY: no more
                             # WINDOW_UPDATEs will ever arrive
-                            return
+                            return False
                         self.window_cv.wait(timeout=0.25)
                         if time.monotonic() > deadline:
-                            return  # peer never reopened the window
+                            return False  # window shut for a full timeout
                         continue
             if chunk is None:
                 self._process_one_frame()  # wait for WINDOW_UPDATE / RST
                 continue
             self._send(h2.pack_frame(h2.DATA, 0, sid, chunk))
+            deadline = time.monotonic() + stall_limit  # progress made
+        return True
 
 
 class _H2Handler(socketserver.BaseRequestHandler):

@@ -1064,9 +1064,10 @@ class DocStore:
         file per CLOSED block, not one per mutation (a sustained
         SendMutation burst used to create thousands of single-row files
         between compactions). Flush triggers: the first row of a LATER
-        block (lazy block-close detection — no tick integration needed),
-        any wire_archive() read (read-your-writes for GetBlock/export),
-        compact_wire_archive(), and the in-memory cap. Durability trade,
+        block (lazy block-close detection), the node ticker's block
+        close and clean shutdown (__main__.py), compact_wire_archive(),
+        and the in-memory cap; reads need no flush — wire_archive()
+        unions the in-memory snapshot. Durability trade,
         explicit: a crash loses only the OPEN block's buffered envelopes
         — their decoded mutations are already in the durable log, and
         the rollup export re-attests log rows whose verbatim envelope is
@@ -1086,9 +1087,10 @@ class DocStore:
             })
 
     def flush_wire_archive(self) -> None:
-        """Persist every buffered envelope, including the open block's —
-        callers that must see or ship the full archive (reads, exports,
-        compaction, shutdown) invoke this first."""
+        """Persist every buffered envelope, including the open block's.
+        Called by the node ticker on block close, by clean shutdown, by
+        compaction, and by the in-memory cap; plain reads do NOT flush
+        (wire_archive unions the in-memory snapshot instead)."""
         with self._wire_buffer_lock:
             rows, self._wire_buffer = self._wire_buffer, []
             self._flush_wire_rows(rows)
@@ -1131,10 +1133,15 @@ class DocStore:
 
     def wire_archive(self, block_start: int = 0, block_end: int | None = None) -> DataFrame:
         """Archived original envelopes in [block_start, block_end) —
-        empty-safe, partition-pruned like the log. Buffered rows flush
-        first so reads see every archived envelope (the pre-buffering
-        contract: GetBlock over the OPEN block includes its envelopes)."""
-        self.flush_wire_archive()
+        empty-safe, partition-pruned like the log. Read-your-writes for
+        buffered rows comes from a UNION with an in-memory snapshot,
+        NOT a flush — a read-heavy GetBlock poller would otherwise
+        write one tiny file per poll, re-creating the fragmentation the
+        buffer exists to prevent. No double counting: the parquet file
+        listing resolves when this scan is built, and any later flush
+        lands in files that listing never saw."""
+        with self._wire_buffer_lock:
+            pending = [dict(r) for r in self._wire_buffer]
         path = self._resolve(self._wire_archive_path())
         read_schema = T.StructType(
             WIRE_ARCHIVE_SCHEMA.fields
@@ -1156,6 +1163,13 @@ class DocStore:
                     .option("basePath", path)
                     .parquet(*parts)
                 )
+        if pending:
+            mem = self.spark.createDataFrame(
+                pending, schema=WIRE_ARCHIVE_SCHEMA
+            ).withColumn(
+                "block_bucket", F.expr(f"block div {LOG_BLOCKS_PER_BUCKET}")
+            )
+            df = df.unionByName(mem)
         end = block_end if block_end is not None else (1 << 62)
         lo = block_start // LOG_BLOCKS_PER_BUCKET
         hi = (max(end - 1, block_start)) // LOG_BLOCKS_PER_BUCKET

@@ -1315,3 +1315,101 @@ class TestConcurrentDispatch:
                 assert resp.get("code", 0) == 0, resp
         finally:
             c.close()
+
+
+class TestConcurrentDispatchBounds:
+    """Review-finding pins for the round-8 worker-pool dispatch."""
+
+    def test_pool_queue_counts_against_max_concurrent(
+        self, h2_server, monkeypatch
+    ):
+        # streams popped off for dispatch must STILL count against
+        # MAX_CONCURRENT: a client pipelining read-only unaries would
+        # otherwise grow the executor queue without bound — the 9th
+        # request while 8 are in flight gets RST(REFUSED_STREAM)
+        import threading as _th
+
+        from rtstore_spark.service_grpcweb import GrpcStatus, GrpcWebGateway
+        from rtstore_spark.service_h2 import _Connection
+
+        monkeypatch.setattr(_Connection, "MAX_CONCURRENT", 8)
+        gate = _th.Event()
+        entered = _th.Semaphore(0)
+
+        def slow(self, req):
+            entered.release()
+            gate.wait(20.0)
+            raise GrpcStatus(3, "bounded-done")
+
+        monkeypatch.setattr(GrpcWebGateway, "_IndexerNode_RunQuery", slow)
+        c = H2Client(h2_server.port, timeout=30)
+        try:
+            q_req = _schemas("/db3_indexer_proto.IndexerNode/RunQuery")[0]
+            first = [
+                c.send_request("/db3_indexer_proto.IndexerNode/RunQuery",
+                               q_req.encode({}))
+                for _ in range(8)
+            ]
+            for _ in range(8):  # all 8 handlers are RUNNING on the pool
+                assert entered.acquire(timeout=10)
+            extra = [
+                c.send_request("/db3_indexer_proto.IndexerNode/RunQuery",
+                               q_req.encode({}))
+                for _ in range(2)
+            ]
+            refused = set()
+            while len(refused) < 2:
+                ftype, flags, fsid, payload = c.recv_frame()
+                if ftype == h2.RST_STREAM:
+                    assert int.from_bytes(payload, "big") == h2.REFUSED_STREAM
+                    refused.add(fsid)
+            assert refused == set(extra)
+            gate.set()
+            done = set()
+            while len(done) < 8:
+                ftype, flags, fsid, _ = c.recv_frame()
+                if ftype == h2.HEADERS and flags & h2.FLAG_END_STREAM:
+                    done.add(fsid)
+            assert done == set(first)
+        finally:
+            gate.set()
+            c.close()
+
+    def test_truncated_response_reports_error_status(self, spark, tmp_path):
+        # a worker whose flow-control window never reopens must NOT end
+        # the stream with grpc-status 0 after partial DATA — the peer
+        # holds a gRPC frame shorter than its length prefix
+        store = DocStore(spark, str(tmp_path / "trunc"))
+        node = NodeService(store, Ingest(store))
+        srv = GrpcH2Server(node, io_timeout=3).start()
+        try:
+            c = H2Client(srv.port, initial_window=1, timeout=30)
+            try:
+                req = _schemas("/db3_storage_proto.StorageNode/GetNonce")[0]
+                sid = c.send_request(
+                    "/db3_storage_proto.StorageNode/GetNonce",
+                    req.encode({"address": "0x" + "44" * 20}),
+                )
+                data_len = 0
+                status = None
+                saw_headers = False
+                while status is None:
+                    ftype, flags, fsid, payload = c.recv_frame()
+                    if fsid != sid:
+                        continue
+                    if ftype == h2.DATA:
+                        data_len += len(h2.strip_padding(payload, flags))
+                    elif ftype == h2.HEADERS:
+                        decoded = dict(c.decoder.decode(
+                            h2.strip_padding(payload, flags)))
+                        if saw_headers or "grpc-status" in decoded:
+                            status = int(decoded.get("grpc-status", "0"))
+                        saw_headers = True
+                # stream window was 1 byte and never replenished: the
+                # response (5-byte gRPC prefix + message) cannot fit
+                assert data_len <= 1
+                assert status == 13
+            finally:
+                c.close()
+        finally:
+            srv.stop()

@@ -449,11 +449,13 @@ class TestWireArchiveCompaction:
         root = store._wire_archive_path()
         assert store._live_file_count(root) <= 2
 
-        # reading flushes the open block too (read-your-writes), still
-        # one file per block
+        # reads see the open block's buffered rows WITHOUT flushing
+        # them (in-memory union — a GetBlock poller must not write a
+        # tiny file per poll)
+        files_before_read = store._live_file_count(root)
         rows = self._archive_rows(store)
         assert len(rows) == 9
-        assert store._live_file_count(root) <= 3
+        assert store._live_file_count(root) == files_before_read
         assert sorted({r[3] for r in rows}) == [0, 1, 2]
 
         # GetBlock equivalence: per-block slices carry exactly that
