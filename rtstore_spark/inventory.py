@@ -836,15 +836,14 @@ def _minhash_wide_sql() -> str:
         wide AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id)"""
 
 
-@register(
-    "minhash_signature",
-    _minhash_wide_sql() + "\n"
-    + "\n UNION ALL ".join(
-        f"SELECT doc_id, {h} AS h, mh{h} AS minhash FROM wide" for h in range(8)
-    ),
-)
 def minhash_signature(spark, sf):
     """MinHash signatures over 3-token shingles, 8 hash functions (long form).
+
+    Registry note (round 8): FOLDED into minhash_lsh_pairs to free a
+    slot for bm25_corpus_search (the 50-entry cap) — the pairs entry
+    derives its band signatures from these exact signatures, so any
+    signature bug changes the pairs row set and still fails the gate;
+    the long-form unpivot itself stays pinned by test_operators.
 
     Scale path: shingle explode is map-local; ONE partial-aggregated shuffle
     of (doc_id, 8 mins) — wide-form compute, unpivoted after (see
@@ -857,6 +856,73 @@ def minhash_signature(spark, sf):
     docs = load_table(spark, sf, "documents")
     return minhash_signatures(docs, "text", "doc_id", num_hashes=8).select(
         F.col("id").alias("doc_id"), "h", "minhash"
+    )
+
+
+_BM25_QUERIES = [
+    (0, "model training data"),
+    (1, "quality corpus analysis"),
+    (2, "the of and"),
+    (3, "language structure pattern"),
+]
+
+
+@register(
+    "bm25_corpus_search",
+    r"""WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks GROUP BY doc_id, term),
+        tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        q(qid, qtext) AS (VALUES
+          (0, 'model training data'), (1, 'quality corpus analysis'),
+          (2, 'the of and'), (3, 'language structure pattern')),
+        qt AS (SELECT DISTINCT qid,
+                 unnest(string_split_regex(lower(trim(qtext)), '\s+')) AS term
+               FROM q),
+        scored AS (
+          SELECT qt.qid, tf.doc_id,
+                 round(sum(
+                   ln(1 + (stats.n - tdf.df + 0.5) / (tdf.df + 0.5))
+                   * (tf.tf * (1.2 + 1))
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                 ), 6) AS score6
+          FROM qt
+          JOIN tf  ON tf.term = qt.term
+          JOIN tdf ON tdf.term = qt.term
+          JOIN dl  ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats
+          GROUP BY qt.qid, tf.doc_id)
+       SELECT qid, doc_id, round(score6, 4) AS score
+       FROM (SELECT qid, doc_id, score6,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY score6 DESC, doc_id) AS rn
+             FROM scored)
+       WHERE rn <= 10""",
+)
+def bm25_corpus_search(spark, sf):
+    """Batch BM25 retrieval: 4 fixed queries, top-10 each, ONE job.
+
+    The decontamination-search shape (operators/retrieval.py): query
+    terms broadcast against the postings, IDF from a query-vocab-pruned
+    term-df join, per-(qid, doc) partial-agg score sum, per-qid top-k
+    window. Shuffle bytes scale with matched postings, never corpus x
+    queries. Scores double-round 6 -> 4 on BOTH sides (the inner round
+    fixes the top-k tie order; the outer absorbs float sum-order noise
+    below the hash comparison's 9 sig figs).
+    """
+    from rtstore_spark.operators.retrieval import bm25_batch_topk
+
+    docs = load_table(spark, sf, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, "qid long, text string")
+    return bm25_batch_topk(docs, "text", "doc_id", queries, k=10).select(
+        "qid",
+        F.col("id").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"),
     )
 
 
