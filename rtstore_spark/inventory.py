@@ -836,29 +836,6 @@ def _minhash_wide_sql() -> str:
         wide AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id)"""
 
 
-def minhash_signature(spark, sf):
-    """MinHash signatures over 3-token shingles, 8 hash functions (long form).
-
-    Registry note (round 8): FOLDED into minhash_lsh_pairs to free a
-    slot for bm25_corpus_search (the 50-entry cap) — the pairs entry
-    derives its band signatures from these exact signatures, so any
-    signature bug changes the pairs row set and still fails the gate;
-    the long-form unpivot itself stays pinned by test_operators.
-
-    Scale path: shingle explode is map-local; ONE partial-aggregated shuffle
-    of (doc_id, 8 mins) — wide-form compute, unpivoted after (see
-    operators.dedup.minhash_signatures_wide). Hash family: md5-derived
-    32-bit values salted by hash index, reproducible in any engine (the
-    oracle recomputes it in DuckDB).
-    """
-    from rtstore_spark.operators.dedup import minhash_signatures
-
-    docs = load_table(spark, sf, "documents")
-    return minhash_signatures(docs, "text", "doc_id", num_hashes=8).select(
-        F.col("id").alias("doc_id"), "h", "minhash"
-    )
-
-
 _BM25_QUERIES = [
     (0, "model training data"),
     (1, "quality corpus analysis"),
@@ -883,47 +860,49 @@ _BM25_QUERIES = [
           (2, 'the of and'), (3, 'language structure pattern')),
         qt AS (SELECT DISTINCT qid,
                  unnest(string_split_regex(lower(trim(qtext)), '\s+')) AS term
-               FROM q),
-        scored AS (
-          SELECT qt.qid, tf.doc_id,
-                 round(sum(
-                   ln(1 + (stats.n - tdf.df + 0.5) / (tdf.df + 0.5))
-                   * (tf.tf * (1.2 + 1))
-                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
-                 ), 6) AS score6
-          FROM qt
-          JOIN tf  ON tf.term = qt.term
-          JOIN tdf ON tdf.term = qt.term
-          JOIN dl  ON dl.doc_id = tf.doc_id
-          CROSS JOIN stats
-          GROUP BY qt.qid, tf.doc_id)
-       SELECT qid, doc_id, round(score6, 4) AS score
-       FROM (SELECT qid, doc_id, score6,
-                    row_number() OVER (PARTITION BY qid
-                                       ORDER BY score6 DESC, doc_id) AS rn
-             FROM scored)
-       WHERE rn <= 10""",
+               FROM q)
+       SELECT qt.qid, tf.doc_id,
+              round(sum(
+                ln(1 + (stats.n - tdf.df + 0.5) / (tdf.df + 0.5))
+                * (tf.tf * (1.2 + 1))
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+              ), 4) AS score
+       FROM qt
+       JOIN tf  ON tf.term = qt.term
+       JOIN tdf ON tdf.term = qt.term
+       JOIN dl  ON dl.doc_id = tf.doc_id
+       CROSS JOIN stats
+       GROUP BY qt.qid, tf.doc_id""",
 )
 def bm25_corpus_search(spark, sf):
-    """Batch BM25 retrieval: 4 fixed queries, top-10 each, ONE job.
+    """Batch BM25 retrieval: 4 fixed queries, ALL matched docs, ONE job.
 
     The decontamination-search shape (operators/retrieval.py): query
     terms broadcast against the postings, IDF from a query-vocab-pruned
-    term-df join, per-(qid, doc) partial-agg score sum, per-qid top-k
-    window. Shuffle bytes scale with matched postings, never corpus x
-    queries. Scores double-round 6 -> 4 on BOTH sides (the inner round
-    fixes the top-k tie order; the outer absorbs float sum-order noise
-    below the hash comparison's 9 sig figs).
+    term-df join, per-(qid, doc) partial-agg score sum. The oracle
+    comparison deliberately carries NO top-k cut: the row set is then
+    pure set membership (docs containing a query term — float-free). A
+    rank boundary would expose the row SET to float noise whenever
+    ranks k/k+1 land within an ulp — the top-k path is pinned instead
+    by the differential + DuckDB tests in tests/test_retrieval.py.
+    Scores round the RAW sum ONCE at 4 on both sides (ln() has no
+    DECIMAL form, so inventory's usual decimal rule can't apply; a
+    coarse single round keeps sum-order/libm last-ulp noise ~8 orders
+    below the quantum). Never double-round through 6: that MANUFACTURES
+    exact half-way decimals — e.g. raw 0.33794962 → 0.33795 — which
+    Spark (BigDecimal on the shortest repr, half-up → 0.3380) and
+    DuckDB (binary value 0.337949999…, half-away → 0.3379) then resolve
+    differently; hit in the gate at sf0.01, doc 262.
     """
     from rtstore_spark.operators.retrieval import bm25_batch_topk
 
     docs = load_table(spark, sf, "documents")
     queries = spark.createDataFrame(_BM25_QUERIES, "qid long, text string")
-    return bm25_batch_topk(docs, "text", "doc_id", queries, k=10).select(
-        "qid",
-        F.col("id").alias("doc_id"),
-        F.round(F.col("score"), 4).alias("score"),
-    )
+    return bm25_batch_topk(
+        docs, "text", "doc_id", queries,
+        k=1_000_000,  # no cut: all matches
+        round_to=4,   # single round of the raw sum, same as the SQL
+    ).select("qid", F.col("id").alias("doc_id"), "score")
 
 
 @register(
@@ -947,6 +926,13 @@ def minhash_lsh_pairs(spark, sf):
     Scale path: wide signatures (one shuffle), band signatures as pure
     projections, then docs join only within (band, band_sig) buckets — the
     classic shingle→minhash→band→bucket-join pipeline; no O(n^2) comparison.
+
+    Registry note (round 8): this entry ABSORBED the former standalone
+    minhash_signature row (50-entry cap; slot freed for
+    bm25_corpus_search) — the band signatures here derive from those
+    exact signatures, so any signature bug changes this row set and
+    still fails the gate; the long-form unpivot
+    (dedup.minhash_signatures) stays pinned by test_operators.
     """
     from rtstore_spark.operators.dedup import (
         lsh_candidate_pairs_wide,

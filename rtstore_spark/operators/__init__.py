@@ -18,6 +18,9 @@ Generic DataFrame transforms (no testdata coupling):
                    intra- and cross-doc repetition, chunking, BM25 top-k,
                    tf-idf keywords, hashed-TF-IDF content clustering,
                    blocklist term filtering (C4-style)
+- ``retrieval``  — persisted BM25 inverted index (bucket-partitioned
+                   postings, generation-pointer rebuilds) + one-job
+                   batch search (decontamination-search shape)
 - ``multimodal`` — binary media columns: schema, batching, stubbed decode
 - ``sampling``   — deterministic stratified sampling, token-budget
                    domain-mixture sampling + per-domain mixture stats,

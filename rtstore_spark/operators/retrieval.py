@@ -100,14 +100,31 @@ def write_bm25_index(
     fs = fs_for(path, spark)
     fs.makedirs(path)
     cur = fs.read_text(f"{path}/_current")
-    prev_gen, _ = parse_gen_pointer(cur)
+    prev_gen, prev_name = parse_gen_pointer(cur)
     gen_name = f"gen-{prev_gen + 1}-{uuid.uuid4().hex[:8]}"
     base = f"{path}/{gen_name}"
     postings, term_df, stats = bm25_build(df, text_col, id_col, n_buckets)
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(
-        base + "/postings"
-    )
-    term_df.write.mode("overwrite").parquet(base + "/_termdf")
+    if stats["n_docs"] == 0:
+        # an empty build must never flip the pointer: the postings
+        # directory would hold zero part files (unreadable — schema
+        # inference fails) and the sweep would have destroyed the last
+        # GOOD generation. A rebuild fed an accidentally-empty filtered
+        # corpus fails loudly instead of replacing a working index.
+        raise ValueError(
+            f"write_bm25_index: refusing to commit an EMPTY corpus over "
+            f"{path} — the live generation stays untouched"
+        )
+    # the two writes share the corpus-wide tokenize + (term, id)
+    # aggregate — cache it so term_df reuses postings' computation
+    # instead of re-running the dominant shuffle
+    postings = postings.persist()
+    try:
+        postings.write.mode("overwrite").partitionBy("bucket").parquet(
+            base + "/postings"
+        )
+        term_df.write.mode("overwrite").parquet(base + "/_termdf")
+    finally:
+        postings.unpersist()
     fs.write_text_atomic(base + "/_stats.json", json.dumps(stats))
     cur2 = fs.read_text(f"{path}/_current")
     if parse_gen_pointer(cur2)[0] != prev_gen:
@@ -117,8 +134,12 @@ def write_bm25_index(
             "have a single-writer contract; re-run the rebuild"
         )
     fs.write_text_atomic(f"{path}/_current", gen_name)
+    # grace-of-one retention (save_seen_filter's rule): a reader holding
+    # lazy plans against the immediate predecessor must not lose its
+    # files mid-query; only OLDER generations sweep now — the
+    # predecessor retires on the NEXT rebuild
     for d in fs.listdir(path):
-        if d.startswith("gen-") and d != gen_name:
+        if d.startswith("gen-") and d not in (gen_name, prev_name):
             fs.delete(f"{path}/{d}", recursive=True)
 
 
@@ -150,9 +171,15 @@ def bm25_search_batch(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    round_to: int = 6,
 ) -> DataFrame:
     """All queries against the index in one job → (qid, id, score),
-    top-k per query, ordered (qid, score desc, id).
+    top-k per query, ordered (qid, score desc, id). ``round_to`` is the
+    score's decimal rounding (6 matches text.bm25_topk; cross-engine
+    oracles should round the RAW sum once at their comparison precision
+    — double-rounding through 6 manufactures exact half-way decimals
+    that Spark's BigDecimal-on-shortest-repr and an engine rounding the
+    binary value resolve differently).
 
     Plan shape: the DISTINCT (qid, term) pairs of the query batch
     broadcast twice — once to prune+probe the postings scan (bucket
@@ -196,7 +223,7 @@ def bm25_search_batch(
         hits.join(F.broadcast(tdf), "term", "inner")
         .select("qid", "id", (idf * tf_part).alias("_s"))
         .groupBy("qid", "id")
-        .agg(F.round(F.sum("_s"), 6).alias("score"))
+        .agg(F.round(F.sum("_s"), round_to).alias("score"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("id"))
     return (
@@ -217,6 +244,7 @@ def bm25_batch_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    round_to: int = 6,
 ) -> DataFrame:
     """Index-free convenience: build the postings in the same plan and
     search — one corpus scan for the WHOLE query batch (vs one per query
@@ -226,4 +254,5 @@ def bm25_batch_topk(
     return bm25_search_batch(
         postings, term_df, stats, queries,
         qid_col=qid_col, qtext_col=qtext_col, k=k, k1=k1, b=b,
+        round_to=round_to,
     )

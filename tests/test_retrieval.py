@@ -173,7 +173,9 @@ class TestPersistence:
         ]
         assert via_index == direct
 
-    def test_rebuild_flips_pointer_and_sweeps(self, spark, docs, tmp_path):
+    def test_rebuild_flips_pointer_sweeps_with_grace(
+        self, spark, docs, tmp_path
+    ):
         path = str(tmp_path / "bm25-re")
         write_bm25_index(docs.limit(50), "text", "doc_id", path)
         _, _, s1 = read_bm25_index(spark, path)
@@ -181,8 +183,27 @@ class TestPersistence:
         write_bm25_index(docs.limit(80), "text", "doc_id", path)
         _, _, s2 = read_bm25_index(spark, path)
         assert s2["n_docs"] == 80
+        # grace-of-one: the immediate predecessor survives a rebuild (a
+        # reader's lazy plans may still reference its files); only
+        # OLDER generations sweep
         gens = [d for d in os.listdir(path) if d.startswith("gen-")]
-        assert len(gens) == 1  # superseded generation swept
+        assert len(gens) == 2
+        write_bm25_index(docs.limit(60), "text", "doc_id", path)
+        gens = sorted(d for d in os.listdir(path) if d.startswith("gen-"))
+        assert len(gens) == 2  # gen-1 retired on the THIRD rebuild
+        assert all(not g.startswith("gen-1-") for g in gens)
+
+    def test_empty_corpus_refused_live_generation_survives(
+        self, spark, docs, tmp_path
+    ):
+        path = str(tmp_path / "bm25-empty")
+        write_bm25_index(docs.limit(50), "text", "doc_id", path)
+        with pytest.raises(ValueError, match="EMPTY corpus"):
+            write_bm25_index(
+                docs.filter(F.lit(False)), "text", "doc_id", path
+            )
+        _, _, stats = read_bm25_index(spark, path)
+        assert stats["n_docs"] == 50  # live generation untouched
 
     def test_crash_before_flip_leaves_previous_generation(
         self, spark, docs, tmp_path, monkeypatch
