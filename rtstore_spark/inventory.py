@@ -906,6 +906,31 @@ def bm25_corpus_search(spark, sf):
 
 
 @register(
+    "minhash_signature",
+    _minhash_wide_sql() + "\n"
+    + "\n UNION ALL ".join(
+        f"SELECT doc_id, {h} AS h, mh{h} AS minhash FROM wide" for h in range(8)
+    ),
+)
+def minhash_signature(spark, sf):
+    """MinHash signatures over 3-token shingles, 8 hash functions (long
+    form). Scale path: shingle explode is map-local; ONE
+    partial-aggregated shuffle of (doc_id, 8 mins) — wide-form compute,
+    unpivoted after (operators.dedup.minhash_signatures_wide).
+
+    ROTATION-POOL member (see _ROTATION_POOL below): retired at the
+    50-entry cap in round 8 (its signatures stay transitively pinned by
+    minhash_lsh_pairs + test_operators), rotated back IN for round 9 so
+    the standalone row re-earns a green gate."""
+    from rtstore_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, sf, "documents")
+    return minhash_signatures(docs, "text", "doc_id", num_hashes=8).select(
+        F.col("id").alias("doc_id"), "h", "minhash"
+    )
+
+
+@register(
     "minhash_lsh_pairs",
     _minhash_wide_sql()
     + """,
@@ -1453,9 +1478,29 @@ def ann_ivf_topk(spark, sf):
 # truncated run can never leave an operator family unverified again.
 _FIRST = ["winnow_fingerprints", "embedding_neardup", "multimodal_features", "ann_lsh_topk"]
 
+# Rotation policy (round-8 verdict #5). The 50-entry cap means a new
+# operator's oracle row must displace an old one — and before round 9 a
+# displaced entry silently lost oracle coverage FOREVER. Now the registry
+# is 49 STABLE core entries + 1 ROTATING slot. _ROTATION_POOL holds the
+# entries eligible to rotate: each one's operator family keeps at least
+# one other green oracle row plus pytest coverage while it sits out
+# (minhash_signature → minhash_lsh_pairs derives from the same
+# signatures + test_operators pins the unpivot; q_events_pivot →
+# q_events_hourly/q_user_sessions keep the events-agg family green +
+# test_inventory pins the pivot column contract). ROTATION_ROUND picks
+# the occupant, so every pool entry re-earns a green gate row within
+# len(_ROTATION_POOL) rounds. To retire a future entry, move it into the
+# pool instead of deleting its registration.
+ROTATION_ROUND = 9  # bump each round (9 % 2 = 1 → minhash_signature in)
+_ROTATION_POOL = ["q_events_pivot", "minhash_signature"]
+
 
 def _ordered() -> list[str]:
-    return _FIRST + [n for n in _REGISTRY if n not in _FIRST]
+    in_slot = _ROTATION_POOL[ROTATION_ROUND % len(_ROTATION_POOL)]
+    names = [
+        n for n in _REGISTRY if n == in_slot or n not in _ROTATION_POOL
+    ]
+    return _FIRST + [n for n in names if n not in _FIRST]
 
 
 def queries():

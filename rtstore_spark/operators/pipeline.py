@@ -826,12 +826,15 @@ def save_seen_filter(filter_df: DataFrame, path: str) -> int:
     backstops.
     """
     from rtstore_spark.operators.sketches import bloom_merge
-    from rtstore_spark.store.fs import fs_for, parse_gen_pointer
+    from rtstore_spark.store.fs import (
+        begin_generation,
+        commit_generation,
+        fs_for,
+    )
 
     spark = filter_df.sparkSession
     fs = fs_for(path, spark)
-    cur = fs.read_text(f"{path}/_current")
-    gen, prev_dir = parse_gen_pointer(cur)
+    gen, prev_dir, new_dir = begin_generation(fs, path)
     if gen:
         prev = spark.read.parquet(f"{path}/{prev_dir}")
         both = prev.unionByName(filter_df)
@@ -849,35 +852,17 @@ def save_seen_filter(filter_df: DataFrame, path: str) -> int:
             )
         filter_df = bloom_merge(both, by=[])
     # long-form rollup: ≤ nbits/64 rows (~16k at the 1M-bit default).
-    # The directory name carries a per-attempt nonce so a concurrent save
-    # that picked the same generation number writes somewhere ELSE — the
-    # loser's files are never clobbered, and the pointer decides.
-    import uuid
-
-    new_dir = f"gen-{gen + 1}-{uuid.uuid4().hex[:8]}"
+    # The directory name (from begin_generation) carries a per-attempt
+    # nonce so a concurrent save that picked the same generation number
+    # writes somewhere ELSE — the loser's files are never clobbered.
     filter_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/{new_dir}")
-    # conflict backstop before the flip: if another writer advanced the
-    # pointer while this merge ran, flipping now would silently discard
-    # that writer's fingerprints — refuse instead (see docstring)
-    cur2 = fs.read_text(f"{path}/_current")
-    gen2, _ = parse_gen_pointer(cur2)
-    if gen2 != gen:
-        raise RuntimeError(
-            f"save_seen_filter: concurrent writer advanced {path} from "
-            f"gen {gen} to gen {gen2} during this save — re-run the save "
-            "against the new committed state (single-writer contract)"
-        )
-    fs.write_text_atomic(f"{path}/_current", new_dir)
-    # Sweep with a grace-of-one (the storage plane's generation-retention
-    # stance): every gen-* directory EXCEPT the new live one and its
-    # immediate predecessor goes — crash-orphans from failed attempts
-    # included. The predecessor survives one save so a reader that loaded
-    # the seen state just before this save (lazy plans hold file
-    # references) still evaluates; it is reclaimed by the NEXT save.
-    keep = {new_dir, prev_dir} - {None}
-    for d in fs.listdir(path):
-        if d.startswith("gen-") and d not in keep:
-            fs.delete(f"{path}/{d}", recursive=True)
+    # conflict backstop + flip + grace-of-one sweep (the shared manifest
+    # protocol, store.fs.commit_generation): the predecessor survives one
+    # save so a reader that loaded the seen state just before this save
+    # (lazy plans hold file references) still evaluates.
+    commit_generation(
+        fs, path, gen, new_dir, op="save_seen_filter", keep=(prev_dir,)
+    )
     return gen + 1
 
 

@@ -17,11 +17,18 @@ to brute-force cosine:
 - ``bm25_search_batch`` — (qid, text) queries → top-k (qid, id, score)
   in ONE job: query terms broadcast against the pruned postings scan,
   IDF folded in via a broadcast join on the O(matched-vocab) term-df
-  table, per-(qid, id) partial-agg sum, per-qid top-k window.
+  table, per-(qid, id) partial-agg sum, TWO-PHASE per-qid top-k
+  (per-(qid, shard) partial top-k, then a merge over the ≤ shards·k
+  survivors — no single reducer ever sees a query's full matched set);
+- ``append_bm25_index`` — incremental maintenance: new documents land
+  as a delta generation unioned at read (one delta-scoped build, no
+  O(corpus) rebuild), folded away by the next full rebuild.
 
 Shuffle bytes scale with MATCHED POSTINGS (docs containing query
 terms), never with corpus x queries — the property that makes 10k
-decontamination queries against 100 TB a join, not 10k scans.
+decontamination queries against 100 TB a join, not 10k scans. The
+optional ``max_df_fraction`` prune drops stopword-grade terms BEFORE
+the postings probe, so their matched sets are never materialized.
 
 Scoring matches ``text.bm25_topk`` exactly (Okapi BM25,
 idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf saturation with length
@@ -64,11 +71,16 @@ def bm25_build(
         F.col(id_col).alias("id"), _tokens(text_col).alias("_toks")
     ).select("id", "_toks", F.size("_toks").alias("dl"))
     row = base.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
     ).collect()[0]
     stats = {
         "n_docs": int(row["n"]),
         "avgdl": float(row["avgdl"] or 1.0),
+        # exact integer token total: delta folds recompute avgdl as
+        # sum_dl/n_docs with NO float accumulation error (append_bm25_index)
+        "sum_dl": int(row["sum_dl"]),
         "n_buckets": int(n_buckets),
     }
     postings = (
@@ -91,17 +103,18 @@ def write_bm25_index(
     ``<gen>/_termdf``, ``<gen>/_stats.json`` — committed behind the same
     atomic root ``_current`` pointer flip as ``write_pq_index`` (a crash
     anywhere before the flip leaves the previous generation fully live;
-    concurrent rebuilds fail loudly on the single-writer backstop)."""
-    import uuid
-
-    from rtstore_spark.store.fs import fs_for, parse_gen_pointer
+    concurrent rebuilds fail loudly on the single-writer backstop).
+    Protocol mechanics live in store.fs.begin/commit_generation."""
+    from rtstore_spark.store.fs import (
+        begin_generation,
+        commit_generation,
+        fs_for,
+    )
 
     spark = df.sparkSession
     fs = fs_for(path, spark)
     fs.makedirs(path)
-    cur = fs.read_text(f"{path}/_current")
-    prev_gen, prev_name = parse_gen_pointer(cur)
-    gen_name = f"gen-{prev_gen + 1}-{uuid.uuid4().hex[:8]}"
+    prev_gen, prev_name, gen_name = begin_generation(fs, path)
     base = f"{path}/{gen_name}"
     postings, term_df, stats = bm25_build(df, text_col, id_col, n_buckets)
     if stats["n_docs"] == 0:
@@ -126,25 +139,38 @@ def write_bm25_index(
     finally:
         postings.unpersist()
     fs.write_text_atomic(base + "/_stats.json", json.dumps(stats))
-    cur2 = fs.read_text(f"{path}/_current")
-    if parse_gen_pointer(cur2)[0] != prev_gen:
-        raise RuntimeError(
-            f"write_bm25_index: concurrent rebuild advanced {path} to "
-            f"{cur2.strip() if cur2 else 0} during this build — indexes "
-            "have a single-writer contract; re-run the rebuild"
-        )
-    fs.write_text_atomic(f"{path}/_current", gen_name)
-    # grace-of-one retention (save_seen_filter's rule): a reader holding
-    # lazy plans against the immediate predecessor must not lose its
-    # files mid-query; only OLDER generations sweep now — the
+    # grace-of-one retention: a reader holding lazy plans against the
+    # immediate predecessor must not lose its files mid-query; the
     # predecessor retires on the NEXT rebuild
-    for d in fs.listdir(path):
-        if d.startswith("gen-") and d not in (gen_name, prev_name):
-            fs.delete(f"{path}/{d}", recursive=True)
+    commit_generation(
+        fs, path, prev_gen, gen_name,
+        op="write_bm25_index", keep=(prev_name,),
+    )
+
+
+def _read_index_dir(spark, fs, base: str) -> tuple[DataFrame, DataFrame, dict]:
+    postings = spark.read.option("basePath", base + "/postings").parquet(
+        base + "/postings"
+    )
+    term_df = spark.read.parquet(base + "/_termdf")
+    stats = json.loads(fs.read_text(base + "/_stats.json"))
+    return postings, term_df, stats
+
+
+def _stats_sum_dl(stats: dict) -> int:
+    # pre-delta generations lack sum_dl; n·avgdl reconstructs it (avgdl
+    # was computed as an exact-division double of the true sum)
+    if "sum_dl" in stats:
+        return int(stats["sum_dl"])
+    return int(round(int(stats["n_docs"]) * float(stats["avgdl"])))
 
 
 def read_bm25_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
-    """Load the LIVE generation: (postings, term_df, stats)."""
+    """Load the LIVE generation — base postings UNIONED with every
+    committed delta (``append_bm25_index``), term dfs re-summed across
+    base+deltas, (n_docs, avgdl) folded EXACTLY from the integer
+    ``sum_dl`` totals. With no deltas the plan is the plain base scan
+    (no union / re-aggregation node is added)."""
     from rtstore_spark.store.fs import fs_for, parse_gen_pointer
 
     fs = fs_for(path, spark)
@@ -153,12 +179,108 @@ def read_bm25_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
     if not live:
         raise FileNotFoundError(f"no live bm25 index at {path}")
     base = f"{path}/{live}"
-    postings = spark.read.option("basePath", base + "/postings").parquet(
-        base + "/postings"
+    postings, term_df, stats = _read_index_dir(spark, fs, base)
+    manifest = fs.read_text(base + "/_deltas") or ""
+    names = [ln.strip() for ln in manifest.splitlines() if ln.strip()]
+    if not names:
+        return postings, term_df, stats
+    n_docs, sum_dl = int(stats["n_docs"]), _stats_sum_dl(stats)
+    for name in names:
+        p2, t2, s2 = _read_index_dir(spark, fs, f"{base}/{name}")
+        if int(s2.get("n_buckets", -1)) != int(stats["n_buckets"]):
+            raise RuntimeError(
+                f"bm25 delta {name} was built with n_buckets="
+                f"{s2.get('n_buckets')} != base {stats['n_buckets']} — "
+                "bucket pruning would silently miss postings; rebuild"
+            )
+        postings = postings.unionByName(p2)
+        term_df = term_df.unionByName(t2)
+        n_docs += int(s2["n_docs"])
+        sum_dl += _stats_sum_dl(s2)
+    # document ids are unique across base+deltas (append contract), so
+    # per-term dfs ADD; the re-sum is O(query vocab) after the search
+    # path's broadcast restriction, O(total vocab) at worst here
+    term_df = term_df.groupBy("term").agg(F.sum("df").alias("df"))
+    folded = {
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "avgdl": (sum_dl / n_docs) if n_docs else 1.0,
+        "n_buckets": int(stats["n_buckets"]),
+    }
+    return postings, term_df, folded
+
+
+def append_bm25_index(
+    df: DataFrame, text_col: str, id_col: str, path: str
+) -> None:
+    """Incremental maintenance: index NEW documents without the
+    O(corpus) rebuild ``write_bm25_index`` performs. The delta's
+    postings/termdf/stats are built from ``df`` ALONE (one scan of the
+    new docs), written under ``<live-gen>/delta-N-<uuid>/``, and made
+    visible by an atomic rewrite of the ``_deltas`` manifest — the
+    mirror of how the reference's index node tails new blocks instead
+    of re-indexing (indexer_impl.rs:147-196). A crash before the
+    manifest write leaves an orphan directory no reader ever sees
+    (retired with its generation). The next full rebuild folds all
+    deltas away by construction (it rebuilds from the whole corpus into
+    a fresh generation).
+
+    Append contract: ``df``'s ids must be NEW (not present in the base
+    or any prior delta). A re-appended id would double-count its term
+    dfs and surface twice in results — dedup upstream; this operator
+    does not scan the O(corpus) base to check.
+
+    Single-writer, enforced loudly: the generation pointer and the
+    delta manifest must both be unchanged across the build, else the
+    append raises and its directory is left orphaned (harmless)."""
+    import uuid
+
+    from rtstore_spark.store.fs import fs_for, parse_gen_pointer
+
+    spark = df.sparkSession
+    fs = fs_for(path, spark)
+    cur = fs.read_text(f"{path}/_current")
+    _, live = parse_gen_pointer(cur)
+    if not live:
+        raise FileNotFoundError(
+            f"append_bm25_index: no live bm25 index at {path} — "
+            "write_bm25_index builds the base generation first"
+        )
+    base = f"{path}/{live}"
+    base_stats = json.loads(fs.read_text(base + "/_stats.json"))
+    n_buckets = int(base_stats.get("n_buckets", N_BUCKETS_DEFAULT))
+    manifest0 = fs.read_text(base + "/_deltas") or ""
+    names0 = [ln.strip() for ln in manifest0.splitlines() if ln.strip()]
+    postings, term_df, stats = bm25_build(df, text_col, id_col, n_buckets)
+    if stats["n_docs"] == 0:
+        return  # appending nothing is a no-op (unlike an empty REBUILD,
+        # which would destroy a live index and is refused loudly)
+    delta_name = f"delta-{len(names0) + 1}-{uuid.uuid4().hex[:8]}"
+    dbase = f"{base}/{delta_name}"
+    postings = postings.persist()
+    try:
+        postings.write.mode("overwrite").partitionBy("bucket").parquet(
+            dbase + "/postings"
+        )
+        term_df.write.mode("overwrite").parquet(dbase + "/_termdf")
+    finally:
+        postings.unpersist()
+    fs.write_text_atomic(dbase + "/_stats.json", json.dumps(stats))
+    cur2 = fs.read_text(f"{path}/_current")
+    if parse_gen_pointer(cur2)[1] != live:
+        raise RuntimeError(
+            f"append_bm25_index: a rebuild advanced {path} to "
+            f"{(cur2 or '').strip()} during this append — the delta "
+            "targets a retired generation; re-run against the new one"
+        )
+    if (fs.read_text(base + "/_deltas") or "") != manifest0:
+        raise RuntimeError(
+            f"append_bm25_index: concurrent append detected on {path} — "
+            "indexes have a single-writer contract; re-run the append"
+        )
+    fs.write_text_atomic(
+        base + "/_deltas", "\n".join([*names0, delta_name]) + "\n"
     )
-    term_df = spark.read.parquet(base + "/_termdf")
-    stats = json.loads(fs.read_text(base + "/_stats.json"))
-    return postings, term_df, stats
 
 
 def bm25_search_batch(
@@ -172,6 +294,8 @@ def bm25_search_batch(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int = 6,
+    n_shards: int = 32,
+    max_df_fraction: float | None = None,
 ) -> DataFrame:
     """All queries against the index in one job → (qid, id, score),
     top-k per query, ordered (qid, score desc, id). ``round_to`` is the
@@ -186,8 +310,25 @@ def bm25_search_batch(
     partition pruning when the index is the materialized form, then an
     equi-join on term), once against term_df for IDF literals. The only
     data-sized shuffles are the per-(qid, id) score sum (partial-agg
-    combined map-side) and the per-qid top-k window, both over matched
-    candidates only."""
+    combined map-side) and the TWO-PHASE per-qid top-k, both over
+    matched candidates only.
+
+    Two-phase top-k: a high-df query ("the of and") can match ~the
+    whole corpus; ranking it with one per-qid window would funnel its
+    entire matched set through a single reducer. Instead, phase 1 takes
+    top-k per (qid, shard) — shard = hash(id) mod ``n_shards``, so each
+    query's candidates spread over n_shards reducers — and phase 2
+    merges the ≤ n_shards·k survivors per query (a bounded, tiny
+    window). Both phases order by (score desc, id), so the result is
+    IDENTICAL to the single-window form for every k and tie pattern.
+
+    ``max_df_fraction``: optionally drop query terms whose document
+    frequency exceeds this fraction of the corpus BEFORE the postings
+    probe — the stopword matched sets are then never materialized at
+    all (cheaper than any ranking of them, and standard practice for
+    decontamination search, where "the" carries no signal). Changes
+    scores (the dropped terms' small idf contributions vanish); None
+    (default) keeps exact BM25."""
     n_docs = int(stats["n_docs"])
     avgdl = float(stats["avgdl"]) or 1.0
     n_buckets = int(stats.get("n_buckets", N_BUCKETS_DEFAULT))
@@ -199,17 +340,22 @@ def bm25_search_batch(
         .distinct()  # standard short-query BM25: query tf is 0/1
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
     )
-    # bucket pruning: a filter on the PARTITION column of the persisted
-    # postings (dynamic partition pruning from the broadcast join side;
-    # harmless no-op on an in-memory postings frame)
-    hits = postings.join(
-        F.broadcast(qterms), ["bucket", "term"], "inner"
-    )
     # IDF weights come from term_df RESTRICTED to the query vocabulary —
     # the full-vocab table is O(corpus vocabulary) and must never
     # broadcast; the restriction is O(query terms)
     tdf = term_df.join(
         F.broadcast(qterms.select("term").distinct()), "term", "inner"
+    )
+    if max_df_fraction is not None:
+        tdf = tdf.filter(F.col("df") <= F.lit(float(max_df_fraction) * n_docs))
+        # restrict the PROBE side too, so pruned terms' postings are
+        # never scanned or joined (tdf here is ≤ query-vocab rows)
+        qterms = qterms.join(F.broadcast(tdf.select("term")), "term", "inner")
+    # bucket pruning: a filter on the PARTITION column of the persisted
+    # postings (dynamic partition pruning from the broadcast join side;
+    # harmless no-op on an in-memory postings frame)
+    hits = postings.join(
+        F.broadcast(qterms), ["bucket", "term"], "inner"
     )
     idf = F.log(
         F.lit(1.0)
@@ -225,9 +371,23 @@ def bm25_search_batch(
         .groupBy("qid", "id")
         .agg(F.round(F.sum("_s"), round_to).alias("score"))
     )
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("id"))
+    # phase 1: partial top-k per (qid, shard) — deterministic shard from
+    # the id (NOT spark_partition_id: stable under task retries)
+    order = [F.col("score").desc(), F.col("id")]
+    w1 = Window.partitionBy("qid", "_shard").orderBy(*order)
+    partial = (
+        scored.withColumn(
+            "_shard", F.pmod(F.xxhash64("id"), F.lit(int(n_shards)))
+        )
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_shard")
+    )
+    # phase 2: merge ≤ n_shards·k survivors per qid — bounded by
+    # construction, independent of how many documents matched
+    w2 = Window.partitionBy("qid").orderBy(*order)
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
+        partial.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
         .orderBy("qid", F.col("score").desc(), "id")
@@ -245,6 +405,8 @@ def bm25_batch_topk(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int = 6,
+    n_shards: int = 32,
+    max_df_fraction: float | None = None,
 ) -> DataFrame:
     """Index-free convenience: build the postings in the same plan and
     search — one corpus scan for the WHOLE query batch (vs one per query
@@ -254,5 +416,6 @@ def bm25_batch_topk(
     return bm25_search_batch(
         postings, term_df, stats, queries,
         qid_col=qid_col, qtext_col=qtext_col, k=k, k1=k1, b=b,
-        round_to=round_to,
+        round_to=round_to, n_shards=n_shards,
+        max_df_fraction=max_df_fraction,
     )

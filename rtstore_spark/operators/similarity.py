@@ -1111,7 +1111,11 @@ def write_pq_index(
     exact re-ranking, when wanted, joins survivors back to the raw
     vectors by id.
     """
-    from rtstore_spark.store.fs import fs_for, parse_gen_pointer
+    from rtstore_spark.store.fs import (
+        begin_generation,
+        commit_generation,
+        fs_for,
+    )
 
     # Atomic in-place REBUILD — the storage plane's generation protocol
     # applied to the whole base: the new codes/centroids/model land in a
@@ -1121,21 +1125,12 @@ def write_pq_index(
     # its committed increments — fully live; readers never see a torn or
     # increment-less index. Increments nest under their own generation
     # (resolve_index_base), so a flip atomically retires the old
-    # generation's increments along with its base. Superseded
-    # generations and legacy root-layout artifacts are swept last,
-    # best-effort.
+    # generation's increments along with its base. Protocol mechanics in
+    # store.fs.begin/commit_generation; legacy root-layout artifacts are
+    # swept last, best-effort.
     spark = df.sparkSession
     fs = fs_for(path, spark)
-    cur = fs.read_text(f"{path}/_current")
-    prev_gen, _ = parse_gen_pointer(cur)
-    gen = prev_gen + 1
-    # uniquely-suffixed generation directory: a concurrent rebuild that
-    # picked the same generation number writes somewhere ELSE, so the
-    # winner's committed directory can never be clobbered mid-read — the
-    # pointer re-read below then makes the loser fail loudly
-    import uuid
-
-    gen_name = f"gen-{gen}-{uuid.uuid4().hex[:8]}"
+    prev_gen, prev_name, gen_name = begin_generation(fs, path)
     base = f"{path}/{gen_name}"
     codes = pq_encode(df, vec_col, id_col, model).join(
         df.select(F.col(id_col).alias("id"), F.col(route_col).alias("route")),
@@ -1146,23 +1141,15 @@ def write_pq_index(
         "overwrite"
     ).parquet(base + "/_centroids")
     pq_save(spark, model, base + "/_model")
-    # single-writer backstop (same contract as every manifest-pointer
-    # mutation): if another rebuild advanced the pointer while this one
-    # wrote, flipping now would discard its committed generation — refuse
-    # loudly instead of racing (our own directory is uniquely named, so
-    # nothing of the winner's was touched)
-    cur2 = fs.read_text(f"{path}/_current")
-    if parse_gen_pointer(cur2)[0] != prev_gen:
-        raise RuntimeError(
-            f"write_pq_index: concurrent rebuild advanced {path} to "
-            f"{cur2.strip() if cur2 else 0} during this build — indexes "
-            "have a single-writer contract; re-run the rebuild"
-        )
-    fs.write_text_atomic(f"{path}/_current", gen_name)
-    # sweep: superseded generation directories + pre-pointer root artifacts
-    for d in fs.listdir(path):
-        if d.startswith("gen-") and d != gen_name:
-            fs.delete(f"{path}/{d}", recursive=True)
+    # flip + sweep with GRACE-OF-ONE retention (round 9 converged all
+    # three index writers on it — pq previously swept the predecessor
+    # immediately, which could yank files out from under a reader
+    # holding lazy plans against the old generation); then the
+    # pre-pointer root-layout artifacts, best-effort
+    commit_generation(
+        fs, path, prev_gen, gen_name,
+        op="write_pq_index", keep=(prev_name,),
+    )
     for legacy in ("codes", "_centroids", "_model", "inc"):
         fs.delete(f"{path}/{legacy}", recursive=True)
 

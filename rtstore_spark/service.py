@@ -108,6 +108,24 @@ class BlockEventBroadcaster:
         self._cursor: int | None = None
         self._thread: threading.Thread | None = None
         self._wake = threading.Event()
+        # membership latch: notified on every subscribe/unsubscribe so a
+        # coordinator (tests, drain-before-shutdown) can wait for "N
+        # subscribers attached" as an EVENT instead of a wall-clock sleep
+        # — sleeps sized for an idle box flake under load (round-8 gate)
+        self._membership = threading.Condition(self._lock)
+
+    def wait_for_subscribers(self, n: int, timeout: float = 60.0) -> bool:
+        """Block until at least ``n`` subscribers are attached (True) or
+        ``timeout`` elapses (False). Purely event-driven: wakes only on
+        membership changes."""
+        deadline = time.monotonic() + timeout
+        with self._membership:
+            while len(self._subs) < n:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return False
+                self._membership.wait(remaining)
+            return True
 
     def subscribe(self) -> tuple[int, queue.Queue, int]:
         """Register a subscriber; returns ``(token, events_queue,
@@ -133,6 +151,7 @@ class BlockEventBroadcaster:
                     target=self._run, name="rtstore-block-poller", daemon=True
                 )
                 self._thread.start()
+            self._membership.notify_all()
             return token, q, self._cursor
 
     def unsubscribe(self, token: int) -> None:
@@ -140,6 +159,7 @@ class BlockEventBroadcaster:
             self._subs.pop(token, None)
             if not self._subs:
                 self._wake.set()  # idle poller exits at its next check
+            self._membership.notify_all()
 
     def _run(self) -> None:
         sc = self.node.store.spark.sparkContext

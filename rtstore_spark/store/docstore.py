@@ -1105,9 +1105,19 @@ class DocStore:
         ).withColumn("block_bucket", F.expr(f"block div {LOG_BLOCKS_PER_BUCKET}"))
         # appends land in the live generation (pointer-resolved) so
         # compact_wire_archive's snapshot rewrites fold them in
-        df.coalesce(1).write.mode("append").partitionBy("block_bucket").parquet(
-            self._resolve(self._wire_archive_path())
-        )
+        try:
+            df.coalesce(1).write.mode("append").partitionBy(
+                "block_bucket"
+            ).parquet(self._resolve(self._wire_archive_path()))
+        except Exception:
+            # callers swap rows OUT of the buffer before flushing; if the
+            # parquet write fails transiently (fs hiccup), losing closed-
+            # block envelopes for the life of the process would be a
+            # stronger loss than the documented crash-loses-open-block
+            # trade. Put them back (front, preserving block order) so the
+            # next flush retries, then surface the failure.
+            self._wire_buffer = rows + self._wire_buffer
+            raise
 
     def compact_wire_archive(self) -> None:
         """Collapse the per-mutation envelope files — the wire ingest path
@@ -1137,32 +1147,38 @@ class DocStore:
         buffered rows comes from a UNION with an in-memory snapshot,
         NOT a flush — a read-heavy GetBlock poller would otherwise
         write one tiny file per poll, re-creating the fragmentation the
-        buffer exists to prevent. No double counting: the parquet file
-        listing resolves when this scan is built, and any later flush
-        lands in files that listing never saw."""
-        with self._wire_buffer_lock:
-            pending = [dict(r) for r in self._wire_buffer]
+        buffer exists to prevent. No double counting: the buffer
+        snapshot AND the parquet leaf-file listing both resolve under
+        _wire_buffer_lock (flushes hold the same lock), so a concurrent
+        flush either lands entirely before this scan (rows in files,
+        not in the snapshot) or entirely after (rows in the snapshot,
+        in files this scan's frozen listing never saw) — never both.
+        Spark resolves leaf files when the DataFrame is CREATED (its
+        file index is built eagerly), which is why the read construction
+        itself sits inside the lock, not just the directory listing."""
         path = self._resolve(self._wire_archive_path())
         read_schema = T.StructType(
             WIRE_ARCHIVE_SCHEMA.fields
             + [T.StructField("block_bucket", T.LongType(), True)]
         )
-        if not self.fs.exists(path):
-            df = self.spark.createDataFrame([], schema=read_schema)
-        else:
-            parts = [
-                os.path.join(path, e)
-                for e in self.fs.listdir(path)
-                if e.startswith("block_bucket=")
-            ]
-            if not parts:
+        with self._wire_buffer_lock:
+            pending = [dict(r) for r in self._wire_buffer]
+            if not self.fs.exists(path):
                 df = self.spark.createDataFrame([], schema=read_schema)
             else:
-                df = (
-                    self.spark.read.schema(read_schema)
-                    .option("basePath", path)
-                    .parquet(*parts)
-                )
+                parts = [
+                    os.path.join(path, e)
+                    for e in self.fs.listdir(path)
+                    if e.startswith("block_bucket=")
+                ]
+                if not parts:
+                    df = self.spark.createDataFrame([], schema=read_schema)
+                else:
+                    df = (
+                        self.spark.read.schema(read_schema)
+                        .option("basePath", path)
+                        .parquet(*parts)
+                    )
         if pending:
             mem = self.spark.createDataFrame(
                 pending, schema=WIRE_ARCHIVE_SCHEMA

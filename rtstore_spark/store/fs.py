@@ -225,6 +225,52 @@ def read_parquet_or_empty(spark, path: str, schema):
         return spark.createDataFrame([], schema=schema)
 
 
+def begin_generation(fs, path: str) -> tuple[int, str | None, str]:
+    """Open a generation-pointer commit (the manifest protocol shared by
+    ``save_seen_filter``, ``write_pq_index`` and ``write_bm25_index``):
+    read the current pointer and mint a uniquely-suffixed next-generation
+    directory name. Returns ``(prev_gen, prev_name, new_gen_name)``. The
+    caller writes its whole payload under ``<path>/<new_gen_name>`` and
+    then calls ``commit_generation`` — a crash anywhere in between leaves
+    an orphan directory no reader resolves (swept by the next successful
+    commit). The unique suffix means two racing writers that pick the
+    same generation number still write to DISTINCT directories; only the
+    pointer (plus commit_generation's re-read) decides the winner."""
+    import uuid
+
+    cur = fs.read_text(f"{path}/_current")
+    prev_gen, prev_name = parse_gen_pointer(cur)
+    return prev_gen, prev_name, f"gen-{prev_gen + 1}-{uuid.uuid4().hex[:8]}"
+
+
+def commit_generation(
+    fs, path: str, prev_gen: int, gen_name: str, *, op: str,
+    keep: tuple[str | None, ...] = (),
+) -> None:
+    """Close a generation-pointer commit: re-read-and-refuse (the
+    single-writer backstop — if another writer advanced the pointer
+    while this one wrote, flipping now would discard that writer's
+    committed generation), atomically flip ``_current`` to ``gen_name``,
+    then sweep every other ``gen-*`` directory except those in ``keep``.
+    Retention is GRACE-OF-ONE by convention: pass the predecessor's name
+    in ``keep`` so a reader holding lazy plans against it keeps its
+    files for one more commit; crash orphans from failed attempts sweep
+    with everything else."""
+    cur2 = fs.read_text(f"{path}/_current")
+    if parse_gen_pointer(cur2)[0] != prev_gen:
+        raise RuntimeError(
+            f"{op}: concurrent writer advanced {path} to "
+            f"{cur2.strip() if cur2 else 0} during this write — "
+            "manifest pointers have a single-writer contract; re-run "
+            "against the new committed state"
+        )
+    fs.write_text_atomic(f"{path}/_current", gen_name)
+    retain = {gen_name, *(k for k in keep if k)}
+    for d in fs.listdir(path):
+        if d.startswith("gen-") and d not in retain:
+            fs.delete(f"{path}/{d}", recursive=True)
+
+
 def parse_gen_pointer(cur: str | None) -> tuple[int, str | None]:
     """(generation number, directory name) from a manifest ``_current``
     pointer whose target is a ``gen-<N>[-<nonce>]`` directory — the

@@ -14,6 +14,8 @@ Envelope shape: {"payload": {...}, "signature": s, "sender": a, "nonce": n}.
 from __future__ import annotations
 
 import os
+import threading
+import time
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -59,6 +61,31 @@ class StreamingIngest:
         ingest.store.fs.makedirs(staging_dir)
         self.rejected: list[tuple[dict, str]] = []
         self.compacted: list[tuple[str, str]] = []
+        # block-close latch: every micro-batch boundary notifies, so a
+        # coordinator can wait on "state condition X after some block
+        # closed" as an event — wall-clock poll loops sized for an idle
+        # box flaked under the full-gate load (round-8 #3)
+        self._block_closed = threading.Condition()
+        self.blocks_closed = 0
+
+    def wait_until(self, predicate, timeout: float = 120.0) -> bool:
+        """Re-evaluate ``predicate()`` once now and once after EACH
+        block close until it returns truthy (→ True) or ``timeout``
+        elapses (→ False). Event-driven: no sleep-poll, so a loaded box
+        only pays the predicate's cost when progress actually happened."""
+        deadline = time.monotonic() + timeout
+        with self._block_closed:
+            seen = self.blocks_closed
+        while True:
+            if predicate():
+                return True
+            with self._block_closed:
+                while self.blocks_closed == seen:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        return False
+                    self._block_closed.wait(remaining)
+                seen = self.blocks_closed
 
     def _apply_batch(self, batch_df, batch_id: int) -> None:
         # Set-wise block apply (store.batch_apply): Spark jobs per block are
@@ -77,6 +104,9 @@ class StreamingIngest:
             self.compacted.extend(
                 store.maybe_compact(max_files=self.compact_max_files)
             )
+        with self._block_closed:
+            self.blocks_closed += 1
+            self._block_closed.notify_all()
 
     def start(self, once: bool = False):
         writer = (

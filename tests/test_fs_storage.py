@@ -301,3 +301,55 @@ class TestGenerationRetention:
         names = set(s.fs.listdir(root))
         assert g1 not in names and g2 in names
         assert s.current_state(db, "c").count() == 6
+
+
+class TestGenerationCommitHelper:
+    """store.fs.begin_generation/commit_generation — the shared manifest
+    protocol all three index writers (seen filter, pq, bm25) refit onto
+    in round 9. Their crash/concurrency suites exercise it end-to-end;
+    this pins the helper's own contract directly."""
+
+    def test_flip_and_grace_of_one_sweep(self, tmp_path):
+        from rtstore_spark.store.fs import (
+            begin_generation,
+            commit_generation,
+            parse_gen_pointer,
+        )
+
+        fs, root = LocalFS(), str(tmp_path / "genc")
+        fs.makedirs(root)
+        names = []
+        for i in range(3):
+            prev_gen, prev_name, gen_name = begin_generation(fs, root)
+            assert prev_gen == i
+            os.makedirs(f"{root}/{gen_name}")
+            commit_generation(
+                fs, root, prev_gen, gen_name, op="t", keep=(prev_name,)
+            )
+            names.append(gen_name)
+        live = parse_gen_pointer(fs.read_text(f"{root}/_current"))[1]
+        assert live == names[-1]
+        dirs = {d for d in os.listdir(root) if d.startswith("gen-")}
+        assert dirs == set(names[-2:])  # live + predecessor, gen-1 swept
+
+    def test_concurrent_advance_refused_and_orphan_swept(self, tmp_path):
+        from rtstore_spark.store.fs import begin_generation, commit_generation
+
+        fs, root = LocalFS(), str(tmp_path / "genr")
+        fs.makedirs(root)
+        pg, pn, g1 = begin_generation(fs, root)
+        os.makedirs(f"{root}/{g1}")
+        # a racer starts from the same state...
+        pg2, pn2, g2 = begin_generation(fs, root)
+        os.makedirs(f"{root}/{g2}")
+        assert g1 != g2  # unique suffixes: racers never share a dir
+        commit_generation(fs, root, pg, g1, op="t", keep=(pn,))
+        # ...and must be refused at ITS commit (pointer moved under it)
+        with pytest.raises(RuntimeError, match="single-writer"):
+            commit_generation(fs, root, pg2, g2, op="t", keep=(pn2,))
+        # the loser's orphan dir sweeps on the next successful commit
+        pg3, pn3, g3 = begin_generation(fs, root)
+        os.makedirs(f"{root}/{g3}")
+        commit_generation(fs, root, pg3, g3, op="t", keep=(pn3,))
+        dirs = {d for d in os.listdir(root) if d.startswith("gen-")}
+        assert dirs == {g1, g3}  # live + predecessor; orphan g2 gone

@@ -22,6 +22,12 @@ is an RFC 9113 implementation with these well-known defaults):
     HEADERS, keepalive PINGs between frames, interleaved concurrent
     streams, and pathological TCP segmentation (1-byte trickle).
 
+Round 9 adds a TONIC/HYPER flank (TestTonicInterop) — the transport
+under the reference's Rust SDK: ENABLE_PUSH=0 + 65535-window SETTINGS
+with NO eager connection WINDOW_UPDATE, lowercase headers with
+`te: trailers` and `grpc-timeout`, HEADERS+DATA coalesced in one write,
+post-response RST_STREAM(CANCEL), and mid-connection SETTINGS changes.
+
 Each fixture drives a REAL RPC end-to-end and asserts the response
 decodes with grpc-status 0 — mirroring the acceptance flow of
 java/src/test/java/network/db3/client/ClientTest.java:79.
@@ -509,5 +515,160 @@ class TestGrpcJavaInterop:
                 _assert_nonce_ok(*c.call(GETNONCE, {"address": ADDR}))
                 msgs, status, _ = c.call(GETSTATUS, {})
                 assert status == 0
+        finally:
+            c.close()
+
+
+class TonicStyleClient(NettyStyleClient):
+    """Drives h2c the way a tonic (hyper/h2-crate) channel does — the
+    transport under the reference's Rust SDK
+    (/root/reference/src/sdk/src/store_sdk_v2.rs). Documented habits
+    that differ from netty's:
+
+      * SETTINGS advertises ENABLE_PUSH=0 and the h2 crate's 65535
+        default INITIAL_WINDOW_SIZE; NO eager connection WINDOW_UPDATE
+        after SETTINGS (h2 replenishes as data is consumed, not ahead
+        of it);
+      * strictly lowercase header names, `te: trailers` always present,
+        `user-agent: tonic/<ver>`, and a `grpc-timeout` header when the
+        request carries a deadline;
+      * no PRIORITY frames, ever;
+      * HEADERS+DATA coalesced into a single TCP write (hyper buffers a
+        request's frames and flushes once).
+    """
+
+    UA = "tonic/0.10.2"
+
+    def __init__(self, port: int, table_size: int = 4096,
+                 huffman: bool = True):
+        # skip NettyStyleClient.__init__ on purpose: the connection
+        # start IS the behavior under test
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        self.enc = NettyStyleEncoder(table_size=table_size, huffman=huffman)
+        self.dec = HpackDecoder()
+        self.next_sid = 1
+        self.sock.sendall(h2.PREFACE)
+        self.sock.sendall(h2.pack_frame(
+            h2.SETTINGS, 0, 0,
+            h2.build_settings({
+                h2.SETTINGS_ENABLE_PUSH: 0,
+                h2.SETTINGS_INITIAL_WINDOW_SIZE: 65535,
+                h2.SETTINGS_MAX_FRAME_SIZE: 16384,
+                h2.SETTINGS_MAX_HEADER_LIST_SIZE: 16384,
+            }),
+        ))
+
+    def request_headers(self, path: str,
+                        timeout: str | None = None) -> list[tuple[str, str]]:
+        hs = [
+            (":method", "POST"),
+            (":scheme", "http"),
+            (":path", path),
+            (":authority", "localhost"),
+            ("te", "trailers"),
+            ("content-type", "application/grpc"),
+            ("user-agent", self.UA),
+        ]
+        if timeout is not None:
+            hs.append(("grpc-timeout", timeout))
+        return hs
+
+    def coalesced_call(self, path: str, msg: dict,
+                       timeout: str | None = None,
+                       rst_after: bool = False):
+        """One RPC with HEADERS+DATA flushed as a single write — hyper's
+        framing; optionally RST_STREAM(CANCEL) right after the response
+        completes (hyper cancels the stream when the response future
+        drops)."""
+        service, method = path.strip("/").split("/")
+        req_schema, resp_schema, _ = METHODS[service][method]
+        sid = self.next_sid
+        self.next_sid += 2
+        block = self.enc.encode(self.request_headers(path, timeout=timeout))
+        self.sock.sendall(
+            h2.pack_frame(h2.HEADERS, h2.FLAG_END_HEADERS, sid, block)
+            + h2.pack_frame(
+                h2.DATA, h2.FLAG_END_STREAM, sid,
+                h2.grpc_frame(req_schema.encode(msg)),
+            )
+        )
+        msgs, status, message = self.read_response(sid)
+        if rst_after:
+            self.sock.sendall(h2.pack_frame(
+                h2.RST_STREAM, 0, sid, (0x8).to_bytes(4, "big")  # CANCEL
+            ))
+        return [resp_schema.decode(m) for m in msgs], status, message
+
+
+class TestTonicInterop:
+    def test_15_tonic_connection_start(self, h2_server):
+        # ENABLE_PUSH=0 + 65535 initial window, NO eager connection
+        # WINDOW_UPDATE — the server must serve within the default
+        # connection window it was never granted extra room on
+        c = TonicStyleClient(h2_server.port)
+        try:
+            _assert_nonce_ok(*c.coalesced_call(GETNONCE, {"address": ADDR}))
+        finally:
+            c.close()
+
+    def test_16_headers_data_single_write_and_timeout_header(
+        self, h2_server
+    ):
+        # hyper flushes a unary request as ONE segment; tonic adds
+        # grpc-timeout when a deadline is set — the server must parse
+        # and ignore the deadline metadata it does not enforce
+        c = TonicStyleClient(h2_server.port)
+        try:
+            _assert_nonce_ok(*c.coalesced_call(
+                GETNONCE, {"address": ADDR}, timeout="10S"
+            ))
+            msgs, status, _ = c.coalesced_call(GETSTATUS, {}, timeout="500m")
+            assert status == 0
+        finally:
+            c.close()
+
+    def test_17_no_window_replenish_across_sequential_rpcs(self, h2_server):
+        # h2 replenishes the connection window lazily; a client that
+        # never sends WINDOW_UPDATE must still complete many small RPCs
+        # — the server's flow accounting must not expect netty's eager
+        # grant (responses here total well under 65535, so a correct
+        # server never blocks; an over-charging one deadlocks)
+        c = TonicStyleClient(h2_server.port)
+        try:
+            for _ in range(6):
+                _assert_nonce_ok(
+                    *c.coalesced_call(GETNONCE, {"address": ADDR})
+                )
+        finally:
+            c.close()
+
+    def test_18_rst_stream_cancel_after_response(self, h2_server):
+        # hyper RSTs a finished stream when the response future drops;
+        # a late CANCEL on a closed stream must not poison the
+        # connection — the next RPC on the same socket still answers
+        c = TonicStyleClient(h2_server.port)
+        try:
+            _assert_nonce_ok(*c.coalesced_call(
+                GETNONCE, {"address": ADDR}, rst_after=True
+            ))
+            _assert_nonce_ok(*c.coalesced_call(GETNONCE, {"address": ADDR}))
+        finally:
+            c.close()
+
+    def test_19_mid_connection_settings_change(self, h2_server):
+        # h2 applications can reconfigure — a second SETTINGS frame
+        # mid-connection must be ACKed and serving must continue with
+        # the updated table size honored by the next header block
+        c = TonicStyleClient(h2_server.port)
+        try:
+            _assert_nonce_ok(*c.coalesced_call(GETNONCE, {"address": ADDR}))
+            c.sock.sendall(h2.pack_frame(
+                h2.SETTINGS, 0, 0,
+                h2.build_settings({h2.SETTINGS_HEADER_TABLE_SIZE: 8192}),
+            ))
+            c.enc.resize(0)     # shrink-to-zero table-size update
+            _assert_nonce_ok(*c.coalesced_call(GETNONCE, {"address": ADDR}))
+            c.enc.resize(4096)  # regrow within the advertised bound
+            _assert_nonce_ok(*c.coalesced_call(GETNONCE, {"address": ADDR}))
         finally:
             c.close()

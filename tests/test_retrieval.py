@@ -20,6 +20,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from rtstore_spark.operators.retrieval import (
+    append_bm25_index,
     bm25_batch_topk,
     bm25_build,
     bm25_search_batch,
@@ -250,3 +251,226 @@ class TestPlanShape:
         assert "BroadcastHashJoin" in plan
         # the per-(qid,id) score sum must partial-aggregate map-side
         assert "partial_sum" in plan
+
+    def test_topk_is_two_phase_no_per_qid_full_set_exchange(
+        self, spark, docs
+    ):
+        """The ranking must never funnel a query's full matched set
+        through one reducer: phase 1's window partitions by (qid,
+        _shard) — a high-df query's candidates spread across n_shards
+        reducers — and only the ≤ n_shards·k survivors reach the
+        per-qid merge window."""
+        import re
+
+        queries = spark.createDataFrame(
+            [(0, "the of and")], "qid long, text string"
+        )
+        postings, term_df, stats = bm25_build(docs, "text", "doc_id")
+        plan = (
+            bm25_search_batch(postings, term_df, stats, queries, k=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # phase-1 exchange clusters by BOTH qid and the id-derived shard
+        assert re.search(r"hashpartitioning\(qid#\d+L?, _shard#\d+", plan), (
+            "phase-1 top-k window is not sharded — full matched set "
+            "would hit a single reducer per qid:\n" + plan
+        )
+        # exactly two ranking Window operators: sharded partial + merge
+        n_windows = sum(
+            1 for ln in plan.splitlines() if "Window [row_number()" in ln
+        )
+        assert n_windows == 2, plan
+
+
+class TestTwoPhaseTopK:
+    def test_identical_across_shard_counts(self, spark, docs):
+        """n_shards is a pure execution knob: results (including tie
+        resolution) must be byte-identical for any value. n_shards=1
+        degenerates to the old single-window plan — the differential
+        anchor."""
+        queries = spark.createDataFrame(QUERIES, "qid long, text string")
+        postings, term_df, stats = bm25_build(docs, "text", "doc_id")
+
+        def run(n):
+            return [
+                (r["qid"], r["id"], r["score"])
+                for r in bm25_search_batch(
+                    postings, term_df, stats, queries, k=7, n_shards=n
+                ).collect()
+            ]
+
+        base = run(1)
+        assert len(base) > 0
+        assert run(8) == base
+        assert run(32) == base
+
+    def test_max_df_prune_drops_stopword_terms_before_probe(self, spark):
+        corpus = [
+            (1, "the apple"),
+            (2, "the banana"),
+            (3, "the cherry"),
+            (4, "the durian apple"),
+            (5, "elderberry"),
+        ]
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        postings, term_df, stats = bm25_build(df, "text", "doc_id")
+        queries = spark.createDataFrame(
+            [(0, "the apple"), (1, "the")], "qid long, text string"
+        )
+        # df("the") = 4/5 = 0.8 > 0.5 → pruned; df("apple") = 2/5 → kept
+        out = bm25_search_batch(
+            postings, term_df, stats, queries, k=10, max_df_fraction=0.5
+        ).collect()
+        by_qid = _group(out)
+        # qid 0 reduces to the pure "apple" query
+        apple_only = bm25_search_batch(
+            postings, term_df, stats,
+            spark.createDataFrame([(0, "apple")], "qid long, text string"),
+            k=10,
+        ).collect()
+        assert [(r["id"], r["score"]) for r in by_qid[0]] == [
+            (r["id"], r["score"]) for r in apple_only
+        ]
+        # qid 1 is ALL stopwords → zero rows, not a scored stopword scan
+        assert 1 not in by_qid
+
+    def test_max_df_prune_never_scans_pruned_postings(self, spark):
+        corpus = [(i, "the filler") for i in range(1, 20)] + [
+            (99, "needle filler")
+        ]
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        postings, term_df, stats = bm25_build(df, "text", "doc_id")
+        queries = spark.createDataFrame(
+            [(0, "the needle")], "qid long, text string"
+        )
+        pruned = bm25_search_batch(
+            postings, term_df, stats, queries, k=100, max_df_fraction=0.5
+        )
+        # "the" (df 19/20) and "filler" (20/20) pruned → only the
+        # needle doc can surface; candidate set is 1 row, not 20
+        rows = pruned.collect()
+        assert [r["id"] for r in rows] == [99]
+
+
+class TestIncrementalAppend:
+    def _ids(self, rows):
+        return sorted(r["id"] for r in rows)
+
+    def test_append_visible_without_rebuild_and_matches_full_rebuild(
+        self, spark, docs, tmp_path
+    ):
+        path = str(tmp_path / "bm25-delta")
+        first, second = docs.limit(60), docs.limit(90).subtract(docs.limit(60))
+        write_bm25_index(first, "text", "doc_id", path, n_buckets=8)
+        append_bm25_index(second, "text", "doc_id", path)
+        postings, term_df, stats = read_bm25_index(spark, path)
+        assert stats["n_docs"] == 90
+        queries = spark.createDataFrame(
+            [(0, "model training data"), (1, "quality corpus")],
+            "qid long, text string",
+        )
+        via_delta = [
+            (r["qid"], r["id"], r["score"])
+            for r in bm25_search_batch(
+                postings, term_df, stats, queries, k=8
+            ).collect()
+        ]
+        # ground truth: one full rebuild over the union corpus
+        path2 = str(tmp_path / "bm25-full")
+        write_bm25_index(
+            docs.limit(90), "text", "doc_id", path2, n_buckets=8
+        )
+        p2, t2, s2 = read_bm25_index(spark, path2)
+        via_full = [
+            (r["qid"], r["id"], r["score"])
+            for r in bm25_search_batch(p2, t2, s2, queries, k=8).collect()
+        ]
+        assert via_delta == via_full
+
+    def test_stats_fold_exact(self, spark, docs, tmp_path):
+        path = str(tmp_path / "bm25-stats")
+        write_bm25_index(docs.limit(40), "text", "doc_id", path)
+        append_bm25_index(
+            docs.limit(70).subtract(docs.limit(40)), "text", "doc_id", path
+        )
+        _, _, folded = read_bm25_index(spark, path)
+        _, _, truth = bm25_build(docs.limit(70), "text", "doc_id")
+        assert folded["n_docs"] == truth["n_docs"]
+        assert folded["sum_dl"] == truth["sum_dl"]
+        assert folded["avgdl"] == pytest.approx(truth["avgdl"], rel=0, abs=0)
+
+    def test_termdf_resummed_across_base_and_delta(self, spark, tmp_path):
+        path = str(tmp_path / "bm25-df")
+        a = spark.createDataFrame(
+            [(1, "apple banana"), (2, "apple")], "doc_id long, text string"
+        )
+        b = spark.createDataFrame(
+            [(3, "apple cherry")], "doc_id long, text string"
+        )
+        write_bm25_index(a, "text", "doc_id", path)
+        append_bm25_index(b, "text", "doc_id", path)
+        _, term_df, stats = read_bm25_index(spark, path)
+        dfs = {r["term"]: r["df"] for r in term_df.collect()}
+        assert dfs == {"apple": 3, "banana": 1, "cherry": 1}
+        assert stats["n_docs"] == 3
+
+    def test_crash_before_manifest_leaves_delta_invisible(
+        self, spark, docs, tmp_path, monkeypatch
+    ):
+        from rtstore_spark.store import fs as fsmod
+
+        path = str(tmp_path / "bm25-dcrash")
+        write_bm25_index(docs.limit(50), "text", "doc_id", path)
+        real = fsmod.LocalFS.write_text_atomic
+
+        def dying(self, p, text):
+            if p.endswith("/_deltas"):
+                raise RuntimeError("injected crash before manifest write")
+            return real(self, p, text)
+
+        monkeypatch.setattr(fsmod.LocalFS, "write_text_atomic", dying)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            append_bm25_index(
+                docs.limit(60).subtract(docs.limit(50)),
+                "text", "doc_id", path,
+            )
+        monkeypatch.undo()
+        _, _, stats = read_bm25_index(spark, path)
+        assert stats["n_docs"] == 50  # orphan delta dir never read
+
+    def test_rebuild_folds_deltas_away(self, spark, docs, tmp_path):
+        path = str(tmp_path / "bm25-fold")
+        write_bm25_index(docs.limit(30), "text", "doc_id", path)
+        append_bm25_index(
+            docs.limit(50).subtract(docs.limit(30)), "text", "doc_id", path
+        )
+        write_bm25_index(docs.limit(50), "text", "doc_id", path)
+        from rtstore_spark.store.fs import fs_for, parse_gen_pointer
+
+        fs = fs_for(path, spark)
+        _, live = parse_gen_pointer(fs.read_text(f"{path}/_current"))
+        assert fs.read_text(f"{path}/{live}/_deltas") is None
+        _, _, stats = read_bm25_index(spark, path)
+        assert stats["n_docs"] == 50
+
+    def test_empty_append_is_noop(self, spark, docs, tmp_path):
+        path = str(tmp_path / "bm25-noop")
+        write_bm25_index(docs.limit(20), "text", "doc_id", path)
+        append_bm25_index(
+            docs.filter(F.lit(False)), "text", "doc_id", path
+        )
+        _, _, stats = read_bm25_index(spark, path)
+        assert stats["n_docs"] == 20
+        base = [
+            d for d in os.listdir(path) if d.startswith("gen-")
+        ]
+        assert not any(
+            e.startswith("delta-")
+            for e in os.listdir(os.path.join(path, base[0]))
+        )
+
+    def test_append_without_base_raises(self, spark, docs, tmp_path):
+        with pytest.raises(FileNotFoundError, match="no live bm25 index"):
+            append_bm25_index(
+                docs.limit(5), "text", "doc_id", str(tmp_path / "nope")
+            )

@@ -340,9 +340,8 @@ class TestSharedSubscribePoller:
         from rtstore_spark.service import BlockEventBroadcaster
 
         store = DocStore(spark, str(tmp_path / "sub"))
-        srv = NodeServer(
-            NodeService(store, Ingest(store), subscribe_poll_seconds=0.4)
-        ).start()
+        srv_node = NodeService(store, Ingest(store), subscribe_poll_seconds=0.4)
+        srv = NodeServer(srv_node).start()
         try:
             port = srv.port
             db = store.create_database(ALICE, nonce=1)
@@ -356,12 +355,16 @@ class TestSharedSubscribePoller:
                     f"http://127.0.0.1:{port}/v1/storage/Subscribe",
                     data=json.dumps(
                         # from_block 0: deliver the block that is open right
-                        # now once it closes (the default skips it)
-                        {"from_block": 0, "max_events": 1, "max_seconds": 20}
+                        # now once it closes (the default skips it).
+                        # max_seconds is a FAILSAFE, not the test clock:
+                        # max_events=1 ends the response the moment the
+                        # event lands, so a big value costs nothing green
+                        # but survives a loaded box (round-8 flake)
+                        {"from_block": 0, "max_events": 1, "max_seconds": 180}
                     ).encode(),
                     method="POST",
                 )
-                with urllib.request.urlopen(req, timeout=60) as resp:
+                with urllib.request.urlopen(req, timeout=240) as resp:
                     for raw in resp.read().decode().splitlines():
                         if raw:
                             results[slot].append(json.loads(raw))
@@ -372,11 +375,15 @@ class TestSharedSubscribePoller:
             ]
             for t in threads:
                 t.start()
+            # deterministic latch: the block must not close until all 4
+            # subscribers are ATTACHED (the old fixed sleep assumed HTTP
+            # connect + subscribe always beats 1 s — not true under load)
+            assert srv_node.broadcaster.wait_for_subscribers(4, timeout=120)
             _time.sleep(1.0)  # several empty ticks with 4 live subscribers
             store.add_docs(db, "c", ['{"v": 1}'], ALICE)
             store.state.next_block()  # close the block -> one event fans out
             for t in threads:
-                t.join(timeout=60)
+                t.join(timeout=240)
             elapsed = _time.monotonic() - t0
 
             # every subscriber got the SAME closed-block event exactly once

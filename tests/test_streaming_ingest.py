@@ -677,9 +677,16 @@ class TestConcurrentStreamAndDirect:
         mutation must hold a unique (block, order) and the collection's
         doc ids must come out unique and gap-free — the interleavings
         this pins are block apply vs direct sequencing (both hold
-        StateStore.lock for their whole span)."""
+        StateStore.lock for their whole span).
+
+        Deflaked (round-8 full-gate failure): the old 60 s sleep-poll on
+        current_state().count() starved under load — each poll is a
+        Spark job, and micro-batches themselves slow down, so the
+        deadline fired before convergence. Now the wait is the
+        block-close latch: the predicate re-evaluates only when a block
+        actually closed, with a generous failsafe that costs nothing on
+        the green path."""
         import threading
-        import time
 
         store = DocStore(spark, str(tmp_path / "mix"))
         ing = Ingest(store)
@@ -724,15 +731,15 @@ class TestConcurrentStreamAndDirect:
             for t in threads:
                 t.start()
             for t in threads:
-                t.join(timeout=120)
-            deadline = time.time() + 60
-            while (
-                time.time() < deadline
-                and store.current_state(db, "c").count() < 8
-            ):
-                time.sleep(1)
+                t.join(timeout=240)
+            converged = si.wait_until(
+                lambda: store.current_state(db, "c").count() >= 8,
+                timeout=300,
+            )
         finally:
             q.stop()
+
+        assert converged, "stream+direct never converged to 8 docs"
 
         assert not direct_errors, direct_errors
         assert not si.rejected

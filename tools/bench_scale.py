@@ -134,14 +134,19 @@ def _wire_probe(spark, k: int) -> dict:
 
 
 def _recovery_probe(k: int) -> dict:
-    """Permaweb chain recovery at 5·k artifacts (k=20 → the verdict's
-    100-artifact chain). Reuses the test suite's in-process gateway —
-    the one that validates signature/id/fee/merkle like a real node —
-    so the walk, the sig-verified tag reads, and the merkle-checked
-    downloads are all exercised. Expected shape: LINEAR in artifact
-    count by construction (a back-pointer chain walk is O(artifacts);
-    the scale claims to verify are constant per-artifact cost and flat
-    driver RSS), so the normalized ratio should sit near 1."""
+    """Permaweb chain recovery at max(25, 5·k) artifacts (k=20 → the
+    100-artifact chain). The ×1 floor of 25 exists because a 5-artifact
+    walk through an 8-wide download pool finishes in ~tens of ms —
+    below timer noise — which made round 8's ×1-normalized ratio
+    meaningless; 25 artifacts puts the base measurement well above
+    noise, and the ratio for this row normalizes by ARTIFACT COUNT
+    (the ``rows`` field), not by k. Reuses the test suite's in-process
+    gateway — the one that validates signature/id/fee/merkle like a
+    real node — so the walk, the sig-verified tag reads, and the
+    merkle-checked downloads are all exercised. Expected shape: LINEAR
+    in artifact count by construction (a back-pointer chain walk is
+    O(artifacts); the scale claims to verify are constant per-artifact
+    cost and flat driver RSS)."""
     import random
     import shutil
     import threading
@@ -163,10 +168,11 @@ def _recovery_probe(k: int) -> dict:
             os.path.join(workdir, "keys"),
             bits=768, rng=random.Random(0xBEEF),
         )
+        n_art = max(25, 5 * k)
         rng = random.Random(k)
         tip = ""
         src = os.path.join(workdir, "artifact.bin")
-        for i in range(5 * k):
+        for i in range(n_art):
             with open(src, "wb") as f:
                 f.write(rng.randbytes(4096))
             tip, _ = pw.upload_file(
@@ -177,12 +183,58 @@ def _recovery_probe(k: int) -> dict:
         t0 = time.time()
         got = recover_permaweb_chain(pw, tip, dest)
         wall = round(time.time() - t0, 3)
-        assert len(got) == 5 * k, f"recovered {len(got)} of {5 * k}"
-        return {"sec": wall, "rows": 5 * k}
+        assert len(got) == n_art, f"recovered {len(got)} of {n_art}"
+        return {
+            "sec": wall,
+            "rows": n_art,
+            "ms_per_artifact": round(1000.0 * wall / n_art, 2),
+        }
     finally:
         srv.shutdown()
         srv.server_close()
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _bm25_probe(spark, sdir: str, warm: bool = False) -> dict:
+    """Batch BM25 search against an index over the inflated corpus —
+    the decontamination shape. The index build (O(corpus), a rebuild
+    cost) is materialized OUTSIDE the timed window; the timed part is
+    the search job: broadcast query terms → postings probe → score sum
+    → two-phase top-k. The query batch deliberately includes a
+    stopword-heavy query ("the of and"): at x20 its matched set is
+    ~the whole corpus, exactly the shape the single-window ranking of
+    round 8 would have funneled through one reducer."""
+    from rtstore_spark.operators.retrieval import (
+        bm25_build,
+        bm25_search_batch,
+    )
+    from rtstore_spark.tables import load_table
+
+    docs = load_table(spark, sdir, "documents")
+    postings, term_df, stats = bm25_build(docs, "text", "doc_id")
+    postings = postings.persist()
+    term_df = term_df.persist()
+    postings.count(), term_df.count()
+    queries = spark.createDataFrame(
+        [
+            (0, "model training data"),
+            (1, "quality corpus analysis"),
+            (2, "the of and"),
+        ],
+        "qid long, text string",
+    )
+    try:
+        if warm:
+            bm25_search_batch(
+                postings, term_df, stats, queries, k=10
+            ).count()
+        t0 = time.time()
+        n = bm25_search_batch(postings, term_df, stats, queries, k=10).count()
+        wall = round(time.time() - t0, 3)
+    finally:
+        postings.unpersist()
+        term_df.unpersist()
+    return {"sec": wall, "rows": int(n)}
 
 
 def main() -> None:
@@ -211,6 +263,9 @@ def main() -> None:
             results[name][f"x{k}"] = {
                 "sec": round(time.time() - t0, 3), "rows": int(n),
             }
+        results.setdefault("bm25_search", {})[f"x{k}"] = _bm25_probe(
+            spark, sdir, warm=(k == scales[0])
+        )
         if k == scales[0]:
             _wire_probe(spark, 1)  # warm the Python workers, untimed
         results.setdefault("wire_decode_verify", {})[f"x{k}"] = _wire_probe(
@@ -234,11 +289,18 @@ def main() -> None:
     if len(scales) > 1:
         k0, k1 = scales[0], scales[-1]
         for name in results:
-            w0 = results[name][f"x{k0}"]["sec"]
-            w1 = results[name][f"x{k1}"]["sec"]
-            # wall-time growth normalized by data growth: ≈1 is linear,
-            # <1 sublinear (fixed overheads amortize), >1 superlinear
-            ratios[name] = round((w1 / w0) / (k1 / k0), 3) if w0 else None
+            r0, r1 = results[name][f"x{k0}"], results[name][f"x{k1}"]
+            w0, w1 = r0["sec"], r1["sec"]
+            # wall-time growth normalized by DATA growth: ≈1 is linear,
+            # <1 sublinear (fixed overheads amortize), >1 superlinear.
+            # The two synthetic probes normalize by their own input-row
+            # counts (the recovery probe floors its x1 at 25 artifacts,
+            # so k1/k0 is NOT its data-growth factor).
+            if name in ("wire_decode_verify", "permaweb_recovery"):
+                growth = r1["rows"] / r0["rows"]
+            else:
+                growth = k1 / k0
+            ratios[name] = round((w1 / w0) / growth, 3) if w0 else None
 
     print(json.dumps({
         "metric": "scale_stress",
@@ -248,6 +310,15 @@ def main() -> None:
         "driver_peak_rss_mb": rss,
         "ratios_vs_linear": ratios,
         "notes": {
+            "bm25_search": (
+                "fixed 3-query batch (incl. a stopword-heavy query) "
+                "against a bm25 index built over the inflated corpus; "
+                "index build/materialization untimed (it is a rebuild "
+                "cost, probed separately by its own ratio only through "
+                "the postings volume the search scans). Two-phase "
+                "top-k: no single reducer sees a query's full matched "
+                "set."
+            ),
             "wire_decode_verify": (
                 "5*k replications of the reference's 204-envelope "
                 "artifact; real signature recovery per row. LINEAR by "
@@ -255,15 +326,13 @@ def main() -> None:
                 "scale claim is ratio<=~1 and flat RSS, not sublinear."
             ),
             "permaweb_recovery": (
-                "5*k-artifact back-pointer chain against the "
+                "max(25, 5*k)-artifact back-pointer chain against the "
                 "sig/merkle-validating in-process gateway; k=20 is the "
-                "100-artifact chain. A chain walk is O(artifacts) — "
-                "the scale claim is constant per-artifact cost and "
-                "flat RSS, not sublinear. Read the x5->x20 segment: "
-                "the x1 base (5 artifacts through an 8-wide download "
-                "pool) completes in ~tens of ms, below timer noise, so "
-                "the normalized x1->x20 ratio is meaningless for this "
-                "row."
+                "100-artifact chain. The x1 base is floored at 25 "
+                "artifacts so it sits above timer noise, and this "
+                "row's ratio normalizes by ARTIFACT COUNT (rows), not "
+                "k. A chain walk is O(artifacts) — the scale claim is "
+                "constant ms_per_artifact and flat RSS, not sublinear."
             ),
         },
     }))

@@ -21,8 +21,13 @@ Prints ONE JSON line: {"metric": "wire_path_total_wall", "value": sec,
 "stages": {...}, "input_mutations": N, "decode_mutations_per_sec": r}
 (plus "mutations"/"exported" under --full).
 
-Methodology: run on an IDLE machine (same rule as bench.py); each stage
-timed cold, one pass — these are linear scans, not cached-plan queries.
+Methodology: run on an IDLE machine (same rule as bench.py). The cold
+stage is inherently one-shot (it pays the per-JVM Python-worker
+startup exactly once); the warm stage is the MEDIAN OF 3 passes with
+the raw passes in ``runs`` — the bench.py convention since round 8.
+Cross-round comparison text is COMPUTED from the recorded fields (the
+newest repo-root BENCH_WIRE_r*.json), never hand-written: round 8's
+artifact cited numbers that contradicted its own fields.
 """
 
 from __future__ import annotations
@@ -48,6 +53,44 @@ ARTIFACT = "/root/reference/src/node/resources/test/37829_37968.gz.parquet"
 FULL = "--full" in sys.argv
 _args = [a for a in sys.argv[1:] if not a.startswith("-")]
 COPIES = int(_args[0]) if _args else 50  # 50 × 204 = 10200 rows
+
+
+def _vs_prev_note(result: dict) -> str:
+    """Comparison note COMPUTED from the newest prior artifact's fields.
+
+    Hand-written notes rot: BENCH_WIRE_r08's prose cited 2455/5131 while
+    its own fields said 2725.1/5685.6. Every number below is derived
+    from the two JSON documents at print time."""
+    import glob
+    import os
+    import re
+
+    prior = sorted(
+        glob.glob("/root/repo/BENCH_WIRE_r*.json"),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    if not prior:
+        return "no prior BENCH_WIRE artifact to compare against"
+    prev_path = prior[-1]
+    try:
+        prev = json.loads(open(prev_path).read())
+        pcold, pwarm = (
+            float(prev["decode_mutations_per_sec"]),
+            float(prev["decode_mutations_per_sec_warm"]),
+        )
+    except (ValueError, KeyError, OSError) as e:
+        return f"prior artifact {os.path.basename(prev_path)} unreadable: {e}"
+    cold, warm = (
+        result["decode_mutations_per_sec"],
+        result["decode_mutations_per_sec_warm"],
+    )
+    dc, dw = 100.0 * (cold / pcold - 1.0), 100.0 * (warm / pwarm - 1.0)
+    return (
+        f"vs {os.path.basename(prev_path)}: cold {pcold}->{cold}/s "
+        f"({dc:+.1f}%), warm {pwarm}->{warm}/s ({dw:+.1f}%). The wire "
+        "kernel is pure Python + fixed input, so this row is the "
+        "round's host-CPU-speed reference when reading BENCH_r* deltas."
+    )
 
 
 def main() -> None:
@@ -83,13 +126,16 @@ def main() -> None:
     stages["decode_verify"] = round(time.time() - t0, 3)
     assert errors == 0, f"{errors} decode failures"
 
-    # warm steady-state pass: the cold number above pays one-time Python
+    # warm steady-state: the cold number above pays one-time Python
     # worker startup (~2 s wall at local[32]); a long-running ingest pays
-    # it once per executor, so the warm figure is the 100-TB-scan rate —
-    # same warm-up convention bench.py applies to every query
-    t0 = time.time()
-    decode_wire_log(df).filter(F.col("error").isNotNull()).count()
-    stages["decode_verify_warm"] = round(time.time() - t0, 3)
+    # it once per executor, so the warm figure is the 100-TB-scan rate.
+    # Median of 3 passes (bench.py's round-8 convention), raw passes kept
+    warm_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        decode_wire_log(df).filter(F.col("error").isNotNull()).count()
+        warm_runs.append(round(time.time() - t0, 3))
+    stages["decode_verify_warm"] = sorted(warm_runs)[1]
 
     result = {
         "metric": "wire_path_total_wall",
@@ -99,7 +145,9 @@ def main() -> None:
         "decode_mutations_per_sec_warm": round(
             n / stages["decode_verify_warm"], 1
         ),
+        "runs": {"decode_verify_warm": warm_runs},
     }
+    result["note"] = _vs_prev_note(result)
     if FULL:
         store = DocStore(spark, tempfile.mkdtemp(prefix="benchwire_"))
         t0 = time.time()
