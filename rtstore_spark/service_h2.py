@@ -29,9 +29,12 @@ stay on the connection thread in arrival order — the sequencer
 serializes them anyway — and server-streaming Subscribe stays inline
 because its loop owns the connection's read side. Response frames
 from concurrent workers interleave legally (distinct stream ids);
-each frame is written atomically under ``wlock``, and the HPACK
+each frame is written atomically under ``wlock``. The default HPACK
 encoder is stateless (no dynamic table), so header blocks carry no
-cross-stream ordering constraint. Workers never read the socket: a
+cross-stream ordering constraint; the opt-in dynamic encoder
+(``GrpcH2Server(hpack_dynamic=True)`` — the grpc-java/tonic response
+convention) keeps correctness by encoding INSIDE the write lock, so
+table-state order always equals wire order. Workers never read the socket: a
 worker that exhausts a flow-control window waits on a condition the
 reader thread notifies after processing WINDOW_UPDATE / RST /
 SETTINGS.
@@ -47,7 +50,12 @@ from urllib.parse import quote
 
 from rtstore_spark.service_grpcweb import GrpcStatus
 from rtstore_spark.wire import h2
-from rtstore_spark.wire.hpack import HpackDecoder, HpackEncoder, HpackError
+from rtstore_spark.wire.hpack import (
+    HpackDecoder,
+    HpackDynamicEncoder,
+    HpackEncoder,
+    HpackError,
+)
 from rtstore_spark.wire.rpc_schemas import MUTATING_METHODS
 
 _MAX_HEADER_BLOCK = 1 << 16   # accumulated fragment cap per header block
@@ -70,13 +78,20 @@ class _Stream:
 class _Connection:
     """One h2c connection: frame loop, per-stream assembly, dispatch."""
 
-    def __init__(self, sock: socket.socket, gateway, pool=None):
+    def __init__(self, sock: socket.socket, gateway, pool=None,
+                 hpack_dynamic: bool = False):
         self.sock = sock
         self.io_timeout = sock.gettimeout()  # restored after probes
         self.gateway = gateway
         self.pool = pool  # bounded executor for read-only unary dispatch
         self.decoder = HpackDecoder()
-        self.encoder = HpackEncoder()
+        # opt-in response-side dynamic table (GrpcH2Server hpack_dynamic):
+        # repeated response headers collapse to indexed fields the way
+        # grpc-java/tonic encode them. The table mirrors what the CLIENT's
+        # decoder builds, so encode order must equal wire order —
+        # _send_header_block holds wlock across encode+send. Default stays
+        # the stateless encoder: zero cross-stream ordering constraints.
+        self.encoder = HpackDynamicEncoder() if hpack_dynamic else HpackEncoder()
         self.streams: dict[int, _Stream] = {}
         # bounded stream bookkeeping (a gRPC channel lives for hours and
         # carries millions of streams — no per-stream set may grow with
@@ -230,6 +245,13 @@ class _Connection:
         if flags & h2.FLAG_ACK:
             return
         settings = h2.parse_settings(payload)
+        if h2.SETTINGS_HEADER_TABLE_SIZE in settings and isinstance(
+            self.encoder, HpackDynamicEncoder
+        ):
+            # the client's decoder table bound applies to OUR encoder
+            # (capped locally); the required table-size update opcode is
+            # emitted at the head of the next header block
+            self.encoder.set_max_size(settings[h2.SETTINGS_HEADER_TABLE_SIZE])
         if h2.SETTINGS_MAX_FRAME_SIZE in settings:
             v = settings[h2.SETTINGS_MAX_FRAME_SIZE]
             if not (h2.DEFAULT_MAX_FRAME <= v <= (1 << 24) - 1):
@@ -682,37 +704,50 @@ class _Connection:
 
     # ----------------------------------------------------------- senders
 
+    def _send_header_block(
+        self, sid: int, headers: list[tuple[str, str]], flags: int
+    ) -> None:
+        """Encode + send as ONE critical section: with the dynamic
+        encoder, the table state advances per block and the client's
+        decoder replays blocks in WIRE order — an encode that raced a
+        concurrent worker's would corrupt both. (With the stateless
+        encoder the lock scope is merely a tad wider than needed.)"""
+        with self.wlock:
+            block = self.encoder.encode(headers)
+            self.sock.sendall(h2.pack_frame(h2.HEADERS, flags, sid, block))
+
     def _send_headers(self, sid: int, end_stream: bool) -> None:
-        block = self.encoder.encode([
+        flags = h2.FLAG_END_HEADERS | (h2.FLAG_END_STREAM if end_stream else 0)
+        self._send_header_block(sid, [
             (":status", "200"),
             ("content-type", "application/grpc"),
-        ])
-        flags = h2.FLAG_END_HEADERS | (h2.FLAG_END_STREAM if end_stream else 0)
-        self._send(h2.pack_frame(h2.HEADERS, flags, sid, block))
+        ], flags)
 
-    def _trailer_block(self, status: int, message: str) -> bytes:
+    def _trailer_headers(
+        self, status: int, message: str
+    ) -> list[tuple[str, str]]:
         trailers = [("grpc-status", str(status))]
         if message:
             trailers.append(("grpc-message", quote(message)))
-        return self.encoder.encode(trailers)
+        return trailers
 
     def _send_trailers(self, sid: int, status: int, message: str) -> None:
-        self._send(h2.pack_frame(
-            h2.HEADERS, h2.FLAG_END_HEADERS | h2.FLAG_END_STREAM, sid,
-            self._trailer_block(status, message),
-        ))
+        self._send_header_block(
+            sid, self._trailer_headers(status, message),
+            h2.FLAG_END_HEADERS | h2.FLAG_END_STREAM,
+        )
 
     def _send_trailers_only(self, sid: int, status: int, message: str) -> None:
         """gRPC trailers-only response: one HEADERS frame with the
         response headers AND the trailers, END_STREAM set."""
-        block = self.encoder.encode([
-            (":status", "200"),
-            ("content-type", "application/grpc"),
-            ("grpc-status", str(status)),
-        ] + ([("grpc-message", quote(message))] if message else []))
-        self._send(h2.pack_frame(
-            h2.HEADERS, h2.FLAG_END_HEADERS | h2.FLAG_END_STREAM, sid, block
-        ))
+        self._send_header_block(
+            sid,
+            [
+                (":status", "200"),
+                ("content-type", "application/grpc"),
+            ] + self._trailer_headers(status, message),
+            h2.FLAG_END_HEADERS | h2.FLAG_END_STREAM,
+        )
 
     def _send_data(self, sid: int, data: bytes) -> bool:
         """DATA with flow control; returns True when EVERY byte went out.
@@ -772,7 +807,8 @@ class _H2Handler(socketserver.BaseRequestHandler):
     def handle(self) -> None:
         self.request.settimeout(self.server.io_timeout)
         conn = _Connection(
-            self.request, self.server.gateway, self.server.rpc_pool
+            self.request, self.server.gateway, self.server.rpc_pool,
+            hpack_dynamic=getattr(self.server, "hpack_dynamic", False),
         )
         # observability hook: tests assert the bounded-bookkeeping
         # invariant (per-stream state dies with its stream) on a live conn
@@ -793,13 +829,17 @@ class GrpcH2Server:
     """
 
     def __init__(self, node, host: str = "127.0.0.1", port: int = 0,
-                 io_timeout: float = 120.0, rpc_workers: int = 8):
+                 io_timeout: float = 120.0, rpc_workers: int = 8,
+                 hpack_dynamic: bool = False):
         from concurrent.futures import ThreadPoolExecutor
 
         self.node = node
         self.tcp = _H2TCPServer((host, port), _H2Handler)
         self.tcp.gateway = node.grpcweb  # the transport-free RPC core
         self.tcp.io_timeout = io_timeout
+        # opt-in response-side HPACK dynamic table (perf parity with
+        # grpc-java/tonic servers, which index repeated response headers)
+        self.tcp.hpack_dynamic = hpack_dynamic
         # server-wide BOUNDED pool for read-only unary dispatch: caps
         # total concurrent query execution regardless of how many
         # channels are open (per-connection pools would multiply under a

@@ -317,3 +317,99 @@ class HpackEncoder:
             out += _encode_string(name, self.huffman)
             out += _encode_string(value, self.huffman)
         return bytes(out)
+
+
+_STATIC_NAME_FIRST: dict[str, int] = {}
+for _i, (_n, _v) in enumerate(STATIC_TABLE):
+    _STATIC_NAME_FIRST.setdefault(_n, _i + 1)
+
+
+class HpackDynamicEncoder:
+    """Stateful response encoder: incremental indexing over a dynamic
+    table, the way grpc-java/netty and tonic/hyper encode RESPONSE
+    headers (`:status 200` / `content-type: application/grpc` /
+    `grpc-status 0` repeat on every RPC of a long-lived channel, so
+    after the first response each header block collapses to a few
+    indexed-field bytes).
+
+    Server-side opt-in (``GrpcH2Server(hpack_dynamic=True)``): the
+    encoder's table mirrors state the CLIENT's decoder builds, so
+    encode order must equal wire order — the connection serializes
+    encode+send under one lock. ``set_max_size`` applies the client's
+    SETTINGS_HEADER_TABLE_SIZE (RFC 7541 §4.2): a shrink evicts now and
+    announces itself as a table-size update at the head of the next
+    block; the local cap never exceeds the 4096 default, whatever the
+    peer advertises, to bound per-connection memory."""
+
+    LOCAL_CAP = 4096
+
+    def __init__(self, huffman: bool = False):
+        self.huffman = huffman
+        self.max_size = self.LOCAL_CAP  # RFC 7541 default table size
+        self.table: list[tuple[str, str]] = []  # newest first
+        self.size = 0
+        self._pending_update: int | None = None
+
+    def set_max_size(self, peer_max: int) -> None:
+        new = min(int(peer_max), self.LOCAL_CAP)
+        if new == self.max_size:
+            return
+        # RFC 7541 §4.2: when the peer LOWERS the limit we must emit an
+        # update ≤ the new max before (or with) the next block; a raise
+        # only needs announcing if we take the extra room (we do, up to
+        # LOCAL_CAP). Either way one update opcode settles it.
+        self.max_size = new
+        self._pending_update = new
+        self._evict()
+
+    def _entry_size(self, n: str, v: str) -> int:
+        return len(n.encode()) + len(v.encode()) + 32
+
+    def _evict(self) -> None:
+        while self.size > self.max_size and self.table:
+            n, v = self.table.pop()
+            self.size -= self._entry_size(n, v)
+
+    def _insert(self, n: str, v: str) -> None:
+        sz = self._entry_size(n, v)
+        if sz > self.max_size:
+            # an oversized entry empties the table and indexes nothing
+            self.table.clear()
+            self.size = 0
+            return
+        self.table.insert(0, (n, v))
+        self.size += sz
+        self._evict()
+
+    def encode(self, headers: list[tuple[str, str]]) -> bytes:
+        out = bytearray()
+        if self._pending_update is not None:
+            out += encode_int(self._pending_update, 5, 0x20)
+            self._pending_update = None
+        for name, value in headers:
+            idx = _STATIC_FULL.get((name, value))
+            if idx:
+                out += encode_int(idx, 7, 0x80)
+                continue
+            dyn = next(
+                (i for i, e in enumerate(self.table) if e == (name, value)),
+                None,
+            )
+            if dyn is not None:
+                out += encode_int(62 + dyn, 7, 0x80)
+                continue
+            # literal WITH incremental indexing, indexed name when known
+            ni = _STATIC_NAME_FIRST.get(name, 0)
+            if ni == 0:
+                dyn_name = next(
+                    (i for i, e in enumerate(self.table) if e[0] == name),
+                    None,
+                )
+                if dyn_name is not None:
+                    ni = 62 + dyn_name
+            out += encode_int(ni, 6, 0x40)
+            if not ni:
+                out += _encode_string(name, self.huffman)
+            out += _encode_string(value, self.huffman)
+            self._insert(name, value)
+        return bytes(out)

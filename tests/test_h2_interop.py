@@ -672,3 +672,103 @@ class TestTonicInterop:
             _assert_nonce_ok(*c.coalesced_call(GETNONCE, {"address": ADDR}))
         finally:
             c.close()
+
+
+class TestDynamicResponseEncoder:
+    """Opt-in response-side HPACK dynamic table
+    (GrpcH2Server(hpack_dynamic=True)) — the grpc-java/tonic response
+    convention. Unit: the production decoder must replay the stateful
+    encoder's blocks exactly. Live: repeated RPC responses collapse to
+    indexed fields (strictly smaller blocks) and still decode green for
+    both client flavors."""
+
+    def test_encoder_decoder_round_trip_and_shrink(self):
+        from rtstore_spark.wire.hpack import HpackDecoder, HpackDynamicEncoder
+
+        enc, dec = HpackDynamicEncoder(), HpackDecoder()
+        resp = [(":status", "200"), ("content-type", "application/grpc")]
+        trail = [("grpc-status", "0")]
+        b1 = enc.encode(resp)
+        assert dec.decode(b1) == resp
+        assert dec.decode(enc.encode(trail)) == trail
+        b2 = enc.encode(resp)
+        assert dec.decode(b2) == resp
+        assert len(b2) < len(b1)  # second block is all back-references
+        # peer lowers its table bound: the next block leads with a
+        # table-size update the decoder must accept, then re-indexes
+        enc.set_max_size(64)
+        b3 = enc.encode(resp)
+        assert b3[0] & 0xE0 == 0x20  # table-size update opcode first
+        assert dec.decode(b3) == resp
+        assert dec.decode(enc.encode(resp)) == resp
+        # oversized-entry edge: an entry bigger than the table empties
+        # it and indexes nothing, but still decodes
+        huge = [("grpc-message", "x" * 200)]
+        assert dec.decode(enc.encode(huge)) == huge
+        assert enc.table == []
+
+    @pytest.fixture()
+    def h2_server_dyn(self, spark, tmp_path):
+        from rtstore_spark.service import NodeService
+        from rtstore_spark.service_h2 import GrpcH2Server
+        from rtstore_spark.store.docstore import DocStore
+        from rtstore_spark.store.ingest import Ingest
+        from rtstore_spark.system import SystemStore
+
+        store = DocStore(spark, str(tmp_path / "dynnode"))
+        system = SystemStore(spark, str(tmp_path / "dynnode"), admin_addr=ADMIN)
+        node = NodeService(store, Ingest(store), system=system)
+        srv = GrpcH2Server(node, hpack_dynamic=True).start()
+        yield srv
+        srv.stop()
+
+    def _response_header_sizes(self, c, n: int) -> list[int]:
+        """Drive n GetNonce RPCs, returning the byte size of each
+        response's FIRST HEADERS frame (the :status/content-type
+        block)."""
+        req_schema = METHODS["db3_storage_proto.StorageNode"]["GetNonce"][0]
+        sizes = []
+        for _ in range(n):
+            sid = c.send_request(GETNONCE, req_schema.encode({"address": ADDR}))
+            first_headers = None
+            while True:
+                ftype, flags, fsid, payload = c.recv_frame()
+                if ftype == h2.HEADERS and fsid == sid:
+                    if first_headers is None:
+                        first_headers = len(payload)
+                    c.dec.decode(h2.strip_padding(payload, flags))
+                    if flags & h2.FLAG_END_STREAM:
+                        break
+                elif ftype == h2.DATA and fsid == sid and flags & h2.FLAG_END_STREAM:
+                    break
+            sizes.append(first_headers)
+        return sizes
+
+    def test_20_dynamic_responses_shrink_netty_client(self, h2_server_dyn):
+        c = NettyStyleClient(h2_server_dyn.port)
+        try:
+            sizes = self._response_header_sizes(c, 3)
+            assert sizes[1] < sizes[0] and sizes[2] == sizes[1], sizes
+            # and full RPCs still decode green through the same table
+            _assert_nonce_ok(*c.call(GETNONCE, {"address": ADDR}))
+        finally:
+            c.close()
+
+    def test_21_dynamic_responses_tonic_client_with_table_shrink(
+        self, h2_server_dyn
+    ):
+        c = TonicStyleClient(h2_server_dyn.port)
+        try:
+            _assert_nonce_ok(*c.coalesced_call(GETNONCE, {"address": ADDR}))
+            _assert_nonce_ok(*c.coalesced_call(GETNONCE, {"address": ADDR}))
+            # client lowers ITS decoder table bound mid-connection: the
+            # server must emit a table-size update and keep decoding
+            c.sock.sendall(h2.pack_frame(
+                h2.SETTINGS, 0, 0,
+                h2.build_settings({h2.SETTINGS_HEADER_TABLE_SIZE: 128}),
+            ))
+            c.dec.max_size = 128  # what a real client's decoder would do
+            for _ in range(3):
+                _assert_nonce_ok(*c.coalesced_call(GETNONCE, {"address": ADDR}))
+        finally:
+            c.close()
