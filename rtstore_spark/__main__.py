@@ -91,6 +91,16 @@ def _parser() -> argparse.ArgumentParser:
     c.add_argument("--key-root", default=None)
     c.add_argument("--dest", default=None,
                    help="download dir (default <root>/_permaweb/chain)")
+
+    k = sub.add_parser(
+        "console",
+        help="client console against a running node (reference: db3 console)",
+    )
+    k.add_argument("--url", default="http://127.0.0.1:26619",
+                   help="node JSON-front base url")
+    k.add_argument("--keystore", default=None,
+                   help="key file (default ~/.rtstore_spark/key.json)")
+    k.add_argument("cmd", nargs="*", help="one-shot command; empty = REPL")
     return p
 
 
@@ -324,10 +334,29 @@ def run_recover(args) -> None:
     print(f"replayed {n} mutations into {args.root}", flush=True)
 
 
+def run_console(args) -> None:
+    from rtstore_spark.console import (
+        KEYSTORE_DEFAULT,
+        Console,
+        ConsoleError,
+        repl,
+        run_command,
+    )
+
+    console = Console(args.url, args.keystore or KEYSTORE_DEFAULT)
+    if args.cmd:
+        try:
+            print(run_command(console, args.cmd), flush=True)
+        except ConsoleError as e:
+            raise SystemExit(f"error: {e}") from None
+    else:
+        repl(console)
+
+
 def main(argv=None) -> None:
     args = _parser().parse_args(argv)
     {"rollup": run_rollup, "index": run_index,
-     "recover": run_recover}[args.command](args)
+     "recover": run_recover, "console": run_console}[args.command](args)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,157 @@
+"""Client console (rtstore_spark/console.py) against a LIVE node.
+
+Mirrors the reference's `db3 console` acceptance flow
+(src/cmd/src/command.rs:43-160): init a keystore, create a database and
+collection, add/query/update/delete documents — every mutation goes
+through the REAL custody path (protobuf mutation → EIP-712 TypedData
+envelope → SendMutation over HTTP; the node recovers the signer)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from rtstore_spark.console import (
+    Console,
+    ConsoleError,
+    render_table,
+    run_command,
+)
+from rtstore_spark.service import NodeServer, NodeService
+from rtstore_spark.store.docstore import DocStore
+from rtstore_spark.store.ingest import Ingest
+
+PRIV = 0x1F1E1D1C1B1A191817161514131211100F0E0D0C0B0A09080706050403020101
+
+
+@pytest.fixture(scope="module")
+def node_url(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("console-node")
+    store = DocStore(spark, str(root / "node"))
+    srv = NodeServer(NodeService(store, Ingest(store))).start()
+    yield f"http://127.0.0.1:{srv.port}"
+    srv.stop()
+
+
+@pytest.fixture(scope="module")
+def console(node_url, tmp_path_factory):
+    ks = tmp_path_factory.mktemp("console-keys") / "key.json"
+    c = Console(node_url, str(ks))
+    c.init_key(PRIV)
+    return c
+
+
+class TestKeystore:
+    def test_init_refuses_overwrite(self, console):
+        with pytest.raises(ConsoleError, match="already exists"):
+            console.init_key()
+
+    def test_show_key_address(self, console):
+        titles, rows = console.show_key()
+        assert titles == ["name", "value"]
+        addr = rows[0][1]
+        assert addr.startswith("0x") and len(addr) == 42
+
+    def test_missing_keystore_is_loud(self, node_url, tmp_path):
+        c = Console(node_url, str(tmp_path / "nope.json"))
+        with pytest.raises(ConsoleError, match="run `init` first"):
+            c.show_key()
+
+
+class TestLifecycle:
+    """One scripted session, state threaded through class attrs (module
+    fixture keeps the node; ordering matters like a real session)."""
+
+    db: str = ""
+
+    def test_01_new_db(self, console):
+        titles, rows = console.new_db("console acceptance")
+        assert titles == ["database address", "mutation id"]
+        type(self).db = rows[0][0]
+        assert self.db.startswith("0x")
+
+    def test_02_new_collection_and_show(self, console):
+        console.new_collection(self.db, "books")
+        titles, rows = console.show_collection(self.db)
+        assert rows == [["books", 0]]
+
+    def test_03_new_doc(self, console):
+        _, rows = console.new_doc(
+            self.db, "books",
+            json.dumps({"title": "dune", "year": 1965}),
+            json.dumps({"title": "hyperion", "year": 1989}),
+        )
+        ids = rows[0][1].split(", ")
+        assert len(ids) == 2
+
+    def test_04_show_doc_filter(self, console):
+        _, rows = console.show_doc(
+            self.db, "books", json.dumps({"year": {"$gt": 1980}})
+        )
+        assert len(rows) == 1
+        assert json.loads(rows[0][2])["title"] == "hyperion"
+
+    def test_05_get_update_get(self, console):
+        _, rows = console.show_doc(self.db, "books", json.dumps({"title": "dune"}))
+        doc_id = rows[0][0]
+        _, got = console.get_doc(self.db, "books", str(doc_id))
+        assert json.loads(got[0][2])["year"] == 1965
+        console.update_doc(
+            self.db, "books", str(doc_id), json.dumps({"year": 1966})
+        )
+        _, got = console.get_doc(self.db, "books", str(doc_id))
+        after = json.loads(got[0][2])
+        assert after["year"] == 1966 and after["title"] == "dune"
+
+    def test_06_del_doc(self, console):
+        _, rows = console.show_doc(self.db, "books")
+        all_ids = [str(r[0]) for r in rows]
+        console.del_doc(self.db, "books", all_ids[0])
+        _, rows = console.show_doc(self.db, "books")
+        assert len(rows) == len(all_ids) - 1
+
+    def test_07_my_db_and_show_db(self, console):
+        _, rows = console.my_db()
+        assert any(r[0] == self.db for r in rows)
+        _, rows = console.show_db(self.db)
+        assert rows[0][0] == self.db and "books" in rows[0][3]
+
+    def test_08_show_account_and_state(self, console):
+        _, rows = console.show_account()
+        facts = {r[0]: r[1] for r in rows}
+        assert facts["databases"] >= 1 and facts["next nonce"] >= 2
+        _, rows = console.show_state()
+        facts = {r[0]: r[1] for r in rows}
+        assert facts["mutation"] >= 4
+
+    def test_09_show_doc_limit_and_raw_jql(self, console):
+        console.new_doc(
+            self.db, "books", *(json.dumps({"n": i}) for i in range(5))
+        )
+        _, rows = console.show_doc(self.db, "books", "", "2")
+        assert len(rows) == 2
+        _, rows = console.show_doc(self.db, "books", "/[n >= 3]")
+        assert {json.loads(r[2])["n"] for r in rows} == {3, 4}
+
+
+class TestCommandDispatch:
+    def test_render_table_alignment(self):
+        out = render_table(["a", "bb"], [["x", 1], ["yyy", 22]])
+        lines = out.splitlines()
+        assert lines[0].rstrip() == " a   | bb"
+        assert lines[2].startswith(" x   | 1")
+
+    def test_unknown_and_arity_errors(self, console):
+        with pytest.raises(ConsoleError, match="unknown command"):
+            run_command(console, ["frobnicate"])
+        with pytest.raises(ConsoleError, match="expected"):
+            run_command(console, ["show-db"])
+
+    def test_help_lists_commands(self, console):
+        out = run_command(console, ["help"])
+        assert "new-db" in out and "show-doc" in out
+
+    def test_one_shot_through_dispatch(self, console):
+        out = run_command(console, ["show-account"])
+        assert "db3 address" in out
