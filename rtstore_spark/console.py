@@ -257,38 +257,66 @@ class Console:
             [doc["id"], doc.get("owner", "?"), json.dumps(doc.get("doc"))]
         ]
 
+    @staticmethod
+    def _jql_literal(v) -> str:
+        """A value as a JQL literal. Strings escape only what the JQL
+        unescape (parser.py:179, ``\\x → x``) round-trips — backslash
+        and the quote — WITHOUT json.dumps's \\uXXXX ASCII escapes,
+        which the parser would collapse to a corrupted 'uXXXX'."""
+        if isinstance(v, str):
+            return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+        return json.dumps(v)
+
+    def _compile_filter(self, flt: str) -> str:
+        """{"field": value} / {"field": {"$op": v, ...}} → one JQL
+        clause; {} matches all; non-JSON input is raw JQL verbatim."""
+        try:
+            obj = json.loads(flt)
+        except ValueError:
+            return flt  # raw JQL escape hatch
+        if not isinstance(obj, dict) or not obj:
+            return "/*"
+        ops = {"$eq": "=", "$gt": ">", "$gte": ">=", "$lt": "<",
+               "$lte": "<=", "$ne": "!="}
+        conds = []
+        for k, v in obj.items():
+            if isinstance(v, dict):
+                # several operators on one field = a bounded range —
+                # each becomes its own AND-ed condition
+                for op, val in v.items():
+                    conds.append(f"{k} {ops.get(op, op)} {self._jql_literal(val)}")
+            else:
+                conds.append(f"{k} = {self._jql_literal(v)}")
+        return "/[" + " and ".join(conds) + "]"
+
     def show_doc(
         self, addr: str, col: str, flt: str = "", limit: str = "",
     ) -> tuple[list, list]:
         """ShowDocument → RunQuery. The reference builds a StructuredQuery
         from a filter JSON (command.rs:464-493); the v2 node's RunQuery
         takes the JQL string form, so a simple {"field": value} /
-        {"field": {"$op": v}} filter compiles to `/[field op value]`
-        here and anything richer should be passed as raw JQL in FILTER."""
-        query = "/*"
-        if flt:
-            try:
-                obj = json.loads(flt)
-            except ValueError:
-                query = flt  # raw JQL escape hatch
-            else:
-                parts = []
-                ops = {"$eq": "=", "$gt": ">", "$gte": ">=", "$lt": "<",
-                       "$lte": "<=", "$ne": "!="}
-                for k, v in obj.items():
-                    if isinstance(v, dict):
-                        (op, val), = v.items()
-                        parts.append(f"[{k} {ops.get(op, op)} {json.dumps(val)}]")
-                    else:
-                        parts.append(f"[{k} = {json.dumps(v)}]")
-                query = "/" + "".join(parts)
+        {"field": {"$op": v, ...}} filter compiles to one
+        `/[... and ...]` clause here and anything richer is passed as
+        raw JQL in FILTER. With an explicit LIMIT the node is asked for
+        exactly that page (body ``limit`` — the opt-in past the node's
+        default page cap); without one, every page is walked via
+        ``next_page_token`` so the console shows ALL matches, like the
+        reference's run_query."""
+        query = self._compile_filter(flt) if flt else "/*"
         body = {"db_addr": addr, "col_name": col, "query": query}
         if limit:
-            body["query"] += f" | limit {int(limit)}"
-        out = self._post("indexer/RunQuery", body)
+            body["limit"] = int(limit)
+        docs, token = [], None
+        while True:
+            page = dict(body, **({"page_token": token} if token else {}))
+            out = self._post("indexer/RunQuery", page)
+            docs.extend(out.get("documents", []))
+            token = out.get("next_page_token")
+            if not token or limit:
+                break  # explicit limit = exactly one page, the asked size
         rows = [
             [d["id"], d.get("owner", "?"), json.dumps(d.get("doc"))]
-            for d in out.get("documents", [])
+            for d in docs
         ]
         return ["id", "owner", "document"], rows
 
@@ -316,7 +344,7 @@ class Console:
             ["block", ms.get("block", 0)],
             ["storage bytes", ms.get("total_storage_bytes", 0)],
             ["node version", st.get("version", "-") or "-"],
-            ["has key", bool(st.get("has_key", False))],
+            ["has inited", bool(st.get("has_inited", False))],
         ]
 
 
@@ -349,7 +377,15 @@ def run_command(console: Console, argv: list[str]) -> str:
     method, lo, hi = spec
     if len(args) < lo or (hi != -1 and len(args) > hi):
         raise ConsoleError(f"{name}: expected {lo}..{'n' if hi == -1 else hi} args")
-    titles, rows = getattr(console, method)(*args)
+    try:
+        titles, rows = getattr(console, method)(*args)
+    except ConsoleError:
+        raise
+    except (ValueError, KeyError, OSError) as e:
+        # malformed user input (non-int id, bad JSON doc, corrupt
+        # keystore) must be a command error, never a REPL-killing
+        # traceback
+        raise ConsoleError(f"{name}: {e}") from e
     return render_table(titles, rows)
 
 
@@ -368,6 +404,11 @@ def repl(console: Console) -> None:  # pragma: no cover — thin stdin loop
         if line in ("exit", "quit"):
             return
         try:
-            print(run_command(console, shlex.split(line)))
+            argv = shlex.split(line)
+        except ValueError as e:  # unbalanced quote
+            print(f"error: {e}")
+            continue
+        try:
+            print(run_command(console, argv))
         except ConsoleError as e:
             print(f"error: {e}")

@@ -135,6 +135,69 @@ class TestLifecycle:
         assert {json.loads(r[2])["n"] for r in rows} == {3, 4}
 
 
+class TestFilterCompilation:
+    """Regression pins for the round-9 review findings: every shape the
+    filter compiler claims to support must produce VALID JQL and the
+    right row set against the live node."""
+
+    def test_multi_field_filter_is_one_and_clause(self, console):
+        db = TestLifecycle.db
+        console.new_doc(
+            db, "books",
+            json.dumps({"title": "solaris", "year": 1961}),
+            json.dumps({"title": "solaris", "year": 2002}),
+        )
+        _, rows = console.show_doc(
+            db, "books", json.dumps({"title": "solaris", "year": 1961})
+        )
+        assert len(rows) == 1
+        assert json.loads(rows[0][2])["year"] == 1961
+
+    def test_bounded_range_two_operators_one_field(self, console):
+        db = TestLifecycle.db
+        _, rows = console.show_doc(
+            db, "books",
+            json.dumps({"year": {"$gte": 1960, "$lte": 1970}}),
+        )
+        years = {json.loads(r[2])["year"] for r in rows}
+        assert 1961 in years  # solaris, added above
+        assert all(1960 <= y <= 1970 for y in years)
+
+    def test_empty_filter_matches_all(self, console):
+        db = TestLifecycle.db
+        _, all_rows = console.show_doc(db, "books")
+        _, empty_filter = console.show_doc(db, "books", "{}")
+        assert len(empty_filter) == len(all_rows) > 0
+
+    def test_non_ascii_value_round_trips(self, console):
+        db = TestLifecycle.db
+        console.new_doc(db, "books", json.dumps({"title": "café"}))
+        _, rows = console.show_doc(db, "books", json.dumps({"title": "café"}))
+        assert len(rows) == 1
+        assert json.loads(rows[0][2])["title"] == "café"
+
+    def test_quote_and_backslash_escape(self, console):
+        db = TestLifecycle.db
+        tricky = 'a "b" \\ c'
+        console.new_doc(db, "books", json.dumps({"title": tricky}))
+        _, rows = console.show_doc(db, "books", json.dumps({"title": tricky}))
+        assert len(rows) == 1 and json.loads(rows[0][2])["title"] == tricky
+
+    def test_show_doc_walks_past_node_page_cap(self, console):
+        """Without an explicit LIMIT the console must return EVERY
+        match (page walk), not silently stop at the node's 200-row
+        page; an explicit LIMIT requests exactly that page size."""
+        db = TestLifecycle.db
+        console.new_collection(db, "bulk")
+        console.new_doc(
+            db, "bulk", *(json.dumps({"i": i}) for i in range(230))
+        )
+        _, rows = console.show_doc(db, "bulk")
+        assert len(rows) == 230  # > the 200-row default page cap
+        _, rows = console.show_doc(db, "bulk", "", "210")
+        assert len(rows) == 210
+
+
 class TestCommandDispatch:
     def test_render_table_alignment(self):
         out = render_table(["a", "bb"], [["x", 1], ["yyy", 22]])
@@ -155,3 +218,27 @@ class TestCommandDispatch:
     def test_one_shot_through_dispatch(self, console):
         out = run_command(console, ["show-account"])
         assert "db3 address" in out
+
+    def test_malformed_input_is_command_error_not_crash(self, console):
+        db = TestLifecycle.db
+        with pytest.raises(ConsoleError, match="get-doc"):
+            run_command(console, ["get-doc", db, "books", "not-an-int"])
+        with pytest.raises(ConsoleError, match="new-doc"):
+            run_command(console, ["new-doc", db, "books", "not json {{"])
+
+    def test_show_state_reports_has_inited(self, spark, tmp_path):
+        from rtstore_spark.system import SystemStore
+
+        store = DocStore(spark, str(tmp_path / "sysnode"))
+        system = SystemStore(
+            spark, str(tmp_path / "sysnode"), admin_addr="0x" + "aa" * 20
+        )
+        srv = NodeServer(NodeService(store, Ingest(store), system=system)).start()
+        try:
+            c = Console(f"http://127.0.0.1:{srv.port}",
+                        str(tmp_path / "k.json"))
+            _, rows = c.show_state()
+            facts = {r[0]: r[1] for r in rows}
+            assert "has inited" in facts  # real key, not the v1 'has_key'
+        finally:
+            srv.stop()
