@@ -274,7 +274,14 @@ class Console:
             obj = json.loads(flt)
         except ValueError:
             return flt  # raw JQL escape hatch
-        if not isinstance(obj, dict) or not obj:
+        if not isinstance(obj, dict):
+            # `show-doc DB COL 10` (limit in the filter slot) or a JSON
+            # array is a usage error — treating it as match-all would
+            # silently print the whole collection
+            raise ConsoleError(
+                f"filter must be a JSON object or raw JQL, got {flt!r}"
+            )
+        if not obj:
             return "/*"
         ops = {"$eq": "=", "$gt": ">", "$gte": ">=", "$lt": "<",
                "$lte": "<=", "$ne": "!="}

@@ -296,6 +296,7 @@ def bm25_search_batch(
     round_to: int = 6,
     n_shards: int = 32,
     max_df_fraction: float | None = None,
+    prune_buckets: bool = True,
 ) -> DataFrame:
     """All queries against the index in one job → (qid, id, score),
     top-k per query, ordered (qid, score desc, id). ``round_to`` is the
@@ -328,7 +329,18 @@ def bm25_search_batch(
     all (cheaper than any ranking of them, and standard practice for
     decontamination search, where "the" carries no signal). Changes
     scores (the dropped terms' small idf contributions vanish); None
-    (default) keeps exact BM25."""
+    (default) keeps exact BM25.
+
+    ``prune_buckets`` (default True): resolve the query terms' bucket
+    set driver-side (one tiny aggregate, ≤ n_buckets rows) and apply it
+    as a LITERAL IN-filter on the postings' partition column — STATIC
+    partition pruning the planner honors unconditionally, including
+    through the base+delta UNION a maintained index reads as (dynamic
+    partition pruning from the broadcast join side is best-effort and
+    does not reach through a union). At 100 TB this is the difference
+    between scanning the query terms' bucket directories and scanning
+    every posting file. Costs one small job on the query batch; results
+    are identical either way."""
     n_docs = int(stats["n_docs"])
     avgdl = float(stats["avgdl"]) or 1.0
     n_buckets = int(stats.get("n_buckets", N_BUCKETS_DEFAULT))
@@ -351,9 +363,23 @@ def bm25_search_batch(
         # restrict the PROBE side too, so pruned terms' postings are
         # never scanned or joined (tdf here is ≤ query-vocab rows)
         qterms = qterms.join(F.broadcast(tdf.select("term")), "term", "inner")
-    # bucket pruning: a filter on the PARTITION column of the persisted
-    # postings (dynamic partition pruning from the broadcast join side;
-    # harmless no-op on an in-memory postings frame)
+    # bucket pruning: a LITERAL filter on the PARTITION column of the
+    # persisted postings (static pruning; see prune_buckets in the
+    # docstring), plus the equi-join on (bucket, term) either way
+    if prune_buckets:
+        buckets = sorted(
+            r["bucket"] for r in qterms.select("bucket").distinct().collect()
+        )
+        if not buckets:  # every query term pruned / empty batch
+            id_type = postings.schema["id"].dataType
+            return (
+                qterms.select(
+                    "qid",
+                    F.lit(None).cast(id_type).alias("id"),
+                    F.lit(0.0).alias("score"),
+                ).filter(F.lit(False))
+            )
+        postings = postings.filter(F.col("bucket").isin(buckets))
     hits = postings.join(
         F.broadcast(qterms), ["bucket", "term"], "inner"
     )

@@ -250,8 +250,15 @@ class _Connection:
         ):
             # the client's decoder table bound applies to OUR encoder
             # (capped locally); the required table-size update opcode is
-            # emitted at the head of the next header block
-            self.encoder.set_max_size(settings[h2.SETTINGS_HEADER_TABLE_SIZE])
+            # emitted at the head of the next header block. Under wlock:
+            # pool workers encode header blocks while holding it
+            # (_send_header_block), and a bare mutation here would race
+            # their table iteration AND could clobber a pending update
+            # between its emit and its clear
+            with self.wlock:
+                self.encoder.set_max_size(
+                    settings[h2.SETTINGS_HEADER_TABLE_SIZE]
+                )
         if h2.SETTINGS_MAX_FRAME_SIZE in settings:
             v = settings[h2.SETTINGS_MAX_FRAME_SIZE]
             if not (h2.DEFAULT_MAX_FRAME <= v <= (1 << 24) - 1):

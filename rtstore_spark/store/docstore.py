@@ -1148,14 +1148,17 @@ class DocStore:
         NOT a flush — a read-heavy GetBlock poller would otherwise
         write one tiny file per poll, re-creating the fragmentation the
         buffer exists to prevent. No double counting: the buffer
-        snapshot AND the parquet leaf-file listing both resolve under
+        snapshot AND the parquet leaf-FILE list both resolve under
         _wire_buffer_lock (flushes hold the same lock), so a concurrent
         flush either lands entirely before this scan (rows in files,
         not in the snapshot) or entirely after (rows in the snapshot,
-        in files this scan's frozen listing never saw) — never both.
-        Spark resolves leaf files when the DataFrame is CREATED (its
-        file index is built eagerly), which is why the read construction
-        itself sits inside the lock, not just the directory listing."""
+        in files this frozen list never names) — never both. The scan
+        is then built from those EXPLICIT file paths outside the lock:
+        the DataFrame construction is the expensive part (driver-side
+        file-index build — listStatus round trips on a remote fs), and
+        holding the lock through it would serialize every
+        archive_wire_envelope on the ingest hot path behind a read-only
+        GetBlock poll."""
         path = self._resolve(self._wire_archive_path())
         read_schema = T.StructType(
             WIRE_ARCHIVE_SCHEMA.fields
@@ -1164,21 +1167,22 @@ class DocStore:
         with self._wire_buffer_lock:
             pending = [dict(r) for r in self._wire_buffer]
             if not self.fs.exists(path):
-                df = self.spark.createDataFrame([], schema=read_schema)
+                files = []
             else:
-                parts = [
-                    os.path.join(path, e)
-                    for e in self.fs.listdir(path)
-                    if e.startswith("block_bucket=")
+                sep = "/" if "://" in path else os.sep
+                files = [
+                    f for f in self.fs.list_files_recursive(path)
+                    if f"{sep}block_bucket=" in f
+                    and not f.rsplit(sep, 1)[-1].startswith(("_", "."))
                 ]
-                if not parts:
-                    df = self.spark.createDataFrame([], schema=read_schema)
-                else:
-                    df = (
-                        self.spark.read.schema(read_schema)
-                        .option("basePath", path)
-                        .parquet(*parts)
-                    )
+        if not files:
+            df = self.spark.createDataFrame([], schema=read_schema)
+        else:
+            df = (
+                self.spark.read.schema(read_schema)
+                .option("basePath", path)
+                .parquet(*files)
+            )
         if pending:
             mem = self.spark.createDataFrame(
                 pending, schema=WIRE_ARCHIVE_SCHEMA

@@ -348,18 +348,23 @@ class HpackDynamicEncoder:
         self.max_size = self.LOCAL_CAP  # RFC 7541 default table size
         self.table: list[tuple[str, str]] = []  # newest first
         self.size = 0
-        self._pending_update: int | None = None
+        # RFC 7541 §4.2: between two header blocks the SMALLEST maximum
+        # that occurred MUST be signaled (then the final value, if it
+        # differs) — a shrink-then-regrow needs TWO updates; keeping
+        # only the last would hide the shrink from the peer's decoder
+        # (COMPRESSION_ERROR on strict peers)
+        self._pending_min: int | None = None
+        self._pending_final: int | None = None
 
     def set_max_size(self, peer_max: int) -> None:
         new = min(int(peer_max), self.LOCAL_CAP)
-        if new == self.max_size:
+        if new == self.max_size and self._pending_final is None:
             return
-        # RFC 7541 §4.2: when the peer LOWERS the limit we must emit an
-        # update ≤ the new max before (or with) the next block; a raise
-        # only needs announcing if we take the extra room (we do, up to
-        # LOCAL_CAP). Either way one update opcode settles it.
+        self._pending_min = new if self._pending_min is None else min(
+            self._pending_min, new
+        )
+        self._pending_final = new
         self.max_size = new
-        self._pending_update = new
         self._evict()
 
     def _entry_size(self, n: str, v: str) -> int:
@@ -383,9 +388,11 @@ class HpackDynamicEncoder:
 
     def encode(self, headers: list[tuple[str, str]]) -> bytes:
         out = bytearray()
-        if self._pending_update is not None:
-            out += encode_int(self._pending_update, 5, 0x20)
-            self._pending_update = None
+        if self._pending_final is not None:
+            if self._pending_min != self._pending_final:
+                out += encode_int(self._pending_min, 5, 0x20)
+            out += encode_int(self._pending_final, 5, 0x20)
+            self._pending_min = self._pending_final = None
         for name, value in headers:
             idx = _STATIC_FULL.get((name, value))
             if idx:

@@ -226,6 +226,16 @@ class TestCommandDispatch:
         with pytest.raises(ConsoleError, match="new-doc"):
             run_command(console, ["new-doc", db, "books", "not json {{"])
 
+    def test_non_object_json_filter_is_usage_error_not_match_all(
+        self, console
+    ):
+        """`show-doc DB COL 10` (a limit in the filter slot) must error,
+        not silently walk and print the whole collection."""
+        db = TestLifecycle.db
+        for bad in ("10", '["a"]', "true", '"text"'):
+            with pytest.raises(ConsoleError, match="filter must be"):
+                console.show_doc(db, "books", bad)
+
     def test_show_state_reports_has_inited(self, spark, tmp_path):
         from rtstore_spark.system import SystemStore
 

@@ -707,6 +707,41 @@ class TestDynamicResponseEncoder:
         assert dec.decode(enc.encode(huge)) == huge
         assert enc.table == []
 
+    def test_shrink_then_regrow_signals_the_minimum(self):
+        """RFC 7541 §4.2: the SMALLEST maximum that occurred between two
+        header blocks MUST be signaled — a shrink-to-128 followed by a
+        regrow-to-4096 before the next block needs TWO updates (128,
+        then 4096); keeping only the last would hide the shrink and a
+        strict peer decoder would COMPRESSION_ERROR."""
+        from rtstore_spark.wire.hpack import HpackDecoder, HpackDynamicEncoder
+
+        enc, dec = HpackDynamicEncoder(), HpackDecoder()
+        resp = [(":status", "200"), ("content-type", "application/grpc")]
+        assert dec.decode(enc.encode(resp)) == resp
+        enc.set_max_size(128)
+        enc.set_max_size(4096)
+        block = enc.encode(resp)
+        # leads with table-size updates (128 needs the 31-prefix form)
+        assert block[0] & 0xE0 == 0x20 and block[0] & 0x1F == 31
+        # decode tracks both updates and the block still round-trips
+        assert dec.decode(block) == resp
+        assert dec.max_size == 4096
+        # a shrink alone emits exactly one update
+        enc.set_max_size(64)
+        block = enc.encode(resp)
+        updates = 0
+        i = 0
+        while block[i] & 0xE0 == 0x20:
+            # skip over the varint of this update opcode
+            if block[i] & 0x1F == 0x1F:
+                i += 1
+                while block[i] & 0x80:
+                    i += 1
+            i += 1
+            updates += 1
+        assert updates == 1
+        assert dec.decode(block) == resp
+
     @pytest.fixture()
     def h2_server_dyn(self, spark, tmp_path):
         from rtstore_spark.service import NodeService

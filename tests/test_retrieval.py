@@ -474,3 +474,63 @@ class TestIncrementalAppend:
             append_bm25_index(
                 docs.limit(5), "text", "doc_id", str(tmp_path / "nope")
             )
+
+
+class TestStaticBucketPruning:
+    def test_partition_filters_reach_both_union_branches(
+        self, spark, docs, tmp_path
+    ):
+        """prune_buckets resolves the query terms' buckets driver-side
+        and applies them as a LITERAL IN on the partition column —
+        static pruning the planner honors through the base+delta UNION
+        (dynamic partition pruning from the broadcast side is
+        best-effort there). Every parquet scan of the search plan must
+        carry a non-empty PartitionFilters on bucket."""
+        import re
+
+        path = str(tmp_path / "bm25-prune")
+        write_bm25_index(docs.limit(60), "text", "doc_id", path, n_buckets=8)
+        append_bm25_index(
+            docs.limit(90).subtract(docs.limit(60)), "text", "doc_id", path
+        )
+        postings, term_df, stats = read_bm25_index(spark, path)
+        queries = spark.createDataFrame(
+            [(0, "model training")], "qid long, text string"
+        )
+        plan = (
+            bm25_search_batch(postings, term_df, stats, queries, k=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        scans = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        posting_scans = [s for s in scans if "bucket" in s]
+        assert len(posting_scans) >= 2, plan  # base AND delta branch
+        assert all("IN" in s or "isin" in s.lower() for s in posting_scans)
+
+    def test_prune_on_off_identical_results(self, spark, docs, tmp_path):
+        path = str(tmp_path / "bm25-prune2")
+        write_bm25_index(docs.limit(80), "text", "doc_id", path, n_buckets=8)
+        postings, term_df, stats = read_bm25_index(spark, path)
+        queries = spark.createDataFrame(QUERIES, "qid long, text string")
+
+        def run(p):
+            return [
+                (r["qid"], r["id"], r["score"])
+                for r in bm25_search_batch(
+                    postings, term_df, stats, queries, k=6, prune_buckets=p
+                ).collect()
+            ]
+
+        assert run(True) == run(False)
+
+    def test_all_terms_pruned_returns_typed_empty(self, spark, docs):
+        postings, term_df, stats = bm25_build(docs, "text", "doc_id")
+        queries = spark.createDataFrame(
+            [(0, "the")], "qid long, text string"
+        )
+        out = bm25_search_batch(
+            postings, term_df, stats, queries, k=5,
+            max_df_fraction=0.0,  # prunes every term
+        )
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == ["qid", "id", "score"]
+        assert out.schema["id"].dataType == postings.schema["id"].dataType
