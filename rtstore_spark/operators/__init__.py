@@ -20,8 +20,9 @@ Generic DataFrame transforms (no testdata coupling):
                    blocklist term filtering (C4-style)
 - ``retrieval``  — persisted BM25 inverted index (bucket-partitioned
                    postings, generation-pointer rebuilds, delta-append
-                   incremental maintenance) + one-job batch search with
-                   two-phase top-k (decontamination-search shape)
+                   incremental + streaming maintenance) + one-job batch
+                   search with two-phase top-k and static bucket
+                   pruning (decontamination-search shape)
 - ``multimodal`` — binary media columns: schema, batching, stubbed decode
 - ``sampling``   — deterministic stratified sampling, token-budget
                    domain-mixture sampling + per-domain mixture stats,

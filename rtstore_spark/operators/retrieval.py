@@ -211,7 +211,8 @@ def read_bm25_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
 
 
 def append_bm25_index(
-    df: DataFrame, text_col: str, id_col: str, path: str
+    df: DataFrame, text_col: str, id_col: str, path: str,
+    batch_tag: str | None = None,
 ) -> None:
     """Incremental maintenance: index NEW documents without the
     O(corpus) rebuild ``write_bm25_index`` performs. The delta's
@@ -232,7 +233,15 @@ def append_bm25_index(
 
     Single-writer, enforced loudly: the generation pointer and the
     delta manifest must both be unchanged across the build, else the
-    append raises and its directory is left orphaned (harmless)."""
+    append raises and its directory is left orphaned (harmless).
+
+    ``batch_tag``: an idempotence token for EXACTLY-ONCE streaming
+    maintenance. A tag lands in the delta directory name; an append
+    whose tag is already in the manifest is a committed-earlier replay
+    and no-ops — the contract Structured Streaming's foreachBatch
+    replay model needs (``bm25_index_sink``), same stance as the
+    engine's other checkpointed sinks."""
+    import re
     import uuid
 
     from rtstore_spark.store.fs import fs_for, parse_gen_pointer
@@ -251,11 +260,16 @@ def append_bm25_index(
     n_buckets = int(base_stats.get("n_buckets", N_BUCKETS_DEFAULT))
     manifest0 = fs.read_text(base + "/_deltas") or ""
     names0 = [ln.strip() for ln in manifest0.splitlines() if ln.strip()]
+    if batch_tag is not None:
+        batch_tag = re.sub(r"[^A-Za-z0-9]", "", str(batch_tag)) or "0"
+        if any(n.rsplit("-", 1)[-1] == f"t{batch_tag}" for n in names0):
+            return  # replayed micro-batch: already committed
     postings, term_df, stats = bm25_build(df, text_col, id_col, n_buckets)
     if stats["n_docs"] == 0:
         return  # appending nothing is a no-op (unlike an empty REBUILD,
         # which would destroy a live index and is refused loudly)
-    delta_name = f"delta-{len(names0) + 1}-{uuid.uuid4().hex[:8]}"
+    suffix = f"t{batch_tag}" if batch_tag is not None else uuid.uuid4().hex[:8]
+    delta_name = f"delta-{len(names0) + 1}-{suffix}"
     dbase = f"{base}/{delta_name}"
     postings = postings.persist()
     try:
@@ -445,3 +459,31 @@ def bm25_batch_topk(
         round_to=round_to, n_shards=n_shards,
         max_df_fraction=max_df_fraction,
     )
+
+
+def bm25_index_sink(path: str, text_col: str, id_col: str):
+    """Streaming index maintenance: a ``foreachBatch`` body that appends
+    each micro-batch of NEW documents as a delta generation —
+
+        (docs_stream.writeStream
+            .option("checkpointLocation", chk)
+            .foreachBatch(bm25_index_sink(path, "text", "doc_id"))
+            .trigger(availableNow=True).start())
+
+    — so a continuously-ingested training corpus becomes searchable
+    without O(corpus) rebuilds, mirroring how the reference's index
+    node tails new blocks (indexer_impl.rs:147-196). Exactly-once under
+    Structured Streaming's replay model: the micro-batch id is the
+    delta's ``batch_tag``, so a batch re-delivered after a crash
+    no-ops once its delta is committed (the append itself is atomic
+    behind the ``_deltas`` manifest write). The base index must exist
+    (``write_bm25_index``); periodic full rebuilds fold the accumulated
+    deltas away. Checkpoint-reset rule (shared with the streaming state
+    tables): batch ids restart at 0 after a checkpoint wipe, so a reset
+    requires a fresh rebuild, not more appends."""
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        append_bm25_index(
+            batch_df, text_col, id_col, path, batch_tag=str(batch_id)
+        )
+
+    return apply

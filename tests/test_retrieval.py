@@ -476,6 +476,81 @@ class TestIncrementalAppend:
             )
 
 
+class TestStreamingMaintenance:
+    def test_replayed_batch_tag_is_noop(self, spark, docs, tmp_path):
+        """foreachBatch may re-deliver a committed batch after a crash;
+        the tag must make the second append a no-op (a double append
+        would double-count term dfs and duplicate results)."""
+        from rtstore_spark.operators.retrieval import bm25_index_sink
+
+        path = str(tmp_path / "bm25-stream")
+        write_bm25_index(docs.limit(40), "text", "doc_id", path)
+        batch = docs.limit(60).subtract(docs.limit(40))
+        sink = bm25_index_sink(path, "text", "doc_id")
+        sink(batch, 0)
+        _, _, s1 = read_bm25_index(spark, path)
+        assert s1["n_docs"] == 60
+        sink(batch, 0)  # replay of the SAME micro-batch
+        _, term_df, s2 = read_bm25_index(spark, path)
+        assert s2 == s1
+        assert term_df.groupBy("term").count().filter("count > 1").count() == 0
+        sink(batch.limit(0), 1)  # empty batch is also a no-op
+        _, _, s3 = read_bm25_index(spark, path)
+        assert s3 == s1
+
+    def test_streaming_appends_become_searchable(self, spark, tmp_path):
+        """End-to-end: a file-source stream of new documents maintains
+        the index via foreachBatch; search sees the streamed docs with
+        EXACT BM25 stats (delta fold), no rebuild."""
+        import json as _json
+
+        from rtstore_spark.operators.retrieval import bm25_index_sink
+
+        path = str(tmp_path / "bm25-live")
+        seed = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+        )
+        write_bm25_index(seed, "text", "doc_id", path)
+        staging = tmp_path / "staging"
+        staging.mkdir()
+        (staging / "a.jsonl").write_text("\n".join(
+            _json.dumps({"doc_id": i, "text": t})
+            for i, t in [(3, "alpha delta"), (4, "delta epsilon")]
+        ))
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(staging))
+            .writeStream
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .foreachBatch(bm25_index_sink(path, "text", "doc_id"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        postings, term_df, stats = read_bm25_index(spark, path)
+        assert stats["n_docs"] == 4
+        queries = spark.createDataFrame(
+            [(0, "delta")], "qid long, text string"
+        )
+        hits = bm25_search_batch(
+            postings, term_df, stats, queries, k=5
+        ).collect()
+        assert sorted(r["id"] for r in hits) == [3, 4]
+        # restart over the SAME checkpoint: no new data → no new deltas
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(staging))
+            .writeStream
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .foreachBatch(bm25_index_sink(path, "text", "doc_id"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _, _, stats2 = read_bm25_index(spark, path)
+        assert stats2["n_docs"] == 4
+
+
 class TestStaticBucketPruning:
     def test_partition_filters_reach_both_union_branches(
         self, spark, docs, tmp_path
