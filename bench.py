@@ -88,12 +88,15 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    from tools.bench_session import session_info
+
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": _median3(*run_totals),
                 "unit": "sec",
+                **session_info(),
                 "runs": run_totals,
                 "queries": timings,
                 "sf": sf_val,

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import urllib.error
 import urllib.request
 
 KEYSTORE_DEFAULT = os.path.expanduser("~/.rtstore_spark/key.json")
@@ -291,7 +292,16 @@ class Console:
                 # several operators on one field = a bounded range —
                 # each becomes its own AND-ed condition
                 for op, val in v.items():
-                    conds.append(f"{k} {ops.get(op, op)} {self._jql_literal(val)}")
+                    if op not in ops:
+                        # an unknown $op passed through verbatim would
+                        # compile to invalid JQL and surface as an
+                        # opaque server-side parse error; fail here
+                        raise ConsoleError(
+                            f"unsupported filter operator {op!r} — "
+                            f"supported: {' '.join(sorted(ops))}; use the "
+                            "raw-JQL form for anything richer"
+                        )
+                    conds.append(f"{k} {ops[op]} {self._jql_literal(val)}")
             else:
                 conds.append(f"{k} = {self._jql_literal(v)}")
         return "/[" + " and ".join(conds) + "]"

@@ -169,6 +169,20 @@ class TestFilterCompilation:
         _, empty_filter = console.show_doc(db, "books", "{}")
         assert len(empty_filter) == len(all_rows) > 0
 
+    def test_unknown_operator_is_clear_client_side_error(self, console):
+        """An unsupported $op must fail HERE with the supported set named
+        — passed through verbatim it would compile to invalid JQL and
+        surface as an opaque server-side parse error."""
+        import pytest
+
+        from rtstore_spark.console import ConsoleError
+
+        db = TestLifecycle.db
+        with pytest.raises(ConsoleError, match=r"\$in"):
+            console.show_doc(
+                db, "books", json.dumps({"year": {"$in": [1961, 2002]}})
+            )
+
     def test_non_ascii_value_round_trips(self, console):
         db = TestLifecycle.db
         console.new_doc(db, "books", json.dumps({"title": "café"}))

@@ -74,10 +74,13 @@ def main() -> int:
     jobs_after = job_counter()
 
     applied = store.current_state(db, "c0").count() * n_cols  # uniform spread
+    from tools.bench_session import session_info
+
     print(json.dumps({
         "metric": "ingest_mutations_per_sec",
         "value": round(n / wall, 1),
         "unit": "mut/s",
+        **session_info(),
         "mutations": n,
         "collections": n_cols,
         "wall_sec": round(wall, 2),

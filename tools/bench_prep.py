@@ -129,6 +129,8 @@ def main() -> None:
             "ann_hits": int(n_hits),
         }
 
+    from tools.bench_session import session_info
+
     medians = {
         name: sorted(p[name] for p in passes)[1] for name in passes[0]
     }
@@ -138,6 +140,7 @@ def main() -> None:
                 "metric": "corpus_prep_total_wall",
                 "value": round(sum(medians.values()), 3),
                 "unit": "sec",
+                **session_info(),
                 "queries": medians,
                 "runs": [round(sum(p.values()), 3) for p in passes],
                 "sf": _sf_of(sf_dir),

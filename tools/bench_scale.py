@@ -27,6 +27,11 @@ Prints ONE JSON line:
 
 Methodology: IDLE machine, one warm-up pass per query at scale 1 (same
 convention as bench.py), facts materialized to a temp dir before timing.
+Every timed measurement is the MEDIAN OF 3 passes with the raw passes
+recorded in ``runs`` and the per-cell spread surfaced in ``variance``
+(round-9 verdict #4: two ×20 ratios drifted ~0.12 across rounds on
+unchanged plans — a lone pass cannot distinguish host noise from a plan
+regression; the median can, and the spread says which it was).
 Usage: python tools/bench_scale.py [K ...]   (default: 1 20)
 """
 
@@ -44,6 +49,21 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _timed3(run) -> dict:
+    """Median-of-3 timing of ``run()`` (which returns a row count):
+    {"sec": median, "runs": [all 3], "rows": n}. Callers do their own
+    warm-up before the first timed pass where cold costs (codegen,
+    Python-worker startup) would otherwise land in pass 1."""
+    walls: list[float] = []
+    rows = 0
+    for _ in range(3):
+        t0 = time.time()
+        rows = run()
+        walls.append(round(time.time() - t0, 3))
+    return {"sec": sorted(walls)[1], "runs": walls, "rows": int(rows)}
+
 
 QUERIES = [
     "q1_pricing_summary",
@@ -125,12 +145,15 @@ def _wire_probe(spark, k: int) -> dict:
         (F.col("block") + F.col("_shift")).alias("block"), "order",
     ).repartition(32).persist()
     n = df.count()
-    t0 = time.time()
-    errors = decode_wire_log(df).filter(F.col("error").isNotNull()).count()
-    wall = round(time.time() - t0, 3)
+
+    def once() -> int:
+        errors = decode_wire_log(df).filter(F.col("error").isNotNull()).count()
+        assert errors == 0, f"{errors} decode failures"
+        return int(n)
+
+    out = _timed3(once)
     df.unpersist()
-    assert errors == 0, f"{errors} decode failures"
-    return {"sec": wall, "rows": int(n)}
+    return out
 
 
 def _recovery_probe(k: int) -> dict:
@@ -179,16 +202,18 @@ def _recovery_probe(k: int) -> dict:
                 src, last_ar_tx=tip, start_block=i, end_block=i,
                 network_id=1, filename=f"round-{i}.gz.parquet",
             )
-        dest = os.path.join(workdir, "recovered")
-        t0 = time.time()
-        got = recover_permaweb_chain(pw, tip, dest)
-        wall = round(time.time() - t0, 3)
-        assert len(got) == n_art, f"recovered {len(got)} of {n_art}"
-        return {
-            "sec": wall,
-            "rows": n_art,
-            "ms_per_artifact": round(1000.0 * wall / n_art, 2),
-        }
+        dests = iter(
+            os.path.join(workdir, f"recovered{i}") for i in range(3)
+        )
+
+        def once() -> int:
+            got = recover_permaweb_chain(pw, tip, next(dests))
+            assert len(got) == n_art, f"recovered {len(got)} of {n_art}"
+            return n_art
+
+        out = _timed3(once)
+        out["ms_per_artifact"] = round(1000.0 * out["sec"] / n_art, 2)
+        return out
     finally:
         srv.shutdown()
         srv.server_close()
@@ -228,13 +253,15 @@ def _bm25_probe(spark, sdir: str, warm: bool = False) -> dict:
             bm25_search_batch(
                 postings, term_df, stats, queries, k=10
             ).count()
-        t0 = time.time()
-        n = bm25_search_batch(postings, term_df, stats, queries, k=10).count()
-        wall = round(time.time() - t0, 3)
+        out = _timed3(
+            lambda: bm25_search_batch(
+                postings, term_df, stats, queries, k=10
+            ).count()
+        )
     finally:
         postings.unpersist()
         term_df.unpersist()
-    return {"sec": wall, "rows": int(n)}
+    return out
 
 
 def main() -> None:
@@ -258,11 +285,9 @@ def main() -> None:
             fn = queries[name]
             if k == scales[0]:
                 fn(spark, sdir).count()  # warm-up (codegen/JIT), untimed
-            t0 = time.time()
-            n = fn(spark, sdir).count()
-            results[name][f"x{k}"] = {
-                "sec": round(time.time() - t0, 3), "rows": int(n),
-            }
+            results[name][f"x{k}"] = _timed3(
+                lambda fn=fn: fn(spark, sdir).count()
+            )
         results.setdefault("bm25_search", {})[f"x{k}"] = _bm25_probe(
             spark, sdir, warm=(k == scales[0])
         )
@@ -302,13 +327,28 @@ def main() -> None:
                 growth = k1 / k0
             ratios[name] = round((w1 / w0) / growth, 3) if w0 else None
 
+    from tools.bench_session import session_info
+
+    # per-cell spread of the 3 raw passes, as a fraction of the median:
+    # the reader's noise gauge when a ratio moves between rounds
+    variance = {
+        name: {
+            xk: round((max(cell["runs"]) - min(cell["runs"]))
+                      / max(cell["sec"], 1e-9), 3)
+            for xk, cell in per_scale.items()
+        }
+        for name, per_scale in results.items()
+    }
+
     print(json.dumps({
         "metric": "scale_stress",
         "sf_dir": SF_DIR,
+        **session_info(),
         "scales": scales,
         "queries": results,
         "driver_peak_rss_mb": rss,
         "ratios_vs_linear": ratios,
+        "variance_spread_over_median": variance,
         "notes": {
             "bm25_search": (
                 "fixed 3-query batch (incl. a stopword-heavy query) "

@@ -69,6 +69,16 @@ def _vs_prev_note(result: dict) -> str:
         glob.glob("/root/repo/BENCH_WIRE_r*.json"),
         key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
     )
+    # a re-run AFTER the driver wrote this round's artifact must not
+    # compare against that artifact (a near-zero "vs prev" delta of a
+    # run against itself); $SPARK_GRAFT_ROUND names the current round
+    # so only strictly-older artifacts qualify
+    cur = os.environ.get("SPARK_GRAFT_ROUND")
+    if cur and cur.isdigit():
+        prior = [
+            p for p in prior
+            if int(re.search(r"_r(\d+)", p).group(1)) < int(cur)
+        ]
     if not prior:
         return "no prior BENCH_WIRE artifact to compare against"
     prev_path = prior[-1]
@@ -137,9 +147,12 @@ def main() -> None:
         warm_runs.append(round(time.time() - t0, 3))
     stages["decode_verify_warm"] = sorted(warm_runs)[1]
 
+    from tools.bench_session import session_info
+
     result = {
         "metric": "wire_path_total_wall",
         "unit": "sec",
+        **session_info(),
         "input_mutations": int(n),
         "decode_mutations_per_sec": round(n / stages["decode_verify"], 1),
         "decode_mutations_per_sec_warm": round(
