@@ -22,7 +22,13 @@ to brute-force cosine:
   survivors — no single reducer ever sees a query's full matched set);
 - ``append_bm25_index`` — incremental maintenance: new documents land
   as a delta generation unioned at read (one delta-scoped build, no
-  O(corpus) rebuild), folded away by the next full rebuild.
+  O(corpus) rebuild), folded away by ``compact_bm25_index`` (persisted
+  parquet fold, no corpus needed) or the next full rebuild.
+
+Maintained-index search costs what fresh-index search costs: the term
+dfs of base+deltas stay UNFOLDED at read and are summed only AFTER the
+search restricts them to the broadcast query vocabulary — never an
+O(total vocab) shuffle per batch (see read_bm25_index's docstring).
 
 Shuffle bytes scale with MATCHED POSTINGS (docs containing query
 terms), never with corpus x queries — the property that makes 10k
@@ -165,49 +171,74 @@ def _stats_sum_dl(stats: dict) -> int:
     return int(round(int(stats["n_docs"]) * float(stats["avgdl"])))
 
 
-def read_bm25_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
-    """Load the LIVE generation — base postings UNIONED with every
-    committed delta (``append_bm25_index``), term dfs re-summed across
-    base+deltas, (n_docs, avgdl) folded EXACTLY from the integer
-    ``sum_dl`` totals. With no deltas the plan is the plain base scan
-    (no union / re-aggregation node is added)."""
-    from rtstore_spark.store.fs import fs_for, parse_gen_pointer
+def _live_index_parts(spark, fs, path: str):
+    """The LIVE generation's pieces: (base dir, delta names, [(postings,
+    term_df, stats), ...] — base first, then each committed delta in
+    manifest order). Shared by ``read_bm25_index`` (lazy union) and
+    ``compact_bm25_index`` (persisted fold)."""
+    from rtstore_spark.store.fs import parse_gen_pointer
 
-    fs = fs_for(path, spark)
     cur = fs.read_text(f"{path}/_current")
     _, live = parse_gen_pointer(cur)
     if not live:
         raise FileNotFoundError(f"no live bm25 index at {path}")
     base = f"{path}/{live}"
-    postings, term_df, stats = _read_index_dir(spark, fs, base)
+    parts = [_read_index_dir(spark, fs, base)]
     manifest = fs.read_text(base + "/_deltas") or ""
     names = [ln.strip() for ln in manifest.splitlines() if ln.strip()]
-    if not names:
-        return postings, term_df, stats
-    n_docs, sum_dl = int(stats["n_docs"]), _stats_sum_dl(stats)
+    n_buckets = int(parts[0][2]["n_buckets"])
     for name in names:
-        p2, t2, s2 = _read_index_dir(spark, fs, f"{base}/{name}")
-        if int(s2.get("n_buckets", -1)) != int(stats["n_buckets"]):
+        part = _read_index_dir(spark, fs, f"{base}/{name}")
+        if int(part[2].get("n_buckets", -1)) != n_buckets:
             raise RuntimeError(
                 f"bm25 delta {name} was built with n_buckets="
-                f"{s2.get('n_buckets')} != base {stats['n_buckets']} — "
+                f"{part[2].get('n_buckets')} != base {n_buckets} — "
                 "bucket pruning would silently miss postings; rebuild"
             )
-        postings = postings.unionByName(p2)
-        term_df = term_df.unionByName(t2)
-        n_docs += int(s2["n_docs"])
-        sum_dl += _stats_sum_dl(s2)
-    # document ids are unique across base+deltas (append contract), so
-    # per-term dfs ADD; the re-sum is O(query vocab) after the search
-    # path's broadcast restriction, O(total vocab) at worst here
-    term_df = term_df.groupBy("term").agg(F.sum("df").alias("df"))
-    folded = {
+        parts.append(part)
+    return base, names, parts
+
+
+def _fold_stats(parts) -> dict:
+    n_docs = sum(int(s["n_docs"]) for _, _, s in parts)
+    sum_dl = sum(_stats_sum_dl(s) for _, _, s in parts)
+    return {
         "n_docs": n_docs,
         "sum_dl": sum_dl,
         "avgdl": (sum_dl / n_docs) if n_docs else 1.0,
-        "n_buckets": int(stats["n_buckets"]),
+        "n_buckets": int(parts[0][2]["n_buckets"]),
     }
-    return postings, term_df, folded
+
+
+def read_bm25_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
+    """Load the LIVE generation — base postings UNIONED with every
+    committed delta (``append_bm25_index``), (n_docs, avgdl) folded
+    EXACTLY from the integer ``sum_dl`` totals. With no deltas the plan
+    is the plain base scan (no union node is added).
+
+    On a maintained index the returned ``term_df`` is the RAW
+    base+delta union — per-term partial dfs that ADD (ids are unique
+    across base and deltas by the append contract), NOT one row per
+    term. It is deliberately left unfolded: an aggregate here would run
+    over the FULL vocabulary on every search batch, because Catalyst
+    does not push the search's query-vocab join below an aggregate —
+    ``bm25_search_batch`` folds the partials AFTER restricting to the
+    broadcast query terms, an O(query vocab) aggregation instead of
+    O(total vocab). A direct consumer that wants the classic (term, df)
+    table folds it the same way:
+    ``term_df.groupBy("term").agg(F.sum("df").alias("df"))``.
+    ``compact_bm25_index`` persists that fold into a fresh generation."""
+    from rtstore_spark.store.fs import fs_for
+
+    fs = fs_for(path, spark)
+    _, _, parts = _live_index_parts(spark, fs, path)
+    postings, term_df, stats = parts[0]
+    if len(parts) == 1:
+        return postings, term_df, stats
+    for p2, t2, _ in parts[1:]:
+        postings = postings.unionByName(p2)
+        term_df = term_df.unionByName(t2)
+    return postings, term_df, _fold_stats(parts)
 
 
 def append_bm25_index(
@@ -240,11 +271,12 @@ def append_bm25_index(
     whose tag is already in the manifest is a committed-earlier replay
     and no-ops — the contract Structured Streaming's foreachBatch
     replay model needs (``bm25_index_sink``), same stance as the
-    engine's other checkpointed sinks."""
-    import re
+    engine's other checkpointed sinks. Non-digit tags are hashed to a
+    filesystem-safe token (``store.fs.safe_batch_tag``) so two DISTINCT
+    raw tags can never alias into one idempotence token."""
     import uuid
 
-    from rtstore_spark.store.fs import fs_for, parse_gen_pointer
+    from rtstore_spark.store.fs import fs_for, parse_gen_pointer, safe_batch_tag
 
     spark = df.sparkSession
     fs = fs_for(path, spark)
@@ -261,7 +293,7 @@ def append_bm25_index(
     manifest0 = fs.read_text(base + "/_deltas") or ""
     names0 = [ln.strip() for ln in manifest0.splitlines() if ln.strip()]
     if batch_tag is not None:
-        batch_tag = re.sub(r"[^A-Za-z0-9]", "", str(batch_tag)) or "0"
+        batch_tag = safe_batch_tag(batch_tag)
         if any(n.rsplit("-", 1)[-1] == f"t{batch_tag}" for n in names0):
             return  # replayed micro-batch: already committed
     postings, term_df, stats = bm25_build(df, text_col, id_col, n_buckets)
@@ -294,6 +326,70 @@ def append_bm25_index(
         )
     fs.write_text_atomic(
         base + "/_deltas", "\n".join([*names0, delta_name]) + "\n"
+    )
+
+
+def compact_bm25_index(spark, path: str) -> None:
+    """Fold committed deltas into a fresh generation WITHOUT the corpus.
+
+    ``write_bm25_index`` folds deltas too, but it needs the ORIGINAL
+    corpus DataFrame and pays a full re-tokenize; this compaction reads
+    only what the index already persists — the base+delta postings and
+    term-df parquet union into ``<path>/gen-(N+1)``, per-term dfs
+    summed, (n_docs, avgdl) folded from the integer ``sum_dl`` totals
+    (exact, no float accumulation) — so maintenance is self-contained,
+    the same role ``compact_wire_archive`` plays for the envelope
+    buffer (store/docstore.py). After compaction a reader sees ONE
+    union-free generation: no per-arm scans, one row per term. Search
+    results are identical by construction (same posting rows, same
+    summed dfs, same stats). No-op when the live generation has no
+    deltas.
+
+    Crash safety is the standard generation protocol
+    (store.fs.begin/commit_generation): a crash anywhere before the
+    pointer flip leaves the delta'd generation fully live. Single
+    writer, enforced loudly twice — ``commit_generation`` re-checks the
+    generation pointer, and the delta manifest is re-read just before
+    the flip so an append committed mid-compaction raises instead of
+    being silently dropped from the folded index."""
+    from rtstore_spark.store.fs import (
+        begin_generation,
+        commit_generation,
+        fs_for,
+    )
+
+    fs = fs_for(path, spark)
+    prev_gen, prev_name, gen_name = begin_generation(fs, path)
+    base, names, parts = _live_index_parts(spark, fs, path)
+    if base != f"{path}/{prev_name}":  # pointer moved between the reads
+        raise RuntimeError(
+            f"compact_bm25_index: a rebuild advanced {path} during this "
+            "compaction — re-run against the new generation"
+        )
+    if not names:
+        return  # union-free already: nothing to fold
+    manifest0 = fs.read_text(base + "/_deltas") or ""
+    out = f"{path}/{gen_name}"
+    postings, term_df = parts[0][0], parts[0][1]
+    for p2, t2, _ in parts[1:]:
+        postings = postings.unionByName(p2)
+        term_df = term_df.unionByName(t2)
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        out + "/postings"
+    )
+    term_df.groupBy("term").agg(F.sum("df").alias("df")).write.mode(
+        "overwrite"
+    ).parquet(out + "/_termdf")
+    fs.write_text_atomic(out + "/_stats.json", json.dumps(_fold_stats(parts)))
+    if (fs.read_text(base + "/_deltas") or "") != manifest0:
+        raise RuntimeError(
+            f"compact_bm25_index: a concurrent append committed on {path} "
+            "during this compaction — its delta is not in the folded "
+            "generation; re-run the compaction"
+        )
+    commit_generation(
+        fs, path, prev_gen, gen_name,
+        op="compact_bm25_index", keep=(prev_name,),
     )
 
 
@@ -368,9 +464,20 @@ def bm25_search_batch(
     )
     # IDF weights come from term_df RESTRICTED to the query vocabulary —
     # the full-vocab table is O(corpus vocabulary) and must never
-    # broadcast; the restriction is O(query terms)
-    tdf = term_df.join(
-        F.broadcast(qterms.select("term").distinct()), "term", "inner"
+    # broadcast; the restriction is O(query terms). The restriction runs
+    # BEFORE the fold: on a maintained index term_df is the raw
+    # base+delta union of per-part dfs (read_bm25_index leaves it
+    # unfolded on purpose), and folding first would shuffle the FULL
+    # vocabulary on every search batch — the broadcast join is a
+    # map-side filter, so the groupBy's exchange carries only matched
+    # query terms. On a fresh-built (term-unique) table the fold is an
+    # identity over O(query vocab) rows.
+    tdf = (
+        term_df.join(
+            F.broadcast(qterms.select("term").distinct()), "term", "inner"
+        )
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
     )
     if max_df_fraction is not None:
         tdf = tdf.filter(F.col("df") <= F.lit(float(max_df_fraction) * n_docs))

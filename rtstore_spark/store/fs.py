@@ -271,6 +271,26 @@ def commit_generation(
             fs.delete(f"{path}/{d}", recursive=True)
 
 
+def safe_batch_tag(tag) -> str:
+    """Filesystem-safe idempotence token for a streaming batch tag.
+
+    Digit-only tags — the ``foreachBatch`` batch-id convention every
+    ``*_index_sink`` uses — pass through verbatim, so tokens already
+    committed into manifests by earlier appends keep matching their
+    replays. Anything else HASHES (sha1, ``h``-prefixed): the previous
+    sanitizer stripped non-alphanumerics, which collapsed distinct raw
+    tags like ``'1-2'`` and ``'12'`` into one token and silently
+    dropped the second append as a replay. A digit token can never
+    equal an ``h``-prefixed one, and two distinct raw tags collide only
+    on a sha1 collision."""
+    import hashlib
+
+    s = str(tag)
+    if s.isascii() and s.isdigit():
+        return s
+    return "h" + hashlib.sha1(s.encode()).hexdigest()[:20]
+
+
 def parse_gen_pointer(cur: str | None) -> tuple[int, str | None]:
     """(generation number, directory name) from a manifest ``_current``
     pointer whose target is a ``gen-<N>[-<nonce>]`` directory — the

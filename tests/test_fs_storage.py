@@ -353,3 +353,29 @@ class TestGenerationCommitHelper:
         commit_generation(fs, root, pg3, g3, op="t", keep=(pn3,))
         dirs = {d for d in os.listdir(root) if d.startswith("gen-")}
         assert dirs == {g1, g3}  # live + predecessor; orphan g2 gone
+
+
+class TestSafeBatchTag:
+    """store.fs.safe_batch_tag — the shared idempotence-token rule for
+    streaming index sinks (bm25 + pq)."""
+
+    def test_digit_tags_pass_through(self):
+        from rtstore_spark.store.fs import safe_batch_tag
+
+        # the foreachBatch convention: batch ids stay verbatim, so
+        # tokens committed by earlier releases keep matching replays
+        assert safe_batch_tag("0") == "0"
+        assert safe_batch_tag(17) == "17"
+
+    def test_distinct_raw_tags_never_alias(self):
+        from rtstore_spark.store.fs import safe_batch_tag
+
+        # the old strip-to-alnum sanitizer collapsed these into '12'
+        assert safe_batch_tag("1-2") != safe_batch_tag("12")
+        assert safe_batch_tag("1-2") != safe_batch_tag("1_2")
+        # deterministic (replay of the same raw tag must match)
+        assert safe_batch_tag("a b") == safe_batch_tag("a b")
+        # hashed tokens are h-prefixed: disjoint from digit tokens
+        assert safe_batch_tag("x").startswith("h")
+        # filesystem-safe either way
+        assert safe_batch_tag("we/ird\ntag").isalnum()

@@ -24,6 +24,7 @@ from rtstore_spark.operators.retrieval import (
     bm25_batch_topk,
     bm25_build,
     bm25_search_batch,
+    compact_bm25_index,
     read_bm25_index,
     write_bm25_index,
 )
@@ -410,7 +411,12 @@ class TestIncrementalAppend:
         write_bm25_index(a, "text", "doc_id", path)
         append_bm25_index(b, "text", "doc_id", path)
         _, term_df, stats = read_bm25_index(spark, path)
-        dfs = {r["term"]: r["df"] for r in term_df.collect()}
+        # read returns the UNFOLDED base+delta union (per-part partial
+        # dfs — deliberate: the search path folds AFTER its query-vocab
+        # restriction so a maintained index never shuffles the full
+        # vocabulary); the partials must SUM to the true dfs
+        folded = term_df.groupBy("term").agg(F.sum("df").alias("df"))
+        dfs = {r["term"]: r["df"] for r in folded.collect()}
         assert dfs == {"apple": 3, "banana": 1, "cherry": 1}
         assert stats["n_docs"] == 3
 
@@ -493,7 +499,14 @@ class TestStreamingMaintenance:
         sink(batch, 0)  # replay of the SAME micro-batch
         _, term_df, s2 = read_bm25_index(spark, path)
         assert s2 == s1
-        assert term_df.groupBy("term").count().filter("count > 1").count() == 0
+        # the replay committed NO second delta (one delta dir total),
+        # so every term's partial dfs sum to a single-counted df
+        gen = [d for d in os.listdir(path) if d.startswith("gen-")]
+        deltas = [
+            d for d in os.listdir(os.path.join(path, gen[0]))
+            if d.startswith("delta-")
+        ]
+        assert len(deltas) == 1
         sink(batch.limit(0), 1)  # empty batch is also a no-op
         _, _, s3 = read_bm25_index(spark, path)
         assert s3 == s1
@@ -609,3 +622,232 @@ class TestStaticBucketPruning:
         assert out.count() == 0
         assert [f.name for f in out.schema.fields] == ["qid", "id", "score"]
         assert out.schema["id"].dataType == postings.schema["id"].dataType
+
+
+def _node_tree(plan: str) -> list[tuple[int, str]]:
+    """(depth, node text) per line of a Spark plan tree string. The
+    tree prefix is 3-char segments drawn from {'   ', ':  ', '+- ',
+    ':- '}; depth = segment count."""
+    nodes = []
+    for ln in plan.splitlines():
+        if not ln.strip():
+            continue
+        i = depth = 0
+        while True:
+            seg = ln[i:i + 3]
+            if seg in ("   ", ":  "):
+                depth += 1
+                i += 3
+            elif seg in ("+- ", ":- "):
+                depth += 1
+                i += 3
+                break
+            else:
+                break
+        nodes.append((depth, ln[i:]))
+    return nodes
+
+
+def _ancestor_chains(plan: str, pred) -> list[list[str]]:
+    """For each plan node matching ``pred``, its ancestor node texts
+    root→parent (indentation-parsed)."""
+    chains: list[list[str]] = []
+    stack: list[tuple[int, str]] = []
+    for depth, text in _node_tree(plan):
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        if pred(text):
+            chains.append([t for _, t in stack])
+        stack.append((depth, text))
+    return chains
+
+
+class TestDeltaFoldPlan:
+    def test_no_full_vocab_exchange_on_maintained_index_search(
+        self, spark, docs, tmp_path
+    ):
+        """On a base+delta index the term-df fold must run AFTER the
+        query-vocab restriction: each _termdf scan's rows reach a
+        BroadcastHashJoin (the broadcast query terms — a map-side
+        filter) BEFORE any hashpartitioning-on-term exchange. Folding
+        first would shuffle the FULL vocabulary on every search batch
+        — the one place a maintained index used to be asymptotically
+        worse than a rebuilt one."""
+        path = str(tmp_path / "bm25-foldplan")
+        write_bm25_index(docs.limit(60), "text", "doc_id", path, n_buckets=8)
+        append_bm25_index(
+            docs.limit(90).subtract(docs.limit(60)), "text", "doc_id", path
+        )
+        postings, term_df, stats = read_bm25_index(spark, path)
+        queries = spark.createDataFrame(
+            [(0, "model training data")], "qid long, text string"
+        )
+        plan = (
+            bm25_search_batch(postings, term_df, stats, queries, k=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # term-df scans are identified by their ReadSchema — toString
+        # truncates long /tmp locations, so the _termdf path itself may
+        # not survive into the plan text
+        chains = _ancestor_chains(
+            plan,
+            lambda t: "FileScan" in t
+            and "ReadSchema: struct<term:string,df:bigint>" in t,
+        )
+        assert len(chains) >= 2, plan  # base arm AND delta arm
+        for chain in chains:
+            # walk scan → root: a term-keyed exchange may appear only
+            # after the broadcast restriction join
+            seen_bhj = False
+            for node in reversed(chain):
+                if "BroadcastHashJoin" in node:
+                    seen_bhj = True
+                if "Exchange hashpartitioning(term" in node:
+                    assert seen_bhj, (
+                        "full-vocab term exchange below the query-vocab "
+                        "restriction:\n" + plan
+                    )
+            assert seen_bhj, "no broadcast restriction above a _termdf scan:\n" + plan
+
+
+class TestCompaction:
+    def _search(self, spark, path, queries, k=8):
+        postings, term_df, stats = read_bm25_index(spark, path)
+        return [
+            (r["qid"], r["id"], r["score"])
+            for r in bm25_search_batch(
+                postings, term_df, stats, queries, k=k
+            ).collect()
+        ]
+
+    def test_compaction_folds_deltas_results_identical(
+        self, spark, docs, tmp_path
+    ):
+        path = str(tmp_path / "bm25-compact")
+        write_bm25_index(docs.limit(50), "text", "doc_id", path, n_buckets=8)
+        append_bm25_index(
+            docs.limit(75).subtract(docs.limit(50)), "text", "doc_id", path
+        )
+        append_bm25_index(
+            docs.limit(90).subtract(docs.limit(75)), "text", "doc_id", path
+        )
+        queries = spark.createDataFrame(QUERIES, "qid long, text string")
+        before = self._search(spark, path, queries)
+        _, _, s_before = read_bm25_index(spark, path)
+        compact_bm25_index(spark, path)
+        from rtstore_spark.store.fs import fs_for, parse_gen_pointer
+
+        fs = fs_for(path, spark)
+        _, live = parse_gen_pointer(fs.read_text(f"{path}/_current"))
+        assert fs.read_text(f"{path}/{live}/_deltas") is None  # union-free
+        postings, term_df, s_after = read_bm25_index(spark, path)
+        assert s_after == s_before  # exact integer stats fold
+        # one row per term again (the persisted fold)
+        assert term_df.groupBy("term").count().filter("count > 1").count() == 0
+        assert self._search(spark, path, queries) == before
+
+    def test_compaction_without_deltas_is_noop(self, spark, docs, tmp_path):
+        path = str(tmp_path / "bm25-compact-noop")
+        write_bm25_index(docs.limit(30), "text", "doc_id", path)
+        from rtstore_spark.store.fs import fs_for
+
+        fs = fs_for(path, spark)
+        cur0 = fs.read_text(f"{path}/_current")
+        compact_bm25_index(spark, path)
+        assert fs.read_text(f"{path}/_current") == cur0
+
+    def test_crash_before_flip_leaves_deltad_generation_live(
+        self, spark, docs, tmp_path, monkeypatch
+    ):
+        from rtstore_spark.store import fs as fsmod
+
+        path = str(tmp_path / "bm25-compact-crash")
+        write_bm25_index(docs.limit(40), "text", "doc_id", path)
+        append_bm25_index(
+            docs.limit(60).subtract(docs.limit(40)), "text", "doc_id", path
+        )
+        queries = spark.createDataFrame(
+            [(0, "model training data")], "qid long, text string"
+        )
+        before = self._search(spark, path, queries)
+
+        real = fsmod.LocalFS.write_text_atomic
+
+        def dying(self, p, text):
+            if p.endswith("/_current") and "gen-2" in text:
+                raise RuntimeError("injected crash before pointer flip")
+            return real(self, p, text)
+
+        monkeypatch.setattr(fsmod.LocalFS, "write_text_atomic", dying)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            compact_bm25_index(spark, path)
+        monkeypatch.undo()
+        _, _, stats = read_bm25_index(spark, path)
+        assert stats["n_docs"] == 60  # base + delta both still visible
+        assert self._search(spark, path, queries) == before
+
+    def test_concurrent_append_mid_compaction_raises(
+        self, spark, docs, tmp_path, monkeypatch
+    ):
+        """An append that commits while the compaction is writing must
+        fail the compaction loudly — flipping anyway would silently
+        drop the appended documents from the folded index."""
+        from rtstore_spark.store import fs as fsmod
+
+        path = str(tmp_path / "bm25-compact-race")
+        write_bm25_index(docs.limit(40), "text", "doc_id", path)
+        append_bm25_index(
+            docs.limit(60).subtract(docs.limit(40)), "text", "doc_id", path
+        )
+        racing = docs.limit(70).subtract(docs.limit(60))
+
+        real = fsmod.LocalFS.write_text_atomic
+        fired = {"done": False}
+
+        def racing_appender(self, p, text):
+            # the new generation's stats write is the last data write
+            # before the manifest re-check — sneak a real append in
+            if p.endswith("/_stats.json") and "gen-2" in p and not fired["done"]:
+                fired["done"] = True
+                monkeypatch.setattr(
+                    fsmod.LocalFS, "write_text_atomic", real
+                )
+                append_bm25_index(racing, "text", "doc_id", path)
+                monkeypatch.setattr(
+                    fsmod.LocalFS, "write_text_atomic", racing_appender
+                )
+            return real(self, p, text)
+
+        monkeypatch.setattr(fsmod.LocalFS, "write_text_atomic", racing_appender)
+        with pytest.raises(RuntimeError, match="concurrent append"):
+            compact_bm25_index(spark, path)
+        monkeypatch.undo()
+        _, _, stats = read_bm25_index(spark, path)
+        assert stats["n_docs"] == 70  # nothing lost; both deltas live
+
+
+class TestBatchTagAliasing:
+    def test_distinct_raw_tags_never_alias(self, spark, tmp_path):
+        """'1-2' and '12' used to sanitize to the same token, silently
+        dropping the second append as a replay. Non-digit tags now hash
+        to distinct tokens; both appends must commit."""
+        path = str(tmp_path / "bm25-tags")
+        a = spark.createDataFrame(
+            [(1, "alpha beta")], "doc_id long, text string"
+        )
+        b = spark.createDataFrame(
+            [(2, "beta gamma")], "doc_id long, text string"
+        )
+        c = spark.createDataFrame(
+            [(3, "gamma delta")], "doc_id long, text string"
+        )
+        write_bm25_index(a, "text", "doc_id", path)
+        append_bm25_index(b, "text", "doc_id", path, batch_tag="1-2")
+        append_bm25_index(c, "text", "doc_id", path, batch_tag="12")
+        _, _, stats = read_bm25_index(spark, path)
+        assert stats["n_docs"] == 3  # both deltas committed
+        # replays of each raw tag still no-op
+        append_bm25_index(b, "text", "doc_id", path, batch_tag="1-2")
+        append_bm25_index(c, "text", "doc_id", path, batch_tag="12")
+        _, _, s2 = read_bm25_index(spark, path)
+        assert s2["n_docs"] == 3
