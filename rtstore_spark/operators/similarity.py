@@ -1171,6 +1171,17 @@ def resolve_index_base(spark, path: str) -> str:
     return f"{path}/{live}"
 
 
+def _parse_inc_pointer(cur: str | None) -> tuple[int, list[str]]:
+    """The increment pointer file: line 1 is the committed increment
+    count N; lines 2+ are committed batch-tag tokens (``t<token>``, one
+    per tagged append — the exactly-once ledger ``pq_index_sink``
+    replays check against). Legacy single-line files parse as (N, [])."""
+    if cur is None:
+        return 0, []
+    lines = [ln.strip() for ln in cur.splitlines() if ln.strip()]
+    return int(lines[0]), lines[1:]
+
+
 def _live_increments(spark, base: str) -> list[str]:
     """Paths of the COMMITTED increment generations of an index base —
     ``<base>/inc/gen-1 .. gen-current`` where ``current`` comes from the
@@ -1180,13 +1191,11 @@ def _live_increments(spark, base: str) -> list[str]:
     manifest-pointer protocol as the storage plane — see ``store/fs.py``
     module doc). Increments live UNDER the base generation, so a rebuilt
     base can never union another generation's increments."""
-    from rtstore_spark.store.fs import fs_for, parse_gen_pointer
+    from rtstore_spark.store.fs import fs_for
 
     fs = fs_for(base, spark)
-    cur = fs.read_text(f"{base}/inc/_current")
-    if cur is None:
-        return []
-    return [f"{base}/inc/gen-{i}" for i in range(1, int(cur.strip()) + 1)]
+    n, _ = _parse_inc_pointer(fs.read_text(f"{base}/inc/_current"))
+    return [f"{base}/inc/gen-{i}" for i in range(1, n + 1)]
 
 
 def read_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
@@ -1258,7 +1267,8 @@ def assign_routes(
 
 
 def append_pq_index(
-    df: DataFrame, vec_col: str, id_col: str, path: str
+    df: DataFrame, vec_col: str, id_col: str, path: str,
+    batch_tag: str | None = None,
 ) -> None:
     """Incrementally extend a persisted IVF-PQ index with new vectors —
     the daily-crawl maintenance path: encode and route ONLY the new rows
@@ -1279,6 +1289,18 @@ def append_pq_index(
     Caller contract: ids must be new (the index does no upsert — append
     of an existing id yields two code rows and duplicate hits).
 
+    ``batch_tag``: an idempotence token for EXACTLY-ONCE streaming
+    maintenance (``pq_index_sink``), mirroring
+    ``retrieval.append_bm25_index``. Committed tags ride in the
+    increment pointer file itself (line 1 = count, lines 2+ = tags), so
+    the tag ledger and the commit are ONE atomic small-object write —
+    a micro-batch re-delivered after a crash either finds its tag (the
+    pointer flipped: full no-op) or doesn't (the orphan increment is
+    overwritten by the retry, standard protocol). Non-digit tags hash
+    via ``store.fs.safe_batch_tag`` so distinct raw tags never alias.
+    An empty ``df`` is a no-op (a zero-row increment directory would be
+    schema-less and unreadable).
+
     Crash safety — the storage plane's manifest-pointer protocol: the
     increment is written to a fresh generation directory
     ``<base>/inc/gen-N`` under the LIVE base generation (N = committed
@@ -1291,10 +1313,20 @@ def append_pq_index(
     visible, even on object-store committers that surface
     partially-committed task files.
     """
-    from rtstore_spark.store.fs import fs_for, parse_gen_pointer
+    from rtstore_spark.store.fs import fs_for, safe_batch_tag
 
     spark = df.sparkSession
     base = resolve_index_base(spark, path)
+    fs = fs_for(base, spark)
+    cur0 = fs.read_text(f"{base}/inc/_current")
+    n0, tags0 = _parse_inc_pointer(cur0)
+    token = None
+    if batch_tag is not None:
+        token = f"t{safe_batch_tag(batch_tag)}"
+        if token in tags0:
+            return  # replayed micro-batch: already committed
+    if df.isEmpty():
+        return
     model = pq_load(spark, base + "/_model")
     cents = spark.read.parquet(base + "/_centroids").orderBy("route").collect()
     if [int(r["route"]) for r in cents] != list(range(len(cents))):
@@ -1311,10 +1343,58 @@ def append_pq_index(
     codes = pq_encode(routed, "_vec", "id", model).join(
         routed.select("id", "route"), "id"
     )
-    fs = fs_for(base, spark)
-    cur = fs.read_text(f"{base}/inc/_current")
-    nxt = (int(cur.strip()) if cur is not None else 0) + 1
+    nxt = n0 + 1
     codes.write.mode("overwrite").partitionBy("route").parquet(
         f"{base}/inc/gen-{nxt}"
     )
-    fs.write_text_atomic(f"{base}/inc/_current", str(nxt))
+    # single-writer backstop, enforced loudly (mirrors append_bm25_index):
+    # a rebuild that retargeted the root pointer, or a concurrent append
+    # that advanced the increment pointer, must fail THIS append — a
+    # blind flip would either target a retired generation or discard the
+    # racer's committed increment (both pointers are re-read just before
+    # the one atomic write that commits)
+    if resolve_index_base(spark, path) != base:
+        raise RuntimeError(
+            f"append_pq_index: a rebuild advanced {path} during this "
+            "append — the increment targets a retired generation; re-run "
+            "against the new one"
+        )
+    if fs.read_text(f"{base}/inc/_current") != cur0:
+        raise RuntimeError(
+            f"append_pq_index: concurrent append detected on {path} — "
+            "indexes have a single-writer contract; re-run the append"
+        )
+    lines = [str(nxt), *tags0]
+    if token is not None:
+        lines.append(token)
+    fs.write_text_atomic(f"{base}/inc/_current", "\n".join(lines) + "\n")
+
+
+def pq_index_sink(path: str, vec_col: str, id_col: str):
+    """Streaming ANN index maintenance: a ``foreachBatch`` body that
+    appends each micro-batch of NEW vectors as a committed increment —
+
+        (vectors_stream.writeStream
+            .option("checkpointLocation", chk)
+            .foreachBatch(pq_index_sink(path, "embedding", "vec_id"))
+            .trigger(availableNow=True).start())
+
+    — the ANN mirror of ``retrieval.bm25_index_sink`` and of the
+    reference index node's tail-don't-reindex stance
+    (indexer_impl.rs:147-196): a continuously-ingested embedding corpus
+    becomes searchable without O(corpus) re-encodes. Exactly-once under
+    Structured Streaming's replay model: the micro-batch id is the
+    increment's ``batch_tag``, recorded in the same atomic pointer
+    write that commits the increment, so a batch re-delivered after a
+    crash no-ops (``append_pq_index`` would otherwise append duplicate
+    code rows → duplicate hits). The base index must exist
+    (``write_pq_index``); periodic rebuilds retrain/fold as the corpus
+    distribution moves. Checkpoint-reset rule (shared with
+    ``bm25_index_sink``): batch ids restart at 0 after a checkpoint
+    wipe, so a reset requires a rebuild, not more appends."""
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        append_pq_index(
+            batch_df, vec_col, id_col, path, batch_tag=str(batch_id)
+        )
+
+    return apply

@@ -459,6 +459,180 @@ class TestAppendCrashSafety:
         assert 55 in [r["id"] for r in hits]
 
 
+class TestStreamingMaintenance:
+    """pq_index_sink — exactly-once streaming ANN maintenance, the
+    mirror of retrieval.bm25_index_sink's contract suite: replayed
+    batch tags no-op, distinct raw tags never alias, a crash before the
+    pointer flip converges on retry, and a real file-source stream's
+    appends become searchable."""
+
+    @pytest.fixture()
+    def stream_index(self, spark, emb, model, tmp_path):
+        from rtstore_spark.operators.similarity import write_pq_index
+
+        base = emb.filter("vec_id < 40").select(
+            F.col("vec_id").alias("id"), "embedding",
+            F.col("label").alias("route"),
+        )
+        path = str(tmp_path / "ivfpq-stream")
+        write_pq_index(base, "embedding", "id", "route", model, path)
+        return path
+
+    def test_replayed_batch_tag_is_noop(self, spark, emb, stream_index):
+        from rtstore_spark.operators.similarity import (
+            pq_index_sink,
+            read_pq_index,
+        )
+
+        sink = pq_index_sink(stream_index, "embedding", "vec_id")
+        batch = emb.filter("vec_id >= 40 and vec_id < 60")
+        sink(batch, 0)
+        assert read_pq_index(spark, stream_index)[0].count() == 60
+        sink(batch, 0)  # replay of the SAME micro-batch
+        codes, _, _ = read_pq_index(spark, stream_index)
+        ids = [r["id"] for r in codes.collect()]
+        assert len(ids) == 60 and len(set(ids)) == 60  # no duplicate hits
+        sink(batch.limit(0), 1)  # empty batch is also a no-op
+        assert read_pq_index(spark, stream_index)[0].count() == 60
+
+    def test_distinct_raw_tags_never_alias(self, spark, emb, stream_index):
+        from rtstore_spark.operators.similarity import (
+            append_pq_index,
+            read_pq_index,
+        )
+
+        append_pq_index(
+            emb.filter("vec_id >= 40 and vec_id < 50"),
+            "embedding", "vec_id", stream_index, batch_tag="1-2",
+        )
+        append_pq_index(
+            emb.filter("vec_id >= 50 and vec_id < 60"),
+            "embedding", "vec_id", stream_index, batch_tag="12",
+        )
+        assert read_pq_index(spark, stream_index)[0].count() == 60
+        # replays of each raw tag still no-op
+        append_pq_index(
+            emb.filter("vec_id >= 40 and vec_id < 50"),
+            "embedding", "vec_id", stream_index, batch_tag="1-2",
+        )
+        assert read_pq_index(spark, stream_index)[0].count() == 60
+
+    def test_crash_before_flip_then_replay_converges_exactly_once(
+        self, spark, emb, stream_index, monkeypatch
+    ):
+        from rtstore_spark.operators.similarity import (
+            pq_index_sink,
+            read_pq_index,
+        )
+        from rtstore_spark.store.fs import LocalFS
+
+        sink = pq_index_sink(stream_index, "embedding", "vec_id")
+        batch = emb.filter("vec_id >= 40 and vec_id < 60")
+
+        def boom(self, p, text):
+            raise RuntimeError("simulated crash before pointer flip")
+
+        monkeypatch.setattr(LocalFS, "write_text_atomic", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            sink(batch, 0)
+        monkeypatch.undo()
+        # tag never committed → the foreachBatch replay RUNS the append
+        # (overwriting the orphan), exactly once
+        assert read_pq_index(spark, stream_index)[0].count() == 40
+        sink(batch, 0)
+        codes, _, _ = read_pq_index(spark, stream_index)
+        ids = [r["id"] for r in codes.collect()]
+        assert len(ids) == 60 and len(set(ids)) == 60
+
+    def test_concurrent_append_mid_append_raises(
+        self, spark, emb, stream_index, monkeypatch
+    ):
+        """An append that commits while this one is writing must fail
+        THIS one loudly — a blind pointer write would discard the
+        racer's committed increment (the pointer is the ledger)."""
+        import rtstore_spark.operators.similarity as sim
+
+        real_resolve = sim.resolve_index_base
+        calls = {"n": 0}
+
+        def hooked(spark_, p):
+            calls["n"] += 1
+            if calls["n"] == 2:  # my append's pre-flip backstop
+                monkeypatch.setattr(sim, "resolve_index_base", real_resolve)
+                sim.append_pq_index(
+                    emb.filter("vec_id >= 50 and vec_id < 60"),
+                    "embedding", "vec_id", stream_index,
+                )
+            return real_resolve(spark_, p)
+
+        monkeypatch.setattr(sim, "resolve_index_base", hooked)
+        with pytest.raises(RuntimeError, match="concurrent append"):
+            sim.append_pq_index(
+                emb.filter("vec_id >= 40 and vec_id < 50"),
+                "embedding", "vec_id", stream_index,
+            )
+        monkeypatch.undo()
+        # the racer's increment is intact; mine never committed
+        codes, _, _ = sim.read_pq_index(spark, stream_index)
+        ids = [r["id"] for r in codes.collect()]
+        assert sorted(ids) == list(range(40)) + list(range(50, 60))
+
+    def test_streaming_appends_become_searchable(
+        self, spark, emb, model, tmp_path
+    ):
+        """End-to-end: a file-source stream of new vectors maintains the
+        index via foreachBatch; search sees the streamed vectors with no
+        rebuild; a restart over the same checkpoint appends nothing."""
+        import json as _json
+
+        from rtstore_spark.operators.similarity import (
+            ivf_pq_topk,
+            pq_index_sink,
+            read_pq_index,
+            write_pq_index,
+        )
+
+        path = str(tmp_path / "ivfpq-live")
+        base = emb.filter("vec_id < 40").select(
+            F.col("vec_id").alias("id"), "embedding",
+            F.col("label").alias("route"),
+        )
+        write_pq_index(base, "embedding", "id", "route", model, path)
+        staging = tmp_path / "staging"
+        staging.mkdir()
+        new_rows = emb.filter("vec_id >= 40 and vec_id < 60").collect()
+        (staging / "a.jsonl").write_text("\n".join(
+            _json.dumps({
+                "vec_id": r["vec_id"],
+                "embedding": [float(x) for x in r["embedding"]],
+            })
+            for r in new_rows
+        ))
+
+        def run_stream():
+            q = (
+                spark.readStream
+                .schema("vec_id long, embedding array<double>")
+                .json(str(staging))
+                .writeStream
+                .option("checkpointLocation", str(tmp_path / "chk"))
+                .foreachBatch(pq_index_sink(path, "embedding", "vec_id"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_stream()
+        codes, cents, loaded = read_pq_index(spark, path)
+        assert codes.count() == 60
+        q55 = emb.filter("vec_id = 55").collect()[0]["embedding"]
+        hits = ivf_pq_topk(codes, loaded, cents, q55, k=5, nprobe=4).collect()
+        assert 55 in [r["id"] for r in hits]
+        # restart over the SAME checkpoint: no new data → no new appends
+        run_stream()
+        assert read_pq_index(spark, path)[0].count() == 60
+
+
 class TestRebuildClearsIncrements:
     def test_in_place_rebuild_retires_stale_increments(
         self, spark, emb, model
