@@ -906,6 +906,90 @@ def bm25_corpus_search(spark, sf):
 
 
 @register(
+    "bm25_maintained_search",
+    r"""WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks GROUP BY doc_id, term),
+        tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        q(qid, qtext) AS (VALUES
+          (0, 'model training data'), (1, 'the of and'),
+          (2, 'pattern structure language')),
+        qt AS (SELECT DISTINCT qid,
+                 unnest(string_split_regex(lower(trim(qtext)), '\s+')) AS term
+               FROM q)
+       SELECT qt.qid, tf.doc_id,
+              round(sum(
+                ln(1 + (stats.n - tdf.df + 0.5) / (tdf.df + 0.5))
+                * (tf.tf * (1.2 + 1))
+                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+              ), 4) AS score
+       FROM qt
+       JOIN tf  ON tf.term = qt.term
+       JOIN tdf ON tdf.term = qt.term
+       JOIN dl  ON dl.doc_id = tf.doc_id
+       CROSS JOIN stats
+       GROUP BY qt.qid, tf.doc_id""",
+)
+def bm25_maintained_search(spark, sf):
+    """Batch BM25 search through a MAINTAINED index: the even doc_ids
+    form the base generation (write_bm25_index), the odd half arrives
+    as a delta (append_bm25_index — the layout the exactly-once
+    streaming sink produces), and the search runs over the base+delta
+    union. The oracle is the FULL-corpus BM25 arithmetic: a maintained
+    index must score identically to one built over the whole corpus in
+    one shot — (n_docs, avgdl) folded exactly from integer sum_dl, term
+    dfs summed AFTER the query-vocab restriction so the plan never
+    shuffles the full vocabulary (operators/retrieval.py). Same
+    float-safety rules as bm25_corpus_search: no top-k cut (the row set
+    is float-free term membership), raw sum rounded ONCE at 4 on both
+    sides.
+
+    ROTATION-POOL member (entered round 10, occupying the slot that
+    round to earn its first green gate row): while it sits out,
+    bm25_corpus_search keeps the retrieval family's oracle row green
+    and tests/test_retrieval.py pins the delta fold
+    (test_append_visible_without_rebuild_and_matches_full_rebuild) plus
+    the fold-after-restriction plan shape (TestDeltaFoldPlan)."""
+    import tempfile
+
+    from rtstore_spark.operators.retrieval import (
+        append_bm25_index,
+        bm25_search_batch,
+        read_bm25_index,
+        write_bm25_index,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_maint_") + "/idx"
+    write_bm25_index(
+        docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id", path,
+        n_buckets=16,
+    )
+    append_bm25_index(
+        docs.filter(F.col("doc_id") % 2 == 1), "text", "doc_id", path
+    )
+    postings, term_df, stats = read_bm25_index(spark, path)
+    queries = spark.createDataFrame(
+        [
+            (0, "model training data"),
+            (1, "the of and"),
+            (2, "pattern structure language"),
+        ],
+        "qid long, text string",
+    )
+    return bm25_search_batch(
+        postings, term_df, stats, queries,
+        k=1_000_000,  # no cut: all matches
+        round_to=4,   # single round of the raw sum, same as the SQL
+    ).select("qid", F.col("id").alias("doc_id"), "score")
+
+
+@register(
     "minhash_signature",
     _minhash_wide_sql() + "\n"
     + "\n UNION ALL ".join(
@@ -1482,17 +1566,24 @@ _FIRST = ["winnow_fingerprints", "embedding_neardup", "multimodal_features", "an
 # operator's oracle row must displace an old one — and before round 9 a
 # displaced entry silently lost oracle coverage FOREVER. Now the registry
 # is 49 STABLE core entries + 1 ROTATING slot. _ROTATION_POOL holds the
-# entries eligible to rotate: each one's operator family keeps at least
-# one other green oracle row plus pytest coverage while it sits out
-# (minhash_signature → minhash_lsh_pairs derives from the same
+# entries eligible to rotate; the POOL INVARIANT every member must
+# satisfy: while it sits out, its operator family keeps at least one
+# other green oracle row PLUS a pytest pin of the sat-out entry's own
+# behavior (minhash_signature → minhash_lsh_pairs derives from the same
 # signatures + test_operators pins the unpivot; q_events_pivot →
 # q_events_hourly/q_user_sessions keep the events-agg family green +
-# test_inventory pins the pivot column contract). ROTATION_ROUND picks
-# the occupant, so every pool entry re-earns a green gate row within
-# len(_ROTATION_POOL) rounds. To retire a future entry, move it into the
-# pool instead of deleting its registration.
-ROTATION_ROUND = 9  # bump each round (9 % 2 = 1 → minhash_signature in)
-_ROTATION_POOL = ["q_events_pivot", "minhash_signature"]
+# test_inventory pins the pivot column contract; bm25_maintained_search
+# → bm25_corpus_search keeps retrieval green + test_retrieval pins the
+# delta fold and its plan shape). ROTATION_ROUND picks the occupant, so
+# every pool entry re-earns a green gate row within len(_ROTATION_POOL)
+# rounds. NEW oracle-worthy entries land THROUGH the pool (register +
+# append to the pool + pick the round ordering that seats them first),
+# never by ad-hoc displacement of a stable entry; to retire a future
+# entry, move it into the pool instead of deleting its registration.
+ROTATION_ROUND = 10  # bump each round (10 % 3 = 1 → bm25_maintained_search in)
+_ROTATION_POOL = [
+    "q_events_pivot", "bm25_maintained_search", "minhash_signature",
+]
 
 
 def _ordered() -> list[str]:

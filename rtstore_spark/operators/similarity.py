@@ -1370,6 +1370,73 @@ def append_pq_index(
     fs.write_text_atomic(f"{base}/inc/_current", "\n".join(lines) + "\n")
 
 
+def compact_pq_index(spark, path: str) -> None:
+    """Fold committed increments into a fresh base generation WITHOUT
+    the corpus — the ANN mirror of ``retrieval.compact_bm25_index``.
+
+    ``write_pq_index`` folds increments too, but it re-encodes the
+    whole corpus; this compaction reads only what the index already
+    persists: the base+increment code rows union into
+    ``<path>/gen-(N+1)/codes`` (no re-encode, no re-route — every row
+    was produced under the SAME codebooks/centroids, which copy over
+    verbatim), committed behind the standard pointer flip. A reader
+    then sees ONE union-free generation — one route-partitioned scan
+    per probe instead of one per increment arm — and the batch-tag
+    ledger resets with the retired increments (correct: a post-
+    compaction replay of an old batch would re-append, so the
+    checkpoint-reset rule applies — compact between clean stream runs,
+    like the streaming state tables). Search results are identical by
+    construction (same code rows, same model, same centroids). No-op
+    when there are no committed increments.
+
+    Crash safety: standard generation protocol — a crash before the
+    flip leaves the increment-stacked generation fully live. Single
+    writer, enforced loudly twice: ``commit_generation`` re-checks the
+    root pointer (a rebuild raced us) and the increment pointer is
+    re-read just before the flip (an append raced us — flipping anyway
+    would silently drop its committed rows)."""
+    from rtstore_spark.store.fs import (
+        begin_generation,
+        commit_generation,
+        fs_for,
+    )
+
+    fs = fs_for(path, spark)
+    prev_gen, prev_name, gen_name = begin_generation(fs, path)
+    base = resolve_index_base(spark, path)
+    if prev_name is not None and base != f"{path}/{prev_name}":
+        raise RuntimeError(
+            f"compact_pq_index: a rebuild advanced {path} during this "
+            "compaction — re-run against the new generation"
+        )
+    inc0 = fs.read_text(f"{base}/inc/_current")
+    incs = _live_increments(spark, base)
+    if not incs:
+        return  # union-free already: nothing to fold
+    out = f"{path}/{gen_name}"
+    codes = spark.read.parquet(base + "/codes")
+    for inc in incs:
+        codes = codes.unionByName(spark.read.parquet(inc))
+    codes.write.mode("overwrite").partitionBy("route").parquet(out + "/codes")
+    spark.read.parquet(base + "/_centroids").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out + "/_centroids")
+    pq_save(spark, pq_load(spark, base + "/_model"), out + "/_model")
+    if fs.read_text(f"{base}/inc/_current") != inc0:
+        raise RuntimeError(
+            f"compact_pq_index: a concurrent append committed on {path} "
+            "during this compaction — its increment is not in the folded "
+            "generation; re-run the compaction"
+        )
+    commit_generation(
+        fs, path, prev_gen, gen_name,
+        op="compact_pq_index", keep=(prev_name,),
+    )
+    if base == path:  # legacy pre-pointer root layout: artifacts now stale
+        for legacy in ("codes", "_centroids", "_model", "inc"):
+            fs.delete(f"{path}/{legacy}", recursive=True)
+
+
 def pq_index_sink(path: str, vec_col: str, id_col: str):
     """Streaming ANN index maintenance: a ``foreachBatch`` body that
     appends each micro-batch of NEW vectors as a committed increment —

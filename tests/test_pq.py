@@ -633,6 +633,129 @@ class TestStreamingMaintenance:
         assert read_pq_index(spark, path)[0].count() == 60
 
 
+class TestPqCompaction:
+    """compact_pq_index — fold committed increments into a fresh
+    generation from the persisted parquet alone: no corpus, no
+    re-encode, identical search results, standard crash safety."""
+
+    @pytest.fixture()
+    def stacked_index(self, spark, emb, model, tmp_path):
+        from rtstore_spark.operators.similarity import (
+            append_pq_index,
+            write_pq_index,
+        )
+
+        base = emb.filter("vec_id < 40").select(
+            F.col("vec_id").alias("id"), "embedding",
+            F.col("label").alias("route"),
+        )
+        path = str(tmp_path / "ivfpq-compact")
+        write_pq_index(base, "embedding", "id", "route", model, path)
+        append_pq_index(
+            emb.filter("vec_id >= 40 and vec_id < 50"),
+            "embedding", "vec_id", path,
+        )
+        append_pq_index(
+            emb.filter("vec_id >= 50 and vec_id < 60"),
+            "embedding", "vec_id", path,
+        )
+        return path
+
+    def _hits(self, spark, emb, path, vec_id=55, k=5):
+        from rtstore_spark.operators.similarity import (
+            ivf_pq_topk,
+            read_pq_index,
+        )
+
+        codes, cents, model = read_pq_index(spark, path)
+        q = emb.filter(f"vec_id = {vec_id}").collect()[0]["embedding"]
+        return [
+            (r["id"], r["score"])
+            for r in ivf_pq_topk(codes, model, cents, q, k=k, nprobe=4).collect()
+        ]
+
+    def test_fold_is_union_free_and_results_identical(
+        self, spark, emb, stacked_index, monkeypatch
+    ):
+        import os
+
+        from rtstore_spark.operators.similarity import (
+            compact_pq_index,
+            read_pq_index,
+            resolve_index_base,
+        )
+
+        before = self._hits(spark, emb, stacked_index)
+        compact_pq_index(spark, stacked_index)
+        base = resolve_index_base(spark, stacked_index)
+        assert not os.path.exists(f"{base}/inc")  # union-free
+        codes, _, _ = read_pq_index(spark, stacked_index)
+        ids = [r["id"] for r in codes.collect()]
+        assert sorted(ids) == list(range(60))
+        assert len(ids) == len(set(ids))
+        assert self._hits(spark, emb, stacked_index) == before
+        # a second compaction is a no-op (pointer unchanged)
+        from rtstore_spark.store.fs import fs_for
+
+        fs = fs_for(stacked_index, spark)
+        cur0 = fs.read_text(f"{stacked_index}/_current")
+        compact_pq_index(spark, stacked_index)
+        assert fs.read_text(f"{stacked_index}/_current") == cur0
+
+    def test_crash_before_flip_leaves_stacked_generation_live(
+        self, spark, emb, stacked_index, monkeypatch
+    ):
+        from rtstore_spark.operators.similarity import (
+            compact_pq_index,
+            read_pq_index,
+        )
+        from rtstore_spark.store import fs as fsmod
+
+        before = self._hits(spark, emb, stacked_index)
+        real = fsmod.LocalFS.write_text_atomic
+
+        def dying(self, p, text):
+            if p.endswith("/_current") and "gen-2" in text:
+                raise RuntimeError("injected crash before pointer flip")
+            return real(self, p, text)
+
+        monkeypatch.setattr(fsmod.LocalFS, "write_text_atomic", dying)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            compact_pq_index(spark, stacked_index)
+        monkeypatch.undo()
+        codes, _, _ = read_pq_index(spark, stacked_index)
+        assert codes.count() == 60  # base + both increments still live
+        assert self._hits(spark, emb, stacked_index) == before
+
+    def test_concurrent_append_mid_compaction_raises(
+        self, spark, emb, stacked_index, monkeypatch
+    ):
+        import rtstore_spark.operators.similarity as sim
+
+        real_save = sim.pq_save
+        fired = {"done": False}
+
+        def racing_save(spark_, model_, p):
+            real_save(spark_, model_, p)
+            if not fired["done"]:
+                fired["done"] = True
+                # the model copy is the last data write before the
+                # increment-pointer re-check — sneak a real append in
+                sim.append_pq_index(
+                    emb.filter("vec_id >= 60 and vec_id < 70"),
+                    "embedding", "vec_id", stacked_index,
+                )
+
+        monkeypatch.setattr(sim, "pq_save", racing_save)
+        with pytest.raises(RuntimeError, match="concurrent append"):
+            sim.compact_pq_index(spark, stacked_index)
+        monkeypatch.undo()
+        # nothing lost: base + all three increments visible
+        codes, _, _ = sim.read_pq_index(spark, stacked_index)
+        ids = [r["id"] for r in codes.collect()]
+        assert sorted(ids) == list(range(70))
+
+
 class TestRebuildClearsIncrements:
     def test_in_place_rebuild_retires_stale_increments(
         self, spark, emb, model
