@@ -264,6 +264,62 @@ def _bm25_probe(spark, sdir: str, warm: bool = False) -> dict:
     return out
 
 
+def _bm25_maintained_probe(spark, sdir: str, warm: bool = False) -> dict:
+    """Batch BM25 search against a MAINTAINED (base+delta) index shape:
+    postings AND term dfs as two union arms with the dfs UNFOLDED — the
+    exact plan ``read_bm25_index`` yields for a delta'd index (minus
+    the file scans; the persisted layout's static bucket pruning is
+    plan-pinned in tests/test_retrieval.py), exercising the round-10
+    fold-after-restriction path. The scale claim: a maintained index's
+    search ratio matches the fresh index's (``bm25_search``) — the
+    per-batch cost must never grow with TOTAL vocabulary, only with
+    matched postings."""
+    from rtstore_spark.operators.retrieval import (
+        bm25_build,
+        bm25_search_batch,
+    )
+    from rtstore_spark.tables import load_table
+
+    docs = load_table(spark, sdir, "documents")
+    p1, t1, s1 = bm25_build(docs.filter(F.col("doc_id") % 2 == 0),
+                            "text", "doc_id")
+    p2, t2, s2 = bm25_build(docs.filter(F.col("doc_id") % 2 == 1),
+                            "text", "doc_id")
+    postings = p1.unionByName(p2).persist()
+    term_df = t1.unionByName(t2).persist()  # unfolded: per-arm partials
+    postings.count(), term_df.count()
+    n_docs = s1["n_docs"] + s2["n_docs"]
+    sum_dl = s1["sum_dl"] + s2["sum_dl"]
+    stats = {
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "avgdl": (sum_dl / n_docs) if n_docs else 1.0,
+        "n_buckets": s1["n_buckets"],
+    }
+    queries = spark.createDataFrame(
+        [
+            (0, "model training data"),
+            (1, "quality corpus analysis"),
+            (2, "the of and"),
+        ],
+        "qid long, text string",
+    )
+    try:
+        if warm:
+            bm25_search_batch(
+                postings, term_df, stats, queries, k=10
+            ).count()
+        out = _timed3(
+            lambda: bm25_search_batch(
+                postings, term_df, stats, queries, k=10
+            ).count()
+        )
+    finally:
+        postings.unpersist()
+        term_df.unpersist()
+    return out
+
+
 def main() -> None:
     scales = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 20]
 
@@ -290,6 +346,9 @@ def main() -> None:
             )
         results.setdefault("bm25_search", {})[f"x{k}"] = _bm25_probe(
             spark, sdir, warm=(k == scales[0])
+        )
+        results.setdefault("bm25_search_maintained", {})[f"x{k}"] = (
+            _bm25_maintained_probe(spark, sdir, warm=(k == scales[0]))
         )
         if k == scales[0]:
             _wire_probe(spark, 1)  # warm the Python workers, untimed
@@ -358,6 +417,13 @@ def main() -> None:
                 "the postings volume the search scans). Two-phase "
                 "top-k: no single reducer sees a query's full matched "
                 "set."
+            ),
+            "bm25_search_maintained": (
+                "same 3-query batch against the base+delta (maintained) "
+                "index shape: two postings arms + UNFOLDED per-arm term "
+                "dfs, folded only after the query-vocab restriction. "
+                "The claim is parity with bm25_search's ratio — search "
+                "cost must never grow with total vocabulary."
             ),
             "wire_decode_verify": (
                 "5*k replications of the reference's 204-envelope "
