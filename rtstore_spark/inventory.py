@@ -955,6 +955,7 @@ def bm25_maintained_search(spark, sf):
     and tests/test_retrieval.py pins the delta fold
     (test_append_visible_without_rebuild_and_matches_full_rebuild) plus
     the fold-after-restriction plan shape (TestDeltaFoldPlan)."""
+    import os
     import tempfile
 
     from rtstore_spark.operators.retrieval import (
@@ -965,7 +966,14 @@ def bm25_maintained_search(spark, sf):
     )
 
     docs = load_table(spark, sf, "documents")
-    path = tempfile.mkdtemp(prefix="bm25_maint_") + "/idx"
+    # per-process stable scratch root, NOT mkdtemp-per-call: the gate
+    # and the bench invoke registry callables repeatedly, and a fresh
+    # directory per call would leak one full index per invocation. A
+    # repeat call on the same path is an in-place rebuild — the
+    # generation protocol sweeps old generations itself.
+    path = os.path.join(
+        tempfile.gettempdir(), f"rtstore_bm25_maint_{os.getpid()}", "idx"
+    )
     write_bm25_index(
         docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id", path,
         n_buckets=16,

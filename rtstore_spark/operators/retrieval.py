@@ -199,6 +199,18 @@ def _live_index_parts(spark, fs, path: str):
     return base, names, parts
 
 
+def _union_parts(parts) -> tuple[DataFrame, DataFrame]:
+    """(postings, term_df) as the unionByName of every part's arms —
+    the ONE definition of how base+delta pieces combine, shared by
+    ``read_bm25_index`` (lazy plan) and ``compact_bm25_index``
+    (persisted fold). term_df stays UNFOLDED (per-part partials)."""
+    postings, term_df = parts[0][0], parts[0][1]
+    for p2, t2, _ in parts[1:]:
+        postings = postings.unionByName(p2)
+        term_df = term_df.unionByName(t2)
+    return postings, term_df
+
+
 def _fold_stats(parts) -> dict:
     n_docs = sum(int(s["n_docs"]) for _, _, s in parts)
     sum_dl = sum(_stats_sum_dl(s) for _, _, s in parts)
@@ -232,12 +244,9 @@ def read_bm25_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
 
     fs = fs_for(path, spark)
     _, _, parts = _live_index_parts(spark, fs, path)
-    postings, term_df, stats = parts[0]
     if len(parts) == 1:
-        return postings, term_df, stats
-    for p2, t2, _ in parts[1:]:
-        postings = postings.unionByName(p2)
-        term_df = term_df.unionByName(t2)
+        return parts[0]
+    postings, term_df = _union_parts(parts)
     return postings, term_df, _fold_stats(parts)
 
 
@@ -345,13 +354,21 @@ def compact_bm25_index(spark, path: str) -> None:
     summed dfs, same stats). No-op when the live generation has no
     deltas.
 
+    Streaming note — shared with ``compact_pq_index``: the folded
+    generation carries NO ``_deltas`` manifest, so the exactly-once
+    batch-tag ledger resets with it. A micro-batch committed but not
+    yet checkpointed before the compaction would re-append after it —
+    compact between CLEAN stream runs (the checkpoint-reset rule the
+    streaming state tables already document).
+
     Crash safety is the standard generation protocol
     (store.fs.begin/commit_generation): a crash anywhere before the
     pointer flip leaves the delta'd generation fully live. Single
     writer, enforced loudly twice — ``commit_generation`` re-checks the
-    generation pointer, and the delta manifest is re-read just before
-    the flip so an append committed mid-compaction raises instead of
-    being silently dropped from the folded index."""
+    generation pointer, and the delta manifest is compared against the
+    PRE-ENUMERATION snapshot both after the parts load and just before
+    the flip, so an append committed anywhere mid-compaction raises
+    instead of being silently dropped from the folded index."""
     from rtstore_spark.store.fs import (
         begin_generation,
         commit_generation,
@@ -360,20 +377,28 @@ def compact_bm25_index(spark, path: str) -> None:
 
     fs = fs_for(path, spark)
     prev_gen, prev_name, gen_name = begin_generation(fs, path)
+    # snapshot the manifest BEFORE enumerating parts: _live_index_parts
+    # does real per-delta I/O, so a delta committed during it must be
+    # caught by comparison against this snapshot, not one taken after
+    manifest0 = (
+        fs.read_text(f"{path}/{prev_name}/_deltas") or ""
+    ) if prev_name else ""
     base, names, parts = _live_index_parts(spark, fs, path)
     if base != f"{path}/{prev_name}":  # pointer moved between the reads
         raise RuntimeError(
             f"compact_bm25_index: a rebuild advanced {path} during this "
             "compaction — re-run against the new generation"
         )
+    names0 = [ln.strip() for ln in manifest0.splitlines() if ln.strip()]
+    if names != names0:
+        raise RuntimeError(
+            f"compact_bm25_index: a concurrent append committed on {path} "
+            "while its deltas were being enumerated — re-run the compaction"
+        )
     if not names:
         return  # union-free already: nothing to fold
-    manifest0 = fs.read_text(base + "/_deltas") or ""
     out = f"{path}/{gen_name}"
-    postings, term_df = parts[0][0], parts[0][1]
-    for p2, t2, _ in parts[1:]:
-        postings = postings.unionByName(p2)
-        term_df = term_df.unionByName(t2)
+    postings, term_df = _union_parts(parts)
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         out + "/postings"
     )

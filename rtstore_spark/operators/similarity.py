@@ -1171,31 +1171,45 @@ def resolve_index_base(spark, path: str) -> str:
     return f"{path}/{live}"
 
 
-def _parse_inc_pointer(cur: str | None) -> tuple[int, list[str]]:
-    """The increment pointer file: line 1 is the committed increment
-    count N; lines 2+ are committed batch-tag tokens (``t<token>``, one
-    per tagged append — the exactly-once ledger ``pq_index_sink``
-    replays check against). Legacy single-line files parse as (N, [])."""
+def _parse_inc_pointer(cur: str | None) -> tuple[list[str], list[str]]:
+    """The increment pointer file → (committed increment dir NAMES in
+    commit order, committed batch-tag tokens).
+
+    Current ("v2") format: header line ``v2``, then one ``gen-*`` line
+    per committed increment directory (uniquely-suffixed names — two
+    racing appends can never write the same directory) and one
+    ``t<token>`` line per tagged append (the exactly-once ledger
+    ``pq_index_sink`` replays check against). Legacy format — a bare
+    count N on line 1 (directories named exactly ``gen-1..gen-N``),
+    optional tag lines after — still parses; the first v2 write
+    upgrades it in place."""
     if cur is None:
-        return 0, []
+        return [], []
     lines = [ln.strip() for ln in cur.splitlines() if ln.strip()]
-    return int(lines[0]), lines[1:]
+    if not lines:
+        return [], []
+    if lines[0] == "v2":
+        names = [ln for ln in lines[1:] if ln.startswith("gen-")]
+        tags = [ln for ln in lines[1:] if ln.startswith("t")]
+        return names, tags
+    n = int(lines[0])
+    return [f"gen-{i}" for i in range(1, n + 1)], lines[1:]
 
 
 def _live_increments(spark, base: str) -> list[str]:
     """Paths of the COMMITTED increment generations of an index base —
-    ``<base>/inc/gen-1 .. gen-current`` where ``current`` comes from the
-    increment ``_current`` pointer file. A ``gen-*`` directory past the
-    pointer is an orphan a crashed ``append_pq_index`` left behind: it
-    is never read, and the next append overwrites it (same
-    manifest-pointer protocol as the storage plane — see ``store/fs.py``
-    module doc). Increments live UNDER the base generation, so a rebuilt
-    base can never union another generation's increments."""
+    ``<base>/inc/<name>`` for each name the increment ``_current``
+    pointer lists. A ``gen-*`` directory absent from the pointer is an
+    orphan a crashed ``append_pq_index`` left behind: it is never read
+    and retires with its base generation (same manifest-pointer
+    protocol as the storage plane — see ``store/fs.py`` module doc).
+    Increments live UNDER the base generation, so a rebuilt base can
+    never union another generation's increments."""
     from rtstore_spark.store.fs import fs_for
 
     fs = fs_for(base, spark)
-    n, _ = _parse_inc_pointer(fs.read_text(f"{base}/inc/_current"))
-    return [f"{base}/inc/gen-{i}" for i in range(1, n + 1)]
+    names, _ = _parse_inc_pointer(fs.read_text(f"{base}/inc/_current"))
+    return [f"{base}/inc/{name}" for name in names]
 
 
 def read_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
@@ -1295,31 +1309,39 @@ def append_pq_index(
     increment pointer file itself (line 1 = count, lines 2+ = tags), so
     the tag ledger and the commit are ONE atomic small-object write —
     a micro-batch re-delivered after a crash either finds its tag (the
-    pointer flipped: full no-op) or doesn't (the orphan increment is
-    overwritten by the retry, standard protocol). Non-digit tags hash
-    via ``store.fs.safe_batch_tag`` so distinct raw tags never alias.
-    An empty ``df`` is a no-op (a zero-row increment directory would be
-    schema-less and unreadable).
+    pointer flipped: full no-op) or doesn't (the retry runs as a fresh
+    append; the crashed attempt's orphan directory is never read).
+    Non-digit tags hash via ``store.fs.safe_batch_tag`` so distinct raw
+    tags never alias. An empty ``df`` is a no-op (a zero-row increment
+    directory would be schema-less and unreadable). The pointer file
+    grows one name (+ one tag) per append SINCE THE LAST
+    compaction/rebuild — ``compact_pq_index``/``write_pq_index`` reset
+    it, which is the bound; a maintenance cadence that compacts
+    periodically keeps it tiny (same contract as the bm25 ``_deltas``
+    manifest).
 
     Crash safety — the storage plane's manifest-pointer protocol: the
-    increment is written to a fresh generation directory
-    ``<base>/inc/gen-N`` under the LIVE base generation (N = committed
-    pointer + 1, ``overwrite`` mode
-    so a retry after a crash cleanly replaces the orphan), and only then
-    is the tiny ``<base>/inc/_current`` pointer overwritten to N — an
-    atomic-enough single-object PUT on every filesystem. A crash between
-    the data write and the flip leaves an orphan generation that
-    ``read_pq_index`` never reads; no torn/partial increment is ever
-    visible, even on object-store committers that surface
-    partially-committed task files.
+    increment is written to a fresh UNIQUELY-SUFFIXED directory
+    ``<base>/inc/gen-N-<tag|nonce>`` under the LIVE base generation
+    (unique names mean two racing appends can never clobber each
+    other's data; the pointer re-check below picks the winner), and
+    only then is the tiny ``<base>/inc/_current`` pointer rewritten to
+    list it — an atomic-enough single-object PUT on every filesystem.
+    A crash between the data write and the flip leaves an orphan
+    directory that ``read_pq_index`` never reads (it retires with the
+    base generation); no torn/partial increment is ever visible, even
+    on object-store committers that surface partially-committed task
+    files.
     """
+    import uuid
+
     from rtstore_spark.store.fs import fs_for, safe_batch_tag
 
     spark = df.sparkSession
     base = resolve_index_base(spark, path)
     fs = fs_for(base, spark)
     cur0 = fs.read_text(f"{base}/inc/_current")
-    n0, tags0 = _parse_inc_pointer(cur0)
+    names0, tags0 = _parse_inc_pointer(cur0)
     token = None
     if batch_tag is not None:
         token = f"t{safe_batch_tag(batch_tag)}"
@@ -1327,6 +1349,12 @@ def append_pq_index(
             return  # replayed micro-batch: already committed
     if df.isEmpty():
         return
+    # uniquely-suffixed increment dir (tag-derived when tagged, for
+    # debuggability): two racing appends write DISTINCT directories, so
+    # neither can clobber data the other already committed — only the
+    # pointer (re-checked below) decides the winner
+    suffix = token if token is not None else uuid.uuid4().hex[:8]
+    inc_name = f"gen-{len(names0) + 1}-{suffix}"
     model = pq_load(spark, base + "/_model")
     cents = spark.read.parquet(base + "/_centroids").orderBy("route").collect()
     if [int(r["route"]) for r in cents] != list(range(len(cents))):
@@ -1343,16 +1371,16 @@ def append_pq_index(
     codes = pq_encode(routed, "_vec", "id", model).join(
         routed.select("id", "route"), "id"
     )
-    nxt = n0 + 1
     codes.write.mode("overwrite").partitionBy("route").parquet(
-        f"{base}/inc/gen-{nxt}"
+        f"{base}/inc/{inc_name}"
     )
     # single-writer backstop, enforced loudly (mirrors append_bm25_index):
     # a rebuild that retargeted the root pointer, or a concurrent append
     # that advanced the increment pointer, must fail THIS append — a
     # blind flip would either target a retired generation or discard the
     # racer's committed increment (both pointers are re-read just before
-    # the one atomic write that commits)
+    # the one atomic write that commits; this append's own directory is
+    # unique, so the loser leaves only an unreferenced orphan)
     if resolve_index_base(spark, path) != base:
         raise RuntimeError(
             f"append_pq_index: a rebuild advanced {path} during this "
@@ -1364,7 +1392,7 @@ def append_pq_index(
             f"append_pq_index: concurrent append detected on {path} — "
             "indexes have a single-writer contract; re-run the append"
         )
-    lines = [str(nxt), *tags0]
+    lines = ["v2", *names0, inc_name, *tags0]
     if token is not None:
         lines.append(token)
     fs.write_text_atomic(f"{base}/inc/_current", "\n".join(lines) + "\n")
@@ -1409,8 +1437,13 @@ def compact_pq_index(spark, path: str) -> None:
             f"compact_pq_index: a rebuild advanced {path} during this "
             "compaction — re-run against the new generation"
         )
+    # ONE pointer read: the increment list folded below derives from
+    # this exact snapshot (a second read could see an append that
+    # landed in between — the fold would include it while the pre-flip
+    # check flagged it as missing, a false alarm that discards work)
     inc0 = fs.read_text(f"{base}/inc/_current")
-    incs = _live_increments(spark, base)
+    names0, _ = _parse_inc_pointer(inc0)
+    incs = [f"{base}/inc/{name}" for name in names0]
     if not incs:
         return  # union-free already: nothing to fold
     out = f"{path}/{gen_name}"

@@ -282,7 +282,16 @@ def safe_batch_tag(tag) -> str:
     tags like ``'1-2'`` and ``'12'`` into one token and silently
     dropped the second append as a replay. A digit token can never
     equal an ``h``-prefixed one, and two distinct raw tags collide only
-    on a sha1 collision."""
+    on a sha1 collision.
+
+    Compatibility: digit tags (the only tags any in-repo producer
+    emits) keep their historical tokens. NON-digit tags committed under
+    the old sanitizer do NOT match their new hashed tokens — a replay
+    of such a tag would re-append. Deliberate: a dual-match against the
+    legacy stripped token would reintroduce the aliasing bug (legacy
+    strip('1-2') == '12' collides with the digit tag '12'). An index
+    carrying pre-hash non-digit tags should be rebuilt/compacted before
+    further tagged appends."""
     import hashlib
 
     s = str(tag)

@@ -423,13 +423,18 @@ class TestAppendCrashSafety:
         with pytest.raises(RuntimeError, match="simulated crash"):
             append_pq_index(inc, "embedding", "vec_id", path)
         monkeypatch.undo()
-        # orphan generation on disk (under the live base), never read
+        # orphan generation on disk (under the live base), never read —
+        # uniquely-suffixed, so no later append can clobber or read it
         base = resolve_index_base(spark, path)
-        assert os.path.isdir(f"{base}/inc/gen-1")
+        orphans = [
+            d for d in os.listdir(f"{base}/inc") if d.startswith("gen-1-")
+        ]
+        assert len(orphans) == 1
         assert not os.path.exists(f"{base}/inc/_current")
         codes, _, _ = read_pq_index(spark, path)
         assert codes.count() == n_base
-        # retry overwrites the orphan and flips: exactly one increment
+        # retry writes a FRESH unique directory and flips: exactly one
+        # COMMITTED increment; the orphan stays unreferenced on disk
         append_pq_index(inc, "embedding", "vec_id", path)
         codes, _, _ = read_pq_index(spark, path)
         assert codes.count() == n_base + 20
@@ -576,6 +581,45 @@ class TestStreamingMaintenance:
         codes, _, _ = sim.read_pq_index(spark, stream_index)
         ids = [r["id"] for r in codes.collect()]
         assert sorted(ids) == list(range(40)) + list(range(50, 60))
+
+    def test_legacy_count_pointer_still_reads_and_upgrades(
+        self, spark, emb, stream_index
+    ):
+        """Pre-v2 pointer files hold a bare count with directories named
+        exactly gen-1..gen-N. They must keep reading, and the next
+        append must upgrade to the v2 name-list format without losing
+        the legacy increment."""
+        import os
+        import shutil
+
+        from rtstore_spark.operators.similarity import (
+            append_pq_index,
+            read_pq_index,
+            resolve_index_base,
+        )
+
+        append_pq_index(
+            emb.filter("vec_id >= 40 and vec_id < 50"),
+            "embedding", "vec_id", stream_index,
+        )
+        base = resolve_index_base(spark, stream_index)
+        # rewrite the committed increment into the legacy layout
+        (name,) = [
+            d for d in os.listdir(f"{base}/inc") if d.startswith("gen-1-")
+        ]
+        shutil.move(f"{base}/inc/{name}", f"{base}/inc/gen-1")
+        with open(f"{base}/inc/_current", "w") as f:
+            f.write("1")
+        assert read_pq_index(spark, stream_index)[0].count() == 50
+        append_pq_index(
+            emb.filter("vec_id >= 50 and vec_id < 60"),
+            "embedding", "vec_id", stream_index,
+        )
+        codes, _, _ = read_pq_index(spark, stream_index)
+        ids = sorted(r["id"] for r in codes.collect())
+        assert ids == list(range(60))
+        ptr = open(f"{base}/inc/_current").read().splitlines()
+        assert ptr[0] == "v2" and "gen-1" in ptr[1:]  # upgraded, kept
 
     def test_streaming_appends_become_searchable(
         self, spark, emb, model, tmp_path
