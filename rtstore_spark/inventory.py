@@ -60,6 +60,9 @@ def _tokens(col: F.Column) -> F.Column:
 
 _REGISTRY: dict[str, tuple] = {}
 
+# bm25_maintained_search's per-process scratch root (see its body)
+_MAINT_SCRATCH: str | None = None
+
 
 def register(name: str, sql: str | None):
     def deco(fn):
@@ -966,14 +969,18 @@ def bm25_maintained_search(spark, sf):
     )
 
     docs = load_table(spark, sf, "documents")
-    # per-process stable scratch root, NOT mkdtemp-per-call: the gate
-    # and the bench invoke registry callables repeatedly, and a fresh
-    # directory per call would leak one full index per invocation. A
-    # repeat call on the same path is an in-place rebuild — the
-    # generation protocol sweeps old generations itself.
-    path = os.path.join(
-        tempfile.gettempdir(), f"rtstore_bm25_maint_{os.getpid()}", "idx"
-    )
+    # ONE mkdtemp per process (not per call): the gate and the bench
+    # invoke registry callables repeatedly, and a fresh directory per
+    # call would leak one full index per invocation, while a
+    # pid-derived fixed /tmp name would be a pre-creation hazard on a
+    # shared host. A repeat call on the cached path is an in-place
+    # rebuild — the generation protocol sweeps old generations itself
+    # (so evaluate each returned DataFrame before invoking again; the
+    # gate and bench both do).
+    global _MAINT_SCRATCH
+    if _MAINT_SCRATCH is None:
+        _MAINT_SCRATCH = tempfile.mkdtemp(prefix="rtstore_bm25_maint_")
+    path = os.path.join(_MAINT_SCRATCH, "idx")
     write_bm25_index(
         docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id", path,
         n_buckets=16,

@@ -336,6 +336,15 @@ def append_bm25_index(
     fs.write_text_atomic(
         base + "/_deltas", "\n".join([*names0, delta_name]) + "\n"
     )
+    # sweep crash orphans: delta-* directories the committed manifest
+    # does not list were written by attempts that never committed (no
+    # reader resolves them) — without this, retries of a flaky append
+    # leak one uniquely-suffixed directory per crash until the next
+    # rebuild retires the generation
+    committed = {delta_name, *names0}
+    for d in fs.listdir(base):
+        if d.startswith("delta-") and d not in committed:
+            fs.delete(f"{base}/{d}", recursive=True)
 
 
 def compact_bm25_index(spark, path: str) -> None:
@@ -363,12 +372,17 @@ def compact_bm25_index(spark, path: str) -> None:
 
     Crash safety is the standard generation protocol
     (store.fs.begin/commit_generation): a crash anywhere before the
-    pointer flip leaves the delta'd generation fully live. Single
-    writer, enforced loudly twice — ``commit_generation`` re-checks the
-    generation pointer, and the delta manifest is compared against the
-    PRE-ENUMERATION snapshot both after the parts load and just before
-    the flip, so an append committed anywhere mid-compaction raises
-    instead of being silently dropped from the folded index."""
+    pointer flip leaves the delta'd generation fully live. The index's
+    single-writer contract (ONE maintenance process at a time) is the
+    real guarantee; violations are detected loudly at two points —
+    ``commit_generation`` re-checks the generation pointer, and the
+    delta manifest is compared against the PRE-ENUMERATION snapshot
+    both after the parts load and just before the flip — which closes
+    every window except the instants between that final re-read and
+    the flip itself (two separate small files cannot be CAS'd
+    together; an append landing exactly there would be dropped from
+    the folded generation, which is why concurrent maintenance is a
+    contract violation, not a supported mode)."""
     from rtstore_spark.store.fs import (
         begin_generation,
         commit_generation,

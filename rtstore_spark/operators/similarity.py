@@ -1396,6 +1396,16 @@ def append_pq_index(
     if token is not None:
         lines.append(token)
     fs.write_text_atomic(f"{base}/inc/_current", "\n".join(lines) + "\n")
+    # sweep crash orphans: any gen-* directory the committed pointer
+    # does not list was written by an attempt that never flipped (no
+    # reader ever resolved it — unreferenced dirs are invisible by
+    # construction). Without this, uniquely-suffixed retries of a flaky
+    # untagged append would leak one directory per crash until the next
+    # rebuild. Under the single-writer contract nothing live can be here.
+    committed = {inc_name, *names0}
+    for d in fs.listdir(f"{base}/inc"):
+        if d.startswith("gen-") and d not in committed:
+            fs.delete(f"{base}/inc/{d}", recursive=True)
 
 
 def compact_pq_index(spark, path: str) -> None:
@@ -1418,11 +1428,15 @@ def compact_pq_index(spark, path: str) -> None:
     when there are no committed increments.
 
     Crash safety: standard generation protocol — a crash before the
-    flip leaves the increment-stacked generation fully live. Single
-    writer, enforced loudly twice: ``commit_generation`` re-checks the
-    root pointer (a rebuild raced us) and the increment pointer is
-    re-read just before the flip (an append raced us — flipping anyway
-    would silently drop its committed rows)."""
+    flip leaves the increment-stacked generation fully live. The
+    index's single-writer contract (ONE maintenance process at a time)
+    is the real guarantee; violations are detected loudly at two points
+    — ``commit_generation`` re-checks the root pointer (a rebuild raced
+    us) and the increment pointer is re-read just before the flip (an
+    append raced us) — which closes every window except the instants
+    between that final re-read and the flip itself (two separate small
+    files cannot be CAS'd together; concurrent maintenance is a
+    contract violation, not a supported mode)."""
     from rtstore_spark.store.fs import (
         begin_generation,
         commit_generation,

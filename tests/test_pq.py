@@ -433,13 +433,15 @@ class TestAppendCrashSafety:
         assert not os.path.exists(f"{base}/inc/_current")
         codes, _, _ = read_pq_index(spark, path)
         assert codes.count() == n_base
-        # retry writes a FRESH unique directory and flips: exactly one
-        # COMMITTED increment; the orphan stays unreferenced on disk
+        # retry writes a FRESH unique directory, flips, and sweeps the
+        # crashed attempt's orphan: exactly one increment dir remains
         append_pq_index(inc, "embedding", "vec_id", path)
         codes, _, _ = read_pq_index(spark, path)
         assert codes.count() == n_base + 20
         ids = [r["id"] for r in codes.collect()]
         assert len(ids) == len(set(ids))  # no duplicate rows from the orphan
+        dirs = [d for d in os.listdir(f"{base}/inc") if d.startswith("gen-")]
+        assert len(dirs) == 1  # orphan swept on the successful commit
 
     def test_multiple_appends_stack_generations(self, spark, emb, base_index):
         from rtstore_spark.operators.similarity import (

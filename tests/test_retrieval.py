@@ -443,6 +443,21 @@ class TestIncrementalAppend:
         monkeypatch.undo()
         _, _, stats = read_bm25_index(spark, path)
         assert stats["n_docs"] == 50  # orphan delta dir never read
+        # a later successful append sweeps the crashed attempt's orphan
+        append_bm25_index(
+            docs.limit(60).subtract(docs.limit(50)), "text", "doc_id", path
+        )
+        from rtstore_spark.store.fs import fs_for, parse_gen_pointer
+
+        fs = fs_for(path, spark)
+        _, live = parse_gen_pointer(fs.read_text(f"{path}/_current"))
+        deltas = [
+            d for d in os.listdir(os.path.join(path, live))
+            if d.startswith("delta-")
+        ]
+        assert len(deltas) == 1  # committed one only; orphan swept
+        _, _, s2 = read_bm25_index(spark, path)
+        assert s2["n_docs"] == 60
 
     def test_rebuild_folds_deltas_away(self, spark, docs, tmp_path):
         path = str(tmp_path / "bm25-fold")
