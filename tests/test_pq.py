@@ -802,6 +802,52 @@ class TestPqCompaction:
         assert sorted(ids) == list(range(70))
 
 
+class TestUriRootIndex:
+    def test_full_lifecycle_on_file_uri_root(self, spark, emb, model, tmp_path):
+        """Maintained ANN index rooted at a scheme-qualified URI — the
+        object-store code path: HadoopFS for the root pointer, the v2
+        increment pointer, the orphan sweep, and compaction; Spark
+        reads/writes resolve the same scheme."""
+        from rtstore_spark.operators.similarity import (
+            append_pq_index,
+            compact_pq_index,
+            ivf_pq_topk,
+            read_pq_index,
+            write_pq_index,
+        )
+        from rtstore_spark.store.fs import HadoopFS, fs_for
+
+        path = "file://" + str(tmp_path / "ivfpq-uri")
+        assert isinstance(fs_for(path, spark), HadoopFS)
+        base = emb.filter("vec_id < 40").select(
+            F.col("vec_id").alias("id"), "embedding",
+            F.col("label").alias("route"),
+        )
+        write_pq_index(base, "embedding", "id", "route", model, path)
+        inc = emb.filter("vec_id >= 40 and vec_id < 60")
+        append_pq_index(inc, "embedding", "vec_id", path, batch_tag="0")
+        append_pq_index(inc, "embedding", "vec_id", path, batch_tag="0")
+        codes, cents, loaded = read_pq_index(spark, path)
+        ids = [r["id"] for r in codes.collect()]
+        assert sorted(ids) == list(range(60))  # replay no-op over URI
+        q55 = emb.filter("vec_id = 55").collect()[0]["embedding"]
+        before = [
+            (r["id"], r["score"])
+            for r in ivf_pq_topk(codes, loaded, cents, q55, k=5, nprobe=4)
+            .collect()
+        ]
+        assert 55 in [i for i, _ in before]
+        compact_pq_index(spark, path)
+        codes, cents, loaded = read_pq_index(spark, path)
+        assert codes.count() == 60
+        after = [
+            (r["id"], r["score"])
+            for r in ivf_pq_topk(codes, loaded, cents, q55, k=5, nprobe=4)
+            .collect()
+        ]
+        assert after == before
+
+
 class TestRebuildClearsIncrements:
     def test_in_place_rebuild_retires_stale_increments(
         self, spark, emb, model

@@ -841,6 +841,92 @@ class TestCompaction:
         assert stats["n_docs"] == 70  # nothing lost; both deltas live
 
 
+class TestUriRootIndex:
+    def test_full_lifecycle_on_file_uri_root(self, spark, docs, tmp_path):
+        """The whole maintained-index lifecycle rooted at a
+        scheme-qualified URI — the exact code path an object-store
+        deployment takes: fs_for picks HadoopFS, the generation pointer
+        / delta manifest / stats files and the orphan sweep all speak
+        the Hadoop client, and Spark's own reads/writes resolve the
+        same scheme."""
+        from rtstore_spark.store.fs import HadoopFS, fs_for
+
+        path = "file://" + str(tmp_path / "bm25-uri")
+        assert isinstance(fs_for(path, spark), HadoopFS)
+        write_bm25_index(docs.limit(50), "text", "doc_id", path, n_buckets=8)
+        append_bm25_index(
+            docs.limit(70).subtract(docs.limit(50)), "text", "doc_id", path,
+            batch_tag="0",
+        )
+        postings, term_df, stats = read_bm25_index(spark, path)
+        assert stats["n_docs"] == 70
+        queries = spark.createDataFrame(
+            [(0, "model training data")], "qid long, text string"
+        )
+        via_uri = [
+            (r["id"], r["score"])
+            for r in bm25_search_batch(
+                postings, term_df, stats, queries, k=6
+            ).collect()
+        ]
+        assert len(via_uri) == 6
+        # replay no-ops over the URI root too
+        append_bm25_index(
+            docs.limit(70).subtract(docs.limit(50)), "text", "doc_id", path,
+            batch_tag="0",
+        )
+        _, _, s2 = read_bm25_index(spark, path)
+        assert s2["n_docs"] == 70
+        # compaction folds over the Hadoop client; results identical
+        compact_bm25_index(spark, path)
+        p3, t3, s3 = read_bm25_index(spark, path)
+        after = [
+            (r["id"], r["score"])
+            for r in bm25_search_batch(p3, t3, s3, queries, k=6).collect()
+        ]
+        assert after == via_uri
+        assert s3["n_docs"] == 70
+
+
+class TestCompactedPlanShape:
+    def test_search_after_compaction_is_single_arm(
+        self, spark, docs, tmp_path
+    ):
+        """Compaction's payoff in the PLAN: the search over a compacted
+        index scans exactly one postings arm and one term-df arm (no
+        Union residue), where the delta'd index scanned one per part."""
+        path = str(tmp_path / "bm25-arms")
+        write_bm25_index(docs.limit(50), "text", "doc_id", path, n_buckets=8)
+        append_bm25_index(
+            docs.limit(70).subtract(docs.limit(50)), "text", "doc_id", path
+        )
+        queries = spark.createDataFrame(
+            [(0, "model training data")], "qid long, text string"
+        )
+
+        def arm_counts():
+            postings, term_df, stats = read_bm25_index(spark, path)
+            plan = (
+                bm25_search_batch(postings, term_df, stats, queries, k=5)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            termdf = sum(
+                1 for ln in plan.splitlines()
+                if "FileScan" in ln
+                and "ReadSchema: struct<term:string,df:bigint>" in ln
+            )
+            posting = sum(
+                1 for ln in plan.splitlines()
+                if "FileScan" in ln
+                and "ReadSchema: struct<term:string,id:bigint" in ln
+            )
+            return posting, termdf
+
+        assert arm_counts() == (2, 2)  # base + delta
+        compact_bm25_index(spark, path)
+        assert arm_counts() == (1, 1)  # union-free
+
+
 class TestBatchTagAliasing:
     def test_distinct_raw_tags_never_alias(self, spark, tmp_path):
         """'1-2' and '12' used to sanitize to the same token, silently
