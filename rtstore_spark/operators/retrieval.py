@@ -303,7 +303,19 @@ def append_bm25_index(
     names0 = [ln.strip() for ln in manifest0.splitlines() if ln.strip()]
     if batch_tag is not None:
         batch_tag = safe_batch_tag(batch_tag)
-        if any(n.rsplit("-", 1)[-1] == f"t{batch_tag}" for n in names0):
+        # committed tags live in two places: live delta dir names, and
+        # the generation's _tags ledger where compact_bm25_index parks
+        # the tokens of folded-away deltas — so compaction never
+        # forgets a committed batch (only a full rebuild resets)
+        folded_tags = set(
+            ln.strip()
+            for ln in (fs.read_text(base + "/_tags") or "").splitlines()
+            if ln.strip()
+        )
+        token = f"t{batch_tag}"
+        if token in folded_tags or any(
+            n.rsplit("-", 1)[-1] == token for n in names0
+        ):
             return  # replayed micro-batch: already committed
     postings, term_df, stats = bm25_build(df, text_col, id_col, n_buckets)
     if stats["n_docs"] == 0:
@@ -363,12 +375,17 @@ def compact_bm25_index(spark, path: str) -> None:
     summed dfs, same stats). No-op when the live generation has no
     deltas.
 
-    Streaming note — shared with ``compact_pq_index``: the folded
-    generation carries NO ``_deltas`` manifest, so the exactly-once
-    batch-tag ledger resets with it. A micro-batch committed but not
-    yet checkpointed before the compaction would re-append after it —
-    compact between CLEAN stream runs (the checkpoint-reset rule the
-    streaming state tables already document).
+    Streaming note — shared with ``compact_pq_index``: compaction
+    PRESERVES the exactly-once batch-tag ledger. The folded deltas'
+    tag tokens are parked in the new generation's ``_tags`` file
+    (chained with any tokens already parked there by earlier
+    compactions), and ``append_bm25_index`` checks that ledger on
+    replay — so a micro-batch committed-but-not-yet-checkpointed
+    before a compaction still no-ops after it, which is what makes
+    in-sink auto-compaction (``bm25_index_sink(compact_every=…)``)
+    safe. Only a FULL rebuild (``write_bm25_index``) resets the
+    ledger; rebuild with a stream mid-flight remains a checkpoint
+    reset, as already documented.
 
     Crash safety is the standard generation protocol
     (store.fs.begin/commit_generation): a crash anywhere before the
@@ -420,6 +437,21 @@ def compact_bm25_index(spark, path: str) -> None:
         "overwrite"
     ).parquet(out + "/_termdf")
     fs.write_text_atomic(out + "/_stats.json", json.dumps(_fold_stats(parts)))
+    # park the folded deltas' tag tokens (plus any the old generation
+    # had already parked) so replays still no-op after the fold; an
+    # untagged delta's uuid suffix is hex-only, never 't'-prefixed
+    carried = [
+        ln.strip()
+        for ln in (fs.read_text(base + "/_tags") or "").splitlines()
+        if ln.strip()
+    ]
+    folded_tokens = [
+        sfx for n in names
+        if (sfx := n.rsplit("-", 1)[-1]).startswith("t")
+    ]
+    tags = [*carried, *(t for t in folded_tokens if t not in carried)]
+    if tags:
+        fs.write_text_atomic(out + "/_tags", "\n".join(tags) + "\n")
     if (fs.read_text(base + "/_deltas") or "") != manifest0:
         raise RuntimeError(
             f"compact_bm25_index: a concurrent append committed on {path} "
@@ -607,13 +639,17 @@ def bm25_batch_topk(
     )
 
 
-def bm25_index_sink(path: str, text_col: str, id_col: str):
+def bm25_index_sink(
+    path: str, text_col: str, id_col: str,
+    compact_every: int | None = None,
+):
     """Streaming index maintenance: a ``foreachBatch`` body that appends
     each micro-batch of NEW documents as a delta generation —
 
         (docs_stream.writeStream
             .option("checkpointLocation", chk)
-            .foreachBatch(bm25_index_sink(path, "text", "doc_id"))
+            .foreachBatch(bm25_index_sink(path, "text", "doc_id",
+                                          compact_every=16))
             .trigger(availableNow=True).start())
 
     — so a continuously-ingested training corpus becomes searchable
@@ -622,14 +658,33 @@ def bm25_index_sink(path: str, text_col: str, id_col: str):
     Structured Streaming's replay model: the micro-batch id is the
     delta's ``batch_tag``, so a batch re-delivered after a crash
     no-ops once its delta is committed (the append itself is atomic
-    behind the ``_deltas`` manifest write). The base index must exist
-    (``write_bm25_index``); periodic full rebuilds fold the accumulated
-    deltas away. Checkpoint-reset rule (shared with the streaming state
-    tables): batch ids restart at 0 after a checkpoint wipe, so a reset
-    requires a fresh rebuild, not more appends."""
+    behind the ``_deltas`` manifest write).
+
+    ``compact_every``: when set, the sink runs ``compact_bm25_index``
+    whenever the live generation's delta count reaches this bound — a
+    SELF-MAINTAINING index whose read plan never exceeds
+    ``compact_every`` union arms. Safe mid-stream because compaction
+    parks the folded tags in the ``_tags`` ledger (replays of folded
+    batches still no-op), and crash-safe at every point: a compaction
+    that dies before its flip leaves the delta'd generation live and
+    retries on a later batch. The base index must exist
+    (``write_bm25_index``); full rebuilds remain the deep-maintenance
+    path (re-train nothing here — BM25 has no model). Checkpoint-reset
+    rule (shared with the streaming state tables): batch ids restart
+    at 0 after a checkpoint wipe, so a reset requires a fresh rebuild,
+    not more appends."""
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
         append_bm25_index(
             batch_df, text_col, id_col, path, batch_tag=str(batch_id)
         )
+        if compact_every is not None:
+            from rtstore_spark.store.fs import fs_for, parse_gen_pointer
+
+            fs = fs_for(path, spark)
+            _, live = parse_gen_pointer(fs.read_text(f"{path}/_current"))
+            manifest = fs.read_text(f"{path}/{live}/_deltas") or ""
+            if sum(1 for ln in manifest.splitlines() if ln.strip()) >= compact_every:
+                compact_bm25_index(spark, path)
 
     return apply

@@ -1419,13 +1419,15 @@ def compact_pq_index(spark, path: str) -> None:
     was produced under the SAME codebooks/centroids, which copy over
     verbatim), committed behind the standard pointer flip. A reader
     then sees ONE union-free generation — one route-partitioned scan
-    per probe instead of one per increment arm — and the batch-tag
-    ledger resets with the retired increments (correct: a post-
-    compaction replay of an old batch would re-append, so the
-    checkpoint-reset rule applies — compact between clean stream runs,
-    like the streaming state tables). Search results are identical by
-    construction (same code rows, same model, same centroids). No-op
-    when there are no committed increments.
+    per probe instead of one per increment arm. The batch-tag ledger
+    is PRESERVED: the new generation's increment pointer starts with
+    zero increments but carries every committed tag forward, so a
+    micro-batch committed-but-not-yet-checkpointed before the
+    compaction still no-ops after it — which is what makes in-sink
+    auto-compaction (``pq_index_sink(compact_every=…)``) safe. Only a
+    full rebuild (``write_pq_index``) resets the ledger. Search
+    results are identical by construction (same code rows, same model,
+    same centroids). No-op when there are no committed increments.
 
     Crash safety: standard generation protocol — a crash before the
     flip leaves the increment-stacked generation fully live. The
@@ -1456,7 +1458,7 @@ def compact_pq_index(spark, path: str) -> None:
     # landed in between — the fold would include it while the pre-flip
     # check flagged it as missing, a false alarm that discards work)
     inc0 = fs.read_text(f"{base}/inc/_current")
-    names0, _ = _parse_inc_pointer(inc0)
+    names0, tags0 = _parse_inc_pointer(inc0)
     incs = [f"{base}/inc/{name}" for name in names0]
     if not incs:
         return  # union-free already: nothing to fold
@@ -1469,6 +1471,12 @@ def compact_pq_index(spark, path: str) -> None:
         "overwrite"
     ).parquet(out + "/_centroids")
     pq_save(spark, pq_load(spark, base + "/_model"), out + "/_model")
+    if tags0:
+        # carry the exactly-once ledger forward: zero increments, every
+        # committed tag — replays of folded batches still no-op
+        fs.write_text_atomic(
+            f"{out}/inc/_current", "\n".join(["v2", *tags0]) + "\n"
+        )
     if fs.read_text(f"{base}/inc/_current") != inc0:
         raise RuntimeError(
             f"compact_pq_index: a concurrent append committed on {path} "
@@ -1484,7 +1492,10 @@ def compact_pq_index(spark, path: str) -> None:
             fs.delete(f"{path}/{legacy}", recursive=True)
 
 
-def pq_index_sink(path: str, vec_col: str, id_col: str):
+def pq_index_sink(
+    path: str, vec_col: str, id_col: str,
+    compact_every: int | None = None,
+):
     """Streaming ANN index maintenance: a ``foreachBatch`` body that
     appends each micro-batch of NEW vectors as a committed increment —
 
@@ -1503,12 +1514,31 @@ def pq_index_sink(path: str, vec_col: str, id_col: str):
     crash no-ops (``append_pq_index`` would otherwise append duplicate
     code rows → duplicate hits). The base index must exist
     (``write_pq_index``); periodic rebuilds retrain/fold as the corpus
-    distribution moves. Checkpoint-reset rule (shared with
-    ``bm25_index_sink``): batch ids restart at 0 after a checkpoint
-    wipe, so a reset requires a rebuild, not more appends."""
+    distribution moves.
+
+    ``compact_every``: when set, the sink runs ``compact_pq_index``
+    whenever the committed increment count reaches this bound — a
+    SELF-MAINTAINING index whose read plan never exceeds
+    ``compact_every`` union arms. Safe mid-stream because compaction
+    carries the tag ledger into the folded generation (replays of
+    folded batches still no-op) and crash-safe at every point (a
+    compaction that dies before its flip leaves the stacked generation
+    live and retries on a later batch). Checkpoint-reset rule (shared
+    with ``bm25_index_sink``): batch ids restart at 0 after a
+    checkpoint wipe, so a reset requires a rebuild, not more appends."""
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
         append_pq_index(
             batch_df, vec_col, id_col, path, batch_tag=str(batch_id)
         )
+        if compact_every is not None:
+            from rtstore_spark.store.fs import fs_for
+
+            base = resolve_index_base(spark, path)
+            names, _ = _parse_inc_pointer(
+                fs_for(base, spark).read_text(f"{base}/inc/_current")
+            )
+            if len(names) >= compact_every:
+                compact_pq_index(spark, path)
 
     return apply

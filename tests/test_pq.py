@@ -584,6 +584,52 @@ class TestStreamingMaintenance:
         ids = [r["id"] for r in codes.collect()]
         assert sorted(ids) == list(range(40)) + list(range(50, 60))
 
+    def test_compaction_preserves_tag_ledger(self, spark, emb, stream_index):
+        """The folded generation's increment pointer starts with zero
+        increments but every committed tag, so a micro-batch replayed
+        AFTER a compaction still no-ops."""
+        from rtstore_spark.operators.similarity import (
+            compact_pq_index,
+            pq_index_sink,
+            read_pq_index,
+        )
+
+        sink = pq_index_sink(stream_index, "embedding", "vec_id")
+        batch = emb.filter("vec_id >= 40 and vec_id < 60")
+        sink(batch, 0)
+        compact_pq_index(spark, stream_index)
+        sink(batch, 0)  # replay AFTER the fold must still no-op
+        codes, _, _ = read_pq_index(spark, stream_index)
+        ids = [r["id"] for r in codes.collect()]
+        assert len(ids) == 60 and len(set(ids)) == 60
+
+    def test_sink_auto_compaction_bounds_increment_count(
+        self, spark, emb, stream_index
+    ):
+        from rtstore_spark.operators.similarity import (
+            _parse_inc_pointer,
+            pq_index_sink,
+            read_pq_index,
+            resolve_index_base,
+        )
+        from rtstore_spark.store.fs import fs_for
+
+        sink = pq_index_sink(
+            stream_index, "embedding", "vec_id", compact_every=2
+        )
+        sink(emb.filter("vec_id >= 40 and vec_id < 50"), 0)
+        sink(emb.filter("vec_id >= 50 and vec_id < 60"), 1)  # bound → fold
+        base = resolve_index_base(spark, stream_index)
+        names, tags = _parse_inc_pointer(
+            fs_for(base, spark).read_text(f"{base}/inc/_current")
+        )
+        assert names == [] and set(tags) == {"t0", "t1"}  # folded, ledger kept
+        sink(emb.filter("vec_id >= 60 and vec_id < 70"), 2)
+        sink(emb.filter("vec_id >= 50 and vec_id < 60"), 1)  # folded replay
+        codes, _, _ = read_pq_index(spark, stream_index)
+        ids = sorted(r["id"] for r in codes.collect())
+        assert ids == list(range(70))
+
     def test_legacy_count_pointer_still_reads_and_upgrades(
         self, spark, emb, stream_index
     ):

@@ -526,6 +526,75 @@ class TestStreamingMaintenance:
         _, _, s3 = read_bm25_index(spark, path)
         assert s3 == s1
 
+    def test_compaction_preserves_tag_ledger(self, spark, docs, tmp_path):
+        """Compaction parks the folded deltas' tags in the _tags
+        ledger, so a micro-batch replayed AFTER a compaction still
+        no-ops — the property that makes in-sink auto-compaction safe
+        mid-stream (only a full rebuild resets the ledger)."""
+        from rtstore_spark.operators.retrieval import bm25_index_sink
+
+        path = str(tmp_path / "bm25-ledger")
+        write_bm25_index(docs.limit(40), "text", "doc_id", path)
+        b0 = docs.limit(60).subtract(docs.limit(40))
+        sink = bm25_index_sink(path, "text", "doc_id")
+        sink(b0, 0)
+        compact_bm25_index(spark, path)
+        sink(b0, 0)  # replay AFTER the fold must still no-op
+        _, _, s = read_bm25_index(spark, path)
+        assert s["n_docs"] == 60
+        # chained compactions keep accumulating the ledger
+        b1 = docs.limit(70).subtract(docs.limit(60))
+        sink(b1, 1)
+        compact_bm25_index(spark, path)
+        sink(b0, 0)
+        sink(b1, 1)
+        assert read_bm25_index(spark, path)[2]["n_docs"] == 70
+
+    def test_sink_auto_compaction_bounds_delta_count(
+        self, spark, docs, tmp_path
+    ):
+        """compact_every keeps the read plan's union width bounded: the
+        sink folds whenever the delta count reaches the bound, replays
+        of folded batches still no-op, results match a one-shot build."""
+        from rtstore_spark.operators.retrieval import bm25_index_sink
+        from rtstore_spark.store.fs import fs_for, parse_gen_pointer
+
+        path = str(tmp_path / "bm25-autocompact")
+        write_bm25_index(docs.limit(30), "text", "doc_id", path, n_buckets=8)
+        sink = bm25_index_sink(path, "text", "doc_id", compact_every=2)
+        slices = [
+            docs.limit(40).subtract(docs.limit(30)),
+            docs.limit(50).subtract(docs.limit(40)),
+            docs.limit(60).subtract(docs.limit(50)),
+        ]
+        sink(slices[0], 0)
+        sink(slices[1], 1)  # second delta hits the bound → folds
+        fs = fs_for(path, spark)
+        _, live = parse_gen_pointer(fs.read_text(f"{path}/_current"))
+        assert fs.read_text(f"{path}/{live}/_deltas") is None  # folded
+        assert read_bm25_index(spark, path)[2]["n_docs"] == 50
+        sink(slices[2], 2)  # one delta again
+        sink(slices[1], 1)  # replay of a FOLDED batch: no-op
+        postings, term_df, stats = read_bm25_index(spark, path)
+        assert stats["n_docs"] == 60
+        queries = spark.createDataFrame(
+            [(0, "model training data")], "qid long, text string"
+        )
+        via_sink = [
+            (r["id"], r["score"])
+            for r in bm25_search_batch(
+                postings, term_df, stats, queries, k=8
+            ).collect()
+        ]
+        path2 = str(tmp_path / "bm25-oneshot")
+        write_bm25_index(docs.limit(60), "text", "doc_id", path2, n_buckets=8)
+        p2, t2, s2 = read_bm25_index(spark, path2)
+        via_full = [
+            (r["id"], r["score"])
+            for r in bm25_search_batch(p2, t2, s2, queries, k=8).collect()
+        ]
+        assert via_sink == via_full
+
     def test_streaming_appends_become_searchable(self, spark, tmp_path):
         """End-to-end: a file-source stream of new documents maintains
         the index via foreachBatch; search sees the streamed docs with
