@@ -211,6 +211,36 @@ def _union_parts(parts) -> tuple[DataFrame, DataFrame]:
     return postings, term_df
 
 
+def _read_tag_ledger(fs, base: str) -> tuple[int | None, set[str]]:
+    """The generation's ``_tags`` ledger → (watermark, carried tokens).
+
+    ``w<int>`` lines are a WATERMARK: micro-batch ids are monotone
+    under foreachBatch (batch N+1 never runs before N committed), so
+    one integer subsumes every folded digit tag ≤ it — the ledger
+    stays O(1) for sink-driven streams no matter how many compactions
+    chain. ``t…`` lines are individually-carried tokens (hashed
+    non-digit tags, which have no order); these are rare (only the
+    public API emits them) and accumulate until a full rebuild."""
+    wm: int | None = None
+    toks: set[str] = set()
+    for ln in (fs.read_text(base + "/_tags") or "").splitlines():
+        ln = ln.strip()
+        if not ln:
+            continue
+        if ln.startswith("w") and ln[1:].isdigit():
+            wm = max(wm if wm is not None else 0, int(ln[1:]))
+        else:
+            toks.add(ln)
+    return wm, toks
+
+
+def _ledger_contains(token: str, wm: int | None, toks: set[str]) -> bool:
+    if token in toks:
+        return True
+    body = token[1:]
+    return wm is not None and body.isdigit() and int(body) <= wm
+
+
 def _fold_stats(parts) -> dict:
     n_docs = sum(int(s["n_docs"]) for _, _, s in parts)
     sum_dl = sum(_stats_sum_dl(s) for _, _, s in parts)
@@ -305,15 +335,12 @@ def append_bm25_index(
         batch_tag = safe_batch_tag(batch_tag)
         # committed tags live in two places: live delta dir names, and
         # the generation's _tags ledger where compact_bm25_index parks
-        # the tokens of folded-away deltas — so compaction never
-        # forgets a committed batch (only a full rebuild resets)
-        folded_tags = set(
-            ln.strip()
-            for ln in (fs.read_text(base + "/_tags") or "").splitlines()
-            if ln.strip()
-        )
+        # folded-away batches (digit tags as one watermark, hashed tags
+        # individually) — so compaction never forgets a committed batch
+        # (only a full rebuild resets)
+        wm, toks = _read_tag_ledger(fs, base)
         token = f"t{batch_tag}"
-        if token in folded_tags or any(
+        if _ledger_contains(token, wm, toks) or any(
             n.rsplit("-", 1)[-1] == token for n in names0
         ):
             return  # replayed micro-batch: already committed
@@ -359,7 +386,7 @@ def append_bm25_index(
             fs.delete(f"{base}/{d}", recursive=True)
 
 
-def compact_bm25_index(spark, path: str) -> None:
+def compact_bm25_index(spark, path: str, keep: int = 1) -> None:
     """Fold committed deltas into a fresh generation WITHOUT the corpus.
 
     ``write_bm25_index`` folds deltas too, but it needs the ORIGINAL
@@ -404,6 +431,7 @@ def compact_bm25_index(spark, path: str) -> None:
         begin_generation,
         commit_generation,
         fs_for,
+        retained_generations,
     )
 
     fs = fs_for(path, spark)
@@ -437,30 +465,39 @@ def compact_bm25_index(spark, path: str) -> None:
         "overwrite"
     ).parquet(out + "/_termdf")
     fs.write_text_atomic(out + "/_stats.json", json.dumps(_fold_stats(parts)))
-    # park the folded deltas' tag tokens (plus any the old generation
-    # had already parked) so replays still no-op after the fold; an
-    # untagged delta's uuid suffix is hex-only, never 't'-prefixed
-    carried = [
-        ln.strip()
-        for ln in (fs.read_text(base + "/_tags") or "").splitlines()
-        if ln.strip()
-    ]
-    folded_tokens = [
-        sfx for n in names
-        if (sfx := n.rsplit("-", 1)[-1]).startswith("t")
-    ]
-    tags = [*carried, *(t for t in folded_tokens if t not in carried)]
-    if tags:
-        fs.write_text_atomic(out + "/_tags", "\n".join(tags) + "\n")
+    # park the folded deltas' tags (plus the old generation's ledger)
+    # so replays still no-op after the fold. Digit tags — the sink's
+    # monotone batch ids — compress into ONE watermark line, so the
+    # ledger stays O(1) across unbounded chained compactions; hashed
+    # (non-digit) tags carry individually. An untagged delta's uuid
+    # suffix is hex-only, never 't'-prefixed.
+    wm, toks = _read_tag_ledger(fs, base)
+    for n in names:
+        sfx = n.rsplit("-", 1)[-1]
+        if sfx.startswith("t"):
+            body = sfx[1:]
+            if body.isdigit():
+                wm = max(wm if wm is not None else 0, int(body))
+            else:
+                toks.add(sfx)
+    ledger = ([f"w{wm}"] if wm is not None else []) + sorted(toks)
+    if ledger:
+        fs.write_text_atomic(out + "/_tags", "\n".join(ledger) + "\n")
     if (fs.read_text(base + "/_deltas") or "") != manifest0:
         raise RuntimeError(
             f"compact_bm25_index: a concurrent append committed on {path} "
             "during this compaction — its delta is not in the folded "
             "generation; re-run the compaction"
         )
+    # retention: keep the newest `keep` predecessor generations, not
+    # just one — a frequently-folding sink (compact_every on a fast
+    # stream) would otherwise sweep the files under a reader whose
+    # lazy plan is older than two folds
+    retained = set(retained_generations(fs, path, keep, exclude=gen_name))
+    retained.add(prev_name)  # the LIVE predecessor survives regardless
     commit_generation(
         fs, path, prev_gen, gen_name,
-        op="compact_bm25_index", keep=(prev_name,),
+        op="compact_bm25_index", keep=tuple(retained),
     )
 
 
@@ -642,6 +679,7 @@ def bm25_batch_topk(
 def bm25_index_sink(
     path: str, text_col: str, id_col: str,
     compact_every: int | None = None,
+    compact_keep: int = 2,
 ):
     """Streaming index maintenance: a ``foreachBatch`` body that appends
     each micro-batch of NEW documents as a delta generation —
@@ -665,14 +703,20 @@ def bm25_index_sink(
     SELF-MAINTAINING index whose read plan never exceeds
     ``compact_every`` union arms. Safe mid-stream because compaction
     parks the folded tags in the ``_tags`` ledger (replays of folded
-    batches still no-op), and crash-safe at every point: a compaction
-    that dies before its flip leaves the delta'd generation live and
-    retries on a later batch. The base index must exist
-    (``write_bm25_index``); full rebuilds remain the deep-maintenance
-    path (re-train nothing here — BM25 has no model). Checkpoint-reset
-    rule (shared with the streaming state tables): batch ids restart
-    at 0 after a checkpoint wipe, so a reset requires a fresh rebuild,
-    not more appends."""
+    batches still no-op; digit batch ids fold to one watermark line,
+    so the ledger stays O(1) forever), and crash-safe at every point:
+    a compaction that dies before its flip leaves the delta'd
+    generation live and retries on a later batch.
+
+    ``compact_keep``: predecessor generations retained per fold
+    (default 2, vs the manual path's grace-of-one) — a concurrent
+    reader's lazy plan survives ``compact_keep`` subsequent folds, so
+    size it to (longest expected query) / (compact_every x batch
+    interval). The base index must exist (``write_bm25_index``); full
+    rebuilds remain the deep-maintenance path. Checkpoint-reset rule
+    (shared with the streaming state tables): batch ids restart at 0
+    after a checkpoint wipe, so a reset requires a fresh rebuild, not
+    more appends."""
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         append_bm25_index(
@@ -685,6 +729,6 @@ def bm25_index_sink(
             _, live = parse_gen_pointer(fs.read_text(f"{path}/_current"))
             manifest = fs.read_text(f"{path}/{live}/_deltas") or ""
             if sum(1 for ln in manifest.splitlines() if ln.strip()) >= compact_every:
-                compact_bm25_index(spark, path)
+                compact_bm25_index(spark, path, keep=compact_keep)
 
     return apply

@@ -1171,29 +1171,41 @@ def resolve_index_base(spark, path: str) -> str:
     return f"{path}/{live}"
 
 
-def _parse_inc_pointer(cur: str | None) -> tuple[list[str], list[str]]:
+def _parse_inc_pointer(
+    cur: str | None,
+) -> tuple[list[str], list[str], int | None]:
     """The increment pointer file → (committed increment dir NAMES in
-    commit order, committed batch-tag tokens).
+    commit order, committed batch-tag tokens, folded-batch watermark).
 
     Current ("v2") format: header line ``v2``, then one ``gen-*`` line
     per committed increment directory (uniquely-suffixed names — two
-    racing appends can never write the same directory) and one
+    racing appends can never write the same directory), one
     ``t<token>`` line per tagged append (the exactly-once ledger
-    ``pq_index_sink`` replays check against). Legacy format — a bare
+    ``pq_index_sink`` replays check against), and at most one
+    ``w<int>`` WATERMARK line: micro-batch ids are monotone under
+    foreachBatch, so compaction folds every digit tag into one max —
+    the ledger stays O(1) across unbounded chained compactions, while
+    hashed (non-digit) tags carry individually. Legacy format — a bare
     count N on line 1 (directories named exactly ``gen-1..gen-N``),
     optional tag lines after — still parses; the first v2 write
     upgrades it in place."""
     if cur is None:
-        return [], []
+        return [], [], None
     lines = [ln.strip() for ln in cur.splitlines() if ln.strip()]
     if not lines:
-        return [], []
+        return [], [], None
+    wm: int | None = None
     if lines[0] == "v2":
-        names = [ln for ln in lines[1:] if ln.startswith("gen-")]
-        tags = [ln for ln in lines[1:] if ln.startswith("t")]
-        return names, tags
-    n = int(lines[0])
-    return [f"gen-{i}" for i in range(1, n + 1)], lines[1:]
+        body = lines[1:]
+    else:
+        n = int(lines[0])
+        return [f"gen-{i}" for i in range(1, n + 1)], lines[1:], None
+    names = [ln for ln in body if ln.startswith("gen-")]
+    tags = [ln for ln in body if ln.startswith("t")]
+    for ln in body:
+        if ln.startswith("w") and ln[1:].isdigit():
+            wm = max(wm if wm is not None else 0, int(ln[1:]))
+    return names, tags, wm
 
 
 def _live_increments(spark, base: str) -> list[str]:
@@ -1208,7 +1220,7 @@ def _live_increments(spark, base: str) -> list[str]:
     from rtstore_spark.store.fs import fs_for
 
     fs = fs_for(base, spark)
-    names, _ = _parse_inc_pointer(fs.read_text(f"{base}/inc/_current"))
+    names, _, _ = _parse_inc_pointer(fs.read_text(f"{base}/inc/_current"))
     return [f"{base}/inc/{name}" for name in names]
 
 
@@ -1314,11 +1326,13 @@ def append_pq_index(
     Non-digit tags hash via ``store.fs.safe_batch_tag`` so distinct raw
     tags never alias. An empty ``df`` is a no-op (a zero-row increment
     directory would be schema-less and unreadable). The pointer file
-    grows one name (+ one tag) per append SINCE THE LAST
-    compaction/rebuild — ``compact_pq_index``/``write_pq_index`` reset
-    it, which is the bound; a maintenance cadence that compacts
-    periodically keeps it tiny (same contract as the bm25 ``_deltas``
-    manifest).
+    grows one name (+ one tag line) per append SINCE THE LAST
+    compaction/rebuild: ``compact_pq_index`` clears the names and
+    folds all digit (sink) tags into a single watermark line, keeping
+    the ledger O(1) for a periodically-compacted stream (hashed
+    non-digit tags carry individually until a full ``write_pq_index``
+    rebuild — the only full reset). Same contract as the bm25
+    ``_deltas`` manifest + ``_tags`` ledger.
 
     Crash safety — the storage plane's manifest-pointer protocol: the
     increment is written to a fresh UNIQUELY-SUFFIXED directory
@@ -1341,11 +1355,15 @@ def append_pq_index(
     base = resolve_index_base(spark, path)
     fs = fs_for(base, spark)
     cur0 = fs.read_text(f"{base}/inc/_current")
-    names0, tags0 = _parse_inc_pointer(cur0)
+    names0, tags0, wm0 = _parse_inc_pointer(cur0)
     token = None
     if batch_tag is not None:
         token = f"t{safe_batch_tag(batch_tag)}"
-        if token in tags0:
+        body = token[1:]
+        folded = (
+            wm0 is not None and body.isdigit() and int(body) <= wm0
+        )  # compaction folded this batch's digit tag into the watermark
+        if token in tags0 or folded:
             return  # replayed micro-batch: already committed
     if df.isEmpty():
         return
@@ -1392,7 +1410,10 @@ def append_pq_index(
             f"append_pq_index: concurrent append detected on {path} — "
             "indexes have a single-writer contract; re-run the append"
         )
-    lines = ["v2", *names0, inc_name, *tags0]
+    lines = ["v2", *names0, inc_name]
+    if wm0 is not None:
+        lines.append(f"w{wm0}")
+    lines.extend(tags0)
     if token is not None:
         lines.append(token)
     fs.write_text_atomic(f"{base}/inc/_current", "\n".join(lines) + "\n")
@@ -1408,7 +1429,7 @@ def append_pq_index(
             fs.delete(f"{base}/inc/{d}", recursive=True)
 
 
-def compact_pq_index(spark, path: str) -> None:
+def compact_pq_index(spark, path: str, keep: int = 1) -> None:
     """Fold committed increments into a fresh base generation WITHOUT
     the corpus — the ANN mirror of ``retrieval.compact_bm25_index``.
 
@@ -1443,6 +1464,7 @@ def compact_pq_index(spark, path: str) -> None:
         begin_generation,
         commit_generation,
         fs_for,
+        retained_generations,
     )
 
     fs = fs_for(path, spark)
@@ -1458,7 +1480,7 @@ def compact_pq_index(spark, path: str) -> None:
     # landed in between — the fold would include it while the pre-flip
     # check flagged it as missing, a false alarm that discards work)
     inc0 = fs.read_text(f"{base}/inc/_current")
-    names0, tags0 = _parse_inc_pointer(inc0)
+    names0, tags0, wm0 = _parse_inc_pointer(inc0)
     incs = [f"{base}/inc/{name}" for name in names0]
     if not incs:
         return  # union-free already: nothing to fold
@@ -1471,11 +1493,23 @@ def compact_pq_index(spark, path: str) -> None:
         "overwrite"
     ).parquet(out + "/_centroids")
     pq_save(spark, pq_load(spark, base + "/_model"), out + "/_model")
-    if tags0:
-        # carry the exactly-once ledger forward: zero increments, every
-        # committed tag — replays of folded batches still no-op
+    # carry the exactly-once ledger forward: zero increments, digit
+    # (sink) tags folded into ONE watermark line — micro-batch ids are
+    # monotone under foreachBatch, so max subsumes them and the ledger
+    # stays O(1) across unbounded chained compactions — and hashed
+    # (non-digit) tags carried individually
+    wm = wm0
+    toks = []
+    for t in tags0:
+        body = t[1:]
+        if body.isdigit():
+            wm = max(wm if wm is not None else 0, int(body))
+        else:
+            toks.append(t)
+    ledger = ([f"w{wm}"] if wm is not None else []) + sorted(set(toks))
+    if ledger:
         fs.write_text_atomic(
-            f"{out}/inc/_current", "\n".join(["v2", *tags0]) + "\n"
+            f"{out}/inc/_current", "\n".join(["v2", *ledger]) + "\n"
         )
     if fs.read_text(f"{base}/inc/_current") != inc0:
         raise RuntimeError(
@@ -1485,7 +1519,11 @@ def compact_pq_index(spark, path: str) -> None:
         )
     commit_generation(
         fs, path, prev_gen, gen_name,
-        op="compact_pq_index", keep=(prev_name,),
+        op="compact_pq_index",
+        keep=tuple({
+            *retained_generations(fs, path, keep, exclude=gen_name),
+            *((prev_name,) if prev_name else ()),
+        }),
     )
     if base == path:  # legacy pre-pointer root layout: artifacts now stale
         for legacy in ("codes", "_centroids", "_model", "inc"):
@@ -1495,6 +1533,7 @@ def compact_pq_index(spark, path: str) -> None:
 def pq_index_sink(
     path: str, vec_col: str, id_col: str,
     compact_every: int | None = None,
+    compact_keep: int = 2,
 ):
     """Streaming ANN index maintenance: a ``foreachBatch`` body that
     appends each micro-batch of NEW vectors as a committed increment —
@@ -1521,11 +1560,18 @@ def pq_index_sink(
     SELF-MAINTAINING index whose read plan never exceeds
     ``compact_every`` union arms. Safe mid-stream because compaction
     carries the tag ledger into the folded generation (replays of
-    folded batches still no-op) and crash-safe at every point (a
-    compaction that dies before its flip leaves the stacked generation
-    live and retries on a later batch). Checkpoint-reset rule (shared
-    with ``bm25_index_sink``): batch ids restart at 0 after a
-    checkpoint wipe, so a reset requires a rebuild, not more appends."""
+    folded batches still no-op; digit batch ids fold to one watermark
+    line, so the ledger stays O(1) forever) and crash-safe at every
+    point (a compaction that dies before its flip leaves the stacked
+    generation live and retries on a later batch).
+
+    ``compact_keep``: predecessor generations retained per fold
+    (default 2, vs the manual path's grace-of-one) — a concurrent
+    reader's lazy plan survives ``compact_keep`` subsequent folds;
+    size it to (longest expected query) / (compact_every x batch
+    interval). Checkpoint-reset rule (shared with
+    ``bm25_index_sink``): batch ids restart at 0 after a checkpoint
+    wipe, so a reset requires a rebuild, not more appends."""
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         append_pq_index(
@@ -1535,10 +1581,10 @@ def pq_index_sink(
             from rtstore_spark.store.fs import fs_for
 
             base = resolve_index_base(spark, path)
-            names, _ = _parse_inc_pointer(
+            names, _, _ = _parse_inc_pointer(
                 fs_for(base, spark).read_text(f"{base}/inc/_current")
             )
             if len(names) >= compact_every:
-                compact_pq_index(spark, path)
+                compact_pq_index(spark, path, keep=compact_keep)
 
     return apply

@@ -271,6 +271,27 @@ def commit_generation(
             fs.delete(f"{path}/{d}", recursive=True)
 
 
+def retained_generations(
+    fs, path: str, keep: int, exclude: str,
+) -> tuple[str, ...]:
+    """The newest ``keep`` PREDECESSOR generation dir names (by
+    generation number, ``exclude`` being the in-flight new generation)
+    — the retention set a frequent compactor passes to
+    ``commit_generation``. ``keep=1`` is the classic grace-of-one; a
+    frequently-folding streaming sink keeps more so a concurrent
+    reader's lazy plan survives several folds. Callers should ALSO add
+    the live predecessor's name explicitly: a crash orphan with a
+    higher generation number must never displace it from the set."""
+    gens = sorted(
+        (
+            d for d in fs.listdir(path)
+            if d.startswith("gen-") and d != exclude
+        ),
+        key=lambda n: int(n.split("-")[1]),
+    )
+    return tuple(gens[-max(1, keep):])
+
+
 def safe_batch_tag(tag) -> str:
     """Filesystem-safe idempotence token for a streaming batch tag.
 

@@ -620,10 +620,12 @@ class TestStreamingMaintenance:
         sink(emb.filter("vec_id >= 40 and vec_id < 50"), 0)
         sink(emb.filter("vec_id >= 50 and vec_id < 60"), 1)  # bound → fold
         base = resolve_index_base(spark, stream_index)
-        names, tags = _parse_inc_pointer(
+        names, tags, wm = _parse_inc_pointer(
             fs_for(base, spark).read_text(f"{base}/inc/_current")
         )
-        assert names == [] and set(tags) == {"t0", "t1"}  # folded, ledger kept
+        # folded: zero increments; the digit batch ids compress into
+        # ONE watermark line (batch ids are monotone), not per-tag lines
+        assert names == [] and tags == [] and wm == 1
         sink(emb.filter("vec_id >= 60 and vec_id < 70"), 2)
         sink(emb.filter("vec_id >= 50 and vec_id < 60"), 1)  # folded replay
         codes, _, _ = read_pq_index(spark, stream_index)

@@ -595,6 +595,78 @@ class TestStreamingMaintenance:
         ]
         assert via_sink == via_full
 
+    def test_tag_ledger_is_watermark_compressed(self, spark, docs, tmp_path):
+        """The _tags ledger must stay O(1) for a sink-driven stream no
+        matter how many compactions chain: digit batch ids fold into
+        ONE watermark line (batch ids are monotone under foreachBatch);
+        hashed non-digit tags carry individually."""
+        from rtstore_spark.operators.retrieval import bm25_index_sink
+        from rtstore_spark.store.fs import fs_for, parse_gen_pointer
+
+        path = str(tmp_path / "bm25-wm")
+        write_bm25_index(docs.limit(30), "text", "doc_id", path)
+        sink = bm25_index_sink(path, "text", "doc_id")
+        fs = fs_for(path, spark)
+
+        def ledger():
+            _, live = parse_gen_pointer(fs.read_text(f"{path}/_current"))
+            return [
+                ln for ln in (
+                    fs.read_text(f"{path}/{live}/_tags") or ""
+                ).splitlines() if ln.strip()
+            ]
+
+        lo = 30
+        for batch_id in range(4):
+            sink(
+                docs.limit(lo + 5).subtract(docs.limit(lo)), batch_id
+            )
+            lo += 5
+            compact_bm25_index(spark, path)
+        assert ledger() == ["w3"]  # 4 folds, ONE line — not 4 tag lines
+        # a hashed (non-digit) tag carries individually alongside
+        append_bm25_index(
+            docs.limit(55).subtract(docs.limit(50)),
+            "text", "doc_id", path, batch_tag="crawl/a",
+        )
+        compact_bm25_index(spark, path)
+        led = ledger()
+        assert led[0] == "w3" and len(led) == 2 and led[1].startswith("th")
+        # replays of everything still no-op after all those folds
+        sink(docs.limit(35).subtract(docs.limit(30)), 0)
+        append_bm25_index(
+            docs.limit(55).subtract(docs.limit(50)),
+            "text", "doc_id", path, batch_tag="crawl/a",
+        )
+        assert read_bm25_index(spark, path)[2]["n_docs"] == 55
+
+    def test_compact_keep_retains_generations_for_readers(
+        self, spark, docs, tmp_path
+    ):
+        """keep=N retention: a reader's lazy plan must survive N folds.
+        With keep=2, two compactions later the original generation's
+        files are still on disk and the old plan still evaluates."""
+        path = str(tmp_path / "bm25-keep")
+        write_bm25_index(docs.limit(30), "text", "doc_id", path, n_buckets=8)
+        # take a lazy plan against the CURRENT generation
+        postings0, term_df0, stats0 = read_bm25_index(spark, path)
+        queries = spark.createDataFrame(
+            [(0, "model training data")], "qid long, text string"
+        )
+        plan0 = bm25_search_batch(postings0, term_df0, stats0, queries, k=5)
+        append_bm25_index(
+            docs.limit(40).subtract(docs.limit(30)), "text", "doc_id", path
+        )
+        compact_bm25_index(spark, path, keep=2)  # fold 1
+        append_bm25_index(
+            docs.limit(50).subtract(docs.limit(40)), "text", "doc_id", path
+        )
+        compact_bm25_index(spark, path, keep=2)  # fold 2
+        # the round-1 generation survived both folds: the old plan runs
+        assert plan0.count() > 0
+        gens = [d for d in os.listdir(path) if d.startswith("gen-")]
+        assert len(gens) == 3  # live + 2 retained predecessors
+
     def test_streaming_appends_become_searchable(self, spark, tmp_path):
         """End-to-end: a file-source stream of new documents maintains
         the index via foreachBatch; search sees the streamed docs with
