@@ -28,6 +28,14 @@ with NO eager connection WINDOW_UPDATE, lowercase headers with
 `te: trailers` and `grpc-timeout`, HEADERS+DATA coalesced in one write,
 post-response RST_STREAM(CANCEL), and mid-connection SETTINGS changes.
 
+Round 10 adds a GRPC-GO flank (TestGrpcGoInterop) — golang.org/x/net/
+http2 habits neither prior flank produces: an EMPTY initial SETTINGS
+frame, stateful HPACK with RAW literals only (x/net's encoder never
+Huffman-codes), a BDP-probe PING in flight mid-RPC, GOAWAY(NO_ERROR)
+with ascii debug data at channel shutdown, deadline/retry metadata
+(`grpc-timeout` + `grpc-previous-rpc-attempts`), and quarter-window
+flow-control replenishment through a 64-byte stream window.
+
 Each fixture drives a REAL RPC end-to-end and asserts the response
 decodes with grpc-status 0 — mirroring the acceptance flow of
 java/src/test/java/network/db3/client/ClientTest.java:79.
@@ -670,6 +678,185 @@ class TestTonicInterop:
             _assert_nonce_ok(*c.coalesced_call(GETNONCE, {"address": ADDR}))
             c.enc.resize(4096)  # regrow within the advertised bound
             _assert_nonce_ok(*c.coalesced_call(GETNONCE, {"address": ADDR}))
+        finally:
+            c.close()
+
+
+class GrpcGoStyleClient(NettyStyleClient):
+    """Drives h2c the way a grpc-go channel (golang.org/x/net/http2
+    transport) does — the THIRD compiled-client flavor, distinct from
+    both flanks above: an EMPTY initial SETTINGS frame (zero
+    parameters — a valid RFC 9113 frame netty never sends), an eager
+    connection WINDOW_UPDATE like netty, and x/net/http2/hpack's
+    encoder behavior: incremental indexing into a live dynamic table
+    but RAW string literals only (that encoder never Huffman-codes),
+    a combination no other fixture produces statefully."""
+
+    UA = "grpc-go/1.57.0"
+
+    def __init__(self, port: int):
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        self.enc = NettyStyleEncoder(table_size=4096, huffman=False)
+        self.dec = HpackDecoder()
+        self.next_sid = 1
+        self.sock.sendall(h2.PREFACE)
+        self.sock.sendall(h2.pack_frame(h2.SETTINGS, 0, 0, b""))  # EMPTY
+        self.sock.sendall(h2.pack_frame(
+            h2.WINDOW_UPDATE, 0, 0, (983041).to_bytes(4, "big")
+        ))
+
+    def request_headers(self, path: str) -> list[tuple[str, str]]:
+        # grpc-go's header set and order (lowercase, no accept-encoding
+        # by default, content-type before user-agent)
+        return [
+            (":method", "POST"),
+            (":scheme", "http"),
+            (":path", path),
+            (":authority", "localhost"),
+            ("content-type", "application/grpc"),
+            ("user-agent", self.UA),
+            ("te", "trailers"),
+        ]
+
+
+class TestGrpcGoInterop:
+    def test_22_grpc_go_connection_start(self, h2_server):
+        # empty SETTINGS (zero parameters) + eager conn WINDOW_UPDATE +
+        # stateful non-Huffman HPACK; second call back-references the
+        # dynamic table entries the first inserted
+        c = GrpcGoStyleClient(h2_server.port)
+        try:
+            _assert_nonce_ok(*c.call(GETNONCE, {"address": ADDR}))
+            _assert_nonce_ok(*c.call(GETNONCE, {"address": ADDR}))
+        finally:
+            c.close()
+
+    def test_23_bdp_ping_mid_rpc(self, h2_server):
+        # grpc-go's BDP estimator sends a non-ACK PING right after
+        # request DATA, while the RPC is in flight — the server must
+        # ACK it with the SAME opaque payload and still answer the RPC
+        c = GrpcGoStyleClient(h2_server.port)
+        try:
+            service, method = GETNONCE.strip("/").split("/")
+            req_schema, resp_schema, _ = METHODS[service][method]
+            sid = c.send_request(
+                GETNONCE, req_schema.encode({"address": ADDR})
+            )
+            probe = b"\x02\x04\x10\x10\x09\x0e\x07\x07"  # grpc-go's bytes
+            c.sock.sendall(h2.pack_frame(h2.PING, 0, 0, probe))
+            got_ack = False
+            data = bytearray()
+            headers_seen = False
+            status = None
+            while True:
+                ftype, flags, fsid, payload = c.recv_frame()
+                if ftype == h2.PING and flags & h2.FLAG_ACK:
+                    assert payload == probe
+                    got_ack = True
+                elif ftype == h2.HEADERS and fsid == sid:
+                    decoded = dict(c.dec.decode(
+                        h2.strip_padding(payload, flags)
+                    ))
+                    if "grpc-status" in decoded:
+                        status = int(decoded["grpc-status"])
+                    headers_seen = True
+                    if flags & h2.FLAG_END_STREAM:
+                        break
+                elif ftype == h2.DATA and fsid == sid:
+                    data += h2.strip_padding(payload, flags)
+                    if flags & h2.FLAG_END_STREAM:
+                        break
+            assert headers_seen and got_ack and status == 0
+            msgs = [m for _, m in h2.parse_grpc_frames(bytes(data))]
+            assert resp_schema.decode(msgs[0]).get("nonce", 0) >= 1
+        finally:
+            c.close()
+
+    def test_24_goaway_with_debug_data_shutdown(self, h2_server):
+        # grpc-go closes a channel with GOAWAY(NO_ERROR) carrying ascii
+        # debug data before the FIN — the server must take the shutdown
+        # gracefully and keep serving OTHER connections
+        c = GrpcGoStyleClient(h2_server.port)
+        try:
+            _assert_nonce_ok(*c.call(GETNONCE, {"address": ADDR}))
+            c.sock.sendall(h2.pack_frame(
+                h2.GOAWAY, 0, 0,
+                (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                + b"client transport shutdown",
+            ))
+        finally:
+            c.close()
+        c2 = GrpcGoStyleClient(h2_server.port)
+        try:
+            _assert_nonce_ok(*c2.call(GETNONCE, {"address": ADDR}))
+        finally:
+            c2.close()
+
+    def test_25_deadline_and_retry_attempt_metadata(self, h2_server):
+        # a deadline adds grpc-timeout; a transparent retry adds
+        # grpc-previous-rpc-attempts — unknown-to-us metadata the
+        # server must parse (stateful HPACK inserts it) and ignore
+        c = GrpcGoStyleClient(h2_server.port)
+        try:
+            hdrs = c.request_headers(GETNONCE) + [
+                ("grpc-timeout", "10S"),
+                ("grpc-previous-rpc-attempts", "1"),
+            ]
+            service, method = GETNONCE.strip("/").split("/")
+            req_schema, resp_schema, _ = METHODS[service][method]
+            sid = c.send_request(
+                GETNONCE, req_schema.encode({"address": ADDR}),
+                header_block=c.enc.encode(hdrs),
+            )
+            msgs, status, message = c.read_response(sid)
+            assert status == 0, message
+            assert resp_schema.decode(msgs[0]).get("nonce", 0) >= 1
+        finally:
+            c.close()
+
+    def test_26_quarter_window_replenish(self, h2_server):
+        # grpc-go replenishes flow-control windows in quarter-window
+        # increments as the application consumes — serve a response
+        # through a 64-byte stream window grown 16 bytes at a time
+        c = GrpcGoStyleClient(h2_server.port)
+        try:
+            c.sock.sendall(h2.pack_frame(
+                h2.SETTINGS, 0, 0,
+                h2.build_settings({h2.SETTINGS_INITIAL_WINDOW_SIZE: 64}),
+            ))
+            service, method = GETSTATUS.strip("/").split("/")
+            req_schema, resp_schema, _ = METHODS[service][method]
+            sid = c.send_request(GETSTATUS, req_schema.encode({}))
+            data = bytearray()
+            status = None
+            while True:
+                ftype, flags, fsid, payload = c.recv_frame()
+                if ftype == h2.DATA and fsid == sid:
+                    chunk = h2.strip_padding(payload, flags)
+                    data += chunk
+                    assert len(chunk) <= 64  # window respected
+                    for _ in range(4):  # quarter-window replenish
+                        c.sock.sendall(h2.pack_frame(
+                            h2.WINDOW_UPDATE, 0, sid,
+                            (16).to_bytes(4, "big"),
+                        ))
+                    c.sock.sendall(h2.pack_frame(
+                        h2.WINDOW_UPDATE, 0, 0,
+                        len(chunk).to_bytes(4, "big"),
+                    ))
+                    if flags & h2.FLAG_END_STREAM:
+                        break
+                elif ftype == h2.HEADERS and fsid == sid:
+                    decoded = dict(c.dec.decode(
+                        h2.strip_padding(payload, flags)
+                    ))
+                    if "grpc-status" in decoded:
+                        status = int(decoded["grpc-status"])
+                    if flags & h2.FLAG_END_STREAM:
+                        break
+            assert status == 0
+            msgs = [m for _, m in h2.parse_grpc_frames(bytes(data))]
+            assert resp_schema.decode(msgs[0])  # decodes cleanly
         finally:
             c.close()
 
