@@ -253,6 +253,36 @@ def url_domain(col: Column | str, registrable: bool = True) -> Column:
     ).otherwise(F.when(n >= 2, last2).otherwise(host))
 
 
+# standard install locations of the full Mozilla public-suffix list —
+# the Debian/Ubuntu `publicsuffix` package and OpenJDK both vendor it
+_SYSTEM_PSL_PATHS = (
+    "/usr/share/publicsuffix/public_suffix_list.dat",
+    "/usr/share/publicsuffix/effective_tld_names.dat",
+    "/etc/java-17-openjdk/security/public_suffix_list.dat",
+)
+
+
+def system_psl_path() -> "str | None":
+    """The full public-suffix list the OS already ships, if any: the
+    Debian ``publicsuffix`` package and OpenJDK both install the
+    complete publicsuffix.org file (~9.5k rules), so most hosts need no
+    download at all. Checks the standard locations plus the running
+    JVM's ``java.home`` security dir; returns None when absent."""
+    import os
+
+    candidates = list(_SYSTEM_PSL_PATHS)
+    java_home = os.environ.get("JAVA_HOME")
+    if java_home:
+        candidates.append(
+            os.path.join(java_home, "lib", "security",
+                         "public_suffix_list.dat")
+        )
+    for p in candidates:
+        if os.path.isfile(p):
+            return p
+    return None
+
+
 def load_psl_rules(spark, path: str) -> DataFrame:
     """Parse a public-suffix list file (publicsuffix.org/list format) into
     a broadcastable rule table: ``(suffix, ps_labels, is_exception)``.
@@ -331,15 +361,33 @@ def with_registrable_domain(
     exactly one hash join against the resolved host→domain map. Hosts
     that ARE a public suffix ("co.il" itself) resolve to NULL, matching
     the PSL contract that they have no registrable domain.
+
+    ``rules="system"`` loads the COMPLETE publicsuffix.org list the OS
+    already vendors (``system_psl_path`` — the Debian ``publicsuffix``
+    package / OpenJDK security dir), raising clearly when the host has
+    none; ``rules="builtin"`` stays the dependency-free curated subset.
     """
     if rules is None:
         return df.withColumn(out_col, url_domain(url_col))
     if isinstance(rules, str):
-        if rules != "builtin":
-            raise ValueError(f"rules must be a DataFrame or 'builtin', got {rules!r}")
-        from rtstore_spark.operators.psl_snapshot import builtin_psl_rules
+        if rules == "system":
+            p = system_psl_path()
+            if p is None:
+                raise FileNotFoundError(
+                    "with_registrable_domain(rules='system'): no vendored "
+                    "public-suffix list found on this host (checked the "
+                    "Debian publicsuffix and OpenJDK locations) — pass "
+                    "load_psl_rules(spark, path) or use rules='builtin'"
+                )
+            rules = load_psl_rules(df.sparkSession, p)
+        elif rules == "builtin":
+            from rtstore_spark.operators.psl_snapshot import builtin_psl_rules
 
-        rules = builtin_psl_rules(df.sparkSession)
+            rules = builtin_psl_rules(df.sparkSession)
+        else:
+            raise ValueError(
+                f"rules must be a DataFrame, 'system' or 'builtin', got {rules!r}"
+            )
     # raw lowercase host — NOT url_domain(registrable=False), whose
     # www-strip would defeat PSL exception rules like !www.ck (the PSL
     # algorithm itself decides whether www is part of the registrable

@@ -417,3 +417,89 @@ class TestBuiltinPslSnapshot:
         df = spark.createDataFrame([("https://a.io/x",)], "url string")
         with _pytest.raises(ValueError, match="builtin"):
             with_registrable_domain(df, "url", rules="latest")
+
+
+class TestSystemPsl:
+    """rules='system': the COMPLETE publicsuffix.org list the OS already
+    vendors (Debian `publicsuffix` package / OpenJDK) — the full ~9.5k
+    rule file, not the curated builtin subset. Closes the long-standing
+    'full vendored PSL needs network' gap: no network, the file is on
+    disk in this container (and on most hosts)."""
+
+    def test_system_path_found_and_full_size(self, spark):
+        from rtstore_spark.operators.web import (
+            load_psl_rules,
+            system_psl_path,
+        )
+
+        p = system_psl_path()
+        assert p is not None, "container ships the publicsuffix package"
+        rules = load_psl_rules(spark, p)
+        # the real list is ~9.5k rules (plus IDN punycode doublings);
+        # the builtin subset is an order of magnitude smaller
+        n = rules.select("suffix").distinct().count()
+        assert n > 9000, n
+        from rtstore_spark.operators.psl_snapshot import builtin_psl_rules
+
+        n_builtin = builtin_psl_rules(spark).select("suffix").distinct().count()
+        assert n > 3 * n_builtin
+
+    def test_exact_psl_algorithm_outcomes_on_full_list(self, spark):
+        """Canonical publicsuffix.org algorithm cases, including rules
+        the builtin subset does not carry."""
+        from rtstore_spark.operators.web import with_registrable_domain
+
+        urls = [
+            "https://www.example.com/x",
+            "https://a.b.example.co.uk/x",
+            "https://a.b.ck/x",             # wildcard *.ck
+            "https://www.ck/x",             # exception !www.ck
+            "https://foo.blogspot.com/x",   # private section
+            "https://city.kawasaki.jp/x",   # exception !city.kawasaki.jp
+            "https://x.other.kawasaki.jp/x",  # wildcard *.kawasaki.jp
+            "https://example.ck/x",  # IS a public suffix under *.ck
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        out = {
+            r["url"]: r["domain"]
+            for r in with_registrable_domain(df, "url", rules="system")
+            .collect()
+        }
+        assert out["https://www.example.com/x"] == "example.com"
+        assert out["https://a.b.example.co.uk/x"] == "example.co.uk"
+        assert out["https://a.b.ck/x"] == "a.b.ck"      # PS is b.ck
+        assert out["https://www.ck/x"] == "www.ck"      # exception: PS is ck
+        assert out["https://foo.blogspot.com/x"] == "foo.blogspot.com"
+        assert out["https://city.kawasaki.jp/x"] == "city.kawasaki.jp"
+        assert out["https://x.other.kawasaki.jp/x"] == "x.other.kawasaki.jp"
+        # a host that IS a public suffix has no registrable domain
+        assert out["https://example.ck/x"] is None
+
+    def test_system_and_builtin_agree_on_major_suffixes(self, spark):
+        from rtstore_spark.operators.web import with_registrable_domain
+
+        urls = [
+            "https://www.example.com/x",
+            "https://a.example.co.uk/x",
+            "https://u.github.io/x",
+            "https://d.s3.amazonaws.com/x",
+            "https://app.herokuapp.com/x",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+
+        def run(rules):
+            return {
+                r["url"]: r["domain"]
+                for r in with_registrable_domain(df, "url", rules=rules)
+                .collect()
+            }
+
+        assert run("system") == run("builtin")
+
+    def test_missing_system_list_raises_clearly(self, spark, monkeypatch):
+        import rtstore_spark.operators.web as web
+
+        monkeypatch.setattr(web, "system_psl_path", lambda: None)
+        df = spark.createDataFrame([("https://a.io/x",)], "url string")
+        with pytest.raises(FileNotFoundError, match="builtin"):
+            web.with_registrable_domain(df, "url", rules="system")
