@@ -264,10 +264,16 @@ _SYSTEM_PSL_PATHS = (
 
 def system_psl_path() -> "str | None":
     """The full public-suffix list the OS already ships, if any: the
-    Debian ``publicsuffix`` package and OpenJDK both install the
-    complete publicsuffix.org file (~9.5k rules), so most hosts need no
-    download at all. Checks the standard locations plus the running
-    JVM's ``java.home`` security dir; returns None when absent."""
+    Debian ``publicsuffix`` package and OpenJDK both install a complete
+    publicsuffix.org snapshot (~9.5k rules), so most hosts need no
+    download at all. Checks the standard locations plus
+    ``$JAVA_HOME/lib/security``; returns None when absent.
+
+    Candidates are PROBED, not trusted by name: OpenJDK's
+    ``public_suffix_list.dat`` is a ZIP archive of per-TLD entries
+    (starts with ``PK\\x03\\x04``), not the list's text format — a
+    JDK-only host must fall through to None (with a clear error from
+    the caller), never hand the parser a binary it would choke on."""
     import os
 
     candidates = list(_SYSTEM_PSL_PATHS)
@@ -278,8 +284,16 @@ def system_psl_path() -> "str | None":
                          "public_suffix_list.dat")
         )
     for p in candidates:
-        if os.path.isfile(p):
-            return p
+        if not os.path.isfile(p):
+            continue
+        try:
+            with open(p, "rb") as f:
+                head = f.read(4096)
+            if head.startswith(b"PK\x03\x04") or b"\x00" in head:
+                continue  # JDK's zipped per-TLD form, not list text
+        except OSError:
+            continue
+        return p
     return None
 
 

@@ -159,20 +159,20 @@ class NettyStyleClient:
     UA = "grpc-java-netty/1.57.2"
 
     def __init__(self, port: int, table_size: int = 4096,
-                 huffman: bool = True, send_window_update: bool = True):
+                 huffman: bool = True, send_window_update: bool = True,
+                 settings_payload: bytes | None = None):
         self.sock = socket.create_connection(("127.0.0.1", port), timeout=30)
         self.enc = NettyStyleEncoder(table_size=table_size, huffman=huffman)
         self.dec = HpackDecoder()
         self.next_sid = 1
         self.sock.sendall(h2.PREFACE)
-        self.sock.sendall(h2.pack_frame(
-            h2.SETTINGS, 0, 0,
-            h2.build_settings({
+        if settings_payload is None:
+            settings_payload = h2.build_settings({
                 h2.SETTINGS_HEADER_TABLE_SIZE: table_size,
                 h2.SETTINGS_INITIAL_WINDOW_SIZE: 1048576,
                 h2.SETTINGS_MAX_FRAME_SIZE: 16384,
-            }),
-        ))
+            })
+        self.sock.sendall(h2.pack_frame(h2.SETTINGS, 0, 0, settings_payload))
         if send_window_update:
             # netty lifts the connection window to match the 1 MiB
             # stream default right after SETTINGS
@@ -695,15 +695,11 @@ class GrpcGoStyleClient(NettyStyleClient):
     UA = "grpc-go/1.57.0"
 
     def __init__(self, port: int):
-        self.sock = socket.create_connection(("127.0.0.1", port), timeout=30)
-        self.enc = NettyStyleEncoder(table_size=4096, huffman=False)
-        self.dec = HpackDecoder()
-        self.next_sid = 1
-        self.sock.sendall(h2.PREFACE)
-        self.sock.sendall(h2.pack_frame(h2.SETTINGS, 0, 0, b""))  # EMPTY
-        self.sock.sendall(h2.pack_frame(
-            h2.WINDOW_UPDATE, 0, 0, (983041).to_bytes(4, "big")
-        ))
+        # x/net/http2 sends an EMPTY SETTINGS frame (zero parameters)
+        # and its hpack encoder never Huffman-codes
+        super().__init__(
+            port, huffman=False, settings_payload=b"",
+        )
 
     def request_headers(self, path: str) -> list[tuple[str, str]]:
         # grpc-go's header set and order (lowercase, no accept-encoding
@@ -748,7 +744,12 @@ class TestGrpcGoInterop:
             data = bytearray()
             headers_seen = False
             status = None
-            while True:
+            done = False
+            while not done or not got_ack:
+                # nothing orders the reader thread's PING ACK ahead of
+                # the pool worker's response frames — keep reading past
+                # END_STREAM until the ACK arrives (socket timeout is
+                # the failsafe)
                 ftype, flags, fsid, payload = c.recv_frame()
                 if ftype == h2.PING and flags & h2.FLAG_ACK:
                     assert payload == probe
@@ -761,11 +762,11 @@ class TestGrpcGoInterop:
                         status = int(decoded["grpc-status"])
                     headers_seen = True
                     if flags & h2.FLAG_END_STREAM:
-                        break
+                        done = True
                 elif ftype == h2.DATA and fsid == sid:
                     data += h2.strip_padding(payload, flags)
                     if flags & h2.FLAG_END_STREAM:
-                        break
+                        done = True
             assert headers_seen and got_ack and status == 0
             msgs = [m for _, m in h2.parse_grpc_frames(bytes(data))]
             assert resp_schema.decode(msgs[0]).get("nonce", 0) >= 1
@@ -802,15 +803,10 @@ class TestGrpcGoInterop:
                 ("grpc-timeout", "10S"),
                 ("grpc-previous-rpc-attempts", "1"),
             ]
-            service, method = GETNONCE.strip("/").split("/")
-            req_schema, resp_schema, _ = METHODS[service][method]
-            sid = c.send_request(
-                GETNONCE, req_schema.encode({"address": ADDR}),
+            _assert_nonce_ok(*c.call(
+                GETNONCE, {"address": ADDR},
                 header_block=c.enc.encode(hdrs),
-            )
-            msgs, status, message = c.read_response(sid)
-            assert status == 0, message
-            assert resp_schema.decode(msgs[0]).get("nonce", 0) >= 1
+            ))
         finally:
             c.close()
 
@@ -835,11 +831,17 @@ class TestGrpcGoInterop:
                     chunk = h2.strip_padding(payload, flags)
                     data += chunk
                     assert len(chunk) <= 64  # window respected
-                    for _ in range(4):  # quarter-window replenish
-                        c.sock.sendall(h2.pack_frame(
-                            h2.WINDOW_UPDATE, 0, sid,
-                            (16).to_bytes(4, "big"),
-                        ))
+                    # grpc-go replenishes what was CONSUMED, split into
+                    # small increments — granting a fixed amount instead
+                    # would grow the window past 64 and make the bound
+                    # assertion racy
+                    q, r = divmod(len(chunk), 4)
+                    for part in (q, q, q, q + r):
+                        if part:
+                            c.sock.sendall(h2.pack_frame(
+                                h2.WINDOW_UPDATE, 0, sid,
+                                part.to_bytes(4, "big"),
+                            ))
                     c.sock.sendall(h2.pack_frame(
                         h2.WINDOW_UPDATE, 0, 0,
                         len(chunk).to_bytes(4, "big"),

@@ -496,6 +496,23 @@ class TestSystemPsl:
 
         assert run("system") == run("builtin")
 
+    def test_jdk_zip_candidate_rejected_by_probe(self, monkeypatch):
+        """OpenJDK also installs a file NAMED public_suffix_list.dat —
+        but it is a ZIP archive of per-TLD entries, not list text. The
+        path probe must skip it (PK magic) rather than hand the parser
+        a binary."""
+        import os
+
+        import rtstore_spark.operators.web as web
+
+        jdk = "/etc/java-17-openjdk/security/public_suffix_list.dat"
+        if not os.path.isfile(jdk):
+            pytest.skip("no JDK psl file on this host")
+        assert open(jdk, "rb").read(4) == b"PK\x03\x04"  # really a zip
+        monkeypatch.setattr(web, "_SYSTEM_PSL_PATHS", (jdk,))
+        monkeypatch.delenv("JAVA_HOME", raising=False)
+        assert web.system_psl_path() is None
+
     def test_missing_system_list_raises_clearly(self, spark, monkeypatch):
         import rtstore_spark.operators.web as web
 
