@@ -82,6 +82,14 @@ class CorpusPrepConfig:
     # gated docs per domain_col value (web.domain_frequency_cap, salted)
     domain_cap: int | None = None
     domain_col: str = "source"
+    # stage 2c input (optional): DERIVE domain_col from this URL
+    # column's registrable (eTLD+1) domain before capping — the
+    # RefinedWeb-faithful grouping key. domain_psl picks the rule
+    # source for web.with_registrable_domain: "system" = the complete
+    # OS-vendored publicsuffix.org list, "builtin" = the curated
+    # no-dependency subset, None = the two-level heuristic
+    domain_from_url: str | None = None
+    domain_psl: str | None = None
     normalize: bool = False       # stage 0: NFC + whitespace cleanup
     dedup_paragraphs: bool = False  # stage 3b: drop repeated paragraphs
     # stage 3c: exact substring dedup — cut every corpus-wide repeat of at
@@ -347,6 +355,14 @@ def prepare_corpus(
     if cfg.domain_cap is not None:
         from rtstore_spark.operators import web
 
+        if cfg.domain_from_url is not None:
+            # derive the cap's grouping key as the URL's registrable
+            # domain (exact PSL when domain_psl names a rule source) —
+            # so every subdomain of one registrant shares one cap slot
+            kept = web.with_registrable_domain(
+                kept, cfg.domain_from_url,
+                rules=cfg.domain_psl, out_col=cfg.domain_col,
+            )
         kept = web.domain_frequency_cap(
             kept, cfg.domain_col, id_col, cfg.domain_cap
         ).drop("domain_rank")

@@ -281,6 +281,33 @@ def test_domain_cap_stage(spark):
     )
 
 
+def test_domain_cap_derived_from_url_with_system_psl(spark):
+    """domain_from_url + domain_psl='system': the cap groups by the
+    URL's registrable domain under the full OS-vendored PSL — every
+    subdomain of one registrant shares one cap slot, and a co.uk
+    two-level suffix groups correctly (the heuristic's classic miss)."""
+    rows = [
+        Row(
+            doc_id=i,
+            body=f"{GOOD_EN} variant {i} {'x' * (i % 7)}",
+            url=f"https://sub{i}.example.co.uk/p",
+        )
+        for i in range(8)
+    ] + [Row(doc_id=100, body=GOOD_FR, url="https://other.org/q")]
+    cfg = CorpusPrepConfig(
+        min_tokens=10, near_dup_threshold=0.99,
+        domain_cap=3, domain_col="domain",
+        domain_from_url="url", domain_psl="system",
+    )
+    out = prepare_corpus(spark.createDataFrame(rows), "body", "doc_id", cfg)
+    by_dom = {}
+    for r in out.collect():
+        by_dom.setdefault(r["domain"], []).append(r["doc_id"])
+    # all 8 subdomains collapsed into ONE registrable-domain slot
+    assert len(by_dom["example.co.uk"]) == 3
+    assert by_dom["other.org"] == [100]
+
+
 class TestPrepAudit:
     def test_stage_counts_ride_the_action(self, spark, corpus):
         from rtstore_spark.operators.pipeline import PrepAudit
