@@ -104,54 +104,91 @@ def bm25_build(
 def write_bm25_index(
     df: DataFrame, text_col: str, id_col: str, path: str,
     n_buckets: int = N_BUCKETS_DEFAULT,
+    carry_ledger: bool = False,
 ) -> None:
     """Materialize the index: ``<gen>/postings`` partitioned by bucket,
     ``<gen>/_termdf``, ``<gen>/_stats.json`` — committed behind the same
     atomic root ``_current`` pointer flip as ``write_pq_index`` (a crash
     anywhere before the flip leaves the previous generation fully live;
-    concurrent rebuilds fail loudly on the single-writer backstop).
-    Protocol mechanics live in store.fs.begin/commit_generation."""
+    concurrent rebuilds fail loudly on the maintenance lease and the
+    single-writer pointer backstop).
+    Protocol mechanics live in store.fs.begin/commit_generation.
+
+    ``carry_ledger`` — STREAMING-SAFE rebuild. By default a rebuild
+    resets the exactly-once batch-tag ledger, which forces every
+    ``bm25_index_sink`` stream feeding this index through a checkpoint
+    reset (batch ids restart at 0 only after a checkpoint wipe — the
+    worst operation at 100 TB with continuous ingest). With
+    ``carry_ledger=True`` the rebuild CARRIES the live generation's
+    full committed-tag set (its ``_tags`` ledger plus the tags riding
+    in committed delta names, digit tags folded to one watermark line)
+    into the fresh generation — the same invariant compaction
+    preserves — so a mid-flight sink's replayed batches still no-op
+    and the stream NEVER restarts; mirrors the reference indexer's
+    never-stop-tailing stance (indexer_impl.rs:147-196). Caller
+    contract it rests on: the rebuild corpus ``df`` must CONTAIN every
+    committed batch's documents (true by definition for a "rebuild
+    from the whole corpus" — the rebuild is how those docs get
+    re-indexed). Tokens from the retired pre-hash sanitizer are
+    DROPPED during the carry: they can never match a replay anyway
+    (the raw tag is unrecoverable), and carrying them would keep
+    tripping the appenders' legacy-token guard forever — the rebuild
+    IS the advised repair."""
     from rtstore_spark.store.fs import (
         begin_generation,
         commit_generation,
         fs_for,
+        is_current_tag_token,
+        maintenance_lease,
     )
 
     spark = df.sparkSession
     fs = fs_for(path, spark)
     fs.makedirs(path)
-    prev_gen, prev_name, gen_name = begin_generation(fs, path)
-    base = f"{path}/{gen_name}"
-    postings, term_df, stats = bm25_build(df, text_col, id_col, n_buckets)
-    if stats["n_docs"] == 0:
-        # an empty build must never flip the pointer: the postings
-        # directory would hold zero part files (unreadable — schema
-        # inference fails) and the sweep would have destroyed the last
-        # GOOD generation. A rebuild fed an accidentally-empty filtered
-        # corpus fails loudly instead of replacing a working index.
-        raise ValueError(
-            f"write_bm25_index: refusing to commit an EMPTY corpus over "
-            f"{path} — the live generation stays untouched"
+    with maintenance_lease(fs, path, op="write_bm25_index"):
+        prev_gen, prev_name, gen_name = begin_generation(fs, path)
+        base = f"{path}/{gen_name}"
+        ledger: list[str] = []
+        if carry_ledger and prev_name is not None:
+            pbase = f"{path}/{prev_name}"
+            manifest = fs.read_text(pbase + "/_deltas") or ""
+            names = [ln.strip() for ln in manifest.splitlines() if ln.strip()]
+            ledger = [
+                ln for ln in _committed_ledger_lines(fs, pbase, names)
+                if ln.startswith("w") or is_current_tag_token(ln[1:])
+            ]
+        postings, term_df, stats = bm25_build(df, text_col, id_col, n_buckets)
+        if stats["n_docs"] == 0:
+            # an empty build must never flip the pointer: the postings
+            # directory would hold zero part files (unreadable — schema
+            # inference fails) and the sweep would have destroyed the last
+            # GOOD generation. A rebuild fed an accidentally-empty filtered
+            # corpus fails loudly instead of replacing a working index.
+            raise ValueError(
+                f"write_bm25_index: refusing to commit an EMPTY corpus over "
+                f"{path} — the live generation stays untouched"
+            )
+        # the two writes share the corpus-wide tokenize + (term, id)
+        # aggregate — cache it so term_df reuses postings' computation
+        # instead of re-running the dominant shuffle
+        postings = postings.persist()
+        try:
+            postings.write.mode("overwrite").partitionBy("bucket").parquet(
+                base + "/postings"
+            )
+            term_df.write.mode("overwrite").parquet(base + "/_termdf")
+        finally:
+            postings.unpersist()
+        fs.write_text_atomic(base + "/_stats.json", json.dumps(stats))
+        if ledger:
+            fs.write_text_atomic(base + "/_tags", "\n".join(ledger) + "\n")
+        # grace-of-one retention: a reader holding lazy plans against the
+        # immediate predecessor must not lose its files mid-query; the
+        # predecessor retires on the NEXT rebuild
+        commit_generation(
+            fs, path, prev_gen, gen_name,
+            op="write_bm25_index", keep=(prev_name,),
         )
-    # the two writes share the corpus-wide tokenize + (term, id)
-    # aggregate — cache it so term_df reuses postings' computation
-    # instead of re-running the dominant shuffle
-    postings = postings.persist()
-    try:
-        postings.write.mode("overwrite").partitionBy("bucket").parquet(
-            base + "/postings"
-        )
-        term_df.write.mode("overwrite").parquet(base + "/_termdf")
-    finally:
-        postings.unpersist()
-    fs.write_text_atomic(base + "/_stats.json", json.dumps(stats))
-    # grace-of-one retention: a reader holding lazy plans against the
-    # immediate predecessor must not lose its files mid-query; the
-    # predecessor retires on the NEXT rebuild
-    commit_generation(
-        fs, path, prev_gen, gen_name,
-        op="write_bm25_index", keep=(prev_name,),
-    )
 
 
 def _read_index_dir(spark, fs, base: str) -> tuple[DataFrame, DataFrame, dict]:
@@ -241,6 +278,26 @@ def _ledger_contains(token: str, wm: int | None, toks: set[str]) -> bool:
     return wm is not None and body.isdigit() and int(body) <= wm
 
 
+def _committed_ledger_lines(fs, base: str, names) -> list[str]:
+    """A generation's FULL committed-tag set as ``_tags`` ledger lines:
+    the parked ledger (watermark + carried tokens) plus the tags riding
+    in the given committed delta names, digit tags folded into one
+    watermark line. The ONE definition of "every batch this generation
+    has committed", shared by ``compact_bm25_index`` (parks it in the
+    folded generation) and ``write_bm25_index(carry_ledger=True)``
+    (carries it into a rebuild so mid-flight sinks never restart)."""
+    wm, toks = _read_tag_ledger(fs, base)
+    for n in names:
+        sfx = n.rsplit("-", 1)[-1]
+        if sfx.startswith("t"):
+            body = sfx[1:]
+            if body.isdigit():
+                wm = max(wm if wm is not None else 0, int(body))
+            else:
+                toks.add(sfx)
+    return ([f"w{wm}"] if wm is not None else []) + sorted(toks)
+
+
 def _fold_stats(parts) -> dict:
     n_docs = sum(int(s["n_docs"]) for _, _, s in parts)
     sum_dl = sum(_stats_sum_dl(s) for _, _, s in parts)
@@ -312,78 +369,116 @@ def append_bm25_index(
     replay model needs (``bm25_index_sink``), same stance as the
     engine's other checkpointed sinks. Non-digit tags are hashed to a
     filesystem-safe token (``store.fs.safe_batch_tag``) so two DISTINCT
-    raw tags can never alias into one idempotence token."""
+    raw tags can never alias into one idempotence token.
+
+    DIGIT-tag contract — single monotone stream. Compaction folds all
+    committed digit tags into one WATERMARK (max), after which any
+    digit tag ≤ the watermark is treated as a replay and no-ops. That
+    is exactly right for the one producer that emits digit tags —
+    ``bm25_index_sink``'s foreachBatch batch ids, monotone within one
+    checkpointed stream — and exactly wrong for anything else: TWO
+    sinks sharing one index, or caller-chosen digit tags that are not
+    monotone, will have later appends silently subsumed by the
+    watermark and DROPPED. One index, one stream. Callers tagging
+    appends by hand should use non-digit tags (e.g. ``crawl/2026-08``),
+    which hash and carry individually — they never fall under the
+    watermark."""
     import uuid
 
-    from rtstore_spark.store.fs import fs_for, parse_gen_pointer, safe_batch_tag
+    from rtstore_spark.store.fs import (
+        fs_for,
+        is_current_tag_token,
+        maintenance_lease,
+        parse_gen_pointer,
+        safe_batch_tag,
+    )
 
     spark = df.sparkSession
     fs = fs_for(path, spark)
-    cur = fs.read_text(f"{path}/_current")
-    _, live = parse_gen_pointer(cur)
-    if not live:
-        raise FileNotFoundError(
-            f"append_bm25_index: no live bm25 index at {path} — "
-            "write_bm25_index builds the base generation first"
+    with maintenance_lease(fs, path, op="append_bm25_index"):
+        cur = fs.read_text(f"{path}/_current")
+        _, live = parse_gen_pointer(cur)
+        if not live:
+            raise FileNotFoundError(
+                f"append_bm25_index: no live bm25 index at {path} — "
+                "write_bm25_index builds the base generation first"
+            )
+        base = f"{path}/{live}"
+        base_stats = json.loads(fs.read_text(base + "/_stats.json"))
+        n_buckets = int(base_stats.get("n_buckets", N_BUCKETS_DEFAULT))
+        manifest0 = fs.read_text(base + "/_deltas") or ""
+        names0 = [ln.strip() for ln in manifest0.splitlines() if ln.strip()]
+        if batch_tag is not None:
+            batch_tag = safe_batch_tag(batch_tag)
+            # committed tags live in two places: live delta dir names, and
+            # the generation's _tags ledger where compact_bm25_index parks
+            # folded-away batches (digit tags as one watermark, hashed tags
+            # individually) — so compaction never forgets a committed batch
+            # (only a full rebuild resets)
+            wm, toks = _read_tag_ledger(fs, base)
+            committed_tokens = [t[1:] for t in toks] + [
+                n.rsplit("-", 1)[-1][1:] for n in names0
+                if n.rsplit("-", 1)[-1].startswith("t")
+            ]
+            legacy = [t for t in committed_tokens if not is_current_tag_token(t)]
+            if legacy:
+                raise RuntimeError(
+                    f"append_bm25_index: {path} carries batch tag "
+                    f"token(s) committed under the retired strip-to-"
+                    f"alnum sanitizer (e.g. {legacy[0]!r}) — replay "
+                    "detection cannot match them, so a replayed "
+                    "pre-upgrade batch would silently re-append. "
+                    "Rebuild the index (write_bm25_index; carry_ledger "
+                    "drops the unmatchable tokens) before further "
+                    "tagged appends"
+                )
+            token = f"t{batch_tag}"
+            if _ledger_contains(token, wm, toks) or any(
+                n.rsplit("-", 1)[-1] == token for n in names0
+            ):
+                return  # replayed micro-batch: already committed
+        postings, term_df, stats = bm25_build(df, text_col, id_col, n_buckets)
+        if stats["n_docs"] == 0:
+            return  # appending nothing is a no-op (unlike an empty
+            # REBUILD, which would destroy a live index and is refused)
+        suffix = (
+            f"t{batch_tag}" if batch_tag is not None else uuid.uuid4().hex[:8]
         )
-    base = f"{path}/{live}"
-    base_stats = json.loads(fs.read_text(base + "/_stats.json"))
-    n_buckets = int(base_stats.get("n_buckets", N_BUCKETS_DEFAULT))
-    manifest0 = fs.read_text(base + "/_deltas") or ""
-    names0 = [ln.strip() for ln in manifest0.splitlines() if ln.strip()]
-    if batch_tag is not None:
-        batch_tag = safe_batch_tag(batch_tag)
-        # committed tags live in two places: live delta dir names, and
-        # the generation's _tags ledger where compact_bm25_index parks
-        # folded-away batches (digit tags as one watermark, hashed tags
-        # individually) — so compaction never forgets a committed batch
-        # (only a full rebuild resets)
-        wm, toks = _read_tag_ledger(fs, base)
-        token = f"t{batch_tag}"
-        if _ledger_contains(token, wm, toks) or any(
-            n.rsplit("-", 1)[-1] == token for n in names0
-        ):
-            return  # replayed micro-batch: already committed
-    postings, term_df, stats = bm25_build(df, text_col, id_col, n_buckets)
-    if stats["n_docs"] == 0:
-        return  # appending nothing is a no-op (unlike an empty REBUILD,
-        # which would destroy a live index and is refused loudly)
-    suffix = f"t{batch_tag}" if batch_tag is not None else uuid.uuid4().hex[:8]
-    delta_name = f"delta-{len(names0) + 1}-{suffix}"
-    dbase = f"{base}/{delta_name}"
-    postings = postings.persist()
-    try:
-        postings.write.mode("overwrite").partitionBy("bucket").parquet(
-            dbase + "/postings"
+        delta_name = f"delta-{len(names0) + 1}-{suffix}"
+        dbase = f"{base}/{delta_name}"
+        postings = postings.persist()
+        try:
+            postings.write.mode("overwrite").partitionBy("bucket").parquet(
+                dbase + "/postings"
+            )
+            term_df.write.mode("overwrite").parquet(dbase + "/_termdf")
+        finally:
+            postings.unpersist()
+        fs.write_text_atomic(dbase + "/_stats.json", json.dumps(stats))
+        cur2 = fs.read_text(f"{path}/_current")
+        if parse_gen_pointer(cur2)[1] != live:
+            raise RuntimeError(
+                f"append_bm25_index: a rebuild advanced {path} to "
+                f"{(cur2 or '').strip()} during this append — the delta "
+                "targets a retired generation; re-run against the new one"
+            )
+        if (fs.read_text(base + "/_deltas") or "") != manifest0:
+            raise RuntimeError(
+                f"append_bm25_index: concurrent append detected on {path} — "
+                "indexes have a single-writer contract; re-run the append"
+            )
+        fs.write_text_atomic(
+            base + "/_deltas", "\n".join([*names0, delta_name]) + "\n"
         )
-        term_df.write.mode("overwrite").parquet(dbase + "/_termdf")
-    finally:
-        postings.unpersist()
-    fs.write_text_atomic(dbase + "/_stats.json", json.dumps(stats))
-    cur2 = fs.read_text(f"{path}/_current")
-    if parse_gen_pointer(cur2)[1] != live:
-        raise RuntimeError(
-            f"append_bm25_index: a rebuild advanced {path} to "
-            f"{(cur2 or '').strip()} during this append — the delta "
-            "targets a retired generation; re-run against the new one"
-        )
-    if (fs.read_text(base + "/_deltas") or "") != manifest0:
-        raise RuntimeError(
-            f"append_bm25_index: concurrent append detected on {path} — "
-            "indexes have a single-writer contract; re-run the append"
-        )
-    fs.write_text_atomic(
-        base + "/_deltas", "\n".join([*names0, delta_name]) + "\n"
-    )
-    # sweep crash orphans: delta-* directories the committed manifest
-    # does not list were written by attempts that never committed (no
-    # reader resolves them) — without this, retries of a flaky append
-    # leak one uniquely-suffixed directory per crash until the next
-    # rebuild retires the generation
-    committed = {delta_name, *names0}
-    for d in fs.listdir(base):
-        if d.startswith("delta-") and d not in committed:
-            fs.delete(f"{base}/{d}", recursive=True)
+        # sweep crash orphans: delta-* directories the committed manifest
+        # does not list were written by attempts that never committed (no
+        # reader resolves them) — without this, retries of a flaky append
+        # leak one uniquely-suffixed directory per crash until the next
+        # rebuild retires the generation
+        committed = {delta_name, *names0}
+        for d in fs.listdir(base):
+            if d.startswith("delta-") and d not in committed:
+                fs.delete(f"{base}/{d}", recursive=True)
 
 
 def compact_bm25_index(spark, path: str, keep: int = 1) -> None:
@@ -410,95 +505,94 @@ def compact_bm25_index(spark, path: str, keep: int = 1) -> None:
     replay — so a micro-batch committed-but-not-yet-checkpointed
     before a compaction still no-ops after it, which is what makes
     in-sink auto-compaction (``bm25_index_sink(compact_every=…)``)
-    safe. Only a FULL rebuild (``write_bm25_index``) resets the
-    ledger; rebuild with a stream mid-flight remains a checkpoint
-    reset, as already documented.
+    safe. A FULL rebuild (``write_bm25_index``) resets the ledger by
+    default; rebuilding with a stream mid-flight uses
+    ``carry_ledger=True``, which carries this same committed-tag set
+    into the fresh generation so the stream never restarts.
 
     Crash safety is the standard generation protocol
     (store.fs.begin/commit_generation): a crash anywhere before the
     pointer flip leaves the delta'd generation fully live. The index's
-    single-writer contract (ONE maintenance process at a time) is the
-    real guarantee; violations are detected loudly at two points —
-    ``commit_generation`` re-checks the generation pointer, and the
-    delta manifest is compared against the PRE-ENUMERATION snapshot
-    both after the parts load and just before the flip — which closes
-    every window except the instants between that final re-read and
-    the flip itself (two separate small files cannot be CAS'd
-    together; an append landing exactly there would be dropped from
-    the folded generation, which is why concurrent maintenance is a
-    contract violation, not a supported mode)."""
+    single-writer contract (ONE maintenance process at a time) is
+    enforced at operation START by the maintenance lease
+    (store.fs.acquire_maintenance_lease — a concurrent writer fails
+    fast, naming the holder) and backstopped after the fact at two
+    points — ``commit_generation`` re-checks the generation pointer,
+    and the delta manifest is compared against the PRE-ENUMERATION
+    snapshot both after the parts load and just before the flip. The
+    instants between that final re-read and the flip itself remain
+    uncheckable (two separate small files cannot be CAS'd together),
+    but reaching them now requires a writer that already bypassed the
+    lease's loud error — e.g. a stale-lease takeover racing a holder
+    that outlived the TTL."""
     from rtstore_spark.store.fs import (
         begin_generation,
         commit_generation,
         fs_for,
+        maintenance_lease,
         retained_generations,
     )
 
     fs = fs_for(path, spark)
-    prev_gen, prev_name, gen_name = begin_generation(fs, path)
-    # snapshot the manifest BEFORE enumerating parts: _live_index_parts
-    # does real per-delta I/O, so a delta committed during it must be
-    # caught by comparison against this snapshot, not one taken after
-    manifest0 = (
-        fs.read_text(f"{path}/{prev_name}/_deltas") or ""
-    ) if prev_name else ""
-    base, names, parts = _live_index_parts(spark, fs, path)
-    if base != f"{path}/{prev_name}":  # pointer moved between the reads
-        raise RuntimeError(
-            f"compact_bm25_index: a rebuild advanced {path} during this "
-            "compaction — re-run against the new generation"
+    with maintenance_lease(fs, path, op="compact_bm25_index"):
+        prev_gen, prev_name, gen_name = begin_generation(fs, path)
+        # snapshot the manifest BEFORE enumerating parts: _live_index_parts
+        # does real per-delta I/O, so a delta committed during it must be
+        # caught by comparison against this snapshot, not one taken after
+        manifest0 = (
+            fs.read_text(f"{path}/{prev_name}/_deltas") or ""
+        ) if prev_name else ""
+        base, names, parts = _live_index_parts(spark, fs, path)
+        if base != f"{path}/{prev_name}":  # pointer moved between reads
+            raise RuntimeError(
+                f"compact_bm25_index: a rebuild advanced {path} during "
+                "this compaction — re-run against the new generation"
+            )
+        names0 = [ln.strip() for ln in manifest0.splitlines() if ln.strip()]
+        if names != names0:
+            raise RuntimeError(
+                f"compact_bm25_index: a concurrent append committed on "
+                f"{path} while its deltas were being enumerated — re-run "
+                "the compaction"
+            )
+        if not names:
+            return  # union-free already: nothing to fold
+        out = f"{path}/{gen_name}"
+        postings, term_df = _union_parts(parts)
+        postings.write.mode("overwrite").partitionBy("bucket").parquet(
+            out + "/postings"
         )
-    names0 = [ln.strip() for ln in manifest0.splitlines() if ln.strip()]
-    if names != names0:
-        raise RuntimeError(
-            f"compact_bm25_index: a concurrent append committed on {path} "
-            "while its deltas were being enumerated — re-run the compaction"
+        term_df.groupBy("term").agg(F.sum("df").alias("df")).write.mode(
+            "overwrite"
+        ).parquet(out + "/_termdf")
+        fs.write_text_atomic(
+            out + "/_stats.json", json.dumps(_fold_stats(parts))
         )
-    if not names:
-        return  # union-free already: nothing to fold
-    out = f"{path}/{gen_name}"
-    postings, term_df = _union_parts(parts)
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(
-        out + "/postings"
-    )
-    term_df.groupBy("term").agg(F.sum("df").alias("df")).write.mode(
-        "overwrite"
-    ).parquet(out + "/_termdf")
-    fs.write_text_atomic(out + "/_stats.json", json.dumps(_fold_stats(parts)))
-    # park the folded deltas' tags (plus the old generation's ledger)
-    # so replays still no-op after the fold. Digit tags — the sink's
-    # monotone batch ids — compress into ONE watermark line, so the
-    # ledger stays O(1) across unbounded chained compactions; hashed
-    # (non-digit) tags carry individually. An untagged delta's uuid
-    # suffix is hex-only, never 't'-prefixed.
-    wm, toks = _read_tag_ledger(fs, base)
-    for n in names:
-        sfx = n.rsplit("-", 1)[-1]
-        if sfx.startswith("t"):
-            body = sfx[1:]
-            if body.isdigit():
-                wm = max(wm if wm is not None else 0, int(body))
-            else:
-                toks.add(sfx)
-    ledger = ([f"w{wm}"] if wm is not None else []) + sorted(toks)
-    if ledger:
-        fs.write_text_atomic(out + "/_tags", "\n".join(ledger) + "\n")
-    if (fs.read_text(base + "/_deltas") or "") != manifest0:
-        raise RuntimeError(
-            f"compact_bm25_index: a concurrent append committed on {path} "
-            "during this compaction — its delta is not in the folded "
-            "generation; re-run the compaction"
+        # park the folded deltas' tags (plus the old generation's ledger)
+        # so replays still no-op after the fold. Digit tags — the sink's
+        # monotone batch ids — compress into ONE watermark line, so the
+        # ledger stays O(1) across unbounded chained compactions; hashed
+        # (non-digit) tags carry individually. An untagged delta's uuid
+        # suffix is hex-only, never 't'-prefixed.
+        ledger = _committed_ledger_lines(fs, base, names)
+        if ledger:
+            fs.write_text_atomic(out + "/_tags", "\n".join(ledger) + "\n")
+        if (fs.read_text(base + "/_deltas") or "") != manifest0:
+            raise RuntimeError(
+                f"compact_bm25_index: a concurrent append committed on "
+                f"{path} during this compaction — its delta is not in the "
+                "folded generation; re-run the compaction"
+            )
+        # retention: keep the newest `keep` predecessor generations, not
+        # just one — a frequently-folding sink (compact_every on a fast
+        # stream) would otherwise sweep the files under a reader whose
+        # lazy plan is older than two folds
+        retained = set(retained_generations(fs, path, keep, exclude=gen_name))
+        retained.add(prev_name)  # the LIVE predecessor survives regardless
+        commit_generation(
+            fs, path, prev_gen, gen_name,
+            op="compact_bm25_index", keep=tuple(retained),
         )
-    # retention: keep the newest `keep` predecessor generations, not
-    # just one — a frequently-folding sink (compact_every on a fast
-    # stream) would otherwise sweep the files under a reader whose
-    # lazy plan is older than two folds
-    retained = set(retained_generations(fs, path, keep, exclude=gen_name))
-    retained.add(prev_name)  # the LIVE predecessor survives regardless
-    commit_generation(
-        fs, path, prev_gen, gen_name,
-        op="compact_bm25_index", keep=tuple(retained),
-    )
 
 
 def bm25_search_batch(
@@ -713,10 +807,14 @@ def bm25_index_sink(
     reader's lazy plan survives ``compact_keep`` subsequent folds, so
     size it to (longest expected query) / (compact_every x batch
     interval). The base index must exist (``write_bm25_index``); full
-    rebuilds remain the deep-maintenance path. Checkpoint-reset rule
-    (shared with the streaming state tables): batch ids restart at 0
-    after a checkpoint wipe, so a reset requires a fresh rebuild, not
-    more appends."""
+    rebuilds remain the deep-maintenance path — run them MID-STREAM
+    with ``write_bm25_index(..., carry_ledger=True)``, which carries
+    the committed batch-tag ledger into the fresh generation so this
+    sink's replayed batches still no-op and the stream never needs a
+    checkpoint reset. Checkpoint-reset rule (shared with the streaming
+    state tables): batch ids restart at 0 after a checkpoint WIPE, so
+    wiping the checkpoint requires a fresh ledger-resetting rebuild,
+    not more appends."""
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         append_bm25_index(

@@ -746,6 +746,18 @@ def pq_encode(
     a vector of the wrong dimension raises inside the batch rather than
     mis-encoding. The id column keeps the caller's type.
     """
+    return _pq_encode_impl(df, vec_col, id_col, model, with_error=False)
+
+
+def _pq_encode_impl(
+    df: DataFrame, vec_col: str, id_col: str, model: dict, with_error: bool,
+) -> DataFrame:
+    """``pq_encode`` body; with ``with_error`` an extra ``_qerr`` double
+    column carries each row's squared reconstruction error
+    ‖x − x̂‖² (x L2-normalized, x̂ the chosen codewords) — computed in
+    the SAME numpy pass (the subspace distances already include every
+    term: err = Σ_j min_j d, clamped at 0 for float cancellation), so
+    quantization-quality monitoring costs nothing extra per batch."""
     import numpy as np
 
     cb = [np.asarray(c, dtype=np.float64) for c in model["codebooks"]]
@@ -767,14 +779,25 @@ def pq_encode(
                 )
             x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
             codes = np.empty((x.shape[0], m), dtype=np.int32)
+            err = np.zeros(x.shape[0]) if with_error else None
             for j in range(m):
                 xs = x[:, j * dsub : (j + 1) * dsub]
                 d = -2.0 * xs @ cb[j].T + cnorms[j]
                 codes[:, j] = d.argmin(axis=1)
-            yield pd.DataFrame({"id": pdf["id"], "codes": list(codes.tolist())})
+                if with_error:
+                    # ‖xs − c‖² = ‖xs‖² + (‖c‖² − 2⟨xs,c⟩) — the min of d
+                    # is the parenthesized part for the chosen codeword
+                    err += (xs**2).sum(axis=1) + d.min(axis=1)
+            out = {"id": pdf["id"], "codes": list(codes.tolist())}
+            if with_error:
+                out["_qerr"] = np.maximum(err, 0.0)
+            yield pd.DataFrame(out)
 
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
-    return src.mapInPandas(encode, schema=f"id {id_type}, codes array<int>")
+    schema = f"id {id_type}, codes array<int>"
+    if with_error:
+        schema += ", _qerr double"
+    return src.mapInPandas(encode, schema=schema)
 
 
 def _adc_lut(model: dict, query_vec: list[float]):
@@ -1095,6 +1118,7 @@ def write_pq_index(
     route_col: str,
     model: dict,
     path: str,
+    carry_ledger: bool = False,
 ) -> None:
     """Materialize an IVF-PQ index — the durable form of the full ANN
     stack for a corpus that will be queried many times:
@@ -1104,17 +1128,37 @@ def write_pq_index(
       nprobe directories over m-byte codes (at m=8 the whole index for a
       billion vectors is ~8 GB + ids — a single executor's disk);
     - ``<path>/_centroids`` — the coarse router (``compute_centroids``);
-    - ``<path>/_model``     — the PQ codebooks (``pq_save``).
+    - ``<path>/_model``     — the PQ codebooks (``pq_save``);
+    - ``<path>/_stats.json``— ``{"n", "train_mse"}``: the corpus size
+      and mean squared reconstruction error under these codebooks at
+      build time — the frozen-quantizer quality reference every later
+      increment's drift ratio is measured against (``pq_index_drift``).
 
-    One corpus scan total: codes are encoded on the way in. Readers get
-    everything back with ``read_pq_index`` and query via ``ivf_pq_topk``;
-    exact re-ranking, when wanted, joins survivors back to the raw
-    vectors by id.
+    One corpus scan total: codes are encoded on the way in (the error
+    stat rides the same numpy pass). Readers get everything back with
+    ``read_pq_index`` and query via ``ivf_pq_topk``; exact re-ranking,
+    when wanted, joins survivors back to the raw vectors by id.
+
+    ``carry_ledger`` — STREAMING-SAFE rebuild, mirroring
+    ``retrieval.write_bm25_index``: by default a rebuild resets the
+    exactly-once batch-tag ledger, forcing every ``pq_index_sink``
+    stream through a checkpoint reset. With ``carry_ledger=True`` the
+    live generation's committed-tag set (its increment pointer's
+    watermark + tag lines) is carried into the fresh generation's
+    pointer, so a mid-flight sink's replayed batches still no-op and
+    the stream never restarts — this is THE rebuild mode for the
+    retrain-on-drift playbook (README), since periodic retrains are
+    mandatory while ingest never stops. Contract: the rebuild corpus
+    must contain every committed batch's vectors (true by definition
+    of a full rebuild). Tokens from the retired pre-hash sanitizer are
+    dropped (unmatchable; the rebuild is the advised repair).
     """
     from rtstore_spark.store.fs import (
         begin_generation,
         commit_generation,
         fs_for,
+        is_current_tag_token,
+        maintenance_lease,
     )
 
     # Atomic in-place REBUILD — the storage plane's generation protocol
@@ -1130,28 +1174,73 @@ def write_pq_index(
     # swept last, best-effort.
     spark = df.sparkSession
     fs = fs_for(path, spark)
-    prev_gen, prev_name, gen_name = begin_generation(fs, path)
-    base = f"{path}/{gen_name}"
-    codes = pq_encode(df, vec_col, id_col, model).join(
-        df.select(F.col(id_col).alias("id"), F.col(route_col).alias("route")),
-        "id",
-    )
-    codes.write.mode("overwrite").partitionBy("route").parquet(base + "/codes")
-    compute_centroids(df, vec_col, route_col).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(base + "/_centroids")
-    pq_save(spark, model, base + "/_model")
-    # flip + sweep with GRACE-OF-ONE retention (round 9 converged all
-    # three index writers on it — pq previously swept the predecessor
-    # immediately, which could yank files out from under a reader
-    # holding lazy plans against the old generation); then the
-    # pre-pointer root-layout artifacts, best-effort
-    commit_generation(
-        fs, path, prev_gen, gen_name,
-        op="write_pq_index", keep=(prev_name,),
-    )
-    for legacy in ("codes", "_centroids", "_model", "inc"):
-        fs.delete(f"{path}/{legacy}", recursive=True)
+    fs.makedirs(path)
+    with maintenance_lease(fs, path, op="write_pq_index"):
+        prev_gen, prev_name, gen_name = begin_generation(fs, path)
+        base = f"{path}/{gen_name}"
+        ledger: list[str] = []
+        if carry_ledger and prev_name is not None:
+            _, tags0, wm0 = _parse_inc_pointer(
+                fs.read_text(f"{path}/{prev_name}/inc/_current")
+            )
+            ledger = _folded_ledger_lines(tags0, wm0)
+            ledger = [
+                ln for ln in ledger
+                if ln.startswith("w") or is_current_tag_token(ln[1:])
+            ]
+        coded = _pq_encode_impl(
+            df, vec_col, id_col, model, with_error=True
+        ).persist()
+        try:
+            codes = coded.drop("_qerr").join(
+                df.select(
+                    F.col(id_col).alias("id"), F.col(route_col).alias("route")
+                ),
+                "id",
+            )
+            codes.write.mode("overwrite").partitionBy("route").parquet(
+                base + "/codes"
+            )
+            estats = coded.agg(
+                F.count(F.lit(1)).alias("n"), F.avg("_qerr").alias("mse")
+            ).collect()[0]
+        finally:
+            coded.unpersist()
+        compute_centroids(df, vec_col, route_col).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(base + "/_centroids")
+        pq_save(spark, model, base + "/_model")
+        import json as _json
+
+        fs.write_text_atomic(
+            base + "/_stats.json",
+            _json.dumps(
+                {"n": int(estats["n"]),
+                 "train_mse": float(estats["mse"] or 0.0)}
+            ),
+        )
+        if ledger:
+            fs.write_text_atomic(
+                f"{base}/inc/_current", "\n".join(["v2", *ledger]) + "\n"
+            )
+        # flip + sweep with GRACE-OF-ONE retention (round 9 converged all
+        # three index writers on it — pq previously swept the predecessor
+        # immediately, which could yank files out from under a reader
+        # holding lazy plans against the old generation); then the
+        # pre-pointer root-layout artifacts, best-effort
+        commit_generation(
+            fs, path, prev_gen, gen_name,
+            op="write_pq_index", keep=(prev_name,),
+        )
+        # ONE-TIME MIGRATION HAZARD, documented: these root-layout
+        # artifacts predate the generation pointer, so a reader still
+        # holding a lazy plan against the legacy layout loses its files
+        # at this first generational rebuild — the grace-of-one window
+        # cannot cover a layout the pointer protocol never managed.
+        # Quiesce legacy readers before the first rebuild; from then on
+        # retention behaves normally.
+        for legacy in ("codes", "_centroids", "_model", "inc"):
+            fs.delete(f"{path}/{legacy}", recursive=True)
 
 
 
@@ -1206,6 +1295,24 @@ def _parse_inc_pointer(
         if ln.startswith("w") and ln[1:].isdigit():
             wm = max(wm if wm is not None else 0, int(ln[1:]))
     return names, tags, wm
+
+
+def _folded_ledger_lines(tags: list, wm: "int | None") -> list[str]:
+    """Committed tag tokens as pointer ledger lines with every digit
+    (sink batch-id) tag folded into ONE ``w<max>`` watermark line —
+    micro-batch ids are monotone under foreachBatch, so the max
+    subsumes them and the ledger stays O(1) across unbounded chained
+    compactions; hashed non-digit tags carry individually. The ONE
+    definition of the folded ledger, shared by ``compact_pq_index``
+    and ``write_pq_index(carry_ledger=True)``."""
+    toks = []
+    for t in tags:
+        body = t[1:]
+        if body.isdigit():
+            wm = max(wm if wm is not None else 0, int(body))
+        else:
+            toks.append(t)
+    return ([f"w{wm}"] if wm is not None else []) + sorted(set(toks))
 
 
 def _live_increments(spark, base: str) -> list[str]:
@@ -1346,87 +1453,142 @@ def append_pq_index(
     base generation); no torn/partial increment is ever visible, even
     on object-store committers that surface partially-committed task
     files.
-    """
+
+    DIGIT-tag contract — single monotone stream (mirrors
+    ``append_bm25_index``): compaction folds digit tags into a
+    watermark, after which any digit tag ≤ it no-ops as a replay.
+    Right for ONE ``pq_index_sink`` stream's monotone batch ids; wrong
+    for two sinks sharing an index or hand-chosen non-monotone digit
+    tags — those appends would be silently dropped. One index, one
+    stream; hand-tagged appends should use non-digit tags, which hash
+    and carry individually.
+
+    Drift stat: each increment's ``_stats.json`` records its row count
+    and mean squared reconstruction error under the frozen codebooks —
+    computed in the same encode pass, surfaced by ``pq_index_drift``
+    and the sink's drift warning (the quantizer never retrains on
+    append, so growing error is the one silent degradation this family
+    has; see the README retrain playbook)."""
+    import json as _json
     import uuid
 
-    from rtstore_spark.store.fs import fs_for, safe_batch_tag
+    from rtstore_spark.store.fs import (
+        fs_for,
+        is_current_tag_token,
+        maintenance_lease,
+        safe_batch_tag,
+    )
 
     spark = df.sparkSession
-    base = resolve_index_base(spark, path)
-    fs = fs_for(base, spark)
-    cur0 = fs.read_text(f"{base}/inc/_current")
-    names0, tags0, wm0 = _parse_inc_pointer(cur0)
-    token = None
-    if batch_tag is not None:
-        token = f"t{safe_batch_tag(batch_tag)}"
-        body = token[1:]
-        folded = (
-            wm0 is not None and body.isdigit() and int(body) <= wm0
-        )  # compaction folded this batch's digit tag into the watermark
-        if token in tags0 or folded:
-            return  # replayed micro-batch: already committed
-    if df.isEmpty():
-        return
-    # uniquely-suffixed increment dir (tag-derived when tagged, for
-    # debuggability): two racing appends write DISTINCT directories, so
-    # neither can clobber data the other already committed — only the
-    # pointer (re-checked below) decides the winner
-    suffix = token if token is not None else uuid.uuid4().hex[:8]
-    inc_name = f"gen-{len(names0) + 1}-{suffix}"
-    model = pq_load(spark, base + "/_model")
-    cents = spark.read.parquet(base + "/_centroids").orderBy("route").collect()
-    if [int(r["route"]) for r in cents] != list(range(len(cents))):
-        raise ValueError(
-            "append_pq_index: centroid table routes are not dense 0..k-1 — "
-            "not a write_pq_index layout"
+    root_fs = fs_for(path, spark)
+    with maintenance_lease(root_fs, path, op="append_pq_index"):
+        base = resolve_index_base(spark, path)
+        fs = fs_for(base, spark)
+        cur0 = fs.read_text(f"{base}/inc/_current")
+        names0, tags0, wm0 = _parse_inc_pointer(cur0)
+        token = None
+        if batch_tag is not None:
+            legacy = [
+                t[1:] for t in tags0 if not is_current_tag_token(t[1:])
+            ]
+            if legacy:
+                raise RuntimeError(
+                    f"append_pq_index: {path} carries batch tag token(s) "
+                    f"committed under the retired strip-to-alnum sanitizer "
+                    f"(e.g. {legacy[0]!r}) — replay detection cannot match "
+                    "them, so a replayed pre-upgrade batch would silently "
+                    "re-append. Rebuild the index (write_pq_index; "
+                    "carry_ledger drops the unmatchable tokens) before "
+                    "further tagged appends"
+                )
+            token = f"t{safe_batch_tag(batch_tag)}"
+            body = token[1:]
+            folded = (
+                wm0 is not None and body.isdigit() and int(body) <= wm0
+            )  # compaction folded this batch's digit tag into the watermark
+            if token in tags0 or folded:
+                return  # replayed micro-batch: already committed
+        if df.isEmpty():
+            return
+        # uniquely-suffixed increment dir (tag-derived when tagged, for
+        # debuggability): two racing appends write DISTINCT directories, so
+        # neither can clobber data the other already committed — only the
+        # pointer (re-checked below) decides the winner
+        suffix = token if token is not None else uuid.uuid4().hex[:8]
+        inc_name = f"gen-{len(names0) + 1}-{suffix}"
+        model = pq_load(spark, base + "/_model")
+        cents = spark.read.parquet(
+            base + "/_centroids"
+        ).orderBy("route").collect()
+        if [int(r["route"]) for r in cents] != list(range(len(cents))):
+            raise ValueError(
+                "append_pq_index: centroid table routes are not dense "
+                "0..k-1 — not a write_pq_index layout"
+            )
+        centers = [list(map(float, r["centroid"])) for r in cents]
+        routed = assign_routes(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_vec")),
+            "_vec",
+            centers,
         )
-    centers = [list(map(float, r["centroid"])) for r in cents]
-    routed = assign_routes(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_vec")),
-        "_vec",
-        centers,
-    )
-    codes = pq_encode(routed, "_vec", "id", model).join(
-        routed.select("id", "route"), "id"
-    )
-    codes.write.mode("overwrite").partitionBy("route").parquet(
-        f"{base}/inc/{inc_name}"
-    )
-    # single-writer backstop, enforced loudly (mirrors append_bm25_index):
-    # a rebuild that retargeted the root pointer, or a concurrent append
-    # that advanced the increment pointer, must fail THIS append — a
-    # blind flip would either target a retired generation or discard the
-    # racer's committed increment (both pointers are re-read just before
-    # the one atomic write that commits; this append's own directory is
-    # unique, so the loser leaves only an unreferenced orphan)
-    if resolve_index_base(spark, path) != base:
-        raise RuntimeError(
-            f"append_pq_index: a rebuild advanced {path} during this "
-            "append — the increment targets a retired generation; re-run "
-            "against the new one"
+        coded = _pq_encode_impl(
+            routed, "_vec", "id", model, with_error=True
+        ).persist()
+        try:
+            codes = coded.drop("_qerr").join(
+                routed.select("id", "route"), "id"
+            )
+            codes.write.mode("overwrite").partitionBy("route").parquet(
+                f"{base}/inc/{inc_name}"
+            )
+            estats = coded.agg(
+                F.count(F.lit(1)).alias("n"), F.avg("_qerr").alias("mse")
+            ).collect()[0]
+        finally:
+            coded.unpersist()
+        fs.write_text_atomic(
+            f"{base}/inc/{inc_name}/_stats.json",
+            _json.dumps(
+                {"n": int(estats["n"]), "mse": float(estats["mse"] or 0.0)}
+            ),
         )
-    if fs.read_text(f"{base}/inc/_current") != cur0:
-        raise RuntimeError(
-            f"append_pq_index: concurrent append detected on {path} — "
-            "indexes have a single-writer contract; re-run the append"
-        )
-    lines = ["v2", *names0, inc_name]
-    if wm0 is not None:
-        lines.append(f"w{wm0}")
-    lines.extend(tags0)
-    if token is not None:
-        lines.append(token)
-    fs.write_text_atomic(f"{base}/inc/_current", "\n".join(lines) + "\n")
-    # sweep crash orphans: any gen-* directory the committed pointer
-    # does not list was written by an attempt that never flipped (no
-    # reader ever resolved it — unreferenced dirs are invisible by
-    # construction). Without this, uniquely-suffixed retries of a flaky
-    # untagged append would leak one directory per crash until the next
-    # rebuild. Under the single-writer contract nothing live can be here.
-    committed = {inc_name, *names0}
-    for d in fs.listdir(f"{base}/inc"):
-        if d.startswith("gen-") and d not in committed:
-            fs.delete(f"{base}/inc/{d}", recursive=True)
+        # single-writer backstop, enforced loudly (mirrors
+        # append_bm25_index): a rebuild that retargeted the root pointer,
+        # or a concurrent append that advanced the increment pointer, must
+        # fail THIS append — a blind flip would either target a retired
+        # generation or discard the racer's committed increment (both
+        # pointers are re-read just before the one atomic write that
+        # commits; this append's own directory is unique, so the loser
+        # leaves only an unreferenced orphan)
+        if resolve_index_base(spark, path) != base:
+            raise RuntimeError(
+                f"append_pq_index: a rebuild advanced {path} during this "
+                "append — the increment targets a retired generation; "
+                "re-run against the new one"
+            )
+        if fs.read_text(f"{base}/inc/_current") != cur0:
+            raise RuntimeError(
+                f"append_pq_index: concurrent append detected on {path} — "
+                "indexes have a single-writer contract; re-run the append"
+            )
+        lines = ["v2", *names0, inc_name]
+        if wm0 is not None:
+            lines.append(f"w{wm0}")
+        lines.extend(tags0)
+        if token is not None:
+            lines.append(token)
+        fs.write_text_atomic(f"{base}/inc/_current", "\n".join(lines) + "\n")
+        # sweep crash orphans: any gen-* directory the committed pointer
+        # does not list was written by an attempt that never flipped (no
+        # reader ever resolved it — unreferenced dirs are invisible by
+        # construction). Without this, uniquely-suffixed retries of a
+        # flaky untagged append would leak one directory per crash until
+        # the next rebuild. Under the single-writer contract nothing live
+        # can be here.
+        committed = {inc_name, *names0}
+        for d in fs.listdir(f"{base}/inc"):
+            if d.startswith("gen-") and d not in committed:
+                fs.delete(f"{base}/inc/{d}", recursive=True)
 
 
 def compact_pq_index(spark, path: str, keep: int = 1) -> None:
@@ -1450,90 +1612,178 @@ def compact_pq_index(spark, path: str, keep: int = 1) -> None:
     results are identical by construction (same code rows, same model,
     same centroids). No-op when there are no committed increments.
 
+    Drift bookkeeping: the base generation's ``_stats.json`` (build-time
+    ``train_mse`` — the frozen quantizer's quality reference) carries
+    into the folded generation VERBATIM; the folded increments'
+    per-increment drift stats retire with them (their signal was
+    delivered at append time — ``pq_index_drift`` / the sink warning).
+    Compaction never RETRAINS the codebooks, so a drifting embedding
+    distribution degrades recall until a ``write_pq_index`` rebuild —
+    that is exactly what the drift ratio exists to surface.
+
     Crash safety: standard generation protocol — a crash before the
     flip leaves the increment-stacked generation fully live. The
     index's single-writer contract (ONE maintenance process at a time)
-    is the real guarantee; violations are detected loudly at two points
-    — ``commit_generation`` re-checks the root pointer (a rebuild raced
-    us) and the increment pointer is re-read just before the flip (an
-    append raced us) — which closes every window except the instants
-    between that final re-read and the flip itself (two separate small
-    files cannot be CAS'd together; concurrent maintenance is a
-    contract violation, not a supported mode)."""
+    is enforced at operation START by the maintenance lease
+    (store.fs.acquire_maintenance_lease — a concurrent writer fails
+    fast, naming the holder) and backstopped after the fact at two
+    points — ``commit_generation`` re-checks the root pointer (a
+    rebuild raced us) and the increment pointer is re-read just before
+    the flip (an append raced us). The instants between that final
+    re-read and the flip remain uncheckable (two separate small files
+    cannot be CAS'd together), but reaching them now requires a writer
+    that already bypassed the lease's loud error — e.g. a stale-lease
+    takeover racing a holder that outlived the TTL."""
     from rtstore_spark.store.fs import (
         begin_generation,
         commit_generation,
         fs_for,
+        maintenance_lease,
         retained_generations,
     )
 
     fs = fs_for(path, spark)
-    prev_gen, prev_name, gen_name = begin_generation(fs, path)
+    with maintenance_lease(fs, path, op="compact_pq_index"):
+        prev_gen, prev_name, gen_name = begin_generation(fs, path)
+        base = resolve_index_base(spark, path)
+        if prev_name is not None and base != f"{path}/{prev_name}":
+            raise RuntimeError(
+                f"compact_pq_index: a rebuild advanced {path} during this "
+                "compaction — re-run against the new generation"
+            )
+        # ONE pointer read: the increment list folded below derives from
+        # this exact snapshot (a second read could see an append that
+        # landed in between — the fold would include it while the pre-flip
+        # check flagged it as missing, a false alarm that discards work)
+        inc0 = fs.read_text(f"{base}/inc/_current")
+        names0, tags0, wm0 = _parse_inc_pointer(inc0)
+        incs = [f"{base}/inc/{name}" for name in names0]
+        if not incs:
+            return  # union-free already: nothing to fold
+        out = f"{path}/{gen_name}"
+        codes = spark.read.parquet(base + "/codes")
+        for inc in incs:
+            codes = codes.unionByName(spark.read.parquet(inc))
+        codes.write.mode("overwrite").partitionBy("route").parquet(
+            out + "/codes"
+        )
+        spark.read.parquet(base + "/_centroids").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(out + "/_centroids")
+        pq_save(spark, pq_load(spark, base + "/_model"), out + "/_model")
+        base_stats = fs.read_text(base + "/_stats.json")
+        if base_stats is not None:
+            fs.write_text_atomic(out + "/_stats.json", base_stats)
+        # carry the exactly-once ledger forward: zero increments, digit
+        # (sink) tags folded into ONE watermark line — micro-batch ids
+        # are monotone under foreachBatch, so max subsumes them and the
+        # ledger stays O(1) across unbounded chained compactions — and
+        # hashed (non-digit) tags carried individually
+        ledger = _folded_ledger_lines(tags0, wm0)
+        if ledger:
+            fs.write_text_atomic(
+                f"{out}/inc/_current", "\n".join(["v2", *ledger]) + "\n"
+            )
+        if fs.read_text(f"{base}/inc/_current") != inc0:
+            raise RuntimeError(
+                f"compact_pq_index: a concurrent append committed on "
+                f"{path} during this compaction — its increment is not in "
+                "the folded generation; re-run the compaction"
+            )
+        commit_generation(
+            fs, path, prev_gen, gen_name,
+            op="compact_pq_index",
+            keep=tuple({
+                *retained_generations(fs, path, keep, exclude=gen_name),
+                *((prev_name,) if prev_name else ()),
+            }),
+        )
+        if base == path:
+            # legacy pre-pointer root layout: artifacts now stale.
+            # ONE-TIME MIGRATION HAZARD (same as write_pq_index's sweep,
+            # documented per round-10 advice): a reader holding a lazy
+            # plan against the legacy ROOT layout loses its files at
+            # this first generational fold — the grace-of-one retention
+            # only covers generations the pointer protocol manages.
+            # Quiesce legacy readers before the first fold; thereafter
+            # retention behaves normally.
+            for legacy in ("codes", "_centroids", "_model", "inc"):
+                fs.delete(f"{path}/{legacy}", recursive=True)
+
+
+class PQDriftWarning(UserWarning):
+    """A maintained PQ index's incoming vectors reconstruct materially
+    worse than the corpus the codebooks were trained on — recall is
+    silently degrading; schedule a retraining rebuild
+    (``write_pq_index(carry_ledger=True)``; README retrain playbook)."""
+
+
+def pq_index_drift(spark, path: str) -> dict:
+    """Quantizer-drift report for a maintained IVF-PQ index — the
+    monitor for the ONE unmonitored degradation this index family has:
+    appends encode with FROZEN codebooks (retraining on append would
+    corrupt already-stored codes), so as the embedding distribution
+    moves, reconstruction error — and with it recall — degrades with
+    no query-visible symptom. Every append records its increment's
+    mean squared reconstruction error in the same encode pass; this
+    reads those stats against the base generation's build-time
+    ``train_mse`` and returns::
+
+        {"train_mse": float|None,        # None: pre-drift-stat index
+         "n_base": int|None,
+         "increments": [{"name", "n", "mse", "ratio"}, ...],
+         "drift_ratio": float|None}      # row-weighted mean inc mse
+                                         #   / train_mse
+
+    ``ratio`` ≈ 1 means incoming vectors quantize as well as the
+    training corpus; sustained growth means the codebooks no longer
+    fit the data — time for the retrain playbook (README). Control-
+    plane reads only (tiny json files); no Spark job. Increments
+    appended by pre-drift-stat builds are skipped (no stats file);
+    compaction retires increment stats with the increments themselves,
+    so the report covers appends since the last fold."""
+    import json as _json
+
+    from rtstore_spark.store.fs import fs_for
+
     base = resolve_index_base(spark, path)
-    if prev_name is not None and base != f"{path}/{prev_name}":
-        raise RuntimeError(
-            f"compact_pq_index: a rebuild advanced {path} during this "
-            "compaction — re-run against the new generation"
+    fs = fs_for(base, spark)
+    bs = fs.read_text(base + "/_stats.json")
+    train = _json.loads(bs) if bs else None
+    train_mse = float(train["train_mse"]) if train else None
+    names, _, _ = _parse_inc_pointer(fs.read_text(f"{base}/inc/_current"))
+    incs = []
+    tot_n, tot_err = 0, 0.0
+    for name in names:
+        s = fs.read_text(f"{base}/inc/{name}/_stats.json")
+        if s is None:
+            continue
+        rec = _json.loads(s)
+        n, mse = int(rec["n"]), float(rec["mse"])
+        ratio = (
+            round(mse / max(train_mse, 1e-12), 4)
+            if train_mse is not None else None
         )
-    # ONE pointer read: the increment list folded below derives from
-    # this exact snapshot (a second read could see an append that
-    # landed in between — the fold would include it while the pre-flip
-    # check flagged it as missing, a false alarm that discards work)
-    inc0 = fs.read_text(f"{base}/inc/_current")
-    names0, tags0, wm0 = _parse_inc_pointer(inc0)
-    incs = [f"{base}/inc/{name}" for name in names0]
-    if not incs:
-        return  # union-free already: nothing to fold
-    out = f"{path}/{gen_name}"
-    codes = spark.read.parquet(base + "/codes")
-    for inc in incs:
-        codes = codes.unionByName(spark.read.parquet(inc))
-    codes.write.mode("overwrite").partitionBy("route").parquet(out + "/codes")
-    spark.read.parquet(base + "/_centroids").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(out + "/_centroids")
-    pq_save(spark, pq_load(spark, base + "/_model"), out + "/_model")
-    # carry the exactly-once ledger forward: zero increments, digit
-    # (sink) tags folded into ONE watermark line — micro-batch ids are
-    # monotone under foreachBatch, so max subsumes them and the ledger
-    # stays O(1) across unbounded chained compactions — and hashed
-    # (non-digit) tags carried individually
-    wm = wm0
-    toks = []
-    for t in tags0:
-        body = t[1:]
-        if body.isdigit():
-            wm = max(wm if wm is not None else 0, int(body))
-        else:
-            toks.append(t)
-    ledger = ([f"w{wm}"] if wm is not None else []) + sorted(set(toks))
-    if ledger:
-        fs.write_text_atomic(
-            f"{out}/inc/_current", "\n".join(["v2", *ledger]) + "\n"
-        )
-    if fs.read_text(f"{base}/inc/_current") != inc0:
-        raise RuntimeError(
-            f"compact_pq_index: a concurrent append committed on {path} "
-            "during this compaction — its increment is not in the folded "
-            "generation; re-run the compaction"
-        )
-    commit_generation(
-        fs, path, prev_gen, gen_name,
-        op="compact_pq_index",
-        keep=tuple({
-            *retained_generations(fs, path, keep, exclude=gen_name),
-            *((prev_name,) if prev_name else ()),
-        }),
+        incs.append({"name": name, "n": n, "mse": mse, "ratio": ratio})
+        tot_n += n
+        tot_err += n * mse
+    drift = (
+        round((tot_err / tot_n) / max(train_mse, 1e-12), 4)
+        if (tot_n and train_mse is not None) else None
     )
-    if base == path:  # legacy pre-pointer root layout: artifacts now stale
-        for legacy in ("codes", "_centroids", "_model", "inc"):
-            fs.delete(f"{path}/{legacy}", recursive=True)
+    return {
+        "train_mse": train_mse,
+        "n_base": int(train["n"]) if train else None,
+        "increments": incs,
+        "drift_ratio": drift,
+    }
 
 
 def pq_index_sink(
     path: str, vec_col: str, id_col: str,
     compact_every: int | None = None,
     compact_keep: int = 2,
+    drift_warn_ratio: float | None = 2.0,
 ):
     """Streaming ANN index maintenance: a ``foreachBatch`` body that
     appends each micro-batch of NEW vectors as a committed increment —
@@ -1569,14 +1819,48 @@ def pq_index_sink(
     (default 2, vs the manual path's grace-of-one) — a concurrent
     reader's lazy plan survives ``compact_keep`` subsequent folds;
     size it to (longest expected query) / (compact_every x batch
-    interval). Checkpoint-reset rule (shared with
-    ``bm25_index_sink``): batch ids restart at 0 after a checkpoint
-    wipe, so a reset requires a rebuild, not more appends."""
+    interval). Periodic RETRAINING rebuilds
+    (``write_pq_index(..., carry_ledger=True)``) run mid-stream
+    without a checkpoint reset — the carried tag ledger keeps this
+    sink's replayed batches no-ops across the rebuild. Checkpoint-
+    reset rule (shared with ``bm25_index_sink``): batch ids restart at
+    0 after a checkpoint WIPE, so wiping the checkpoint requires a
+    fresh ledger-resetting rebuild, not more appends.
+
+    ``drift_warn_ratio``: after each committed batch the sink reads
+    the index's drift report (``pq_index_drift`` — the codes' mean
+    reconstruction error is recorded in the same encode pass) and
+    emits a ``PQDriftWarning`` when the newest increment's error
+    exceeds this multiple of the base generation's ``train_mse`` —
+    the operator's rebuild-time signal (recall degrades silently
+    otherwise; README retrain playbook). None disables."""
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         append_pq_index(
             batch_df, vec_col, id_col, path, batch_tag=str(batch_id)
         )
+        if drift_warn_ratio is not None:
+            import warnings
+
+            report = pq_index_drift(spark, path)
+            if report["increments"]:
+                last = report["increments"][-1]
+                if (
+                    last["ratio"] is not None
+                    and last["ratio"] > drift_warn_ratio
+                ):
+                    warnings.warn(
+                        f"pq_index_sink: increment {last['name']} of "
+                        f"{path} reconstructs at {last['mse']:.3g} MSE = "
+                        f"{last['ratio']:.2f}x the codebooks' training "
+                        f"error ({report['train_mse']:.3g}) — the "
+                        "embedding distribution has drifted from the "
+                        "training corpus and recall is degrading; "
+                        "schedule write_pq_index(carry_ledger=True) with "
+                        "retrained codebooks (README retrain playbook)",
+                        PQDriftWarning,
+                        stacklevel=2,
+                    )
         if compact_every is not None:
             from rtstore_spark.store.fs import fs_for
 

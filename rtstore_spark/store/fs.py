@@ -292,6 +292,131 @@ def retained_generations(
     return tuple(gens[-max(1, keep):])
 
 
+# Default maintenance-lease TTL. Size it ABOVE the longest expected
+# single maintenance operation (append/compact/rebuild) on the store:
+# a lease older than this is presumed to belong to a crashed process
+# and is taken over. A still-RUNNING operation that outlives the TTL
+# can therefore lose its lease to a takeover — the generation-pointer
+# re-checks every writer already performs remain the backstop that
+# turns that (now doubly-contract-violating) overlap into a loud error.
+LEASE_TTL_SECONDS = 900.0
+
+
+def acquire_maintenance_lease(
+    fs, path: str, *, op: str, ttl_seconds: float = LEASE_TTL_SECONDS,
+) -> str:
+    """Acquire the single-writer maintenance lease of a manifest store.
+
+    The index writers (append/compact/rebuild, both BM25 and PQ) have
+    always had a single-writer CONTRACT, enforced after the fact by
+    pointer re-checks — which close every race window except the
+    instant between the final re-read and the pointer flip (two small
+    files cannot be CAS'd together). The lease turns a contract
+    violation into a LOUD error at operation START instead: a writer
+    that finds a live lease raises immediately, naming the holder,
+    before doing any work — so the undetectable last-instant window is
+    only reachable by a process that already bypassed a loud error.
+
+    Mechanics — one small file ``<path>/_lease`` holding
+    ``{holder, op, acquired_unix, ttl}``:
+
+    - free or STALE (older than its ttl — the holder crashed without
+      releasing): overwrite with our record, then READ BACK. Two racers
+      that both passed the free/stale check write distinct holder ids;
+      the last single-object PUT wins and the loser sees the winner's
+      id on read-back and raises. Not a true CAS — two writers landing
+      between each other's write and read-back can both believe they
+      won — but that needs sub-millisecond symmetry AND a prior loud
+      error ignored; the pointer re-checks remain the backstop.
+    - live and someone else's: raise, naming the holder and its age,
+      so an operator knows WHICH process to wait for (or that it died
+      and the lease goes stale after ttl).
+
+    Returns the holder token to pass to ``release_maintenance_lease``.
+    Cost: two small control-plane writes per maintenance operation."""
+    import json as _json
+    import os as _os
+    import time
+    import uuid
+
+    holder = f"{op}:{_os.getpid()}:{uuid.uuid4().hex[:8]}"
+    now = time.time()
+    lease_path = f"{path}/_lease"
+    cur = fs.read_text(lease_path)
+    if cur:
+        try:
+            rec = _json.loads(cur)
+        except ValueError:
+            rec = None  # torn/corrupt lease: treat as stale, take over
+        if rec:
+            age = now - float(rec.get("acquired_unix", 0.0))
+            if age <= float(rec.get("ttl", LEASE_TTL_SECONDS)):
+                raise RuntimeError(
+                    f"{op}: maintenance lease on {path} is held by "
+                    f"{rec.get('holder')} (acquired {age:.0f}s ago, ttl "
+                    f"{rec.get('ttl')}s) — indexes have a single-writer "
+                    "contract; wait for that operation to finish, or if "
+                    "its process died the lease goes stale after the ttl "
+                    "and the next writer takes over"
+                )
+    fs.write_text_atomic(
+        lease_path,
+        _json.dumps(
+            {"holder": holder, "op": op, "acquired_unix": now,
+             "ttl": float(ttl_seconds)}
+        ),
+    )
+    cur2 = fs.read_text(lease_path)
+    try:
+        rec2 = _json.loads(cur2) if cur2 else None
+    except ValueError:
+        rec2 = None
+    if not rec2 or rec2.get("holder") != holder:
+        raise RuntimeError(
+            f"{op}: lost the maintenance-lease race on {path} to "
+            f"{rec2.get('holder') if rec2 else '<unreadable>'} — "
+            "another writer acquired between this one's write and "
+            "read-back; re-run after it finishes"
+        )
+    return holder
+
+
+def release_maintenance_lease(fs, path: str, holder: str) -> None:
+    """Release a lease IF still ours — a takeover (we went stale
+    mid-operation) must not have its fresh lease deleted by the old
+    holder's cleanup."""
+    import json as _json
+
+    cur = fs.read_text(f"{path}/_lease")
+    try:
+        rec = _json.loads(cur) if cur else None
+    except ValueError:
+        rec = None
+    if rec and rec.get("holder") == holder:
+        fs.delete(f"{path}/_lease")
+
+
+class maintenance_lease:
+    """``with maintenance_lease(fs, path, op="compact_pq_index"):`` —
+    acquire on enter, release on exit (including on error: a FAILED
+    operation must not hold the store hostage for a full ttl)."""
+
+    def __init__(
+        self, fs, path: str, *, op: str,
+        ttl_seconds: float = LEASE_TTL_SECONDS,
+    ):
+        self._fs, self._path, self._op, self._ttl = fs, path, op, ttl_seconds
+
+    def __enter__(self) -> str:
+        self._holder = acquire_maintenance_lease(
+            self._fs, self._path, op=self._op, ttl_seconds=self._ttl
+        )
+        return self._holder
+
+    def __exit__(self, *exc) -> None:
+        release_maintenance_lease(self._fs, self._path, self._holder)
+
+
 def safe_batch_tag(tag) -> str:
     """Filesystem-safe idempotence token for a streaming batch tag.
 
@@ -319,6 +444,25 @@ def safe_batch_tag(tag) -> str:
     if s.isascii() and s.isdigit():
         return s
     return "h" + hashlib.sha1(s.encode()).hexdigest()[:20]
+
+
+def is_current_tag_token(body: str) -> bool:
+    """True when a committed tag token (the part after the ``t``
+    prefix) is in ``safe_batch_tag``'s CURRENT vocabulary: all-digits
+    (the foreachBatch batch-id convention) or ``h`` + 20 hex chars (a
+    hashed non-digit tag). A token in NEITHER form was committed by the
+    retired strip-to-alnum sanitizer — its raw tag can no longer be
+    recomputed, so replay detection is broken for it: a replay of that
+    batch would re-append (duplicate docs, double-counted dfs) with no
+    warning. The appenders check committed tokens with this and refuse
+    tagged appends onto such an index, advising a rebuild (which
+    re-derives every tag) — loud beats silently-duplicated."""
+    if body.isascii() and body.isdigit():
+        return True
+    if len(body) == 21 and body.startswith("h"):
+        tail = body[1:]
+        return all(c in "0123456789abcdef" for c in tail)
+    return False
 
 
 def parse_gen_pointer(cur: str | None) -> tuple[int, str | None]:

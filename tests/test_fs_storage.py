@@ -355,6 +355,167 @@ class TestGenerationCommitHelper:
         assert dirs == {g1, g3}  # live + predecessor; orphan g2 gone
 
 
+class TestMaintenanceLease:
+    """store.fs.acquire/release_maintenance_lease — round-11 single-
+    writer enforcement shared by all six index writers (bm25/pq x
+    write/append/compact): a contract violation now fails loudly at
+    operation START, naming the holder, instead of (at best) at the
+    pre-flip pointer re-check."""
+
+    def test_acquire_release_cycle(self, tmp_path):
+        from rtstore_spark.store.fs import (
+            acquire_maintenance_lease,
+            release_maintenance_lease,
+        )
+
+        fs, root = LocalFS(), str(tmp_path / "lease")
+        fs.makedirs(root)
+        h = acquire_maintenance_lease(fs, root, op="compact_pq_index")
+        assert "compact_pq_index" in h
+        assert fs.read_text(f"{root}/_lease") is not None
+        release_maintenance_lease(fs, root, h)
+        assert fs.read_text(f"{root}/_lease") is None
+        # free again: a second writer acquires cleanly
+        h2 = acquire_maintenance_lease(fs, root, op="append_pq_index")
+        release_maintenance_lease(fs, root, h2)
+
+    def test_live_lease_refused_naming_holder(self, tmp_path):
+        from rtstore_spark.store.fs import acquire_maintenance_lease
+
+        fs, root = LocalFS(), str(tmp_path / "lease2")
+        fs.makedirs(root)
+        h = acquire_maintenance_lease(fs, root, op="compact_bm25_index")
+        with pytest.raises(RuntimeError) as ei:
+            acquire_maintenance_lease(fs, root, op="append_bm25_index")
+        msg = str(ei.value)
+        assert "maintenance lease" in msg
+        assert h in msg  # the HOLDER is named — operators know what to wait for
+        assert "stale" in msg  # and told about the ttl takeover rule
+
+    def test_stale_lease_taken_over(self, tmp_path):
+        """A crashed holder's lease (older than its ttl) must not brick
+        the index: the next writer takes over."""
+        import time
+
+        from rtstore_spark.store.fs import acquire_maintenance_lease
+
+        fs, root = LocalFS(), str(tmp_path / "lease3")
+        fs.makedirs(root)
+        fs.write_text_atomic(
+            f"{root}/_lease",
+            json.dumps({
+                "holder": "append_pq_index:dead:cafe0123",
+                "op": "append_pq_index",
+                "acquired_unix": time.time() - 10_000,
+                "ttl": 900.0,
+            }),
+        )
+        h = acquire_maintenance_lease(fs, root, op="compact_pq_index")
+        assert h.startswith("compact_pq_index:")
+        rec = json.loads(fs.read_text(f"{root}/_lease"))
+        assert rec["holder"] == h
+
+    def test_corrupt_lease_treated_as_stale(self, tmp_path):
+        from rtstore_spark.store.fs import acquire_maintenance_lease
+
+        fs, root = LocalFS(), str(tmp_path / "lease4")
+        fs.makedirs(root)
+        fs.write_text_atomic(f"{root}/_lease", "not json{")
+        h = acquire_maintenance_lease(fs, root, op="write_pq_index")
+        assert json.loads(fs.read_text(f"{root}/_lease"))["holder"] == h
+
+    def test_release_only_if_ours(self, tmp_path):
+        """A stale holder's late cleanup must not delete the takeover's
+        fresh lease."""
+        import time
+
+        from rtstore_spark.store.fs import (
+            acquire_maintenance_lease,
+            release_maintenance_lease,
+        )
+
+        fs, root = LocalFS(), str(tmp_path / "lease5")
+        fs.makedirs(root)
+        fs.write_text_atomic(
+            f"{root}/_lease",
+            json.dumps({
+                "holder": "old:1:aa", "op": "x",
+                "acquired_unix": time.time() - 10_000, "ttl": 900.0,
+            }),
+        )
+        h = acquire_maintenance_lease(fs, root, op="compact_pq_index")
+        release_maintenance_lease(fs, root, "old:1:aa")  # late cleanup
+        assert json.loads(fs.read_text(f"{root}/_lease"))["holder"] == h
+        release_maintenance_lease(fs, root, h)
+
+    def test_context_manager_releases_on_error(self, tmp_path):
+        """A FAILED operation must not hold the store hostage for a
+        full ttl."""
+        from rtstore_spark.store.fs import (
+            acquire_maintenance_lease,
+            maintenance_lease,
+            release_maintenance_lease,
+        )
+
+        fs, root = LocalFS(), str(tmp_path / "lease6")
+        fs.makedirs(root)
+        with pytest.raises(ValueError, match="boom"):
+            with maintenance_lease(fs, root, op="write_bm25_index"):
+                raise ValueError("boom")
+        assert fs.read_text(f"{root}/_lease") is None
+        h = acquire_maintenance_lease(fs, root, op="append_bm25_index")
+        release_maintenance_lease(fs, root, h)
+
+    def test_read_back_detects_lost_race(self, tmp_path, monkeypatch):
+        """Two racers that both pass the free check write distinct
+        holders; the loser must detect the winner's id on read-back
+        and raise rather than proceed."""
+        from rtstore_spark.store import fs as fsmod
+
+        fs, root = LocalFS(), str(tmp_path / "lease7")
+        fs.makedirs(root)
+        real = fsmod.LocalFS.read_text
+        state = {"fired": False}
+
+        def usurping_read(self, p):
+            out = real(self, p)
+            if p.endswith("/_lease") and out is not None and not state["fired"]:
+                state["fired"] = True
+                # between our write and our read-back, a racer overwrote
+                fs.write_text_atomic(p, out.replace(
+                    json.loads(out)["holder"], "racer:9:beef"
+                ))
+                return real(self, p)
+            return out
+
+        monkeypatch.setattr(fsmod.LocalFS, "read_text", usurping_read)
+        with pytest.raises(RuntimeError, match="lost the maintenance-lease"):
+            fsmod.acquire_maintenance_lease(fs, root, op="append_pq_index")
+
+
+class TestTagTokenVocabulary:
+    """store.fs.is_current_tag_token — the legacy-sanitizer detector
+    behind the appenders' loud refusal (round-10 advice: a replayed
+    pre-upgrade non-digit tag would silently re-append)."""
+
+    def test_current_forms_accepted(self):
+        from rtstore_spark.store.fs import is_current_tag_token, safe_batch_tag
+
+        assert is_current_tag_token("0")
+        assert is_current_tag_token("1234567890")
+        assert is_current_tag_token(safe_batch_tag("crawl/a"))
+        assert is_current_tag_token(safe_batch_tag("we ird\ntag"))
+
+    def test_legacy_stripped_tokens_rejected(self):
+        from rtstore_spark.store.fs import is_current_tag_token
+
+        # the old sanitizer stripped 'crawl/a' → 'crawla'
+        assert not is_current_tag_token("crawla")
+        assert not is_current_tag_token("h" + "z" * 20)  # not hex
+        assert not is_current_tag_token("h" + "a" * 19)  # wrong length
+        assert not is_current_tag_token("")
+
+
 class TestSafeBatchTag:
     """store.fs.safe_batch_tag — the shared idempotence-token rule for
     streaming index sinks (bm25 + pq)."""

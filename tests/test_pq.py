@@ -414,8 +414,16 @@ class TestAppendCrashSafety:
         n_base = read_pq_index(spark, path)[0].count()
         inc = emb.filter("vec_id >= 40 and vec_id < 60")
 
+        real = LocalFS.write_text_atomic
+
         def boom(self, p, text):
-            raise RuntimeError("simulated crash before pointer flip")
+            # scoped to the increment POINTER write (the commit): the
+            # lease acquisition and the increment's _stats.json write
+            # are earlier small writes that must succeed for the
+            # "orphan data written, commit never happened" shape
+            if p.endswith("/inc/_current"):
+                raise RuntimeError("simulated crash before pointer flip")
+            return real(self, p, text)
 
         from rtstore_spark.operators.similarity import resolve_index_base
 
@@ -535,9 +543,12 @@ class TestStreamingMaintenance:
 
         sink = pq_index_sink(stream_index, "embedding", "vec_id")
         batch = emb.filter("vec_id >= 40 and vec_id < 60")
+        real = LocalFS.write_text_atomic
 
         def boom(self, p, text):
-            raise RuntimeError("simulated crash before pointer flip")
+            if p.endswith("/inc/_current"):  # the commit itself
+                raise RuntimeError("simulated crash before pointer flip")
+            return real(self, p, text)
 
         monkeypatch.setattr(LocalFS, "write_text_atomic", boom)
         with pytest.raises(RuntimeError, match="simulated crash"):
@@ -554,9 +565,13 @@ class TestStreamingMaintenance:
     def test_concurrent_append_mid_append_raises(
         self, spark, emb, stream_index, monkeypatch
     ):
-        """An append that commits while this one is writing must fail
-        THIS one loudly — a blind pointer write would discard the
-        racer's committed increment (the pointer is the ledger)."""
+        """The pointer-recheck BACKSTOP behind the maintenance lease: an
+        append that commits while this one is writing (only possible by
+        bypassing the lease — here a simulated stale-lease takeover)
+        must fail THIS one loudly — a blind pointer write would discard
+        the racer's committed increment (the pointer is the ledger)."""
+        import os
+
         import rtstore_spark.operators.similarity as sim
 
         real_resolve = sim.resolve_index_base
@@ -566,6 +581,11 @@ class TestStreamingMaintenance:
             calls["n"] += 1
             if calls["n"] == 2:  # my append's pre-flip backstop
                 monkeypatch.setattr(sim, "resolve_index_base", real_resolve)
+                # simulate the racer having TAKEN OVER a stale lease:
+                # without this the racing append fails fast on the live
+                # lease (tested separately) and never reaches the
+                # pointer re-check this test exists to pin
+                os.remove(f"{stream_index}/_lease")
                 sim.append_pq_index(
                     emb.filter("vec_id >= 50 and vec_id < 60"),
                     "embedding", "vec_id", stream_index,
@@ -821,9 +841,50 @@ class TestPqCompaction:
         assert codes.count() == 60  # base + both increments still live
         assert self._hits(spark, emb, stacked_index) == before
 
+    def test_concurrent_append_mid_compaction_fails_fast_on_lease(
+        self, spark, emb, stacked_index, monkeypatch
+    ):
+        """Primary single-writer enforcement: an append racing a live
+        compaction fails FAST at lease acquisition, naming the holder —
+        before building anything — and the compaction completes
+        untouched. (The round-10 design detected this race only at the
+        compactor's pre-flip re-read, silently late.)"""
+        import rtstore_spark.operators.similarity as sim
+
+        real_save = sim.pq_save
+        seen = {}
+
+        def racing_save(spark_, model_, p):
+            real_save(spark_, model_, p)
+            if "err" not in seen:
+                # mid-compaction: a real append must bounce off the lease
+                with pytest.raises(RuntimeError) as ei:
+                    sim.append_pq_index(
+                        emb.filter("vec_id >= 60 and vec_id < 70"),
+                        "embedding", "vec_id", stacked_index,
+                    )
+                seen["err"] = str(ei.value)
+
+        monkeypatch.setattr(sim, "pq_save", racing_save)
+        sim.compact_pq_index(spark, stacked_index)  # completes normally
+        monkeypatch.undo()
+        assert "maintenance lease" in seen["err"]
+        assert "compact_pq_index" in seen["err"]  # holder named
+        # the refused append committed nothing; the fold lost nothing
+        codes, _, _ = sim.read_pq_index(spark, stacked_index)
+        ids = [r["id"] for r in codes.collect()]
+        assert sorted(ids) == list(range(60))
+
     def test_concurrent_append_mid_compaction_raises(
         self, spark, emb, stacked_index, monkeypatch
     ):
+        """The pointer-recheck BACKSTOP: an append that commits while
+        the compaction is writing — only reachable past the lease, here
+        via a simulated stale-lease takeover — must fail the compaction
+        loudly (flipping anyway would drop the appended vectors from
+        the folded generation)."""
+        import os
+
         import rtstore_spark.operators.similarity as sim
 
         real_save = sim.pq_save
@@ -834,7 +895,9 @@ class TestPqCompaction:
             if not fired["done"]:
                 fired["done"] = True
                 # the model copy is the last data write before the
-                # increment-pointer re-check — sneak a real append in
+                # increment-pointer re-check — sneak a real append in,
+                # bypassing the live lease as a stale takeover would
+                os.remove(f"{stacked_index}/_lease")
                 sim.append_pq_index(
                     emb.filter("vec_id >= 60 and vec_id < 70"),
                     "embedding", "vec_id", stacked_index,
@@ -1077,8 +1140,12 @@ class TestRebuildCrashSafety:
         )
         assert read_pq_index(spark, path)[0].count() == 300
 
+        real = LocalFS.write_text_atomic
+
         def boom(self, p, text):
-            raise RuntimeError("simulated crash before pointer flip")
+            if p.endswith("/_current"):  # the generation-pointer flip
+                raise RuntimeError("simulated crash before pointer flip")
+            return real(self, p, text)
 
         monkeypatch.setattr(LocalFS, "write_text_atomic", boom)
         with pytest.raises(RuntimeError, match="simulated crash"):
@@ -1095,3 +1162,341 @@ class TestRebuildCrashSafety:
         ids = [r["id"] for r in codes.collect()]
         assert sorted(ids) == list(range(320))
         assert len(ids) == len(set(ids))
+
+
+class TestStreamingSafeRebuildPQ:
+    """write_pq_index(carry_ledger=True) — round-11: the RETRAIN
+    rebuild that runs with a pq_index_sink stream mid-flight. The fresh
+    generation's increment pointer carries every committed batch tag
+    (digit tags folded to one watermark), so replays of committed
+    batches still no-op and the stream never needs a checkpoint reset —
+    which is what makes periodic codebook retraining operationally
+    possible under continuous ingest."""
+
+    def test_midstream_retrain_rebuild_carries_ledger(
+        self, spark, emb, model, tmp_path
+    ):
+        from rtstore_spark.operators.similarity import (
+            pq_fit,
+            pq_index_sink,
+            read_pq_index,
+            write_pq_index,
+        )
+
+        path = str(tmp_path / "pq-carry")
+        base = emb.filter("vec_id < 40").select(
+            F.col("vec_id").alias("id"), "embedding",
+            F.col("label").alias("route"),
+        )
+        write_pq_index(base, "embedding", "id", "route", model, path)
+        sink = pq_index_sink(path, "embedding", "vec_id")
+        b0 = emb.filter("vec_id >= 40 and vec_id < 50")
+        b1 = emb.filter("vec_id >= 50 and vec_id < 60")
+        sink(b0, 0)
+        sink(b1, 1)
+        # retrain on the full corpus so far, rebuild MID-STREAM
+        model2 = pq_fit(emb, "embedding", m=8, ksub=32, seed=9)
+        full = emb.filter("vec_id < 60").select(
+            F.col("vec_id").alias("id"), "embedding",
+            F.col("label").alias("route"),
+        )
+        write_pq_index(
+            full, "embedding", "id", "route", model2, path,
+            carry_ledger=True,
+        )
+        # the new generation serves the RETRAINED codebooks
+        codes, _, loaded = read_pq_index(spark, path)
+        assert loaded["codebooks"] == model2["codebooks"]
+        # replayed batches no-op: no duplicates, no checkpoint reset
+        sink(b0, 0)
+        sink(b1, 1)
+        codes, _, _ = read_pq_index(spark, path)
+        ids = [r["id"] for r in codes.collect()]
+        assert sorted(ids) == list(range(60)) and len(set(ids)) == 60
+        # new batches land
+        sink(emb.filter("vec_id >= 60 and vec_id < 70"), 2)
+        codes, _, _ = read_pq_index(spark, path)
+        assert sorted(r["id"] for r in codes.collect()) == list(range(70))
+
+    def test_carry_chains_with_compaction_watermark(
+        self, spark, emb, model, tmp_path
+    ):
+        from rtstore_spark.operators.similarity import (
+            _parse_inc_pointer,
+            compact_pq_index,
+            pq_index_sink,
+            read_pq_index,
+            resolve_index_base,
+            write_pq_index,
+        )
+        from rtstore_spark.store.fs import fs_for
+
+        path = str(tmp_path / "pq-carry-chain")
+        base = emb.filter("vec_id < 40").select(
+            F.col("vec_id").alias("id"), "embedding",
+            F.col("label").alias("route"),
+        )
+        write_pq_index(base, "embedding", "id", "route", model, path)
+        sink = pq_index_sink(path, "embedding", "vec_id")
+        sink(emb.filter("vec_id >= 40 and vec_id < 50"), 0)
+        compact_pq_index(spark, path)  # w0 parked in the pointer
+        sink(emb.filter("vec_id >= 50 and vec_id < 60"), 1)
+        full = emb.filter("vec_id < 60").select(
+            F.col("vec_id").alias("id"), "embedding",
+            F.col("label").alias("route"),
+        )
+        write_pq_index(
+            full, "embedding", "id", "route", model, path,
+            carry_ledger=True,
+        )
+        gen = resolve_index_base(spark, path)
+        names, tags, wm = _parse_inc_pointer(
+            fs_for(gen, spark).read_text(f"{gen}/inc/_current")
+        )
+        assert names == [] and tags == [] and wm == 1  # carried+folded
+        sink(emb.filter("vec_id >= 40 and vec_id < 50"), 0)
+        sink(emb.filter("vec_id >= 50 and vec_id < 60"), 1)
+        codes, _, _ = read_pq_index(spark, path)
+        assert codes.count() == 60  # both replays no-oped
+        sink(emb.filter("vec_id >= 60 and vec_id < 70"), 2)
+        codes, _, _ = read_pq_index(spark, path)
+        assert sorted(r["id"] for r in codes.collect()) == list(range(70))
+
+    def test_crash_mid_carry_rebuild_keeps_stream_alive(
+        self, spark, emb, model, tmp_path, monkeypatch
+    ):
+        from rtstore_spark.operators.similarity import (
+            pq_index_sink,
+            read_pq_index,
+            write_pq_index,
+        )
+        from rtstore_spark.store.fs import LocalFS
+
+        path = str(tmp_path / "pq-carry-crash")
+        base = emb.filter("vec_id < 40").select(
+            F.col("vec_id").alias("id"), "embedding",
+            F.col("label").alias("route"),
+        )
+        write_pq_index(base, "embedding", "id", "route", model, path)
+        sink = pq_index_sink(path, "embedding", "vec_id")
+        b0 = emb.filter("vec_id >= 40 and vec_id < 50")
+        sink(b0, 0)
+        real = LocalFS.write_text_atomic
+
+        def boom(self, p, text):
+            # the ROOT pointer flip only — the new generation's carried
+            # inc/_current and _stats.json writes must succeed first
+            if p.endswith("/_current") and "/inc/" not in p:
+                raise RuntimeError("simulated crash before pointer flip")
+            return real(self, p, text)
+
+        full = emb.filter("vec_id < 50").select(
+            F.col("vec_id").alias("id"), "embedding",
+            F.col("label").alias("route"),
+        )
+        monkeypatch.setattr(LocalFS, "write_text_atomic", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            write_pq_index(
+                full, "embedding", "id", "route", model, path,
+                carry_ledger=True,
+            )
+        monkeypatch.undo()
+        # old generation (and its tag ledger) fully live: replay no-ops
+        sink(b0, 0)
+        codes, _, _ = read_pq_index(spark, path)
+        ids = [r["id"] for r in codes.collect()]
+        assert sorted(ids) == list(range(50)) and len(set(ids)) == 50
+
+
+class TestDriftMonitor:
+    """Round-11: the codebooks NEVER retrain on append (retraining
+    would corrupt stored codes), so a maintained index's recall decays
+    silently as the embedding distribution moves. Every append records
+    its increment's mean squared reconstruction error in the same
+    encode pass; pq_index_drift reads those against the base
+    generation's train_mse and pq_index_sink warns past the
+    threshold."""
+
+    @pytest.fixture()
+    def clustered(self, spark):
+        # 4 tight clusters around orthogonal unit patterns: in-
+        # distribution vectors reconstruct at a stable (deterministic-
+        # fit) training error, so a distribution shift to random
+        # directions is unambiguous in the drift RATIO
+        rng = np.random.default_rng(11)
+        pats = np.eye(8)[[0, 2, 4, 6]]
+        rows = [
+            (
+                i,
+                [float(x) for x in pats[i % 4] + rng.normal(0, 1e-3, 8)],
+                i % 2,
+            )
+            for i in range(80)
+        ]
+        return spark.createDataFrame(rows, "id long, v array<float>, route int")
+
+    def _in_dist(self, spark, lo, hi, seed=17):
+        rng = np.random.default_rng(seed)
+        pats = np.eye(8)[[0, 2, 4, 6]]
+        rows = [
+            (i, [float(x) for x in pats[i % 4] + rng.normal(0, 1e-3, 8)])
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(rows, "id long, v array<float>")
+
+    def _shifted(self, spark, lo, hi, seed=23):
+        # nowhere near the trained patterns: random directions
+        rng = np.random.default_rng(seed)
+        rows = [
+            (i, [float(x) for x in rng.normal(0, 1.0, 8)])
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(rows, "id long, v array<float>")
+
+    @pytest.fixture()
+    def drift_index(self, spark, clustered, tmp_path):
+        from rtstore_spark.operators.similarity import pq_fit, write_pq_index
+
+        model = pq_fit(clustered, "v", m=2, ksub=4, seed=3)
+        path = str(tmp_path / "pq-drift")
+        write_pq_index(clustered, "v", "id", "route", model, path)
+        return path
+
+    def test_train_and_increment_stats_recorded(
+        self, spark, drift_index, tmp_path
+    ):
+        from rtstore_spark.operators.similarity import (
+            append_pq_index,
+            pq_index_drift,
+        )
+
+        report = pq_index_drift(spark, drift_index)
+        assert report["n_base"] == 80
+        # pq_fit is deterministic (md5-sorted sample + seeded init), so
+        # train_mse is a stable constant for this fixture; its absolute
+        # value reflects the kmeans local optimum (seed 3 merges the
+        # zero-pattern cluster → ~0.167) — the monitor's contract is
+        # about RATIOS against it, not its magnitude
+        assert report["train_mse"] is not None
+        assert 0.0 < report["train_mse"] < 0.5
+        assert report["increments"] == [] and report["drift_ratio"] is None
+        # in-distribution append: error comparable to training error
+        append_pq_index(
+            self._in_dist(spark, 100, 120), "v", "id", drift_index
+        )
+        report = pq_index_drift(spark, drift_index)
+        assert len(report["increments"]) == 1
+        inc = report["increments"][0]
+        assert inc["n"] == 20 and inc["ratio"] is not None
+        assert inc["ratio"] < 2.0  # under the sink's default threshold
+        # shifted append: random directions land far from every frozen
+        # codeword — error is O(1) vs the ~0.167 training reference
+        append_pq_index(
+            self._shifted(spark, 200, 220), "v", "id", drift_index
+        )
+        report = pq_index_drift(spark, drift_index)
+        assert len(report["increments"]) == 2
+        assert report["increments"][-1]["ratio"] > 3.0
+        assert report["drift_ratio"] > 2.0  # row-weighted overall
+
+    def test_sink_warns_on_drift_only(self, spark, drift_index):
+        import warnings
+
+        from rtstore_spark.operators.similarity import (
+            PQDriftWarning,
+            pq_index_sink,
+        )
+
+        sink = pq_index_sink(drift_index, "v", "id")
+        with warnings.catch_warnings():
+            # an in-distribution batch must NOT warn
+            warnings.simplefilter("error", PQDriftWarning)
+            sink(self._in_dist(spark, 100, 120), 0)
+        with pytest.warns(PQDriftWarning, match="drifted"):
+            sink(self._shifted(spark, 200, 220), 1)
+
+    def test_sink_drift_warning_disabled(self, spark, drift_index):
+        import warnings
+
+        from rtstore_spark.operators.similarity import (
+            PQDriftWarning,
+            pq_index_sink,
+        )
+
+        sink = pq_index_sink(
+            drift_index, "v", "id", drift_warn_ratio=None
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", PQDriftWarning)
+            sink(self._shifted(spark, 300, 320), 0)  # no warning machinery
+
+    def test_compaction_carries_train_reference(self, spark, drift_index):
+        """Folding increments retires their per-increment stats but the
+        base train_mse — the frozen quantizer's quality reference —
+        carries verbatim, so post-fold appends still measure against
+        the same baseline."""
+        from rtstore_spark.operators.similarity import (
+            append_pq_index,
+            compact_pq_index,
+            pq_index_drift,
+        )
+
+        before = pq_index_drift(spark, drift_index)["train_mse"]
+        append_pq_index(
+            self._in_dist(spark, 100, 120), "v", "id", drift_index
+        )
+        compact_pq_index(spark, drift_index)
+        report = pq_index_drift(spark, drift_index)
+        assert report["train_mse"] == before
+        assert report["increments"] == []  # retired with the fold
+        # a post-fold shifted append measures against the SAME baseline
+        append_pq_index(
+            self._shifted(spark, 200, 220), "v", "id", drift_index
+        )
+        report = pq_index_drift(spark, drift_index)
+        assert report["increments"][-1]["ratio"] > 3.0
+
+
+class TestLegacyTagGuardPQ:
+    def test_tagged_append_onto_legacy_token_raises_and_rebuild_repairs(
+        self, spark, emb, model, tmp_path
+    ):
+        from rtstore_spark.operators.similarity import (
+            append_pq_index,
+            read_pq_index,
+            resolve_index_base,
+            write_pq_index,
+        )
+        from rtstore_spark.store.fs import fs_for
+
+        path = str(tmp_path / "pq-legacy")
+        base = emb.filter("vec_id < 40").select(
+            F.col("vec_id").alias("id"), "embedding",
+            F.col("label").alias("route"),
+        )
+        write_pq_index(base, "embedding", "id", "route", model, path)
+        gen = resolve_index_base(spark, path)
+        fs = fs_for(gen, spark)
+        # a pointer tag line the OLD sanitizer would have written for
+        # batch_tag='crawl/a'
+        fs.write_text_atomic(f"{gen}/inc/_current", "v2\ntcrawla\n")
+        inc = emb.filter("vec_id >= 40 and vec_id < 50")
+        with pytest.raises(RuntimeError, match="strip-to-alnum"):
+            append_pq_index(inc, "embedding", "vec_id", path, batch_tag="9")
+        # untagged appends skip replay detection — still fine
+        append_pq_index(inc, "embedding", "vec_id", path)
+        assert read_pq_index(spark, path)[0].count() == 50
+        # the advised repair: carry-rebuild drops the unmatchable token
+        full = emb.filter("vec_id < 50").select(
+            F.col("vec_id").alias("id"), "embedding",
+            F.col("label").alias("route"),
+        )
+        write_pq_index(
+            full, "embedding", "id", "route", model, path,
+            carry_ledger=True,
+        )
+        append_pq_index(
+            emb.filter("vec_id >= 50 and vec_id < 60"),
+            "embedding", "vec_id", path, batch_tag="9",
+        )
+        assert read_pq_index(spark, path)[0].count() == 60

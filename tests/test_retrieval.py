@@ -942,12 +942,49 @@ class TestCompaction:
         assert stats["n_docs"] == 60  # base + delta both still visible
         assert self._search(spark, path, queries) == before
 
+    def test_concurrent_append_mid_compaction_fails_fast_on_lease(
+        self, spark, docs, tmp_path
+    ):
+        """Primary single-writer enforcement: an append racing a live
+        compaction bounces off the maintenance lease at operation
+        START, naming the holder, and the compaction completes
+        untouched — the round-11 upgrade over detecting the race only
+        at the compactor's pre-flip re-read."""
+        from rtstore_spark.store.fs import (
+            acquire_maintenance_lease,
+            fs_for,
+            release_maintenance_lease,
+        )
+
+        path = str(tmp_path / "bm25-lease-race")
+        write_bm25_index(docs.limit(40), "text", "doc_id", path)
+        # stand in for a live compaction: hold its lease
+        fs = fs_for(path, spark)
+        holder = acquire_maintenance_lease(fs, path, op="compact_bm25_index")
+        with pytest.raises(RuntimeError) as ei:
+            append_bm25_index(
+                docs.limit(50).subtract(docs.limit(40)),
+                "text", "doc_id", path,
+            )
+        assert "maintenance lease" in str(ei.value)
+        assert "compact_bm25_index" in str(ei.value)  # holder named
+        release_maintenance_lease(fs, path, holder)
+        _, _, stats = read_bm25_index(spark, path)
+        assert stats["n_docs"] == 40  # the refused append wrote nothing
+        # once released, the append proceeds normally
+        append_bm25_index(
+            docs.limit(50).subtract(docs.limit(40)), "text", "doc_id", path
+        )
+        assert read_bm25_index(spark, path)[2]["n_docs"] == 50
+
     def test_concurrent_append_mid_compaction_raises(
         self, spark, docs, tmp_path, monkeypatch
     ):
-        """An append that commits while the compaction is writing must
-        fail the compaction loudly — flipping anyway would silently
-        drop the appended documents from the folded index."""
+        """The pointer-recheck BACKSTOP: an append that commits while
+        the compaction is writing — only reachable past the lease,
+        here via a simulated stale-lease takeover — must fail the
+        compaction loudly; flipping anyway would silently drop the
+        appended documents from the folded index."""
         from rtstore_spark.store import fs as fsmod
 
         path = str(tmp_path / "bm25-compact-race")
@@ -962,12 +999,14 @@ class TestCompaction:
 
         def racing_appender(self, p, text):
             # the new generation's stats write is the last data write
-            # before the manifest re-check — sneak a real append in
+            # before the manifest re-check — sneak a real append in,
+            # bypassing the live lease as a stale takeover would
             if p.endswith("/_stats.json") and "gen-2" in p and not fired["done"]:
                 fired["done"] = True
                 monkeypatch.setattr(
                     fsmod.LocalFS, "write_text_atomic", real
                 )
+                os.remove(f"{path}/_lease")
                 append_bm25_index(racing, "text", "doc_id", path)
                 monkeypatch.setattr(
                     fsmod.LocalFS, "write_text_atomic", racing_appender
@@ -1066,6 +1105,236 @@ class TestCompactedPlanShape:
         assert arm_counts() == (2, 2)  # base + delta
         compact_bm25_index(spark, path)
         assert arm_counts() == (1, 1)  # union-free
+
+
+class TestStreamingSafeRebuild:
+    """write_bm25_index(carry_ledger=True) — round-11: a full rebuild
+    that CARRIES the live generation's committed batch-tag ledger into
+    the fresh generation, so a bm25_index_sink stream running THROUGH
+    the rebuild keeps its exactly-once guarantee with no checkpoint
+    reset (the rebuild corpus contains the committed batches' docs by
+    definition; replays must therefore no-op against the new
+    generation). Mirrors the reference indexer's never-stop-tailing
+    stance (indexer_impl.rs:147-196)."""
+
+    def _ledger(self, spark, path):
+        from rtstore_spark.store.fs import fs_for, parse_gen_pointer
+
+        fs = fs_for(path, spark)
+        _, live = parse_gen_pointer(fs.read_text(f"{path}/_current"))
+        return [
+            ln for ln in (
+                fs.read_text(f"{path}/{live}/_tags") or ""
+            ).splitlines() if ln.strip()
+        ]
+
+    def test_midstream_rebuild_replays_noop_new_batches_land(
+        self, spark, docs, tmp_path
+    ):
+        from rtstore_spark.operators.retrieval import bm25_index_sink
+
+        path = str(tmp_path / "bm25-carry")
+        write_bm25_index(docs.limit(30), "text", "doc_id", path, n_buckets=8)
+        sink = bm25_index_sink(path, "text", "doc_id")
+        b0 = docs.limit(40).subtract(docs.limit(30))
+        b1 = docs.limit(50).subtract(docs.limit(40))
+        sink(b0, 0)
+        sink(b1, 1)
+        # full rebuild MID-STREAM from the whole corpus so far
+        write_bm25_index(
+            docs.limit(50), "text", "doc_id", path,
+            n_buckets=8, carry_ledger=True,
+        )
+        from rtstore_spark.store.fs import fs_for, parse_gen_pointer
+
+        fs = fs_for(path, spark)
+        _, live = parse_gen_pointer(fs.read_text(f"{path}/_current"))
+        assert fs.read_text(f"{path}/{live}/_deltas") is None  # folded
+        assert self._ledger(spark, path) == ["w1"]  # carried, compressed
+        # the stream's replayed batches still no-op — no checkpoint reset
+        sink(b0, 0)
+        sink(b1, 1)
+        assert read_bm25_index(spark, path)[2]["n_docs"] == 50
+        # and NEW batches land normally
+        b2 = docs.limit(60).subtract(docs.limit(50))
+        sink(b2, 2)
+        postings, term_df, stats = read_bm25_index(spark, path)
+        assert stats["n_docs"] == 60
+        # results identical to a one-shot build of the same corpus
+        queries = spark.createDataFrame(
+            [(0, "model training data")], "qid long, text string"
+        )
+        via_stream = [
+            (r["id"], r["score"])
+            for r in bm25_search_batch(
+                postings, term_df, stats, queries, k=8
+            ).collect()
+        ]
+        path2 = str(tmp_path / "bm25-carry-oneshot")
+        write_bm25_index(docs.limit(60), "text", "doc_id", path2, n_buckets=8)
+        p2, t2, s2 = read_bm25_index(spark, path2)
+        assert via_stream == [
+            (r["id"], r["score"])
+            for r in bm25_search_batch(p2, t2, s2, queries, k=8).collect()
+        ]
+
+    def test_rebuild_chains_with_compaction_watermark(
+        self, spark, docs, tmp_path
+    ):
+        """Compaction's parked watermark and live delta tags both carry:
+        fold → more batches → carry-rebuild → every committed batch
+        still no-ops; the next batch id lands."""
+        from rtstore_spark.operators.retrieval import bm25_index_sink
+
+        path = str(tmp_path / "bm25-carry-chain")
+        write_bm25_index(docs.limit(30), "text", "doc_id", path, n_buckets=8)
+        sink = bm25_index_sink(path, "text", "doc_id")
+        slices = [
+            docs.limit(30 + 5 * (i + 1)).subtract(docs.limit(30 + 5 * i))
+            for i in range(3)
+        ]
+        sink(slices[0], 0)
+        compact_bm25_index(spark, path)  # w0 parked in the ledger
+        sink(slices[1], 1)  # live delta tag t1
+        write_bm25_index(
+            docs.limit(40), "text", "doc_id", path,
+            n_buckets=8, carry_ledger=True,
+        )
+        assert self._ledger(spark, path) == ["w1"]
+        sink(slices[0], 0)
+        sink(slices[1], 1)
+        assert read_bm25_index(spark, path)[2]["n_docs"] == 40
+        sink(slices[2], 2)
+        assert read_bm25_index(spark, path)[2]["n_docs"] == 45
+
+    def test_hashed_tags_carry_through_rebuild(self, spark, docs, tmp_path):
+        path = str(tmp_path / "bm25-carry-hash")
+        write_bm25_index(docs.limit(30), "text", "doc_id", path, n_buckets=8)
+        batch = docs.limit(40).subtract(docs.limit(30))
+        append_bm25_index(
+            batch, "text", "doc_id", path, batch_tag="crawl/2026-08"
+        )
+        write_bm25_index(
+            docs.limit(40), "text", "doc_id", path,
+            n_buckets=8, carry_ledger=True,
+        )
+        led = self._ledger(spark, path)
+        assert len(led) == 1 and led[0].startswith("th")
+        # the hashed tag's replay still no-ops after the rebuild
+        append_bm25_index(
+            batch, "text", "doc_id", path, batch_tag="crawl/2026-08"
+        )
+        assert read_bm25_index(spark, path)[2]["n_docs"] == 40
+
+    def test_default_rebuild_resets_ledger(self, spark, docs, tmp_path):
+        """carry_ledger=False (default) keeps the historical contract:
+        the ledger resets, so a mid-flight stream's replayed batch
+        RE-APPENDS — the documented reason a default rebuild requires a
+        checkpoint reset."""
+        from rtstore_spark.operators.retrieval import bm25_index_sink
+
+        path = str(tmp_path / "bm25-noncarry")
+        write_bm25_index(docs.limit(30), "text", "doc_id", path, n_buckets=8)
+        sink = bm25_index_sink(path, "text", "doc_id")
+        b0 = docs.limit(40).subtract(docs.limit(30))
+        sink(b0, 0)
+        write_bm25_index(docs.limit(40), "text", "doc_id", path, n_buckets=8)
+        assert self._ledger(spark, path) == []
+        sink(b0, 0)  # replay against a RESET ledger re-appends
+        assert read_bm25_index(spark, path)[2]["n_docs"] == 50  # dup'd
+
+    def test_crash_before_flip_keeps_old_ledger_live(
+        self, spark, docs, tmp_path, monkeypatch
+    ):
+        """A carry-rebuild that dies before the pointer flip leaves the
+        OLD generation — docs AND ledger — fully live: the stream's
+        replays still no-op against it."""
+        from rtstore_spark.operators.retrieval import bm25_index_sink
+        from rtstore_spark.store import fs as fsmod
+
+        path = str(tmp_path / "bm25-carry-crash")
+        write_bm25_index(docs.limit(30), "text", "doc_id", path, n_buckets=8)
+        sink = bm25_index_sink(path, "text", "doc_id")
+        b0 = docs.limit(40).subtract(docs.limit(30))
+        sink(b0, 0)
+        real = fsmod.LocalFS.write_text_atomic
+
+        def dying(self, p, text):
+            if p.endswith("/_current") and "gen-2" in text:
+                raise RuntimeError("injected crash before pointer flip")
+            return real(self, p, text)
+
+        monkeypatch.setattr(fsmod.LocalFS, "write_text_atomic", dying)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            write_bm25_index(
+                docs.limit(40), "text", "doc_id", path,
+                n_buckets=8, carry_ledger=True,
+            )
+        monkeypatch.undo()
+        sink(b0, 0)  # old generation's delta tag still live → no-op
+        assert read_bm25_index(spark, path)[2]["n_docs"] == 40
+
+
+class TestLegacyTagGuard:
+    def test_tagged_append_onto_legacy_token_raises_and_rebuild_repairs(
+        self, spark, docs, tmp_path
+    ):
+        """Round-10 advice: a non-digit tag committed under the retired
+        strip-to-alnum sanitizer can never match its replay (the raw
+        tag is unrecoverable) — a tagged append must refuse LOUDLY
+        instead of risking a silent duplicate re-append; the
+        carry-rebuild drops the unmatchable token and repairs."""
+        from rtstore_spark.store.fs import fs_for, parse_gen_pointer
+
+        path = str(tmp_path / "bm25-legacy")
+        write_bm25_index(docs.limit(30), "text", "doc_id", path, n_buckets=8)
+        fs = fs_for(path, spark)
+        _, live = parse_gen_pointer(fs.read_text(f"{path}/_current"))
+        # a ledger token the OLD sanitizer would have written for
+        # batch_tag='crawl/a' (stripped to alnum, not hashed)
+        fs.write_text_atomic(f"{path}/{live}/_tags", "tcrawla\n")
+        batch = docs.limit(40).subtract(docs.limit(30))
+        with pytest.raises(RuntimeError, match="strip-to-alnum"):
+            append_bm25_index(batch, "text", "doc_id", path, batch_tag="9")
+        # untagged appends don't consult replay detection — still fine
+        append_bm25_index(batch, "text", "doc_id", path)
+        assert read_bm25_index(spark, path)[2]["n_docs"] == 40
+        # the advised repair: rebuild (carrying drops the legacy token)
+        write_bm25_index(
+            docs.limit(40), "text", "doc_id", path,
+            n_buckets=8, carry_ledger=True,
+        )
+        append_bm25_index(
+            docs.limit(45).subtract(docs.limit(40)),
+            "text", "doc_id", path, batch_tag="9",
+        )
+        assert read_bm25_index(spark, path)[2]["n_docs"] == 45
+
+
+class TestLeaseOperational:
+    def test_stale_lease_takeover_allows_maintenance(
+        self, spark, docs, tmp_path
+    ):
+        """A crashed maintenance process's leftover lease must not
+        brick the index: once stale (older than its ttl) the next
+        writer takes over and proceeds."""
+        import json as _json
+        import time
+
+        path = str(tmp_path / "bm25-stale-lease")
+        write_bm25_index(docs.limit(30), "text", "doc_id", path, n_buckets=8)
+        with open(f"{path}/_lease", "w") as f:
+            f.write(_json.dumps({
+                "holder": "compact_bm25_index:dead:cafe0123",
+                "op": "compact_bm25_index",
+                "acquired_unix": time.time() - 10_000,
+                "ttl": 900.0,
+            }))
+        append_bm25_index(
+            docs.limit(40).subtract(docs.limit(30)), "text", "doc_id", path
+        )
+        assert read_bm25_index(spark, path)[2]["n_docs"] == 40
+        assert not os.path.exists(f"{path}/_lease")  # released after
 
 
 class TestBatchTagAliasing:
