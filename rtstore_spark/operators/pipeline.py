@@ -87,7 +87,11 @@ class CorpusPrepConfig:
     # RefinedWeb-faithful grouping key. domain_psl picks the rule
     # source for web.with_registrable_domain: "system" = the complete
     # OS-vendored publicsuffix.org list, "builtin" = the curated
-    # no-dependency subset, None = the two-level heuristic
+    # no-dependency subset, None = the two-level heuristic. Either
+    # source takes an ":icann" suffix ("system:icann") to drop the
+    # PSL's private section — the OWNERSHIP grouping; the default full
+    # list is the anti-domination grouping, which is what a domain CAP
+    # wants (github.io pages are independent sites)
     domain_from_url: str | None = None
     domain_psl: str | None = None
     normalize: bool = False       # stage 0: NFC + whitespace cleanup

@@ -525,9 +525,12 @@ k12.vt.us
 k12.wa.us
 k12.wi.us
 k12.wy.us
+// ===BEGIN PRIVATE DOMAINS===
 // ---- private section: the hosting/CDN suffixes crawls actually hit.
 // ---- Grouping by SITE (user subdomain), not by hosting provider, is
-// ---- what domain caps / dedup-by-registrable-domain want here.
+// ---- what domain caps / dedup-by-registrable-domain want here; the
+// ---- canonical section marker above lets icann_only drop the block
+// ---- for ownership analyses, same as on the full list.
 github.io
 githubusercontent.com
 gitlab.io
@@ -574,11 +577,14 @@ s3.amazonaws.com
 *.compute.amazonaws.com
 *.compute-1.amazonaws.com
 elasticbeanstalk.com
+// ===END PRIVATE DOMAINS===
 """
 
 
-def builtin_psl_rules(spark):
-    """The snapshot as a ``load_psl_rules``-shaped broadcast table."""
+def builtin_psl_rules(spark, icann_only: bool = False):
+    """The snapshot as a ``load_psl_rules``-shaped broadcast table.
+    ``icann_only`` drops the snapshot's PRIVATE section (see
+    ``web.load_psl_rules`` for when each grouping is right)."""
     from rtstore_spark.operators.web import parse_psl_text
 
-    return parse_psl_text(spark, SNAPSHOT)
+    return parse_psl_text(spark, SNAPSHOT, icann_only=icann_only)

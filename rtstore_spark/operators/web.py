@@ -297,7 +297,7 @@ def system_psl_path() -> "str | None":
     return None
 
 
-def load_psl_rules(spark, path: str) -> DataFrame:
+def load_psl_rules(spark, path: str, icann_only: bool = False) -> DataFrame:
     """Parse a public-suffix list file (publicsuffix.org/list format) into
     a broadcastable rule table: ``(suffix, ps_labels, is_exception)``.
 
@@ -314,13 +314,33 @@ def load_psl_rules(spark, path: str) -> DataFrame:
     engine needs no third-party PSL library. With no file at hand,
     ``operators.psl_snapshot.builtin_psl_rules`` provides a curated
     built-in subset through the same parser.
-    """
+
+    ``icann_only``: drop the PRIVATE section (the ``===BEGIN PRIVATE
+    DOMAINS===`` block — hosting/CDN suffixes registrars don't delegate).
+    Which mode is right depends on the QUESTION: for anti-domination
+    caps the private section is correct (``github.io`` pages are
+    independent sites — capping all of github.io as one "domain" would
+    throttle millions of unrelated authors), while for OWNERSHIP
+    analyses it is wrong (the same private suffixes split one hosting
+    provider into millions of "domains"). Default False = full list,
+    the publicsuffix.org recommendation."""
     with open(path, encoding="utf-8") as f:
-        return parse_psl_text(spark, f.read())
+        return parse_psl_text(spark, f.read(), icann_only=icann_only)
 
 
-def parse_psl_text(spark, text: str) -> DataFrame:
-    """publicsuffix.org list TEXT → the rule table (see load_psl_rules)."""
+# the canonical section markers of the publicsuffix.org list format —
+# the ICANN section holds registrar-delegated suffixes, the PRIVATE
+# section holds operator-submitted ones (hosting/CDN/platform domains)
+_PSL_PRIVATE_BEGIN = "// ===BEGIN PRIVATE DOMAINS==="
+_PSL_PRIVATE_END = "// ===END PRIVATE DOMAINS==="
+
+
+def parse_psl_text(spark, text: str, icann_only: bool = False) -> DataFrame:
+    """publicsuffix.org list TEXT → the rule table (see load_psl_rules).
+    ``icann_only`` drops every rule between the canonical PRIVATE
+    section markers (tracked while scanning — the list is one ICANN
+    block followed by one private block, but nothing here assumes
+    that ordering)."""
     def forms(s: str) -> set[str]:
         # the list publishes IDN rules as Unicode (U-labels) while crawled
         # URL hosts are almost always punycode (A-labels) — emit BOTH
@@ -333,9 +353,16 @@ def parse_psl_text(spark, text: str) -> DataFrame:
         return out
 
     rules = []
+    in_private = False
     for line in text.splitlines():
         line = line.strip()
-        if not line or line.startswith("//"):
+        if line.startswith("//"):
+            if line.startswith(_PSL_PRIVATE_BEGIN):
+                in_private = True
+            elif line.startswith(_PSL_PRIVATE_END):
+                in_private = False
+            continue
+        if not line or (icann_only and in_private):
             continue
         line = line.split()[0].lower()  # spec: first token only
         if line.startswith("!"):
@@ -380,11 +407,25 @@ def with_registrable_domain(
     already vendors (``system_psl_path`` — the Debian ``publicsuffix``
     package / OpenJDK security dir), raising clearly when the host has
     none; ``rules="builtin"`` stays the dependency-free curated subset.
+    Either takes an ``:icann`` suffix (``"system:icann"`` /
+    ``"builtin:icann"``) to drop the list's PRIVATE section — the
+    grouping for OWNERSHIP analyses, where private suffixes like
+    ``github.io`` would split one hosting provider into millions of
+    "domains"; the default (full list) is the grouping for
+    anti-domination caps, where those millions of pages really are
+    independent sites (see ``load_psl_rules``). The string forms exist
+    so ``pipeline.PrepConfig.domain_psl`` can express every mode.
     """
     if rules is None:
         return df.withColumn(out_col, url_domain(url_col))
     if isinstance(rules, str):
-        if rules == "system":
+        source, _, section = rules.partition(":")
+        icann_only = section == "icann"
+        if section and not icann_only:
+            raise ValueError(
+                f"rules section must be ':icann' when given, got {rules!r}"
+            )
+        if source == "system":
             p = system_psl_path()
             if p is None:
                 raise FileNotFoundError(
@@ -393,14 +434,15 @@ def with_registrable_domain(
                     "Debian publicsuffix and OpenJDK locations) — pass "
                     "load_psl_rules(spark, path) or use rules='builtin'"
                 )
-            rules = load_psl_rules(df.sparkSession, p)
-        elif rules == "builtin":
+            rules = load_psl_rules(df.sparkSession, p, icann_only=icann_only)
+        elif source == "builtin":
             from rtstore_spark.operators.psl_snapshot import builtin_psl_rules
 
-            rules = builtin_psl_rules(df.sparkSession)
+            rules = builtin_psl_rules(df.sparkSession, icann_only=icann_only)
         else:
             raise ValueError(
-                f"rules must be a DataFrame, 'system' or 'builtin', got {rules!r}"
+                "rules must be a DataFrame, 'system[:icann]' or "
+                f"'builtin[:icann]', got {rules!r}"
             )
     # raw lowercase host — NOT url_domain(registrable=False), whose
     # www-strip would defeat PSL exception rules like !www.ck (the PSL

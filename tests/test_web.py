@@ -426,14 +426,22 @@ class TestSystemPsl:
     'full vendored PSL needs network' gap: no network, the file is on
     disk in this container (and on most hosts)."""
 
-    def test_system_path_found_and_full_size(self, spark):
-        from rtstore_spark.operators.web import (
-            load_psl_rules,
-            system_psl_path,
-        )
+    @staticmethod
+    def _system_list():
+        """The vendored list's path, or SKIP — hosts without the Debian
+        publicsuffix package must skip these tests, not fail them
+        (round-10 advice; same stance as the JDK-zip probe test)."""
+        from rtstore_spark.operators.web import system_psl_path
 
         p = system_psl_path()
-        assert p is not None, "container ships the publicsuffix package"
+        if p is None:
+            pytest.skip("no vendored publicsuffix list on this host")
+        return p
+
+    def test_system_path_found_and_full_size(self, spark):
+        from rtstore_spark.operators.web import load_psl_rules
+
+        p = self._system_list()
         rules = load_psl_rules(spark, p)
         # the real list is ~9.5k rules (plus IDN punycode doublings);
         # the builtin subset is an order of magnitude smaller
@@ -449,6 +457,7 @@ class TestSystemPsl:
         the builtin subset does not carry."""
         from rtstore_spark.operators.web import with_registrable_domain
 
+        self._system_list()
         urls = [
             "https://www.example.com/x",
             "https://a.b.example.co.uk/x",
@@ -478,6 +487,7 @@ class TestSystemPsl:
     def test_system_and_builtin_agree_on_major_suffixes(self, spark):
         from rtstore_spark.operators.web import with_registrable_domain
 
+        self._system_list()
         urls = [
             "https://www.example.com/x",
             "https://a.example.co.uk/x",
@@ -495,6 +505,71 @@ class TestSystemPsl:
             }
 
         assert run("system") == run("builtin")
+
+    def test_icann_only_drops_private_section(self, spark):
+        """rules='system:icann' — the OWNERSHIP grouping: private
+        suffixes (github.io, blogspot.com, ...) stop being public
+        suffixes, so a hosting provider's subdomains group under ONE
+        registrable domain; the ICANN section (co.uk, the *.ck
+        wildcard, the !www.ck exception) is untouched."""
+        from rtstore_spark.operators.web import with_registrable_domain
+
+        self._system_list()
+        urls = [
+            "https://foo.blogspot.com/x",
+            "https://u.github.io/x",
+            "https://a.b.example.co.uk/x",
+            "https://a.b.ck/x",
+            "https://www.ck/x",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+
+        def run(rules):
+            return {
+                r["url"]: r["domain"]
+                for r in with_registrable_domain(df, "url", rules=rules)
+                .collect()
+            }
+
+        icann = run("system:icann")
+        # private suffixes fall back to their ICANN parent rule
+        assert icann["https://foo.blogspot.com/x"] == "blogspot.com"
+        assert icann["https://u.github.io/x"] == "github.io"
+        # ICANN-section behavior identical to the full list
+        assert icann["https://a.b.example.co.uk/x"] == "example.co.uk"
+        assert icann["https://a.b.ck/x"] == "a.b.ck"
+        assert icann["https://www.ck/x"] == "www.ck"
+        # the builtin snapshot's canonical markers give the same modes
+        assert run("builtin:icann") == icann
+        # full-list mode still groups by SITE on private suffixes
+        assert run("system")["https://foo.blogspot.com/x"] == (
+            "foo.blogspot.com"
+        )
+
+    def test_icann_only_rule_tables(self, spark):
+        from rtstore_spark.operators.psl_snapshot import builtin_psl_rules
+        from rtstore_spark.operators.web import load_psl_rules
+
+        full = builtin_psl_rules(spark)
+        icann = builtin_psl_rules(spark, icann_only=True)
+        full_sfx = {r["suffix"] for r in full.collect()}
+        icann_sfx = {r["suffix"] for r in icann.collect()}
+        assert icann_sfx < full_sfx
+        assert "github.io" in full_sfx and "github.io" not in icann_sfx
+        assert "co.uk" in icann_sfx  # ICANN rules intact
+        p = self._system_list()
+        sys_icann = {
+            r["suffix"]
+            for r in load_psl_rules(spark, p, icann_only=True).collect()
+        }
+        assert "blogspot.com" not in sys_icann and "co.uk" in sys_icann
+
+    def test_invalid_rules_section_rejected(self, spark):
+        from rtstore_spark.operators.web import with_registrable_domain
+
+        df = spark.createDataFrame([("https://a.io/x",)], "url string")
+        with pytest.raises(ValueError, match=":icann"):
+            with_registrable_domain(df, "url", rules="system:private")
 
     def test_jdk_zip_candidate_rejected_by_probe(self, monkeypatch):
         """OpenJDK also installs a file NAMED public_suffix_list.dat —
