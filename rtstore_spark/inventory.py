@@ -1595,7 +1595,7 @@ _FIRST = ["winnow_fingerprints", "embedding_neardup", "multimodal_features", "an
 # append to the pool + pick the round ordering that seats them first),
 # never by ad-hoc displacement of a stable entry; to retire a future
 # entry, move it into the pool instead of deleting its registration.
-ROTATION_ROUND = 10  # bump each round (10 % 3 = 1 → bm25_maintained_search in)
+ROTATION_ROUND = 11  # bump each round (11 % 3 = 2 → minhash_signature in)
 _ROTATION_POOL = [
     "q_events_pivot", "bm25_maintained_search", "minhash_signature",
 ]

@@ -32,6 +32,14 @@ recorded in ``runs`` and the per-cell spread surfaced in ``variance``
 (round-9 verdict #4: two ×20 ratios drifted ~0.12 across rounds on
 unchanged plans — a lone pass cannot distinguish host noise from a plan
 regression; the median can, and the spread says which it was).
+
+Deep probe (round-11 verdict #4): the two plans whose ×20 ratios sit
+closest to linear — q_order_priority (~0.49) and minhash_lsh_pairs
+(~0.49) — additionally run at ×``SPARK_GRAFT_DEEP_SCALE`` (default 50;
+0 disables). The 100-TB claim leans hardest on these staying sublinear,
+so they get the extra decade: sf0.1×50 ≈ 30M lineitem rows / 250k docs
+— comfortably inside 128 GiB. Their ×50 ratios land in
+``ratios_vs_linear_deep``.
 Usage: python tools/bench_scale.py [K ...]   (default: 1 20)
 """
 
@@ -369,6 +377,34 @@ def main() -> None:
             ),
         }
 
+    # deep probe: the flattest-scaling plans get one more decade of
+    # inflation — their ratios carry the 100-TB claim (module doc)
+    deep_k = int(os.environ.get("SPARK_GRAFT_DEEP_SCALE", "50"))
+    deep_queries = ["q_order_priority", "minhash_lsh_pairs"]
+    deep_ratios = {}
+    if deep_k and deep_k not in scales:
+        sdir = os.path.join(base, f"x{deep_k}")
+        _inflate(spark, deep_k, sdir)
+        for name in deep_queries:
+            fn = queries[name]
+            results[name][f"x{deep_k}"] = _timed3(
+                lambda fn=fn: fn(spark, sdir).count()
+            )
+            w1 = results[name][f"x{scales[0]}"]["sec"]
+            wd = results[name][f"x{deep_k}"]["sec"]
+            deep_ratios[name] = (
+                round((wd / w1) / (deep_k / scales[0]), 3) if w1 else None
+            )
+        rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+        rss[f"x{deep_k}"] = {
+            "python_peak_mb": round(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+            ),
+            "jvm_heap_used_mb": round(
+                (rt.totalMemory() - rt.freeMemory()) / (1 << 20), 1
+            ),
+        }
+
     ratios = {}
     if len(scales) > 1:
         k0, k1 = scales[0], scales[-1]
@@ -407,8 +443,17 @@ def main() -> None:
         "queries": results,
         "driver_peak_rss_mb": rss,
         "ratios_vs_linear": ratios,
+        "ratios_vs_linear_deep": deep_ratios,
+        "deep_scale": deep_k,
         "variance_spread_over_median": variance,
         "notes": {
+            "deep_probe": (
+                "q_order_priority and minhash_lsh_pairs — the two "
+                "plans with x20 ratios closest to linear — re-probed "
+                f"at x{deep_k}: the 100-TB claim leans hardest on "
+                "these staying sublinear across another decade of "
+                "inflation."
+            ),
             "bm25_search": (
                 "fixed 3-query batch (incl. a stopword-heavy query) "
                 "against a bm25 index built over the inflated corpus; "

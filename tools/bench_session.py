@@ -32,3 +32,72 @@ def session_info() -> dict:
         except OSError:
             sid = "unknown"
     return {"session": sid, "ran_at_unix": int(time.time())}
+
+
+def main() -> None:
+    """Orchestrator (round-10 verdict #3): run wire → prep → scale →
+    bench back-to-back in ONE contiguous block and stamp every artifact
+    with the shared block start, so adjacency is mechanical rather than
+    aspirational. Round 10 stamped a shared session id but bench.py ran
+    ~2.9 h after the wire CPU reference — when the totals drifted ~20%
+    uniformly, the CPU reference couldn't arbitrate. One block closes
+    that: any cross-round drift can now be read against a CPU reference
+    measured minutes, not hours, earlier.
+
+    Usage: python tools/bench_session.py <round>
+    Writes BENCH_WIRE_r<N>.json, BENCH_PREP_r<N>.json,
+    BENCH_SCALE_r<N>.json and BENCH_ADJACENT_r<N>.json (a bench.py run
+    inside the block — the driver's own end-of-round BENCH_r<N> still
+    runs later; ADJACENT is the arbitration point between the two)."""
+    import json
+    import subprocess
+    import sys
+
+    if len(sys.argv) != 2:
+        raise SystemExit("usage: python tools/bench_session.py <round>")
+    rnd = sys.argv[1]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    steps = [
+        ("wire", ["tools/bench_wire.py"], f"BENCH_WIRE_r{rnd}.json"),
+        ("prep", ["tools/bench_prep.py"], f"BENCH_PREP_r{rnd}.json"),
+        ("scale", ["tools/bench_scale.py"], f"BENCH_SCALE_r{rnd}.json"),
+        ("bench", ["bench.py"], f"BENCH_ADJACENT_r{rnd}.json"),
+    ]
+    block_start = int(time.time())
+    for i, (name, cmd, out_name) in enumerate(steps):
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, *cmd], cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            env={**os.environ, "SPARK_GRAFT_ROUND": str(rnd)},
+        )
+        lines = [
+            ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+        ]
+        if proc.returncode != 0 or not lines:
+            raise SystemExit(
+                f"bench_session: step {name} failed "
+                f"(rc={proc.returncode}, json_lines={len(lines)})"
+            )
+        obj = json.loads(lines[-1])
+        obj["bench_block_start_unix"] = block_start
+        obj["bench_block_seq"] = i
+        with open(os.path.join(repo, out_name), "w") as f:
+            json.dump(obj, f, indent=1)
+        print(
+            f"[bench_session] {name}: {round(time.time() - t0, 1)}s "
+            f"→ {out_name}", file=sys.stderr,
+        )
+    spread = int(time.time()) - block_start
+    print(json.dumps({
+        "metric": "bench_session_block",
+        "round": rnd,
+        **session_info(),
+        "block_start_unix": block_start,
+        "block_spread_sec": spread,
+        "artifacts": [s[2] for s in steps],
+    }))
+
+
+if __name__ == "__main__":
+    main()
