@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rtstore_spark.jql import jql_query
-from rtstore_spark.tables import load_table, maybe_broadcast
+from rtstore_spark.tables import fan_out, load_table, maybe_broadcast
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -56,6 +56,15 @@ def _hash32(col: F.Column) -> F.Column:
 
 def _tokens(col: F.Column) -> F.Column:
     return F.split(F.trim(col), r"\s+")
+
+
+def _fanned(spark, sf: str, name: str, key: str):
+    """Fact/corpus scan with the under-split-layout fan-out applied
+    (tables.fan_out; optimization guide §2.5 "one huge unsplittable
+    file"). ``key`` is picked so the first keyed downstream operator
+    (groupBy/window/join) reuses the exchange (guide §2.4). No-op at
+    warehouse scale, where the layout admits >= cores scan tasks."""
+    return fan_out(spark, load_table(spark, sf, name), sf, name, key)
 
 
 _REGISTRY: dict[str, tuple] = {}
@@ -214,7 +223,7 @@ def jql_placeholder(spark, sf):
        FROM events WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50""",
 )
 def jql_json_subfield(spark, sf):
-    ev = load_table(spark, sf, "events")
+    ev = _fanned(spark, sf, "events", "event_id")
     return jql_query(ev, "/[props.k > 50]").select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -315,7 +324,7 @@ def owner_doc_counts(spark, sf):
 )
 def q1_pricing_summary(spark, sf):
     """TPC-H Q1 shape: scan-filter-agg, fully pushed down, partial-agg friendly."""
-    li = load_table(spark, sf, "lineitem")
+    li = _fanned(spark, sf, "lineitem", "l_orderkey")
     disc_price = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount")).cast(DEC)
     charge = disc_price * (1 + F.col("l_tax")).cast(DEC)
     return (
@@ -361,7 +370,7 @@ def q3_shipping_priority(spark, sf):
     orders = load_table(spark, sf, "orders").filter(
         F.col("o_orderdate") < F.expr("TIMESTAMP '1998-03-15 00:00:00'")
     )
-    li = load_table(spark, sf, "lineitem").filter(
+    li = _fanned(spark, sf, "lineitem", "l_orderkey").filter(
         F.col("l_shipdate") > F.expr("TIMESTAMP '1998-03-15 00:00:00'")
     )
     rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount")).cast(DEC)
@@ -407,7 +416,7 @@ def q5_local_supplier_volume(spark, sf):
     broadcast."""
     cust = load_table(spark, sf, "customer")
     orders = load_table(spark, sf, "orders")
-    li = load_table(spark, sf, "lineitem")
+    li = _fanned(spark, sf, "lineitem", "l_orderkey")
     supp = load_table(spark, sf, "supplier")
     nation = load_table(spark, sf, "nation")
     region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
@@ -442,8 +451,9 @@ def q5_local_supplier_volume(spark, sf):
          AND l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 24""",
 )
 def q6_revenue_change(spark, sf):
-    """TPC-H Q6 shape: pure pushed-filter aggregate — zero shuffle."""
-    li = load_table(spark, sf, "lineitem")
+    """TPC-H Q6 shape: pure pushed-filter aggregate — zero shuffle
+    (plus the under-split-scan fan-out at local fixture layouts)."""
+    li = _fanned(spark, sf, "lineitem", "l_orderkey")
     rev = F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)
     return (
         li.filter(
@@ -465,8 +475,9 @@ def q6_revenue_change(spark, sf):
          FROM orders) WHERE rn <= 3""",
 )
 def q_top_orders_per_customer(spark, sf):
-    """Window top-k per group — single hash-partition shuffle on the group key."""
-    orders = load_table(spark, sf, "orders")
+    """Window top-k per group — single hash-partition shuffle on the group key
+    (the fan-out IS that shuffle: keyed on o_custkey, the window reuses it)."""
+    orders = _fanned(spark, sf, "orders", "o_custkey")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
@@ -489,7 +500,7 @@ def q_events_hourly(spark, sf):
     """Tumbling-window aggregate (batch form of the streaming hourly rollup).
     Also carries the per-window distinct-user count (the former
     q_distinct_users entry, folded in to free a registry slot)."""
-    ev = load_table(spark, sf, "events")
+    ev = _fanned(spark, sf, "events", "user_id")
     return (
         ev.groupBy(
             F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
@@ -515,7 +526,7 @@ def q_events_hourly(spark, sf):
 def q_user_sessions(spark, sf):
     """Gap-based sessionization (30-min) via window lag — the batch analog of
     streaming session windows."""
-    ev = load_table(spark, sf, "events").select(
+    ev = _fanned(spark, sf, "events", "user_id").select(
         "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
@@ -550,7 +561,7 @@ def q_order_priority(spark, sf):
     that grew."""
     orders = load_table(spark, sf, "orders")
     li_max = (
-        load_table(spark, sf, "lineitem")
+        _fanned(spark, sf, "lineitem", "l_orderkey")
         .select("l_orderkey", "l_shipdate")
         .groupBy("l_orderkey")
         .agg(F.max("l_shipdate").alias("_max_ship"))
@@ -760,7 +771,7 @@ def topk_heavy_hitters(spark, sf):
 def dedup_exact(spark, sf):
     """Exact dedup: hash-groupBy, keep lowest doc id. Map-side partial agg;
     at 100 TB the groupBy key is the 128-bit hash, never the text itself."""
-    docs = load_table(spark, sf, "documents")
+    docs = _fanned(spark, sf, "documents", "doc_id")
     return (
         docs.select(F.md5("text").alias("text_hash"), "doc_id")
         .groupBy("text_hash")
@@ -1063,7 +1074,7 @@ def minhash_lsh_pairs(spark, sf):
         minhash_signatures_wide,
     )
 
-    docs = load_table(spark, sf, "documents")
+    docs = _fanned(spark, sf, "documents", "doc_id")
     wide = minhash_signatures_wide(docs, "text", "doc_id", num_hashes=8)
     return lsh_candidate_pairs_wide(wide, bands=4, rows_per_band=2).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
@@ -1135,10 +1146,11 @@ def ngram_jaccard_pairs(spark, sf):
 def simhash32(spark, sf):
     """32-bit SimHash over token frequencies — near-dup fingerprint whose
     Hamming distance approximates cosine similarity of the token vectors.
-    Wide-form single-shuffle compute (operators.dedup.simhash)."""
+    Wide-form single-shuffle compute (operators.dedup.simhash); the
+    doc_id-keyed fan-out IS that shuffle (the per-doc agg reuses it)."""
     from rtstore_spark.operators.dedup import simhash
 
-    docs = load_table(spark, sf, "documents")
+    docs = _fanned(spark, sf, "documents", "doc_id")
     return simhash(docs, "text", "doc_id", bits=32).select(
         F.col("id").alias("doc_id"), "simhash"
     )
@@ -1166,7 +1178,7 @@ def text_quality(spark, sf):
     (operators.text.repetition_metrics)."""
     from rtstore_spark.operators.text import PII_PATTERNS
 
-    docs = load_table(spark, sf, "documents")
+    docs = _fanned(spark, sf, "documents", "doc_id")
     n_tokens = F.size(_tokens(F.col("text")))
     no_ws = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
     lines = F.split(F.col("text"), "\n")

@@ -95,18 +95,18 @@ def shingles(
     for j in range(2, n + 1):
         chain = f"zip_with({chain}, slice(toks, {j}, {ln}), (a, b) -> concat(a, ' ', b))"
     short = (
-        F.array(F.concat_ws(" ", F.col("toks")))
+        "array(concat_ws(' ', toks))"
         if keep_short
-        else F.array().cast("array<string>")
+        else "cast(array() as array<string>)"
     )
-    sh = F.when(F.size("toks") >= n, F.expr(chain)).otherwise(short)
+    sh = f"CASE WHEN size(toks) >= {n} THEN {chain} ELSE {short} END"
     if positional:
         # (id, pos, shingle) with pos = 0-based token offset of the
         # shingle's first token — the chain array is positional by
         # construction, so posexplode is free. distinct is ignored
         # (a position is unique within its doc).
-        return t.select("id", F.posexplode(sh).alias("pos", "shingle"))
-    out = t.select("id", F.explode(sh).alias("shingle"))
+        return t.selectExpr("id", f"posexplode({sh}) AS (pos, shingle)")
+    out = t.selectExpr("id", f"explode({sh}) AS shingle")
     return out.distinct() if distinct else out
 
 
@@ -123,14 +123,16 @@ def minhash_signatures_wide(
     e = shingles(df, text_col, id_col, n=shingle_n, distinct=False)
     base = e.select("id", _hash32(F.col("shingle")).alias("hx"))
     coeffs = minhash_coeffs(num_hashes)
-    hcols = [
-        F.expr(f"({a}L * hx + {b}L) % 4294967296").alias(f"hv{h}")
+    # expression strings: one py4j round trip per expression instead of one
+    # per F.* composition call (driver plan-build latency)
+    hexprs = [
+        f"({a}L * hx + {b}L) % 4294967296 AS hv{h}"
         for h, (a, b) in enumerate(coeffs)
     ]
     return (
-        base.select("id", *hcols)
+        base.selectExpr("id", *hexprs)
         .groupBy("id")
-        .agg(*[F.min(f"hv{h}").alias(f"mh{h}") for h in range(num_hashes)])
+        .agg(*[F.expr(f"min(hv{h}) AS mh{h}") for h in range(num_hashes)])
     )
 
 
@@ -189,18 +191,19 @@ def _band_wide(wide: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     """(id, band, band_sig) from wide signatures: band signatures are
     string concats of adjacent minhash columns (pure projection), then one
     explode — no groupBy before any bucket join."""
-    band_structs = []
-    for b in range(bands):
-        cols = [
-            F.col(f"mh{b * rows_per_band + r}").cast("string")
-            for r in range(rows_per_band)
-        ]
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), F.concat_ws("-", *cols).alias("band_sig"))
+    band_structs = ", ".join(
+        "struct({b} AS band, concat_ws('-', {cols}) AS band_sig)".format(
+            b=b,
+            cols=", ".join(
+                f"cast(mh{b * rows_per_band + r} as string)"
+                for r in range(rows_per_band)
+            ),
         )
-    return wide.select(
-        "id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+        for b in range(bands)
+    )
+    return wide.selectExpr(
+        "id", f"explode(array({band_structs})) AS bs"
+    ).selectExpr("id", "bs.band AS band", "bs.band_sig AS band_sig")
 
 
 def lsh_candidate_pairs_wide(
@@ -501,18 +504,17 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     )
     th = tok.select("id", _hash32(F.col("tok")).alias("hv"))
-    bit_sums = [
-        F.sum(
-            F.when(F.expr(f"(hv >> {i}) & 1") == 1, 1).otherwise(-1)
-        ).alias(f"s{i}")
-        for i in range(bits)
-    ]
-    sums = th.groupBy("id").agg(*bit_sums)
-    fp = None
-    for i in range(bits):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp + term
-    return sums.select("id", fp.alias("simhash"))
+    # Per bit i the classic ±1 vote sum s_i over tokens satisfies
+    # s_i = 2*ones_i - n with ones_i = count of tokens whose bit i is set,
+    # so "s_i > 0" ⟺ "2*ones_i > n" — same fingerprint from plain 0/1 sums
+    # (no per-row CASE branch), one count, exact integers throughout.
+    # Built as expression STRINGS: each F.* composition call is a py4j
+    # round trip on the driver; the old per-bit when/otherwise chain cost
+    # ~1.5k round trips (~0.5 s) per plan build.
+    ones = [F.expr(f"sum(shiftright(hv, {i}) & 1) AS o{i}") for i in range(bits)]
+    sums = th.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *ones)
+    fp = " + ".join(f"if(2 * o{i} > n, {1 << i}L, 0L)" for i in range(bits))
+    return sums.selectExpr("id", f"cast({fp} as bigint) AS simhash")
 
 
 def embedding_neardup_pairs(

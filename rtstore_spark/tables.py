@@ -110,6 +110,80 @@ def table_size_bytes(sf_dir: str, name: str) -> int:
     return os.path.getsize(path)
 
 
+@functools.lru_cache(maxsize=256)
+def scan_splits(sf_dir: str, name: str) -> int:
+    """Upper bound on the scan parallelism the file layout admits.
+
+    Parquet splits at ROW-GROUP boundaries: a byte-range task only
+    produces rows for row groups whose midpoint falls inside its range,
+    so a single-file single-row-group table is read by exactly ONE task
+    no matter how many cores the cluster has. Footer-only read via
+    pyarrow; cached (the fixtures are immutable). URI stores (s3a://,
+    hdfs://) return a large sentinel — at warehouse scale the layout is
+    many files and never the bottleneck this guards against.
+    """
+    import os
+
+    if "://" in sf_dir:
+        return 1 << 30
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+        else:
+            files = [path]
+        return sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    except Exception:  # pragma: no cover - missing file/pyarrow: be neutral
+        return 1 << 30
+
+
+def fan_out(
+    spark: SparkSession,
+    df: DataFrame,
+    sf_dir: str,
+    name: str,
+    key: str | list[str] | None = None,
+) -> DataFrame:
+    """Repartition an UNDER-SPLIT scan so heavy per-row work parallelizes
+    (optimization guide §2.5: "one huge unsplittable file" is input skew —
+    "fix at the source if you can; otherwise repartition immediately after
+    the read").
+
+    The test fixtures are single-file single-row-group parquet, which
+    admits exactly one scan task (see ``scan_splits``) — every downstream
+    map-side cost (parquet decode aside) then runs on 1 of N cores. This
+    helper inserts one hash exchange on ``key`` sized to the session's
+    ``defaultParallelism`` ONLY when the layout admits fewer splits than
+    cores; at warehouse scale (many files / row groups) it is a no-op, so
+    nothing here is tuned to local[32] — the target tracks whatever core
+    count the session actually has.
+
+    ``key`` should be a high-cardinality column (the table's PK), picked
+    so a downstream groupBy/window keyed the same way reuses the exchange
+    (guide §2.4) instead of adding a second one. Keyed hash partitioning
+    is preferred over round-robin because round-robin pays a local sort
+    of the input (``spark.sql.execution.sortBeforeRepartition``) for
+    retry determinism. Results are unchanged for the inventory's queries:
+    every float aggregate is decimal-exact (order-independent) by design.
+    """
+    target = spark.sparkContext.defaultParallelism
+    # Fan out only when the layout admits well under one task per core
+    # (×4 hysteresis: a layout already within 4× of core count gains
+    # little and the extra exchange is pure cost at warehouse scale).
+    if scan_splits(sf_dir, name) * 4 > target:
+        return df
+    keys = [key] if isinstance(key, str) else list(key or [])
+    if keys:
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df.repartition(target)
+
+
 def maybe_broadcast(
     spark: SparkSession, sf_dir: str, name: str, df: DataFrame
 ) -> DataFrame:
