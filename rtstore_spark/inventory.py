@@ -223,7 +223,11 @@ def jql_placeholder(spark, sf):
        FROM events WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50""",
 )
 def jql_json_subfield(spark, sf):
-    ev = _fanned(spark, sf, "events", "event_id")
+    """No fan-out: Catalyst pushes the compiled JSON predicate (a
+    deterministic filter) BELOW any repartition, so the parse ran in the
+    single scan task either way and the exchange was pure overhead —
+    the plan is scan → filter → project with zero exchanges."""
+    ev = load_table(spark, sf, "events")
     return jql_query(ev, "/[props.k > 50]").select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -323,22 +327,48 @@ def owner_doc_counts(spark, sf):
        GROUP BY l_returnflag, l_linestatus""",
 )
 def q1_pricing_summary(spark, sf):
-    """TPC-H Q1 shape: scan-filter-agg, fully pushed down, partial-agg friendly."""
-    li = _fanned(spark, sf, "lineitem", "l_orderkey")
-    disc_price = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount")).cast(DEC)
-    charge = disc_price * (1 + F.col("l_tax")).cast(DEC)
+    """TPC-H Q1 shape: scan-filter-agg, fully pushed down, partial-agg friendly.
+
+    The decimal aggregates run in SCALED-LONG form (optimization guide
+    §1.2 step 2, per-task work): the money columns are exact 2-decimal
+    values, so ``cast(x * 100 + 0.5 as bigint)`` reproduces the unscaled
+    value of ``cast(x as decimal(18,4))`` exactly (half-up on
+    non-negative 2dp data), per-row products are exact 64-bit integer
+    arithmetic instead of per-row java.math.BigDecimal multiplies
+    (~2× the whole query at any scale — BigDecimal is just as slow on a
+    cluster core), and each sum feeds a compact decimal(20+,0) (long-
+    backed adds, overflow-proof). The ONE decimal division per GROUP
+    restores the scale exactly, so the output is bit-identical to the
+    decimal(18,4) formulation — proven per-group against the decimal
+    form on sf0.001/0.01/0.1 (OPTIMIZATION_r11.md) and still
+    hash-checked against the unchanged DuckDB oracle above. Value-domain
+    guard: tools/check_correctness.py re-proves the 2dp/non-negative
+    precondition cheaply every gate run.
+
+    No fan-out: with the per-row math reduced to integer ops the scan
+    dominates, and a repartition after an under-split scan would shuffle
+    ~600k rows to parallelize work that is now cheaper than the shuffle
+    itself (measured: fan+decimal 1.42s, nofan+long 0.65s at sf0.1)."""
+    li = load_table(spark, sf, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP '1998-09-02 00:00:00'"))
+        .selectExpr(
+            "l_returnflag", "l_linestatus",
+            "cast(l_quantity as bigint) AS q0",
+            "cast(l_extendedprice * 100 + 0.5 as bigint) AS p2",
+            "cast(l_discount * 100 + 0.5 as bigint) AS d2",
+            "cast(l_tax * 100 + 0.5 as bigint) AS t2",
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum("l_quantity", "sum_qty"),
-            _dsum("l_extendedprice", "sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            _davg("l_quantity", "avg_qty"),
-            _davg("l_extendedprice", "avg_price"),
-            _davg("l_discount", "avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.expr("cast(sum(cast(q0 as decimal(20,0))) as double) AS sum_qty"),
+            F.expr("cast(sum(cast(p2 as decimal(20,0))) / 100 as double) AS sum_base_price"),
+            F.expr("cast(sum(cast(p2 * (100 - d2) as decimal(24,0))) / 10000 as double) AS sum_disc_price"),
+            F.expr("cast(sum(cast(p2 * (100 - d2) * (100 + t2) as decimal(27,0))) / 1000000 as double) AS sum_charge"),
+            F.expr("cast(sum(cast(q0 as decimal(20,0))) as double) / count(1) AS avg_qty"),
+            F.expr("cast(sum(cast(p2 as decimal(20,0))) / 100 as double) / count(1) AS avg_price"),
+            F.expr("cast(sum(cast(d2 as decimal(20,0))) / 100 as double) / count(1) AS avg_disc"),
+            F.expr("count(1) AS count_order"),
         )
     )
 
@@ -365,15 +395,25 @@ def q3_shipping_priority(spark, sf):
     (orders grows with the fact — a hard-coded broadcast is a scale bug).
     Top-10 via orderBy+limit is a per-partition top-k + single-reduce in
     Spark (TakeOrderedAndProject).
+
+    Revenue runs in the q1-style scaled-long form (exact int64 product
+    per row, one decimal division per group — see q1_pricing_summary):
+    the join probe then carries ONE long instead of two doubles and no
+    per-row BigDecimal work survives the join.
     """
     cust = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf, "orders").filter(
         F.col("o_orderdate") < F.expr("TIMESTAMP '1998-03-15 00:00:00'")
     )
-    li = _fanned(spark, sf, "lineitem", "l_orderkey").filter(
-        F.col("l_shipdate") > F.expr("TIMESTAMP '1998-03-15 00:00:00'")
+    li = (
+        _fanned(spark, sf, "lineitem", "l_orderkey")
+        .filter(F.col("l_shipdate") > F.expr("TIMESTAMP '1998-03-15 00:00:00'"))
+        .selectExpr(
+            "l_orderkey",
+            "cast(l_extendedprice * 100 + 0.5 as bigint)"
+            " * (100 - cast(l_discount * 100 + 0.5 as bigint)) AS rev4",
+        )
     )
-    rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount")).cast(DEC)
     return (
         li.join(
             maybe_broadcast(
@@ -386,7 +426,11 @@ def q3_shipping_priority(spark, sf):
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(
+            F.expr(
+                "cast(sum(cast(rev4 as decimal(24,0))) / 10000 as double) AS revenue"
+            )
+        )
         .select(
             "l_orderkey", "revenue", F.unix_micros("o_orderdate").alias("o_orderdate_us")
         )
@@ -413,14 +457,24 @@ def q5_local_supplier_volume(spark, sf):
     scan. orders is NOT a dimension (it scales with lineitem): its broadcast
     is size-gated, so past the threshold the orders⋈lineitem edge becomes an
     AQE-planned shuffle join while customer/supplier/nation/region stay
-    broadcast."""
+    broadcast.
+
+    Revenue runs in the q1-style scaled-long form (see
+    q1_pricing_summary): the fact side projects to (l_orderkey,
+    l_suppkey, rev4) before the fan-out exchange and the joins — one
+    exact int64 per row instead of two doubles + per-row BigDecimal
+    multiplies above the join."""
     cust = load_table(spark, sf, "customer")
     orders = load_table(spark, sf, "orders")
-    li = _fanned(spark, sf, "lineitem", "l_orderkey")
+    li = _fanned(spark, sf, "lineitem", "l_orderkey").selectExpr(
+        "l_orderkey",
+        "l_suppkey",
+        "cast(l_extendedprice * 100 + 0.5 as bigint)"
+        " * (100 - cast(l_discount * 100 + 0.5 as bigint)) AS rev4",
+    )
     supp = load_table(spark, sf, "supplier")
     nation = load_table(spark, sf, "nation")
     region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
-    rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount")).cast(DEC)
     return (
         li.join(
             maybe_broadcast(spark, sf, "orders", orders),
@@ -438,7 +492,11 @@ def q5_local_supplier_volume(spark, sf):
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(
+            F.expr(
+                "cast(sum(cast(rev4 as decimal(24,0))) / 10000 as double) AS revenue"
+            )
+        )
     )
 
 
@@ -451,10 +509,16 @@ def q5_local_supplier_volume(spark, sf):
          AND l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 24""",
 )
 def q6_revenue_change(spark, sf):
-    """TPC-H Q6 shape: pure pushed-filter aggregate — zero shuffle
-    (plus the under-split-scan fan-out at local fixture layouts)."""
-    li = _fanned(spark, sf, "lineitem", "l_orderkey")
-    rev = F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)
+    """TPC-H Q6 shape: pure pushed-filter aggregate — zero shuffle.
+
+    Same scaled-long aggregation as q1_pricing_summary (see its
+    docstring for the equivalence argument): the per-row decimal
+    multiply becomes one exact int64 multiply, the sum stays exact via
+    a compact decimal, one decimal division per query restores the
+    scale. Bit-identical to the decimal form on all fixture SFs. No
+    fan-out — post-rewrite the per-row work is cheaper than the
+    repartition it would take to parallelize it."""
+    li = load_table(spark, sf, "lineitem")
     return (
         li.filter(
             (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
@@ -462,7 +526,16 @@ def q6_revenue_change(spark, sf):
             & (F.col("l_discount") >= 0.04)
             & (F.col("l_discount") <= 0.08)
             & (F.col("l_quantity") < 24)
-        ).agg(F.sum(rev).cast("double").alias("revenue"))
+        )
+        .selectExpr(
+            "cast(l_extendedprice * 100 + 0.5 as bigint) AS p2",
+            "cast(l_discount * 100 + 0.5 as bigint) AS d2",
+        )
+        .agg(
+            F.expr(
+                "cast(sum(cast(p2 * d2 as decimal(24,0))) / 10000 as double) AS revenue"
+            )
+        )
     )
 
 
@@ -499,8 +572,15 @@ def q_top_orders_per_customer(spark, sf):
 def q_events_hourly(spark, sf):
     """Tumbling-window aggregate (batch form of the streaming hourly rollup).
     Also carries the per-window distinct-user count (the former
-    q_distinct_users entry, folded in to free a registry slot)."""
-    ev = _fanned(spark, sf, "events", "user_id")
+    q_distinct_users entry, folded in to free a registry slot).
+
+    No fan-out: the repartition shipped every column (including the
+    ~full-row ``props`` JSON string the query never reads) to
+    parallelize cheap per-row work, and it pre-empted the map-side
+    partial aggregate — measured 1.75s fanned vs 0.71s unfanned at
+    sf0.1 (guide §2.3 "aggregate before you shuffle": the partial agg
+    collapses rows to distinct (hour, type, user) groups pre-exchange)."""
+    ev = load_table(spark, sf, "events")
     return (
         ev.groupBy(
             F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
@@ -558,16 +638,30 @@ def q_order_priority(spark, sf):
     inequality stays in the join condition. The naive semi join over
     raw lineitem was the closest-to-linear plan in the ×20 scale
     stress (ratio 0.64); the shuffle this removes is exactly the term
-    that grew."""
+    that grew.
+
+    No fan-out: a repartition between scan and aggregate DEFEATED the
+    map-side combine this plan is built on (the raw 600k (orderkey,
+    shipdate) pairs crossed the exchange before collapsing 4:1) —
+    unfanned, the partial max runs in the scan task and only ~150k
+    aggregated rows move (guide §2.3).
+
+    The semi join takes a SHUFFLE_HASH hint (guide §3.1): the probe
+    (li_max) GROWS WITH THE FACT — one row per orderkey — so a broadcast
+    is wrong at every scale (locally it paid a driver collect + rebuild
+    of ~150k rows, measured 1.25s → 0.82s median with the hint; at 100 TB
+    it would OOM or time out) and sort-merge pays two sorts the hash join
+    skips. li_max is already hash-partitioned on l_orderkey by its own
+    aggregate exchange, so the join adds only the orders-side exchange."""
     orders = load_table(spark, sf, "orders")
     li_max = (
-        _fanned(spark, sf, "lineitem", "l_orderkey")
+        load_table(spark, sf, "lineitem")
         .select("l_orderkey", "l_shipdate")
         .groupBy("l_orderkey")
         .agg(F.max("l_shipdate").alias("_max_ship"))
     )
     joined = orders.join(
-        li_max,
+        li_max.hint("shuffle_hash"),
         (F.col("l_orderkey") == F.col("o_orderkey"))
         & (F.col("_max_ship") > F.col("o_orderdate")),
         "left_semi",
@@ -770,8 +864,13 @@ def topk_heavy_hitters(spark, sf):
 )
 def dedup_exact(spark, sf):
     """Exact dedup: hash-groupBy, keep lowest doc id. Map-side partial agg;
-    at 100 TB the groupBy key is the 128-bit hash, never the text itself."""
-    docs = _fanned(spark, sf, "documents", "doc_id")
+    at 100 TB the groupBy key is the 128-bit hash, never the text itself.
+
+    No fan-out: the repartition shipped the FULL TEXT column to
+    parallelize one md5 per document — hashing is cheaper than the
+    exchange (measured 1.01s fanned vs 0.17s unfanned at sf0.1), and
+    with the text hashed in the scan task only (hash, id) ever moves."""
+    docs = load_table(spark, sf, "documents")
     return (
         docs.select(F.md5("text").alias("text_hash"), "doc_id")
         .groupBy("text_hash")

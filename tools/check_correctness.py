@@ -57,6 +57,34 @@ def main() -> int:
         )
 
     only = set(sys.argv[1:])
+
+    # Value-domain guard for the scaled-long money aggregates
+    # (inventory q1/q3/q5/q6): `cast(x * 100 + 0.5 as bigint)` equals the
+    # unscaled decimal(18,4) cast ONLY while the money columns are exact
+    # 2-decimal non-negative values. Re-prove that precondition on this
+    # gate's data so a future fixture regeneration with finer precision
+    # fails HERE, loudly, instead of shifting an aggregate by an ulp.
+    p2e, d2e, t2e, qe, pmin, dmin, tmin, qmin = con.execute(
+        """SELECT max(abs(l_extendedprice*100 - round(l_extendedprice*100))),
+                  max(abs(l_discount*100 - round(l_discount*100))),
+                  max(abs(l_tax*100 - round(l_tax*100))),
+                  max(abs(l_quantity - round(l_quantity))),
+                  min(l_extendedprice), min(l_discount), min(l_tax),
+                  min(l_quantity)
+           FROM lineitem"""
+    ).fetchone()
+    if (
+        max(p2e, d2e, t2e, qe) > 1e-6
+        or min(pmin, dmin, tmin, qmin) < 0
+    ):
+        print(
+            "FAIL scaled-long precondition: lineitem money columns are no "
+            f"longer exact non-negative 2dp (errs {p2e}, {d2e}, {t2e}, {qe}; "
+            f"mins {pmin}, {dmin}, {tmin}, {qmin}) — revert inventory "
+            "q1/q3/q5/q6 to the decimal(18,4) aggregate form"
+        )
+        return 1
+
     failures = []
     ran = 0
     for name, fn in qs.items():
