@@ -463,7 +463,18 @@ def q5_local_supplier_volume(spark, sf):
     q1_pricing_summary): the fact side projects to (l_orderkey,
     l_suppkey, rev4) before the fan-out exchange and the joins — one
     exact int64 per row instead of two doubles + per-row BigDecimal
-    multiplies above the join."""
+    multiplies above the join.
+
+    Join ORDER (guide §3.2 "reduce the big side first"): the only
+    selective predicate is r_name = 'ASIA', which restricts SUPPLIERS
+    to ~1/5 — so the fact probes the region-restricted supplier
+    dimension FIRST (supplier ⋈ nation ⋈ region folds into one
+    broadcast build), cutting lineitem 5× before the orders and
+    customer probes. The old order probed orders/customer with every
+    lineitem row and only then dropped 4/5 of them at the supplier
+    join. The c_nationkey = s_nationkey colocation predicate rides the
+    customer join as a second equi-key. Inner joins commute: result
+    identical, re-proven against the unchanged oracle."""
     cust = load_table(spark, sf, "customer")
     orders = load_table(spark, sf, "orders")
     li = _fanned(spark, sf, "lineitem", "l_orderkey").selectExpr(
@@ -475,22 +486,25 @@ def q5_local_supplier_volume(spark, sf):
     supp = load_table(spark, sf, "supplier")
     nation = load_table(spark, sf, "nation")
     region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    supp_asia = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
     return (
         li.join(
+            maybe_broadcast(spark, sf, "supplier", supp_asia),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
             maybe_broadcast(spark, sf, "orders", orders),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
             maybe_broadcast(spark, sf, "customer", cust),
-            F.col("o_custkey") == F.col("c_custkey"),
-        )
-        .join(
-            maybe_broadcast(spark, sf, "supplier", supp),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
+            (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
             F.expr(
@@ -1378,15 +1392,22 @@ def ann_cosine_topk(spark, sf):
 
     The query vector is broadcast; similarity is a JVM-side zip_with/aggregate
     over the float array — no Python, no shuffle until the final top-k reduce.
+    ||q|| is computed ONCE on the one-row broadcast side (same expression,
+    so the double is bit-identical) instead of re-running a d-element
+    aggregate per corpus row — 1/3 less per-row lambda work (guide §1.2
+    step 2: per-task work).
     """
     emb = load_table(spark, sf, "embeddings")
     dot = "aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)), 0.0D, (acc, v) -> acc + v)"
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    q = emb.filter(F.col("vec_id") == 0).selectExpr(
+        "embedding AS qv",
+        f"sqrt({dot.replace('a, b', 'embedding, embedding')}) AS qnorm",
+    )
     joined = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
     cos = F.expr(
         f"round(({dot.replace('a, b', 'embedding, qv')})"
         f" / (sqrt({dot.replace('a, b', 'embedding, embedding')})"
-        f" * sqrt({dot.replace('a, b', 'qv, qv')})), 6)"
+        f" * qnorm), 6)"
     )
     return (
         joined.select("vec_id", "label", cos.alias("cosine"))

@@ -629,21 +629,32 @@ def repeated_spans(
 
     Scale shape: positional shingles off the zip_with chain (shuffle-free
     posexplode), hashed to 60-bit longs — every exchange moves (id, pos,
-    8-byte hv). One partial-agg shuffle counts global occurrences per
-    hash, the hv-keyed join (same key: exchange reuse) carries counts
-    back, then one per-doc window merges runs. A true suffix array finds
-    arbitrary-length repeats; the fixed-window approximation finds every
-    repeat ≥ span_tokens (as a union of flagged windows) with three
-    linear shuffles and no global sort — the right trade at corpus scale.
+    8-byte hv). The occurrence count rides a WINDOW over the hv key, not
+    a groupBy + self-join: the join formulation evaluated the shingle
+    explode + md5 TWICE (once under the aggregate, once on the probe
+    side — Spark recomputes an unpersisted subtree), which was the
+    dominant cost of the whole operator (optimization guide §1.2 step 1:
+    don't compute things twice; measured 2× end-to-end on
+    substring_dedup, same shape). One full shuffle of (id, pos, hv),
+    then one per-doc window merges runs. A hash repeated k times puts k
+    rows in one window GROUP — WindowExec spills past
+    spark.sql.windowExec.buffer.spill.threshold, so a pathological
+    boilerplate span degrades to disk streaming, never OOM. A true
+    suffix array finds arbitrary-length repeats; the fixed-window
+    approximation finds every repeat ≥ span_tokens (as a union of
+    flagged windows) with two linear shuffles and no global sort — the
+    right trade at corpus scale.
     """
     from pyspark.sql import Window
 
     sh = shingles(
         df, text_col, id_col, n=span_tokens, keep_short=False, positional=True
     ).select("id", "pos", _hash60(F.col("shingle")).alias("hv"))
-    counts = sh.groupBy("hv").agg(F.count(F.lit(1)).alias("cnt"))
-    flagged = sh.join(counts.filter(F.col("cnt") >= min_count), "hv").select(
-        "id", "pos"
+    wv = Window.partitionBy("hv")
+    flagged = (
+        sh.select("id", "pos", F.count(F.lit(1)).over(wv).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("id", "pos")
     )
     # interval merge: starts p, p' share a span whenever p' - p <=
     # span_tokens (their [p, p+span) coverages touch or overlap), not
@@ -717,25 +728,32 @@ def substring_dedup(
     applies it once, corpus-wide, after document-level dedup.
 
     Scale shape (same exchange discipline as ``repeated_spans``): shingle
-    hashes move as (id, pos, 8-byte hv) triples; the winner aggregate is
-    a partial-agg min per hv (combinable map-side); the hv-keyed back-
-    join reuses the exchange; the run-merge window is per doc; and the
-    cut-set rides home on an id join where AQE broadcasts it in the
-    common case (cuts ≪ corpus). The corpus text itself never shuffles —
-    the rewrite is a positional ``filter`` on the original split.
+    hashes move as (id, pos, 8-byte hv) triples; winner + count are
+    WINDOW aggregates over the hv key, not a groupBy + back-join — the
+    join formulation re-evaluated the shingle explode + md5 on the probe
+    side (Spark recomputes an unpersisted subtree), doubling the
+    operator's dominant cost (guide §1.2 step 1; measured 3.99 s → 2.01 s
+    at sf0.1, outputs byte-identical across all 5000 docs). One full
+    (id, pos, hv) shuffle; a hash repeated k times fills one window
+    group, which WindowExec spills past its buffer threshold — disk
+    streaming for pathological boilerplate, never OOM. The run-merge
+    window is per doc; the cut-set rides home on an id join where AQE
+    broadcasts it in the common case (cuts ≪ corpus). The corpus text
+    itself never shuffles — the rewrite is a positional ``filter`` on
+    the original split.
     """
     sh = shingles(
         df, text_col, id_col, n=span_tokens, keep_short=False, positional=True
     ).select("id", "pos", _hash60(F.col("shingle")).alias("hv"))
-    winners = sh.groupBy("hv").agg(
-        F.min(F.struct("id", "pos")).alias("win"),
-        F.count(F.lit(1)).alias("cnt"),
+    wv = Window.partitionBy("hv")
+    ann = sh.select(
+        "id", "pos",
+        F.count(F.lit(1)).over(wv).alias("cnt"),
+        F.min(F.struct("id", "pos")).over(wv).alias("win"),
     )
-    flagged = (
-        sh.join(winners.filter(F.col("cnt") >= 2), "hv")
-        .filter(F.struct("id", "pos") != F.col("win"))
-        .select("id", "pos")
-    )
+    flagged = ann.filter(
+        (F.col("cnt") >= 2) & (F.struct("id", "pos") != F.col("win"))
+    ).select("id", "pos")
     return _cut_flagged_spans(df, flagged, text_col, id_col, span_tokens)
 
 
@@ -958,14 +976,21 @@ def dedup_paragraphs(
     pass finds no duplicate paragraphs and drops nothing.
 
     Scale shape: paragraphs are hashed to 60-bit longs at the explode,
-    so the winner aggregate and its back-join move (hash, id, int) rows
-    — never paragraph text. The drop-set (one row per REMOVED paragraph)
-    is then aggregated per doc and joined back to the corpus on the id
-    key, where the original text is filtered positionally in place — the
-    corpus text crosses a shuffle at most once (and zero times when AQE
-    broadcasts the drop-set, the common case: drops ≪ corpus). The
-    winner key is min(struct(id, pos)) — a partial-agg min, no window,
-    no global sort.
+    so winner selection moves (hash, id, int) rows — never paragraph
+    text. In the default mode winner + count are WINDOW aggregates over
+    the hv key (single scan: the old groupBy + back-join re-evaluated
+    the paragraph explode + md5 on the probe side — guide §1.2 step 1;
+    a hot hash's window group spills past the WindowExec buffer
+    threshold, never OOMs). With ``boilerplate_min_df`` the groupBy +
+    join formulation stays: the exact distinct-doc count there must be
+    a partial-aggregated count_distinct — a collect_set window over the
+    10k-doc boilerplate group this rule exists to catch would buffer
+    the whole set per occurrence row. The drop-set (one row per REMOVED
+    paragraph) is then aggregated per doc and joined back to the corpus
+    on the id key, where the original text is filtered positionally in
+    place — the corpus text crosses a shuffle at most once (and zero
+    times when AQE broadcasts the drop-set, the common case: drops ≪
+    corpus).
     """
     paras = F.split(F.col(text_col), sep)
     ex = (
@@ -973,24 +998,35 @@ def dedup_paragraphs(
         .filter(F.length(F.trim(F.col("col"))) >= min_chars)
         .select("id", "pos", _hash60(F.col("col")).alias("hv"))
     )
-    winners = ex.groupBy("hv").agg(
-        F.min(F.struct("id", "pos")).alias("win"),
-        F.count(F.lit(1)).alias("cnt"),
-        F.count_distinct("id").alias("docs"),
-    )
-    # boilerplate occurrences drop unconditionally; duplicates drop unless
-    # they are the canonical (min (id, pos)) occurrence
-    is_bp = (
-        F.col("docs") >= boilerplate_min_df
-        if boilerplate_min_df is not None
-        else F.lit(False)
-    )
-    drops = (
-        ex.join(winners.filter((F.col("cnt") >= 2) | is_bp), "hv")
-        .filter((F.struct("id", "pos") != F.col("win")) | is_bp)
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_set("pos")).alias("_drop_pos"))
-    )
+    if boilerplate_min_df is None:
+        wv = Window.partitionBy("hv")
+        ann = ex.select(
+            "id", "pos",
+            F.count(F.lit(1)).over(wv).alias("cnt"),
+            F.min(F.struct("id", "pos")).over(wv).alias("win"),
+        )
+        drops = (
+            ann.filter(
+                (F.col("cnt") >= 2) & (F.struct("id", "pos") != F.col("win"))
+            )
+            .groupBy("id")
+            .agg(F.sort_array(F.collect_set("pos")).alias("_drop_pos"))
+        )
+    else:
+        winners = ex.groupBy("hv").agg(
+            F.min(F.struct("id", "pos")).alias("win"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.count_distinct("id").alias("docs"),
+        )
+        # boilerplate occurrences drop unconditionally; duplicates drop
+        # unless they are the canonical (min (id, pos)) occurrence
+        is_bp = F.col("docs") >= boilerplate_min_df
+        drops = (
+            ex.join(winners.filter((F.col("cnt") >= 2) | is_bp), "hv")
+            .filter((F.struct("id", "pos") != F.col("win")) | is_bp)
+            .groupBy("id")
+            .agg(F.sort_array(F.collect_set("pos")).alias("_drop_pos"))
+        )
     keep_mask = lambda _, i: ~F.array_contains(F.col("_drop_pos"), i)  # noqa: E731
     kept = F.filter(paras, keep_mask)
     out_text = F.when(

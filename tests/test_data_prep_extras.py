@@ -503,6 +503,26 @@ class TestSubstringDedup:
 
     P = " ".join(f"p{i}" for i in range(12))
 
+    def test_plan_single_shingle_pass(self, spark):
+        """Winner/count selection is a WINDOW over the hv key so the
+        shingle explode + md5 subtree is evaluated ONCE (exactly one
+        Generate node). The old groupBy + back-join formulation
+        re-evaluated it on the probe side — 2× the operator's dominant
+        cost (measured 3.99 s → 2.01 s at sf0.1). Same pin for
+        repeated_spans, which shares the shape."""
+        from rtstore_spark.operators.dedup import repeated_spans, substring_dedup
+
+        df = spark.createDataFrame(
+            [Row(id=1, text=self.P), Row(id=2, text=self.P)]
+        )
+        for out in (
+            substring_dedup(df, "text", "id", span_tokens=8),
+            repeated_spans(df, "text", "id", span_tokens=8),
+        ):
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Generate") == 1
+            assert "CartesianProduct" not in plan
+
     def test_keep_canonical_cut_copies(self, spark):
         from rtstore_spark.operators.dedup import substring_dedup
 

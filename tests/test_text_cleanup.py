@@ -153,11 +153,30 @@ class TestDedupParagraphs:
         assert out["a"] == "dup para here"
         assert out["b"] == ""
 
-    def test_plan_no_window_no_cartesian(self, spark):
-        """Winner selection must stay a partial-agg min — no window over
-        the exploded paragraphs, no cartesian anywhere."""
+    def test_plan_single_explode_no_cartesian(self, spark):
+        """Default mode: winner selection is a WINDOW over the hv key so
+        the paragraph explode + md5 subtree is evaluated ONCE (exactly
+        one Generate node — the old groupBy + back-join formulation
+        re-evaluated it on the probe side, doubling the dominant cost).
+        No cartesian anywhere."""
         plan = (
             dedup.dedup_paragraphs(self._corpus(spark), "t", "id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert plan.count("Generate") == 1
+
+    def test_plan_boilerplate_mode_stays_partial_agg(self, spark):
+        """Boilerplate mode needs an exact distinct-doc count, which must
+        stay a partial-aggregated count_distinct (a collect_set window
+        over a 10k-doc boilerplate group would buffer the whole set per
+        occurrence row) — no Window over the exploded paragraphs."""
+        plan = (
+            dedup.dedup_paragraphs(
+                self._corpus(spark), "t", "id", boilerplate_min_df=2
+            )
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
