@@ -293,11 +293,17 @@ def connected_components(
     documents it should drop. With jumping, the default max_iter=25
     covers components of diameter ~2^25 — effectively any real graph.
     """
+    # The symmetric edge list is probed EVERY round (nbr_min join) — an
+    # unpersisted plan would re-run the caller's whole candidate+verify
+    # pipeline once per iteration (plus once for the convergence check;
+    # measured 2.9× end-to-end on minhash_dedup at sf0.1). One eager
+    # localCheckpoint pins a single evaluation; the edge list is
+    # near-dup pairs only — bounded, tiny next to any corpus.
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
         edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    )
+    ).localCheckpoint()
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
@@ -403,11 +409,24 @@ def minhash_dedup(
     the wide aggregate, so the whole candidate generation costs ONE
     shuffle (the minhash partial-agg) plus the band-bucket join — the
     long-form path would add a (id, band) groupBy shuffle for nothing.
+
+    The candidate-pair frame feeds THREE consumers inside
+    ``jaccard_verify`` (the two wanted-id projections and the
+    intersection join) — persisted for the duration of component
+    resolution so the signature+band pipeline runs once, not three
+    times, then unpersisted: ``connected_components`` eagerly
+    checkpoints the verified edge list, so the returned survivor plan
+    no longer references the candidates.
     """
+    from pyspark import StorageLevel
+
     sig = minhash_signatures_wide(df, text_col, id_col, num_hashes, shingle_n)
-    cand = lsh_candidate_pairs_wide(sig, bands, num_hashes // bands)
+    cand = lsh_candidate_pairs_wide(sig, bands, num_hashes // bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     verified = jaccard_verify(df, cand, text_col, id_col, threshold, shingle_n)
     comp = connected_components(verified.select("id_a", "id_b"))
+    cand.unpersist()
     return _pick_survivors(comp, df, id_col, quality_col)
 
 
@@ -585,8 +604,9 @@ def semdedup(
     )
     # both sides of the self-join read the routed frame; persist pins ONE
     # assignment scan (model.transform is deterministic, so this is a
-    # perf pin, not a correctness one). Cached until session end — batch
-    # callers running many semdedup passes should clearCache() between.
+    # perf pin, not a correctness one). Unpersisted after component
+    # resolution: connected_components eagerly checkpoints the pair
+    # list, so the returned survivor plan no longer reads routed.
     routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = routed.alias("a"), routed.alias("b")
     pairs = (
@@ -599,6 +619,7 @@ def semdedup(
         .filter(F.col("cosine") >= threshold)
     )
     comp = connected_components(pairs.select("id_a", "id_b"))
+    routed.unpersist()
     return _pick_survivors(comp, df, id_col, quality_col)
 
 
