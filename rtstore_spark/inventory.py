@@ -405,15 +405,17 @@ def q3_shipping_priority(spark, sf):
     orders = load_table(spark, sf, "orders").filter(
         F.col("o_orderdate") < F.expr("TIMESTAMP '1998-03-15 00:00:00'")
     )
-    li = (
-        _fanned(spark, sf, "lineitem", "l_orderkey")
+    li = fan_out(
+        spark,
+        load_table(spark, sf, "lineitem")
         .filter(F.col("l_shipdate") > F.expr("TIMESTAMP '1998-03-15 00:00:00'"))
         .selectExpr(
             "l_orderkey",
             "cast(l_extendedprice * 100 + 0.5 as bigint)"
             " * (100 - cast(l_discount * 100 + 0.5 as bigint)) AS rev4",
-        )
-    )
+        ),
+        sf, "lineitem", "l_orderkey",
+    )  # project BELOW the fan-out exchange: shuffle (key, one long), not raw cols
     return (
         li.join(
             maybe_broadcast(
@@ -477,12 +479,16 @@ def q5_local_supplier_volume(spark, sf):
     identical, re-proven against the unchanged oracle."""
     cust = load_table(spark, sf, "customer")
     orders = load_table(spark, sf, "orders")
-    li = _fanned(spark, sf, "lineitem", "l_orderkey").selectExpr(
-        "l_orderkey",
-        "l_suppkey",
-        "cast(l_extendedprice * 100 + 0.5 as bigint)"
-        " * (100 - cast(l_discount * 100 + 0.5 as bigint)) AS rev4",
-    )
+    li = fan_out(
+        spark,
+        load_table(spark, sf, "lineitem").selectExpr(
+            "l_orderkey",
+            "l_suppkey",
+            "cast(l_extendedprice * 100 + 0.5 as bigint)"
+            " * (100 - cast(l_discount * 100 + 0.5 as bigint)) AS rev4",
+        ),
+        sf, "lineitem", "l_orderkey",
+    )  # project BELOW the fan-out exchange: shuffle (keys, one long), not raw cols
     supp = load_table(spark, sf, "supplier")
     nation = load_table(spark, sf, "nation")
     region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
