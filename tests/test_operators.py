@@ -53,6 +53,23 @@ class TestDedup:
         assert rows[(0, 1)] == 1.0
         assert all(j >= 0.5 for j in rows.values())
 
+    def test_jaccard_verify_precomputed_shingle_hashes(self, corpus):
+        # the persist fast path minhash_dedup drives: a caller-provided
+        # candidate_shingle_hashes frame must verify identically to the
+        # default (internally built) one
+        sig = dedup.minhash_signatures(corpus, "text", "id", num_hashes=8)
+        cand = dedup.lsh_candidate_pairs(sig)
+        sh = dedup.candidate_shingle_hashes(corpus, cand, "text", "id")
+        ver_pre = dedup.jaccard_verify(
+            corpus, cand, "text", "id", threshold=0.5, shingle_hashes=sh
+        )
+        ver_default = dedup.jaccard_verify(
+            corpus, cand, "text", "id", threshold=0.5
+        )
+        assert sorted(map(tuple, ver_pre.collect())) == sorted(
+            map(tuple, ver_default.collect())
+        )
+
     def test_minhash_dedup_drop_list(self, corpus):
         drop = dedup.minhash_dedup(corpus, "text", "id", threshold=0.5)
         dropped = {r["drop_id"]: r["keep"] for r in drop.collect()}
