@@ -231,9 +231,12 @@ def candidate_shingle_hashes(
     from runtime sizes — broadcast while the set is small, shuffled
     left-semi on the 8-byte id key once it isn't.
     """
-    wanted = candidates.select(
-        F.col("id_a").alias("id"),
-    ).union(candidates.select(F.col("id_b").alias("id"))).distinct()
+    # one explode, not a two-arm union: each union arm would hold its own
+    # copy of the candidate plan (evaluated twice per action for callers
+    # that don't persist it — same hazard fixed in connected_components)
+    wanted = candidates.selectExpr(
+        "explode(array(id_a, id_b)) AS id"
+    ).distinct()
     return (
         shingles(df, text_col, id_col, n=shingle_n, distinct=False)
         .join(wanted, "id", "left_semi")  # AQE-sized; no forced broadcast
