@@ -1733,7 +1733,7 @@ _FIRST = ["winnow_fingerprints", "embedding_neardup", "multimodal_features", "an
 # append to the pool + pick the round ordering that seats them first),
 # never by ad-hoc displacement of a stable entry; to retire a future
 # entry, move it into the pool instead of deleting its registration.
-ROTATION_ROUND = 11  # bump each round (11 % 3 = 2 → minhash_signature in)
+ROTATION_ROUND = 12  # bump each round (12 % 3 = 0 → q_events_pivot in)
 _ROTATION_POOL = [
     "q_events_pivot", "bm25_maintained_search", "minhash_signature",
 ]

@@ -217,12 +217,16 @@ def candidate_shingle_hashes(
     df: DataFrame, candidates: DataFrame, text_col: str, id_col: str,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, hv): the DISTINCT 60-bit shingle hashes of every document
-    named by a candidate pair — ``jaccard_verify``'s working set,
-    exposed so a caller that drives an eager consumer (``minhash_dedup``
-    → connected components) can persist it for the duration of the call
-    and hand it in via ``shingle_hashes=`` (the frame is referenced three
-    times inside the verify plan: sizes + both intersection arms).
+    """(id, hv, shingle_n): the DISTINCT 60-bit shingle hashes of every
+    document named by a candidate pair — ``jaccard_verify``'s working
+    set, exposed so a caller that drives an eager consumer
+    (``minhash_dedup`` → connected components) can persist it for the
+    duration of the call and hand it in via ``shingle_hashes=`` (the
+    frame is referenced three times inside the verify plan: sizes + both
+    intersection arms). ``shingle_n`` is a literal provenance column
+    (the ``benchmark_span_hashes``/``decontaminate`` pattern):
+    ``jaccard_verify`` refuses a frame built at a different shingle
+    size, which would otherwise silently produce wrong jaccard values.
 
     The candidate-id semi-join carries NO broadcast hint: the candidate
     set grows with the corpus (a near-dup-heavy 100-TB corpus can yield
@@ -242,6 +246,7 @@ def candidate_shingle_hashes(
         .join(wanted, "id", "left_semi")  # AQE-sized; no forced broadcast
         .select("id", _hash60(F.col("shingle")).alias("hv"))
         .distinct()
+        .withColumn("shingle_n", F.lit(int(shingle_n)))
     )
 
 
@@ -266,14 +271,37 @@ def jaccard_verify(
     caller that persists it evaluates the corpus shingle explode once
     instead of three times (measured inside minhash_dedup at sf0.1:
     4.25 s → 3.51 s median). Default None builds it lazily — the right
-    call for consumers that only ever evaluate the result once.
+    call for consumers that only ever evaluate the result once. A frame
+    carrying the ``shingle_n`` provenance column is REFUSED when its
+    recorded size differs from this call's ``shingle_n`` — hashes built
+    at another window size intersect near-randomly and would silently
+    produce wrong jaccard values (the ``decontaminate``/``bench_hashes``
+    pattern; the probe is one tiny job on a frame the caller usually
+    persists anyway, and the evaluation is reused by the verify itself).
     Returns (id_a, id_b, jaccard) above threshold.
     """
-    sh = (
-        candidate_shingle_hashes(df, candidates, text_col, id_col, shingle_n)
-        if shingle_hashes is None
-        else shingle_hashes
-    )
+    if shingle_hashes is None:
+        sh = candidate_shingle_hashes(
+            df, candidates, text_col, id_col, shingle_n
+        )
+    else:
+        sh = shingle_hashes
+        if "shingle_n" in sh.columns:
+            sizes_seen = [
+                int(r["shingle_n"])
+                for r in sh.select("shingle_n").distinct().collect()
+            ]
+            # an EMPTY frame is valid provenance (no candidates → no
+            # hashes), not a mismatch; only a CONFLICTING recorded size
+            # is the silently-wrong-jaccard failure mode
+            if sizes_seen and sizes_seen != [int(shingle_n)]:
+                raise ValueError(
+                    f"jaccard_verify: shingle_hashes were built at "
+                    f"shingle_n={sizes_seen}, this call uses "
+                    f"shingle_n={shingle_n} — rebuild with "
+                    "candidate_shingle_hashes at the matching size"
+                )
+    sh = sh.select("id", "hv")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("id").alias("id_a"), "hv")
     b = sh.select(F.col("id").alias("id_b"), "hv")
@@ -348,6 +376,17 @@ def connected_components(
         .select("id", F.col("id").alias("comp"))
         .localCheckpoint()
     )
+    # Convergence probe: labels are MONOTONE non-increasing (least()
+    # bounds propagation by the old label; the jump replaces comp with
+    # comp's own label, which is <= comp), so the label-table sum
+    # strictly decreases on any change and is unchanged exactly at the
+    # fixed point. One partial-aggregated scan of the fresh checkpoint
+    # replaces the old probe — a per-round JOIN of the new and old
+    # label tables (two extra shuffles per iteration). decimal(38,0)
+    # keeps the sum exact for any id domain: a wrapped int64 sum could
+    # in principle collide back to equality and stop a round early.
+    _label_sum = F.sum(F.col("comp").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_label_sum).collect()[0][0]
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.dst == labels.id)
@@ -371,15 +410,11 @@ def connected_components(
             .select("id", F.coalesce(F.col("comp2"), F.col("comp")).alias("comp"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .head(1)
-        )
+        new_sum = new_labels.agg(_label_sum).collect()[0][0]
         labels = new_labels
-        if not changed:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
@@ -448,16 +483,16 @@ def minhash_dedup(
     shuffle (the minhash partial-agg) plus the band-bucket join — the
     long-form path would add a (id, band) groupBy shuffle for nothing.
 
-    The candidate-pair frame feeds THREE consumers inside
-    ``jaccard_verify`` (the two wanted-id projections and the
-    intersection join), and the candidates' shingle-hash frame feeds
-    three more (pair sizes + both intersection arms) — BOTH are
-    persisted for the duration of component resolution so the
-    signature+band pipeline and the corpus shingle explode each run
-    once, not three times, then unpersisted: ``connected_components``
-    eagerly checkpoints the verified edge list, so the returned
-    survivor plan references neither (candidates 13.9 s → 4.8 s,
-    shingle hashes 4.25 s → 3.51 s median at sf0.1).
+    The candidate-pair frame feeds TWO consumers (the single
+    explode-based wanted-id projection inside
+    ``candidate_shingle_hashes`` and ``jaccard_verify``'s intersection
+    join), and the candidates' shingle-hash frame feeds three (pair
+    sizes + both intersection arms) — BOTH are persisted for the
+    duration of component resolution so the signature+band pipeline and
+    the corpus shingle explode each run once, then unpersisted:
+    ``connected_components`` eagerly checkpoints the verified edge
+    list, so the returned survivor plan references neither (candidates
+    13.9 s → 4.8 s, shingle hashes 4.25 s → 3.51 s median at sf0.1).
     """
     from pyspark import StorageLevel
 
@@ -670,6 +705,96 @@ def semdedup(
     return _pick_survivors(comp, df, id_col, quality_col)
 
 
+# Heavy-hitter routing for the hv-window operators (guide §2.5). An hv
+# owning >= _HOT_HV_SHARE of the occurrence rows is "hot": its window
+# group would route that share of the corpus through ONE spilling task
+# (WindowExec cannot be split by AQE — skew handling applies to joins
+# only). Detection samples DOCUMENTS (so its explode runs over the
+# sample, never the corpus): a corpus-scale hot hash is cross-document
+# boilerplate, which survives document sampling; a repeat confined to
+# one document is bounded by that document's length and needs no
+# special routing.
+_HOT_HV_SHARE = 0.01
+_HOT_HV_SAMPLE = 0.01
+# A window group below WindowExec's spill threshold (4096 rows by
+# default) is buffered in memory and costs nothing special — groups
+# must clear BOTH the share cut and this absolute floor to be worth a
+# plan split. This also keeps small-corpus plans byte-stable: the
+# hybrid only ever fires where a single window group would actually
+# concentrate corpus-scale work in one task.
+_HOT_HV_MIN_GROUP = 4096
+
+
+def _detect_hot_hvs(
+    df: DataFrame,
+    build,
+    min_share: float = _HOT_HV_SHARE,
+    sample_fraction: float = _HOT_HV_SAMPLE,
+    seed: int = 7,
+) -> list:
+    """hv values owning at least ``min_share`` of the occurrence rows
+    that ``build(docs)`` produces (and at least ``_HOT_HV_MIN_GROUP``
+    rows outright) — the ``skew.hot_keys`` pattern applied before the
+    explode. The sample is only trusted when a true hot hash would be
+    expected >= 5 times in it; below that, detection falls back to
+    exact counts over the full frame (small inputs are exactly where
+    that is cheap). The returned values are candidates: callers
+    re-aggregate them EXACTLY, so a sampling overestimate can only
+    change the plan shape, never the result."""
+    src = build(df.sample(sample_fraction, seed=seed))
+    total = src.count()
+    frac = sample_fraction
+    if total * min_share < 5:
+        src = build(df)
+        total = src.count()
+        frac = 1.0
+    if not total:
+        return []
+    thresh = max(int(total * min_share), int(_HOT_HV_MIN_GROUP * frac), 2)
+    rows = (
+        src.groupBy("hv")
+        .count()
+        .filter(F.col("count") >= thresh)
+        .collect()
+    )
+    return [r["hv"] for r in rows]
+
+
+def _annotate_hv(sh: DataFrame, hot: list, need_win: bool) -> DataFrame:
+    """Annotate every (id, pos, hv) occurrence row with its hv's exact
+    occurrence count (and, with ``need_win``, the minimal (id, pos)
+    winner). The tail rides ONE window over the hv key — single
+    evaluation of the occurrence subtree, single shuffle. Detected hot
+    hvs are routed skew-style instead: a partial-aggregated groupBy
+    (map-side combined — no task ever buffers a hot group) whose tiny
+    (<= |hot| rows) result broadcasts back onto the hot rows. Both arms
+    compute the SAME exact aggregates, so the union is byte-identical
+    to the pure-window form for every input; with ``hot`` empty the
+    plan IS the pure-window plan. The split costs two extra
+    evaluations of the occurrence subtree (agg build + probe) on the
+    hot arm only — linear parallel map work, paid exactly when the
+    alternative is a single task owning ``min_share`` of the corpus."""
+    cnt_agg = F.count(F.lit(1))
+    win_agg = F.min(F.struct("id", "pos"))
+    wv = Window.partitionBy("hv")
+
+    def _window(rows: DataFrame) -> DataFrame:
+        cols = ["id", "pos", cnt_agg.over(wv).alias("cnt")]
+        if need_win:
+            cols.append(win_agg.over(wv).alias("win"))
+        return rows.select(*cols)
+
+    if not hot:
+        return _window(sh)
+    is_hot = F.col("hv").isin(hot)
+    hot_rows = sh.filter(is_hot)
+    aggs = [cnt_agg.alias("cnt")] + ([win_agg.alias("win")] if need_win else [])
+    hot_agg = hot_rows.groupBy("hv").agg(*aggs)
+    out_cols = ["id", "pos", "cnt"] + (["win"] if need_win else [])
+    hot_ann = hot_rows.join(F.broadcast(hot_agg), "hv").select(*out_cols)
+    return hot_ann.unionByName(_window(sh.filter(~is_hot)))
+
+
 def repeated_spans(
     df: DataFrame,
     text_col: str,
@@ -706,8 +831,12 @@ def repeated_spans(
     substring_dedup, same shape). One full shuffle of (id, pos, hv),
     then one per-doc window merges runs. A hash repeated k times puts k
     rows in one window GROUP — WindowExec spills past
-    spark.sql.windowExec.buffer.spill.threshold, so a pathological
-    boilerplate span degrades to disk streaming, never OOM. A true
+    spark.sql.windowExec.buffer.spill.threshold, so moderate repetition
+    degrades to disk streaming, never OOM; CORPUS-SCALE hot hashes
+    (sampled detection, ``_detect_hot_hvs``) bypass the window entirely
+    through a partial-aggregated broadcast route (``_annotate_hv``,
+    guide §2.5), so no single task ever owns a boilerplate span's whole
+    occurrence set. A true
     suffix array finds arbitrary-length repeats; the fixed-window
     approximation finds every repeat ≥ span_tokens (as a union of
     flagged windows) with two linear shuffles and no global sort — the
@@ -715,12 +844,18 @@ def repeated_spans(
     """
     from pyspark.sql import Window
 
-    sh = shingles(
-        df, text_col, id_col, n=span_tokens, keep_short=False, positional=True
-    ).select("id", "pos", _hash60(F.col("shingle")).alias("hv"))
-    wv = Window.partitionBy("hv")
+    def _occ(src: DataFrame) -> DataFrame:
+        return shingles(
+            src, text_col, id_col, n=span_tokens,
+            keep_short=False, positional=True,
+        ).select("id", "pos", _hash60(F.col("shingle")).alias("hv"))
+
+    sh = _occ(df)
+    # detected corpus-scale hot hashes bypass the window (guide §2.5);
+    # with none detected — the common case — this IS the pure window plan
+    hot = _detect_hot_hvs(df, _occ)
     flagged = (
-        sh.select("id", "pos", F.count(F.lit(1)).over(wv).alias("cnt"))
+        _annotate_hv(sh, hot, need_win=False)
         .filter(F.col("cnt") >= min_count)
         .select("id", "pos")
     )
@@ -804,21 +939,26 @@ def substring_dedup(
     at sf0.1, outputs byte-identical across all 5000 docs). One full
     (id, pos, hv) shuffle; a hash repeated k times fills one window
     group, which WindowExec spills past its buffer threshold — disk
-    streaming for pathological boilerplate, never OOM. The run-merge
+    streaming for moderate repetition, never OOM — while CORPUS-SCALE
+    hot hashes (sampled detection) bypass the window through a
+    partial-aggregated broadcast route (``_annotate_hv``, guide §2.5),
+    byte-identical by construction. The run-merge
     window is per doc; the cut-set rides home on an id join where AQE
     broadcasts it in the common case (cuts ≪ corpus). The corpus text
     itself never shuffles — the rewrite is a positional ``filter`` on
     the original split.
     """
-    sh = shingles(
-        df, text_col, id_col, n=span_tokens, keep_short=False, positional=True
-    ).select("id", "pos", _hash60(F.col("shingle")).alias("hv"))
-    wv = Window.partitionBy("hv")
-    ann = sh.select(
-        "id", "pos",
-        F.count(F.lit(1)).over(wv).alias("cnt"),
-        F.min(F.struct("id", "pos")).over(wv).alias("win"),
-    )
+    def _occ(src: DataFrame) -> DataFrame:
+        return shingles(
+            src, text_col, id_col, n=span_tokens,
+            keep_short=False, positional=True,
+        ).select("id", "pos", _hash60(F.col("shingle")).alias("hv"))
+
+    sh = _occ(df)
+    # detected corpus-scale hot hashes bypass the window (guide §2.5);
+    # with none detected — the common case — this IS the pure window plan
+    hot = _detect_hot_hvs(df, _occ)
+    ann = _annotate_hv(sh, hot, need_win=True)
     flagged = ann.filter(
         (F.col("cnt") >= 2) & (F.struct("id", "pos") != F.col("win"))
     ).select("id", "pos")
@@ -1049,7 +1189,9 @@ def dedup_paragraphs(
     the hv key (single scan: the old groupBy + back-join re-evaluated
     the paragraph explode + md5 on the probe side — guide §1.2 step 1;
     a hot hash's window group spills past the WindowExec buffer
-    threshold, never OOMs). With ``boilerplate_min_df`` the groupBy +
+    threshold, never OOMs, and sampled-detected CORPUS-SCALE hot
+    paragraph hashes bypass the window through the partial-aggregated
+    broadcast route of ``_annotate_hv``). With ``boilerplate_min_df`` the groupBy +
     join formulation stays: the exact distinct-doc count there must be
     a partial-aggregated count_distinct — a collect_set window over the
     10k-doc boilerplate group this rule exists to catch would buffer
@@ -1061,18 +1203,21 @@ def dedup_paragraphs(
     corpus).
     """
     paras = F.split(F.col(text_col), sep)
-    ex = (
-        df.select(F.col(id_col).alias("id"), F.posexplode(paras))
-        .filter(F.length(F.trim(F.col("col"))) >= min_chars)
-        .select("id", "pos", _hash60(F.col("col")).alias("hv"))
-    )
-    if boilerplate_min_df is None:
-        wv = Window.partitionBy("hv")
-        ann = ex.select(
-            "id", "pos",
-            F.count(F.lit(1)).over(wv).alias("cnt"),
-            F.min(F.struct("id", "pos")).over(wv).alias("win"),
+
+    def _occ(src: DataFrame) -> DataFrame:
+        return (
+            src.select(F.col(id_col).alias("id"), F.posexplode(paras))
+            .filter(F.length(F.trim(F.col("col"))) >= min_chars)
+            .select("id", "pos", _hash60(F.col("col")).alias("hv"))
         )
+
+    ex = _occ(df)
+    if boilerplate_min_df is None:
+        # detected corpus-scale hot paragraph hashes (a nav header shared
+        # by 10k pages) bypass the window, guide §2.5; with none detected
+        # — the common case — this IS the pure window plan
+        hot = _detect_hot_hvs(df, _occ)
+        ann = _annotate_hv(ex, hot, need_win=True)
         drops = (
             ann.filter(
                 (F.col("cnt") >= 2) & (F.struct("id", "pos") != F.col("win"))

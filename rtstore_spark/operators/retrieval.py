@@ -743,6 +743,27 @@ def bm25_search_batch(
     )
 
 
+_BATCH_SCRATCH: str | None = None
+
+
+def _batch_scratch() -> str:
+    """Per-process scratch root for ``bm25_batch_topk``'s single-tokenize
+    materialization, removed at interpreter exit. One root per process;
+    each CALL writes a fresh subdirectory under it, so a repeat
+    invocation always recomputes from the corpus (never reuses a prior
+    call's files) and never deletes files a still-lazy earlier result
+    may yet read."""
+    global _BATCH_SCRATCH
+    if _BATCH_SCRATCH is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _BATCH_SCRATCH = tempfile.mkdtemp(prefix="rtstore_bm25_batch_")
+        atexit.register(shutil.rmtree, _BATCH_SCRATCH, ignore_errors=True)
+    return _BATCH_SCRATCH
+
+
 def bm25_batch_topk(
     df: DataFrame,
     text_col: str,
@@ -757,11 +778,38 @@ def bm25_batch_topk(
     n_shards: int = 32,
     max_df_fraction: float | None = None,
 ) -> DataFrame:
-    """Index-free convenience: build the postings in the same plan and
-    search — one corpus scan for the WHOLE query batch (vs one per query
-    with ``text.bm25_topk``). Use ``write_bm25_index`` +
-    ``bm25_search_batch`` when the corpus outlives the query batch."""
-    postings, term_df, stats = bm25_build(df, text_col, id_col)
+    """Index-free convenience: build the postings and search — ONE corpus
+    tokenize for the WHOLE query batch (vs one per query with
+    ``text.bm25_topk``). Use ``write_bm25_index`` + ``bm25_search_batch``
+    when the corpus outlives the query batch.
+
+    The postings are MATERIALIZED to an operator-private temp parquet
+    before the search. The search plan consumes the postings twice
+    (probe + the term-df build), and the two subtrees are pruned to
+    different columns, so exchange reuse cannot deduplicate them — an
+    unpersisted plan re-ran the tokenize+explode+(term, id) aggregate
+    once per consumer (guide §1.2 step 1). A Spark ``persist`` is the
+    wrong fix here: its cache key is the logical plan, so a repeat call
+    would silently reuse the first call's postings across invocations.
+    The temp write recomputes from the corpus on EVERY call (a fresh
+    per-call directory under one per-process scratch root, deleted at
+    interpreter exit) — so the returned frame is valid for the process
+    lifetime, and each invocation pays exactly one tokenize.
+    """
+    import os
+    import uuid
+
+    postings, _term_df, stats = bm25_build(df, text_col, id_col)
+    if stats["n_docs"] > 0:
+        base = os.path.join(_batch_scratch(), uuid.uuid4().hex)
+        postings.write.mode("overwrite").parquet(base)
+        # explicit schema: no footer inference, and robust even if an
+        # all-null-text corpus produced zero posting rows
+        postings = df.sparkSession.read.schema(postings.schema).parquet(base)
+    # identical to bm25_build's term_df (postings are (term, id)-unique),
+    # derived from the materialized frame so it costs a parquet scan,
+    # not a second corpus tokenize
+    term_df = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return bm25_search_batch(
         postings, term_df, stats, queries,
         qid_col=qid_col, qtext_col=qtext_col, k=k, k1=k1, b=b,

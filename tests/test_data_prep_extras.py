@@ -498,6 +498,71 @@ class TestQualityClassifier:
         assert "Exchange" not in plan  # scoring is a pure projection pass
 
 
+class TestHotSpanRouting:
+    """Corpus-scale hot span hashes bypass the hv window through a
+    partial-aggregated broadcast route (guide §2.5); outputs must be
+    byte-identical to the pure-window form, and the hybrid must only
+    fire past the detection floor."""
+
+    def _corpus(self, spark):
+        # 40 docs sharing one 9-token boilerplate block (2 fully-shared
+        # 8-token windows per doc → two hvs with 40 occurrences each)
+        block = " ".join(f"b{i}" for i in range(9))
+        rows = [
+            Row(id=i, text=f"u{i}a u{i}b " + block + f" t{i}")
+            for i in range(40)
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_hot_hash_routed_and_byte_identical(self, spark, monkeypatch):
+        df = self._corpus(spark)
+        # fixture-scale floor so the 40-occurrence group counts as hot
+        monkeypatch.setattr(dedup, "_HOT_HV_MIN_GROUP", 8)
+        hybrid = dedup.substring_dedup(df, "text", "id", span_tokens=8)
+        plan = hybrid._jdf.queryExecution().executedPlan().toString()
+        assert "Union" in plan
+        assert "BroadcastHashJoin" in plan  # hot arm: agg + broadcast back
+        assert "Window" in plan            # tail keeps the window
+        got = sorted(map(tuple, hybrid.collect()))
+        # pure-window form (detection floor unreachable): byte-identical
+        monkeypatch.setattr(dedup, "_HOT_HV_MIN_GROUP", 10**9)
+        pure = dedup.substring_dedup(df, "text", "id", span_tokens=8)
+        assert "Union" not in pure._jdf.queryExecution().executedPlan().toString()
+        assert sorted(map(tuple, pure.collect())) == got
+
+    def test_repeated_spans_hot_route_identical(self, spark, monkeypatch):
+        df = self._corpus(spark)
+        monkeypatch.setattr(dedup, "_HOT_HV_MIN_GROUP", 8)
+        hybrid = dedup.repeated_spans(df, "text", "id", span_tokens=8)
+        assert "Union" in hybrid._jdf.queryExecution().executedPlan().toString()
+        got = sorted(map(tuple, hybrid.collect()))
+        monkeypatch.setattr(dedup, "_HOT_HV_MIN_GROUP", 10**9)
+        pure = dedup.repeated_spans(df, "text", "id", span_tokens=8)
+        assert sorted(map(tuple, pure.collect())) == got
+
+    def test_dedup_paragraphs_hot_route_identical(self, spark, monkeypatch):
+        rows = [
+            Row(id=i, text=f"unique prose {i}\nshared nav header\nmore {i}")
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows)
+        monkeypatch.setattr(dedup, "_HOT_HV_MIN_GROUP", 8)
+        hybrid = dedup.dedup_paragraphs(df, "text", "id")
+        assert "Union" in hybrid._jdf.queryExecution().executedPlan().toString()
+        got = sorted(map(tuple, hybrid.collect()))
+        monkeypatch.setattr(dedup, "_HOT_HV_MIN_GROUP", 10**9)
+        pure = dedup.dedup_paragraphs(df, "text", "id")
+        assert sorted(map(tuple, pure.collect())) == got
+
+    def test_detection_floor_keeps_small_corpora_pure_window(self, spark):
+        # default floor (4096): the 40-occurrence group is NOT hot and
+        # the plan stays the single-evaluation pure window
+        out = dedup.substring_dedup(self._corpus(spark), "text", "id", span_tokens=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Union" not in plan
+        assert plan.count("Generate") == 1
+
+
 class TestSubstringDedup:
     """substring_dedup: Lee-et-al-style repeat removal, keep-one semantics."""
 

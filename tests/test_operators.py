@@ -70,6 +70,26 @@ class TestDedup:
             map(tuple, ver_default.collect())
         )
 
+    def test_jaccard_verify_refuses_mismatched_shingle_hashes(self, corpus):
+        # a shingle_hashes frame built at another window size intersects
+        # near-randomly — the provenance column must make that loud
+        sig = dedup.minhash_signatures(corpus, "text", "id", num_hashes=8)
+        cand = dedup.lsh_candidate_pairs(sig)
+        sh4 = dedup.candidate_shingle_hashes(
+            corpus, cand, "text", "id", shingle_n=4
+        )
+        with pytest.raises(ValueError, match="shingle_n"):
+            dedup.jaccard_verify(
+                corpus, cand, "text", "id",
+                threshold=0.5, shingle_n=3, shingle_hashes=sh4,
+            )
+        # a legacy bare (id, hv) frame without provenance is still accepted
+        bare = sh4.select("id", "hv")
+        dedup.jaccard_verify(
+            corpus, cand, "text", "id",
+            threshold=0.5, shingle_n=4, shingle_hashes=bare,
+        ).collect()
+
     def test_minhash_dedup_drop_list(self, corpus):
         drop = dedup.minhash_dedup(corpus, "text", "id", threshold=0.5)
         dropped = {r["drop_id"]: r["keep"] for r in drop.collect()}

@@ -77,6 +77,38 @@ class TestBatchMatchesSingleQuery:
         scores = [r["score"] for r in out]
         assert scores == sorted(scores, reverse=True)
 
+    def test_single_tokenize_via_materialized_postings(self, spark, docs):
+        # the index-free path materializes the postings to an
+        # operator-private temp parquet, so the SEARCH plan consumes the
+        # corpus tokenize zero times (it ran once, in the eager build):
+        # no Generate (explode) node anywhere, and both postings
+        # consumers read the scratch parquet. An unpersisted plan ran
+        # the tokenize+explode+(term,id) aggregate twice (probe +
+        # term-df build — column pruning differentiates the subtrees,
+        # so exchange reuse could never dedupe them).
+        queries = spark.createDataFrame(
+            [(0, "model training data")], "qid long, text string"
+        )
+        out = bm25_batch_topk(docs, "text", "doc_id", queries, k=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # exactly TWO Generates, both the tiny query-term explode (probe
+        # arm + term-df restriction arm). The CORPUS explode appears zero
+        # times — it ran once, in the eager build job (the unmaterialized
+        # plan carried FOUR Generates: corpus + query on each arm).
+        assert plan.count("Generate") == 2
+        assert "rtstore_bm25_batch_" in plan
+        # and a fresh call must NOT reuse the first call's files: the
+        # materialization is per-call (no cross-invocation result reuse)
+        out2 = bm25_batch_topk(docs, "text", "doc_id", queries, k=5)
+        plan2 = out2._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        def scratch_dirs(p):
+            return set(re.findall(r"rtstore_bm25_batch_\w+/\w+", p))
+
+        assert scratch_dirs(plan), "scratch path missing from plan"
+        assert scratch_dirs(plan).isdisjoint(scratch_dirs(plan2))
+
 
 def _group(rows):
     g: dict = {}
