@@ -723,6 +723,21 @@ _HOT_HV_SAMPLE = 0.01
 # hybrid only ever fires where a single window group would actually
 # concentrate corpus-scale work in one task.
 _HOT_HV_MIN_GROUP = 4096
+# Break-even gate (measured + first-principles): routing a hot hv
+# costs TWO extra evaluations of the occurrence explode — linear map
+# work spread over defaultParallelism tasks — while the window
+# straggler it removes costs (share x rows) through ONE task of much
+# cheaper per-row streaming. The split wins only when
+# share > factor / parallelism, with factor ~ 2 x (explode cost per
+# row / window streaming cost per row). Interleaved A/B on local[32]
+# (5000-doc x10-repeat fixture, share 8.8%: hybrid 4.22 s vs window
+# 3.08 s; 305k-doc fixture, share 35%: 8.71 vs 5.62) shows the window
+# winning locally at ANY feasible share — the explode dominates — so
+# the factor is sized for warehouse parallelism: at 10k cores the
+# hybrid arms at 0.32% share (32 GB+ through one reducer per 10 TB of
+# occurrence rows), while local runs keep the single-evaluation
+# window plan. Scale-adaptive by construction, not a local[32] tune.
+_HOT_HV_PARALLEL_FACTOR = 32.0
 
 
 def _detect_hot_hvs(
@@ -735,12 +750,23 @@ def _detect_hot_hvs(
     """hv values owning at least ``min_share`` of the occurrence rows
     that ``build(docs)`` produces (and at least ``_HOT_HV_MIN_GROUP``
     rows outright) — the ``skew.hot_keys`` pattern applied before the
-    explode. The sample is only trusted when a true hot hash would be
-    expected >= 5 times in it; below that, detection falls back to
-    exact counts over the full frame (small inputs are exactly where
-    that is cheap). The returned values are candidates: callers
-    re-aggregate them EXACTLY, so a sampling overestimate can only
-    change the plan shape, never the result."""
+    explode. The effective share cut is additionally raised to
+    ``_HOT_HV_PARALLEL_FACTOR / defaultParallelism`` — the measured
+    break-even where one window straggler outweighs the hybrid's two
+    extra map passes (see the constant's comment): at local core
+    counts the pure window always wins and detection finds nothing; at
+    warehouse parallelism sub-percent shares arm the split. The sample
+    is only trusted when a true hot hash would be expected >= 5 times
+    in it; below that, detection falls back to exact counts over the
+    full frame (small inputs are exactly where that is cheap). The
+    returned values are candidates: callers re-aggregate them EXACTLY,
+    so a sampling overestimate can only change the plan shape, never
+    the result."""
+    par = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    min_share = max(min_share, _HOT_HV_PARALLEL_FACTOR / par)
+    if min_share >= 1.0:
+        # no single key can clear the cut — skip the detection jobs too
+        return []
     src = build(df.sample(sample_fraction, seed=seed))
     total = src.count()
     frac = sample_fraction

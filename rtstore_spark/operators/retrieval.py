@@ -748,19 +748,33 @@ _BATCH_SCRATCH: str | None = None
 
 def _batch_scratch() -> str:
     """Per-process scratch root for ``bm25_batch_topk``'s single-tokenize
-    materialization, removed at interpreter exit. One root per process;
-    each CALL writes a fresh subdirectory under it, so a repeat
-    invocation always recomputes from the corpus (never reuses a prior
-    call's files) and never deletes files a still-lazy earlier result
-    may yet read."""
+    materialization. One root per process; each CALL writes a fresh
+    subdirectory under it, so a repeat invocation always recomputes from
+    the corpus (never reuses a prior call's files) and never deletes
+    files a still-lazy earlier result may yet read. The local-tempdir
+    default is removed at interpreter exit; a ``$RTSTORE_SCRATCH_DIR``
+    root (required on multi-node clusters) follows that storage's own
+    lifecycle policy instead."""
     global _BATCH_SCRATCH
     if _BATCH_SCRATCH is None:
         import atexit
+        import os
         import shutil
         import tempfile
 
-        _BATCH_SCRATCH = tempfile.mkdtemp(prefix="rtstore_bm25_batch_")
-        atexit.register(shutil.rmtree, _BATCH_SCRATCH, ignore_errors=True)
+        # On a multi-node cluster the scratch root must be storage every
+        # executor can reach (HDFS/object store) — point
+        # $RTSTORE_SCRATCH_DIR at one. The local default is correct for
+        # local[...] masters, where driver and executors share a
+        # filesystem.
+        root = os.environ.get("RTSTORE_SCRATCH_DIR")
+        if root:
+            _BATCH_SCRATCH = root.rstrip("/") + "/rtstore_bm25_batch_" + (
+                os.urandom(6).hex()
+            )
+        else:
+            _BATCH_SCRATCH = tempfile.mkdtemp(prefix="rtstore_bm25_batch_")
+            atexit.register(shutil.rmtree, _BATCH_SCRATCH, ignore_errors=True)
     return _BATCH_SCRATCH
 
 

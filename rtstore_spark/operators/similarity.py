@@ -1006,19 +1006,38 @@ def ivf_pq_search_batch(
         for pdf in batches:
             if not len(pdf):
                 continue
-            q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_qv"]])
+            # A batch holds each query's vector duplicated once per
+            # CANDIDATE row. Deduplicate to the batch's UNIQUE queries
+            # first: the per-row python loop (np.stack over every cell)
+            # and the normalization then run u times, not n times, and
+            # scoring goes through a per-query ADC lookup table — the
+            # same tables the single-query path uses — so the gather is
+            # O(n·m) instead of reconstructing x̂ at O(n·dim)
+            # (dim = m·dsub, an 8× flop cut at dsub=8). Profiled on the
+            # bench shape: the row-loop over duplicated vectors WAS the
+            # stage's dominant cost, not the arithmetic.
+            qid_arr = pdf["query_id"].to_numpy()
+            _, first_idx, inv = np.unique(
+                qid_arr, return_index=True, return_inverse=True
+            )
+            q = np.stack(
+                [
+                    np.asarray(pdf["_qv"].iloc[i], dtype=np.float64)
+                    for i in first_idx
+                ]
+            )  # (u, dim)
             q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            qsub = q.reshape(len(first_idx), m, -1)  # (u, m, dsub)
+            lut = np.einsum("ujd,jkd->ujk", qsub, cb)  # (u, m, ksub)
             c = np.asarray(list(pdf["_codes"]), dtype=np.int64)  # (n, m)
-            # reconstruct x̂ by codebook gather, score = ⟨q, x̂⟩ — two
-            # vectorized gathers + one row-wise dot, no per-row python
-            xhat = np.concatenate(
-                [cb[j][c[:, j]] for j in range(m)], axis=1
-            )  # (n, dim)
+            scores = lut[
+                inv[:, None], np.arange(m)[None, :], c
+            ].sum(axis=1)
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"],
                     "id": pdf["id"],
-                    "score": np.round((q * xhat).sum(axis=1), 6),
+                    "score": np.round(scores, 6),
                 }
             )
 

@@ -516,8 +516,11 @@ class TestHotSpanRouting:
 
     def test_hot_hash_routed_and_byte_identical(self, spark, monkeypatch):
         df = self._corpus(spark)
-        # fixture-scale floor so the 40-occurrence group counts as hot
+        # fixture-scale floor so the 40-occurrence group counts as hot,
+        # and neutralize the parallelism break-even gate (it keeps the
+        # hybrid off at local core counts by design)
         monkeypatch.setattr(dedup, "_HOT_HV_MIN_GROUP", 8)
+        monkeypatch.setattr(dedup, "_HOT_HV_PARALLEL_FACTOR", 0.0)
         hybrid = dedup.substring_dedup(df, "text", "id", span_tokens=8)
         plan = hybrid._jdf.queryExecution().executedPlan().toString()
         assert "Union" in plan
@@ -533,6 +536,7 @@ class TestHotSpanRouting:
     def test_repeated_spans_hot_route_identical(self, spark, monkeypatch):
         df = self._corpus(spark)
         monkeypatch.setattr(dedup, "_HOT_HV_MIN_GROUP", 8)
+        monkeypatch.setattr(dedup, "_HOT_HV_PARALLEL_FACTOR", 0.0)
         hybrid = dedup.repeated_spans(df, "text", "id", span_tokens=8)
         assert "Union" in hybrid._jdf.queryExecution().executedPlan().toString()
         got = sorted(map(tuple, hybrid.collect()))
@@ -547,6 +551,7 @@ class TestHotSpanRouting:
         ]
         df = spark.createDataFrame(rows)
         monkeypatch.setattr(dedup, "_HOT_HV_MIN_GROUP", 8)
+        monkeypatch.setattr(dedup, "_HOT_HV_PARALLEL_FACTOR", 0.0)
         hybrid = dedup.dedup_paragraphs(df, "text", "id")
         assert "Union" in hybrid._jdf.queryExecution().executedPlan().toString()
         got = sorted(map(tuple, hybrid.collect()))
@@ -555,8 +560,9 @@ class TestHotSpanRouting:
         assert sorted(map(tuple, pure.collect())) == got
 
     def test_detection_floor_keeps_small_corpora_pure_window(self, spark):
-        # default floor (4096): the 40-occurrence group is NOT hot and
-        # the plan stays the single-evaluation pure window
+        # defaults (floor 4096 + parallelism break-even gate): the
+        # 40-occurrence group is NOT hot and the plan stays the
+        # single-evaluation pure window
         out = dedup.substring_dedup(self._corpus(spark), "text", "id", span_tokens=8)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Union" not in plan

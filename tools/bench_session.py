@@ -64,6 +64,7 @@ def main() -> None:
         ("bench", ["bench.py"], f"BENCH_ADJACENT_r{rnd}.json"),
     ]
     block_start = int(time.time())
+    written: dict[str, dict] = {}
     for i, (name, cmd, out_name) in enumerate(steps):
         t0 = time.time()
         proc = subprocess.run(
@@ -84,11 +85,48 @@ def main() -> None:
         obj["bench_block_seq"] = i
         with open(os.path.join(repo, out_name), "w") as f:
             json.dump(obj, f, indent=1)
+        written[name] = obj
         print(
             f"[bench_session] {name}: {round(time.time() - t0, 1)}s "
             f"→ {out_name}", file=sys.stderr,
         )
     spread = int(time.time()) - block_start
+    # Machine-readable block index (round-11 verdict "what's wrong" #2):
+    # every block a round runs APPENDS its summary here, so selecting
+    # the committed artifacts by the in-block CPU reference is
+    # mechanically auditable — superseded blocks' key numbers stay in
+    # the sidecar even though their full artifacts were overwritten.
+    # (Full per-block artifact copies are additionally parked under
+    # /tmp/bench_blocks_r<N>/<block_start>/ for same-session promotion.)
+    entry = {
+        "block_start_unix": block_start,
+        "block_spread_sec": spread,
+        **session_info(),
+        "wire_cold_per_sec": written["wire"].get("decode_mutations_per_sec"),
+        "wire_warm_per_sec": written["wire"].get(
+            "decode_mutations_per_sec_warm"
+        ),
+        "prep_total_sec": written["prep"].get("value"),
+        "prep_stages": written["prep"].get("queries"),
+        "scale_ratios_x20": written["scale"].get("ratios_vs_linear"),
+        "scale_ratios_deep": written["scale"].get("ratios_vs_linear_deep"),
+        "adjacent_total_sec": written["bench"].get("value"),
+        "adjacent_runs": written["bench"].get("runs"),
+    }
+    sidecar = os.path.join(repo, f"BENCH_BLOCKS_r{rnd}.json")
+    blocks = []
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            blocks = json.load(f)
+    blocks.append(entry)
+    with open(sidecar, "w") as f:
+        json.dump(blocks, f, indent=1)
+    park = os.path.join(f"/tmp/bench_blocks_r{rnd}", str(block_start))
+    os.makedirs(park, exist_ok=True)
+    import shutil
+
+    for _, _, out_name in steps:
+        shutil.copy(os.path.join(repo, out_name), park)
     print(json.dumps({
         "metric": "bench_session_block",
         "round": rnd,
@@ -96,6 +134,7 @@ def main() -> None:
         "block_start_unix": block_start,
         "block_spread_sec": spread,
         "artifacts": [s[2] for s in steps],
+        "sidecar": os.path.basename(sidecar),
     }))
 
 
