@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _hash32(col):
@@ -276,8 +277,8 @@ def jaccard_verify(
     recorded size differs from this call's ``shingle_n`` — hashes built
     at another window size intersect near-randomly and would silently
     produce wrong jaccard values (the ``decontaminate``/``bench_hashes``
-    pattern; the probe is one tiny job on a frame the caller usually
-    persists anyway, and the evaluation is reused by the verify itself).
+    pattern; the probe reads ONE row — the column is stamped as a single
+    literal — so it stays bounded even on an unpersisted frame).
     Returns (id_a, id_b, jaccard) above threshold.
     """
     if shingle_hashes is None:
@@ -287,10 +288,14 @@ def jaccard_verify(
     else:
         sh = shingle_hashes
         if "shingle_n" in sh.columns:
-            sizes_seen = [
-                int(r["shingle_n"])
-                for r in sh.select("shingle_n").distinct().collect()
-            ]
+            # candidate_shingle_hashes stamps the column as ONE literal,
+            # so one row decides — head(1) keeps the probe a
+            # CollectLimit(1) (bounded even on an unpersisted frame,
+            # where a distinct() would evaluate the whole candidate
+            # explode once more). A hand-built frame mixing sizes is
+            # outside the provenance contract; its first row decides.
+            first = sh.select("shingle_n").head(1)
+            sizes_seen = [int(first[0]["shingle_n"])] if first else []
             # an EMPTY frame is valid provenance (no candidates → no
             # hashes), not a mismatch; only a CONFLICTING recorded size
             # is the silently-wrong-jaccard failure mode
@@ -344,7 +349,11 @@ def connected_components(
     finish in 2-3 rounds. Lineage is truncated per round
     (localCheckpoint) so plans stay flat.
 
-    Terminates when no label changes (cheap head(1) on the changed set).
+    Terminates when no label changes: for integer/decimal ids, one
+    partial-aggregated exact label-sum per round (labels are monotone
+    non-increasing, so the sum is unchanged exactly at the fixed
+    point); for other id types, a join of new vs old labels probing
+    for one changed row.
     Raises ``RuntimeError`` if labels are still changing after
     ``max_iter`` rounds: partially-propagated labels would silently split
     one component into several groups, and ``minhash_dedup`` would keep
@@ -383,10 +392,19 @@ def connected_components(
     # fixed point. One partial-aggregated scan of the fresh checkpoint
     # replaces the old probe — a per-round JOIN of the new and old
     # label tables (two extra shuffles per iteration). decimal(38,0)
-    # keeps the sum exact for any id domain: a wrapped int64 sum could
-    # in principle collide back to equality and stop a round early.
+    # keeps the sum exact for any INTEGER id domain: a wrapped int64
+    # sum could in principle collide back to equality and stop a round
+    # early. The sum probe exists only for ids the cast preserves
+    # losslessly — for any other id type (string/uuid doc ids, floats)
+    # the cast would be lossy or null/raising, so those fall back to
+    # the r11 probe: join new vs old labels and look for one changed
+    # row (two extra shuffles per round, but type-agnostic).
+    _sum_probe = isinstance(
+        labels.schema["comp"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    )
     _label_sum = F.sum(F.col("comp").cast("decimal(38,0)"))
-    prev_sum = labels.agg(_label_sum).collect()[0][0]
+    prev_sum = labels.agg(_label_sum).collect()[0][0] if _sum_probe else None
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.dst == labels.id)
@@ -410,11 +428,20 @@ def connected_components(
             .select("id", F.coalesce(F.col("comp2"), F.col("comp")).alias("comp"))
             .localCheckpoint()
         )
-        new_sum = new_labels.agg(_label_sum).collect()[0][0]
+        if _sum_probe:
+            new_sum = new_labels.agg(_label_sum).collect()[0][0]
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = not (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .head(1)
+            )
         labels = new_labels
-        if new_sum == prev_sum:
+        if converged:
             break
-        prev_sum = new_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
@@ -706,15 +733,18 @@ def semdedup(
 
 
 # Heavy-hitter routing for the hv-window operators (guide §2.5). An hv
-# owning >= _HOT_HV_SHARE of the occurrence rows is "hot": its window
-# group would route that share of the corpus through ONE spilling task
-# (WindowExec cannot be split by AQE — skew handling applies to joins
-# only). Detection samples DOCUMENTS (so its explode runs over the
-# sample, never the corpus): a corpus-scale hot hash is cross-document
-# boilerplate, which survives document sampling; a repeat confined to
-# one document is bounded by that document's length and needs no
-# special routing.
-_HOT_HV_SHARE = 0.01
+# owning at least the break-even share (below) of the occurrence rows
+# is "hot": its window group would route that share of the corpus
+# through ONE spilling task (WindowExec cannot be split by AQE — skew
+# handling applies to joins only). Detection samples DOCUMENTS (so its
+# explode runs over the sample, never the corpus): a corpus-scale hot
+# hash is cross-document boilerplate, which survives document
+# sampling; a repeat confined to one document is bounded by that
+# document's length and needs no special routing. NOTE detection is
+# EAGER (two Spark jobs at operator-call time once the break-even cut
+# is < 1, i.e. defaultParallelism > _HOT_HV_PARALLEL_FACTOR; a sample
+# still evaluates the input's full upstream lineage) — callers whose
+# input is an expensive unpersisted pipeline should persist it first.
 _HOT_HV_SAMPLE = 0.01
 # A window group below WindowExec's spill threshold (4096 rows by
 # default) is buffered in memory and costs nothing special — groups
@@ -740,30 +770,48 @@ _HOT_HV_MIN_GROUP = 4096
 _HOT_HV_PARALLEL_FACTOR = 32.0
 
 
+def _span_occ_builder(text_col: str, id_col: str, span_tokens: int):
+    """The (id, pos, hv) span-window occurrence frame shared by
+    ``repeated_spans`` and ``substring_dedup`` — ONE definition so the
+    contract ``_detect_hot_hvs``/``_annotate_hv`` rely on cannot drift
+    between the two operators (``dedup_paragraphs`` has its own
+    paragraph-explode variant)."""
+
+    def _occ(src: DataFrame) -> DataFrame:
+        return shingles(
+            src, text_col, id_col, n=span_tokens,
+            keep_short=False, positional=True,
+        ).select("id", "pos", _hash60(F.col("shingle")).alias("hv"))
+
+    return _occ
+
+
 def _detect_hot_hvs(
     df: DataFrame,
     build,
-    min_share: float = _HOT_HV_SHARE,
+    min_share: float | None = None,
     sample_fraction: float = _HOT_HV_SAMPLE,
     seed: int = 7,
 ) -> list:
-    """hv values owning at least ``min_share`` of the occurrence rows
-    that ``build(docs)`` produces (and at least ``_HOT_HV_MIN_GROUP``
-    rows outright) — the ``skew.hot_keys`` pattern applied before the
-    explode. The effective share cut is additionally raised to
+    """hv values owning at least the break-even share of the occurrence
+    rows that ``build(docs)`` produces (and at least
+    ``_HOT_HV_MIN_GROUP`` rows outright) — the ``skew.hot_keys``
+    pattern applied before the explode. The share cut IS
     ``_HOT_HV_PARALLEL_FACTOR / defaultParallelism`` — the measured
     break-even where one window straggler outweighs the hybrid's two
     extra map passes (see the constant's comment): at local core
     counts the pure window always wins and detection finds nothing; at
-    warehouse parallelism sub-percent shares arm the split. The sample
-    is only trusted when a true hot hash would be expected >= 5 times
-    in it; below that, detection falls back to exact counts over the
-    full frame (small inputs are exactly where that is cheap). The
-    returned values are candidates: callers re-aggregate them EXACTLY,
-    so a sampling overestimate can only change the plan shape, never
-    the result."""
+    warehouse parallelism sub-percent shares arm the split (0.32% at
+    10k cores). A caller-supplied ``min_share`` raises the cut, never
+    lowers it below break-even. The sample is only trusted when a true
+    hot hash would be expected >= 5 times in it; below that, detection
+    falls back to exact counts over the full frame (small inputs are
+    exactly where that is cheap). The returned values are candidates:
+    callers re-aggregate them EXACTLY, so a sampling overestimate can
+    only change the plan shape, never the result."""
     par = max(1, df.sparkSession.sparkContext.defaultParallelism)
-    min_share = max(min_share, _HOT_HV_PARALLEL_FACTOR / par)
+    cut = _HOT_HV_PARALLEL_FACTOR / par
+    min_share = cut if min_share is None else max(min_share, cut)
     if min_share >= 1.0:
         # no single key can clear the cut — skip the detection jobs too
         return []
@@ -870,12 +918,7 @@ def repeated_spans(
     """
     from pyspark.sql import Window
 
-    def _occ(src: DataFrame) -> DataFrame:
-        return shingles(
-            src, text_col, id_col, n=span_tokens,
-            keep_short=False, positional=True,
-        ).select("id", "pos", _hash60(F.col("shingle")).alias("hv"))
-
+    _occ = _span_occ_builder(text_col, id_col, span_tokens)
     sh = _occ(df)
     # detected corpus-scale hot hashes bypass the window (guide §2.5);
     # with none detected — the common case — this IS the pure window plan
@@ -974,12 +1017,7 @@ def substring_dedup(
     itself never shuffles — the rewrite is a positional ``filter`` on
     the original split.
     """
-    def _occ(src: DataFrame) -> DataFrame:
-        return shingles(
-            src, text_col, id_col, n=span_tokens,
-            keep_short=False, positional=True,
-        ).select("id", "pos", _hash60(F.col("shingle")).alias("hv"))
-
+    _occ = _span_occ_builder(text_col, id_col, span_tokens)
     sh = _occ(df)
     # detected corpus-scale hot hashes bypass the window (guide §2.5);
     # with none detected — the common case — this IS the pure window plan

@@ -746,7 +746,7 @@ def bm25_search_batch(
 _BATCH_SCRATCH: str | None = None
 
 
-def _batch_scratch() -> str:
+def _batch_scratch(spark) -> str:
     """Per-process scratch root for ``bm25_batch_topk``'s single-tokenize
     materialization. One root per process; each CALL writes a fresh
     subdirectory under it, so a repeat invocation always recomputes from
@@ -764,15 +764,26 @@ def _batch_scratch() -> str:
 
         # On a multi-node cluster the scratch root must be storage every
         # executor can reach (HDFS/object store) — point
-        # $RTSTORE_SCRATCH_DIR at one. The local default is correct for
-        # local[...] masters, where driver and executors share a
-        # filesystem.
+        # $RTSTORE_SCRATCH_DIR at one. The local default is correct only
+        # for local[...] masters, where driver and executors share a
+        # filesystem; on any other master a driver-local tempdir would
+        # make executors commit part files to THEIR local disks and the
+        # read-back silently see an empty postings frame — refuse loudly
+        # instead.
         root = os.environ.get("RTSTORE_SCRATCH_DIR")
         if root:
             _BATCH_SCRATCH = root.rstrip("/") + "/rtstore_bm25_batch_" + (
                 os.urandom(6).hex()
             )
         else:
+            master = spark.sparkContext.master
+            if not master.startswith("local"):
+                raise RuntimeError(
+                    "bm25_batch_topk materializes postings to a scratch "
+                    "directory every executor must reach; master "
+                    f"{master!r} is not local — set $RTSTORE_SCRATCH_DIR "
+                    "to shared storage (HDFS/object store)"
+                )
             _BATCH_SCRATCH = tempfile.mkdtemp(prefix="rtstore_bm25_batch_")
             atexit.register(shutil.rmtree, _BATCH_SCRATCH, ignore_errors=True)
     return _BATCH_SCRATCH
@@ -815,7 +826,7 @@ def bm25_batch_topk(
 
     postings, _term_df, stats = bm25_build(df, text_col, id_col)
     if stats["n_docs"] > 0:
-        base = os.path.join(_batch_scratch(), uuid.uuid4().hex)
+        base = os.path.join(_batch_scratch(df.sparkSession), uuid.uuid4().hex)
         postings.write.mode("overwrite").parquet(base)
         # explicit schema: no footer inference, and robust even if an
         # all-null-text corpus produced zero posting rows

@@ -936,9 +936,12 @@ def ivf_pq_search_batch(
       when the query batch is small);
     - scoring rejoins the query VECTORS by query_id (one hash join; the
       raw vectors ride to candidates once, never through the route
-      explode) and computes ADC per batch as two numpy gathers — the LUT
-      path used for a literal query cannot apply, the table per row
-      differs;
+      explode) and computes ADC per batch by deduplicating the batch to
+      its unique queries (``np.unique``), building each unique query's
+      ADC lookup table with one einsum — the same tables the
+      single-query path uses — and scoring every candidate row with an
+      O(n·m) fancy gather (no per-row python loop, no O(n·dim)
+      reconstruction);
     - top-k is a per-query window (partitioned by query_id, never
       SinglePartition).
 

@@ -163,6 +163,26 @@ class TestDedup:
         }
         assert set(comp.values()) == {0} and len(comp) == 64
 
+    def test_connected_components_string_ids(self, spark):
+        """String ids (url/uuid corpora) must resolve exactly like numeric
+        ones: the decimal label-sum convergence probe only applies to
+        integer/decimal ids, so string labels take the type-agnostic
+        changed-row probe — a chain long enough to need several rounds
+        catches a probe that falsely reports convergence after round 1."""
+        edges = spark.createDataFrame(
+            [(f"u{i:02d}", f"u{i + 1:02d}") for i in range(12)]
+            + [("zz1", "zz2")],
+            ["id_a", "id_b"],
+        )
+        comp = {
+            r["id"]: r["comp"]
+            for r in dedup.connected_components(edges).collect()
+        }
+        assert comp["u12"] == "u00" and all(
+            comp[f"u{i:02d}"] == "u00" for i in range(13)
+        )
+        assert comp["zz1"] == "zz1" and comp["zz2"] == "zz1"
+
     def test_simhash_close_for_neardups(self, corpus):
         out = {r["id"]: r["simhash"] for r in dedup.simhash(corpus, "text", "id").collect()}
 
